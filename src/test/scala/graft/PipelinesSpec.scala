@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end smoke over the sf0.001 test tables: flagship entry plus every
+  * declared query runs and returns the expected shape. Value-level
+  * correctness is the driver's DuckDB oracle (SparkEntry.oracleSql).
+  */
+class PipelinesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only queries are allowed (approximate/hash-dependent ops) but
+    // must be a deliberate, documented list:
+    assert(noOracle.forall(RowsOnly.expected), s"undocumented rows-only: $noOracle")
+  }
+
+  test("all queries execute with rows > 0 at sf0.001") {
+    val empty = SparkEntry.queries.collect {
+      case (name, fn) if fn(spark, dir).count() == 0 => name
+    }
+    assert(empty.isEmpty, s"queries returned zero rows: $empty")
+  }
+}
+
+/** Queries intentionally lacking a DuckDB oracle (hash/model-dependent). */
+object RowsOnly {
+  val expected: Set[String] = Set()
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.RefFunctions._
+
+/** Property tests pinning sanitize fidelity (SURVEY.md §7.6.3). */
+class SanitizeProps extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def holds(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def sanitizeBatch(xs: List[String]): List[String] =
+    xs.toDF("x").select(sanitizeSql(col("x"))).as[String].collect().toList
+
+  private val weird: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString), Gen.oneOf("'", ";", "--", "-", " "),
+    Gen.oneOf(SqlSyntaxWords))).map(_.mkString)
+
+  test("sanitize output never contains forbidden characters") {
+    holds(Prop.forAll(Gen.listOfN(10, weird)) { xs: List[String] =>
+      sanitizeBatch(xs).forall(out =>
+        !out.contains("'") && !out.contains(";") && !out.contains("--"))
+    })
+  }
+
+  test("sanitize is identity on clean strings") {
+    val clean = Gen.listOf(
+      Gen.oneOf(Gen.alphaLowerChar, Gen.numChar, Gen.const(' ')))
+      .map(_.mkString)
+      .suchThat(s => SqlSyntaxWords.forall(w => !s.contains(w)))
+    holds(Prop.forAll(Gen.listOfN(10, clean)) { xs: List[String] =>
+      sanitizeBatch(xs) == xs
+    })
+  }
+}
