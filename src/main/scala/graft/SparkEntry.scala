@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.{RefPipelines, Tables}
+import graft.ops.{AnalyticsOps, DedupOps, EventOps, RefPipelines, SimilarityOps, Tables, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -23,12 +23,18 @@ object SparkEntry {
       .limit(10)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7.5 LLM-data
+    * extensions: dedup, similarity search, text analysis, event analytics).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefPipelines.queries
+    RefPipelines.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      TextOps.queries ++ EventOps.queries ++ AnalyticsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops (the
+    * hash-dependent LSH/SimHash variants — rows-only checked + unit-tested).
+    */
   def oracleSql: Map[String, String] =
-    RefPipelines.oracles
+    RefPipelines.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
+      TextOps.oracles ++ EventOps.oracles ++ AnalyticsOps.oracles
 }

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY.md §7.5):
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. Exact/Jaccard/cosine are DuckDB-oracle-backed;
+  * MinHashLSH and SimHash depend on engine-specific hashing and are
+  * rows-only + unit-tested (RowsOnly registry).
+  *
+  * Scale design: every pairwise variant joins WITHIN a blocking key
+  * (`source`, `label`) so candidate pairs grow linearly with block count,
+  * never O(n²) over the corpus; the LSH variants are the unblocked scale
+  * path (bucket join on banded signatures).
+  */
+object DedupOps {
+
+  /** lower + collapse whitespace + trim: the canonical text normalization
+    * shared by fingerprints and dedup keys (and their oracles).
+    */
+  def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  val normTextOracle: String => String =
+    inner => s"trim(regexp_replace(lower($inner), '\\s+', ' ', 'g'))"
+
+  /** Exact dedup: md5 of normalized text as the group key, min doc_id kept
+    * (deterministic representative). Map-side partial agg keeps the shuffle
+    * at one row per distinct hash.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(md5(normText(col("text")).cast("binary")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  val dedupExactOracle: String =
+    s"""SELECT md5(${normTextOracle("text")}) AS fingerprint,
+       |       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+       |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
+
+  /** Word-set Jaccard near-dup: distinct-token sets, pairwise within the
+    * `source` blocking key, flag pairs with J ≥ 0.9. The block join is a
+    * shuffle on the blocking key — linear in corpus size; the quadratic term
+    * is bounded by block cardinality.
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(normText(col("text")), " ")).as("tokens"))
+    val a = docs.as("a"); val b = docs.as("b")
+    a.join(b, col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.tokens"), col("b.tokens"))).cast("double") /
+          size(array_union(col("a.tokens"), col("b.tokens"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupNgramJaccardOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         list_distinct(string_split(${normTextOracle("text")}, ' ')) AS tokens
+       |  FROM documents)
+       |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE) /
+       |         CAST(len(list_distinct(list_concat(a.tokens, b.tokens))) AS DOUBLE) AS jaccard
+       |  FROM toks a JOIN toks b
+       |    ON a.source = b.source AND a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Embedding-cosine near-dup within the `label` blocking key (labels are
+    * the cluster assignment — the IVF-style candidate restriction).
+    */
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
+    val a = emb.as("a"); val b = emb.as("b")
+    a.join(b, col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosineSim(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingCosineOracle: String =
+    s"""SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${cosineOracle("a.embedding", "b.embedding")} AS cos
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** SimHash near-dup, hash-dependent → rows-only. 64-bit signature from
+    * xxhash64 of distinct tokens: bit i of the signature is the sign of
+    * Σ_tokens (2·bit_i(hash)−1); near-dups are pairs (same `source` block)
+    * within Hamming distance 3 via `bit_count(xor)`. All built-ins —
+    * explode + two shuffles (token agg, pair join) and no UDFs.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(split(normText(col("text")), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val sig = toks.groupBy(col("doc_id"), col("source")).agg(
+      (0 until 64).map { i =>
+        val bitSum = sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1)
+        when(bitSum > 0, lit(1L).cast("long")).otherwise(lit(0L)) * lit(1L << i)
+      }.reduce(_ + _).as("simhash"))
+    val a = sig.as("a"); val b = sig.as("b")
+    a.join(b, col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signatures + banded LSH, hash-dependent → rows-only. 32 hash
+    * functions h_j(t) = xxhash64(tok, seed=j) minimum per doc; 8 bands × 4
+    * rows; candidate pairs collide on (band, band-signature) — the unblocked
+    * scale path: one shuffle on band keys, no O(n²) anywhere. Candidates are
+    * then verified with exact Jaccard (classic LSH verify step).
+    */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val nHashes = 32; val bands = 8; val rowsPerBand = nHashes / bands
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(split(normText(col("text")), " ")).as("tokens"))
+    val toks = docs.select(col("doc_id"), explode(col("tokens")).as("tok"))
+    val sig = toks.groupBy("doc_id").agg(
+      array((0 until nHashes).map(j =>
+        min(xxhash64(col("tok"), lit(j)))): _*).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws(":", (0 until rowsPerBand).map(r =>
+            col("sig")(bnd * rowsPerBand + r)): _*).as("bsig"))): _*)))
+      .select(col("doc_id"), col("col.band"), col("col.bsig"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val da = docs.select(col("doc_id").as("doc_a"), col("tokens").as("tok_a"))
+    val db = docs.select(col("doc_id").as("doc_b"), col("tokens").as("tok_b"))
+    candidates.join(da, "doc_a").join(db, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
+          size(array_union(col("tok_a"), col("tok_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactOracle,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineOracle)
+}

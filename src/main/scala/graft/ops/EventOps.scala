@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the `events` stream table (SURVEY.md §7.5):
+  * tumbling windows, gap-based sessionization, JSON prop extraction, top-k —
+  * the §2.11-empty categories (grouped agg, window functions, sorts/top-k)
+  * exercised through Spark built-ins. Batch forms here; the streaming
+  * equivalents live in graft.streaming.
+  *
+  * Scale: every query shuffles once on its natural key (hour bucket,
+  * user_id); sessionization's window functions partition by user — skew-safe
+  * for web-scale user distributions under AQE.
+  */
+object EventOps {
+
+  /** Tumbling 1-hour windows × event_type: count + value aggregates.
+    * Timestamps are emitted as formatted strings — events.ts is
+    * nanosecond-precision parquet and raw timestamp hashing would compare
+    * ns-vs-µs across engines (Tables scaladoc).
+    */
+  def eventsTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy("hour", "event_type")
+
+  val eventsTumblingOracle: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |       event_type, count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value,
+      |       round(avg(value), 4) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity): lag → new-session flag →
+    * running sum as session id → per-session aggregates. Two window passes
+    * over the same (user_id, ts) partitioning — one shuffle, reused.
+    */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = Tables(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val eventsSessionizeOracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessioned AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+      |FROM sessioned GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** JSON prop extraction (`props` is a JSON string, FIXTURES.md):
+    * `get_json_object` → typed aggregation per event_type.
+    */
+  def eventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high_k"))
+      .orderBy("event_type")
+
+  val eventsJsonOracle: String =
+    """SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+      |       sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS n_high_k
+      |FROM (SELECT event_type,
+      |             CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Top-k users by total event value (sort + limit with deterministic
+    * tie-break) — rank over a pre-aggregated frame, so the window input is
+    * one row per user, not per event.
+    */
+  def eventsTopkUsers(s: SparkSession, dir: String): DataFrame = {
+    val totals = Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 4).as("total_value"),
+        count(lit(1)).as("n_events"))
+    totals
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("total_value").desc, col("user_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("user_id"), col("total_value"), col("n_events"))
+      .orderBy("rank")
+  }
+
+  val eventsTopkUsersOracle: String =
+    """SELECT rank, user_id, total_value, n_events FROM (
+      |  SELECT user_id, total_value, n_events,
+      |         row_number() OVER (ORDER BY total_value DESC, user_id) AS rank
+      |  FROM (SELECT user_id, round(sum(value), 4) AS total_value,
+      |               count(*) AS n_events FROM events GROUP BY user_id))
+      |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling" -> (eventsTumbling _),
+    "events_sessionize" -> (eventsSessionize _),
+    "events_json" -> (eventsJson _),
+    "events_topk_users" -> (eventsTopkUsers _))
+
+  val oracles: Map[String, String] = Map(
+    "events_tumbling" -> eventsTumblingOracle,
+    "events_sessionize" -> eventsSessionizeOracle,
+    "events_json" -> eventsJsonOracle,
+    "events_topk_users" -> eventsTopkUsersOracle)
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns (SURVEY.md §7.5): brute-force
+  * cosine top-k as the exactness baseline, plus the IVF-style bucketed
+  * variant (labels = coarse-quantizer assignment, nprobe=1) as the scale
+  * path. A third, fully unsupervised scale path is sign-LSH (random
+  * hyperplane) bucketing — see [[annSignLsh]], rows-only.
+  *
+  * Scale design: queries are a small broadcast side against a corpus that
+  * only shuffles for the per-query top-k window (partitioned by query id —
+  * k rows per query survive the partial top-k thanks to
+  * `spark.sql.execution.topKSortFallbackThreshold`-friendly window+filter).
+  */
+object SimilarityOps {
+
+  private val K = 5
+  private val NQueries = 10
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
+
+  /** Brute-force exact top-k neighbors for the first NQueries vectors. */
+  def annCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annCosineTopkOracle: String =
+    s"""SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${cosineOracle("q.embedding", "c.embedding")} AS cos,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${cosineOracle("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-bucketed top-k: candidates restricted to the query's own label
+    * bucket (coarse quantizer, nprobe=1) — the candidate set shrinks by the
+    * bucket count, the classic recall-for-throughput ANN trade.
+    */
+  def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val scored = emb.join(broadcast(queries),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfTopkOracle: String =
+    s"""SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${cosineOracle("q.embedding", "c.embedding")} AS cos,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${cosineOracle("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings c
+       |    ON c.label = q.label AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Sign-LSH (random hyperplane) bucketing, rows-only: an H-bit bucket id
+    * from the signs of projections onto H pseudo-random hyperplanes derived
+    * deterministically from xxhash64(dim, plane) — no external randomness,
+    * reproducible across runs. Neighbors are searched within the bucket.
+    * The per-vector bucket id is a narrow map; the search is a shuffle on
+    * bucket id — the fully unsupervised analog of [[annIvfTopk]].
+    */
+  def annSignLsh(s: SparkSession, dir: String): DataFrame = {
+    val H = 8
+    val emb = embeddings(s, dir)
+    // plane h weight for dimension d: hash-derived value in [-0.5, 0.5)
+    def planeDot(v: org.apache.spark.sql.Column, h: Int) =
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          x * ((pmod(xxhash64(i, lit(h)), lit(1000000)).cast("double") /
+            lit(1000000.0)) - lit(0.5))),
+        lit(0.0), (acc, x) => acc + x)
+    val bucketed = emb.withColumn("bucket",
+      (0 until H).map(h =>
+        when(planeDot(col("v"), h) > 0, lit(1L << h)).otherwise(lit(0L)))
+        .reduce(_ + _))
+    val queries = bucketed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("bucket").as("qbucket"),
+        col("v").as("qv"))
+    val scored = bucketed.join(broadcast(queries),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_cosine_topk" -> (annCosineTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_sign_lsh" -> (annSignLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" -> annCosineTopkOracle,
+    "ann_ivf_topk" -> annIvfTopkOracle)
+}

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.DedupOps.{normText, normTextOracle}
+
+/** Text analysis for training-data pipelines (SURVEY.md §7.5): language ID
+  * (marker-word heuristic), quality scoring, token counting (whitespace +
+  * BPE-ish regex), and document fingerprinting. All narrow per-row maps of
+  * codegen'd built-ins — embarrassingly parallel at any scale.
+  */
+object TextOps {
+
+  /** (lang, marker regex) — counts of distinctive function words. The
+    * heuristic is self-contained and deterministic; it does NOT consult the
+    * table's `lang` column (that is synthetic ground truth, kept alongside
+    * for inspection).
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is|was)\\b",
+    "de" -> "\\b(und|der|die|das|ist)\\b",
+    "fr" -> "\\b(le|la|les|est|et)\\b",
+    "es" -> "\\b(el|los|las|es|y)\\b")
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val scored = LangMarkers.foldLeft(
+      Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+        normText(col("text")).as("t"))) {
+      case (df, (lang, pat)) =>
+        df.withColumn(s"n_$lang", regexp_count(col("t"), lit(pat)))
+    }
+    val best = LangMarkers.map { case (l, _) => col(s"n_$l") }.reduce(greatest(_, _))
+    // argmax with first-wins tie-break in LangMarkers order; 0 matches → und
+    val predFirstWins = LangMarkers.reverse.foldLeft(lit("und")) {
+      case (acc, (l, _)) => when(col(s"n_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.select(Seq(col("doc_id"), col("lang"), predFirstWins.as("lang_pred")) ++
+        LangMarkers.map { case (l, _) => col(s"n_$l") }: _*)
+      .orderBy("doc_id")
+  }
+
+  val langIdOracle: String = {
+    val counts = LangMarkers.map { case (l, p) =>
+      s"len(regexp_extract_all(t, '$p')) AS n_$l"
+    }.mkString(",\n       ")
+    val best = "greatest(" + LangMarkers.map { case (l, _) => s"n_$l" }.mkString(", ") + ")"
+    val pred = "CASE " + LangMarkers.map { case (l, _) =>
+      s"WHEN n_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ") + " ELSE 'und' END"
+    s"""SELECT doc_id, lang, $pred AS lang_pred,
+       |  ${LangMarkers.map { case (l, _) => s"n_$l" }.mkString(", ")}
+       |FROM (
+       |  SELECT doc_id, lang,
+       |       $counts
+       |  FROM (SELECT doc_id, lang, ${normTextOracle("text")} AS t FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length, word count, mean word length, punctuation and
+    * digit ratios, and a low-quality flag (the usual pretraining filters).
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        length(col("t")).as("n_chars"),
+        regexp_count(col("t"), lit("\\S+")).as("n_words"),
+        round(length(col("t")).cast("double") /
+          regexp_count(col("t"), lit("\\S+")).cast("double"), 4).as("chars_per_word"),
+        round(regexp_count(col("t"), lit("[^a-z0-9 ]")).cast("double") /
+          length(col("t")).cast("double"), 4).as("punct_ratio"),
+        round(regexp_count(col("t"), lit("[0-9]")).cast("double") /
+          length(col("t")).cast("double"), 4).as("digit_ratio"))
+      .withColumn("low_quality",
+        col("n_words") < 10 || col("punct_ratio") > 0.3 || col("digit_ratio") > 0.3)
+      .orderBy("doc_id")
+
+  val textQualityOracle: String =
+    s"""SELECT doc_id, n_chars, n_words, chars_per_word, punct_ratio, digit_ratio,
+       |       (n_words < 10 OR punct_ratio > 0.3 OR digit_ratio > 0.3) AS low_quality
+       |FROM (
+       |  SELECT doc_id,
+       |         length(t) AS n_chars,
+       |         len(regexp_extract_all(t, '\\S+')) AS n_words,
+       |         round(CAST(length(t) AS DOUBLE) /
+       |               CAST(len(regexp_extract_all(t, '\\S+')) AS DOUBLE), 4) AS chars_per_word,
+       |         round(CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) /
+       |               CAST(length(t) AS DOUBLE), 4) AS punct_ratio,
+       |         round(CAST(len(regexp_extract_all(t, '[0-9]')) AS DOUBLE) /
+       |               CAST(length(t) AS DOUBLE), 4) AS digit_ratio
+       |  FROM (SELECT doc_id, ${normTextOracle("text")} AS t FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens and a BPE-ish lexer regex (letter
+    * runs / digit runs / single non-alnum), per document plus per-source
+    * aggregate totals for corpus budgeting.
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), normText(col("text")).as("t"))
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("t"), lit("\\S+")).as("ws_tokens"),
+        regexp_count(col("t"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("bpe_ish_tokens"))
+      .orderBy("doc_id")
+
+  val tokenCountOracle: String =
+    s"""SELECT doc_id, source,
+       |       len(regexp_extract_all(t, '\\S+')) AS ws_tokens,
+       |       len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens
+       |FROM (SELECT doc_id, source, ${normTextOracle("text")} AS t FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-source token budget (grouped aggregation over tokenCount). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    tokenCount(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        round(avg(col("ws_tokens")), 4).as("avg_ws_tokens"),
+        max(col("bpe_ish_tokens")).as("max_bpe_ish_tokens"))
+      .orderBy("source")
+
+  val tokenStatsOracle: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |       sum(ws_tokens) AS total_ws_tokens,
+       |       round(avg(ws_tokens), 4) AS avg_ws_tokens,
+       |       max(bpe_ish_tokens) AS max_bpe_ish_tokens
+       |FROM (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(t, '\\S+')) AS ws_tokens,
+       |         len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens
+       |  FROM (SELECT doc_id, source, ${normTextOracle("text")} AS t FROM documents))
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Document fingerprinting: full-text md5 + 50-char-prefix md5, with the
+    * prefix-cluster size (near-dup cluster discovery via fingerprints; a
+    * window count, shuffle on the fingerprint key only).
+    */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(normText(col("text")).cast("binary")).as("fp_full"),
+        md5(substring(normText(col("text")), 1, 50).cast("binary")).as("fp_prefix"))
+    fp.withColumn("prefix_cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("fp_prefix"))))
+      .orderBy("doc_id")
+  }
+
+  val docFingerprintOracle: String =
+    s"""SELECT doc_id, md5(${normTextOracle("text")}) AS fp_full,
+       |       md5(substr(${normTextOracle("text")}, 1, 50)) AS fp_prefix,
+       |       count(*) OVER (PARTITION BY md5(substr(${normTextOracle("text")}, 1, 50)))
+       |         AS prefix_cluster_size
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lang_id" -> (langId _),
+    "text_quality" -> (textQuality _),
+    "token_count" -> (tokenCount _),
+    "token_stats" -> (tokenStats _),
+    "doc_fingerprint" -> (docFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "lang_id" -> langIdOracle,
+    "text_quality" -> textQualityOracle,
+    "token_count" -> tokenCountOracle,
+    "token_stats" -> tokenStatsOracle,
+    "doc_fingerprint" -> docFingerprintOracle)
+}

@@ -31,5 +31,6 @@ class PipelinesSpec extends AnyFunSuite {
 
 /** Queries intentionally lacking a DuckDB oracle (hash/model-dependent). */
 object RowsOnly {
-  val expected: Set[String] = Set()
+  val expected: Set[String] =
+    Set("dedup_simhash", "dedup_minhash_lsh", "ann_sign_lsh")
 }
