@@ -4,7 +4,8 @@ import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.SparkSession
 import graft.config.SearchConfig
 import graft.io.{CsvFolderSink, CsvTable}
-import graft.ops.{ImportPipeline, SearchPipeline}
+import graft.ops.{ExportPipeline, ImportPipeline, SearchPipeline}
+import graft.sources.xlsx.{XlsxSheetSource, XlsxWriter}
 
 /** Executable end-to-end example of the reference-shaped pipelines over
   * generated fixtures (FIXTURES.md §B): CSV→table import (sanitize,
@@ -25,6 +26,33 @@ object EtlDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // ---- Excel→CSV export with the real xlsx DSv2 (FIXTURES.md B1/B2/B8) ----
+    val excelIn = root.resolve("excel_in"); Files.createDirectories(excelIn)
+    XlsxWriter.write(excelIn.resolve("Blackboard.xlsx"), Seq(
+      "Stock" -> Seq(
+        Seq(Some("ItemId"), Some("ItemName"), Some("LastSold")),
+        Seq(Some("10"), Some("Bolt"), Some("45200.25")),
+        Seq(Some("11"), Some("Nut"), Some("45201"))),
+      "Ignored" -> Seq(Seq(Some("X")), Seq(Some("1")))))
+    Files.writeString(root.resolve("export_settings.txt"),
+      s"""lastModLogFolderPath=$root/lastmod
+         |csvExportFolderPath=$root/csv_out
+         |errorFolderPath=$root/error
+         |""".stripMargin)
+    Files.writeString(root.resolve("Blackboard_export_settings.txt"),
+      s"""exportFileExtention=.xlsx
+         |exportSourceFolderPath=$excelIn
+         |sheetsToExport=Stock
+         |headerRow=1
+         |""".stripMargin)
+    val exported = ExportPipeline.runAll(spark, root, new XlsxSheetSource)
+    println(s"[demo] export results: $exported")
+    println(s"[demo] exported Stock.csv:")
+    Files.readString(root.resolve("csv_out/Stock.csv")).linesIterator
+      .foreach(l => println(s"[demo]   $l"))
+    val exportedAgain = ExportPipeline.runAll(spark, root, new XlsxSheetSource)
+    println(s"[demo] re-run (watermark gate): $exportedAgain")
 
     // ---- CSV→SQL-shaped import (FIXTURES.md B3/B4/B5) ----
     val in = root.resolve("csv_in"); Files.createDirectories(in)

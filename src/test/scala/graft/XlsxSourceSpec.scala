@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.xlsx.{XlsxParser, XlsxSheetSource, XlsxWriter => XlsxTestWriter}
+
+class XlsxSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def sampleWorkbook(): Path = {
+    val dir = Files.createTempDirectory("graft-xlsx")
+    val wb = dir.resolve("Blackboard.xlsx")
+    XlsxTestWriter.write(wb, Seq(
+      "Stock" -> Seq(
+        Seq(Some("ItemId"), Some("ItemName"), Some("LastSold")),
+        Seq(Some("1"), Some("Widget A"), Some("45123.5")),
+        Seq(Some("2"), Some("rich:Wid|get B"), None), // rich text + missing cell
+        Seq(Some("3"), Some("inline:Inline Name"), Some("45125")),
+        Seq(Some("4"), Some("TRUE"), Some("0.25"))),
+      "Orders" -> Seq(
+        Seq(Some("OrderId"), Some("Qty")),
+        Seq(Some("A-1"), Some("10")))))
+    wb
+  }
+
+  test("sheet enumeration via workbook rels (S2)") {
+    val wb = sampleWorkbook()
+    assert(XlsxParser.sheetNames(wb.toString) == Seq("Stock", "Orders"))
+  }
+
+  test("format(\"xlsx\") reads header + all-string rows (S1)") {
+    val wb = sampleWorkbook()
+    val df = spark.read.format("xlsx").option("sheet", "Stock")
+      .load(wb.toString)
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.columns.toSeq == Seq("ItemId", "ItemName", "LastSold"))
+    val rows = df.collect().map(r => (0 until 3).map(i =>
+      Option(r.getString(i)).getOrElse("∅")).mkString("|")).sorted.toSeq
+    assert(rows == Seq(
+      "1|Widget A|45123.5",
+      "2|Widget B|∅",          // rich-text runs concatenated; missing → null
+      "3|Inline Name|45125",   // inlineStr
+      "4|TRUE|0.25"))          // boolean cell
+  }
+
+  test("default sheet is the first; explicit second sheet works") {
+    val wb = sampleWorkbook()
+    assert(spark.read.format("xlsx").load(wb.toString)
+      .columns.toSeq == Seq("ItemId", "ItemName", "LastSold"))
+    val orders = spark.read.format("xlsx").option("sheet", "Orders")
+      .load(wb.toString)
+    assert(orders.columns.toSeq == Seq("OrderId", "Qty"))
+    assert(orders.count() == 1)
+  }
+
+  test("headerRow > 1 skips leading junk (Import-Excel -StartRow semantics)") {
+    val dir = Files.createTempDirectory("graft-xlsx")
+    val wb = dir.resolve("hdr.xlsx")
+    XlsxTestWriter.write(wb, Seq("S" -> Seq(
+      Seq(Some("junk title")),
+      Seq(Some("A"), Some("B")),
+      Seq(Some("1"), Some("x")),
+      Seq(Some("2"), Some("y")))))
+    val df = spark.read.format("xlsx").option("headerRow", "2").load(wb.toString)
+    assert(df.columns.toSeq == Seq("A", "B"))
+    assert(df.count() == 2)
+  }
+
+  test("column pruning reaches the scan (SupportsPushDownRequiredColumns)") {
+    val wb = sampleWorkbook()
+    val df = spark.read.format("xlsx").option("sheet", "Stock")
+      .load(wb.toString).select("ItemName")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("columns=ItemName"), s"scan not pruned: $scan")
+    assert(df.collect().length == 4)
+  }
+
+  test("directory load: one partition per workbook file") {
+    val dir = Files.createTempDirectory("graft-xlsx-multi")
+    for (i <- 1 to 3) {
+      XlsxTestWriter.write(dir.resolve(s"wb$i.xlsx"), Seq("S" -> Seq(
+        Seq(Some("Id"), Some("V")),
+        Seq(Some(i.toString), Some(s"v$i")))))
+    }
+    val df = spark.read.format("xlsx").load(dir.toString)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.select("Id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("1", "2", "3"))
+  }
+
+  test("missing sheet error names the available sheets") {
+    val wb = sampleWorkbook()
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").option("sheet", "Nope").load(wb.toString).collect()
+    }
+    assert(e.getMessage.contains("Stock") || e.getCause != null)
+  }
+
+  test("export pipeline runs with the real xlsx source end-to-end") {
+    val root = Files.createTempDirectory("graft-xlsx-e2e")
+    val excelIn = root.resolve("excel_in"); Files.createDirectories(excelIn)
+    XlsxTestWriter.write(excelIn.resolve("Blackboard.xlsx"), Seq(
+      "Stock" -> Seq(
+        Seq(Some("ItemId"), Some("ItemName")),
+        Seq(Some("1"), Some("Widget")),
+        Seq(Some("2"), Some("Gadget")))))
+    Files.writeString(root.resolve("export_settings.txt"),
+      s"""lastModLogFolderPath=$root/lastmod
+         |csvExportFolderPath=$root/csv_out
+         |errorFolderPath=$root/error
+         |""".stripMargin)
+    Files.writeString(root.resolve("Blackboard_export_settings.txt"),
+      s"""exportFileExtention=.xlsx
+         |exportSourceFolderPath=$excelIn
+         |sheetsToExport=Stock
+         |headerRow=1
+         |""".stripMargin)
+    val results = graft.ops.ExportPipeline.runAll(spark, root, new XlsxSheetSource)
+    assert(results.map(_.exportedSheets) == Seq(Seq("Stock")))
+    val csv = Files.readString(root.resolve("csv_out/Stock.csv"))
+    assert(csv.linesIterator.toSeq == Seq("ItemId,ItemName", "1,Widget", "2,Gadget"))
+  }
+}
