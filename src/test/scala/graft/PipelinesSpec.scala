@@ -32,5 +32,6 @@ class PipelinesSpec extends AnyFunSuite {
 /** Queries intentionally lacking a DuckDB oracle (hash/model-dependent). */
 object RowsOnly {
   val expected: Set[String] =
-    Set("dedup_simhash", "dedup_minhash_lsh", "ann_sign_lsh")
+    Set("dedup_simhash", "dedup_minhash_lsh", "ann_sign_lsh",
+      "multimodal_decode")
 }

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.ImportConfig
+import graft.io.{CsvFolderSink, CsvTable}
+import graft.streaming.{StreamingEvents, StreamingImport}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def importCfg(root: java.nio.file.Path): ImportConfig = ImportConfig(
+    Map("importFilesFolderPath" -> s"$root/in",
+      "importProcessedFolderPath" -> s"$root/done",
+      "errorFolderPath" -> s"$root/err",
+      "lastImpLogFolderPath" -> s"$root/lastimp"),
+    Map("importTable" -> "Stock", "importTablePK" -> "ItemId",
+      "importFieldNames" -> "ItemId,ItemName,LastSold",
+      "importServerName" -> "s", "importDatabaseName" -> "d",
+      "importDatetimeFields" -> "LastSold"), "stock")
+
+  test("ST2: streaming import drains folder, archives source, exactly-once re-run") {
+    val root = Files.createTempDirectory("graft-stream")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val archive = root.resolve("archive")
+    val sinkDir = root.resolve("sink"); Files.createDirectories(sinkDir)
+    Files.writeString(in.resolve("batch1.csv"),
+      """ItemId,ItemName,LastSold
+        |1,Widget; DROP it,45123.5
+        |,orphan,45124
+        |""".stripMargin)
+    val cfg = importCfg(root)
+    val sink = new CsvFolderSink(sinkDir)
+    val cols = Seq("ItemId", "ItemName", "LastSold")
+    StreamingImport.runAvailableNow(spark, cfg, cols, sink,
+      root.resolve("ckpt"), in, archive)
+
+    val out = CsvTable.read(spark, sinkDir.resolve("Stock.csv")).collect()
+    assert(out.length == 1) // PK filter dropped the orphan
+    assert(out.head.getString(1) == "Widget [[DROP]] it")
+    assert(out.head.getString(2) == "2023-07-18 12:00:00")
+
+    // second drain with nothing new: checkpoint prevents re-processing
+    Files.writeString(sinkDir.resolve("Stock.csv"), "ItemId,ItemName,LastSold\n")
+    StreamingImport.runAvailableNow(spark, cfg, cols, sink,
+      root.resolve("ckpt"), in, archive)
+    val after = Files.readString(sinkDir.resolve("Stock.csv"))
+    assert(after.linesIterator.size == 1, s"file re-processed: $after")
+
+    // a NEW file is picked up incrementally
+    Files.writeString(in.resolve("batch2.csv"),
+      """ItemId,ItemName,LastSold
+        |2,Second,45200
+        |""".stripMargin)
+    StreamingImport.runAvailableNow(spark, cfg, cols, sink,
+      root.resolve("ckpt"), in, archive)
+    val out2 = CsvTable.read(spark, sinkDir.resolve("Stock.csv")).collect()
+    assert(out2.map(_.getString(0)).toSeq == Seq("2"))
+  }
+
+  test("streaming windowed counts match the batch tumbling query (closed windows)") {
+    val streamed = StreamingEvents.runOnce(spark, dir, "ev_test")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val batch = graft.ops.EventOps.eventsTumbling(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.nonEmpty)
+    // append mode emits only watermark-closed windows: every emitted window
+    // must equal its batch counterpart; only trailing windows may be absent
+    streamed.foreach { case (k, v) =>
+      assert(batch(k) == v, s"window $k: streamed=$v batch=${batch(k)}")
+    }
+    val lastClosed = streamed.keys.map(_._1).max
+    val missing = batch.keys.filterNot(streamed.contains)
+    assert(missing.forall(_._1 > lastClosed),
+      s"non-trailing windows missing from stream: $missing")
+  }
+}
