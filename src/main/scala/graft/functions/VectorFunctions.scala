@@ -26,9 +26,19 @@ object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** DuckDB oracle fragments (same double-cast discipline). */
+  /** Unit-normalize so each candidate pair costs ONE dot product instead of
+    * dot + two norms. Evaluate this BELOW a join/exchange boundary (the
+    * shuffle or broadcast build materializes it once per vector); at real
+    * scale, normalized vectors would be materialized to storage up front.
+    */
+  def normalize(a: Column): Column = transform(a, x => x / sqrt(dot(a, a)))
+
+  /** DuckDB oracle fragments (same double-cast + normalize-then-dot op
+    * order as the Spark side, so values agree to float ulps).
+    */
+  def normalizeOracle(x: String): String =
+    s"list_transform(CAST($x AS DOUBLE[]), v -> v / sqrt(list_dot_product(CAST($x AS DOUBLE[]), CAST($x AS DOUBLE[]))))"
+
   def cosineOracle(a: String, b: String): String =
-    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
-      s"(sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
-      s"sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
+    s"list_dot_product(${normalizeOracle(a)}, ${normalizeOracle(b)})"
 }

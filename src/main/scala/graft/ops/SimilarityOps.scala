@@ -23,7 +23,8 @@ object SimilarityOps {
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"),
+        normalize(toDoubleArray(col("embedding"))).as("v"))
 
   /** Brute-force exact top-k neighbors for the first NQueries vectors. */
   def annCosineTopk(s: SparkSession, dir: String): DataFrame = {
@@ -33,7 +34,7 @@ object SimilarityOps {
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineSim(col("qv"), col("v")).as("cos"))
+        dot(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -65,7 +66,7 @@ object SimilarityOps {
     val scored = emb.join(broadcast(queries),
         col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineSim(col("qv"), col("v")).as("cos"))
+        dot(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -113,7 +114,7 @@ object SimilarityOps {
     val scored = bucketed.join(broadcast(queries),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineSim(col("qv"), col("v")).as("cos"))
+        dot(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
