@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import graft.functions.{RefFunctions, VectorFunctions}
+
+/** SQL-callable registration of the engine's scalar surface (SURVEY.md §7.4
+  * "optional polish"): each function is the SAME Column-combinator used by
+  * the DataFrame API — built-ins composed under a name, so SQL callers get
+  * codegen/vectorization identically. No UDFs anywhere.
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   spark.sql("SELECT sanitize_sql(text) FROM docs")
+  *
+  * Also installable on a live session via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, arity, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == arity,
+            s"$name expects $arity argument(s), got ${exprs.length}")
+          builder(exprs)
+        }))
+    }
+}
+
+object GraftExtensions {
+
+  private def c(e: Expression) = column(e)
+
+  /** (name, arity, builder) for every registered function. */
+  val functions: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("sanitize_sql", 1,
+      es => expression(RefFunctions.sanitizeSql(c(es.head)))),
+    ("excel_serial_to_sql", 1,
+      es => expression(RefFunctions.excelSerialToSql(c(es.head)))),
+    ("scrub_ref", 1,
+      es => expression(RefFunctions.scrubRef(c(es.head)))),
+    ("bracket_quote", 1,
+      es => expression(RefFunctions.bracketQuote(c(es.head)))),
+    ("cosine_sim", 2,
+      es => expression(VectorFunctions.cosineSim(
+        VectorFunctions.toDoubleArray(c(es.head)),
+        VectorFunctions.toDoubleArray(c(es(1)))))))
+
+  /** Register on an existing session (tests, spark-shell). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, arity, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name,
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == arity,
+            s"$name expects $arity argument(s), got ${exprs.length}")
+          builder(exprs)
+        },
+        "internal") // composition of built-ins, codegen'd like one
+    }
+}

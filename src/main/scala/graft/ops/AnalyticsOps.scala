@@ -99,13 +99,142 @@ object AnalyticsOps {
       |  SELECT 'except', (SELECT count(*) FROM (SELECT k FROM wo EXCEPT SELECT k FROM b)))
       |ORDER BY op""".stripMargin
 
+  /** Rollup (grouping-sets family): per-flag, per-flag-status, and grand
+    * totals in one pass — Spark plans a single Expand + aggregation.
+    */
+  def q1Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  val q1RollupOracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Statistical aggregates per event_type: exact interpolated median
+    * (percentile == DuckDB quantile_cont), sample stddev, extremes.
+    */
+  def eventsValueStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("value")), 4).as("min_v"),
+        round(max(col("value")), 4).as("max_v"),
+        round(avg(col("value")), 4).as("avg_v"),
+        round(stddev_samp(col("value")), 4).as("stddev_v"),
+        round(median(col("value")), 4).as("median_v"))
+      .orderBy("event_type")
+
+  /** As-of join (composition per SURVEY.md §7.4 preference (a)): attribute
+    * each purchase event to the user's latest prior view within 7 days —
+    * equi-join on the user + bounded range predicate, then a per-purchase
+    * row_number keeps the newest. The TOLERANCE bound is what keeps an
+    * as-of join linear-ish at scale: candidates per probe are bounded by
+    * events-per-user-per-window, not the full history. Timestamps compare
+    * at second granularity (the events table is nanosecond parquet; µs/ns
+    * truncation must not decide pair membership — Tables scaladoc).
+    */
+  def asofJoinAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_s").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts_s").as("v_ts"))
+    val joined = purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id"))
+      .orderBy(col("v_ts").desc, col("view_id").desc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        col("view_id").as("attributed_view_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts")))
+          .as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinOracle: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   date_trunc('second', ts) AS ts_s FROM events)
+      |SELECT purchase_id, user_id, attributed_view_id, gap_sec FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id,
+      |         v.event_id AS attributed_view_id,
+      |         CAST(floor(epoch(p.ts_s)) AS BIGINT)
+      |           - CAST(floor(epoch(v.ts_s)) AS BIGINT) AS gap_sec,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |           ORDER BY v.ts_s DESC, v.event_id DESC) AS rn
+      |  FROM ev p JOIN ev v
+      |    ON p.event_type = 'purchase' AND v.event_type = 'view'
+      |   AND p.user_id = v.user_id
+      |   AND v.ts_s <= p.ts_s
+      |   AND v.ts_s > p.ts_s - INTERVAL 7 DAY)
+      |WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
+  /** Running (cumulative) totals: per-customer order history with ordinal
+    * and cumulative spend — frame-spec window aggregation.
+    */
+  def runningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("running_spend", round(sum(col("o_totalprice")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)), 2))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("order_seq"), col("running_spend"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  val runningTotalOracle: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |       row_number() OVER w AS order_seq,
+      |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
-    "set_ops_customers" -> (setOpsCustomers _))
+    "set_ops_customers" -> (setOpsCustomers _),
+    "q1_rollup" -> (q1Rollup _),
+    "events_value_stats" -> (eventsValueStats _),
+    "asof_join_attribution" -> (asofJoinAttribution _),
+    "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
-    "set_ops_customers" -> setOpsOracle)
+    "set_ops_customers" -> setOpsOracle,
+    "q1_rollup" -> q1RollupOracle,
+    "events_value_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
+        |       round(avg(value), 4) AS avg_v,
+        |       round(stddev_samp(value), 4) AS stddev_v,
+        |       round(quantile_cont(value, 0.5), 4) AS median_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "asof_join_attribution" -> asofJoinOracle,
+    "running_total" -> runningTotalOracle)
 }
