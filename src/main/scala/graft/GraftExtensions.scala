@@ -48,7 +48,13 @@ object GraftExtensions {
     ("cosine_sim", 2,
       es => expression(VectorFunctions.cosineSim(
         VectorFunctions.toDoubleArray(c(es.head)),
-        VectorFunctions.toDoubleArray(c(es(1)))))))
+        VectorFunctions.toDoubleArray(c(es(1)))))),
+    ("dot_product", 2,
+      es => graft.functions.expressions.DotProduct(
+        expression(VectorFunctions.toDoubleArray(c(es.head))),
+        expression(VectorFunctions.toDoubleArray(c(es(1)))))),
+    ("simhash64", 1,
+      es => graft.functions.expressions.SimHash64(es.head)))
 
   /** Register on an existing session (tests, spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

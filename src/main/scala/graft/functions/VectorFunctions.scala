@@ -2,6 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.functions.expressions.DotProduct
 
 /** Vector math over `ArrayType` embedding columns, built from higher-order
   * functions (`zip_with`/`aggregate`) so everything stays inside Catalyst —
@@ -15,10 +17,18 @@ object VectorFunctions {
 
   def toDoubleArray(c: Column): Column = c.cast("array<double>")
 
-  /** Σ aᵢ·bᵢ via zip_with + aggregate (sequential left fold, matching
-    * DuckDB's list_dot_product order for oracle parity).
+  /** Σ aᵢ·bᵢ — the native codegen'd [[DotProduct]] expression (sequential
+    * left fold, bit-identical to [[dotComposed]] and to DuckDB's
+    * list_dot_product order for oracle parity).
     */
   def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** The built-in composition equivalent of [[dot]] — kept as the
+    * cross-check reference (VectorExpressionsSpec pins bit equality).
+    */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

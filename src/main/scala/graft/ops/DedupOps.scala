@@ -58,13 +58,18 @@ object DedupOps {
         col("a.doc_id") < col("b.doc_id") &&
         col("a.n_tok") * 10 >= col("b.n_tok") * 9 &&
         col("b.n_tok") * 10 >= col("a.n_tok") * 9)
+      // |A∩B| in its own projection: referenced twice below, and
+      // CollapseProject keeps non-cheap multi-referenced expressions
+      // un-inlined, so the array op evaluates ONCE per pair
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        // |A∪B| = |A|+|B|−|A∩B|: one array op per pair instead of two
-        (size(array_intersect(col("a.tokens"), col("b.tokens"))).cast("double") /
-          (col("a.n_tok") + col("b.n_tok") -
-            size(array_intersect(col("a.tokens"), col("b.tokens")))).cast("double"))
-          .as("jaccard"))
+        col("a.n_tok").as("n_a"), col("b.n_tok").as("n_b"),
+        graft.functions.ArrayFunctions.intersectSize(
+          col("a.tokens"), col("b.tokens")).as("n_i"))
+      // |A∪B| = |A|+|B|−|A∩B|: arithmetic, no second array op
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_i").cast("double") /
+          (col("n_a") + col("n_b") - col("n_i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -112,22 +117,26 @@ object DedupOps {
        |    ON a.label = b.label AND a.vec_id < b.vec_id)
        |WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
 
-  /** SimHash near-dup, hash-dependent → rows-only. 64-bit signature from
-    * xxhash64 of distinct tokens: bit i of the signature is the sign of
-    * Σ_tokens (2·bit_i(hash)−1); near-dups are pairs (same `source` block)
-    * within Hamming distance 3 via `bit_count(xor)`. All built-ins —
-    * explode + two shuffles (token agg, pair join) and no UDFs.
+  /** SimHash near-dup, hash-dependent → rows-only. 64-bit signature via the
+    * native [[graft.functions.expressions.SimHash64]] expression over
+    * xxhash64'd distinct tokens — a NARROW map (no explode, no signature
+    * shuffle; the only shuffle is the pair join). Near-dups are pairs (same
+    * `source` block) within Hamming distance 3 via `bit_count(xor)`.
+    * [[simhashSignatures]] is the per-doc signature frame, also used by the
+    * equivalence test against the explode+aggregate composition.
     */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(split(normText(col("text")), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val sig = toks.groupBy(col("doc_id"), col("source")).agg(
-      (0 until 64).map { i =>
-        val bitSum = sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1)
-        when(bitSum > 0, lit(1L).cast("long")).otherwise(lit(0L)) * lit(1L << i)
-      }.reduce(_ + _).as("simhash"))
+        ColumnBridge.column(graft.functions.expressions.SimHash64(
+          ColumnBridge.expression(
+            transform(array_distinct(split(normText(col("text")), " ")),
+              t => xxhash64(t))))).as("simhash"))
+  }
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(s, dir)
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b, col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -187,10 +196,12 @@ object DedupOps {
       .filter(size(col("tok_a")) * 10 >= size(col("tok_b")) * 9 &&
         size(col("tok_b")) * 10 >= size(col("tok_a")) * 9)
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
-          (size(col("tok_a")) + size(col("tok_b")) -
-            size(array_intersect(col("tok_a"), col("tok_b")))).cast("double"))
-          .as("jaccard"))
+        size(col("tok_a")).as("n_a"), size(col("tok_b")).as("n_b"),
+        graft.functions.ArrayFunctions.intersectSize(
+          col("tok_a"), col("tok_b")).as("n_i"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_i").cast("double") /
+          (col("n_a") + col("n_b") - col("n_i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")

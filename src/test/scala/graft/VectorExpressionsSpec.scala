@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions
+import graft.ops.DedupOps
+
+/** The custom codegen'd expressions must be BIT-IDENTICAL to the built-in
+  * compositions they replace — oracle parity depends on it.
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("DotProduct == zip_with/aggregate composition, bit for bit") {
+    val vecs = graft.ops.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+    val a = vecs.as("a"); val b = vecs.as("b")
+    val pairs = a.join(b, col("a.vec_id") % 17 === col("b.vec_id") % 17 &&
+      col("a.vec_id") < col("b.vec_id"))
+    val diffs = pairs.select(
+        VectorFunctions.dot(col("a.v"), col("b.v")).as("native"),
+        VectorFunctions.dotComposed(col("a.v"), col("b.v")).as("composed"))
+      .filter(col("native") =!= col("composed") ||
+        col("native").isNull =!= col("composed").isNull)
+      .count()
+    assert(diffs == 0L)
+  }
+
+  test("DotProduct null semantics match the composition") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),   // 11.0
+      (Some(Seq(1.0)), Some(Seq(1.0, 2.0))),        // length mismatch → null
+      (None, Some(Seq(1.0)))                        // null array → null
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      VectorFunctions.dotComposed(col("a"), col("b")).as("composed")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+  }
+
+  test("SimHash64 == explode + 64-expression aggregate composition") {
+    val native = DedupOps.simhashSignatures(spark, dir)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the original wide composition (what the narrow expression replaced)
+    val toks = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(DedupOps.normText(col("text")), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val composed = toks.groupBy(col("doc_id")).agg(
+      (0 until 64).map { i =>
+        val bitSum = sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1)
+        when(bitSum > 0, lit(1L).cast("long")).otherwise(lit(0L)) * lit(1L << i)
+      }.reduce(_ + _).as("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.size == composed.size)
+    assert(native == composed)
+  }
+
+  test("ArrayIntersectSize == size(array_intersect), incl. dups and nulls") {
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(split(DedupOps.normText(col("text")), " ")).as("t"))
+    val a = docs.as("a"); val b = docs.as("b")
+    val diffs = a.join(b, col("a.doc_id") % 13 === col("b.doc_id") % 13 &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        graft.functions.ArrayFunctions.intersectSize(col("a.t"), col("b.t")).as("native"),
+        size(array_intersect(col("a.t"), col("b.t"))).as("builtin"))
+      .filter(col("native") =!= col("builtin")).count()
+    assert(diffs == 0L)
+
+    val edge = Seq(
+      (Seq[Option[String]](Some("x"), Some("x"), None, Some("y")),
+        Seq[Option[String]](Some("x"), None, Some("z"))),
+      (Seq[Option[String]](), Seq[Option[String]](Some("x"))))
+      .toDF("a", "b")
+      .select(
+        graft.functions.ArrayFunctions.intersectSize(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .collect()
+    edge.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
+  test("SQL registration: dot_product and simhash64 callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0, 2.0), array(3.0, 4.0)) AS d,
+        |       simhash64(array(CAST(5 AS BIGINT))) AS s""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 5L) // single hash: sig bits == its set bits
+  }
+}
