@@ -31,7 +31,12 @@ object JdbcTableSink {
     "isolationLevel" -> "READ_COMMITTED")
 }
 
-final class JdbcTableSink(cfg: ImportConfig) extends TableSink {
+/** `urlOverride` + `quoteName=false` let tests run the SAME write path
+  * against embedded Derby (JdbcSinkIntegrationSpec); production uses the
+  * SQL Server URL + bracket-quoting from [[JdbcTableSink.writerOptions]].
+  */
+final class JdbcTableSink(cfg: ImportConfig, urlOverride: Option[String] = None,
+    quoteName: Boolean = true) extends TableSink {
   override def write(df: DataFrame, table: String): Unit = {
     val props = new Properties()
     val opts = JdbcTableSink.writerOptions(cfg)
@@ -39,7 +44,8 @@ final class JdbcTableSink(cfg: ImportConfig) extends TableSink {
       .option("truncate", opts("truncate"))
       .option("batchsize", opts("batchsize"))
       .option("isolationLevel", opts("isolationLevel"))
-      .jdbc(opts("url"), bracketQuoteName(table), props)
+      .jdbc(urlOverride.getOrElse(opts("url")),
+        if (quoteName) bracketQuoteName(table) else table, props)
   }
 }
 

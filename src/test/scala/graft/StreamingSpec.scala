@@ -59,6 +59,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.map(_.getString(0)).toSeq == Seq("2"))
   }
 
+  test("flatMapGroupsWithState sessionization matches batch sessions (closed ones)") {
+    val streamed = graft.streaming.StreamingSessionize
+      .runOnce(spark, dir, "sess_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val batchAll = graft.ops.EventOps.eventsSessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed.nonEmpty)
+    // every emitted (closed) session must equal its batch counterpart
+    streamed.foreach { case (k, v) =>
+      assert(batchAll(k) == v, s"session $k: streamed=$v batch=${batchAll(k)}")
+    }
+    // exactly each user's LAST session stays open (append-mode contract)
+    val lastPerUser = batchAll.keys.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    val missing = batchAll.keys.filterNot(streamed.contains).toSet
+    assert(missing == lastPerUser.map { case (u, s) => (u, s) }.toSet)
+  }
+
+  test("sessionize fold: gap splits, state carries across batches") {
+    import graft.streaming.StreamingSessionize._
+    val (closed1, open1) = foldEvents(
+      Seq(Ev(7, 1, 1000), Ev(7, 2, 2000), Ev(7, 3, 5000)), None, 7)
+    assert(closed1 == Seq(SessionOut(7, 1, 2, 1000))) // 2000→5000 gap > 1800
+    assert(open1.contains(OpenSession(2, 5000, 5000, 1)))
+    // next micro-batch continues the open session, then closes it
+    val (closed2, open2) = foldEvents(
+      Seq(Ev(7, 4, 6000), Ev(7, 5, 9000)), open1, 7)
+    assert(closed2 == Seq(SessionOut(7, 2, 2, 1000)))
+    assert(open2.contains(OpenSession(3, 9000, 9000, 1)))
+  }
+
   test("streaming windowed counts match the batch tumbling query (closed windows)") {
     val streamed = StreamingEvents.runOnce(spark, dir, "ev_test")
       .collect().map(r => (r.getString(0), r.getString(1)) ->
