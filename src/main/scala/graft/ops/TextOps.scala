@@ -156,17 +156,59 @@ object TextOps {
        |         AS prefix_cluster_size
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Rolling-hash shingle fingerprinting via the native Rabin–Karp
+    * [[graft.functions.expressions.RollingShingleHash]] (O(tokens) per doc):
+    * per-document shingle count and DISTINCT-shingle count — the repetition
+    * signal near-dup sketchers build on. The distinct count equals the
+    * distinct count of the actual 5-token shingle strings (the oracle
+    * counts those directly; hash collisions are the only divergence, at
+    * ~2⁻⁶⁴ per pair), so the rolling-hash output itself is oracle-checked.
+    */
+  def shingleFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val K = 5
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        ColumnBridge.column(graft.functions.expressions.RollingShingleHash(
+          ColumnBridge.expression(
+            transform(split(normText(col("text")), " "), t => xxhash64(t))),
+          K)).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).as("n_shingles"),
+        size(array_distinct(col("fps"))).as("n_distinct_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val shingleFingerprintOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(${normTextOracle("text")}, ' ') AS tokens
+       |  FROM documents),
+       |shingles AS (
+       |  SELECT doc_id,
+       |         array_to_string(tokens[i:i+4], ' ') AS sh
+       |  FROM toks, LATERAL unnest(generate_series(1, len(tokens) - 4)) AS t(i))
+       |SELECT t.doc_id,
+       |       coalesce(s.n_shingles, 0) AS n_shingles,
+       |       coalesce(s.n_distinct_shingles, 0) AS n_distinct_shingles
+       |FROM toks t LEFT JOIN (
+       |  SELECT doc_id, count(*) AS n_shingles,
+       |         count(DISTINCT sh) AS n_distinct_shingles
+       |  FROM shingles GROUP BY doc_id) s USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
     "token_stats" -> (tokenStats _),
-    "doc_fingerprint" -> (docFingerprint _))
+    "doc_fingerprint" -> (docFingerprint _),
+    "shingle_fingerprint" -> (shingleFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "lang_id" -> langIdOracle,
     "text_quality" -> textQualityOracle,
     "token_count" -> tokenCountOracle,
     "token_stats" -> tokenStatsOracle,
-    "doc_fingerprint" -> docFingerprintOracle)
+    "doc_fingerprint" -> docFingerprintOracle,
+    "shingle_fingerprint" -> shingleFingerprintOracle)
 }

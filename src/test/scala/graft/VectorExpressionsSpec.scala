@@ -89,6 +89,24 @@ class VectorExpressionsSpec extends AnyFunSuite {
     edge.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
+  test("RollingShingleHash rolling recurrence == direct polynomial per window") {
+    val rnd = new scala.util.Random(42)
+    val base = 1000003L
+    for (_ <- 1 to 50) {
+      val n = rnd.nextInt(30)
+      val k = 1 + rnd.nextInt(6)
+      val xs = Array.fill(n)(rnd.nextLong())
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(xs)
+      val rolled = graft.functions.expressions.RollingShingleHash
+        .hashes(arr, k, base)
+      val direct =
+        if (n < k) Array.emptyLongArray
+        else (0 to n - k).map(i =>
+          xs.slice(i, i + k).foldLeft(0L)((h, x) => h * base + x)).toArray
+      assert(rolled.toSeq == direct.toSeq, s"n=$n k=$k")
+    }
+  }
+
   test("SQL registration: dot_product and simhash64 callable from spark.sql") {
     GraftExtensions.register(spark)
     val r = spark.sql(
