@@ -214,7 +214,70 @@ object AnalyticsOps {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, order_seq""".stripMargin
 
+  /** Anti join: customers with no URGENT order (`left_anti` == NOT EXISTS).
+    * The complement of J1's semi-join; same broadcast-the-small-side shape.
+    * (Plain "never ordered" is empty in the test data — every customer has
+    * orders — so the predicate restricts the right side instead.)
+    */
+  def antiJoinCustomers(s: SparkSession, dir: String): DataFrame = {
+    val urgentKeys = Tables(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    Tables(s, dir, "customer")
+      .join(broadcast(urgentKeys), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val antiJoinOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Scalar subquery: orders above the global average price; the aggregate
+    * is a one-row broadcast, the comparison a narrow filter.
+    */
+  def scalarSubqueryOrders(s: SparkSession, dir: String): DataFrame = {
+    val avgPrice = Tables(s, dir, "orders")
+      .agg(avg(col("o_totalprice")).as("avg_price"))
+    Tables(s, dir, "orders")
+      .crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        round(col("avg_price"), 4).as("avg_price"))
+      .orderBy("o_orderkey")
+  }
+
+  val scalarSubqueryOracle: String =
+    """SELECT o_orderkey, o_totalprice,
+      |       round((SELECT avg(o_totalprice) FROM orders), 4) AS avg_price
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** The engine-portable SQL surface: ONE literal SQL text executed by BOTH
+    * `spark.sql` (over temp views of the test tables) and DuckDB as its own
+    * oracle — the "Spark SQL for transformations" contract, character for
+    * character.
+    */
+  val sqlQ3Text: String =
+    """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  def sqlQ3(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "customer").foreach(t =>
+      Tables(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlQ3Text)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anti_join_customers" -> (antiJoinCustomers _),
+    "scalar_subquery_orders" -> (scalarSubqueryOrders _),
+    "sql_q3" -> (sqlQ3 _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "set_ops_customers" -> (setOpsCustomers _),
@@ -224,6 +287,9 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "anti_join_customers" -> antiJoinOracle,
+    "scalar_subquery_orders" -> scalarSubqueryOracle,
+    "sql_q3" -> sqlQ3Text,
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "set_ops_customers" -> setOpsOracle,
