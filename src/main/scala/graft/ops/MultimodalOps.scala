@@ -23,7 +23,8 @@ object MultimodalOps {
 
   final case class MediaFeatures(
       doc_id: Long, media_type: String, byte_len: Int, sha256: String,
-      width: Int, height: Int, n_frames: Int, features: Array[Float])
+      width: Int, height: Int, resized_w: Int, resized_h: Int,
+      n_frames: Int, features: Array[Float])
 
   /** STUB decoder — deterministic fake. A real build replaces this body
     * with an actual image/audio decode; everything else is production
@@ -45,6 +46,16 @@ object MultimodalOps {
     /** video-ish frame count for a fixed-size frame stride. */
     def frameCount(payloadLen: Int, frameBytes: Int): Int =
       math.max(1, (payloadLen + frameBytes - 1) / frameBytes)
+
+    /** STUB resize: aspect-preserving fit into maxDim×maxDim (a real build
+      * calls the image library's resampler; the contract — pure function of
+      * source dims — is what the pipeline depends on).
+      */
+    def resizeFit(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+      val longSide = math.max(w, h)
+      if (longSide <= maxDim) (w, h)
+      else (math.max(1, w * maxDim / longSide), math.max(1, h * maxDim / longSide))
+    }
   }
 
   /** documents → (doc_id, media_type, payload binary): the opaque-binary
@@ -91,10 +102,11 @@ object MultimodalOps {
       .mapPartitions { batch =>
         batch.map { case (id, mtype, payload) =>
           val (w, h, feats) = FakeDecoder.decode(payload)
+          val (rw, rh) = FakeDecoder.resizeFit(w, h, 224)
           MediaFeatures(id, mtype, payload.length,
             java.security.MessageDigest.getInstance("SHA-256")
               .digest(payload).map("%02x".format(_)).mkString,
-            w, h,
+            w, h, rw, rh,
             if (mtype == "video") FakeDecoder.frameCount(payload.length, frameBytes)
             else 1,
             feats)
@@ -109,10 +121,47 @@ object MultimodalOps {
         round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
       .orderBy("doc_id")
 
+  /** Frame sampling over video payloads: fixed 64-byte "frames" via binary
+    * substring + sequence/posexplode, keeping every 4th frame — the Spark
+    * plumbing (slicing, explosion, per-frame rows) is exactly what a real
+    * video sampler produces; frame arithmetic is oracle-checked (lengths +
+    * offsets; the bytes themselves need no decoding to verify shape).
+    */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val frameBytes = 64
+    mediaTable(s, dir)
+      .filter(col("media_type") === "video")
+      .withColumn("n_frames",
+        ceil(octet_length(col("payload")).cast("double") / frameBytes).cast("int"))
+      .select(col("doc_id"), col("payload"),
+        posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("pos", "frame_idx")))
+      .filter(col("frame_idx") % 4 === 0) // sample every 4th frame
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("payload").substr(
+          col("frame_idx") * frameBytes + 1, lit(frameBytes))).as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val multimodalFramesOracle: String =
+    """WITH media AS (
+      |  SELECT doc_id, encode(text) AS payload
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |frames AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(0, CAST(ceil(CAST(octet_length(payload) AS DOUBLE) / 64) AS INTEGER) - 1)) AS frame_idx,
+      |         payload
+      |  FROM media)
+      |SELECT doc_id, frame_idx,
+      |       least(64, octet_length(payload) - frame_idx * 64) AS frame_len
+      |FROM frames WHERE frame_idx % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
-    "multimodal_decode" -> (multimodalDecode _))
+    "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
-    "multimodal_meta" -> multimodalMetaOracle)
+    "multimodal_meta" -> multimodalMetaOracle,
+    "multimodal_frames" -> multimodalFramesOracle)
 }
