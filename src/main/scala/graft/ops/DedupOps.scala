@@ -50,22 +50,29 @@ object DedupOps {
       .select(col("doc_id"), col("source"),
         array_distinct(split(normText(col("text")), " ")).as("tokens"))
       .withColumn("n_tok", size(col("tokens")))
-    val a = docs.as("a"); val b = docs.as("b")
+      .cache() // tiny (one row/doc); feeds the pair join + both lookups
+    val ids = docs.select(col("doc_id"), col("source"), col("n_tok"))
+    val a = ids.as("a"); val b = ids.as("b")
+    // pair generation carries ONLY ids through the shuffle join — token
+    // arrays would otherwise be copied into every SMJ output row; they are
+    // attached afterwards via codegen'd broadcast-hash lookups.
     // length-ratio prune inside the join condition: J ≥ 0.9 implies
     // min(|A|,|B|)/max(|A|,|B|) ≥ 0.9 (|∩| ≤ min, |∪| ≥ max), so the integer
     // predicate is lossless — it only skips the expensive array ops
-    a.join(b, col("a.source") === col("b.source") &&
+    val pairs = a.join(b, col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("a.n_tok") * 10 >= col("b.n_tok") * 9 &&
         col("b.n_tok") * 10 >= col("a.n_tok") * 9)
-      // |A∩B| in its own projection: referenced twice below, and
-      // CollapseProject keeps non-cheap multi-referenced expressions
-      // un-inlined, so the array op evaluates ONCE per pair
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_tok").as("n_a"), col("b.n_tok").as("n_b"))
+    val ta = docs.select(col("doc_id").as("doc_a"), col("tokens").as("tok_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("tokens").as("tok_b"))
+    pairs
+      .join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_tok").as("n_a"), col("b.n_tok").as("n_b"),
+        col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         graft.functions.ArrayFunctions.intersectSize(
-          col("a.tokens"), col("b.tokens")).as("n_i"))
+          col("tok_a"), col("tok_b")).as("n_i"))
       // |A∪B| = |A|+|B|−|A∩B|: arithmetic, no second array op
       .select(col("doc_a"), col("doc_b"),
         (col("n_i").cast("double") /
