@@ -179,10 +179,14 @@ object DedupOps {
         transform(array_distinct(split(normText(col("text")), " ")),
           t => xxhash64(t)).as("tokens"))
       .cache()
-    val toks = docs.select(col("doc_id"), explode(col("tokens")).as("tok"))
-    val sig = toks.groupBy("doc_id").agg(
-      array((0 until nHashes).map(j =>
-        min(xxhash64(col("tok"), lit(j)))): _*).as("sig"))
+    // whole signature in one narrow pass (native MinHashSignature) — the
+    // explode + groupBy + 48-min-aggregate composition shuffles every
+    // (doc, token) pair; see minhashSignaturesComposed (test reference)
+    val sig = docs.select(col("doc_id"),
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.expressions.MinHashSignature(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("tokens")),
+          nHashes)).as("sig"))
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(bnd =>
         struct(lit(bnd).as("band"),
@@ -212,6 +216,20 @@ object DedupOps {
       .filter(col("jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The wide composition MinHashSignature replaced — kept ONLY as the
+    * equality reference for VectorExpressionsSpec.
+    */
+  def minhashSignaturesComposed(s: SparkSession, dir: String, nHashes: Int): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        transform(array_distinct(split(normText(col("text")), " ")),
+          t => xxhash64(t)).as("tokens"))
+    docs.select(col("doc_id"), explode(col("tokens")).as("tok"))
+      .groupBy("doc_id").agg(
+        array((0 until nHashes).map(j =>
+          min(xxhash64(col("tok"), lit(j)))): _*).as("sig"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -107,6 +107,24 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashSignature == explode+groupBy+min-aggregate composition, bit for bit") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val nHashes = 48
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        transform(array_distinct(split(DedupOps.normText(col("text")), " ")),
+          t => xxhash64(t)).as("tokens"))
+    val native = docs.select(col("doc_id"),
+        ColumnBridge.column(graft.functions.expressions.MinHashSignature(
+          ColumnBridge.expression(col("tokens")), nHashes)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val composed = graft.ops.DedupOps
+      .minhashSignaturesComposed(spark, dir, nHashes)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(native.size == composed.size)
+    assert(native == composed)
+  }
+
   test("SQL registration: dot_product and simhash64 callable from spark.sql") {
     GraftExtensions.register(spark)
     val r = spark.sql(
