@@ -274,7 +274,27 @@ object AnalyticsOps {
     s.sql(sqlQ3Text)
   }
 
+  /** Sketch aggregates — the approximate forms that replace exact
+    * distinct/quantiles at 100 TB (single pass, bounded memory, mergeable
+    * partial states). Rows-only: HLL/KLL sketch values are
+    * implementation-specific, so DuckDB can't oracle them; AnalyticsOpsSpec
+    * bounds them against the exact answers instead (HLL ±5%,
+    * approx-median within the 1% relative-error contract).
+    */
+  def cardinalitySketches(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        round(median(col("value")), 4).as("exact_median"),
+        round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4)
+          .as("approx_median"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cardinality_sketches" -> (cardinalitySketches _),
     "anti_join_customers" -> (antiJoinCustomers _),
     "scalar_subquery_orders" -> (scalarSubqueryOrders _),
     "sql_q3" -> (sqlQ3 _),

@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Accuracy bounds for the sketch aggregates (no DuckDB oracle — sketch
+  * values are implementation-specific; correctness here means staying
+  * inside the advertised error envelopes vs the exact answers).
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("HLL cardinality within 5% and approx median within 1% of exact") {
+    val rows = graft.ops.AnalyticsOps
+      .cardinalitySketches(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exactUsers = r.getLong(2).toDouble
+      val approxUsers = r.getLong(3).toDouble
+      assert(math.abs(approxUsers - exactUsers) / exactUsers <= 0.05,
+        s"${r.getString(0)}: HLL $approxUsers vs exact $exactUsers")
+      val exactMed = r.getDouble(4)
+      val approxMed = r.getDouble(5)
+      assert(math.abs(approxMed - exactMed) <=
+        math.max(0.01 * math.abs(exactMed), 1e-6),
+        s"${r.getString(0)}: approx median $approxMed vs exact $exactMed")
+    }
+  }
+}

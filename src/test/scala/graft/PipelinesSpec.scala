@@ -33,5 +33,5 @@ class PipelinesSpec extends AnyFunSuite {
 object RowsOnly {
   val expected: Set[String] =
     Set("dedup_simhash", "dedup_minhash_lsh", "ann_sign_lsh",
-      "multimodal_decode")
+      "multimodal_decode", "cardinality_sketches")
 }
