@@ -18,7 +18,8 @@ import graft.functions.{RefFunctions, VectorFunctions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => IntersectSizeRewrite)
     GraftExtensions.functions.foreach { case (name, arity, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
@@ -29,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder(exprs)
         }))
     }
+  }
 }
 
 object GraftExtensions {

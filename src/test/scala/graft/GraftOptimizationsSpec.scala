@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.DedupOps.normText
+
+class GraftOptimizationsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // non-foldable array inputs (literals would constant-fold to a
+  // LocalRelation before any optimizer rule could be observed)
+  private def docsPairs = {
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(split(normText(col("text")), " ")).as("t"))
+    val a = docs.as("a"); val b = docs.as("b")
+    a.join(b, col("a.doc_id") % 29 === col("b.doc_id") % 29 &&
+      col("a.doc_id") < col("b.doc_id"))
+  }
+
+  test("size(array_intersect) rewrites to array_intersect_size with equal results") {
+    GraftOptimizations.install(spark)
+    val df = docsPairs
+      .select(col("a.doc_id"), col("b.doc_id"),
+        size(array_intersect(col("a.t"), col("b.t"))).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("array_intersect_size"),
+      s"rewrite did not fire:\n$optimized")
+    // results identical to the unrewritten computation (computed via the
+    // native expression directly, already pinned == built-in in
+    // VectorExpressionsSpec; here we check the rewritten plan end-to-end)
+    val viaRule = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val direct = docsPairs
+      .select(col("a.doc_id"), col("b.doc_id"),
+        graft.functions.ArrayFunctions.intersectSize(col("a.t"), col("b.t")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(viaRule.sorted.toSeq == direct.sorted.toSeq)
+  }
+
+  test("legacy sizeOfNull plans are left untouched (rule-level guard)") {
+    // this Spark version's analyzer emits Size(_, false) regardless of the
+    // legacy conf on the DataFrame path, so pin the guard on the rule itself
+    import org.apache.spark.sql.catalyst.expressions.{Alias, ArrayIntersect, AttributeReference, Size}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val x = AttributeReference("x", ArrayType(StringType))()
+    val y = AttributeReference("y", ArrayType(StringType))()
+    val rel = LocalRelation(x, y)
+    def proj(legacy: Boolean) = Project(
+      Seq(Alias(Size(ArrayIntersect(x, y), legacySizeOfNull = legacy), "n")()), rel)
+    val legacyPlan = proj(legacy = true)
+    assert(IntersectSizeRewrite(legacyPlan) eq legacyPlan) // untouched
+    assert(IntersectSizeRewrite(proj(legacy = false)).toString
+      .contains("array_intersect_size"))
+  }
+}
