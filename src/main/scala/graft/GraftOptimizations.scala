@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.ArrayType
 import graft.functions.expressions.ArrayIntersectSize
 
 /** Catalyst optimizer rule (SURVEY.md §7.4 ladder, the `Rule[LogicalPlan]`
@@ -13,7 +14,11 @@ import graft.functions.expressions.ArrayIntersectSize
   *
   * Rewrite fires only for `legacySizeOfNull = false` (the default):
   * under the legacy flag `size(null)` is -1 while the counting expression
-  * is null-propagating, so legacy plans are left untouched.
+  * is null-propagating, so legacy plans are left untouched. It also fires
+  * only for element types whose HashSet equality matches the built-in
+  * (string/integral/boolean/date/timestamp — NOT float/double, binary, or
+  * nested types, where java equality diverges from array_intersect's:
+  * 0.0 vs -0.0, identity-equals byte arrays, mixed row representations).
   *
   * Installed via GraftExtensions (builder path) or
   * [[GraftOptimizations.install]] on a live session
@@ -22,7 +27,11 @@ import graft.functions.expressions.ArrayIntersectSize
 object IntersectSizeRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Size(ArrayIntersect(a, b), false) => ArrayIntersectSize(a, b)
+      case Size(ai @ ArrayIntersect(a, b), false)
+          if (ai.dataType match {
+            case ArrayType(et, _) => ArrayIntersectSize.supportsElementType(et)
+            case _ => false
+          }) => ArrayIntersectSize(a, b)
     }
 }
 

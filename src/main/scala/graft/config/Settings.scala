@@ -39,9 +39,11 @@ object SettingsParser {
     */
   def discover(dir: Path, suffix: String): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator.asScala
-      .filter(p => p.getFileName.toString.endsWith(suffix))
-      .toSeq.sortBy(_.getFileName.toString)
+    else scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator.asScala
+        .filter(p => p.getFileName.toString.endsWith(suffix))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
 
   /** F-S5 suffix strip (/root/reference/ExcelToCSVexport.ps1:114-116,
     * /root/reference/CSVtoSQLimport.ps1:158-159): derive the data-file base

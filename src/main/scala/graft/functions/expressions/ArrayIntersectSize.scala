@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types._
 
 /** `|distinct(a) ∩ b|` — exactly `size(array_intersect(a, b))`, without
   * materializing the intersection array.
@@ -27,11 +27,13 @@ case class ArrayIntersectSize(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(lt, _), ArrayType(rt, _)) if lt == rt =>
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if lt == rt && ArrayIntersectSize.supportsElementType(lt) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"array_intersect_size expects two arrays of the same element type, " +
-          s"got (${l.simpleString}, ${r.simpleString})")
+        s"array_intersect_size expects two arrays of the same " +
+          s"HashSet-equality-safe element type (string/integral/boolean/" +
+          s"date/timestamp), got (${l.simpleString}, ${r.simpleString})")
     }
 
   private lazy val elementType: DataType =
@@ -56,6 +58,20 @@ case class ArrayIntersectSize(left: Expression, right: Expression)
 }
 
 object ArrayIntersectSize {
+  /** Element types whose java.util.HashSet equality matches Spark's
+    * array_intersect semantics. Deliberately EXCLUDED: float/double
+    * (array_intersect treats 0.0 == -0.0 and groups NaNs; boxed equals
+    * does not), binary (Array[Byte] has identity equals), and nested
+    * struct/array/map types (mixed InternalRow representations don't
+    * compare by value in a HashSet).
+    */
+  def supportsElementType(t: DataType): Boolean = t match {
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+         LongType | DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => false // scale-equal values may differ in repr
+    case _ => false
+  }
+
   /** Static so generated code can call it directly. */
   def count(a: ArrayData, b: ArrayData, et: DataType): Int = {
     val nb = b.numElements()

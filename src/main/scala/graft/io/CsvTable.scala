@@ -36,13 +36,17 @@ object CsvTable {
       .mode("overwrite")
       .option("header", "true")
       .csv(stage.toString)
-    val part = Files.list(stage).iterator.asScala
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(throw new IOException(s"no part file written under $stage"))
+    val part = scala.util.Using.resource(Files.list(stage)) { s =>
+      s.iterator.asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(throw new IOException(s"no part file written under $stage"))
+    }
     if (target.getParent != null) Files.createDirectories(target.getParent)
     Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    scala.util.Using.resource(Files.walk(tmp)) { s =>
+      s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 
   /** K2 lock-fallback write

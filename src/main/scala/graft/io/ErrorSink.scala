@@ -13,22 +13,28 @@ import org.apache.spark.sql.functions._
   */
 object ErrorSink {
 
-  /** Split `df` by `valid`; append rejects (as JSON payload + reason) to
-    * `errorPath` and return only the good rows.
+  /** Split `df` by `valid` into (good rows, rejects-with-provenance) —
+    * pure, NO side effects: the reject write must happen after the main
+    * sink commits (see ImportPipeline.runOne), otherwise a failed-then-
+    * retried batch appends its rejects twice.
     */
-  def routeRejects(df: DataFrame, valid: org.apache.spark.sql.Column,
-      reason: String, source: String, errorPath: String): DataFrame = {
+  def split(df: DataFrame, valid: org.apache.spark.sql.Column,
+      reason: String, source: String): (DataFrame, DataFrame) = {
     val flagged = df.withColumn("__valid", valid)
     val bad = flagged.filter(!coalesce(col("__valid"), lit(false)))
-    bad.select(
+      .select(
         current_timestamp().as("ts"),
         lit(source).as("source"),
         lit("NotFatal").as("level"),
         lit(reason).as("reason"),
         to_json(struct(df.columns.map(col): _*)).as("row_json"))
-      .write.mode("append").parquet(errorPath)
-    flagged.filter(coalesce(col("__valid"), lit(false))).drop("__valid")
+    val good = flagged.filter(coalesce(col("__valid"), lit(false))).drop("__valid")
+    (good, bad)
   }
+
+  /** Post-commit append of the reject frame. */
+  def append(bad: DataFrame, errorPath: String): Unit =
+    bad.write.mode("append").parquet(errorPath)
 
   def read(spark: SparkSession, errorPath: String): DataFrame =
     spark.read.parquet(errorPath)

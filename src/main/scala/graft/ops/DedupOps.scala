@@ -154,11 +154,12 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signatures + banded LSH, hash-dependent → rows-only. 32 hash
-    * functions h_j(t) = xxhash64(tok, seed=j) minimum per doc; 8 bands × 4
-    * rows; candidate pairs collide on (band, band-signature) — the unblocked
-    * scale path: one shuffle on band keys, no O(n²) anywhere. Candidates are
-    * then verified with exact Jaccard (classic LSH verify step).
+  /** MinHash signatures + banded LSH, hash-dependent → rows-only. 48 hash
+    * functions h_j(t) = xxhash64(tok, j) minimum per doc (one narrow pass,
+    * native MinHashSignature); 4 bands × 12 rows; candidate pairs collide
+    * on (band, band-signature) — the unblocked scale path: one shuffle on
+    * band keys, no O(n²) anywhere. Candidates are then verified with exact
+    * Jaccard (classic LSH verify step).
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     // 4 bands × 12 rows: P(candidate) = 1-(1-J^12)^4 ≈ 0.74 at J=0.9,

@@ -24,11 +24,13 @@ object Housekeeping {
       now: Instant = Instant.now()): Seq[Candidate] = {
     val cutoff = now.minus(cfg.maxAgeDays.toLong, ChronoUnit.DAYS)
     cfg.folders.filter(Files.isDirectory(_)).flatMap { dir =>
-      Files.list(dir).iterator.asScala
-        .filter(Files.isRegularFile(_))
-        .map(p => Candidate(p, Files.getLastModifiedTime(p).toInstant))
-        .filter(_.mtime.isBefore(cutoff))
-        .toSeq
+      scala.util.Using.resource(Files.list(dir)) { s =>
+        s.iterator.asScala
+          .filter(Files.isRegularFile(_))
+          .map(p => Candidate(p, Files.getLastModifiedTime(p).toInstant))
+          .filter(_.mtime.isBefore(cutoff))
+          .toSeq
+      }
     }
   }
 

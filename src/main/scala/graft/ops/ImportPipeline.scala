@@ -19,12 +19,18 @@ import graft.state.Watermark
   */
 object ImportPipeline {
 
-  /** The pure transform. Bad-PK rows are routed to `errorPath` (if given)
-    * instead of silently dropped — the reference's skip-and-log per row
-    * (/root/reference/CSVtoSQLimport.ps1:228-229,242-251).
+  /** The pure transform: bad-PK rows filtered (the reference's skip per row,
+    * /root/reference/CSVtoSQLimport.ps1:228-229,242-251). Use
+    * [[transformWithRejects]] when the dropped rows must be captured.
     */
-  def transform(df: DataFrame, cfg: ImportConfig,
-      errorPath: Option[String] = None): DataFrame = {
+  def transform(df: DataFrame, cfg: ImportConfig): DataFrame =
+    transformWithRejects(df, cfg)._1
+
+  /** (good, rejects-with-provenance) — both lazy; the caller decides when
+    * (and whether) the reject frame is written (post-commit, see runOne).
+    */
+  def transformWithRejects(df: DataFrame, cfg: ImportConfig)
+      : (DataFrame, DataFrame) = {
     val dateCols = cfg.datetimeFields.toSet
     val mapped = df.select(df.columns.map { c =>
       val clean = sanitizeSql(col(c))
@@ -33,20 +39,19 @@ object ImportPipeline {
       converted.as(c)
     }: _*)
     val pkOk = !isNullOrEmpty(col(cfg.primaryKey))
-    val good = errorPath match {
-      case Some(p) =>
-        ErrorSink.routeRejects(mapped, pkOk, s"null/empty PK ${cfg.primaryKey}",
-          s"import:${cfg.importFileName}", p)
-      case None => mapped.filter(pkOk)
-    }
-    cfg.fieldNames match {
+    val (good, bad) = ErrorSink.split(mapped, pkOk,
+      s"null/empty PK ${cfg.primaryKey}", s"import:${cfg.importFileName}")
+    val projected = cfg.fieldNames match {
       case Some(names) => good.select(names.map(col): _*)
       case None => good
     }
+    (projected, bad)
   }
 
-  /** One file end-to-end: read → transform → sink → archive → watermark.
-    * Failures are logged NotFatal and skip the file (ST4).
+  /** One file end-to-end: read → transform → sink → rejects → archive →
+    * watermark. Failures are logged NotFatal and skip the file (ST4); the
+    * reject append happens only AFTER the sink commit, so a failed batch
+    * that retries cannot duplicate its reject audit rows.
     */
   def runOne(spark: SparkSession, cfg: ImportConfig, sink: TableSink,
       errors: ErrorLog): Boolean = {
@@ -56,9 +61,10 @@ object ImportPipeline {
     }
     try {
       val df = CsvTable.read(spark, cfg.csvPath)
-      val out = transform(df, cfg,
-        Some(cfg.errorFolder.resolve("rejected_rows").toString))
+      val (out, rejects) = transformWithRejects(df, cfg)
       sink.write(out, cfg.table)
+      ErrorSink.append(rejects,
+        cfg.errorFolder.resolve("rejected_rows").toString)
       Archive.archiveCompleted(cfg.csvPath, cfg.processedFolder)
       new Watermark(cfg.lastImpLogFolder.resolve(
         s"${cfg.importFileName}_last_imported.txt")).commit(Instant.now())

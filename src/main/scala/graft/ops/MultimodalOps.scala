@@ -131,6 +131,10 @@ object MultimodalOps {
     val frameBytes = 64
     mediaTable(s, dir)
       .filter(col("media_type") === "video")
+      // empty payloads must not reach sequence(): sequence(0, -1) yields
+      // [0, -1] (Spark defaults to step -1 when start > stop), which would
+      // fabricate a phantom zero-length frame
+      .filter(octet_length(col("payload")) > 0)
       .withColumn("n_frames",
         ceil(octet_length(col("payload")).cast("double") / frameBytes).cast("int"))
       .select(col("doc_id"), col("payload"),
@@ -145,7 +149,7 @@ object MultimodalOps {
   val multimodalFramesOracle: String =
     """WITH media AS (
       |  SELECT doc_id, encode(text) AS payload
-      |  FROM documents WHERE doc_id % 3 = 2),
+      |  FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
       |frames AS (
       |  SELECT doc_id,
       |         unnest(generate_series(0, CAST(ceil(CAST(octet_length(payload) AS DOUBLE) / 64) AS INTEGER) - 1)) AS frame_idx,

@@ -17,6 +17,11 @@ object SkewOps {
 
   /** Deterministic per-row salt: hash of the whole row modulo factor — no
     * rand(), so plans stay reproducible and re-computable (retries, AQE).
+    *
+    * Caveats: EXACT duplicate rows of the hot key share a salt (they hash
+    * alike) — if the skewed input is mostly identical rows, pre-aggregate
+    * the duplicates or add a distinguishing column before salting. MapType
+    * columns are not hashable by xxhash64; project them away first.
     */
   def rowSalt(df: DataFrame, factor: Int): Column =
     pmod(xxhash64(df.columns.map(col): _*), lit(factor.toLong))

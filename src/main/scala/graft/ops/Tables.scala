@@ -15,8 +15,11 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // integral `div`, NOT `/`: epoch-nanos exceed 2^53, so double division
+      // would round at ~256 ns before truncating — enough to flip a value
+      // across a second boundary vs DuckDB's exact arithmetic
       spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -110,24 +110,24 @@ class XlsxScan(fullSchema: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => XlsxInputPartition(p, sheet, headerRow): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(fullSchema.fieldNames, required.fieldNames)
+    new XlsxReaderFactory(required.fieldNames)
 }
 
 case class XlsxInputPartition(path: String, sheet: Option[String],
     headerRow: Int) extends InputPartition
 
-class XlsxReaderFactory(fullHeader: Array[String], requiredCols: Array[String])
+class XlsxReaderFactory(requiredCols: Array[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[XlsxInputPartition]
-    new XlsxPartitionReader(p, fullHeader, requiredCols)
+    new XlsxPartitionReader(p, requiredCols)
   }
 }
 
 /** Streams one worksheet. Holds the zip handle open across next() calls and
   * releases it in close() — PartitionReader's lifecycle guarantees close.
   */
-class XlsxPartitionReader(p: XlsxInputPartition, fullHeader: Array[String],
+class XlsxPartitionReader(p: XlsxInputPartition,
     requiredCols: Array[String]) extends PartitionReader[InternalRow] {
 
   private val zip = new java.util.zip.ZipFile(p.path)
@@ -139,10 +139,20 @@ class XlsxPartitionReader(p: XlsxInputPartition, fullHeader: Array[String],
   }.getOrElse(throw new IllegalArgumentException(
     s"sheet '$sheetName' not found in ${p.path}"))
   private val shared = XlsxParser.sharedStrings(zip)
-  // map required column name -> 0-based sheet column index (via full header)
-  private val colIdx: Array[Int] = requiredCols.map(c => fullHeader.indexOf(c))
-  private val rows = XlsxParser.rows(zip, entry, shared)
-    .filter(_.rowNum > p.headerRow.toLong)
+  private val allRows = XlsxParser.rows(zip, entry, shared)
+  // THIS file's header row maps required column NAMES to its own column
+  // positions — files in a directory load may order columns differently,
+  // and positional mapping from the schema-inference file would silently
+  // misalign them. A column absent from this file's header reads as null.
+  private val fileHeader: Map[String, Int] = {
+    val headerCells = allRows.find(_.rowNum == p.headerRow.toLong)
+      .map(_.cells).getOrElse(Map.empty)
+    headerCells.collect { case (i, name) if name.nonEmpty => name -> i }
+  }
+  private val colIdx: Array[Int] =
+    requiredCols.map(c => fileHeader.getOrElse(c, -1))
+  // `allRows` has been consumed through the header row by the find above
+  private val rows = allRows.filter(_.rowNum > p.headerRow.toLong)
   private var current: InternalRow = _
 
   override def next(): Boolean =

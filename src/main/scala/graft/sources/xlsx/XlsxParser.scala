@@ -117,6 +117,9 @@ object XlsxParser {
     new Iterator[SheetRow] {
       private var nextRow: SheetRow = null
       private var done = false
+      // persists across advance() calls: the r attribute is OPTIONAL in
+      // OOXML — rows lacking it continue from the previous row's number
+      private var lastRowNum = 0L
 
       private def advance(): Unit = {
         var rowNum = -1L
@@ -132,7 +135,8 @@ object XlsxParser {
             case XMLStreamConstants.START_ELEMENT =>
               xml.getLocalName match {
                 case "row" =>
-                  rowNum = attr(xml, "r").map(_.toLong).getOrElse(rowNum + 1)
+                  rowNum = attr(xml, "r").map(_.toLong).getOrElse(lastRowNum + 1)
+                  lastRowNum = rowNum
                   cells = mutable.Map[Int, String]()
                   implicitCol = 0
                 case "c" if cells != null =>

@@ -16,8 +16,11 @@ object XlsxWriter {
     * cell omitted entirely). Strings go through sharedStrings (t="s") except
     * those starting with "inline:" (inlineStr) or parsing as numbers (kept
     * as native numeric cells); "TRUE"/"FALSE" become boolean cells.
+    * `omitRowNumbers` drops the OPTIONAL r attribute from row elements
+    * (some real producers do) — reader regression coverage.
     */
-  def write(target: Path, sheets: Seq[(String, Seq[Seq[Option[String]]])]): Unit = {
+  def write(target: Path, sheets: Seq[(String, Seq[Seq[Option[String]]])],
+      omitRowNumbers: Boolean = false): Unit = {
     val sharedIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
     def sharedId(s: String): Int =
       sharedIdx.getOrElseUpdate(s, sharedIdx.size)
@@ -40,7 +43,8 @@ object XlsxWriter {
         val cellsXml = cells.zipWithIndex.collect {
           case (Some(v), c) => cellXml(rn, c, v)
         }.mkString
-        s"""<row r="$rn">$cellsXml</row>"""
+        if (omitRowNumbers) s"""<row>$cellsXml</row>"""
+        else s"""<row r="$rn">$cellsXml</row>"""
       }.mkString
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$rowsXml</sheetData></worksheet>""".stripMargin

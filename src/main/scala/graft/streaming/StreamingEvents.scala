@@ -28,7 +28,8 @@ object StreamingEvents {
     spark.readStream
       .schema(eventsRawSchema)
       .parquet(s"$dir/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integral div — see Tables: double division loses ns precision
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-hour windows × event_type with a 30-minute watermark. */

@@ -53,7 +53,7 @@ object StreamingImport {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val out = ImportPipeline.transform(batch, cfg, errorPath = None)
+          val out = ImportPipeline.transform(batch, cfg)
           sink.write(out, cfg.table)
         }
       }

@@ -108,13 +108,16 @@ object EtlDemo {
     println(s"[demo] search report: $report")
     println(s"[demo] invoices.csv after write-back:")
     CsvTable.read(spark, invCsv).collect().foreach(r => println(s"[demo]   $r"))
-    println(s"[demo] copied files: " + Files.list(root.resolve("dest"))
-      .iterator().next().getFileName)
+    scala.util.Using.resource(Files.list(root.resolve("dest"))) { s =>
+      println(s"[demo] copied files: " + s.iterator().next().getFileName)
+    }
     spark.stop()
   }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
+      scala.util.Using.resource(Files.walk(p)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+      }
 }

@@ -88,6 +88,32 @@ class XlsxSourceSpec extends AnyFunSuite {
       Seq("1", "2", "3"))
   }
 
+  test("rows without the optional r attribute number sequentially") {
+    val dir = Files.createTempDirectory("graft-xlsx-nor")
+    val wb = dir.resolve("nor.xlsx")
+    XlsxTestWriter.write(wb, Seq("S" -> Seq(
+      Seq(Some("A"), Some("B")),
+      Seq(Some("1"), Some("x")),
+      Seq(Some("2"), Some("y")))), omitRowNumbers = true)
+    val df = spark.read.format("xlsx").load(wb.toString)
+    assert(df.columns.toSeq == Seq("A", "B"))
+    assert(df.select("A").collect().map(_.getString(0)).sorted.toSeq == Seq("1", "2"))
+  }
+
+  test("directory load aligns columns BY NAME per file, not by position") {
+    val dir = Files.createTempDirectory("graft-xlsx-order")
+    XlsxTestWriter.write(dir.resolve("wb1.xlsx"), Seq("S" -> Seq(
+      Seq(Some("ItemId"), Some("ItemName")),
+      Seq(Some("1"), Some("Widget")))))
+    XlsxTestWriter.write(dir.resolve("wb2.xlsx"), Seq("S" -> Seq(
+      Seq(Some("ItemName"), Some("ItemId")), // reversed column order
+      Seq(Some("Gadget"), Some("2")))))
+    val rows = spark.read.format("xlsx").load(dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    // schema inferred from wb1: (ItemId, ItemName); wb2 must still map by name
+    assert(rows.toSeq == Seq(("1", "Widget"), ("2", "Gadget")))
+  }
+
   test("missing sheet error names the available sheets") {
     val wb = sampleWorkbook()
     val e = intercept[Exception] {
