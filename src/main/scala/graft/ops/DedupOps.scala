@@ -219,6 +219,54 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Shingle-based MinHash LSH (the brief's literal
+    * shingle→minhash→band→bucket-join): set elements are 5-token Rabin–Karp
+    * rolling-hash fingerprints (order-sensitive, unlike the word-set
+    * variant), minhashed/banded/verified with the same machinery —
+    * RollingShingleHash ∘ MinHashSignature are both narrow maps, so
+    * everything before the band join stays shuffle-free. Rows-only
+    * (hash-dependent); consistency vs exact shingle-Jaccard in DedupOpsSpec.
+    */
+  def dedupMinhashShingle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
+    import graft.functions.expressions.{MinHashSignature, RollingShingleHash}
+    val nHashes = 48; val bands = 4; val rowsPerBand = nHashes / bands
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(bc(RollingShingleHash(be(
+          transform(split(normText(col("text")), " "), t => xxhash64(t))),
+          k = 5))).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .cache()
+    val sig = docs.select(col("doc_id"),
+      bc(MinHashSignature(be(col("shingles")), nHashes)).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws(":", (0 until rowsPerBand).map(r =>
+            col("sig")(bnd * rowsPerBand + r)): _*).as("bsig"))): _*)))
+      .select(col("doc_id"), col("col.band"), col("col.bsig"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val da = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val db = docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    candidates.join(broadcast(da), "doc_a").join(broadcast(db), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"),
+        graft.functions.ArrayFunctions.intersectSize(
+          col("sh_a"), col("sh_b")).as("n_i"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_i").cast("double") /
+          (col("n_a") + col("n_b") - col("n_i")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The wide composition MinHashSignature replaced — kept ONLY as the
     * equality reference for VectorExpressionsSpec.
     */
@@ -238,7 +286,8 @@ object DedupOps {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_minhash_lsh" -> (dedupMinhashLsh _))
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_minhash_shingle" -> (dedupMinhashShingle _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactOracle,

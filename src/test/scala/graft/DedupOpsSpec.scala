@@ -43,6 +43,31 @@ class DedupOpsSpec extends AnyFunSuite {
       s"simhash precision vs exact jaccard too low: $precision")
   }
 
+  test("shingle minhash LSH: reported jaccard matches independent Scala recomputation") {
+    val rows = DedupOps.dedupMinhashShingle(spark, dir).collect()
+    assert(rows.nonEmpty, "no shingle near-dups found")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.8)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+    // independent ground truth: string shingles via Scala sliding windows
+    // (a completely different code path from RollingShingleHash — hash
+    // collisions are the only permissible divergence, at ~2^-64)
+    val texts = graft.ops.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").toSeq).toMap
+    def shingles(toks: Seq[String]): Set[Seq[String]] =
+      if (toks.length < 5) Set.empty else toks.sliding(5).map(_.toSeq).toSet
+    rows.take(50).foreach { r =>
+      val (a, b, reported) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      assert(math.abs(expected - reported) < 1e-6,
+        s"pair ($a,$b): reported $reported, recomputed $expected")
+    }
+  }
+
   test("sign-LSH ANN: per-query ranks contiguous, cos non-increasing, ⊆ brute-force candidates") {
     val rows = SimilarityOps.annSignLsh(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

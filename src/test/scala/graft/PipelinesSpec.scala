@@ -32,6 +32,6 @@ class PipelinesSpec extends AnyFunSuite {
 /** Queries intentionally lacking a DuckDB oracle (hash/model-dependent). */
 object RowsOnly {
   val expected: Set[String] =
-    Set("dedup_simhash", "dedup_minhash_lsh", "ann_sign_lsh",
-      "multimodal_decode", "cardinality_sketches")
+    Set("dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_shingle",
+      "ann_sign_lsh", "multimodal_decode", "cardinality_sketches")
 }
