@@ -293,7 +293,75 @@ object AnalyticsOps {
           .as("approx_median"))
       .orderBy("event_type")
 
+  /** TPC-H Q5-shaped 6-way join (region→nation→customer ⋈ orders ⋈ lineitem
+    * ⋈ supplier): every dimension chain is broadcast; only the two fact
+    * tables shuffle, on their join keys. The classic join-tree shape a
+    * 1000-executor cluster runs all day.
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val nations = Tables(s, dir, "nation")
+      .join(broadcast(Tables(s, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+    val cust = Tables(s, dir, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = Tables(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+    val supp = Tables(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables(s, dir, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey")) // "local" supplier
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  val q5Oracle: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Keep-latest-record dedup (window row_number = 1): the SCD-style "most
+    * recent event per user" pattern — one shuffle on the dedup key, partial
+    * top-1 per key via WindowGroupLimit before the exchange.
+    */
+  def windowDedupLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("latest_event_id"),
+        col("event_type").as("latest_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("latest_ts"))
+      .orderBy("user_id")
+  }
+
+  val windowDedupOracle: String =
+    """SELECT user_id, event_id AS latest_event_id, event_type AS latest_type,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts
+      |FROM (
+      |  SELECT user_id, event_id, event_type, date_trunc('microsecond', ts) AS ts,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY date_trunc('microsecond', ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "window_dedup_latest" -> (windowDedupLatest _),
     "cardinality_sketches" -> (cardinalitySketches _),
     "anti_join_customers" -> (antiJoinCustomers _),
     "scalar_subquery_orders" -> (scalarSubqueryOrders _),
@@ -307,6 +375,8 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "q5_local_supplier" -> q5Oracle,
+    "window_dedup_latest" -> windowDedupOracle,
     "anti_join_customers" -> antiJoinOracle,
     "scalar_subquery_orders" -> scalarSubqueryOracle,
     "sql_q3" -> sqlQ3Text,
