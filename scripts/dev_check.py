@@ -49,14 +49,24 @@ def main():
         got = con.execute(
             f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchall()
         got_cols = [d[0] for d in con.description]
+        got_types = {d[0]: str(d[1]) for d in con.description}
         try:
             want = con.execute(oracle[name]).fetchall()
         except Exception as e:
             failures.append((name, f"oracle SQL failed: {e}"))
             continue
         want_cols = [d[0] for d in con.description]
+        want_types = {d[0]: str(d[1]) for d in con.description}
         if sorted(got_cols) != sorted(want_cols):
             failures.append((name, f"columns differ: spark={sorted(got_cols)} oracle={sorted(want_cols)}"))
+            continue
+        # the driver's hash is type-WIDTH-sensitive (round 1: DuckDB HUGEINT
+        # sums vs Spark int64 hashed differently despite equal values) —
+        # mirror that by requiring identical DuckDB types on both sides
+        tdiff = {c: (got_types[c], want_types[c]) for c in got_cols
+                 if got_types[c] != want_types[c]}
+        if tdiff:
+            failures.append((name, f"column types differ (driver hash is width-sensitive): {tdiff}"))
             continue
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
         widx = [want_cols.index(c) for c in sorted(want_cols)]

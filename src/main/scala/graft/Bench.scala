@@ -34,7 +34,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the driver scrapes stdout, which sbt/log4j decorate and interleave —
+    // BENCH_r01 came back "parsed": null. Belt and braces: write the JSON to
+    // a file (env-overridable) AND print it as the last bare line after the
+    // session is fully stopped (no executor log tail can interleave).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
+    System.out.flush(); System.err.flush()
+    println(json)
   }
 }

@@ -75,8 +75,8 @@ object EventOps {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessioned AS (
       |  SELECT user_id, ts,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM flagged)
       |SELECT user_id, session_seq, count(*) AS n_events,
       |       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
@@ -85,12 +85,17 @@ object EventOps {
       |ORDER BY user_id, session_seq""".stripMargin
 
   /** JSON prop extraction (`props` is a JSON string, FIXTURES.md):
-    * `get_json_object` → typed aggregation per event_type.
+    * `from_json` with an explicit partial schema → typed aggregation per
+    * event_type. One Jackson parse per row into a struct (vs
+    * `get_json_object`, which re-walks the JSON text through the
+    * interpreted path per extracted field — 38s → single digits at sf0.1).
     */
   def eventsJson(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -99,25 +104,33 @@ object EventOps {
       .orderBy("event_type")
 
   val eventsJsonOracle: String =
-    """SELECT event_type, count(*) AS n, sum(k) AS sum_k,
-      |       sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS n_high_k
+    """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_k
       |FROM (SELECT event_type,
       |             CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Top-k users by total event value (sort + limit with deterministic
-    * tie-break) — rank over a pre-aggregated frame, so the window input is
-    * one row per user, not per event.
+    * tie-break). `orderBy + limit` compiles to TakeOrderedAndProject —
+    * partial top-10 on EVERY partition, then a 10-row merge — so no global
+    * sort and no single-partition window over the full user set (at 100×
+    * users an unpartitioned `Window.orderBy` funnels everything through one
+    * task). Rank is derived afterwards over the 10 surviving rows; the
+    * constant partition key keeps WindowExec off its no-partition
+    * single-task path warning while the exchange moves only 10 rows.
     */
   def eventsTopkUsers(s: SparkSession, dir: String): DataFrame = {
     val totals = Tables(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(round(sum(col("value")), 4).as("total_value"),
         count(lit(1)).as("n_events"))
-    totals
+    val top10 = totals
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(10)
+    top10
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("total_value").desc, col("user_id"))))
-      .filter(col("rank") <= 10)
+        Window.partitionBy(lit(0))
+          .orderBy(col("total_value").desc, col("user_id"))))
       .select(col("rank"), col("user_id"), col("total_value"), col("n_events"))
       .orderBy("rank")
   }

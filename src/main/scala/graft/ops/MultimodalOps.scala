@@ -100,12 +100,14 @@ object MultimodalOps {
     media.select("doc_id", "media_type", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
+        // one digest instance per partition — digest() resets the instance,
+        // so sequential reuse is safe and avoids a per-row allocation
+        val md = java.security.MessageDigest.getInstance("SHA-256")
         batch.map { case (id, mtype, payload) =>
           val (w, h, feats) = FakeDecoder.decode(payload)
           val (rw, rh) = FakeDecoder.resizeFit(w, h, 224)
           MediaFeatures(id, mtype, payload.length,
-            java.security.MessageDigest.getInstance("SHA-256")
-              .digest(payload).map("%02x".format(_)).mkString,
+            md.digest(payload).map("%02x".format(_)).mkString,
             w, h, rw, rh,
             if (mtype == "video") FakeDecoder.frameCount(payload.length, frameBytes)
             else 1,

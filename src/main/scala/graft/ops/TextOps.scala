@@ -125,7 +125,7 @@ object TextOps {
 
   val tokenStatsOracle: String =
     s"""SELECT source, count(*) AS n_docs,
-       |       sum(ws_tokens) AS total_ws_tokens,
+       |       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
        |       round(avg(ws_tokens), 4) AS avg_ws_tokens,
        |       max(bpe_ish_tokens) AS max_bpe_ish_tokens
        |FROM (
