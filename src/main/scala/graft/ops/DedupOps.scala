@@ -10,10 +10,13 @@ import graft.functions.VectorFunctions._
   * MinHashLSH and SimHash depend on engine-specific hashing and are
   * rows-only + unit-tested (RowsOnly registry).
   *
-  * Scale design: every pairwise variant joins WITHIN a blocking key
-  * (`source`, `label`) so candidate pairs grow linearly with block count,
-  * never O(n²) over the corpus; the LSH variants are the unblocked scale
-  * path (bucket join on banded signatures).
+  * Scale design: NO variant does an all-pairs (or blocked all-pairs) join.
+  * Candidate generation is prefix filtering for exact-Jaccard (recall 1.0),
+  * banded-signature bucket joins for MinHash LSH, the 4×16-bit Hamming
+  * multi-index for SimHash, and the `label` cluster restriction (IVF-style)
+  * for embedding cosine — every stage a linear shuffle on its key. Verify
+  * stages re-attach token/shingle arrays WITHOUT a broadcast hint so AQE
+  * picks broadcast vs shuffled-hash from the runtime size of the corpus.
   */
 object DedupOps {
 
@@ -40,35 +43,62 @@ object DedupOps {
        |       min(doc_id) AS keep_doc_id, count(*) AS n_copies
        |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
 
-  /** Word-set Jaccard near-dup: distinct-token sets, pairwise within the
-    * `source` blocking key, flag pairs with J ≥ 0.9. The block join is a
-    * shuffle on the blocking key — linear in corpus size; the quadratic term
-    * is bounded by block cardinality.
+  /** Word-set Jaccard near-dup: distinct-token sets, pairs with J ≥ 0.9
+    * within the `source` blocking key.
+    *
+    * Candidate generation is PREFIX FILTERING (AllPairs / PPJoin,
+    * Bayardo et al. WWW'07; Xiao et al. WWW'08), not a blocked self-join:
+    * under any global total order of tokens, two sets with J(A,B) ≥ t MUST
+    * share a token among the first |X| − ⌈t·|X|⌉ + 1 tokens of each — if the
+    * prefixes were disjoint, all of A's ⌈t·|A|⌉ remaining tokens still can't
+    * reach the required overlap ⌈t·|A∪B|⌉. So candidates = pairs sharing ≥1
+    * prefix token (recall 1.0 — the DuckDB all-pairs oracle stays valid),
+    * and verification is exact Jaccard. The order is document-frequency
+    * ascending (rarest first), which makes prefixes land on rare tokens and
+    * keeps per-token candidate lists short.
+    *
+    * Scale shape: every stage is a linear shuffle — df aggregation on token,
+    * prefix rebuild on doc_id, candidate join on (source, prefix-token) —
+    * vs the previous source-block self-join whose O(n²/b) pair count was
+    * 123.5s of the 269.9s round-1 bench and grows 10,000× at 100× corpus.
+    * Token arrays never ride through the pair join; they are re-attached
+    * for the verify stage only (AQE picks broadcast vs shuffled-hash by
+    * the build side's RUNTIME size — no unconditional corpus broadcast).
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         array_distinct(split(normText(col("text")), " ")).as("tokens"))
       .withColumn("n_tok", size(col("tokens")))
-      .cache() // tiny (one row/doc); feeds the pair join + both lookups
-    val ids = docs.select(col("doc_id"), col("source"), col("n_tok"))
-    val a = ids.as("a"); val b = ids.as("b")
-    // pair generation carries ONLY ids through the shuffle join — token
-    // arrays would otherwise be copied into every SMJ output row; they are
-    // attached afterwards via codegen'd broadcast-hash lookups.
+      .cache() // one row/doc; feeds df count, prefix build, and both verify lookups
+    val tokDoc = docs.select(col("doc_id"), col("source"), col("n_tok"),
+      explode(col("tokens")).as("tok"))
+    val tokDf = tokDoc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // prefix length p = n − ⌈0.9·n⌉ + 1, in integer arithmetic
+    // (⌈9n/10⌉ = (9n+9) div 10) — no float rounding shortening the prefix
+    val prefixLen =
+      (col("n_tok") - floor((col("n_tok") * 9 + 9) / lit(10)) + 1).cast("int")
+    val prefixes = tokDoc.join(tokDf, "tok")
+      .groupBy(col("doc_id"), col("source"), col("n_tok"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        explode(slice(col("ord.tok"), lit(1), prefixLen)).as("ptok"))
+    val a = prefixes.as("a"); val b = prefixes.as("b")
     // length-ratio prune inside the join condition: J ≥ 0.9 implies
-    // min(|A|,|B|)/max(|A|,|B|) ≥ 0.9 (|∩| ≤ min, |∪| ≥ max), so the integer
-    // predicate is lossless — it only skips the expensive array ops
-    val pairs = a.join(b, col("a.source") === col("b.source") &&
+    // min(|A|,|B|)/max(|A|,|B|) ≥ 0.9 (|∩| ≤ min, |∪| ≥ max) — lossless
+    val candidates = a.join(b,
+        col("a.ptok") === col("b.ptok") &&
+        col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("a.n_tok") * 10 >= col("b.n_tok") * 9 &&
         col("b.n_tok") * 10 >= col("a.n_tok") * 9)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_tok").as("n_a"), col("b.n_tok").as("n_b"))
-    val ta = docs.select(col("doc_id").as("doc_a"), col("tokens").as("tok_a"))
-    val tb = docs.select(col("doc_id").as("doc_b"), col("tokens").as("tok_b"))
-    pairs
-      .join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ta = docs.select(col("doc_id").as("doc_a"),
+      col("tokens").as("tok_a"), col("n_tok").as("n_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"),
+      col("tokens").as("tok_b"), col("n_tok").as("n_b"))
+    candidates.join(ta, "doc_a").join(tb, "doc_b")
       .select(
         col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         graft.functions.ArrayFunctions.intersectSize(
@@ -142,15 +172,32 @@ object DedupOps {
               t => xxhash64(t))))).as("simhash"))
   }
 
+  /** Candidate generation is the standard Hamming multi-index (Manku et al.
+    * WWW'07): split the 64-bit signature into 4 disjoint 16-bit bands — any
+    * pair within Hamming distance 3 has ≥1 band with zero differing bits
+    * (pigeonhole over 4 bands), so joining on equal (source, band, value)
+    * is COMPLETE for the ≤3 predicate, with no all-pairs join anywhere.
+    * The signature itself (one long) rides through the band join, so the
+    * verify is a single `bit_count(xor)` — no re-attach join. A pair can
+    * collide in several bands → distinct after the Hamming filter.
+    */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(s, dir)
-    val a = sig.as("a"); val b = sig.as("b")
-    a.join(b, col("a.source") === col("b.source") &&
+    val banded = sig.select(col("doc_id"), col("source"), col("simhash"),
+      posexplode(array((0 until 4).map(bnd =>
+        shiftright(col("simhash"), bnd * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col("doc_id"), col("source"), col("simhash"),
+        col("pos").as("band"), col("col").as("bval"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bval") === col("b.bval") &&
+        col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -202,7 +249,10 @@ object DedupOps {
       .distinct()
     val da = docs.select(col("doc_id").as("doc_a"), col("tokens").as("tok_a"))
     val db = docs.select(col("doc_id").as("doc_b"), col("tokens").as("tok_b"))
-    candidates.join(broadcast(da), "doc_a").join(broadcast(db), "doc_b")
+    // no broadcast hint: the attach side is the WHOLE corpus — AQE promotes
+    // to broadcast-hash at runtime only while it actually fits (fine at
+    // sf0.1, shuffled-hash at 100 TB instead of an executor OOM)
+    candidates.join(da, "doc_a").join(db, "doc_b")
       // lossless length-ratio prune before the array ops (see
       // dedupNgramJaccard): J ≥ 0.9 requires size ratio ≥ 0.9
       .filter(size(col("tok_a")) * 10 >= size(col("tok_b")) * 9 &&
@@ -254,7 +304,8 @@ object DedupOps {
       .distinct()
     val da = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val db = docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    candidates.join(broadcast(da), "doc_a").join(broadcast(db), "doc_b")
+    // no broadcast hint — AQE decides by runtime size (see dedupMinhashLsh)
+    candidates.join(da, "doc_a").join(db, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"),
         graft.functions.ArrayFunctions.intersectSize(

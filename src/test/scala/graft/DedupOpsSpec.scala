@@ -68,6 +68,68 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash Hamming-band candidates = all-pairs reference (set equality)") {
+    import org.apache.spark.sql.functions._
+    // reference: the all-pairs source-block join the band index replaced
+    val sig = DedupOps.simhashSignatures(spark, dir)
+    val a = sig.as("a"); val b = sig.as("b")
+    val ref = a.join(b, col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = DedupOps.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == ref,
+      s"banded≠all-pairs: missing=${ref.diff(banded).take(5)} extra=${banded.diff(ref).take(5)}")
+  }
+
+  test("ngram jaccard prefix filtering = blocked all-pairs brute force (set equality)") {
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.replaceAll("\\s+", " ").trim.split(" ").toSet))
+    val expected = (for {
+      (i, si, ti) <- docs; (j, sj, tj) <- docs
+      if si == sj && i < j
+      inter = ti.intersect(tj).size
+      union = ti.size + tj.size - inter
+      if union > 0 && inter.toDouble / union >= 0.9
+    } yield (i, j)).toSet
+    val got = DedupOps.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"prefix-filter≠brute-force: missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
+  }
+
+  test("dedup verify stages carry no broadcast hint (shuffled path on forced-large input)") {
+    // threshold −1 simulates a corpus too big to broadcast; with AQE off
+    // (AdaptiveSparkPlanExec hides inner plans from collect) any remaining
+    // BroadcastExchange could only come from an explicit hint
+    val conf = spark.conf
+    val prevThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      Seq("dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccard(spark, dir),
+          "dedup_minhash_lsh" -> DedupOps.dedupMinhashLsh(spark, dir),
+          "dedup_minhash_shingle" -> DedupOps.dedupMinhashShingle(spark, dir))
+        .foreach { case (name, df) =>
+          val bcasts = df.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+          }
+          assert(bcasts.isEmpty,
+            s"$name forces broadcast despite autoBroadcastJoinThreshold=-1")
+        }
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("sign-LSH ANN: per-query ranks contiguous, cos non-increasing, ⊆ brute-force candidates") {
     val rows = SimilarityOps.annSignLsh(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
