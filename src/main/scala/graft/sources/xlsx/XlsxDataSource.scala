@@ -63,9 +63,12 @@ object XlsxDataSource {
     */
   def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
     val raw: Seq[String] = Option(options.get("paths")) match {
-      case Some(json) => // minimal JSON string-array parse: ["a","b"]
-        json.trim.stripPrefix("[").stripSuffix("]").split(",")
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      case Some(json) =>
+        // DataFrameReader serializes multi-path loads with Jackson; parse
+        // symmetrically (a naive split(",") would break paths containing
+        // commas or escaped quotes). jackson-databind ships with Spark.
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(json, classOf[Array[String]]).toSeq.filter(_.nonEmpty)
       case None => Option(options.get("path")).toSeq
     }
     raw.flatMap { p =>
@@ -144,10 +147,15 @@ class XlsxPartitionReader(p: XlsxInputPartition,
   // positions — files in a directory load may order columns differently,
   // and positional mapping from the schema-inference file would silently
   // misalign them. A column absent from this file's header reads as null.
+  // Blank header cells get the same positional `_cN` names as inferSchema
+  // (XlsxParser.withSheet) so their data is read, not silently nulled.
   private val fileHeader: Map[String, Int] = {
     val headerCells = allRows.find(_.rowNum == p.headerRow.toLong)
       .map(_.cells).getOrElse(Map.empty)
-    headerCells.collect { case (i, name) if name.nonEmpty => name -> i }
+    val width = if (headerCells.isEmpty) 0 else headerCells.keys.max + 1
+    (0 until width).map { i =>
+      headerCells.get(i).filter(_.nonEmpty).getOrElse(s"_c$i") -> i
+    }.toMap
   }
   private val colIdx: Array[Int] =
     requiredCols.map(c => fileHeader.getOrElse(c, -1))

@@ -114,6 +114,29 @@ class XlsxSourceSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("1", "Widget"), ("2", "Gadget")))
   }
 
+  test("blank header cells read their data under positional _cN names") {
+    val dir = Files.createTempDirectory("graft-xlsx-blank")
+    val wb = dir.resolve("blank.xlsx")
+    XlsxTestWriter.write(wb, Seq("S" -> Seq(
+      Seq(Some("Id"), None, Some("V")), // middle header blank → _c1
+      Seq(Some("1"), Some("hidden"), Some("x")),
+      Seq(Some("2"), Some("also"), Some("y")))))
+    val df = spark.read.format("xlsx").load(wb.toString)
+    assert(df.columns.toSeq == Seq("Id", "_c1", "V"))
+    assert(df.select("_c1").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("also", "hidden")) // previously silently null
+  }
+
+  test("multi-path load survives commas in file names") {
+    val dir = Files.createTempDirectory("graft-xlsx-comma")
+    val p1 = dir.resolve("a,b.xlsx"); val p2 = dir.resolve("c.xlsx")
+    for ((p, id) <- Seq(p1 -> "1", p2 -> "2"))
+      XlsxTestWriter.write(p, Seq("S" -> Seq(
+        Seq(Some("Id")), Seq(Some(id)))))
+    val df = spark.read.format("xlsx").load(p1.toString, p2.toString)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("1", "2"))
+  }
+
   test("missing sheet error names the available sheets") {
     val wb = sampleWorkbook()
     val e = intercept[Exception] {
