@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.{AnalyticsOps, DedupOps, EventOps, MultimodalOps, RefPipelines, SimilarityOps, Tables, TextOps}
+import graft.ops.{AnalyticsOps, DedupOps, EventOps, IncrementalDedup, MultimodalOps, RefPipelines, SimilarityOps, Tables, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -27,16 +27,16 @@ object SparkEntry {
     * extensions: dedup, similarity search, text analysis, event analytics).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefPipelines.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
-      TextOps.queries ++ EventOps.queries ++ AnalyticsOps.queries ++
-      MultimodalOps.queries
+    RefPipelines.queries ++ DedupOps.queries ++ IncrementalDedup.queries ++
+      SimilarityOps.queries ++ TextOps.queries ++ EventOps.queries ++
+      AnalyticsOps.queries ++ MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (the
     * hash-dependent LSH/SimHash variants — rows-only checked + unit-tested).
     */
   def oracleSql: Map[String, String] =
-    RefPipelines.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
-      TextOps.oracles ++ EventOps.oracles ++ AnalyticsOps.oracles ++
-      MultimodalOps.oracles
+    RefPipelines.oracles ++ DedupOps.oracles ++ IncrementalDedup.oracles ++
+      SimilarityOps.oracles ++ TextOps.oracles ++ EventOps.oracles ++
+      AnalyticsOps.oracles ++ MultimodalOps.oracles
 }
