@@ -18,12 +18,16 @@ import graft.ops.DedupOps.{normText, normTextOracle}
   */
 object IncrementalDedup {
 
-  /** (doc_id, fingerprint): the exact-dedup key of [[DedupOps.dedupExact]]
-    * (md5 of normalized text) per document.
+  /** Append the exact-dedup key of [[DedupOps.dedupExact]] (md5 of
+    * normalized text) as a `fingerprint` column, keeping all input columns.
     */
+  def withFingerprint(docs: DataFrame): DataFrame =
+    docs.withColumn("fingerprint",
+      md5(normText(col("text")).cast("binary")))
+
+  /** (doc_id, fingerprint) only — the store-shaped projection. */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      md5(normText(col("text")).cast("binary")).as("fingerprint"))
+    withFingerprint(docs).select(col("doc_id"), col("fingerprint"))
 
   /** (doc_id, fingerprint) keyed on the first `n` normalized chars — the
     * near-dup cluster key of [[TextOps.docFingerprint]]'s `fp_prefix`; use
