@@ -83,6 +83,8 @@ object DedupOps {
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
       .select(col("doc_id"), col("source"), col("n_tok"),
         explode(slice(col("ord.tok"), lit(1), prefixLen)).as("ptok"))
+      .cache() // self-joined below: without it the explode+df-join+sort
+               // chain is computed once per join side (~10% of token volume)
     val a = prefixes.as("a"); val b = prefixes.as("b")
     // length-ratio prune inside the join condition: J ≥ 0.9 implies
     // min(|A|,|B|)/max(|A|,|B|) ≥ 0.9 (|∩| ≤ min, |∪| ≥ max) — lossless
@@ -241,6 +243,8 @@ object DedupOps {
           concat_ws(":", (0 until rowsPerBand).map(r =>
             col("sig")(bnd * rowsPerBand + r)): _*).as("bsig"))): _*)))
       .select(col("doc_id"), col("col.band"), col("col.bsig"))
+      .cache() // self-joined: uncached, the 48-hash MinHash signature map
+               // runs once per join side; 4 tiny rows per doc
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -296,6 +300,8 @@ object DedupOps {
           concat_ws(":", (0 until rowsPerBand).map(r =>
             col("sig")(bnd * rowsPerBand + r)): _*).as("bsig"))): _*)))
       .select(col("doc_id"), col("col.band"), col("col.bsig"))
+      .cache() // self-joined: uncached, the 48-hash MinHash signature map
+               // runs once per join side; 4 tiny rows per doc
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
