@@ -28,13 +28,26 @@ object DedupOps {
   val normTextOracle: String => String =
     inner => s"trim(regexp_replace(lower($inner), '\\s+', ' ', 'g'))"
 
+  /** md5 of normalized text — the exact-dedup identity key (one definition
+    * shared by dedupExact, TextOps.docFingerprint, and IncrementalDedup so
+    * the key can't drift between the store and the queries).
+    */
+  def fingerprint(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(normText(c).cast("binary"))
+
+  /** md5 of the first `n` normalized chars — the near-dup cluster key
+    * (TextOps.docFingerprint's `fp_prefix`).
+    */
+  def prefixFingerprint(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    md5(substring(normText(c), 1, n).cast("binary"))
+
   /** Exact dedup: md5 of normalized text as the group key, min doc_id kept
     * (deterministic representative). Map-side partial agg keeps the shuffle
     * at one row per distinct hash.
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .groupBy(md5(normText(col("text")).cast("binary")).as("fingerprint"))
+      .groupBy(fingerprint(col("text")).as("fingerprint"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_doc_id")
 
@@ -190,6 +203,8 @@ object DedupOps {
         shiftright(col("simhash"), bnd * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .select(col("doc_id"), col("source"), col("simhash"),
         col("pos").as("band"), col("col").as("bval"))
+      .cache() // self-joined: uncached, the SimHash64 signature map over the
+               // full corpus text runs once per join side
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bval") === col("b.bval") &&

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
-import graft.ops.DedupOps.{normText, normTextOracle}
+import graft.ops.DedupOps.normTextOracle
 
 /** Cross-run dedup state — the shape a production 100 TB ingest needs:
   * each new batch is deduplicated against a PERSISTED fingerprint store
@@ -18,16 +18,14 @@ import graft.ops.DedupOps.{normText, normTextOracle}
   */
 object IncrementalDedup {
 
+  val storeSchema: StructType =
+    StructType(Seq(StructField("fingerprint", StringType)))
+
   /** Append the exact-dedup key of [[DedupOps.dedupExact]] (md5 of
     * normalized text) as a `fingerprint` column, keeping all input columns.
     */
   def withFingerprint(docs: DataFrame): DataFrame =
-    docs.withColumn("fingerprint",
-      md5(normText(col("text")).cast("binary")))
-
-  /** (doc_id, fingerprint) only — the store-shaped projection. */
-  def fingerprints(docs: DataFrame): DataFrame =
-    withFingerprint(docs).select(col("doc_id"), col("fingerprint"))
+    docs.withColumn("fingerprint", DedupOps.fingerprint(col("text")))
 
   /** (doc_id, fingerprint) keyed on the first `n` normalized chars — the
     * near-dup cluster key of [[TextOps.docFingerprint]]'s `fp_prefix`; use
@@ -36,20 +34,30 @@ object IncrementalDedup {
     */
   def prefixFingerprints(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
-      md5(substring(normText(col("text")), 1, n).cast("binary"))
-        .as("fingerprint"))
+      DedupOps.prefixFingerprint(col("text"), n).as("fingerprint"))
 
   /** The store is created on first run — an absent path reads as an empty
     * fingerprint set, so run 1 needs no special-casing by callers.
+    * Existence goes through the Hadoop FileSystem of the path (a
+    * `java.io.File` probe would always miss s3a://hdfs:// stores and
+    * silently disable cross-run dedup); the explicit schema keeps an
+    * existing-but-still-empty directory readable.
     */
-  def readStore(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-      StructType(Seq(StructField("fingerprint", StringType))))
+  def readStore(spark: SparkSession, path: String,
+      schema: StructType = storeSchema): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hPath)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
 
-  /** Rows of `batch` whose fingerprint is not in the store (left-anti). */
+  /** Rows of `batch` whose fingerprint is not in the store. Null-safe
+    * equality: a null fingerprint (null text) matches a stored null, so
+    * null-text docs are novel exactly once instead of on every run.
+    */
   def novel(batch: DataFrame, store: DataFrame): DataFrame =
-    batch.join(store.select("fingerprint"), Seq("fingerprint"), "left_anti")
+    batch.join(store.select(col("fingerprint").as("store_fp")),
+      col("fingerprint") <=> col("store_fp"), "left_anti")
 
   /** Grow the store by the batch's newly-seen fingerprints (distinct within
     * the batch so the store stays a set).
@@ -61,14 +69,17 @@ object IncrementalDedup {
   /** Oracle-backed query: simulate two ingest runs over `documents` — even
     * doc_ids are the prior corpus (persisted to a real parquet store), odd
     * doc_ids the incoming batch; emit the batch docs whose content was never
-    * seen. The store genuinely round-trips through parquet. Keyed on the
-    * 50-char prefix fingerprint (this corpus has no byte-identical docs but
-    * does have near-dup clusters — FIXTURES.md).
+    * seen. The store genuinely round-trips through parquet (note this makes
+    * the query eager at construction, unlike its siblings: the store write
+    * IS the operator under test). Keyed on the 50-char prefix fingerprint
+    * (this corpus has no byte-identical docs but does have near-dup
+    * clusters — FIXTURES.md). A fixed overwritten temp path keeps repeated
+    * Verify/Bench invocations from accumulating stores.
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val fp = prefixFingerprints(Tables(s, dir, "documents"), 50)
-    val storePath = java.nio.file.Files
-      .createTempDirectory("graft-fpstore").resolve("store").toString
+    val storePath = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft-fpstore-query").toString
     fp.filter(col("doc_id") % 2 === 0).select("fingerprint").distinct()
       .write.mode(SaveMode.Overwrite).parquet(storePath)
     novel(fp.filter(col("doc_id") % 2 === 1), readStore(s, storePath))

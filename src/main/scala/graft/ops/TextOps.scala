@@ -142,8 +142,8 @@ object TextOps {
   def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     val fp = Tables(s, dir, "documents")
       .select(col("doc_id"),
-        md5(normText(col("text")).cast("binary")).as("fp_full"),
-        md5(substring(normText(col("text")), 1, 50).cast("binary")).as("fp_prefix"))
+        DedupOps.fingerprint(col("text")).as("fp_full"),
+        DedupOps.prefixFingerprint(col("text"), 50).as("fp_prefix"))
     fp.withColumn("prefix_cluster_size",
         count(lit(1)).over(Window.partitionBy(col("fp_prefix"))))
       .orderBy("doc_id")

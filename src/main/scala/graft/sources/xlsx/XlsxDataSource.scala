@@ -147,15 +147,14 @@ class XlsxPartitionReader(p: XlsxInputPartition,
   // positions — files in a directory load may order columns differently,
   // and positional mapping from the schema-inference file would silently
   // misalign them. A column absent from this file's header reads as null.
-  // Blank header cells get the same positional `_cN` names as inferSchema
-  // (XlsxParser.withSheet) so their data is read, not silently nulled.
+  // Blank header cells get the same positional `_cN` names as inferSchema —
+  // XlsxParser.headerNames is the single naming rule for both sides, so
+  // blank-header data is read (not silently nulled) and a literal header
+  // named `_cN` can't collide with a generated one.
   private val fileHeader: Map[String, Int] = {
     val headerCells = allRows.find(_.rowNum == p.headerRow.toLong)
       .map(_.cells).getOrElse(Map.empty)
-    val width = if (headerCells.isEmpty) 0 else headerCells.keys.max + 1
-    (0 until width).map { i =>
-      headerCells.get(i).filter(_.nonEmpty).getOrElse(s"_c$i") -> i
-    }.toMap
+    XlsxParser.headerNames(headerCells).zipWithIndex.toMap
   }
   private val colIdx: Array[Int] =
     requiredCols.map(c => fileHeader.getOrElse(c, -1))

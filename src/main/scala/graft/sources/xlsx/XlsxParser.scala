@@ -211,12 +211,29 @@ object XlsxParser {
     val all = rows(zip, entry, shared)
     val headerCells = all.find(_.rowNum == headerRow.toLong)
       .map(_.cells).getOrElse(Map.empty)
-    val width = if (headerCells.isEmpty) 0 else headerCells.keys.max + 1
-    val header = (0 until width).map { i =>
-      headerCells.get(i).filter(_.nonEmpty).getOrElse(s"_c$i")
-    }
     // `all` already consumed up to and including the header row
-    use(header, all.filter(_.rowNum > headerRow.toLong))
+    use(headerNames(headerCells), all.filter(_.rowNum > headerRow.toLong))
+  }
+
+  /** Positional names for a header row: literal cell text where present,
+    * `_cN` for blanks. A generated name that collides with a literal header
+    * (a column actually NAMED `_c1`) or an earlier generated name gets `_`
+    * appended until unique — both the schema-inference side and the
+    * per-file reader derive names through here, so they can never disagree.
+    */
+  def headerNames(headerCells: Map[Int, String]): Seq[String] = {
+    val width = if (headerCells.isEmpty) 0 else headerCells.keys.max + 1
+    val literals = headerCells.values.filter(_.nonEmpty).toSet
+    val used = scala.collection.mutable.Set[String]()
+    (0 until width).map { i =>
+      val name = headerCells.get(i).filter(_.nonEmpty).getOrElse {
+        var c = s"_c$i"
+        while (literals.contains(c) || used.contains(c)) c += "_"
+        c
+      }
+      used += name
+      name
+    }
   }
 
   private def attr(xml: XMLStreamReader, localName: String): Option[String] = {

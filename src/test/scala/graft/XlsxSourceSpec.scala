@@ -127,6 +127,21 @@ class XlsxSourceSpec extends AnyFunSuite {
       Seq("also", "hidden")) // previously silently null
   }
 
+  test("literal header named _cN does not collide with a generated blank name") {
+    val dir = Files.createTempDirectory("graft-xlsx-cn")
+    val wb = dir.resolve("cn.xlsx")
+    XlsxTestWriter.write(wb, Seq("S" -> Seq(
+      // literal _c1 at position 0; the blank at position 1 would also
+      // generate "_c1" — must disambiguate, consistently on both sides
+      Seq(Some("_c1"), None, Some("V")),
+      Seq(Some("lit"), Some("gen"), Some("v")))))
+    val df = spark.read.format("xlsx").load(wb.toString)
+    assert(df.columns.toSeq == Seq("_c1", "_c1_", "V"))
+    val r = df.collect().head
+    assert(r.getString(0) == "lit" && r.getString(1) == "gen" &&
+      r.getString(2) == "v")
+  }
+
   test("multi-path load survives commas in file names") {
     val dir = Files.createTempDirectory("graft-xlsx-comma")
     val p1 = dir.resolve("a,b.xlsx"); val p2 = dir.resolve("c.xlsx")
