@@ -247,23 +247,28 @@ object DedupOps {
     // whole signature in one narrow pass (native MinHashSignature) — the
     // explode + groupBy + 48-min-aggregate composition shuffles every
     // (doc, token) pair; see minhashSignaturesComposed (test reference)
-    val sig = docs.select(col("doc_id"),
+    val sig = docs.select(col("doc_id"), size(col("tokens")).as("n_tok"),
       org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.functions.expressions.MinHashSignature(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("tokens")),
           nHashes)).as("sig"))
-    val banded = sig.select(col("doc_id"),
+    val banded = sig.select(col("doc_id"), col("n_tok"),
       posexplode(array((0 until bands).map(bnd =>
         struct(lit(bnd).as("band"),
           concat_ws(":", (0 until rowsPerBand).map(r =>
             col("sig")(bnd * rowsPerBand + r)): _*).as("bsig"))): _*)))
-      .select(col("doc_id"), col("col.band"), col("col.bsig"))
+      .select(col("doc_id"), col("n_tok"), col("col.band"), col("col.bsig"))
       .cache() // self-joined: uncached, the 48-hash MinHash signature map
                // runs once per join side; 4 tiny rows per doc
     val a = banded.as("a"); val b = banded.as("b")
+    // lossless length-ratio prune INSIDE the band join (J ≥ 0.9 requires
+    // size ratio ≥ 0.9: |∩| ≤ min, |∪| ≥ max) — candidates that can't
+    // verify never reach distinct or the token-attach joins
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.n_tok") * 10 >= col("b.n_tok") * 9 &&
+        col("b.n_tok") * 10 >= col("a.n_tok") * 9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val da = docs.select(col("doc_id").as("doc_a"), col("tokens").as("tok_a"))
@@ -272,10 +277,6 @@ object DedupOps {
     // to broadcast-hash at runtime only while it actually fits (fine at
     // sf0.1, shuffled-hash at 100 TB instead of an executor OOM)
     candidates.join(da, "doc_a").join(db, "doc_b")
-      // lossless length-ratio prune before the array ops (see
-      // dedupNgramJaccard): J ≥ 0.9 requires size ratio ≥ 0.9
-      .filter(size(col("tok_a")) * 10 >= size(col("tok_b")) * 9 &&
-        size(col("tok_b")) * 10 >= size(col("tok_a")) * 9)
       .select(col("doc_a"), col("doc_b"),
         size(col("tok_a")).as("n_a"), size(col("tok_b")).as("n_b"),
         graft.functions.ArrayFunctions.intersectSize(
@@ -307,20 +308,23 @@ object DedupOps {
           k = 5))).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .cache()
-    val sig = docs.select(col("doc_id"),
+    val sig = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"),
       bc(MinHashSignature(be(col("shingles")), nHashes)).as("sig"))
-    val banded = sig.select(col("doc_id"),
+    val banded = sig.select(col("doc_id"), col("n_sh"),
       posexplode(array((0 until bands).map(bnd =>
         struct(lit(bnd).as("band"),
           concat_ws(":", (0 until rowsPerBand).map(r =>
             col("sig")(bnd * rowsPerBand + r)): _*).as("bsig"))): _*)))
-      .select(col("doc_id"), col("col.band"), col("col.bsig"))
+      .select(col("doc_id"), col("n_sh"), col("col.band"), col("col.bsig"))
       .cache() // self-joined: uncached, the 48-hash MinHash signature map
                // runs once per join side; 4 tiny rows per doc
     val a = banded.as("a"); val b = banded.as("b")
+    // lossless prune inside the band join: J ≥ 0.8 requires size ratio ≥ 0.8
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.n_sh") * 5 >= col("b.n_sh") * 4 &&
+        col("b.n_sh") * 5 >= col("a.n_sh") * 4)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val da = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
