@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked JVM inherit sbt's raw stdout: by default sbt's logger
+// wraps forked output and prefixes every line `[info]`, which made the
+// driver-scraped Bench JSON line unparseable (BENCH_r01/r02 "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -15,6 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the incremental-dedup query reads a store seeded OUTSIDE the query
+    // builder (construction is pure — VERDICT r2 #5)
+    graft.ops.IncrementalDedup.seedQueryStore(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -31,6 +31,7 @@ object PerfProbe {
     def sink(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    graft.ops.IncrementalDedup.seedQueryStore(spark, dir)
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
       time(s"$n (cold)")(sink(q(spark, dir)))

@@ -22,6 +22,7 @@ class PipelinesSpec extends AnyFunSuite {
   }
 
   test("all queries execute with rows > 0 at sf0.001") {
+    graft.ops.IncrementalDedup.seedQueryStore(spark, dir)
     val empty = SparkEntry.queries.collect {
       case (name, fn) if fn(spark, dir).count() == 0 => name
     }
