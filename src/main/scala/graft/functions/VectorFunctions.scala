@@ -43,6 +43,37 @@ object VectorFunctions {
     */
   def normalize(a: Column): Column = transform(a, x => x / sqrt(dot(a, a)))
 
+  /** All sign-LSH band buckets in one narrow pass — the native
+    * [[graft.functions.expressions.SignLshBuckets]] expression; see
+    * [[signLshBucketsComposed]] for the built-in composition it replaces
+    * (bit-identity pinned in VectorExpressionsSpec).
+    */
+  def signLshBuckets(v: Column, bitsPerBand: Int, bands: Int): Column =
+    ColumnBridge.column(graft.functions.expressions.SignLshBuckets(
+      ColumnBridge.expression(v), bitsPerBand, bands))
+
+  /** Projection of `v` onto deterministic hash-derived hyperplane `h`:
+    * weight for dimension i is `pmod(xxhash64(i,h), 1e6)/1e6 − 0.5`,
+    * uniform in [−0.5, 0.5) — no external randomness, reproducible across
+    * runs. Composed-form reference for [[signLshBuckets]].
+    */
+  def planeDot(v: Column, h: Int): Column =
+    aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+        x * ((pmod(xxhash64(i, lit(h)), lit(1000000)).cast("double") /
+          lit(1000000.0)) - lit(0.5))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The H-separate-folds composition equivalent of [[signLshBuckets]] —
+    * kept as the cross-check reference.
+    */
+  def signLshBucketsComposed(v: Column, bitsPerBand: Int, bands: Int): Column =
+    array((0 until bands).map(b =>
+      (0 until bitsPerBand).map(r =>
+        when(planeDot(v, b * bitsPerBand + r) > 0, lit(1L << r))
+          .otherwise(lit(0L)))
+        .reduce(_ + _)): _*)
+
   /** DuckDB oracle fragments (same double-cast + normalize-then-dot op
     * order as the Spark side, so values agree to float ulps).
     */

@@ -91,23 +91,16 @@ object SimilarityOps {
     * from the signs of projections onto H pseudo-random hyperplanes derived
     * deterministically from xxhash64(dim, plane) — no external randomness,
     * reproducible across runs. Neighbors are searched within the bucket.
-    * The per-vector bucket id is a narrow map; the search is a shuffle on
-    * bucket id — the fully unsupervised analog of [[annIvfTopk]].
+    * The per-vector bucket id is ONE narrow-map pass (native
+    * [[graft.functions.expressions.SignLshBuckets]], bit-identical to the
+    * H-separate-folds composition — VectorExpressionsSpec); the search is a
+    * shuffle on bucket id — the fully unsupervised analog of [[annIvfTopk]].
     */
   def annSignLsh(s: SparkSession, dir: String): DataFrame = {
     val H = 8
     val emb = embeddings(s, dir)
-    // plane h weight for dimension d: hash-derived value in [-0.5, 0.5)
-    def planeDot(v: org.apache.spark.sql.Column, h: Int) =
-      aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          x * ((pmod(xxhash64(i, lit(h)), lit(1000000)).cast("double") /
-            lit(1000000.0)) - lit(0.5))),
-        lit(0.0), (acc, x) => acc + x)
     val bucketed = emb.withColumn("bucket",
-      (0 until H).map(h =>
-        when(planeDot(col("v"), h) > 0, lit(1L << h)).otherwise(lit(0L)))
-        .reduce(_ + _))
+      signLshBuckets(col("v"), bitsPerBand = H, bands = 1)(0))
     val queries = bucketed.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("bucket").as("qbucket"),
         col("v").as("qv"))

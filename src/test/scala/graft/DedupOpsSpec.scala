@@ -130,6 +130,24 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding LSH: pairs ⊆ exact baseline with identical cos, recall ≥ 0.9") {
+    // sf0.01: the known near-dup set is 26 pairs (sf0.001 has too few for a
+    // meaningful recall); hyperplanes are hash-derived → fully deterministic
+    val d01 = "/root/testdata/sf0.01"
+    val exact = DedupOps.dedupEmbeddingCosine(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = DedupOps.dedupEmbeddingLsh(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      s"LSH pairs not in exact set: ${lsh.keySet.diff(exact.keySet).take(5)}")
+    lsh.foreach { case (k, cos) =>
+      assert(cos == exact(k), s"pair $k: lsh cos $cos != exact ${exact(k)}")
+    }
+    val recall = lsh.size.toDouble / exact.size.toDouble
+    assert(recall >= 0.9,
+      s"embedding LSH recall too low: $recall (${lsh.size}/${exact.size})")
+  }
+
   test("sign-LSH ANN: per-query ranks contiguous, cos non-increasing, ⊆ brute-force candidates") {
     val rows = SimilarityOps.annSignLsh(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

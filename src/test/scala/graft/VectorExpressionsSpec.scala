@@ -125,6 +125,18 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("SignLshBuckets == per-plane zip_with/aggregate composition, bit for bit") {
+    val vecs = graft.ops.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+    for ((bits, bands) <- Seq((8, 1), (4, 5), (3, 4))) {
+      val diffs = vecs.select(
+          VectorFunctions.signLshBuckets(col("v"), bits, bands).as("native"),
+          VectorFunctions.signLshBucketsComposed(col("v"), bits, bands).as("composed"))
+        .filter(col("native") =!= col("composed")).count()
+      assert(diffs == 0L, s"bits=$bits bands=$bands")
+    }
+  }
+
   test("SQL registration: dot_product and simhash64 callable from spark.sql") {
     GraftExtensions.register(spark)
     val r = spark.sql(
