@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{ClusterOps, DedupOps}
+
+/** Connected-components correctness: synthetic graphs with known components
+  * (including a long chain, the worst case for plain min-propagation), and
+  * the dedup_clusters query against a driver-side union-find ground truth.
+  */
+class ClusterOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ClusterOps.connectedComponents(edges.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, clique, and isolated pair resolve to component minima") {
+    // chain 10..18 (diameter 8 — needs pointer jumping to converge in few
+    // rounds), clique 1-2-3, pair (100, 7)
+    val chain = (10L until 18L).map(i => (i, i + 1))
+    val got = components(chain ++ Seq((1L, 2L), (2L, 3L), (1L, 3L), (100L, 7L)))
+    (10L to 18L).foreach(i => assert(got(i) == 10L, s"chain node $i"))
+    Seq(1L, 2L, 3L).foreach(i => assert(got(i) == 1L))
+    assert(got(100L) == 7L && got(7L) == 7L)
+    assert(got.size == 14) // only nodes that appear in edges
+  }
+
+  test("dedup_clusters matches driver-side union-find over the same edges") {
+    val edges = DedupOps.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "no near-dup edges at sf0.001")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = ClusterOps.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(t => t._1 -> t._2).toMap == expected)
+    got.foreach { case (id, rep, keep) => assert(keep == (id == rep)) }
+    // exactly one kept representative per cluster
+    val reps = got.filter(_._3).map(_._1).toSet
+    assert(reps == expected.values.toSet)
+  }
+}
