@@ -87,26 +87,48 @@ object SimilarityOps {
        |  WHERE q.vec_id < $NQueries)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  /** Sign-LSH (random hyperplane) bucketing, rows-only: an H-bit bucket id
-    * from the signs of projections onto H pseudo-random hyperplanes derived
-    * deterministically from xxhash64(dim, plane) — no external randomness,
-    * reproducible across runs. Neighbors are searched within the bucket.
-    * The per-vector bucket id is ONE narrow-map pass (native
-    * [[graft.functions.expressions.SignLshBuckets]], bit-identical to the
-    * H-separate-folds composition — VectorExpressionsSpec); the search is a
-    * shuffle on bucket id — the fully unsupervised analog of [[annIvfTopk]].
+  /** Sign-LSH (random hyperplane) multi-table ANN, rows-only: `bands`
+    * hash tables, each keyed by a `bitsPerBand`-bit bucket id from the
+    * signs of projections onto hyperplanes derived deterministically from
+    * xxhash64(dim, plane) — no external randomness, reproducible across
+    * runs. A candidate is any vector sharing a bucket with the query in ANY
+    * band (the classic OR-construction; a single-table variant measured
+    * recall 0/50 against the exact top-k on this corpus — one 8-bit exact
+    * signature match is hopeless at top-neighbor cos ≈ 0.4); candidates are
+    * then exact-cosine scored and top-k'd. All band buckets come from ONE
+    * narrow-map pass (native [[graft.functions.expressions.SignLshBuckets]],
+    * bit-identical to the per-plane composition — VectorExpressionsSpec);
+    * the band index rows are ids-only (vectors do not ride the 20× explode)
+    * and the search is a shuffle on (band, bucket) — the fully unsupervised
+    * analog of [[annIvfTopk]]. Measured at the 4×20 default on this corpus:
+    * recall 0.94–0.96 vs the exact top-k (pinned ≥ 0.8 in DedupOpsSpec);
+    * candidate
+    * volume tunes with (bitsPerBand, bands) per corpus similarity profile.
     */
-  def annSignLsh(s: SparkSession, dir: String): DataFrame = {
-    val H = 8
+  def annSignLsh(s: SparkSession, dir: String): DataFrame =
+    annSignLsh(s, dir, bitsPerBand = 4, bands = 20)
+
+  def annSignLsh(s: SparkSession, dir: String,
+      bitsPerBand: Int, bands: Int): DataFrame = {
     val emb = embeddings(s, dir)
-    val bucketed = emb.withColumn("bucket",
-      signLshBuckets(col("v"), bitsPerBand = H, bands = 1)(0))
-    val queries = bucketed.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("bucket").as("qbucket"),
-        col("v").as("qv"))
-    val scored = bucketed.join(broadcast(queries),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+    // ids-only band index: (vec_id, band, bucket)
+    val banded = emb.select(col("vec_id"),
+      posexplode(signLshBuckets(col("v"), bitsPerBand, bands)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+    val qBands = banded.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        col("band").as("qband"), col("bucket").as("qbucket"))
+    val candidates = banded.join(broadcast(qBands),
+        col("band") === col("qband") && col("bucket") === col("qbucket") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val qVecs = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = candidates
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(broadcast(qVecs), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
         dot(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
