@@ -115,9 +115,11 @@ object EventOps {
     * partial top-10 on EVERY partition, then a 10-row merge — so no global
     * sort and no single-partition window over the full user set (at 100×
     * users an unpartitioned `Window.orderBy` funnels everything through one
-    * task). Rank is derived afterwards over the 10 surviving rows; the
-    * constant partition key keeps WindowExec off its no-partition
-    * single-task path warning while the exchange moves only 10 rows.
+    * task). Rank is derived afterwards over the 10 surviving rows. The
+    * `lit(0)` partition key is folded away by Spark 4's
+    * `EliminateWindowPartitions`, so WindowExec still logs its no-partition
+    * warning — harmless here (the window input IS the 10-row limit result;
+    * Bench sets that logger to ERROR to keep driver-scraped stdout clean).
     */
   def eventsTopkUsers(s: SparkSession, dir: String): DataFrame = {
     val totals = Tables(s, dir, "events")
@@ -129,8 +131,8 @@ object EventOps {
       .limit(10)
     top10
       .withColumn("rank", row_number().over(
-        Window.partitionBy(lit(0))
-          .orderBy(col("total_value").desc, col("user_id"))))
+        // input is 10 rows — a no-partition window is deliberate here
+        Window.orderBy(col("total_value").desc, col("user_id"))))
       .select(col("rank"), col("user_id"), col("total_value"), col("n_events"))
       .orderBy("rank")
   }

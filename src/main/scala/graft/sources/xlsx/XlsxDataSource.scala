@@ -67,8 +67,17 @@ object XlsxDataSource {
         // DataFrameReader serializes multi-path loads with Jackson; parse
         // symmetrically (a naive split(",") would break paths containing
         // commas or escaped quotes). jackson-databind ships with Spark.
-        new com.fasterxml.jackson.databind.ObjectMapper()
+        // A hand-set non-JSON value (.option("paths", "/a.xlsx")) would
+        // otherwise surface as an opaque JsonParseException.
+        try new com.fasterxml.jackson.databind.ObjectMapper()
           .readValue(json, classOf[Array[String]]).toSeq.filter(_.nonEmpty)
+        catch {
+          case e: com.fasterxml.jackson.core.JacksonException =>
+            throw new IllegalArgumentException(
+              s"""xlsx option "paths" must be a JSON string array """ +
+                s"""(e.g. ["/a.xlsx","/b.xlsx"]), got: $json — for a single """ +
+                """file use .load(path) or .option("path", ...)""", e)
+        }
       case None => Option(options.get("path")).toSeq
     }
     raw.flatMap { p =>

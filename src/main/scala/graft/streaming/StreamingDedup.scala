@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -8,17 +8,19 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.ops.IncrementalDedup
 
 /** Streaming cross-run dedup: documents arriving as files in a monitored
-  * folder are deduplicated (a) within the stream via `dropDuplicates` on the
-  * content fingerprint — Spark's keyed streaming state — and (b) against the
-  * PERSISTED parquet fingerprint store of [[graft.ops.IncrementalDedup]]
-  * inside `foreachBatch`, which then grows the store by the novel rows.
+  * folder are deduplicated (a) within the stream via Spark's keyed streaming
+  * state — `dropDuplicates` on the content fingerprint for drain-and-stop
+  * runs, `dropDuplicatesWithinWatermark` for the always-on form — and
+  * (b) against the PERSISTED parquet fingerprint store of
+  * [[graft.ops.IncrementalDedup]] inside `foreachBatch`, which then grows
+  * the store by the novel rows.
   *
   * Layer (b) is what survives a fresh checkpoint: re-ingesting an old file
   * after state loss still emits nothing, because content identity lives in
   * the store, not the stream state — the reference's watermark-file
   * semantics (ST1) applied to content rather than mtimes. `Trigger
   * .AvailableNow` keeps the scheduled-batch call shape of
-  * [[StreamingImport]].
+  * [[StreamingImport]]; [[startAlwaysOn]] is the resident deployment.
   *
   * Exactly-once: `foreachBatch` is at-least-once, so both sinks are written
   * as per-batch partition OVERWRITES under a tag unique to (checkpoint
@@ -30,59 +32,102 @@ import graft.ops.IncrementalDedup
   * fresh checkpoint gets a new one (batchId restarts at 0 but tags can't
   * collide with old partitions).
   *
-  * In an always-on deployment `dropDuplicatesWithinWatermark` would bound
-  * layer (a)'s state by event time; with drain-and-stop triggers the state
-  * is bounded by the run, so plain `dropDuplicates` is exact.
+  * All paths are strings resolved through the Hadoop FileSystem of the
+  * path (including the lineage tag file), so checkpoints/stores/outputs on
+  * s3a:// or hdfs:// work the same as local files — matching
+  * [[IncrementalDedup.readStore]]'s deliberate FS routing.
   */
 object StreamingDedup {
 
   private val storeSchema = StructType(Seq(
     StructField("fingerprint", StringType), StructField("batch", StringType)))
 
-  private def lineageId(checkpointDir: Path): String = {
-    Files.createDirectories(checkpointDir)
-    val f = checkpointDir.resolve("graft-dedup-lineage")
-    if (Files.exists(f)) Files.readString(f).trim
-    else {
+  private def lineageId(spark: SparkSession, checkpointDir: String): String = {
+    val f = new HPath(checkpointDir, "graft-dedup-lineage")
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    } else {
       val id = java.util.UUID.randomUUID().toString.take(8)
-      Files.writeString(f, id); id
+      val out = fs.create(f, true)
+      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      id
     }
   }
 
-  /** @param schema   reader schema for the arriving document files (streams
+  /** The store-guarded per-batch write shared by both deployment shapes. */
+  private def writeBatch(storePath: String, outDir: String, lineage: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val tag = s"$lineage-$batchId"
+    val store = IncrementalDedup
+      .readStore(batch.sparkSession, storePath, storeSchema)
+      .filter(col("batch") =!= tag) // own partition = a failed attempt
+    val novel = IncrementalDedup.novel(batch, store).cache()
+    try {
+      novel.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$tag")
+      novel.select("fingerprint").distinct()
+        .write.mode(SaveMode.Overwrite).parquet(s"$storePath/batch=$tag")
+    } finally novel.unpersist()
+  }
+
+  /** Drain-and-stop shape: exact in-stream dedup (state bounded by the run).
+    *
+    * @param schema   reader schema for the arriving document files (streams
     *                 can't infer); must contain a `text` column
     * @param outDir   novel rows land here under `batch=<tag>` partitions
     */
-  def start(spark: SparkSession, schema: StructType, inputDir: Path,
-      storePath: Path, outDir: Path, checkpointDir: Path): StreamingQuery = {
-    val lineage = lineageId(checkpointDir)
-    val stream = spark.readStream.schema(schema).parquet(inputDir.toString)
+  def start(spark: SparkSession, schema: StructType, inputDir: String,
+      storePath: String, outDir: String, checkpointDir: String): StreamingQuery = {
+    val lineage = lineageId(spark, checkpointDir)
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
     IncrementalDedup.withFingerprint(stream)
       .dropDuplicates("fingerprint")
       .writeStream
       .queryName("dedup-incremental")
-      .option("checkpointLocation", checkpointDir.toString)
+      .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val tag = s"$lineage-$batchId"
-        val store = IncrementalDedup
-          .readStore(batch.sparkSession, storePath.toString, storeSchema)
-          .filter(col("batch") =!= tag) // own partition = a failed attempt
-        val novel = IncrementalDedup.novel(batch, store).cache()
-        try {
-          novel.write.mode(SaveMode.Overwrite)
-            .parquet(s"$outDir/batch=$tag")
-          novel.select("fingerprint").distinct()
-            .write.mode(SaveMode.Overwrite)
-            .parquet(s"$storePath/batch=$tag")
-        } finally novel.unpersist()
-      }
+      .foreachBatch(writeBatch(storePath, outDir, lineage) _)
+      .start()
+  }
+
+  /** Always-on shape: a resident query on a processing-time trigger, with
+    * layer (a)'s state bounded by an EVENT-TIME watermark instead of by the
+    * run — `dropDuplicatesWithinWatermark` keeps a fingerprint only until
+    * the watermark passes `delay` behind max(eventTimeCol), so state stays
+    * O(arrival rate × delay) no matter how long the query lives. A
+    * duplicate arriving later than `delay` after the original is NOT caught
+    * by stream state anymore — but layer (b)'s store still suppresses it,
+    * which is the division of labor: state handles the recent burst
+    * cheaply, the store owns content identity forever.
+    *
+    * @param schema       must contain `text` and `eventTimeCol` (timestamp)
+    * @param delay        watermark delay, e.g. "10 minutes"
+    * @param interval     processing-time trigger interval, e.g. "10 seconds"
+    */
+  def startAlwaysOn(spark: SparkSession, schema: StructType, inputDir: String,
+      storePath: String, outDir: String, checkpointDir: String,
+      eventTimeCol: String = "ts", delay: String = "10 minutes",
+      interval: String = "10 seconds"): StreamingQuery = {
+    val lineage = lineageId(spark, checkpointDir)
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    IncrementalDedup.withFingerprint(stream)
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .writeStream
+      .queryName("dedup-incremental-always-on")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch(writeBatch(storePath, outDir, lineage) _)
       .start()
   }
 
   /** Drain everything currently in the folder and stop. */
-  def runAvailableNow(spark: SparkSession, schema: StructType, inputDir: Path,
-      storePath: Path, outDir: Path, checkpointDir: Path): Unit =
+  def runAvailableNow(spark: SparkSession, schema: StructType, inputDir: String,
+      storePath: String, outDir: String, checkpointDir: String): Unit =
     start(spark, schema, inputDir, storePath, outDir, checkpointDir)
       .awaitTermination()
 }

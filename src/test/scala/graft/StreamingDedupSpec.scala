@@ -1,7 +1,8 @@
 package graft
 
 import java.nio.file.{Files, Path}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import java.sql.Timestamp
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingDedup
 
@@ -20,22 +21,23 @@ class StreamingDedupSpec extends AnyFunSuite {
   test("file drops dedup within stream and across runs via the store") {
     val root = Files.createTempDirectory("graft-sdedup")
     val in = root.resolve("in"); Files.createDirectories(in)
-    val store = root.resolve("store"); val out = root.resolve("out")
+    val store = root.resolve("store").toString
+    val out = root.resolve("out").toString
 
     // run 1: an in-batch duplicate (docs 1 and 3 share content)
     drop(in, Seq(1L -> "aaa bbb", 2L -> "ccc ddd", 3L -> "aaa  bbb"))
-    StreamingDedup.runAvailableNow(spark, schema, in, store, out,
-      root.resolve("ckpt1"))
-    val out1 = spark.read.parquet(out.toString).collect()
+    StreamingDedup.runAvailableNow(spark, schema, in.toString, store, out,
+      root.resolve("ckpt1").toString)
+    val out1 = spark.read.parquet(out).collect()
     assert(out1.length == 2, "in-batch duplicate not collapsed")
 
     // run 2 with a FRESH checkpoint: every file re-reads, plus one old-content
     // re-ingest (doc 4) and one novel doc (doc 5). Stream state is gone; only
     // the persisted store can suppress the re-reads.
     drop(in, Seq(4L -> "ccc ddd", 5L -> "eee fff"))
-    StreamingDedup.runAvailableNow(spark, schema, in, store, out,
-      root.resolve("ckpt2"))
-    val out2 = spark.read.parquet(out.toString)
+    StreamingDedup.runAvailableNow(spark, schema, in.toString, store, out,
+      root.resolve("ckpt2").toString)
+    val out2 = spark.read.parquet(out)
       .select("doc_id", "fingerprint").collect()
     assert(out2.length == 3, s"expected exactly one novel row from run 2, got ${out2.length - 2}")
     assert(out2.map(_.getString(1)).distinct.length == 3,
@@ -43,8 +45,63 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(out2.map(_.getLong(0)).contains(5L), "novel doc 5 missing")
 
     // run 3: nothing new → nothing emitted
-    StreamingDedup.runAvailableNow(spark, schema, in, store, out,
-      root.resolve("ckpt3"))
-    assert(spark.read.parquet(out.toString).count() == 3)
+    StreamingDedup.runAvailableNow(spark, schema, in.toString, store, out,
+      root.resolve("ckpt3").toString)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  private val tsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("ts", TimestampType)))
+
+  private def dropTs(dir: Path, rows: Seq[(Long, String, String)]): Unit = {
+    import spark.implicits._
+    rows.map { case (id, t, ts) => (id, t, Timestamp.valueOf(ts)) }
+      .toDF("doc_id", "text", "ts").coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+  }
+
+  test("always-on variant: watermark-bounded state dedups across two triggers") {
+    val root = Files.createTempDirectory("graft-sdedup-on")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    val out = root.resolve("out").toString
+
+    dropTs(in, Seq(
+      (1L, "aaa bbb", "2026-01-01 10:00:00"),
+      (2L, "ccc ddd", "2026-01-01 10:00:05"),
+      (3L, "aaa  bbb", "2026-01-01 10:00:10"))) // in-stream dup of doc 1
+    val q = StreamingDedup.startAlwaysOn(spark, tsSchema, in.toString, store,
+      out, root.resolve("ckpt").toString, eventTimeCol = "ts",
+      delay = "10 minutes", interval = "1 second")
+    try {
+      q.processAllAvailable() // trigger 1
+      assert(spark.read.parquet(out).count() == 2,
+        "in-stream duplicate not collapsed by dropDuplicatesWithinWatermark")
+
+      // trigger 2, while the query stays resident: one within-watermark dup
+      // (doc 4, state catches it) and one novel doc
+      dropTs(in, Seq(
+        (4L, "ccc ddd", "2026-01-01 10:01:00"),
+        (5L, "eee fff", "2026-01-01 10:01:05")))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(rows == Set(1L, 2L, 5L) || rows == Set(3L, 2L, 5L),
+        s"expected novel docs only, got $rows")
+      assert(q.isActive, "always-on query should stay resident between triggers")
+    } finally q.stop()
+
+    // state loss: a fresh checkpoint re-reads everything; with event times
+    // far past the watermark the STATE can't suppress — the store does
+    dropTs(in, Seq((6L, "aaa bbb", "2026-01-01 11:00:00")))
+    val q2 = StreamingDedup.startAlwaysOn(spark, tsSchema, in.toString, store,
+      out, root.resolve("ckpt2").toString, eventTimeCol = "ts",
+      delay = "10 minutes", interval = "1 second")
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 3,
+        "store failed to suppress re-ingest after state loss")
+    } finally q2.stop()
   }
 }
