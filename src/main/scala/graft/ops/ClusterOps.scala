@@ -47,25 +47,26 @@ object ClusterOps {
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      // min over self and neighbors' labels
+      // min over self and neighbors' labels; the round's starting rep rides
+      // along as `prev` so convergence needs no extra join afterwards
       val nbrMin = sym.join(labels, col("src") === col("id"))
         .groupBy(col("dst").as("nid")).agg(min(col("rep")).as("nmin"))
       val stepped = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("srep"),
+          col("rep").as("prev"))
       // pointer jump: rep ← rep(rep); labels only ever decrease, and every
       // rep value is itself a node id, so the lookup side always has a row
       val jumped = stepped.as("x")
-        .join(stepped.select(col("id").as("rid"), col("rep").as("rrep")).as("r"),
-          col("x.rep") === col("rid"), "left")
+        .join(stepped.select(col("id").as("rid"), col("srep").as("rrep")).as("r"),
+          col("x.srep") === col("rid"), "left")
         .select(col("x.id").as("id"),
-          coalesce(col("rrep"), col("x.rep")).as("rep"))
+          coalesce(col("rrep"), col("x.srep")).as("rep"), col("x.prev"))
       val next = jumped.localCheckpoint()
-      // existence check, not a full count: any label still moving?
-      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
-      done = changed == 0L
-      labels = next
+      // existence check over the materialized blocks, not a full count:
+      // any label still moving?
+      done = next.filter(col("rep") =!= col("prev")).limit(1).count() == 0L
+      labels = next.select("id", "rep")
       round += 1
     }
     require(done, s"connected components did not converge in $maxRounds rounds")
