@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.{AnalyticsOps, ClusterOps, DedupOps, EventOps, IncrementalDedup, MultimodalOps, RefPipelines, SimilarityOps, Tables, TextOps}
+import graft.ops.{AnalyticsOps, ClusterOps, CurationOps, DedupOps, EventOps, IncrementalDedup, MultimodalOps, RefPipelines, SimilarityOps, Tables, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -28,8 +28,9 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefPipelines.queries ++ DedupOps.queries ++ IncrementalDedup.queries ++
-      ClusterOps.queries ++ SimilarityOps.queries ++ TextOps.queries ++
-      EventOps.queries ++ AnalyticsOps.queries ++ MultimodalOps.queries
+      ClusterOps.queries ++ CurationOps.queries ++ SimilarityOps.queries ++
+      TextOps.queries ++ EventOps.queries ++ AnalyticsOps.queries ++
+      MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (the
@@ -37,6 +38,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RefPipelines.oracles ++ DedupOps.oracles ++ IncrementalDedup.oracles ++
-      ClusterOps.oracles ++ SimilarityOps.oracles ++ TextOps.oracles ++
-      EventOps.oracles ++ AnalyticsOps.oracles ++ MultimodalOps.oracles
+      ClusterOps.oracles ++ CurationOps.oracles ++ SimilarityOps.oracles ++
+      TextOps.oracles ++ EventOps.oracles ++ AnalyticsOps.oracles ++
+      MultimodalOps.oracles
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the composition a real pretraining
+  * pipeline runs — quality filter ∧ repetition filter ∧ near-dup cluster
+  * drop — reduced to the per-source document and token budget that survives.
+  * Exists to prove the operators INTEROPERATE (shared doc_id/source keys,
+  * one filter semantic across Spark and the DuckDB oracle), not just pass
+  * in isolation.
+  *
+  * Scale shape: every stage is doc_id-keyed, so the joins co-partition on
+  * one key; the cluster drop is a left-anti against only the DROPPED doc
+  * ids (strictly smaller than the clustered set — the keep side never
+  * shuffles); the final rollup is a map-side-combined per-source count/sum.
+  * Note the cluster stage is iterative, so like [[ClusterOps.dedupClusters]]
+  * this query runs its propagation jobs at construction.
+  */
+object CurationOps {
+
+  def corpusCuration(s: SparkSession, dir: String): DataFrame = {
+    val tokens = TextOps.tokenCount(s, dir)
+      .select(col("doc_id"), col("source"), col("ws_tokens"))
+    val quality = TextOps.textQuality(s, dir)
+      .select(col("doc_id"), col("low_quality"))
+    val repetition = TextOps.textRepetition(s, dir)
+      .select(col("doc_id"), col("repetitive"))
+    val droppedDocs = ClusterOps.dedupClusters(s, dir)
+      .filter(!col("keep")).select(col("doc_id"))
+    tokens
+      .join(quality, "doc_id")
+      .join(repetition, "doc_id")
+      .join(droppedDocs, Seq("doc_id"), "left_anti")
+      .filter(!col("low_quality") && !col("repetitive"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        round(avg(col("ws_tokens")), 4).as("avg_ws_tokens"))
+      .orderBy("source")
+  }
+
+  /** The same composition in one DuckDB statement, assembled from the
+    * already-oracle-checked fragments of TextOps and ClusterOps.
+    */
+  val corpusCurationOracle: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       |       round(avg(ws_tokens), 4) AS avg_ws_tokens
+       |FROM (SELECT doc_id, source, ws_tokens
+       |      FROM (${TextOps.tokenCountOracle}))
+       |JOIN (SELECT doc_id, low_quality
+       |      FROM (${TextOps.textQualityOracle})) USING (doc_id)
+       |JOIN (SELECT doc_id, repetitive
+       |      FROM (${TextOps.textRepetitionOracle})) USING (doc_id)
+       |WHERE NOT low_quality AND NOT repetitive
+       |  AND doc_id NOT IN (
+       |    SELECT doc_id FROM (${ClusterOps.dedupClustersOracle})
+       |    WHERE NOT keep)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curation" -> (corpusCuration _))
+
+  val oracles: Map[String, String] = Map(
+    "corpus_curation" -> corpusCurationOracle)
+}

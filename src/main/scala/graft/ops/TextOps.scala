@@ -196,13 +196,104 @@ object TextOps {
        |  FROM shingles GROUP BY doc_id) s USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Gopher/C4-style repetition filters (Rae et al. 2021 §A1.1): fraction
+    * of duplicated words / 2-grams / 3-grams and the top-word mass, with a
+    * `repetitive` verdict — the standard pretraining signal for boilerplate
+    * and generator-loop text that length/punct quality scoring misses.
+    *
+    * Scale shape: the n-gram duplicate fractions are NARROW maps (native
+    * [[graft.functions.expressions.RollingShingleHash]] over xxhash64'd
+    * tokens — distinct-hash counts equal distinct-n-gram counts modulo
+    * ~2⁻⁶⁴ collisions, same argument as [[shingleFingerprint]]); the
+    * top-word mass is two doc_id-keyed aggregations (explode → per-word
+    * count → per-doc max), map-side combined, so the shuffle carries one
+    * row per distinct (doc, word), not per token.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
+    import graft.functions.expressions.RollingShingleHash
+    def grams(k: Int) = bc(RollingShingleHash(be(col("htoks")), k))
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        split(normText(col("text")), " ").as("toks"))
+      .withColumn("htoks", transform(col("toks"), t => xxhash64(t)))
+      .select(col("doc_id"), col("source"), col("toks"),
+        size(col("toks")).as("n_w"),
+        size(array_distinct(col("toks"))).as("d_w"),
+        size(grams(2)).as("n_2"),
+        size(array_distinct(grams(2))).as("d_2"),
+        size(grams(3)).as("n_3"),
+        size(array_distinct(grams(3))).as("d_3"))
+    val topCnt = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+    def frac(d: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      when(n > 0, round(lit(1.0) - d.cast("double") / n.cast("double"), 4))
+        .otherwise(lit(0.0))
+    base.join(topCnt, "doc_id")
+      .select(col("doc_id"), col("source"),
+        frac(col("d_w"), col("n_w")).as("dup_word_frac"),
+        frac(col("d_2"), col("n_2")).as("dup_2gram_frac"),
+        frac(col("d_3"), col("n_3")).as("dup_3gram_frac"),
+        round(col("top_cnt").cast("double") / col("n_w").cast("double"), 4)
+          .as("top_word_frac"))
+      .withColumn("repetitive",
+        col("dup_3gram_frac") > 0.2 || col("top_word_frac") > 0.3)
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(${normTextOracle("text")}, ' ') AS tokens
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |         count(*) FILTER (k = 2) AS n_2,
+       |         count(DISTINCT g) FILTER (k = 2) AS d_2,
+       |         count(*) FILTER (k = 3) AS n_3,
+       |         count(DISTINCT g) FILTER (k = 3) AS d_3
+       |  FROM (
+       |    SELECT doc_id, 2 AS k, array_to_string(tokens[i:i+1], ' ') AS g
+       |    FROM toks, LATERAL unnest(generate_series(1, len(tokens) - 1)) t(i)
+       |    UNION ALL
+       |    SELECT doc_id, 3 AS k, array_to_string(tokens[i:i+2], ' ') AS g
+       |    FROM toks, LATERAL unnest(generate_series(1, len(tokens) - 2)) t(i))
+       |  GROUP BY doc_id),
+       |top AS (
+       |  SELECT doc_id, max(c) AS top_cnt FROM (
+       |    SELECT doc_id, tok, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
+       |    GROUP BY doc_id, tok) GROUP BY doc_id)
+       |SELECT doc_id, source, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+       |       top_word_frac,
+       |       (dup_3gram_frac > 0.2 OR top_word_frac > 0.3) AS repetitive
+       |FROM (
+       |  SELECT t.doc_id, t.source,
+       |         CASE WHEN len(tokens) > 0 THEN round(1.0 -
+       |           CAST(len(list_distinct(tokens)) AS DOUBLE) /
+       |           CAST(len(tokens) AS DOUBLE), 4) ELSE 0.0 END AS dup_word_frac,
+       |         CASE WHEN coalesce(g.n_2, 0) > 0 THEN round(1.0 -
+       |           CAST(g.d_2 AS DOUBLE) / CAST(g.n_2 AS DOUBLE), 4)
+       |           ELSE 0.0 END AS dup_2gram_frac,
+       |         CASE WHEN coalesce(g.n_3, 0) > 0 THEN round(1.0 -
+       |           CAST(g.d_3 AS DOUBLE) / CAST(g.n_3 AS DOUBLE), 4)
+       |           ELSE 0.0 END AS dup_3gram_frac,
+       |         round(CAST(p.top_cnt AS DOUBLE) /
+       |           CAST(len(tokens) AS DOUBLE), 4) AS top_word_frac
+       |  FROM toks t
+       |  LEFT JOIN grams g USING (doc_id)
+       |  JOIN top p USING (doc_id))
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
     "token_stats" -> (tokenStats _),
     "doc_fingerprint" -> (docFingerprint _),
-    "shingle_fingerprint" -> (shingleFingerprint _))
+    "shingle_fingerprint" -> (shingleFingerprint _),
+    "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
     "lang_id" -> langIdOracle,
@@ -210,5 +301,6 @@ object TextOps {
     "token_count" -> tokenCountOracle,
     "token_stats" -> tokenStatsOracle,
     "doc_fingerprint" -> docFingerprintOracle,
-    "shingle_fingerprint" -> shingleFingerprintOracle)
+    "shingle_fingerprint" -> shingleFingerprintOracle,
+    "text_repetition" -> textRepetitionOracle)
 }
