@@ -12,9 +12,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * [−0.5, 0.5), deterministic — no external randomness, reproducible across
   * runs), and band bucket bit `bit` is set iff `Σᵢ vᵢ·w(i,h) > 0`. The
   * per-plane accumulation replicates the `aggregate(zip_with(...))` left
-  * fold of the composed form bit-for-bit (same fp addition order; pinned by
-  * VectorExpressionsSpec), with the per-position hash matching Spark's
-  * two-argument `xxhash64(i, h)` fold exactly (seed 42, int-typed inputs).
+  * fold of the composed form bit-for-bit ON NULL-FREE INPUT (same fp
+  * addition order; pinned by VectorExpressionsSpec), with the per-position
+  * hash matching Spark's two-argument `xxhash64(i, h)` fold exactly
+  * (seed 42, int-typed inputs). Null handling deliberately DIVERGES from
+  * the composition (which nulls every plane sum and so zeroes every
+  * bucket): here a null array → null row and a null ELEMENT is skipped —
+  * the same contract as [[MinHashSignature]], also pinned in the spec.
   *
   * Why a custom Expression (SURVEY.md §7.4 ladder, case (b)): the composed
   * form builds `bands·bitsPerBand` separate zip_with+aggregate trees, each
@@ -22,7 +26,6 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * passes over every vector. This node is a narrow map doing one pass
   * (O(d·H) multiplies, no allocation per plane), which is what a
   * 100 TB corpus needs from its candidate generator.
-  * Null elements are skipped; null array → null.
   */
 case class SignLshBuckets(child: Expression, bitsPerBand: Int, bands: Int)
   extends UnaryExpression {

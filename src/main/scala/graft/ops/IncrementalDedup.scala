@@ -72,7 +72,23 @@ object IncrementalDedup {
     * ADVICE race on the old fixed `graft-fpstore-query` path); the dir
     * component keeps multi-SF test suites from cross-seeding.
     */
-  private lazy val jvmTag = java.util.UUID.randomUUID().toString.take(8)
+  private lazy val jvmTag: String = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val root = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), s"graft-fpstore-$tag")
+    // the old fixed path was self-overwriting; a unique-per-JVM path must
+    // clean up after itself or every test/Verify/Bench run leaks a seeded
+    // corpus store into tmpdir
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(root))
+          Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
+    tag
+  }
   def queryStorePath(dir: String): String = java.nio.file.Paths
     .get(sys.props("java.io.tmpdir"), s"graft-fpstore-$jvmTag",
       Integer.toHexString(dir.hashCode)).toString

@@ -68,9 +68,16 @@ object StreamingDedup {
       .filter(col("batch") =!= tag) // own partition = a failed attempt
     val novel = IncrementalDedup.novel(batch, store).cache()
     try {
-      novel.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$tag")
-      novel.select("fingerprint").distinct()
-        .write.mode(SaveMode.Overwrite).parquet(s"$storePath/batch=$tag")
+      // nothing novel → write nothing: a resident query would otherwise
+      // mint an empty batch=<tag> partition per trigger, and the store
+      // listing every batch reads would grow with query age, not content.
+      // Safe under retry: same input + store-minus-own-tag is
+      // deterministic, so an empty retry was an empty first attempt.
+      if (!novel.isEmpty) {
+        novel.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$tag")
+        novel.select("fingerprint").distinct()
+          .write.mode(SaveMode.Overwrite).parquet(s"$storePath/batch=$tag")
+      }
     } finally novel.unpersist()
   }
 
@@ -104,6 +111,18 @@ object StreamingDedup {
     * which is the division of labor: state handles the recent burst
     * cheaply, the store owns content identity forever.
     *
+    * LATE-DATA CONTRACT: a row whose event time is already more than
+    * `delay` behind the stream's max event time is dropped by the stateful
+    * operator BEFORE foreachBatch — including never-seen content. That is
+    * the price of bounded state; pick `delay` to cover real arrival
+    * lateness, and run genuine backfills (data older than `delay`) through
+    * the batch path ([[graft.ops.IncrementalDedup.novel]]/`append` against
+    * the same store) instead of dropping them into the monitored folder.
+    *
+    * The store gains at most one `batch=` partition per NON-EMPTY batch; in
+    * a long-lived deployment fold them periodically with [[compactStore]]
+    * so per-trigger store reads stay O(content), not O(query age).
+    *
     * @param schema       must contain `text` and `eventTimeCol` (timestamp)
     * @param delay        watermark delay, e.g. "10 minutes"
     * @param interval     processing-time trigger interval, e.g. "10 seconds"
@@ -123,6 +142,27 @@ object StreamingDedup {
       .trigger(Trigger.ProcessingTime(interval))
       .foreachBatch(writeBatch(storePath, outDir, lineage) _)
       .start()
+  }
+
+  /** Housekeeping for resident deployments: fold every `batch=` store
+    * partition into a single `batch=compacted` one (distinct fingerprints),
+    * bounding the listing + scan each trigger performs. NOT atomic against
+    * a concurrently running query — call while the query is stopped (e.g.
+    * between `AvailableNow` drains, or around a planned restart of
+    * [[startAlwaysOn]]).
+    */
+  def compactStore(spark: SparkSession, storePath: String): Unit = {
+    val root = new HPath(storePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val tmp = new HPath(root.getParent, root.getName + ".compacting")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    IncrementalDedup.readStore(spark, storePath, storeSchema)
+      .select("fingerprint").distinct()
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new HPath(tmp, "batch=compacted").toString)
+    fs.delete(root, true)
+    fs.rename(tmp, root)
   }
 
   /** Drain everything currently in the folder and stop. */

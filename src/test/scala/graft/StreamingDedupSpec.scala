@@ -103,5 +103,22 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(spark.read.parquet(out).count() == 3,
         "store failed to suppress re-ingest after state loss")
     } finally q2.stop()
+
+    // housekeeping: fold the per-batch store partitions into one, then
+    // prove suppression still works from the compacted store
+    StreamingDedup.compactStore(spark, store)
+    val parts = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(parts.map(_.getName).toSeq == Seq("batch=compacted"),
+      s"expected a single compacted partition, got ${parts.map(_.getName).toSeq}")
+    dropTs(in, Seq((7L, "eee fff", "2026-01-01 12:00:00")))
+    val q3 = StreamingDedup.startAlwaysOn(spark, tsSchema, in.toString, store,
+      out, root.resolve("ckpt3").toString, eventTimeCol = "ts",
+      delay = "10 minutes", interval = "1 second")
+    try {
+      q3.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 3,
+        "compacted store failed to suppress a known fingerprint")
+    } finally q3.stop()
   }
 }

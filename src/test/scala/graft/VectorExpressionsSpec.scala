@@ -128,13 +128,34 @@ class VectorExpressionsSpec extends AnyFunSuite {
   test("SignLshBuckets == per-plane zip_with/aggregate composition, bit for bit") {
     val vecs = graft.ops.Tables(spark, dir, "embeddings")
       .select(col("vec_id"), VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+    // null-SAFE inequality: a plain =!= is null when either side is null,
+    // which would silently drop any diverging row from the count
     for ((bits, bands) <- Seq((8, 1), (4, 5), (3, 4))) {
       val diffs = vecs.select(
           VectorFunctions.signLshBuckets(col("v"), bits, bands).as("native"),
           VectorFunctions.signLshBucketsComposed(col("v"), bits, bands).as("composed"))
-        .filter(col("native") =!= col("composed")).count()
+        .filter(!(col("native") <=> col("composed"))).count()
       assert(diffs == 0L, s"bits=$bits bands=$bands")
     }
+  }
+
+  test("SignLshBuckets null semantics: null array → null; null element skipped") {
+    // DEFINED divergence from the composed reference (which zeroes every
+    // plane through null propagation): matches MinHashSignature's contract
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0), Some(-2.0)))),
+      (2L, Some(Seq(Some(1.0), None))),
+      (3L, Option.empty[Seq[Option[Double]]])
+    ).toDF("id", "v")
+    val rows = df.select(col("id"),
+        VectorFunctions.signLshBuckets(col("v"), 4, 2).as("b"))
+      .orderBy("id").collect()
+    assert(!rows(0).isNullAt(1))
+    // null element contributes nothing: same buckets as the 1-element vector
+    val oneElem = Seq((1L, Seq(1.0))).toDF("id", "v")
+      .select(VectorFunctions.signLshBuckets(col("v"), 4, 2)).head().getSeq[Long](0)
+    assert(rows(1).getSeq[Long](1) == oneElem)
+    assert(rows(2).isNullAt(1), "null array must map to null, not zero buckets")
   }
 
   test("SQL registration: dot_product and simhash64 callable from spark.sql") {
