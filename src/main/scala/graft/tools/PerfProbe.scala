@@ -14,8 +14,9 @@ object PerfProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_embedding_cosine", "ann_cosine_topk", "dedup_simhash")
+      else Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_clusters",
+        "corpus_curation", "dedup_embedding_lsh", "dedup_embedding_cosine",
+        "ann_cosine_topk", "dedup_simhash")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))

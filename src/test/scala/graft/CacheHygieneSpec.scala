@@ -37,6 +37,9 @@ class CacheHygieneSpec extends AnyFunSuite {
   }
 
   test("no query leaves cached relations behind after its action") {
+    // start from a clean slate — another suite's scoped cache may still be
+    // registered on the shared session
+    spark.catalog.clearCache()
     for (name <- Seq("dedup_ngram_jaccard", "dedup_simhash",
         "dedup_minhash_lsh", "dedup_minhash_shingle", "dedup_exact")) {
       run(name)

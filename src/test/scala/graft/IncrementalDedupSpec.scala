@@ -17,6 +17,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .resolve("store").toString
     val fp = IncrementalDedup
       .prefixFingerprints(Tables(spark, dir, "documents"), 50).cache()
+    try testBody(store, fp) finally fp.unpersist() // shared session: don't
+    // leave cached relations for CacheHygieneSpec's isEmpty assertion
+  }
+
+  private def testBody(store: String, fp: org.apache.spark.sql.DataFrame): Unit = {
     val ids = fp.select("doc_id").collect().map(_.getLong(0)).sorted
     val cut = ids(ids.length / 2)
     val batch1 = fp.filter(col("doc_id") < cut)
