@@ -56,7 +56,34 @@ object GraftExtensions {
         expression(VectorFunctions.toDoubleArray(c(es.head))),
         expression(VectorFunctions.toDoubleArray(c(es(1)))))),
     ("simhash64", 1,
-      es => graft.functions.expressions.SimHash64(es.head)))
+      es => graft.functions.expressions.SimHash64(es.head)),
+    ("intersect_size", 2,
+      es => graft.functions.expressions.ArrayIntersectSize(es.head, es(1))),
+    ("minhash_signature", 2,
+      es => graft.functions.expressions.MinHashSignature(
+        es.head, litInt(es(1), "minhash_signature"))),
+    ("rolling_shingle_hash", 2,
+      es => graft.functions.expressions.RollingShingleHash(
+        es.head, litInt(es(1), "rolling_shingle_hash"))),
+    ("sign_lsh_buckets", 3,
+      es => graft.functions.expressions.SignLshBuckets(
+        expression(VectorFunctions.toDoubleArray(c(es.head))),
+        litInt(es(1), "sign_lsh_buckets"), litInt(es(2), "sign_lsh_buckets"))))
+
+  /** Structural parameters (hash count, banding) must be literals — they
+    * shape the expression tree itself, not per-row data.
+    */
+  private def litInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn expects a literal integer parameter")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal integer parameter, got $other")
+    }
+  }
 
   /** Register on an existing session (tests, spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

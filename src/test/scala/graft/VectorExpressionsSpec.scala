@@ -158,12 +158,27 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1), "null array must map to null, not zero buckets")
   }
 
-  test("SQL registration: dot_product and simhash64 callable from spark.sql") {
+  test("SQL registration: native expressions callable from spark.sql") {
     GraftExtensions.register(spark)
     val r = spark.sql(
       """SELECT dot_product(array(1.0, 2.0), array(3.0, 4.0)) AS d,
-        |       simhash64(array(CAST(5 AS BIGINT))) AS s""".stripMargin).head()
+        |       simhash64(array(CAST(5 AS BIGINT))) AS s,
+        |       intersect_size(array(1, 2, 3), array(2, 3, 4)) AS i,
+        |       size(minhash_signature(array(CAST(5 AS BIGINT)), 48)) AS m,
+        |       size(rolling_shingle_hash(
+        |         array(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)), 2)) AS h,
+        |       size(sign_lsh_buckets(array(1.0, -2.0), 4, 20)) AS b""".stripMargin).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) == 5L) // single hash: sig bits == its set bits
+    assert(r.getInt(2) == 2)
+    assert(r.getInt(3) == 48)
+    assert(r.getInt(4) == 2)  // 3 tokens, k=2 → 2 shingles
+    assert(r.getInt(5) == 20) // one bucket per band
+    // structural params must be literals
+    val err = intercept[Exception] {
+      spark.sql("SELECT sign_lsh_buckets(array(1.0), CAST(id AS INT), 2) " +
+        "FROM range(1)").head()
+    }
+    assert(err.getMessage.contains("literal integer"))
   }
 }
