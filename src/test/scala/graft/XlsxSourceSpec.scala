@@ -88,6 +88,14 @@ class XlsxSourceSpec extends AnyFunSuite {
       Seq("1", "2", "3"))
   }
 
+  test("hand-set non-JSON paths option raises a named, actionable error") {
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("xlsx").option("paths", "/a.xlsx").load()
+    }
+    assert(err.getMessage.contains("\"paths\""))
+    assert(err.getMessage.contains("JSON string array"))
+  }
+
   test("rows without the optional r attribute number sequentially") {
     val dir = Files.createTempDirectory("graft-xlsx-nor")
     val wb = dir.resolve("nor.xlsx")
