@@ -59,13 +59,24 @@ object Bench {
         dt
       }
       once() // untimed warm-up
-      name -> median(Seq.fill(Reps)(once()))
+      name -> Seq.fill(Reps)(once())
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val medians = results.map { case (k, reps) => k -> median(reps) }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = medians.map(_._2).sum
+    // driver-facing line keeps the EXACT agreed schema; the per-rep spread
+    // (noise forensics) goes to a side file only
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val detail = results.map { case (k, reps) =>
+      "\"" + k + "\":[" + reps.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_DETAIL", "/tmp/bench_detail.json")),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     // the driver scrapes stdout — belt and braces: write the JSON to a file
     // (env-overridable) AND print it as the last bare line after the session
     // is fully stopped (no executor log tail can interleave; build.sbt's

@@ -139,6 +139,25 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SignLshBuckets == composition on random vectors (property, incl. negatives/zeros)") {
+    // corpus embeddings are well-behaved floats; random vectors probe signs,
+    // zeros, tiny/huge magnitudes, and varying lengths (incl. empty)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val value = Gen.oneOf(
+      Gen.choose(-10.0, 10.0), Gen.const(0.0),
+      Gen.choose(-1e12, 1e12), Gen.choose(-1e-12, 1e-12))
+    val vec = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, value))
+    val prop = Prop.forAll(Gen.listOfN(8, vec)) { vs: List[List[Double]] =>
+      val df = vs.map(Tuple1(_)).toDF("v")
+      df.select(
+          VectorFunctions.signLshBuckets(col("v"), 4, 5).as("native"),
+          VectorFunctions.signLshBucketsComposed(col("v"), 4, 5).as("composed"))
+        .filter(!(col("native") <=> col("composed"))).count() == 0L
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("SignLshBuckets null semantics: null array → null; null element skipped") {
     // DEFINED divergence from the composed reference (which zeroes every
     // plane through null propagation): matches MinHashSignature's contract
