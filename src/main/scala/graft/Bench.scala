@@ -72,11 +72,14 @@ object Bench {
     val detail = results.map { case (k, reps) =>
       "\"" + k + "\":[" + reps.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val detailPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DETAIL", "/tmp/bench_detail.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_DETAIL", "/tmp/bench_detail.json")),
+      java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
+    }
     // the driver scrapes stdout — belt and braces: write the JSON to a file
     // (env-overridable) AND print it as the last bare line after the session
     // is fully stopped (no executor log tail can interleave; build.sbt's

@@ -77,7 +77,10 @@ object GraftExtensions {
     require(e.foldable, s"$fn expects a literal integer parameter")
     e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long =>
+        require(l.isValidInt,
+          s"$fn integer parameter out of range: $l") // silent .toInt would
+        l.toInt                                      // wrap to wrong banding
       case s: Short => s.toInt
       case b: Byte => b.toInt
       case other => throw new IllegalArgumentException(

@@ -68,12 +68,18 @@ object StreamingDedup {
       .filter(col("batch") =!= tag) // own partition = a failed attempt
     val novel = IncrementalDedup.novel(batch, store).cache()
     try {
-      // nothing novel → write nothing: a resident query would otherwise
-      // mint an empty batch=<tag> partition per trigger, and the store
-      // listing every batch reads would grow with query age, not content.
-      // Safe under retry: same input + store-minus-own-tag is
+      // nothing novel → don't grow the store or output: a resident query
+      // would otherwise mint an empty batch=<tag> partition per trigger,
+      // and the store listing every batch reads would grow with query age,
+      // not content. Safe under retry: same input + store-minus-own-tag is
       // deterministic, so an empty retry was an empty first attempt.
-      if (!novel.isEmpty) {
+      // Exception: the FIRST batch writes even when empty, so outDir always
+      // exists with a schema'd (possibly empty) parquet dataset — the
+      // pre-guard contract downstream readers rely on.
+      val outRoot = new HPath(outDir)
+      val outFs = outRoot.getFileSystem(
+        batch.sparkSession.sessionState.newHadoopConf())
+      if (!novel.isEmpty || !outFs.exists(outRoot)) {
         novel.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$tag")
         novel.select("fingerprint").distinct()
           .write.mode(SaveMode.Overwrite).parquet(s"$storePath/batch=$tag")
@@ -145,24 +151,41 @@ object StreamingDedup {
   }
 
   /** Housekeeping for resident deployments: fold every `batch=` store
-    * partition into a single `batch=compacted` one (distinct fingerprints),
+    * partition into a single compacted one (distinct fingerprints),
     * bounding the listing + scan each trigger performs. NOT atomic against
     * a concurrently running query — call while the query is stopped (e.g.
     * between `AvailableNow` drains, or around a planned restart of
     * [[startAlwaysOn]]).
+    *
+    * Crash-safe by construction: the store root is NEVER deleted or
+    * renamed. The compacted partition is staged outside the root, renamed
+    * IN (after which the store is duplicated, and duplicate fingerprints
+    * are harmless — the store is a set under an anti-join), and only then
+    * are the old partitions removed one by one. A crash at any point
+    * leaves a correct store; re-running compactStore converges it.
     */
   def compactStore(spark: SparkSession, storePath: String): Unit = {
     val root = new HPath(storePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
-    val tmp = new HPath(root.getParent, root.getName + ".compacting")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val oldParts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+    if (oldParts.length <= 1) return // already compact
+    val compactTag = s"compacted-${java.util.UUID.randomUUID().toString.take(8)}"
+    val staging = new HPath(root.getParent, root.getName + ".compacting")
+    if (fs.exists(staging)) fs.delete(staging, true)
     IncrementalDedup.readStore(spark, storePath, storeSchema)
       .select("fingerprint").distinct()
       .write.mode(SaveMode.Overwrite)
-      .parquet(new HPath(tmp, "batch=compacted").toString)
-    fs.delete(root, true)
-    fs.rename(tmp, root)
+      .parquet(new HPath(staging, s"batch=$compactTag").toString)
+    require(fs.rename(new HPath(staging, s"batch=$compactTag"),
+        new HPath(root, s"batch=$compactTag")),
+      s"compactStore: rename of batch=$compactTag into $root failed")
+    oldParts.foreach(p => require(fs.delete(p, true),
+      s"compactStore: could not delete stale partition $p (store remains " +
+        "correct but uncompacted — re-run compactStore)"))
+    fs.delete(staging, true)
   }
 
   /** Drain everything currently in the folder and stop. */

@@ -109,7 +109,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     StreamingDedup.compactStore(spark, store)
     val parts = new java.io.File(store).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-    assert(parts.map(_.getName).toSeq == Seq("batch=compacted"),
+    assert(parts.length == 1 && parts.head.getName.startsWith("batch=compacted-"),
       s"expected a single compacted partition, got ${parts.map(_.getName).toSeq}")
     dropTs(in, Seq((7L, "eee fff", "2026-01-01 12:00:00")))
     val q3 = StreamingDedup.startAlwaysOn(spark, tsSchema, in.toString, store,
