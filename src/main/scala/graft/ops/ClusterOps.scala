@@ -87,6 +87,21 @@ object ClusterOps {
         (col("id") === col("rep")).as("keep"))
       .orderBy("doc_id")
 
+  /** The composition a 100 TB corpus actually runs: clusters over the
+    * BANDED-LSH edge set ([[DedupOps.dedupMinhashLsh]] — linear candidate
+    * generation) instead of the exact prefix-filtered edges. Rows-only
+    * (hash-dependent edges); ClusterOpsSpec pins agreement with a
+    * driver-side union-find over the same edges, and the minhash recall
+    * bound (≥ 0.8 vs exact, DedupOpsSpec) carries over: a missed edge can
+    * only split a cluster, never merge two.
+    */
+  def dedupClustersLsh(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      DedupOps.dedupMinhashLsh(s, dir).select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+        (col("id") === col("rep")).as("keep"))
+      .orderBy("doc_id")
+
   /** DuckDB: transitive closure by recursive CTE over the symmetric edge
     * set, then min over reachable nodes — O(n²) per component, fine as a
     * small-scale oracle (the Spark side is the scalable form).
@@ -107,7 +122,8 @@ object ClusterOps {
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_lsh" -> (dedupClustersLsh _))
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersOracle)

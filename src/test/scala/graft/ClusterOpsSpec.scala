@@ -27,11 +27,7 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(got.size == 14) // only nodes that appear in edges
   }
 
-  test("dedup_clusters matches driver-side union-find over the same edges") {
-    val edges = DedupOps.dedupNgramJaccard(spark, dir)
-      .select("doc_a", "doc_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    assert(edges.nonEmpty, "no near-dup edges at sf0.001")
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
@@ -41,13 +37,35 @@ class ClusterOpsSpec extends AnyFunSuite {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val expected = parent.keys.map(x => x -> find(x)).toMap
-    val got = ClusterOps.dedupClusters(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    parent.keys.map(x => x -> find(x)).toMap
+  }
+
+  private def checkAgainstUnionFind(
+      got: Array[(Long, Long, Boolean)], edges: Seq[(Long, Long)]): Unit = {
+    val expected = unionFind(edges)
     assert(got.map(t => t._1 -> t._2).toMap == expected)
     got.foreach { case (id, rep, keep) => assert(keep == (id == rep)) }
     // exactly one kept representative per cluster
-    val reps = got.filter(_._3).map(_._1).toSet
-    assert(reps == expected.values.toSet)
+    assert(got.filter(_._3).map(_._1).toSet == expected.values.toSet)
+  }
+
+  test("dedup_clusters matches driver-side union-find over the same edges") {
+    val edges = DedupOps.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "no near-dup edges at sf0.001")
+    val got = ClusterOps.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    checkAgainstUnionFind(got, edges.toSeq)
+  }
+
+  test("dedup_clusters_lsh matches union-find over the banded-LSH edges") {
+    val edges = DedupOps.dedupMinhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "no LSH near-dup edges at sf0.001")
+    val got = ClusterOps.dedupClustersLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    checkAgainstUnionFind(got, edges.toSeq)
   }
 }

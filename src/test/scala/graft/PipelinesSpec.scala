@@ -34,6 +34,6 @@ class PipelinesSpec extends AnyFunSuite {
 object RowsOnly {
   val expected: Set[String] =
     Set("dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_shingle",
-      "dedup_embedding_lsh", "ann_sign_lsh", "multimodal_decode",
-      "cardinality_sketches")
+      "dedup_embedding_lsh", "dedup_clusters_lsh", "ann_sign_lsh",
+      "multimodal_decode", "cardinality_sketches")
 }
