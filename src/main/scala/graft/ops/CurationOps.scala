@@ -60,9 +60,45 @@ object CurationOps {
        |    WHERE NOT keep)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Deterministic stratified sampling for training-data mixes: keep a doc
+    * iff the first 8 hex chars of its content fingerprint sort below the
+    * stratum's rate threshold (lowercase-hex string order IS numeric order,
+    * and md5 hex is identical across engines — so the oracle checks the
+    * EXACT sampled set, not just a count). The stratum rule here keys on
+    * the source name (even-length sources keep 25%, odd 75%) — in a real
+    * mix the per-source rates come from the data-mixing config.
+    *
+    * Why hash-based and not `rand()`: a random sample is different on every
+    * task RETRY (non-idempotent under Spark's fault tolerance, and
+    * non-reproducible across runs/engines); content-hash sampling is a
+    * narrow deterministic map — no shuffle, no RNG state, stable under
+    * retries, and consistent between the Spark plan and any other engine
+    * reading the same data. Also self-deduplicating: byte-identical docs
+    * sample identically.
+    */
+  def corpusSample(s: SparkSession, dir: String): DataFrame = {
+    // floor(rate·2^32) as 8-digit lowercase hex: 0.25 → 40000000, 0.75 → c0000000
+    val threshold =
+      when(length(col("source")) % 2 === 0, lit("40000000"))
+        .otherwise(lit("c0000000"))
+    Tables(s, dir, "documents")
+      .filter(substring(DedupOps.fingerprint(col("text")), 1, 8) < threshold)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val corpusSampleOracle: String =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE substr(md5(${DedupOps.normTextOracle("text")}), 1, 8) <
+       |      CASE WHEN length(source) % 2 = 0 THEN '40000000'
+       |           ELSE 'c0000000' END
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_curation" -> (corpusCuration _))
+    "corpus_curation" -> (corpusCuration _),
+    "corpus_sample" -> (corpusSample _))
 
   val oracles: Map[String, String] = Map(
-    "corpus_curation" -> corpusCurationOracle)
+    "corpus_curation" -> corpusCurationOracle,
+    "corpus_sample" -> corpusSampleOracle)
 }

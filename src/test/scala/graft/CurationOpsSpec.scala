@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{CurationOps, Tables}
+
+/** corpus_sample is value-checked by the DuckDB oracle (exact sampled set);
+  * these tests pin the statistical and engineering properties the oracle
+  * can't express: per-stratum rates land near nominal, and the sample is
+  * deterministic across plan constructions (the retry-idempotence argument
+  * for hash-based over rand()-based sampling).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("per-stratum sampled fraction lands near the nominal rate") {
+    val all = Tables(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val kept = CurationOps.corpusSample(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    def fraction(tier: String => Boolean): (Double, Int) = {
+      val docs = all.filter { case (_, s) => tier(s) }
+      (docs.count { case (id, _) => kept(id) }.toDouble / docs.length, docs.length)
+    }
+    val (evenFrac, nEven) = fraction(_.length % 2 == 0)
+    val (oddFrac, nOdd) = fraction(_.length % 2 == 1)
+    assert(nEven > 50 && nOdd > 50, s"strata too small: $nEven/$nOdd")
+    assert(math.abs(evenFrac - 0.25) < 0.1,
+      s"even-length stratum fraction $evenFrac not near 0.25 (n=$nEven)")
+    assert(math.abs(oddFrac - 0.75) < 0.1,
+      s"odd-length stratum fraction $oddFrac not near 0.75 (n=$nOdd)")
+  }
+
+  test("sample is deterministic across constructions (retry idempotence)") {
+    val a = CurationOps.corpusSample(spark, dir).collect().map(_.getLong(0)).toSeq
+    val b = CurationOps.corpusSample(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
