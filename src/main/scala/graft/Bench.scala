@@ -48,23 +48,31 @@ object Bench {
     // builder (construction is pure — VERDICT r2 #5)
     graft.ops.IncrementalDedup.seedQueryStore(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a failing query must NOT report its elapsed-to-exception time — a
+      // broken query would read as a perf improvement; -1 marks failure
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        dt
+        if (ok) dt else -1.0
       }
       once() // untimed warm-up
       name -> Seq.fill(Reps)(once())
     }
-    val medians = results.map { case (k, reps) => k -> median(reps) }
+    val medians = results.map { case (k, reps) =>
+      k -> (if (reps.exists(_ < 0)) -1.0 else median(reps))
+    }
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
+    // failed queries poison the total too (−1 each would HELP the total;
+    // a clearly-broken negative total can't pass a regression bar quietly)
+    val total =
+      if (medians.exists(_._2 < 0)) -1.0 else medians.map(_._2).sum
     // driver-facing line keeps the EXACT agreed schema; the per-rep spread
     // (noise forensics) goes to a side file only
     val json =

@@ -73,6 +73,15 @@ object ClusterOps {
     labels
   }
 
+  /** Shared output contract: (doc_id, cluster_rep, keep) over an edge
+    * frame, `keep` iff the doc IS its component's min-id representative.
+    */
+  private def clustersOver(edges: DataFrame): DataFrame =
+    connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+        (col("id") === col("rep")).as("keep"))
+      .orderBy("doc_id")
+
   /** Oracle-backed query: clusters over the [[DedupOps.dedupNgramJaccard]]
     * near-dup edges, emitting one row per clustered document with its
     * component representative (min doc_id) and the keep/drop verdict —
@@ -81,11 +90,7 @@ object ClusterOps {
     * on doc_id to list them).
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      DedupOps.dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
-      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
-        (col("id") === col("rep")).as("keep"))
-      .orderBy("doc_id")
+    clustersOver(DedupOps.dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
 
   /** The composition a 100 TB corpus actually runs: clusters over the
     * BANDED-LSH edge set ([[DedupOps.dedupMinhashLsh]] — linear candidate
@@ -96,11 +101,7 @@ object ClusterOps {
     * only split a cluster, never merge two.
     */
   def dedupClustersLsh(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      DedupOps.dedupMinhashLsh(s, dir).select("doc_a", "doc_b"))
-      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
-        (col("id") === col("rep")).as("keep"))
-      .orderBy("doc_id")
+    clustersOver(DedupOps.dedupMinhashLsh(s, dir).select("doc_a", "doc_b"))
 
   /** DuckDB: transitive closure by recursive CTE over the symmetric edge
     * set, then min over reachable nodes — O(n²) per component, fine as a

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.ops.IncrementalDedup
@@ -45,17 +45,27 @@ object StreamingDedup {
   private def lineageId(spark: SparkSession, checkpointDir: String): String = {
     val f = new HPath(checkpointDir, "graft-dedup-lineage")
     val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(f)) {
-      val in = fs.open(f)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    } else {
+    val existing =
+      if (!fs.exists(f)) ""
+      else {
+        val in = fs.open(f)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      }
+    // empty == absent: a crash between create and write must not pin the
+    // lineage to "" forever (colliding "-<batchId>" tags across checkpoints
+    // sharing a store would overwrite each other's partitions)
+    if (existing.nonEmpty) existing
+    else {
       val id = java.util.UUID.randomUUID().toString.take(8)
-      val out = fs.create(f, true)
+      val tmp = new HPath(checkpointDir, s"graft-dedup-lineage.tmp-$id")
+      val out = fs.create(tmp, true)
       try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      id
+      // rename is the atomicity point; if it loses a race, adopt the winner
+      if (fs.rename(tmp, f)) id
+      else { fs.delete(tmp, false); lineageId(spark, checkpointDir) }
     }
   }
 
@@ -65,7 +75,9 @@ object StreamingDedup {
     val tag = s"$lineage-$batchId"
     val store = IncrementalDedup
       .readStore(batch.sparkSession, storePath, storeSchema)
-      .filter(col("batch") =!= tag) // own partition = a failed attempt
+      // null-SAFE: rows whose batch tag failed to parse must count as
+      // store content, not be silently dropped with the own-tag partition
+      .filter(!(col("batch") <=> lit(tag))) // own partition = failed attempt
     val novel = IncrementalDedup.novel(batch, store).cache()
     try {
       // nothing novel → don't grow the store or output: a resident query
@@ -122,8 +134,11 @@ object StreamingDedup {
     * operator BEFORE foreachBatch — including never-seen content. That is
     * the price of bounded state; pick `delay` to cover real arrival
     * lateness, and run genuine backfills (data older than `delay`) through
-    * the batch path ([[graft.ops.IncrementalDedup.novel]]/`append` against
-    * the same store) instead of dropping them into the monitored folder.
+    * [[backfill]] — the batch path against the SAME store and output
+    * layout — instead of dropping them into the monitored folder. (Plain
+    * [[graft.ops.IncrementalDedup.append]] would write files at the store
+    * root, which does not parse against the streaming store's `batch=`
+    * partition layout.)
     *
     * The store gains at most one `batch=` partition per NON-EMPTY batch; in
     * a long-lived deployment fold them periodically with [[compactStore]]
@@ -148,6 +163,29 @@ object StreamingDedup {
       .trigger(Trigger.ProcessingTime(interval))
       .foreachBatch(writeBatch(storePath, outDir, lineage) _)
       .start()
+  }
+
+  /** Batch backfill against the streaming store: dedup `docs` (must contain
+    * a `text` column) against the store and all novel rows are written to
+    * the same `batch=` layout the streaming query uses — the path for data
+    * that arrives later than the always-on watermark `delay` tolerates.
+    * Safe to run while the query is stopped or between triggers (it only
+    * ADDS a partition; concurrent batches exclude nothing but their own
+    * tag).
+    */
+  def backfill(spark: SparkSession, docs: DataFrame,
+      storePath: String, outDir: String): Unit = {
+    val tag = s"backfill-${java.util.UUID.randomUUID().toString.take(8)}"
+    val store = IncrementalDedup.readStore(spark, storePath, storeSchema)
+    val novel = IncrementalDedup
+      .novel(IncrementalDedup.withFingerprint(docs)
+        .dropDuplicates("fingerprint"), store)
+      .cache()
+    try if (!novel.isEmpty) {
+      novel.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$tag")
+      novel.select("fingerprint").distinct()
+        .write.mode(SaveMode.Overwrite).parquet(s"$storePath/batch=$tag")
+    } finally novel.unpersist()
   }
 
   /** Housekeeping for resident deployments: fold every `batch=` store

@@ -56,7 +56,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      for (name <- Seq("dedup_simhash", "dedup_minhash_lsh")) {
+      for (name <- Seq("dedup_simhash", "dedup_minhash_lsh",
+          "dedup_ngram_jaccard", "dedup_minhash_shingle")) {
         // drive THIS df's QueryExecution (a .write would spawn its own) so
         // executedPlan is the final adaptive plan with materialized stages
         val df = SparkEntry.queries(name)(spark, dir)

@@ -120,5 +120,27 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(spark.read.parquet(out).count() == 3,
         "compacted store failed to suppress a known fingerprint")
     } finally q3.stop()
+
+    // backfill (the documented too-late-for-the-watermark path): one known
+    // and one novel doc through the batch path against the SAME store
+    import spark.implicits._
+    StreamingDedup.backfill(spark,
+      Seq(8L -> "aaa bbb", 9L -> "ggg hhh").toDF("doc_id", "text"),
+      store, out)
+    val afterBackfill = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(afterBackfill.contains(9L) && !afterBackfill.contains(8L),
+      s"backfill should add only the novel doc, got $afterBackfill")
+    // and the streaming query still reads the store (now with a backfill
+    // partition) cleanly, suppressing a re-ingest of the backfilled content
+    dropTs(in, Seq((10L, "ggg  hhh", "2026-01-01 13:00:00")))
+    val q4 = StreamingDedup.startAlwaysOn(spark, tsSchema, in.toString, store,
+      out, root.resolve("ckpt4").toString, eventTimeCol = "ts",
+      delay = "10 minutes", interval = "1 second")
+    try {
+      q4.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 4,
+        "store with backfill partition failed to suppress re-ingest")
+    } finally q4.stop()
   }
 }
