@@ -18,13 +18,19 @@ class ClusterOpsSpec extends AnyFunSuite {
 
   test("chain, clique, and isolated pair resolve to component minima") {
     // chain 10..18 (diameter 8 — needs pointer jumping to converge in few
-    // rounds), clique 1-2-3, pair (100, 7)
+    // rounds), clique 1-2-3, pair (100, 7); duplicate and reversed edge
+    // listings must not perturb anything
     val chain = (10L until 18L).map(i => (i, i + 1))
-    val got = components(chain ++ Seq((1L, 2L), (2L, 3L), (1L, 3L), (100L, 7L)))
+    val got = components(chain ++ Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (100L, 7L), (2L, 1L), (1L, 2L)))
     (10L to 18L).foreach(i => assert(got(i) == 10L, s"chain node $i"))
     Seq(1L, 2L, 3L).foreach(i => assert(got(i) == 1L))
     assert(got(100L) == 7L && got(7L) == 7L)
     assert(got.size == 14) // only nodes that appear in edges
+  }
+
+  test("empty edge set yields an empty, converged result") {
+    assert(components(Seq.empty).isEmpty)
   }
 
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
