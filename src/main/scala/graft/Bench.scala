@@ -59,6 +59,11 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // clearCache only covers the cache manager; the localCheckpoint
+        // blocks ClusterOps/CurationOps mint at plan construction free only
+        // via GC + ContextCleaner, so drop them explicitly between reps or
+        // storage memory accumulates across executions (ADVICE r3)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         if (ok) dt else -1.0
       }
       once() // untimed warm-up

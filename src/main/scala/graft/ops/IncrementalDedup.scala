@@ -89,9 +89,17 @@ object IncrementalDedup {
       } catch { case _: Throwable => () }))
     tag
   }
-  def queryStorePath(dir: String): String = java.nio.file.Paths
-    .get(sys.props("java.io.tmpdir"), s"graft-fpstore-$jvmTag",
-      Integer.toHexString(dir.hashCode)).toString
+  def queryStorePath(dir: String): String = {
+    // collision-resistant dir key (ADVICE r3): a 32-bit String.hashCode
+    // collision between two data dirs in one JVM would silently cross-seed
+    // their stores — wrong results, no crash. 64 bits of MD5 can't.
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dirKey = md.take(8).map("%02x".format(_)).mkString
+    java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), s"graft-fpstore-$jvmTag", dirKey)
+      .toString
+  }
 
   /** Seed the persisted store for [[dedupIncremental]]: even doc_ids are the
     * prior corpus, written through a REAL parquet round trip (the store

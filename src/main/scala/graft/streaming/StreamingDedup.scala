@@ -85,17 +85,21 @@ object StreamingDedup {
       // and the store listing every batch reads would grow with query age,
       // not content. Safe under retry: same input + store-minus-own-tag is
       // deterministic, so an empty retry was an empty first attempt.
-      // Exception: the FIRST batch writes even when empty, so outDir always
-      // exists with a schema'd (possibly empty) parquet dataset — the
-      // pre-guard contract downstream readers rely on.
+      // Exception: the FIRST batch writes the OUTPUT even when empty, so
+      // outDir always exists with a schema'd (possibly empty) parquet
+      // dataset — the pre-guard contract downstream readers rely on. The
+      // exception does NOT extend to the store (ADVICE r3): an empty first
+      // batch must not mint a stray empty batch=<tag> store partition —
+      // the store gains a partition only per batch with novel content.
       val outRoot = new HPath(outDir)
       val outFs = outRoot.getFileSystem(
         batch.sparkSession.sessionState.newHadoopConf())
-      if (!novel.isEmpty || !outFs.exists(outRoot)) {
+      val hasNovel = !novel.isEmpty
+      if (hasNovel || !outFs.exists(outRoot))
         novel.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$tag")
+      if (hasNovel)
         novel.select("fingerprint").distinct()
           .write.mode(SaveMode.Overwrite).parquet(s"$storePath/batch=$tag")
-      }
     } finally novel.unpersist()
   }
 

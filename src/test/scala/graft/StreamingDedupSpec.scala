@@ -50,6 +50,35 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("empty first batch writes schema'd output but no store partition") {
+    val root = Files.createTempDirectory("graft-sdedup-empty")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    val out = root.resolve("out").toString
+    import spark.implicits._
+    // pre-seed the store through the batch path (its novel rows land in a
+    // scratch outDir — only the store matters here)
+    StreamingDedup.backfill(spark,
+      Seq(1L -> "aaa bbb").toDF("doc_id", "text"),
+      store, root.resolve("seed-out").toString)
+    def storeParts() = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).sorted.toSeq
+    val before = storeParts()
+    assert(before.size == 1 && before.head.startsWith("batch=backfill-"))
+
+    // the run's only batch dedups to nothing against the seeded store
+    drop(in, Seq(2L -> "aaa  bbb"))
+    StreamingDedup.runAvailableNow(spark, schema, in.toString, store, out,
+      root.resolve("ckpt").toString)
+    // output contract: outDir exists as a schema'd, empty parquet dataset
+    assert(spark.read.parquet(out).count() == 0,
+      "empty first batch should still establish the output dataset")
+    // store contract (ADVICE r3): no stray empty batch=<tag> partition
+    assert(storeParts() == before,
+      s"empty batch must not grow the store, got ${storeParts()}")
+  }
+
   private val tsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("ts", TimestampType)))
