@@ -8,23 +8,32 @@ import org.apache.spark.sql.functions._
   * pipeline must decide which documents to DROP, which takes the connected
   * components of the pair graph and one kept representative per component.
   *
-  * The algorithm is distributed min-label propagation with pointer jumping
-  * (the hash-to-min family — Kiveris et al., "Connected Components in
-  * MapReduce and Beyond", SoCC'14): each round every node takes the min
-  * label over itself and its neighbors, then follows its label one hop
-  * (rep ← rep(rep)). Joins and aggregations only — no driver-side graph,
-  * no GraphFrames dependency; each round is two keyed shuffles (neighbor
-  * min on dst, pointer jump on rep). Plain propagation needs
-  * graph-diameter rounds; the jump step makes label depth collapse
-  * geometrically, so rounds stay O(log d). Near-dup graphs at J ≥ 0.9 are
-  * unions of near-cliques (d ≤ 3 here — converges in 2 rounds), but the
-  * bound matters for pathological chains at 100 TB.
+  * The algorithm is Borůvka-style hook–compress–contract (the two-phase
+  * family of Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14): each LEVEL hooks every node to the minimum of its
+  * closed neighborhood (ONE aggregation over the edge list), compresses
+  * the resulting pointer forest to its roots by pointer doubling (self-
+  * joins on the NODE-sized label table only — never the edge list), then
+  * contracts the edge list by root label and recurses on the contracted
+  * graph. Joins and aggregations only — no driver-side graph, no
+  * GraphFrames dependency.
   *
-  * Each round `localCheckpoint`s the label frame: lineage would otherwise
-  * grow by two joins per round and recomputation of the (expensive) edge
-  * query would compound — truncation keeps every round's plan constant
-  * size. Checkpoint blocks are freed by the ContextCleaner once
-  * unreferenced; nothing registers in the cache manager.
+  * Why this shape: near-dup graphs are unions of near-cliques, so the edge
+  * list is quadratic in cluster size (809k edges over 2.8k nodes at sf0.1)
+  * while the node set stays tiny. Hash-to-min iterations pay the full edge
+  * list EVERY round (6 rounds here); hook–compress–contract pays it once
+  * per level, and level 1 collapses every near-clique to a single node —
+  * the measured contracted graph at sf0.1 is empty after one level. The
+  * worst case is also covered: every hook tree has ≥ 2 nodes, so each
+  * level at least halves the surviving node count (≤ log₂ n levels), and
+  * pointer doubling makes compression O(log depth) label-table joins.
+  *
+  * Each level `localCheckpoint`s its label and contracted-edge frames:
+  * lineage would otherwise grow per level and recomputation of the
+  * (expensive) upstream edge query would compound — truncation keeps every
+  * level's plan constant size. Checkpoint blocks are freed by the
+  * ContextCleaner once unreferenced; nothing registers in the cache
+  * manager.
   */
 object ClusterOps {
 
@@ -37,39 +46,87 @@ object ClusterOps {
   def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
     val e = edges.select(
       col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
-    // materialize the edge query ONCE — every round joins against sym, and
-    // an un-checkpointed frame would recompute the upstream dedup per round
+    // materialize the edge query ONCE — the level loop reads sym twice
+    // (hook + contract), and an un-checkpointed frame would recompute the
+    // upstream dedup per read
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
-      .localCheckpoint()
+    ccLevel(sym, level = 1, maxRounds)
+  }
+
+  /** One hook–compress–contract level over a symmetric, checkpointed edge
+    * list; recurses on the contracted graph and composes labels on unwind.
+    */
+  private def ccLevel(sym: DataFrame, level: Int, maxRounds: Int): DataFrame = {
+    require(level <= maxRounds,
+      s"connected components did not converge in $maxRounds levels")
+    // hook: every node points to the min of its closed neighborhood — the
+    // only full-edge-list aggregation of the level. sym is symmetric, so
+    // grouping by src covers every node.
+    // hook is NOT checkpointed: compress round 1 self-joins it, and both
+    // sides share the groupBy exchange (reuse), so it computes once anyway
+    val hook = sym.groupBy(col("src").as("id")).agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("rep"))
+    val roots = compress(hook, maxRounds)
+    if (sys.props.contains("graft.cc.debug"))
+      println(s"[cc] level $level compressed t=${System.nanoTime()/1e9}")
+    // contract: rewrite each edge to its endpoints' root labels; edges
+    // inside a hook tree vanish (same root), so near-cliques disappear
+    // here. Lazy checkpoint — the emptiness count is the materializing
+    // action (one job, not two). Stays symmetric: sym is.
+    val contracted = sym
+      .join(roots.select(col("id").as("src"), col("rep").as("csrc")), "src")
+      .join(roots.select(col("id").as("dst"), col("rep").as("cdst")), "dst")
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(false)
+    val contractedEmpty = contracted.count() == 0L
+    if (sys.props.contains("graft.cc.debug"))
+      println(s"[cc] level $level contracted empty=$contractedEmpty t=${System.nanoTime()/1e9}")
+    if (contractedEmpty) roots // roots are component minima (see proof
+    // sketch: rep is then constant along every edge, and the component min
+    // m has rep(m) = m, so every node's root IS m)
+    else {
+      val sub = ccLevel(contracted, level + 1, maxRounds)
+      // compose: a root with no contracted edge kept its whole component
+      // (left side of the coalesce); otherwise the recursion resolved it
+      roots.as("x")
+        .join(sub.select(col("id").as("rid"), col("rep").as("rrep")).as("s"),
+          col("x.rep") === col("rid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("rrep"), col("x.rep")).as("rep"))
+    }
+  }
+
+  /** Pointer-double `rep ← rep(rep)` to fixpoint: label depth halves per
+    * round, so rounds stay O(log depth). Operates on the node-sized label
+    * table only. Every rep value is itself a node id with a label row, but
+    * the lookup is left+coalesce for safety.
+    */
+  private def compress(hook: DataFrame, maxRounds: Int): DataFrame = {
+    var labels = hook
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      // min over self and neighbors' labels; the round's starting rep rides
-      // along as `prev` so convergence needs no extra join afterwards
-      val nbrMin = sym.join(labels, col("src") === col("id"))
-        .groupBy(col("dst").as("nid")).agg(min(col("rep")).as("nmin"))
-      val stepped = labels.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("srep"),
-          col("rep").as("prev"))
-      // pointer jump: rep ← rep(rep); labels only ever decrease, and every
-      // rep value is itself a node id, so the lookup side always has a row
-      val jumped = stepped.as("x")
-        .join(stepped.select(col("id").as("rid"), col("srep").as("rrep")).as("r"),
-          col("x.srep") === col("rid"), "left")
+      val jumped = labels.as("x")
+        .join(labels.select(col("id").as("rid"), col("rep").as("rrep")).as("r"),
+          col("x.rep") === col("rid"), "left")
         .select(col("x.id").as("id"),
-          coalesce(col("rrep"), col("x.srep")).as("rep"), col("x.prev"))
-      val next = jumped.localCheckpoint()
-      // existence check over the materialized blocks, not a full count:
-      // any label still moving?
-      done = next.filter(col("rep") =!= col("prev")).limit(1).count() == 0L
+          coalesce(col("rrep"), col("x.rep")).as("rep"),
+          col("x.rep").as("prev"))
+      // lazy checkpoint: the convergence count below is the materializing
+      // action, so each round is ONE job (an eager checkpoint plus a
+      // separate moved-check was two); the count must stay a FULL scan —
+      // a limit(1) short-circuit could leave checkpoint blocks unsaved
+      val next = jumped.localCheckpoint(false)
+      done = next.filter(col("rep") =!= col("prev")).count() == 0L
       labels = next.select("id", "rep")
       round += 1
+      if (sys.props.contains("graft.cc.debug"))
+        println(s"[cc] compress round $round done=$done t=${System.nanoTime()/1e9}")
     }
-    require(done, s"connected components did not converge in $maxRounds rounds")
+    require(done,
+      s"pointer compression did not converge in $maxRounds rounds")
     labels
   }
 
