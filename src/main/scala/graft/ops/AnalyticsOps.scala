@@ -359,7 +359,46 @@ object AnalyticsOps {
       |  FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Equal-width histogram of document lengths — the distribution scan run
+    * before picking length filters. Deliberately NOT a global-window ntile
+    * (a single-partition sort dies at 100 TB): bucket edges come from one
+    * min/max aggregate (a scalar broadcast via cross join), bucket
+    * assignment is a narrow map, and the histogram is one keyed shuffle of
+    * ≤ 10 partial rows per task. Bucket math stays in exact-for-integers
+    * double arithmetic so Spark and DuckDB floor identically; the max value
+    * clamps into the last bucket.
+    */
+  def charHistogram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val edges = docs.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    docs.crossJoin(broadcast(edges))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(lit(9L), floor((col("n_chars") - col("lo")).cast("double") *
+            10.0 / (col("hi") - col("lo")).cast("double")))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy("bucket")
+  }
+
+  val charHistogramOracle: String =
+    """WITH edges AS (
+      |  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents)
+      |SELECT CASE WHEN hi = lo THEN 0 ELSE
+      |         least(9, CAST(floor(CAST(n_chars - lo AS DOUBLE) * 10.0 /
+      |                             CAST(hi - lo AS DOUBLE)) AS BIGINT))
+      |       END AS bucket,
+      |       count(*) AS n_docs,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |       round(avg(n_chars), 4) AS avg_chars
+      |FROM documents, edges
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "char_histogram" -> (charHistogram _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "window_dedup_latest" -> (windowDedupLatest _),
     "cardinality_sketches" -> (cardinalitySketches _),
@@ -375,6 +414,7 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "char_histogram" -> charHistogramOracle,
     "q5_local_supplier" -> q5Oracle,
     "window_dedup_latest" -> windowDedupOracle,
     "anti_join_customers" -> antiJoinOracle,

@@ -139,12 +139,69 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-label embedding centroids — the coarse-quantizer training step an
+    * IVF index needs ([[annIvfTopk]] consumes exactly these buckets), and
+    * the per-cluster drift monitor of an embedding pipeline. Emits per
+    * label the vector count, the L2 norm of the centroid (mean vector) and
+    * the mean per-vector L2 norm — centroid norm ≪ mean norm flags a
+    * label whose members point in scattered directions.
+    *
+    * Scale shape: `posexplode` fans each vector to (label, dim) rows — 64×
+    * row growth but constant width — then TWO map-side-combined keyed
+    * aggregations on (label, dim) and label. No window, no driver-side
+    * vectors; at 1000 executors each partial aggregate carries ≤
+    * labels × dims rows. Sums are rounded at 5 decimals: the per-dimension
+    * accumulation order differs between engines, but doubles carry ~13
+    * significant digits against values of magnitude ~0.1.
+    */
+  def embeddingCentroids(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        toDoubleArray(col("embedding")).as("v"))
+    val byDim = emb
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+    val centroidNorm = byDim.groupBy("label")
+      .agg(sqrt(sum(col("m") * col("m"))).as("centroid_norm"))
+    val vecNorm = emb
+      .select(col("label"),
+        sqrt(aggregate(col("v"), lit(0.0d),
+          (acc, x) => acc + x * x)).as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), avg(col("norm")).as("avg_vec_norm"))
+    vecNorm.join(centroidNorm, "label")
+      .select(col("label"), col("n_vecs"),
+        round(col("centroid_norm"), 5).as("centroid_norm"),
+        round(col("avg_vec_norm"), 5).as("avg_vec_norm"))
+      .orderBy("label")
+  }
+
+  val embeddingCentroidsOracle: String =
+    s"""WITH bydim AS (
+       |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+       |  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) t(i)
+       |  GROUP BY label, i),
+       |cn AS (
+       |  SELECT label, sqrt(sum(m * m)) AS centroid_norm FROM bydim GROUP BY label),
+       |vn AS (
+       |  SELECT label, count(*) AS n_vecs,
+       |         avg(sqrt(list_sum(list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS avg_vec_norm
+       |  FROM embeddings GROUP BY label)
+       |SELECT label, n_vecs,
+       |       round(centroid_norm, 5) AS centroid_norm,
+       |       round(avg_vec_norm, 5) AS avg_vec_norm
+       |FROM vn JOIN cn USING (label) ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
-    "ann_sign_lsh" -> (annSignLsh _))
+    "ann_sign_lsh" -> (annSignLsh _),
+    "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> annCosineTopkOracle,
-    "ann_ivf_topk" -> annIvfTopkOracle)
+    "ann_ivf_topk" -> annIvfTopkOracle,
+    "embedding_centroids" -> embeddingCentroidsOracle)
 }

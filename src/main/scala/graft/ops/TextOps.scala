@@ -286,6 +286,156 @@ object TextOps {
        |  JOIN top p USING (doc_id))
        |ORDER BY doc_id""".stripMargin
 
+  /** PII detection + redaction — the scrub every shareable training corpus
+    * runs. The testdata carries no organic PII (synthetic word-soup text,
+    * trimmed TPC-H columns), so the query materializes a contact blob from
+    * real `customer` fields and the REDACTION PASS is the operator under
+    * test: emails are masked to `[EMAIL]`, remaining digit runs of ≥ 4 to
+    * `[NUM]` (short numbers like nation keys survive — redaction should
+    * not destroy non-identifying numerics), each with a per-row hit count
+    * for audit. Order matters and is part of the contract: emails first,
+    * so their digits never double-count as number hits. Narrow codegen'd
+    * regexp maps — embarrassingly parallel at any scale.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val numPat = "[0-9]{4,}"
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        concat(col("c_name"), lit(" <"), lower(col("c_mktsegment")), lit("."),
+          col("c_custkey").cast("string"), lit("@example.com> nation "),
+          col("c_nationkey").cast("string")).as("blob"))
+      .select(col("c_custkey"),
+        regexp_count(col("blob"), lit(emailPat)).as("n_emails"),
+        regexp_replace(col("blob"), emailPat, "[EMAIL]").as("b1"))
+      .select(col("c_custkey"),
+        regexp_replace(col("b1"), numPat, "[NUM]").as("redacted"),
+        col("n_emails"),
+        regexp_count(col("b1"), lit(numPat)).as("n_long_nums"))
+      .orderBy("c_custkey")
+  }
+
+  val piiRedactOracle: String = {
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val numPat = "[0-9]{4,}"
+    s"""WITH blob AS (
+       |  SELECT c_custkey,
+       |         c_name || ' <' || lower(c_mktsegment) || '.' ||
+       |         CAST(c_custkey AS VARCHAR) || '@example.com> nation ' ||
+       |         CAST(c_nationkey AS VARCHAR) AS blob
+       |  FROM customer),
+       |e AS (
+       |  SELECT c_custkey,
+       |         len(regexp_extract_all(blob, '$emailPat')) AS n_emails,
+       |         regexp_replace(blob, '$emailPat', '[EMAIL]', 'g') AS b1
+       |  FROM blob)
+       |SELECT c_custkey,
+       |       regexp_replace(b1, '$numPat', '[NUM]', 'g') AS redacted,
+       |       n_emails,
+       |       len(regexp_extract_all(b1, '$numPat')) AS n_long_nums
+       |FROM e ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Corpus-wide top-k bigrams by frequency — the vocabulary/boilerplate
+    * census run before choosing filters. One explode and ONE keyed shuffle
+    * (map-side-combined count), then a global top-k that Spark plans as
+    * TakeOrderedAndProject (k rows per partition survive the partial sort —
+    * no full global sort). Ties break lexicographically so the cut is
+    * deterministic.
+    */
+  def topNgrams(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(split(normText(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(20)
+
+  val topNgramsOracle: String =
+    s"""WITH toks AS (
+       |  SELECT string_split(${normTextOracle("text")}, ' ') AS w FROM documents),
+       |b AS (
+       |  SELECT w[i] || ' ' || w[i + 1] AS ngram
+       |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 1)) t(i)
+       |  WHERE len(w) >= 2)
+       |SELECT ngram, count(*) AS cnt FROM b
+       |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin
+
+  /** Train/eval contamination check — the benchmark-leakage audit every
+    * published model needs: treating `source = 'src0'` as the eval set and
+    * the rest as training data, score each eval doc by the fraction of its
+    * distinct 5-token shingles that appear ANYWHERE in the training set
+    * (asymmetric containment, not Jaccard — a short eval doc quoted inside
+    * a long training doc must still score 1.0).
+    *
+    * Scale shape: the training shingle set is one linear distinct shuffle;
+    * the probe is a shingle-keyed left join (eval side is the small one).
+    * Shingles stay literal strings here for DuckDB-oracle parity; at 100 TB
+    * they'd be xxhash64'd ([[shingleFingerprint]]'s argument) to keep the
+    * shuffle narrow.
+    */
+  def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        split(normText(col("text")), " ").as("toks"))
+    def shingles(df: DataFrame) = df
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(toks) - 5), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 5))))")).as("sh"))
+    val evalSh = shingles(docs.filter(col("source") === "src0"))
+    val trainSh = shingles(docs.filter(col("source") =!= "src0"))
+      .select(col("sh")).distinct()
+    val agg = evalSh
+      .join(trainSh.select(col("sh"), lit(1).as("hit")), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+    docs.filter(col("source") === "src0").select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          round(col("n_hits").cast("double") /
+            col("n_shingles").cast("double"), 4)).otherwise(lit(0.0)))
+      .withColumn("contaminated", col("contamination") > 0.5)
+      .orderBy("doc_id")
+  }
+
+  val contaminationCheckOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(${normTextOracle("text")}, ' ') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source, array_to_string(w[i:i+4], ' ') AS sh
+       |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 4)) t(i)
+       |  WHERE len(w) >= 5),
+       |train AS (SELECT DISTINCT sh FROM sh WHERE source <> 'src0'),
+       |agg AS (
+       |  SELECT e.doc_id, count(*) AS n_shingles, count(t.sh) AS n_hits
+       |  FROM (SELECT doc_id, sh FROM sh WHERE source = 'src0') e
+       |  LEFT JOIN train t USING (sh)
+       |  GROUP BY e.doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(n_shingles, 0) AS n_shingles,
+       |       coalesce(n_hits, 0) AS n_hits,
+       |       CASE WHEN coalesce(n_shingles, 0) > 0
+       |            THEN round(CAST(n_hits AS DOUBLE) /
+       |                       CAST(n_shingles AS DOUBLE), 4)
+       |            ELSE 0.0 END AS contamination,
+       |       (CASE WHEN coalesce(n_shingles, 0) > 0
+       |             THEN round(CAST(n_hits AS DOUBLE) /
+       |                        CAST(n_shingles AS DOUBLE), 4)
+       |             ELSE 0.0 END) > 0.5 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+       |LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
@@ -293,7 +443,10 @@ object TextOps {
     "token_stats" -> (tokenStats _),
     "doc_fingerprint" -> (docFingerprint _),
     "shingle_fingerprint" -> (shingleFingerprint _),
-    "text_repetition" -> (textRepetition _))
+    "text_repetition" -> (textRepetition _),
+    "pii_redact" -> (piiRedact _),
+    "top_ngrams" -> (topNgrams _),
+    "contamination_check" -> (contaminationCheck _))
 
   val oracles: Map[String, String] = Map(
     "lang_id" -> langIdOracle,
@@ -302,5 +455,8 @@ object TextOps {
     "token_stats" -> tokenStatsOracle,
     "doc_fingerprint" -> docFingerprintOracle,
     "shingle_fingerprint" -> shingleFingerprintOracle,
-    "text_repetition" -> textRepetitionOracle)
+    "text_repetition" -> textRepetitionOracle,
+    "pii_redact" -> piiRedactOracle,
+    "top_ngrams" -> topNgramsOracle,
+    "contamination_check" -> contaminationCheckOracle)
 }
