@@ -41,6 +41,13 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // the between-rep unpersist of leftover localCheckpoint blocks (below)
+    // is deliberate — each rep builds fresh checkpoints, nothing recomputes
+    // the old ones — but RDD.unpersist WARNs about truncated lineage per
+    // block; keep the driver-scraped tail clean
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // warm the session (codegen cache, filesystem metadata) outside timing
     spark.read.parquet(s"$sfDir/nation.parquet").write
       .format("noop").mode("overwrite").save()

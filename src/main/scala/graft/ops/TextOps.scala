@@ -436,7 +436,54 @@ object TextOps {
        |LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing — the pretraining step that concatenates documents
+    * into fixed-token-budget rows: docs are laid out per source in doc_id
+    * order, each starting at its running token offset, and assigned to
+    * pack `floor(offset / budget)` (offset packing: a doc may straddle its
+    * pack boundary and continue into the next, the usual causal-LM layout
+    * with cross-doc attention masking). Emits per-pack occupancy — the
+    * padding-waste audit.
+    *
+    * Scale shape: one window cumsum partitioned by `source` and ONE keyed
+    * aggregation. A whole source in one window partition is the honest
+    * small-N form; at 100 TB the partition key becomes (source,
+    * hash-shard) with per-shard offsets — same plan, bounded partitions.
+    */
+  def docPack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tokenCount(s, dir)
+      .withColumn("offset",
+        coalesce(sum(col("ws_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("offset") / budget))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "pack_id")
+  }
+
+  val docPackOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(${normTextOracle("text")}, '\\S+')) AS ws_tokens
+       |  FROM documents),
+       |placed AS (
+       |  SELECT doc_id, source, ws_tokens,
+       |         coalesce(sum(ws_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+       |  FROM tok)
+       |SELECT source, CAST(floor("offset" / 2048) AS BIGINT) AS pack_id,
+       |       count(*) AS n_docs,
+       |       CAST(sum(ws_tokens) AS BIGINT) AS pack_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM placed
+       |GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_pack" -> (docPack _),
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
@@ -449,6 +496,7 @@ object TextOps {
     "contamination_check" -> (contaminationCheck _))
 
   val oracles: Map[String, String] = Map(
+    "doc_pack" -> docPackOracle,
     "lang_id" -> langIdOracle,
     "text_quality" -> textQualityOracle,
     "token_count" -> tokenCountOracle,

@@ -63,6 +63,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       Seq("doc_id", "n_shingles", "n_hits", "contamination", "contaminated"))
   }
 
+  test("doc_pack tiles each source without gaps and conserves tokens") {
+    val packs = graft.ops.TextOps.docPack(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packs.nonEmpty)
+    val toks = graft.ops.TextOps.tokenCount(spark, dir)
+      .agg(sum(col("ws_tokens"))).collect()(0).getLong(0)
+    assert(packs.map(_._4).sum == toks, "every token lands in exactly one pack")
+    packs.groupBy(_._1).foreach { case (src, ps) =>
+      val ids = ps.map(_._2).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1,
+        s"$src pack ids not contiguous: ${ids.toSeq}")
+      // offset packing: a pack can exceed the budget only by its last
+      // straddling doc, so every pack except the final one must have been
+      // entered before its boundary — n_docs >= 1 and ordering by first_doc
+      // matches pack order
+      val byPack = ps.sortBy(_._2)
+      assert(byPack.forall(_._3 >= 1))
+    }
+  }
+
   test("embedding_centroids: centroid norm never exceeds mean vector norm") {
     val rows = graft.ops.SimilarityOps.embeddingCentroids(spark, dir).collect()
     assert(rows.nonEmpty)
