@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
   * while the node set stays tiny. Hash-to-min iterations pay the full edge
   * list EVERY round (6 rounds here); hook–compress–contract pays it once
   * per level, and level 1 collapses every near-clique to a single node —
-  * the measured contracted graph at sf0.1 is empty after one level. The
-  * worst case is also covered: every hook tree has ≥ 2 nodes, so each
-  * level at least halves the surviving node count (≤ log₂ n levels), and
-  * pointer doubling makes compression O(log depth) label-table joins.
+  * the measured contracted graph at sf0.1 is empty after one level.
+  * Termination: in any component that still has an edge (u,v) with u < v,
+  * v's closed-neighborhood min is < v, so v is not a root — every level
+  * strictly shrinks every multi-node component (singleton hook trees can
+  * survive a level, e.g. nodes {1,2,3} edges {(1,3),(2,3)} leave 2 as a
+  * lone root, so trees are NOT guaranteed ≥ 2 nodes and the count need
+  * not halve). Kiveris et al. bound the two-phase family at O(log n)
+  * levels; maxRounds = 25 covers that for any feasible n and the
+  * `require` fails loudly rather than spinning if it's ever exceeded.
+  * Pointer doubling makes compression O(log depth) label-table joins.
   *
   * Each level `localCheckpoint`s its label and contracted-edge frames:
   * lineage would otherwise grow per level and recomputation of the

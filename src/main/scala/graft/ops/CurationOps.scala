@@ -94,11 +94,56 @@ object CurationOps {
        |           ELSE 'c0000000' END
        |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-scaled source mixing — the data-mixing step of
+    * multi-source pretraining (the α-sampling of XLM-R / the Pile): each
+    * source's whitespace-token mass n_i is flattened to weight
+    * sqrt(n_i) / Σ_j sqrt(n_j) (α = 0.5 — up-weights small sources; α→0
+    * is uniform, α=1 proportional), and a 10M-token epoch budget is
+    * apportioned by weight.
+    *
+    * Scale shape: ONE keyed aggregation over the corpus; everything after
+    * is |sources| rows, so the normalizing Σ attaches as a broadcast cross
+    * join against a 1-row aggregate — no unpartitioned window, no driver
+    * round trip. `sqrt` (not `pow(x, 0.5)`) on both engines: IEEE sqrt is
+    * correctly rounded, pow is not, and the oracle compares hashes.
+    */
+  def sourceMixture(s: SparkSession, dir: String): DataFrame = {
+    val perSource = TextOps.tokenCount(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(col("ws_tokens")).as("n_tokens"))
+      .withColumn("flat", sqrt(col("n_tokens").cast("double")))
+    val total = perSource.agg(sum(col("flat")).as("flat_total"))
+    perSource.crossJoin(total)
+      .select(col("source"), col("n_tokens"),
+        round(col("flat") / col("flat_total"), 6).as("weight"),
+        round(lit(1e7) * col("flat") / col("flat_total"), 0)
+          .cast("long").as("epoch_tokens"))
+      .orderBy("source")
+  }
+
+  val sourceMixtureOracle: String = {
+    val tok = s"""SELECT source,
+                 |       len(regexp_extract_all(${DedupOps.normTextOracle("text")}, '\\S+')) AS ws_tokens
+                 |FROM documents""".stripMargin
+    s"""WITH tok AS ($tok),
+       |ps AS (
+       |  SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS n_tokens,
+       |         sqrt(CAST(sum(ws_tokens) AS DOUBLE)) AS flat
+       |  FROM tok GROUP BY source),
+       |t AS (SELECT sum(flat) AS flat_total FROM ps)
+       |SELECT source, n_tokens,
+       |       round(flat / flat_total, 6) AS weight,
+       |       CAST(round(1e7 * flat / flat_total, 0) AS BIGINT) AS epoch_tokens
+       |FROM ps, t ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curation" -> (corpusCuration _),
-    "corpus_sample" -> (corpusSample _))
+    "corpus_sample" -> (corpusSample _),
+    "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
     "corpus_curation" -> corpusCurationOracle,
-    "corpus_sample" -> corpusSampleOracle)
+    "corpus_sample" -> corpusSampleOracle,
+    "source_mixture" -> sourceMixtureOracle)
 }

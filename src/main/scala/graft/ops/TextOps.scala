@@ -381,20 +381,31 @@ object TextOps {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         split(normText(col("text")), " ").as("toks"))
+    containmentScores(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0"))
+  }
+
+  /** Core asymmetric-containment scorer over (doc_id, toks) frames; split
+    * out so the eval-quoted-in-training ⇒ 1.0 property is testable with
+    * train ⊇ eval (PipelineOpsSpec's self-containment test).
+    */
+  private[graft] def containmentScores(
+      evalDocs: DataFrame, trainDocs: DataFrame): DataFrame = {
     def shingles(df: DataFrame) = df
       .filter(size(col("toks")) >= 5)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(toks) - 5), " +
           "i -> concat_ws(' ', slice(toks, i + 1, 5))))")).as("sh"))
-    val evalSh = shingles(docs.filter(col("source") === "src0"))
-    val trainSh = shingles(docs.filter(col("source") =!= "src0"))
+    val evalSh = shingles(evalDocs)
+    val trainSh = shingles(trainDocs)
       .select(col("sh")).distinct()
     val agg = evalSh
       .join(trainSh.select(col("sh"), lit(1).as("hit")), Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("hit"), lit(0))).as("n_hits"))
-    docs.filter(col("source") === "src0").select("doc_id")
+    evalDocs.select("doc_id")
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
@@ -449,8 +460,16 @@ object TextOps {
     * small-N form; at 100 TB the partition key becomes (source,
     * hash-shard) with per-shard offsets — same plan, bounded partitions.
     */
-  def docPack(s: SparkSession, dir: String): DataFrame = {
-    val budget = 2048
+  def docPack(s: SparkSession, dir: String): DataFrame =
+    docPack(s, dir, budget = 2048)
+
+  /** As [[docPack]] with an explicit token budget. Small budgets force
+    * boundary straddles at test scale — the oracle-benched sf0.01 corpus
+    * fits one pack per source at 2048, so PipelineOpsSpec pins the
+    * straddle/offset semantics against an independent recompute at
+    * budget = 64.
+    */
+  def docPack(s: SparkSession, dir: String, budget: Int): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     tokenCount(s, dir)
@@ -482,7 +501,43 @@ object TextOps {
        |FROM placed
        |GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
+  /** First merge iteration of BPE tokenizer training (Sennrich et al.,
+    * "Neural Machine Translation of Rare Words with Subword Units", ACL
+    * 2016): adjacent character-pair frequencies over the corpus, weighted
+    * by word frequency — the statistic that picks the first merge rule.
+    *
+    * Scale shape: computed vocabulary-first. ONE keyed shuffle builds the
+    * distinct word-frequency table (Zipf: orders of magnitude smaller than
+    * the token stream), the pair explode runs over that table only, then
+    * ONE map-side-combined count and a TakeOrderedAndProject top-k — the
+    * full corpus is touched exactly once, narrowly.
+    */
+  def bpePairStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(split(normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(explode(expr(
+        "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
+        .as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(30)
+
+  val bpePairStatsOracle: String =
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(${normTextOracle("text")}, ' ')) AS w
+       |  FROM documents),
+       |wf AS (
+       |  SELECT w, count(*) AS f FROM words WHERE len(w) >= 2 GROUP BY w),
+       |pairs AS (
+       |  SELECT w[i:i+1] AS pair, f
+       |  FROM wf, LATERAL unnest(generate_series(1, len(w) - 1)) t(i))
+       |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+       |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_pair_stats" -> (bpePairStats _),
     "doc_pack" -> (docPack _),
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
@@ -496,6 +551,7 @@ object TextOps {
     "contamination_check" -> (contaminationCheck _))
 
   val oracles: Map[String, String] = Map(
+    "bpe_pair_stats" -> bpePairStatsOracle,
     "doc_pack" -> docPackOracle,
     "lang_id" -> langIdOracle,
     "text_quality" -> textQualityOracle,
