@@ -335,25 +335,51 @@ object DedupOps {
         graft.functions.expressions.MinHashSignature(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("tokens")),
           nHashes)).as("sig"))
-    val banded = sig.select(col("doc_id"), col("n_tok"),
-      posexplode(array((0 until bands).map(bnd =>
-        struct(lit(bnd).as("band"),
-          concat_ws(":", (0 until rowsPerBand).map(r =>
-            col("sig")(bnd * rowsPerBand + r)): _*).as("bsig"))): _*)))
-      .select(col("doc_id"), col("n_tok"), col("col.band"), col("col.bsig"))
+    // each band signature is ONE xxhash64 long over its 12 rows (not a
+    // concat string): an 8-byte shuffle/join key instead of ~120 bytes. A
+    // 64-bit band-hash collision can only ADD a candidate, and the exact-
+    // Jaccard verify removes it — never drops a true one.
+    // the band-hash array is constructed INLINE in the posexplode (and
+    // projected a second time as `bhs` for the first-band filter): with a
+    // column reference as the Generate input, InferFiltersFromGenerate adds
+    // `size(bhs) > 0`, which after projection collapse re-derives the whole
+    // 48-hash signature inside an interpreted filter — measured 6 → 21 s.
+    // On a CreateArray input the inferred size/null checks constant-fold.
+    def bandArr = array((0 until bands).map(bnd =>
+      xxhash64((0 until rowsPerBand).map(r =>
+        col("sig")(bnd * rowsPerBand + r)): _*)): _*)
+    val banded = sig.select(col("doc_id"), col("n_tok"), bandArr.as("bhs"),
+      posexplode(bandArr))
+      .select(col("doc_id"), col("n_tok"), col("bhs"),
+        col("pos").as("band"), col("col").as("bsig"))
     // self-joined on (band, bsig): exchange reuse computes the 48-hash
     // MinHash signature map once and replays the shuffle for the b side
     val a = banded.as("a"); val b = banded.as("b")
     // lossless length-ratio prune INSIDE the band join (J ≥ 0.9 requires
     // size ratio ≥ 0.9: |∩| ≤ min, |∪| ≥ max) — candidates that can't
-    // verify never reach distinct or the token-attach joins
+    // verify never reach the token-attach joins. Multi-band collisions are
+    // deduped WITHOUT a distinct exchange: both sides carry the full
+    // 4-entry band-hash array, and a pair survives only in its FIRST
+    // agreeing band (no earlier band equal) — a codegen'd per-row filter
+    // in place of shuffling every candidate pair again.
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("a.n_tok") * 10 >= col("b.n_tok") * 9 &&
-        col("b.n_tok") * 10 >= col("a.n_tok") * 9)
+        col("b.n_tok") * 10 >= col("a.n_tok") * 9 &&
+        // unrolled (no higher-order functions: lambdas in a join condition
+        // are evaluated interpreted per matched row — measured 5.5 → 30 s)
+        (0 until bands - 1).map(i =>
+          col("a.band") <= i || col("a.bhs")(i) =!= col("b.bhs")(i))
+          .reduce(_ && _))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      // rebalance before the exact verify: LSH buckets are skewed (near-
+      // clique corpora put most pairs in a few buckets), and without an
+      // exchange the intersectSize work stays fused to the band join's
+      // partitioning — measured 9.1 s fused vs 3.1 s rebalanced at sf0.1.
+      // ids-only rows, so this shuffle is 16 bytes/pair (the old distinct
+      // paid the same shuffle PLUS a dedup hash-aggregate on more rows).
+      .repartition(col("doc_a"), col("doc_b"))
     val da = docs.select(col("doc_id").as("doc_a"), col("tokens").as("tok_a"))
     val db = docs.select(col("doc_id").as("doc_b"), col("tokens").as("tok_b"))
     // no broadcast hint: the attach side is the WHOLE corpus — AQE promotes
@@ -394,21 +420,30 @@ object DedupOps {
     // dedupMinhashLsh (see the comments there)
     val sig = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"),
       bc(MinHashSignature(be(col("shingles")), nHashes)).as("sig"))
-    val banded = sig.select(col("doc_id"), col("n_sh"),
-      posexplode(array((0 until bands).map(bnd =>
-        struct(lit(bnd).as("band"),
-          concat_ws(":", (0 until rowsPerBand).map(r =>
-            col("sig")(bnd * rowsPerBand + r)): _*).as("bsig"))): _*)))
-      .select(col("doc_id"), col("n_sh"), col("col.band"), col("col.bsig"))
+    // single-long band hashes + first-agreeing-band dedup filter instead of
+    // a distinct exchange; array inlined in the posexplode so the inferred
+    // generate filters constant-fold — same construction as dedupMinhashLsh
+    def bandArr = array((0 until bands).map(bnd =>
+      xxhash64((0 until rowsPerBand).map(r =>
+        col("sig")(bnd * rowsPerBand + r)): _*)): _*)
+    val banded = sig.select(col("doc_id"), col("n_sh"), bandArr.as("bhs"),
+      posexplode(bandArr))
+      .select(col("doc_id"), col("n_sh"), col("bhs"),
+        col("pos").as("band"), col("col").as("bsig"))
     val a = banded.as("a"); val b = banded.as("b")
     // lossless prune inside the band join: J ≥ 0.8 requires size ratio ≥ 0.8
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("a.n_sh") * 5 >= col("b.n_sh") * 4 &&
-        col("b.n_sh") * 5 >= col("a.n_sh") * 4)
+        col("b.n_sh") * 5 >= col("a.n_sh") * 4 &&
+        // unrolled first-band check — see dedupMinhashLsh
+        (0 until bands - 1).map(i =>
+          col("a.band") <= i || col("a.bhs")(i) =!= col("b.bhs")(i))
+          .reduce(_ && _))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      // skew rebalance before exact verify — see dedupMinhashLsh
+      .repartition(col("doc_a"), col("doc_b"))
     val da = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val db = docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     // no broadcast hint — AQE decides by runtime size (see dedupMinhashLsh)
