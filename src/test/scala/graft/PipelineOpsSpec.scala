@@ -163,6 +163,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_shuffle is deterministic, tiles the corpus, and mixes sources") {
+    val docs = graft.ops.Tables(spark, dir, "documents")
+    val rows = graft.ops.CurationOps.corpusShuffle(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (0 until 16), "all 16 shards, in order")
+    assert(rows.map(_._2).sum == docs.count(), "shards tile the corpus")
+    // a shuffle that keeps sources clumped defeats its purpose: with 20
+    // sources and ~30 docs/shard, every shard must mix several sources
+    rows.foreach { r => assert(r._3 >= 5, s"shard ${r._1} barely mixed: $r") }
+    // reproducible across constructions (task-retry / cross-run stability)
+    val again = graft.ops.CurationOps.corpusShuffle(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.sameElements(again))
+  }
+
   test("embedding_centroids: centroid norm never exceeds mean vector norm") {
     val rows = graft.ops.SimilarityOps.embeddingCentroids(spark, dir).collect()
     assert(rows.nonEmpty)
