@@ -54,9 +54,14 @@ object ClusterOps {
       col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
     // materialize the edge query ONCE — the level loop reads sym twice
     // (hook + contract), and an un-checkpointed frame would recompute the
-    // upstream dedup per read
+    // upstream dedup per read. NO distinct here: duplicate/reversed input
+    // edges are absorbed anyway (hook is a min-aggregation, contract runs
+    // its own distinct), so deduping up front would pay a full exchange
+    // over the edge list just to guard caller dirt — the union is narrow
+    // and the checkpoint shuffle-free (ClusterOpsSpec pins the dup/reversed
+    // edge cases).
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     ccLevel(sym, level = 1, maxRounds)
   }
 
