@@ -68,7 +68,9 @@ object GraftExtensions {
     ("sign_lsh_buckets", 3,
       es => graft.functions.expressions.SignLshBuckets(
         expression(VectorFunctions.toDoubleArray(c(es.head))),
-        litInt(es(1), "sign_lsh_buckets"), litInt(es(2), "sign_lsh_buckets"))))
+        litInt(es(1), "sign_lsh_buckets"), litInt(es(2), "sign_lsh_buckets"))),
+    ("char_entropy", 1,
+      es => graft.functions.expressions.CharEntropy(es.head)))
 
   /** Structural parameters (hash count, banding) must be literals — they
     * shape the expression tree itself, not per-row data.

@@ -536,8 +536,46 @@ object TextOps {
        |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
        |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
 
+  /** Per-document character-distribution Shannon entropy — the cheap
+    * repetitive/degenerate-content signal (low bits/char ⇒ filler, mash,
+    * or heavy repetition). Runs as ONE narrow map over the corpus via the
+    * native [[graft.functions.expressions.CharEntropy]] expression; the
+    * composed alternative explodes a row per character and shuffles twice
+    * (that composition IS the DuckDB oracle, and the spec pins the native
+    * node against a Spark-side explode recompute).
+    */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("t"))
+      .select(col("doc_id"), length(col("t")).as("n_chars"),
+        round(bc(graft.functions.expressions.CharEntropy(be(col("t")))), 4)
+          .as("entropy_bits"))
+      .withColumn("degenerate", col("entropy_bits") < 3.0)
+      .orderBy("doc_id")
+  }
+
+  val charEntropyOracle: String =
+    s"""WITH chars AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(${normTextOracle("text")}, '.')) AS ch
+       |  FROM documents),
+       |cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+       |tot AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_chars FROM cc GROUP BY doc_id),
+       |ent AS (
+       |  SELECT cc.doc_id,
+       |         round(sum(-(CAST(c AS DOUBLE) / n_chars)
+       |               * log2(CAST(c AS DOUBLE) / n_chars)), 4) AS entropy_bits
+       |  FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id)
+       |SELECT d.doc_id, coalesce(n_chars, 0) AS n_chars,
+       |       coalesce(entropy_bits, 0.0) AS entropy_bits,
+       |       coalesce(entropy_bits, 0.0) < 3.0 AS degenerate
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN tot USING (doc_id) LEFT JOIN ent USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_pair_stats" -> (bpePairStats _),
+    "char_entropy" -> (charEntropy _),
     "doc_pack" -> (docPack _),
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
@@ -552,6 +590,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "bpe_pair_stats" -> bpePairStatsOracle,
+    "char_entropy" -> charEntropyOracle,
     "doc_pack" -> docPackOracle,
     "lang_id" -> langIdOracle,
     "text_quality" -> textQualityOracle,

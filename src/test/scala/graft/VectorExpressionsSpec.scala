@@ -177,6 +177,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1), "null array must map to null, not zero buckets")
   }
 
+  test("CharEntropy: closed-form values, null semantics, explode-composition parity") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
+    def ent(c: org.apache.spark.sql.Column) =
+      bc(graft.functions.expressions.CharEntropy(be(c)))
+    // closed forms: uniform k distinct chars → log2 k; single char → 0;
+    // empty → 0; null → null
+    val r = Seq(("abcd", 1), ("aaaa", 2), ("", 3), (null: String, 4))
+      .toDF("s", "i").select(col("i"), ent(col("s")).as("h")).orderBy("i").collect()
+    assert(math.abs(r(0).getDouble(1) - 2.0) < 1e-12)
+    assert(r(1).getDouble(1) == 0.0)
+    assert(r(2).getDouble(1) == 0.0)
+    assert(r(3).isNullAt(1))
+    // parity with the explode + double-shuffle composition over real docs
+    // (the shape the native node exists to avoid — and the oracle's shape)
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"), DedupOps.normText(col("text")).as("t"))
+    val native = docs.select(col("doc_id"), ent(col("t")).as("h"))
+    val composed = docs
+      .select(col("doc_id"), explode(split(col("t"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("n"),
+        collect_list(col("c")).as("cs"))
+      .select(col("doc_id"), expr(
+        "aggregate(cs, 0.0D, (acc, c) -> acc - (c / n) * log2(c / n))").as("h"))
+    val joined = native.join(composed, "doc_id")
+      .select(native("h").as("hn"), composed("h").as("hc")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { row =>
+      assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-9, row)
+    }
+  }
+
   test("SQL registration: native expressions callable from spark.sql") {
     GraftExtensions.register(spark)
     val r = spark.sql(
@@ -186,13 +218,15 @@ class VectorExpressionsSpec extends AnyFunSuite {
         |       size(minhash_signature(array(CAST(5 AS BIGINT)), 48)) AS m,
         |       size(rolling_shingle_hash(
         |         array(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)), 2)) AS h,
-        |       size(sign_lsh_buckets(array(1.0, -2.0), 4, 20)) AS b""".stripMargin).head()
+        |       size(sign_lsh_buckets(array(1.0, -2.0), 4, 20)) AS b,
+        |       char_entropy('aabb') AS e""".stripMargin).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) == 5L) // single hash: sig bits == its set bits
     assert(r.getInt(2) == 2)
     assert(r.getInt(3) == 48)
     assert(r.getInt(4) == 2)  // 3 tokens, k=2 → 2 shingles
     assert(r.getInt(5) == 20) // one bucket per band
+    assert(r.getDouble(6) == 1.0) // two chars, uniform → exactly 1 bit
     // structural params must be literals
     val err = intercept[Exception] {
       spark.sql("SELECT sign_lsh_buckets(array(1.0), CAST(id AS INT), 2) " +
