@@ -145,13 +145,47 @@ object EventOps {
       |               count(*) AS n_events FROM events GROUP BY user_id))
       |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  /** Per-user 3σ outlier detection over event values — the telemetry
+    * anomaly sweep (fraud/abuse/sensor-fault triage): each user's value
+    * distribution is summarized (mean, population stddev) in ONE window
+    * pass partitioned by user_id, and events further than 3σ from their
+    * user's mean are emitted with their z-score. One shuffle on user_id;
+    * constant-σ users are excluded (z undefined). The z-score is rounded
+    * for cross-engine float parity; the 3σ cut itself is on raw doubles —
+    * Welford summation order can differ between engines only at ~1e-12,
+    * far inside the margin of any real outlier.
+    */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables(s, dir, "events")
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sigma", stddev_pop(col("value")).over(w))
+      .filter(col("sigma") > 0 &&
+        abs(col("value") - col("mu")) > lit(3) * col("sigma"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        round((col("value") - col("mu")) / col("sigma"), 3).as("z"))
+      .orderBy("event_id")
+  }
+
+  val eventsAnomalyOracle: String =
+    """SELECT event_id, user_id, event_type, round(value, 4) AS value,
+      |       round((value - mu) / sigma, 3) AS z
+      |FROM (SELECT *, avg(value) OVER (PARTITION BY user_id) AS mu,
+      |             stddev_pop(value) OVER (PARTITION BY user_id) AS sigma
+      |      FROM events)
+      |WHERE sigma > 0 AND abs(value - mu) > 3 * sigma
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly" -> (eventsAnomaly _),
     "events_tumbling" -> (eventsTumbling _),
     "events_sessionize" -> (eventsSessionize _),
     "events_json" -> (eventsJson _),
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "events_anomaly" -> eventsAnomalyOracle,
     "events_tumbling" -> eventsTumblingOracle,
     "events_sessionize" -> eventsSessionizeOracle,
     "events_json" -> eventsJsonOracle,

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral pins for the event analytics queries beyond the DuckDB
+  * oracle's value equality.
+  */
+class EventOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("events_anomaly matches an independent driver-side 3-sigma recompute") {
+    val events = graft.ops.Tables(spark, dir, "events")
+      .select("event_id", "user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = events.toSeq.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val n = es.length
+      val mu = es.map(_._3).sum / n
+      val sigma = math.sqrt(es.map(e => (e._3 - mu) * (e._3 - mu)).sum / n)
+      if (sigma > 0) es.filter(e => math.abs(e._3 - mu) > 3 * sigma).map(_._1)
+      else Seq.empty[Long]
+    }.toSet
+    val got = graft.ops.EventOps.eventsAnomaly(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet == expected)
+    assert(got.nonEmpty, "fixture produced no anomalies — test is vacuous")
+    // every emitted z is beyond the cut, sign included in the score
+    got.foreach { r => assert(math.abs(r.getDouble(4)) > 3.0, r) }
+  }
+}
