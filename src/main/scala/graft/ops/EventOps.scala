@@ -150,31 +150,35 @@ object EventOps {
     * distribution is summarized (mean, population stddev) in ONE window
     * pass partitioned by user_id, and events further than 3σ from their
     * user's mean are emitted with their z-score. One shuffle on user_id;
-    * constant-σ users are excluded (z undefined). The z-score is rounded
-    * for cross-engine float parity; the 3σ cut itself is on raw doubles —
-    * Welford summation order can differ between engines only at ~1e-12,
-    * far inside the margin of any real outlier.
+    * constant-σ users are excluded (z undefined). The membership cut is on
+    * the ROUNDED z (the emitted column), not raw doubles: mu/σ summation
+    * order differs between engines at ~1e-12, and a raw-double cut would
+    * let a boundary event be emitted by one engine and not the other — a
+    * row-SET mismatch nothing damps. Cutting on the value both engines
+    * round keeps membership and output consistent.
     */
   def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     Tables(s, dir, "events")
       .withColumn("mu", avg(col("value")).over(w))
       .withColumn("sigma", stddev_pop(col("value")).over(w))
-      .filter(col("sigma") > 0 &&
-        abs(col("value") - col("mu")) > lit(3) * col("sigma"))
+      .filter(col("sigma") > 0)
+      .withColumn("z",
+        round((col("value") - col("mu")) / col("sigma"), 3))
+      .filter(abs(col("z")) > 3.0)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        round(col("value"), 4).as("value"),
-        round((col("value") - col("mu")) / col("sigma"), 3).as("z"))
+        round(col("value"), 4).as("value"), col("z"))
       .orderBy("event_id")
   }
 
   val eventsAnomalyOracle: String =
-    """SELECT event_id, user_id, event_type, round(value, 4) AS value,
-      |       round((value - mu) / sigma, 3) AS z
-      |FROM (SELECT *, avg(value) OVER (PARTITION BY user_id) AS mu,
-      |             stddev_pop(value) OVER (PARTITION BY user_id) AS sigma
-      |      FROM events)
-      |WHERE sigma > 0 AND abs(value - mu) > 3 * sigma
+    """SELECT event_id, user_id, event_type, round(value, 4) AS value, z
+      |FROM (SELECT *, round((value - mu) / sigma, 3) AS z
+      |      FROM (SELECT *, avg(value) OVER (PARTITION BY user_id) AS mu,
+      |                   stddev_pop(value) OVER (PARTITION BY user_id) AS sigma
+      |            FROM events)
+      |      WHERE sigma > 0)
+      |WHERE abs(z) > 3.0
       |ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

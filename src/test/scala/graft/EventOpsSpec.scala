@@ -13,17 +13,23 @@ class EventOpsSpec extends AnyFunSuite {
     val events = graft.ops.Tables(spark, dir, "events")
       .select("event_id", "user_id", "value").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // same membership rule as the operator: the cut is on the HALF_UP
+    // 3-decimal-rounded z (engine-stable), not raw doubles
     val expected = events.toSeq.groupBy(_._2).toSeq.flatMap { case (_, es) =>
       val n = es.length
       val mu = es.map(_._3).sum / n
       val sigma = math.sqrt(es.map(e => (e._3 - mu) * (e._3 - mu)).sum / n)
-      if (sigma > 0) es.filter(e => math.abs(e._3 - mu) > 3 * sigma).map(_._1)
+      if (sigma > 0) es.filter { e =>
+        val z = BigDecimal((e._3 - mu) / sigma)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+        math.abs(z) > 3.0
+      }.map(_._1)
       else Seq.empty[Long]
     }.toSet
     val got = graft.ops.EventOps.eventsAnomaly(spark, dir).collect()
     assert(got.map(_.getLong(0)).toSet == expected)
     assert(got.nonEmpty, "fixture produced no anomalies — test is vacuous")
-    // every emitted z is beyond the cut, sign included in the score
+    // every emitted z clears the cut; rounding can land exactly on it
     got.foreach { r => assert(math.abs(r.getDouble(4)) > 3.0, r) }
   }
 }

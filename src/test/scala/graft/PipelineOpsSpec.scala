@@ -129,11 +129,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     // pass both
     val words = graft.ops.Tables(spark, dir, "documents")
       .select(explode(split(graft.ops.DedupOps.normText(col("text")), " "))
-        .as("w")).collect().map(_.getString(0)).filter(_.length >= 2)
+        .as("w")).collect().map(_.getString(0))
     val counts = scala.collection.mutable.Map.empty[String, Long]
     words.foreach { w =>
-      (0 until w.length - 1).foreach { i =>
-        val p = w.substring(i, i + 2)
+      // code-point pairing (not UTF-16 code units): Spark's substring and
+      // DuckDB's slicing both count code points, so surrogate pairs must
+      // not be split here either
+      val cps = w.codePoints().toArray
+      (0 until cps.length - 1).foreach { i =>
+        val p = new String(cps, i, 2)
         counts(p) = counts.getOrElse(p, 0L) + 1L
       }
     }
