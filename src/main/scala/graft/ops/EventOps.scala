@@ -181,7 +181,65 @@ object EventOps {
       |WHERE abs(z) > 3.0
       |ORDER BY event_id""".stripMargin
 
+  /** Range (interval) join, binned — each event type's "campaign window"
+    * is the 2 hours from its first event; the query counts ALL events (and
+    * distinct users) landing inside each window. A naive `ts BETWEEN start
+    * AND end` theta join plans as BroadcastNestedLoopJoin — every event
+    * row evaluated against every window, the join shape that dies first at
+    * scale. The standard fix, implemented here: quantize time into 1-hour
+    * bins, explode each window to the bins it overlaps (≤ 3 rows per
+    * window), equi-join on the bin, and re-check the exact range on the
+    * matches — a hash join Catalyst/AQE handle like any other, with
+    * per-bin fanout bounded by window length. An event's single bin lies
+    * in the window's bin set iff they can overlap, so no pair is matched
+    * twice and none is missed (RangeJoinSpec pins set-equality against
+    * the naive theta join).
+    *
+    * Engine parity: boundaries and event times are compared at whole-second
+    * truncation — events.parquet carries nanosecond timestamps, Spark
+    * truncates to micros on read (Tables), and a sub-microsecond window
+    * edge would otherwise admit a row in one engine and not the other.
+    */
+  def eventsRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    val camp = ev.groupBy(col("event_type").as("campaign"))
+      .agg(min(col("sec")).as("ws"))
+      .withColumn("we", col("ws") + 2L * 3600L)
+    val campBins = camp.select(col("campaign"), col("ws"), col("we"),
+      explode(sequence(floor(col("ws") / 3600),
+        floor((col("we") - 1) / 3600))).as("bin"))
+    ev.withColumn("bin", floor(col("sec") / 3600))
+      .join(broadcast(campBins), Seq("bin"))
+      .filter(col("sec") >= col("ws") && col("sec") < col("we"))
+      .groupBy(col("campaign"), col("ws"), col("we"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("campaign"),
+        date_format(to_timestamp(col("ws")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(to_timestamp(col("we")), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("n_events"), col("n_users"))
+      .orderBy("campaign")
+  }
+
+  val eventsRangeJoinOracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id, date_trunc('second', ts) AS tss
+      |  FROM events),
+      |camp AS (
+      |  SELECT event_type AS campaign, min(tss) AS ws,
+      |         min(tss) + INTERVAL 2 HOUR AS we
+      |  FROM ev GROUP BY 1)
+      |SELECT campaign,
+      |       strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       strftime(we, '%Y-%m-%d %H:%M:%S') AS window_end,
+      |       count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM camp JOIN ev ON ev.tss >= ws AND ev.tss < we
+      |GROUP BY campaign, ws, we ORDER BY campaign""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_range_join" -> (eventsRangeJoin _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_tumbling" -> (eventsTumbling _),
     "events_sessionize" -> (eventsSessionize _),
@@ -189,6 +247,7 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "events_range_join" -> eventsRangeJoinOracle,
     "events_anomaly" -> eventsAnomalyOracle,
     "events_tumbling" -> eventsTumblingOracle,
     "events_sessionize" -> eventsSessionizeOracle,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Behavioral pins for the event analytics queries beyond the DuckDB
@@ -31,5 +32,31 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture produced no anomalies — test is vacuous")
     // every emitted z clears the cut; rounding can land exactly on it
     got.foreach { r => assert(math.abs(r.getDouble(4)) > 3.0, r) }
+  }
+
+  test("events_range_join binned equi-join = naive theta join, and stays a hash join") {
+    val ev = graft.ops.Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    val camp = ev.groupBy(col("event_type").as("campaign"))
+      .agg(min(col("sec")).as("ws"))
+      .withColumn("we", col("ws") + 2L * 3600L)
+    val naive = ev.join(camp,
+        col("sec") >= col("ws") && col("sec") < col("we"))
+      .groupBy(col("campaign"), col("ws"), col("we"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("campaign"),
+        date_format(to_timestamp(col("ws")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(to_timestamp(col("we")), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("n_events"), col("n_users"))
+    // the naive theta join is the join shape the operator exists to avoid
+    assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    val binned = graft.ops.EventOps.eventsRangeJoin(spark, dir)
+    assert(!binned.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    val a = naive.collect().map(_.toSeq).toSet
+    val b = binned.collect().map(_.toSeq).toSet
+    assert(a == b, "binned range join must reproduce the theta join exactly")
+    assert(b.nonEmpty)
   }
 }
