@@ -184,13 +184,63 @@ object CurationOps {
        |        AS shard FROM ranked)
        |GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Cross-source content overlap — the provenance audit run before mixing
+    * sources (two "different" crawls sharing half their documents would
+    * silently double-weight that content): pairwise Jaccard between the
+    * sources' sets of 50-char content fingerprints.
+    *
+    * Scale shape: one distinct shuffle builds (source, fp) pairs, the pair
+    * join is keyed on the FINGERPRINT (rows meet only where content is
+    * actually shared — never a source×source cross join), and per-source
+    * set sizes attach as a broadcast-sized |sources| table. Only source
+    * pairs with ≥ 1 shared fingerprint are emitted.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val fps = Tables(s, dir, "documents")
+      .select(col("source"),
+        DedupOps.prefixFingerprint(col("text"), 50).as("fp"))
+      .distinct()
+    val sizes = fps.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = fps.as("a"); val b = fps.as("b")
+    a.join(b, col("a.fp") === col("b.fp") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 4)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapOracle: String =
+    s"""WITH fps AS (
+       |  SELECT DISTINCT source,
+       |         md5(substr(${DedupOps.normTextOracle("text")}, 1, 50)) AS fp
+       |  FROM documents),
+       |sizes AS (SELECT source, count(*) AS n FROM fps GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         count(*) AS n_shared
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_shared,
+       |       round(n_shared / (na.n + nb.n - n_shared), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON na.source = source_a
+       |JOIN sizes nb ON nb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_overlap" -> (sourceOverlap _),
     "corpus_curation" -> (corpusCuration _),
     "corpus_sample" -> (corpusSample _),
     "corpus_shuffle" -> (corpusShuffle _),
     "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
+    "source_overlap" -> sourceOverlapOracle,
     "corpus_curation" -> corpusCurationOracle,
     "corpus_sample" -> corpusSampleOracle,
     "corpus_shuffle" -> corpusShuffleOracle,

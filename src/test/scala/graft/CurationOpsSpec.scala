@@ -37,4 +37,30 @@ class CurationOpsSpec extends AnyFunSuite {
     val b = CurationOps.corpusSample(spark, dir).collect().map(_.getLong(0)).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("source_overlap matches an independent driver-side set recompute") {
+    import org.apache.spark.sql.functions._
+    val fps = Tables(spark, dir, "documents")
+      .select(col("source"),
+        graft.ops.DedupOps.prefixFingerprint(col("text"), 50).as("fp"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySource = fps.toSeq.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._2).toSet }
+    val sources = bySource.keys.toSeq.sorted
+    val expected = (for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+      sa = sources(i); sb = sources(j)
+      shared = (bySource(sa) & bySource(sb)).size if shared > 0
+    } yield {
+      val jac = shared.toDouble /
+        (bySource(sa).size + bySource(sb).size - shared)
+      (sa, sb, shared.toLong,
+        BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toSet
+    val got = CurationOps.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture has no cross-source overlap - vacuous")
+  }
 }
