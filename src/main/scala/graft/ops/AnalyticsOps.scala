@@ -397,7 +397,87 @@ object AnalyticsOps {
       |FROM documents, edges
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** TPC-H Q6-shaped forecast revenue: a pure filter-aggregate whose whole
+    * point at scale is PREDICATE PUSHDOWN — all three filters (shipdate
+    * range, discount band, quantity cap) reach the parquet scan as
+    * PushedFilters, so row groups outside the year are never read; one
+    * map-side partial aggregation, one 1-row exchange.
+    */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6Oracle: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Per-source top-5 TF-IDF terms — the "what characterizes each source"
+    * diagnostic. Ordering is on the ROUNDED score (both engines round
+    * before ranking) with a lexicographic tiebreak, so the cut is
+    * engine-deterministic.
+    *
+    * Scale shape: term frequencies are ONE keyed shuffle with map-side
+    * combine; document frequency is an aggregation over the (source, term)
+    * table (already orders of magnitude smaller); the source count attaches
+    * as a 1-row broadcast; ranking windows over per-source partitions.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(DedupOps.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 3)
+    val tf = words.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nSources = Tables(s, dir, "documents")
+      .agg(countDistinct(col("source")).as("n_sources"))
+    val scored = tf.join(df, "w").crossJoin(broadcast(nSources))
+      .withColumn("score", round(col("tf") *
+        log(col("n_sources").cast("double") / col("df")), 4))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("w"))))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("w").as("term"),
+        col("tf"), col("score"))
+      .orderBy("source", "rank")
+  }
+
+  val tfidfOracle: String =
+    s"""WITH words AS (
+       |  SELECT source, unnest(string_split(${DedupOps.normTextOracle("text")}, ' ')) AS w
+       |  FROM documents),
+       |w2 AS (SELECT source, w FROM words WHERE len(w) >= 3),
+       |tf AS (SELECT source, w, count(*) AS tf FROM w2 GROUP BY 1, 2),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+       |scored AS (
+       |  SELECT source, w, tf,
+       |         round(tf * ln(CAST(n_sources AS DOUBLE) / df), 4) AS score
+       |  FROM tf JOIN df USING (w), ns),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY source ORDER BY score DESC, w) AS INT) AS rank
+       |  FROM scored)
+       |SELECT source, rank, w AS term, tf, score
+       |FROM ranked WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "tfidf_top_terms" -> (tfidfTopTerms _),
     "char_histogram" -> (charHistogram _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "window_dedup_latest" -> (windowDedupLatest _),
@@ -414,6 +494,8 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" -> q6Oracle,
+    "tfidf_top_terms" -> tfidfOracle,
     "char_histogram" -> charHistogramOracle,
     "q5_local_supplier" -> q5Oracle,
     "window_dedup_latest" -> windowDedupOracle,

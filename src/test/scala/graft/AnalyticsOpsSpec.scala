@@ -25,4 +25,16 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         s"${r.getString(0)}: approx median $approxMed vs exact $exactMed")
     }
   }
+
+  test("q6: all three predicates reach the parquet scan; projection pruned") {
+    val plan = graft.ops.AnalyticsOps
+      .q6ForecastRevenue(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the scale argument for Q6 IS the pushdown — pin it
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    assert(plan.contains("LessThan(l_quantity,24.0)"))
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"))
+  }
 }
