@@ -194,13 +194,68 @@ object SimilarityOps {
        |       round(avg_vec_norm, 5) AS avg_vec_norm
        |FROM vn JOIN cn USING (label) ORDER BY label""".stripMargin
 
+  /** One Lloyd's iteration of k-means (k = 8, seeded on the first k
+    * vectors) — the distributed-ML pattern every embedding pipeline runs:
+    * centroids BROADCAST to every executor, each vector scored against all
+    * k in a narrow pass, assignment by argmin, then per-cluster occupancy
+    * and inertia in one keyed aggregation. No driver-side vectors, no
+    * shuffle of the embedding table — per iteration the only exchange is
+    * the k-row aggregate.
+    *
+    * Engine parity: distances are Σ(x−y)² (NOT the |a|²+|b|²−2ab identity,
+    * which cancels catastrophically for near-duplicate vectors and
+    * diverges from the oracle's accumulation), rounded to 6 before the
+    * argmin; ties break on centroid id via struct/tuple ordering in both
+    * engines.
+    */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("dist", round(expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, " +
+          "(acc, d) -> acc + d)"), 6))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"),
+        min(col("dist")).as("min_dist"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("min_dist")), 4).as("inertia"))
+      .orderBy("cluster")
+  }
+
+  val kmeansStepOracle: String =
+    """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |      WHERE vec_id < 8),
+      |d AS (
+      |  SELECT e.vec_id, c.cid,
+      |         round(sum((CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+      |                 * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))), 6)
+      |           AS dist
+      |  FROM e, c, LATERAL unnest(generate_series(1, len(v))) t(i)
+      |  GROUP BY e.vec_id, c.cid),
+      |a AS (
+      |  SELECT vec_id, cid AS cluster, dist AS min_dist,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+      |           AS rn
+      |  FROM d)
+      |SELECT cluster, count(*) AS n_members,
+      |       round(sum(min_dist), 4) AS inertia
+      |FROM a WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_step" -> (kmeansStep _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_sign_lsh" -> (annSignLsh _),
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "kmeans_step" -> kmeansStepOracle,
     "ann_cosine_topk" -> annCosineTopkOracle,
     "ann_ivf_topk" -> annIvfTopkOracle,
     "embedding_centroids" -> embeddingCentroidsOracle)

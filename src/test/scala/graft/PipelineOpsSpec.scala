@@ -182,6 +182,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("kmeans_step: partitions all vectors; seeds anchor their own clusters") {
+    val rows = graft.ops.SimilarityOps.kmeansStep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val total = graft.ops.Tables(spark, dir, "embeddings").count()
+    assert(rows.map(_._2).sum == total, "every vector in exactly one cluster")
+    // each seed vector is distance 0 from itself, so every seed cluster is
+    // non-empty and cluster ids are exactly the seed ids
+    assert(rows.map(_._1).sorted.toSeq == (0L until 8L))
+    rows.foreach { r => assert(r._3 >= 0.0, s"negative inertia: $r") }
+    // deterministic across constructions (argmin ties break on centroid id)
+    val again = graft.ops.SimilarityOps.kmeansStep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.sameElements(again))
+  }
+
   test("embedding_centroids: centroid norm never exceeds mean vector norm") {
     val rows = graft.ops.SimilarityOps.embeddingCentroids(spark, dir).collect()
     assert(rows.nonEmpty)
