@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args 3+ (dev-only): restrict the dump to the named queries — the
+    // driver always passes exactly (sfDir, outDir) and gets the full run
+    val Array(sfDir, outDir, rest @ _*) = args
+    val only = rest.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +21,9 @@ object Verify {
     // the incremental-dedup query reads a store seeded OUTSIDE the query
     // builder (construction is pure — VERDICT r2 #5)
     graft.ops.IncrementalDedup.seedQueryStore(spark, sfDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -475,7 +475,185 @@ object AnalyticsOps {
        |SELECT source, rank, w AS term, tf, score
        |FROM ranked WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
+  /** TPC-H Q10-shaped returned-item report: which customers returned the
+    * most revenue. Fact-to-fact join (lineitem ⋈ orders) shuffles on the
+    * order key; the customer dimension attaches AQE-decided (broadcast at
+    * test scale, shuffled-hash when customers outgrow memory at 100×);
+    * nation is a true broadcast. Revenue is rounded BEFORE the top-20 cut
+    * so ranking is engine-deterministic.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val returned = Tables(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val nat = Tables(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    returned.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Oracle: String =
+    """SELECT c_custkey, c_name, n_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q14-shaped promo-revenue ratio: conditional aggregation (the
+    * CASE-WHEN-inside-sum pattern) over a date-bounded quarter. The
+    * shipdate range pushes to the parquet scan; the part dimension attaches
+    * AQE-decided on l_partkey; output is one row — ratio arithmetic happens
+    * on the two full-precision sums, rounded only at emission.
+    */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val part = Tables(s, dir, "part").select(col("p_partkey"), col("p_type"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("promo_pct"),
+        round(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 2)
+          .as("promo_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q14Oracle: String =
+    """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |         THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+      |         sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+      |       round(sum(CASE WHEN p_type = 'PROMO'
+      |         THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q18-shaped large-volume orders: aggregate-then-filter (HAVING)
+    * on a fact table, then join the survivors back to their order/customer
+    * rows. The HAVING survivor set is orders of magnitude smaller than
+    * lineitem, so it broadcasts into the enrichment joins; sort keys are
+    * raw stored columns (no float arithmetic), so the top-100 cut is
+    * engine-deterministic without rounding tricks.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    val ord = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"))
+    val cust = Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Oracle: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |       o_totalprice, sum_qty
+      |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING round(sum(l_quantity), 2) > 250) big
+      |JOIN orders ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q19-shaped disjunctive-predicate revenue: an OR-of-ANDs over
+    * join-side columns (brand × quantity band × size band). Catalyst
+    * extracts the common `l_partkey = p_partkey` equi-condition so this
+    * still plans as a hash join (NOT a nested-loop), with the disjunction
+    * evaluated as a post-join filter; per-side conjuncts (quantity caps,
+    * size floor) are pushed below the join by constraint propagation.
+    */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val part = Tables(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val cases =
+      (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+        col("p_size").between(1, 5)) ||
+      (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+        col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
+        col("p_size").between(1, 15))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(cases)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19Oracle: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+      |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+      |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin
+
+  /** Relational PIVOT: order counts by year × priority, priorities as
+    * columns. Spark's `pivot` with an EXPLICIT value list compiles to a
+    * single aggregation with one conditional-count per pivot value (same
+    * plan as hand-written CASE WHENs — no second pass to discover values,
+    * which at 100 TB would be an extra distinct scan). Missing combinations
+    * surface as nulls → coalesced to 0 so both engines agree.
+    */
+  def pivotPriorityYear(s: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq(
+      "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val p = Tables(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+    val aliases = Seq("n_urgent", "n_high", "n_medium", "n_notspec", "n_low")
+    p.select(col("order_year") +:
+        priorities.zip(aliases).map { case (v, a) =>
+          coalesce(p(v), lit(0L)).as(a)
+        }: _*)
+      .orderBy("order_year")
+  }
+
+  val pivotPriorityYearOracle: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+      |       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+      |       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
+      |       sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_medium,
+      |       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_notspec,
+      |       sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low
+      |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "pivot_priority_year" -> (pivotPriorityYear _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "char_histogram" -> (charHistogram _),
@@ -494,6 +672,11 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "q10_returned_items" -> q10Oracle,
+    "q14_promo_revenue" -> q14Oracle,
+    "q18_large_orders" -> q18Oracle,
+    "q19_disjunctive" -> q19Oracle,
+    "pivot_priority_year" -> pivotPriorityYearOracle,
     "q6_forecast_revenue" -> q6Oracle,
     "tfidf_top_terms" -> tfidfOracle,
     "char_histogram" -> charHistogramOracle,

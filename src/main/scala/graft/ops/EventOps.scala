@@ -238,7 +238,86 @@ object EventOps {
       |FROM camp JOIN ev ON ev.tss >= ws AND ev.tss < we
       |GROUP BY campaign, ws, we ORDER BY campaign""".stripMargin
 
+  /** Ordered conversion funnel (view → click → purchase): each stage keeps
+    * users whose first qualifying event occurs AT/AFTER their previous
+    * stage's first event — the product-analytics query every event store
+    * runs. Every stage is a user-keyed aggregate followed by a user-keyed
+    * join, so the whole funnel co-partitions on user_id (one shuffle,
+    * reused); stage cardinalities only shrink. Timestamps compare at
+    * second granularity (ns-vs-µs parity, Tables scaladoc).
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id").filter(col("ts_s") >= col("view_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id").filter(col("ts_s") >= col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("purchase_ts"))
+    val mk = (stage: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"), col("n_users"))
+    mk("1_view", views)
+      .unionAll(mk("2_click", clicks))
+      .unionAll(mk("3_purchase", purchases))
+      .orderBy("stage")
+  }
+
+  val eventsFunnelOracle: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |                   date_trunc('second', ts) AS ts_s FROM events),
+      |v AS (SELECT user_id, min(ts_s) AS view_ts FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(ts_s) AS click_ts
+      |      FROM ev e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts_s >= view_ts GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(ts_s) AS purchase_ts
+      |      FROM ev e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts_s >= click_ts GROUP BY e.user_id)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |  UNION ALL SELECT '2_click', count(*) FROM c
+      |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+      |ORDER BY stage""".stripMargin
+
+  /** Event-type transition matrix (`lead` over each user's timeline): the
+    * Markov-chain view of user behavior. One shuffle on user_id for the
+    * lead window, then a keyed aggregation on the (from, to) pair — 25
+    * result rows regardless of corpus size; the per-from row percentage is
+    * a window over that tiny aggregate.
+    */
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(s, dir, "events")
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("pct", round(lit(100.0) * col("n") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 4))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventsTransitionsOracle: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |agg AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM pairs
+      |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |       round(100.0 * n / sum(n) OVER (PARTITION BY from_type), 4) AS pct
+      |FROM agg ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
+    "events_transitions" -> (eventsTransitions _),
     "events_range_join" -> (eventsRangeJoin _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_tumbling" -> (eventsTumbling _),
@@ -247,6 +326,8 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "events_funnel" -> eventsFunnelOracle,
+    "events_transitions" -> eventsTransitionsOracle,
     "events_range_join" -> eventsRangeJoinOracle,
     "events_anomaly" -> eventsAnomalyOracle,
     "events_tumbling" -> eventsTumblingOracle,

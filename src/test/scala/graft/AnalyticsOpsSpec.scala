@@ -26,6 +26,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q19: OR-of-ANDs still plans as a hash join, not a nested loop") {
+    val plan = graft.ops.AnalyticsOps
+      .q19Disjunctive(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // Catalyst must extract the common l_partkey = p_partkey equi-condition
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("HashJoin"), plan.take(2000))
+  }
+
+  test("q18: every surviving order exceeds the quantity threshold") {
+    val rows = graft.ops.AnalyticsOps
+      .q18LargeOrders(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(5) > 250, r.toString))
+    // ranked by o_totalprice descending
+    val prices = rows.map(_.getDouble(4)).toSeq
+    assert(prices == prices.sorted.reverse)
+  }
+
+  test("pivot: per-year priority counts sum to the year's order count") {
+    val dir = "/root/testdata/sf0.01"
+    val pivoted = graft.ops.AnalyticsOps.pivotPriorityYear(spark, dir)
+      .collect().map(r => r.getInt(0) -> (1 to 5).map(r.getLong).sum).toMap
+    val expected = graft.ops.Tables(spark, dir, "orders")
+      .groupBy(org.apache.spark.sql.functions.year(
+        org.apache.spark.sql.functions.col("o_orderdate")).as("y"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(pivoted == expected)
+  }
+
   test("q6: all three predicates reach the parquet scan; projection pruned") {
     val plan = graft.ops.AnalyticsOps
       .q6ForecastRevenue(spark, "/root/testdata/sf0.001")

@@ -10,6 +10,29 @@ class EventOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("events_funnel stage counts are monotone non-increasing") {
+    val rows = graft.ops.EventOps.eventsFunnel(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse, counts.toString)
+    assert(counts.head > 0, "no users entered the funnel — test is vacuous")
+  }
+
+  test("events_transitions percentages sum to 100 per from_type") {
+    val rows = graft.ops.EventOps.eventsTransitions(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val pctSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pctSum - 100.0) < 0.01, s"$from: $pctSum")
+    }
+    // transition pair count equals events minus one per active user
+    val nPairs = rows.map(_.getLong(2)).sum
+    val ev = graft.ops.Tables(spark, dir, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(nPairs == expected)
+  }
+
   test("events_anomaly matches an independent driver-side 3-sigma recompute") {
     val events = graft.ops.Tables(spark, dir, "events")
       .select("event_id", "user_id", "value").collect()
