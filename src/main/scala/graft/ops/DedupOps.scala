@@ -474,7 +474,71 @@ object DedupOps {
           min(xxhash64(col("tok"), lit(j)))): _*).as("sig"))
   }
 
+  /** SemDeDup-style semantic dedup: k-means-seeded cluster assignment (k
+    * deterministic seed centroids = the first k vectors, as in
+    * [[SimilarityOps.kmeansStep]]) partitions the corpus, then near-dup
+    * pairs are sought only WITHIN a cluster and each vector with a
+    * smaller-id cluster-mate at cosine ≥ 0.35 is dropped (greedy min-id
+    * keep, the simple SemDeDup variant). Cluster count grows with the
+    * corpus, so within-cluster pair work is (n/k)²·k — the clustering IS
+    * the candidate pruning, the same role `label` plays in
+    * [[dedupEmbeddingCosine]] but learned rather than given.
+    *
+    * Engine parity: assignment argmin on the 6-rounded squared distance
+    * with cid tie-break; the drop cut on the 4-rounded cosine (both the
+    * usual float-damping pins).
+    */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), normalize(toDoubleArray(col("embedding"))).as("v"))
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("dist", round(expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, " +
+          "(acc, d) -> acc + d)"), 6))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("v")), struct(col("dist"), col("cid")))
+        .as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster"), col("m.v").as("v"))
+    val a = assigned.as("a"); val b = assigned.as("b")
+    a.join(b, col("a.cluster") === col("b.cluster") &&
+        col("b.vec_id") < col("a.vec_id"))
+      .filter(round(dot(col("a.v"), col("b.v")), 4) >= 0.35)
+      .groupBy(col("a.vec_id").as("vec_id"), col("a.cluster").as("cluster"))
+      .agg(min(col("b.vec_id")).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  val semDedupOracle: String = {
+    val k = 32
+    s"""WITH e AS (
+       |  SELECT vec_id, ${normalizeOracle("embedding")} AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
+       |d AS (
+       |  SELECT e.vec_id, c.cid,
+       |         round(sum((v[i] - cv[i]) * (v[i] - cv[i])), 6) AS dist
+       |  FROM e, c, LATERAL unnest(generate_series(1, len(v))) t(i)
+       |  GROUP BY e.vec_id, c.cid),
+       |asg AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY dist, cid) AS rn
+       |    FROM d) WHERE rn = 1)
+       |SELECT a.vec_id, a.cluster, min(b.vec_id) AS dup_of
+       |FROM asg a JOIN asg b
+       |  ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+       |JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |WHERE round(${cosineOracle("ea.embedding", "eb.embedding")}, 4) >= 0.35
+       |GROUP BY a.vec_id, a.cluster
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "semdedup" -> (semDedup _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -484,6 +548,7 @@ object DedupOps {
     "dedup_minhash_shingle" -> (dedupMinhashShingle _))
 
   val oracles: Map[String, String] = Map(
+    "semdedup" -> semDedupOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineOracle)

@@ -573,7 +573,156 @@ object TextOps {
        |LEFT JOIN tot USING (doc_id) LEFT JOIN ent USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Inverted index over the corpus: term → document frequency + a capped,
+    * sorted posting list (lowest 20 doc_ids), restricted to terms appearing
+    * in ≥ 5% of documents. The scale discipline is the CAP-BEFORE-COLLECT:
+    * postings are ranked per term (one keyed window) and cut to 20 BEFORE
+    * `collect_list`, so no task ever materializes an unbounded posting
+    * array (a full index at 100 TB would write postings as partitioned
+    * rows, not arrays). df threshold is relative (5% of a 1-row broadcast
+    * count), so selectivity is scale-invariant.
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(normText(col("text")), " "))).as("term"))
+      .filter(length(col("term")) >= 3)
+    val docFreq = words.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val postings = words
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .groupBy(col("term"))
+      .agg(array_join(sort_array(collect_list(col("doc_id")))
+        .cast("array<string>"), ",").as("postings"))
+    docFreq.join(postings, "term")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= lit(0.05) * col("n_docs"))
+      .select(col("term"), col("df"), col("postings"))
+      .orderBy(col("df").desc, col("term"))
+  }
+
+  val invertedIndexOracle: String =
+    s"""WITH words AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id,
+       |           unnest(string_split(${normTextOracle("text")}, ' ')) AS term
+       |    FROM documents)
+       |  WHERE len(term) >= 3),
+       |df AS (SELECT term, count(*) AS df FROM words GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |ranked AS (
+       |  SELECT term, doc_id,
+       |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+       |  FROM words),
+       |post AS (
+       |  SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings
+       |  FROM ranked WHERE rn <= 20 GROUP BY term)
+       |SELECT term, df, postings
+       |FROM df JOIN post USING (term), n
+       |WHERE df >= 0.05 * n_docs
+       |ORDER BY df DESC, term""".stripMargin
+
+  /** Corpus-trained bigram language model scoring each document's own text
+    * (add-one smoothing): the statistical "how typical of this corpus"
+    * filter that catches boilerplate-free gibberish a rule filter misses.
+    * Emits the 20 most SURPRISING docs (lowest mean log-probability; the
+    * cut orders on the ROUNDED score for engine determinism).
+    *
+    * Scale shape: bigram extraction is one per-doc window (lead over token
+    * position); model counts are two keyed aggregations with map-side
+    * combine; scoring joins each bigram instance to its count — a linear
+    * shuffle on the bigram key, skew (stop-word pairs) handled by AQE; the
+    * vocabulary size attaches as a 1-row broadcast. Nothing is ever
+    * collected driver-side.
+    */
+  def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(normText(col("text")), " ")).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w"), col("w2"))
+    val bigramCounts = bigrams.groupBy(col("w"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uniCounts = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct(col("w")).as("v"))
+    bigrams
+      .join(bigramCounts, Seq("w", "w2"))
+      .join(uniCounts, Seq("w"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + lit(1.0)) / (col("c1") + col("v")))), 4)
+          .as("avg_logp"))
+      .orderBy(col("avg_logp"), col("doc_id"))
+      .limit(20)
+  }
+
+  val bigramLmScoreOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, t[i] AS w
+       |  FROM (SELECT doc_id, string_split(${normTextOracle("text")}, ' ') AS t
+       |        FROM documents),
+       |       LATERAL unnest(generate_series(1, len(t))) u(i)),
+       |bg AS (
+       |  SELECT doc_id, w,
+       |         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM toks),
+       |bg2 AS (SELECT doc_id, w, w2 FROM bg WHERE w2 IS NOT NULL),
+       |bc AS (SELECT w, w2, count(*) AS c12 FROM bg2 GROUP BY w, w2),
+       |uc AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+       |v AS (SELECT count(DISTINCT w) AS v FROM toks)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       round(avg(ln((c12 + 1.0) / (c1 + v))), 4) AS avg_logp
+       |FROM bg2 JOIN bc USING (w, w2) JOIN uc USING (w), v
+       |GROUP BY doc_id
+       |ORDER BY avg_logp, doc_id LIMIT 20""".stripMargin
+
+  /** Distribution-relative quality cut: percent_rank of a composite quality
+    * score WITHIN each language, bottom decile flagged — the
+    * "keep the best X% per language" policy (an absolute threshold would
+    * gut low-resource languages). One shuffle on lang; rank windows
+    * partition by lang so no global sort exists; ties are impossible
+    * because doc_id breaks them, making percent_rank engine-deterministic.
+    */
+  def qualityPercentileCut(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), normText(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        round(regexp_count(col("t"), lit("\\S+")).cast("double") *
+          (lit(1.0) - regexp_count(col("t"), lit("[^a-z0-9 ]")).cast("double") /
+            greatest(length(col("t")).cast("double"), lit(1.0))), 4)
+          .as("score"))
+    scored
+      .withColumn("pr", round(percent_rank().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("score"), col("doc_id"))), 6))
+      .withColumn("cut", col("pr") < 0.10)
+      .orderBy("doc_id")
+  }
+
+  val qualityPercentileCutOracle: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |         round(CAST(len(regexp_extract_all(t, '\\S+')) AS DOUBLE) *
+       |               (1.0 - CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) /
+       |                      greatest(CAST(length(t) AS DOUBLE), 1.0)), 4) AS score
+       |  FROM (SELECT doc_id, lang, ${normTextOracle("text")} AS t FROM documents))
+       |SELECT doc_id, lang, score,
+       |       round(percent_rank() OVER (PARTITION BY lang
+       |         ORDER BY score, doc_id), 6) AS pr,
+       |       round(percent_rank() OVER (PARTITION BY lang
+       |         ORDER BY score, doc_id), 6) < 0.10 AS cut
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "inverted_index" -> (invertedIndex _),
+    "bigram_lm_score" -> (bigramLmScore _),
+    "quality_percentile_cut" -> (qualityPercentileCut _),
     "bpe_pair_stats" -> (bpePairStats _),
     "char_entropy" -> (charEntropy _),
     "doc_pack" -> (docPack _),
@@ -589,6 +738,9 @@ object TextOps {
     "contamination_check" -> (contaminationCheck _))
 
   val oracles: Map[String, String] = Map(
+    "inverted_index" -> invertedIndexOracle,
+    "bigram_lm_score" -> bigramLmScoreOracle,
+    "quality_percentile_cut" -> qualityPercentileCutOracle,
     "bpe_pair_stats" -> bpePairStatsOracle,
     "char_entropy" -> charEntropyOracle,
     "doc_pack" -> docPackOracle,

@@ -12,6 +12,58 @@ class PipelineOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("inverted_index: df matches posting reach; postings sorted and capped") {
+    val rows = graft.ops.TextOps.invertedIndex(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      val postings = r.getString(2).split(",").map(_.toLong).toSeq
+      assert(postings.size == math.min(df, 20L), r.toString)
+      assert(postings == postings.sorted, "postings not sorted")
+      assert(postings.distinct.size == postings.size, "duplicate doc in postings")
+    }
+  }
+
+  test("bigram_lm_score: scores are negative log-probs, ascending, 20 rows") {
+    val rows = graft.ops.TextOps.bigramLmScore(spark, dir).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted, "not ordered by surprise")
+    // avg log P with add-one smoothing is strictly negative (P < 1)
+    scores.foreach(sc => assert(sc < 0, sc.toString))
+    rows.foreach(r => assert(r.getLong(1) > 0))
+  }
+
+  test("quality_percentile_cut: ~10% cut per lang, never more than 11%") {
+    val rows = graft.ops.TextOps.qualityPercentileCut(spark, dir).collect()
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rs) =>
+      val frac = rs.count(_.getBoolean(4)).toDouble / rs.length
+      // percent_rank < 0.10 keeps the fraction strictly under ~10% + one rank step
+      assert(frac <= 0.11, s"$lang: cut fraction $frac")
+    }
+    assert(rows.exists(_.getBoolean(4)), "no doc cut anywhere — vacuous")
+  }
+
+  test("semdedup: drops point at smaller-id cluster-mates that really clear the cosine bar") {
+    val dropped = graft.ops.DedupOps.semDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dropped.nonEmpty, "no semantic dups at sf0.001 — vacuous")
+    dropped.foreach { case (vec, _, dupOf) => assert(dupOf < vec) }
+    // recompute the claimed (vec, dup_of) cosines independently
+    val vecs = graft.ops.Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    dropped.foreach { case (vec, _, dupOf) =>
+      assert(cos(vecs(vec), vecs(dupOf)) >= 0.345, s"$vec vs $dupOf")
+    }
+  }
+
   test("pii_redact leaves no email or long digit run behind") {
     val rows = graft.ops.TextOps.piiRedact(spark, dir).collect()
     assert(rows.nonEmpty)
