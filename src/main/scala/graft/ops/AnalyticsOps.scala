@@ -648,7 +648,117 @@ object AnalyticsOps {
       |       sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low
       |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
 
+  /** MERGE/UPSERT relational core — the modern replacement for the
+    * reference's TRUNCATE + full reload (`CSVtoSQLimport.ps1:198-200`): a
+    * base table full-outer-joined with a changes feed on the key;
+    * matched → updated, unmatched-right → inserted, unmatched-left →
+    * unchanged. The changes feed here is derived deterministically (every
+    * 10th order re-priced +5%, every 100th re-keyed as a new row).
+    *
+    * Scale shape: ONE co-partitioned shuffle join on the merge key — with
+    * bucketed/partitioned storage (PartitionedSink) the exchange disappears
+    * entirely; a lakehouse MERGE INTO plans exactly this join. The summary
+    * is a 3-row map-side-combined aggregate over the merged result.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // changed prices stay full-precision: HALF_UP-vs-HALF_EVEN per-row
+    // rounding drift would accumulate over the summed result; only the
+    // final aggregate is rounded (the usual engine-parity discipline)
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("u_orderkey"),
+        (col("o_totalprice") * 1.05).as("u_totalprice"))
+    val inserts = base.filter(col("o_orderkey") % 100 === 0)
+      .select((col("o_orderkey") + lit(1000000000L)).as("u_orderkey"),
+        (col("o_totalprice") * 0.5).as("u_totalprice"))
+    val changes = updates.unionAll(inserts)
+    val merged = base.join(changes,
+        col("o_orderkey") === col("u_orderkey"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("u_orderkey")).as("key"),
+        coalesce(col("u_totalprice"), col("o_totalprice")).as("price"),
+        when(col("o_orderkey").isNull, "inserted")
+          .when(col("u_orderkey").isNull, "unchanged")
+          .otherwise("updated").as("action"))
+    merged.groupBy(col("action"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("price")), 2).as("sum_price"))
+      .orderBy("action")
+  }
+
+  val mergeUpsertOracle: String =
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey AS u_orderkey,
+      |         o_totalprice * 1.05 AS u_totalprice
+      |  FROM base WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000 AS u_orderkey,
+      |         o_totalprice * 0.5 AS u_totalprice
+      |  FROM base WHERE o_orderkey % 100 = 0),
+      |merged AS (
+      |  SELECT coalesce(o_orderkey, u_orderkey) AS key,
+      |         coalesce(u_totalprice, o_totalprice) AS price,
+      |         CASE WHEN o_orderkey IS NULL THEN 'inserted'
+      |              WHEN u_orderkey IS NULL THEN 'unchanged'
+      |              ELSE 'updated' END AS action
+      |  FROM base FULL OUTER JOIN changes ON o_orderkey = u_orderkey)
+      |SELECT action, count(*) AS n_rows, round(sum(price), 2) AS sum_price
+      |FROM merged GROUP BY action ORDER BY action""".stripMargin
+
+  /** One PageRank iteration over the part co-purchase graph (parts sharing
+    * an order are neighbors): rank¹ = 0.15/N + 0.85·Σ_in rank⁰/outdeg from
+    * the uniform start. Top-20 by rounded rank.
+    *
+    * Scale shape: the self-join fanout is bounded by ITEMS-PER-ORDER (~4ish
+    * per TPC-H order, independent of corpus size), so the edge list is
+    * linear in lineitem — NOT an all-pairs over parts; dedup, out-degrees,
+    * and the contribution sum are each one keyed shuffle. A full PageRank
+    * is this step iterated with the node-sized rank vector re-joined per
+    * round (the [[ClusterOps]] hook-compress-contract loop shows the
+    * iteration pattern at scale).
+    */
+  def pagerankStep(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val a = li.as("a"); val b = li.as("b")
+    val edges = a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val nParts = Tables(s, dir, "part")
+      .agg(count(lit(1)).cast("double").as("n"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val contrib = edges.join(outdeg, "src")
+      .crossJoin(broadcast(nParts))
+      .groupBy(col("dst").as("p_partkey"))
+      .agg(sum(lit(1.0) / col("n") / col("outdeg")).as("in_sum"),
+        first(col("n")).as("n"))
+    contrib
+      .select(col("p_partkey"),
+        round(lit(0.15) / col("n") + lit(0.85) * col("in_sum"), 8).as("rank"))
+      .orderBy(col("rank").desc, col("p_partkey"))
+      .limit(20)
+  }
+
+  val pagerankStepOracle: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |np AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM part),
+      |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      |contrib AS (
+      |  SELECT dst AS p_partkey, sum(1.0 / n / outdeg) AS in_sum, any_value(n) AS n
+      |  FROM edges JOIN outdeg USING (src), np
+      |  GROUP BY dst)
+      |SELECT p_partkey, round(0.15 / n + 0.85 * in_sum, 8) AS rank
+      |FROM contrib
+      |ORDER BY rank DESC, p_partkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert" -> (mergeUpsert _),
+    "pagerank_step" -> (pagerankStep _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -672,6 +782,8 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "merge_upsert" -> mergeUpsertOracle,
+    "pagerank_step" -> pagerankStepOracle,
     "q10_returned_items" -> q10Oracle,
     "q14_promo_revenue" -> q14Oracle,
     "q18_large_orders" -> q18Oracle,

@@ -232,7 +232,48 @@ object CurationOps {
        |JOIN sizes nb ON nb.source = source_b
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** Deterministic train/val/test split: each doc lands in a split by one
+    * hex nibble of md5(doc_id) — 13/16 train, 2/16 val, 1/16 test —
+    * content-stable (re-runs and re-partitions can't move a doc between
+    * splits, the property row_number-based splits lack), engine-portable
+    * (md5 is bit-identical everywhere, unlike xxhash), and embarrassingly
+    * parallel (a narrow map; the summary is one keyed shuffle). Emits per
+    * (source, split) counts + token mass so leakage-sensitive audits can
+    * check the split is balanced per source.
+    */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame = {
+    val nibble = instr(lit("0123456789abcdef"),
+      substring(md5(col("doc_id").cast("string").cast("binary")), 32, 1)) - 1
+    TextOps.tokenCount(s, dir)
+      .select(col("doc_id"), col("source"), col("ws_tokens"))
+      .withColumn("split",
+        when(nibble < 13, "train").when(nibble < 15, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("n_tokens"))
+      .orderBy("source", "split")
+  }
+
+  val corpusSplitOracle: String = {
+    val tok = s"""SELECT doc_id, source,
+                 |       len(regexp_extract_all(${DedupOps.normTextOracle("text")}, '\\S+')) AS ws_tokens
+                 |FROM documents""".stripMargin
+    s"""WITH tok AS ($tok),
+       |sp AS (
+       |  SELECT source, ws_tokens,
+       |         CASE WHEN nib < 13 THEN 'train'
+       |              WHEN nib < 15 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT source, ws_tokens,
+       |               strpos('0123456789abcdef',
+       |                      substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS nib
+       |        FROM tok))
+       |SELECT source, split, count(*) AS n_docs,
+       |       CAST(sum(ws_tokens) AS BIGINT) AS n_tokens
+       |FROM sp GROUP BY source, split ORDER BY source, split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_split" -> (corpusSplit _),
     "source_overlap" -> (sourceOverlap _),
     "corpus_curation" -> (corpusCuration _),
     "corpus_sample" -> (corpusSample _),
@@ -240,6 +281,7 @@ object CurationOps {
     "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_split" -> corpusSplitOracle,
     "source_overlap" -> sourceOverlapOracle,
     "corpus_curation" -> corpusCurationOracle,
     "corpus_sample" -> corpusSampleOracle,

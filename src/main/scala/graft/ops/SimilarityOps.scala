@@ -247,7 +247,52 @@ object SimilarityOps {
       |       round(sum(min_dist), 4) AS inertia
       |FROM a WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** One power-iteration step toward the corpus's top principal component:
+    * w¹ ∝ Σᵢ vᵢ·(vᵢ·w⁰) from the deterministic uniform seed w⁰ = 1/√d —
+    * the distributed-linear-algebra kernel under PCA/spectral embedding
+    * whitening. Emits the unit-normalized 64 components.
+    *
+    * Scale shape: NO d×d covariance matrix is ever materialized (at larger
+    * d that object is the scale killer) — one narrow pass computes each
+    * vector's scalar projection s=v·w, a posexplode + keyed sum reduces
+    * Σ vᵢsᵢ to d rows, and the normalization constant is a 1-row broadcast.
+    * Vectors shuffle only as (pos, x·s) partials with map-side combine.
+    */
+  def powerIteration(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val d = 64
+    val seed = 1.0 / math.sqrt(d.toDouble)
+    val projected = emb.withColumn("s",
+      aggregate(col("v"), lit(0.0), (acc, x) => acc + x * lit(seed)))
+    val byDim = projected
+      .select(col("s"), posexplode(col("v")))
+      .groupBy(col("pos"))
+      .agg(sum(col("col") * col("s")).as("w_raw"))
+    val nrm = byDim.agg(sqrt(sum(col("w_raw") * col("w_raw"))).as("nrm"))
+    byDim.crossJoin(broadcast(nrm))
+      .select(col("pos"), round(col("w_raw") / col("nrm"), 6).as("w1"))
+      .orderBy("pos")
+  }
+
+  val powerIterationOracle: String = {
+    val seed = "(1.0 / sqrt(64.0))"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * $seed)) AS s
+       |  FROM e),
+       |bydim AS (
+       |  SELECT i - 1 AS pos, sum(v[i] * s) AS w_raw
+       |  FROM proj, LATERAL unnest(generate_series(1, len(v))) t(i)
+       |  GROUP BY i),
+       |nrm AS (SELECT sqrt(sum(w_raw * w_raw)) AS nrm FROM bydim)
+       |SELECT CAST(pos AS INT) AS pos, round(w_raw / nrm, 6) AS w1
+       |FROM bydim, nrm ORDER BY pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "power_iteration" -> (powerIteration _),
     "kmeans_step" -> (kmeansStep _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
@@ -255,6 +300,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "power_iteration" -> powerIterationOracle,
     "kmeans_step" -> kmeansStepOracle,
     "ann_cosine_topk" -> annCosineTopkOracle,
     "ann_ivf_topk" -> annIvfTopkOracle,

@@ -26,6 +26,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("merge_upsert: action counts reconcile with the change-feed derivation") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = graft.ops.AnalyticsOps.mergeUpsert(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = graft.ops.Tables(spark, dir, "orders")
+    val total = orders.count()
+    val updated = orders.filter(
+      org.apache.spark.sql.functions.col("o_orderkey") % 10 === 0).count()
+    val inserted = orders.filter(
+      org.apache.spark.sql.functions.col("o_orderkey") % 100 === 0).count()
+    assert(rows("updated") == updated)
+    assert(rows("inserted") == inserted)
+    assert(rows("unchanged") == total - updated)
+    assert(rows.values.sum == total + inserted)
+  }
+
+  test("pagerank_step: ranks positive, descending, and bounded by damping") {
+    val rows = graft.ops.AnalyticsOps
+      .pagerankStep(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 20)
+    val ranks = rows.map(_.getDouble(1)).toSeq
+    assert(ranks == ranks.sorted.reverse)
+    // Σ over ALL nodes of rank¹ ≤ 0.15 + 0.85 = 1, so any single node < 1
+    ranks.foreach(r => assert(r > 0 && r < 1.0, r.toString))
+  }
+
   test("q19: OR-of-ANDs still plans as a hash join, not a nested loop") {
     val plan = graft.ops.AnalyticsOps
       .q19Disjunctive(spark, "/root/testdata/sf0.001")

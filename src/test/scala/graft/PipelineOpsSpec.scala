@@ -12,6 +12,26 @@ class PipelineOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("power_iteration: emits a unit vector of the full dimension") {
+    val rows = graft.ops.SimilarityOps.powerIteration(spark, dir).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 64))
+    val sumSq = rows.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(sumSq - 1.0) < 1e-4, s"norm² = $sumSq")
+  }
+
+  test("corpus_split partitions every doc once with ~13/2/1 proportions") {
+    val rows = graft.ops.CurationOps.corpusSplit(spark, dir).collect()
+    val bySplit = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val total = bySplit.values.sum
+    assert(total == graft.ops.Tables(spark, dir, "documents").count())
+    val trainFrac = bySplit("train").toDouble / total
+    // binomial(500, 13/16): ±5σ ≈ ±0.09
+    assert(math.abs(trainFrac - 13.0 / 16) < 0.09, s"train frac $trainFrac")
+  }
+
   test("inverted_index: df matches posting reach; postings sorted and capped") {
     val rows = graft.ops.TextOps.invertedIndex(spark, dir).collect()
     assert(rows.nonEmpty)
