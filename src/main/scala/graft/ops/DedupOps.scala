@@ -537,7 +537,54 @@ object DedupOps {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** Edit-distance near-dup within prefix blocks: docs sharing the same
+    * 50-char normalized prefix (the [[prefixFingerprint]] family key) are
+    * compared by Levenshtein distance over their 200-char normalized
+    * prefixes; pairs at distance ≤ 20 (but not byte-identical texts —
+    * those are [[dedupExact]]'s) are near-dup edges. Catches the
+    * "same opening, small mid-document edits" duplicates token-set methods
+    * under-weigh.
+    *
+    * Scale shape: the block key makes candidate generation a linear
+    * shuffle; within-block pairs are bounded by duplicate-family size (not
+    * corpus size), and the O(m·n) Levenshtein cost is capped by the
+    * 200-char truncation — the standard blocked-pairwise discipline, same
+    * as [[dedupEmbeddingCosine]]'s label blocks.
+    */
+  def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        prefixFingerprint(col("text"), 50).as("block"),
+        substring(normText(col("text")), 1, 200).as("prefix"),
+        fingerprint(col("text")).as("fp"))
+    val a = docs.as("a"); val b = docs.as("b")
+    a.join(b, col("a.block") === col("b.block") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.fp") =!= col("b.fp"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.prefix"), col("b.prefix")).as("edit_dist"))
+      .filter(col("edit_dist") <= 20)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupEditDistanceOracle: String = {
+    def norm(c: String) = normTextOracle(c)
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         md5(substr(${norm("text")}, 1, 50)) AS block,
+       |         substr(${norm("text")}, 1, 200) AS prefix,
+       |         md5(${norm("text")}) AS fp
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+       |FROM d a JOIN d b
+       |  ON a.block = b.block AND a.doc_id < b.doc_id AND a.fp <> b.fp
+       |WHERE levenshtein(a.prefix, b.prefix) <= 20
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_editdistance" -> (dedupEditDistance _),
     "semdedup" -> (semDedup _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -548,6 +595,7 @@ object DedupOps {
     "dedup_minhash_shingle" -> (dedupMinhashShingle _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_editdistance" -> dedupEditDistanceOracle,
     "semdedup" -> semDedupOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,

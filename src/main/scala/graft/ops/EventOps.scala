@@ -315,7 +315,38 @@ object EventOps {
       |       round(100.0 * n / sum(n) OVER (PARTITION BY from_type), 4) AS pct
       |FROM agg ORDER BY from_type, to_type""".stripMargin
 
+  /** NTILE quartile banding of event values WITHIN each event type — the
+    * "which quartile is this reading in" enrichment. The window partitions
+    * by event_type (never a global sort); ordering ties are broken by
+    * event_id so ntile assignment is engine-deterministic; the summary is
+    * a 20-row keyed aggregate.
+    */
+  def eventsValueQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables(s, dir, "events")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("event_type"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 4).as("min_v"),
+        round(max(col("value")), 4).as("max_v"),
+        round(avg(col("value")), 4).as("avg_v"))
+      .orderBy("event_type", "quartile")
+  }
+
+  val eventsValueQuartilesOracle: String =
+    """SELECT event_type, quartile, count(*) AS n,
+      |       round(min(value), 4) AS min_v,
+      |       round(max(value), 4) AS max_v,
+      |       round(avg(value), 4) AS avg_v
+      |FROM (SELECT event_type, value,
+      |             CAST(ntile(4) OVER (PARTITION BY event_type
+      |               ORDER BY value, event_id) AS INT) AS quartile
+      |      FROM events)
+      |GROUP BY event_type, quartile ORDER BY event_type, quartile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_value_quartiles" -> (eventsValueQuartiles _),
     "events_funnel" -> (eventsFunnel _),
     "events_transitions" -> (eventsTransitions _),
     "events_range_join" -> (eventsRangeJoin _),
@@ -326,6 +357,7 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "events_value_quartiles" -> eventsValueQuartilesOracle,
     "events_funnel" -> eventsFunnelOracle,
     "events_transitions" -> eventsTransitionsOracle,
     "events_range_join" -> eventsRangeJoinOracle,

@@ -291,7 +291,56 @@ object SimilarityOps {
        |FROM bydim, nrm ORDER BY pos""".stripMargin
   }
 
+  /** Per-vector int8 (256-level) min/max quantization audit: quantize,
+    * dequantize, and report the reconstruction error — the compression
+    * check run before shipping embeddings to an ANN index at 4 bytes→1
+    * byte. A pure narrow map (quantization is per-row); the summary is a
+    * 1-row aggregate. Engine parity: the quantizer uses floor(z + 0.5)
+    * (exact in doubles) rather than `round` — Spark rounds doubles
+    * HALF_UP, DuckDB HALF_EVEN, and a .5-boundary disagreement would
+    * shift a level and change the error.
+    */
+  def embeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+    // deq(x) = mn + floor((x-mn)*255/(mx-mn) + 0.5) * (mx-mn)/255
+    val err = aggregate(
+      transform(col("v"), x =>
+        abs(x - (col("mn") + floor((x - col("mn")) * 255.0 / (col("mx") - col("mn")) + 0.5)
+          * (col("mx") - col("mn")) / 255.0))),
+      lit(0.0), (acc, e) => acc + e) / size(col("v"))
+    // err must bind to the RAW mn/mx, so it is materialized BEFORE the
+    // output select: in a select list that also aliases rounded columns
+    // as `mn`/`mx`, lateral-column-alias resolution would rebind err's
+    // col("mn")/col("mx") to the rounded outputs and shift the
+    // quantization grid (observed: 5.19e-4 → 5.25e-4 on vec 0)
+    emb
+      .withColumn("raw_err",
+        when(col("mx") === col("mn"), 0.0).otherwise(err))
+      .select(col("vec_id"),
+        round(col("mn"), 4).as("mn"),
+        round(col("mx"), 4).as("mx"),
+        round(col("raw_err"), 6).as("mean_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  val embeddingQuantizeOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |mm AS (
+      |  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
+      |SELECT vec_id, round(mn, 4) AS mn, round(mx, 4) AS mx,
+      |       round(CASE WHEN mx = mn THEN 0.0 ELSE
+      |         list_sum(list_transform(v, x ->
+      |           abs(x - (mn + floor((x - mn) * 255.0 / (mx - mn) + 0.5)
+      |                    * (mx - mn) / 255.0)))) / len(v)
+      |       END, 6) AS mean_abs_err
+      |FROM mm ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_quantize" -> (embeddingQuantize _),
     "power_iteration" -> (powerIteration _),
     "kmeans_step" -> (kmeansStep _),
     "ann_cosine_topk" -> (annCosineTopk _),
@@ -300,6 +349,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "embedding_quantize" -> embeddingQuantizeOracle,
     "power_iteration" -> powerIterationOracle,
     "kmeans_step" -> kmeansStepOracle,
     "ann_cosine_topk" -> annCosineTopkOracle,

@@ -12,6 +12,53 @@ class PipelineOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("events_value_quartiles: quartiles balanced within one row per type") {
+    val rows = graft.ops.EventOps.eventsValueQuartiles(spark, dir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4), et)
+      val ns = rs.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$et: unbalanced ntile $ns")
+      // quartile value ranges must not overlap (ntile follows the ordering)
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo.getDouble(4) <= hi.getDouble(3) + 1e-9, s"$et overlap")
+      }
+    }
+  }
+
+  test("dedup_editdistance: emitted distances match a driver-side recompute") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val norm = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        substring(graft.ops.DedupOps.normText(col("text")), 1, 200).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.ops.DedupOps.dedupEditDistance(spark, dir).collect()
+    assert(pairs.nonEmpty, "no edit-distance near-dups at sf0.001 — vacuous")
+    pairs.foreach { r =>
+      val (a, b, d) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(a < b)
+      assert(d <= 20)
+      assert(lev(norm(a), norm(b)) == d, s"($a,$b)")
+    }
+  }
+
+  test("embedding_quantize: error bounded by half a quantization level") {
+    val rows = graft.ops.SimilarityOps.embeddingQuantize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx, err) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val halfLevel = (mx - mn) / 255.0 / 2.0
+      assert(err <= halfLevel * 1.01 + 1e-6, s"vec ${r.getLong(0)}: $err > $halfLevel")
+    }
+  }
+
   test("power_iteration: emits a unit vector of the full dimension") {
     val rows = graft.ops.SimilarityOps.powerIteration(spark, dir).collect()
     assert(rows.length == 64)
