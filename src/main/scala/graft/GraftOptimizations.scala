@@ -35,9 +35,67 @@ object IntersectSizeRewrite extends Rule[LogicalPlan] {
     }
 }
 
+/** Prefixes `levenshtein(a, b) <= k` predicates (in Filter and Join
+  * conditions) with the free triangle-inequality guard
+  * `abs(length(a) - length(b)) <= k`: edit distance is bounded below by
+  * the length difference, so the guard rejects length-mismatched pairs
+  * for the cost of two lengths instead of an O(|a|·|b|) DP table — the
+  * classic cheap-filter-before-expensive-predicate rewrite a blocked
+  * edit-distance dedup ([[graft.ops.DedupOps.dedupEditDistance]]) wants.
+  *
+  * Value-preserving including nulls: the guard is null exactly when the
+  * distance is null (same operands), so `And(guard, cmp)` agrees with
+  * `cmp` in every context. Idempotence: a comparison whose surrounding
+  * condition already contains a semantically-equal guard is left alone
+  * (the rule may run to fixed point). Only `threshold`-less Levenshtein
+  * against an integer literal is rewritten — the 3-arg form already
+  * early-exits internally.
+  */
+object LevenshteinPrefilter extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Abs, And, Expression,
+    GreaterThanOrEqual, Length, LessThan, LessThanOrEqual, Levenshtein,
+    Literal, Subtract}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+  import org.apache.spark.sql.types.IntegerType
+
+  private def guardFor(cmp: Expression): Option[Expression] = cmp match {
+    case LessThanOrEqual(Levenshtein(l, r, None), k: Literal)
+        if k.dataType == IntegerType =>
+      Some(LessThanOrEqual(Abs(Subtract(Length(l), Length(r)), failOnError = false), k))
+    case LessThan(Levenshtein(l, r, None), k: Literal)
+        if k.dataType == IntegerType =>
+      Some(LessThan(Abs(Subtract(Length(l), Length(r)), failOnError = false), k))
+    case GreaterThanOrEqual(k: Literal, Levenshtein(l, r, None))
+        if k.dataType == IntegerType =>
+      Some(GreaterThanOrEqual(k, Abs(Subtract(Length(l), Length(r)), failOnError = false)))
+    case _ => None
+  }
+
+  private def rewrite(cond: Expression): Expression = {
+    val existing = cond.collect { case e => e }
+    cond.transformUp {
+      case cmp if guardFor(cmp).isDefined =>
+        val g = guardFor(cmp).get
+        if (existing.exists(_.semanticEquals(g))) cmp else And(g, cmp)
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) =>
+      val newCond = rewrite(cond)
+      if (newCond fastEquals cond) f else f.copy(condition = newCond)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      val newCond = rewrite(cond)
+      if (newCond fastEquals cond) j else j.copy(condition = Some(newCond))
+  }
+}
+
 object GraftOptimizations {
+  val rules: Seq[Rule[LogicalPlan]] = Seq(IntersectSizeRewrite, LevenshteinPrefilter)
   def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(IntersectSizeRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ IntersectSizeRewrite
+    rules.foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
 }

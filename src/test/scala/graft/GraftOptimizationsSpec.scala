@@ -38,6 +38,41 @@ class GraftOptimizationsSpec extends AnyFunSuite {
     assert(viaRule.sorted.toSeq == direct.sorted.toSeq)
   }
 
+  test("levenshtein <= k gains a length-difference guard; results identical; idempotent") {
+    GraftOptimizations.install(spark)
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"), substring(normText(col("text")), 1, 80).as("p"))
+    val a = docs.as("a"); val b = docs.as("b")
+    val joined = a.join(b, col("a.doc_id") % 29 === col("b.doc_id") % 29 &&
+      col("a.doc_id") < col("b.doc_id"))
+    val df = joined
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        levenshtein(col("a.p"), col("b.p")).as("d"))
+      .filter(col("d") <= 15)
+    val optimized = df.queryExecution.optimizedPlan
+    val s = optimized.toString
+    assert(s.contains("abs(") && s.contains("length("),
+      s"guard did not fire:\n$s")
+    // idempotent: re-running the rule adds nothing
+    assert(LevenshteinPrefilter(optimized) fastEquals optimized)
+    // results identical to an un-guarded recompute via RDD-free collect
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val pairs = joined.select(col("a.doc_id"), col("b.doc_id"),
+      col("a.p"), col("b.p")).collect()
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val expected = pairs.map(r => (r.getLong(0), r.getLong(1),
+        lev(r.getString(2), r.getString(3))))
+      .filter(_._3 <= 15).sorted.toSeq
+    assert(got == expected)
+  }
+
   test("legacy sizeOfNull plans are left untouched (rule-level guard)") {
     // this Spark version's analyzer emits Size(_, false) regardless of the
     // legacy conf on the DataFrame path, so pin the guard on the rule itself
