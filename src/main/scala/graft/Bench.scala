@@ -36,6 +36,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // run with the engine's own optimizer rules active, as a user would
+    GraftOptimizations.install(spark)
     // WindowExec warns `No Partition Defined` on the (deliberate) 10-row
     // top-k rank window; at WARN it pollutes the driver-scraped stdout tail
     org.apache.logging.log4j.core.config.Configurator.setLevel(
