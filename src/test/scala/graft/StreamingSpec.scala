@@ -59,6 +59,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.map(_.getString(0)).toSeq == Seq("2"))
   }
 
+  test("transformWithState user stats match the batch aggregate (RocksDB store)") {
+    val updates = graft.streaming.StreamingUserStats
+      .runOnce(spark, dir, "tws_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(updates.nonEmpty)
+    // last (= max n_events) update per user is the final cumulative total
+    val finalPerUser = updates.groupBy(_._1)
+      .map { case (u, rs) => u -> rs.maxBy(_._2) }
+    val batch = graft.ops.Tables(spark, dir, "events")
+      .groupBy(org.apache.spark.sql.functions.col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("value")).as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(finalPerUser.keySet == batch.keySet)
+    finalPerUser.foreach { case (u, (_, n, t)) =>
+      val (bn, bt) = batch(u)
+      assert(n == bn, s"user $u count")
+      assert(math.abs(t - bt) < 1e-6, s"user $u total")
+    }
+  }
+
   test("flatMapGroupsWithState sessionization matches batch sessions (closed ones)") {
     val streamed = graft.streaming.StreamingSessionize
       .runOnce(spark, dir, "sess_test").collect()
