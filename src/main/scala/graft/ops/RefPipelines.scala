@@ -49,6 +49,11 @@ object RefPipelines {
     li.select(
         col("l_orderkey"), col("l_linenumber"),
         excelSerialToSql(serialStr).as("sql_datetime"))
+      // shuffle boundary before the oracle-determinism sort: the pipeline
+      // is otherwise exchange-free, so the range-partitioner's sampling
+      // pass would re-run the scan + conversion over all of lineitem just
+      // to pick sort bounds (measured 2.5s → 1.5s warm at sf0.1)
+      .repartition(col("l_orderkey"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
