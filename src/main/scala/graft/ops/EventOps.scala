@@ -345,7 +345,39 @@ object EventOps {
       |      FROM events)
       |GROUP BY event_type, quartile ORDER BY event_type, quartile""".stripMargin
 
+  /** Forward-fill imputation (`last ... IGNORE NULLS` frame window): a
+    * deterministic mask nulls out every 7th event's value, and each gap is
+    * filled with the user's most recent observed value — the telemetry
+    * repair every downstream aggregate needs. One user-keyed window
+    * shuffle; the fill never crosses user partitions.
+    */
+  def eventsGapFill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("masked",
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      .withColumn("filled", last(col("masked"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"),
+        round(col("masked"), 4).as("masked"),
+        round(col("filled"), 4).as("filled"))
+      .orderBy("event_id")
+  }
+
+  val eventsGapFillOracle: String =
+    """SELECT event_id, user_id, round(masked, 4) AS masked,
+      |       round(last_value(masked IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+      |FROM (SELECT event_id, user_id, ts,
+      |             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS masked
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gap_fill" -> (eventsGapFill _),
     "events_value_quartiles" -> (eventsValueQuartiles _),
     "events_funnel" -> (eventsFunnel _),
     "events_transitions" -> (eventsTransitions _),
@@ -357,6 +389,7 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "events_gap_fill" -> eventsGapFillOracle,
     "events_value_quartiles" -> eventsValueQuartilesOracle,
     "events_funnel" -> eventsFunnelOracle,
     "events_transitions" -> eventsTransitionsOracle,

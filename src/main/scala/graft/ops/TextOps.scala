@@ -719,7 +719,33 @@ object TextOps {
        |         ORDER BY score, doc_id), 6) < 0.10 AS cut
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** Language-ID confusion matrix: predicted vs ground-truth label counts
+    * with per-truth recall — the accuracy audit that belongs next to any
+    * heuristic classifier ([[langId]]). A 25-cell aggregate over the
+    * narrow langId map; the per-truth total is a window over that tiny
+    * aggregate, never over the corpus.
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cells = langId(s, dir)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("recall", round(col("n") /
+        sum(col("n")).over(Window.partitionBy(col("lang"))), 4))
+      .orderBy("lang", "lang_pred")
+  }
+
+  val langConfusionOracle: String =
+    s"""WITH cells AS (
+       |  SELECT lang, lang_pred, count(*) AS n
+       |  FROM (${langIdOracle.replace("ORDER BY doc_id", "")})
+       |  GROUP BY lang, lang_pred)
+       |SELECT lang, lang_pred, n,
+       |       round(n / sum(n) OVER (PARTITION BY lang), 4) AS recall
+       |FROM cells ORDER BY lang, lang_pred""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lang_confusion" -> (langConfusion _),
     "inverted_index" -> (invertedIndex _),
     "bigram_lm_score" -> (bigramLmScore _),
     "quality_percentile_cut" -> (qualityPercentileCut _),
@@ -738,6 +764,7 @@ object TextOps {
     "contamination_check" -> (contaminationCheck _))
 
   val oracles: Map[String, String] = Map(
+    "lang_confusion" -> langConfusionOracle,
     "inverted_index" -> invertedIndexOracle,
     "bigram_lm_score" -> bigramLmScoreOracle,
     "quality_percentile_cut" -> qualityPercentileCutOracle,

@@ -10,6 +10,31 @@ class EventOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("events_gap_fill: fills from the user's latest prior observation only") {
+    val ev = graft.ops.Tables(spark, dir, "events")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val order = ev.sortBy(e => (e._2, e._3, e._1))  // per-user timeline
+    val rows = graft.ops.EventOps.eventsGapFill(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // masked exactly at event_id % 7 == 0; non-masked rows fill to themselves
+    rows.foreach { case (id, (_, masked, filled)) =>
+      if (id % 7 == 0) assert(masked.isEmpty, id.toString)
+      else { assert(masked.nonEmpty); assert(filled == masked) }
+    }
+    // masked rows take the nearest prior non-masked value in their user's timeline
+    order.groupBy(_._2).foreach { case (_, es) =>
+      var lastSeen: Option[Double] = None
+      es.sortBy(e => (e._3, e._1)).foreach { case (id, _, _) =>
+        val (_, masked, filled) = rows(id)
+        if (masked.nonEmpty) lastSeen = masked
+        else assert(filled == lastSeen, s"event $id")
+      }
+    }
+  }
+
   test("events_funnel stage counts are monotone non-increasing") {
     val rows = graft.ops.EventOps.eventsFunnel(spark, dir).collect()
     assert(rows.map(_.getString(0)).toSeq ==

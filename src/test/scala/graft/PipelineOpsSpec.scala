@@ -12,6 +12,16 @@ class PipelineOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("lang_confusion: recall sums to 1 per truth label; counts cover the corpus") {
+    val rows = graft.ops.TextOps.langConfusion(spark, dir).collect()
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.ops.Tables(spark, dir, "documents").count())
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 0.01, s"$lang recall sum $s")
+    }
+  }
+
   test("events_value_quartiles: quartiles balanced within one row per type") {
     val rows = graft.ops.EventOps.eventsValueQuartiles(spark, dir).collect()
     rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
