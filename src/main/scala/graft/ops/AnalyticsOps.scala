@@ -274,6 +274,27 @@ object AnalyticsOps {
     s.sql(sqlQ3Text)
   }
 
+  /** Explicit GROUPING SETS + `grouping()` markers on the portable-SQL
+    * surface (same literal text on Spark and DuckDB, like [[sqlQ3]]) —
+    * per-lang totals, per-source totals, and the grand total in ONE pass
+    * (Spark plans a single Expand + aggregation; `GROUPING()` tells an
+    * 'ALL' coalesced from a real NULL group apart from a rollup row).
+    */
+  val groupingSetsText: String =
+    """SELECT coalesce(lang, 'ALL') AS lang,
+      |       coalesce(source, 'ALL') AS source,
+      |       CAST(grouping(lang) AS INT) AS g_lang,
+      |       CAST(grouping(source) AS INT) AS g_source,
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang), (source), ())
+      |ORDER BY g_lang, g_source, lang, source""".stripMargin
+
+  def docGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(groupingSetsText)
+  }
+
   /** Sketch aggregates — the approximate forms that replace exact
     * distinct/quantiles at 100 TB (single pass, bounded memory, mergeable
     * partial states). Rows-only: HLL/KLL sketch values are
@@ -757,6 +778,7 @@ object AnalyticsOps {
       |ORDER BY rank DESC, p_partkey LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_grouping_sets" -> (docGroupingSets _),
     "merge_upsert" -> (mergeUpsert _),
     "pagerank_step" -> (pagerankStep _),
     "q10_returned_items" -> (q10ReturnedItems _),
@@ -782,6 +804,7 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "doc_grouping_sets" -> groupingSetsText,
     "merge_upsert" -> mergeUpsertOracle,
     "pagerank_step" -> pagerankStepOracle,
     "q10_returned_items" -> q10Oracle,
