@@ -777,7 +777,37 @@ object AnalyticsOps {
       |FROM contrib
       |ORDER BY rank DESC, p_partkey LIMIT 20""".stripMargin
 
+  /** KMV distinct sketch per event_type via the typed
+    * [[graft.functions.KmvSmallest]] Aggregator — deterministic (md5, no
+    * seeds), so unlike HLL the DuckDB oracle reproduces the EXACT sketch
+    * content. The k smallest distinct hashes ride partial aggregation as
+    * an O(k) mergeable buffer; `KmvSketchSpec`-style accuracy of the
+    * derived estimator is pinned in AnalyticsOpsSpec.
+    */
+  def kmvUserSketch(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables(s, dir, "events")
+      .select(col("event_type"),
+        md5(col("user_id").cast("string").cast("binary")).as("h"))
+    hashed.groupBy(col("event_type"))
+      .agg(countDistinct(col("h")).as("exact_users"),
+        graft.functions.KmvSketch.kmvSmallest(col("h"), 8).as("kmv"))
+      .orderBy("event_type")
+  }
+
+  val kmvUserSketchOracle: String =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |                  md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+      |ex AS (SELECT event_type, count(*) AS exact_users FROM h GROUP BY event_type),
+      |r AS (SELECT event_type, h,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |      FROM h),
+      |kmv AS (SELECT event_type, string_agg(h, ',' ORDER BY h) AS kmv
+      |        FROM r WHERE rn <= 8 GROUP BY event_type)
+      |SELECT event_type, exact_users, kmv
+      |FROM ex JOIN kmv USING (event_type) ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmv_user_sketch" -> (kmvUserSketch _),
     "doc_grouping_sets" -> (docGroupingSets _),
     "merge_upsert" -> (mergeUpsert _),
     "pagerank_step" -> (pagerankStep _),
@@ -804,6 +834,7 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "kmv_user_sketch" -> kmvUserSketchOracle,
     "doc_grouping_sets" -> groupingSetsText,
     "merge_upsert" -> mergeUpsertOracle,
     "pagerank_step" -> pagerankStepOracle,

@@ -26,6 +26,33 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV aggregator: order-independent, bounded, duplicate-idempotent; estimator sane") {
+    val agg = new graft.functions.KmvSmallest(4)
+    val vals = Seq("c", "a", "f", "a", "b", "e", "d", "b")
+    // sequential reduce in two different orders + a split merge agree
+    val r1 = vals.foldLeft(agg.zero)(agg.reduce)
+    val r2 = vals.reverse.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = vals.splitAt(3)
+    val r3 = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(r1 == Vector("a", "b", "c", "d"))
+    assert(r2 == r1 && r3 == r1)
+    assert(agg.finish(r1) == "a,b,c,d")
+    // estimator: within KMV error bounds of the exact distinct count
+    val rows = graft.ops.AnalyticsOps
+      .kmvUserSketch(spark, "/root/testdata/sf0.01")
+      .withColumn("est", graft.functions.KmvSketch.kmvEstimate(
+        org.apache.spark.sql.functions.col("kmv"), 8))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val exact = row.getLong(1).toDouble
+      val est = row.getDouble(3)
+      assert(est > 0.3 * exact && est < 3.0 * exact,
+        s"${row.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
   test("merge_upsert: action counts reconcile with the change-feed derivation") {
     val dir = "/root/testdata/sf0.01"
     val rows = graft.ops.AnalyticsOps.mergeUpsert(spark, dir).collect()
