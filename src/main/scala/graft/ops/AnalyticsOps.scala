@@ -806,7 +806,118 @@ object AnalyticsOps {
       |SELECT event_type, exact_users, kmv
       |FROM ex JOIN kmv USING (event_type) ORDER BY event_type""".stripMargin
 
+  /** Weekly cohort retention: users grouped by the week of their first
+    * signup, tracked by distinct-active weeks after it — the
+    * product-analytics retention matrix. Every stage is user- or
+    * (cohort, offset)-keyed; cohort sizes attach as a small broadcast-able
+    * aggregate. Week arithmetic stays integral (epoch seconds / 604800)
+    * so both engines bucket identically.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("week", col("ts")).as("wk"))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohorts.groupBy(col("cohort_wk"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    val active = ev.select(col("user_id"), col("wk")).distinct()
+    active.join(cohorts, "user_id")
+      .filter(col("wk") >= col("cohort_wk"))
+      .withColumn("week_offset",
+        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort_wk")))
+          / 604800L).cast("long"))
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort_wk")
+      .select(
+        date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("cohort_size"), col("n_active"),
+        round(col("n_active") / col("cohort_size"), 4).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, date_trunc('week', ts) AS wk FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(wk) AS cohort_wk FROM ev
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort_wk, count(DISTINCT user_id) AS cohort_size
+      |  FROM cohorts GROUP BY cohort_wk),
+      |active AS (SELECT DISTINCT user_id, wk FROM ev),
+      |cells AS (
+      |  SELECT cohort_wk,
+      |         CAST((floor(epoch(wk)) - floor(epoch(cohort_wk))) // 604800
+      |           AS BIGINT) AS week_offset,
+      |         count(DISTINCT user_id) AS n_active
+      |  FROM active JOIN cohorts USING (user_id)
+      |  WHERE wk >= cohort_wk
+      |  GROUP BY 1, 2)
+      |SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week, week_offset,
+      |       cohort_size, n_active,
+      |       round(n_active / cohort_size, 4) AS retention
+      |FROM cells JOIN sizes USING (cohort_wk)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Market-basket brand affinity: lift between brand pairs co-occurring
+    * in an order — the association-rule shape (support / lift). The pair
+    * fanout is bounded by brands-per-order (≈ items-per-order), so the
+    * basket self-join is linear in lineitem like [[pagerankStep]]'s edge
+    * build; supports and the basket count are keyed aggregates; lift
+    * ranks on the ROUNDED value with a lexicographic tiebreak.
+    */
+  def brandAffinity(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand")).distinct()
+    val nOrders = Tables(s, dir, "orders")
+      .agg(count(lit(1)).cast("double").as("n"))
+    val brandCount = baskets.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_brand"))
+    val a = baskets.as("a"); val b = baskets.as("b")
+    val pairs = a.join(b, col("a.okey") === col("b.okey") &&
+        col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(brandCount.select(col("p_brand").as("brand_a"),
+        col("n_brand").as("n_a")), "brand_a")
+      .join(brandCount.select(col("p_brand").as("brand_b"),
+        col("n_brand").as("n_b")), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .filter(col("n_both") >= 20)
+      .select(col("brand_a"), col("brand_b"), col("n_both"),
+        round(col("n_both") * col("n") / (col("n_a") * col("n_b")), 4)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
+  val brandAffinityOracle: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey AS okey, p_brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders),
+      |bc AS (SELECT p_brand, count(*) AS n_brand FROM baskets GROUP BY p_brand),
+      |pairs AS (
+      |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_both
+      |  FROM baskets a JOIN baskets b
+      |    ON a.okey = b.okey AND a.p_brand < b.p_brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, n_both,
+      |       round(n_both * n / (ca.n_brand * cb.n_brand), 4) AS lift
+      |FROM pairs
+      |JOIN bc ca ON ca.p_brand = brand_a
+      |JOIN bc cb ON cb.p_brand = brand_b, n
+      |WHERE n_both >= 20
+      |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cohort_retention" -> (cohortRetention _),
+    "brand_affinity" -> (brandAffinity _),
     "kmv_user_sketch" -> (kmvUserSketch _),
     "doc_grouping_sets" -> (docGroupingSets _),
     "merge_upsert" -> (mergeUpsert _),
@@ -834,6 +945,8 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "cohort_retention" -> cohortRetentionOracle,
+    "brand_affinity" -> brandAffinityOracle,
     "kmv_user_sketch" -> kmvUserSketchOracle,
     "doc_grouping_sets" -> groupingSetsText,
     "merge_upsert" -> mergeUpsertOracle,

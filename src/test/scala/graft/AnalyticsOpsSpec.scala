@@ -26,6 +26,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort_retention: full retention in the signup week, never above 1") {
+    val rows = graft.ops.AnalyticsOps
+      .cohortRetention(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), r.toString) // n_active <= cohort_size
+      assert(r.getDouble(4) <= 1.0)
+      // signing up counts as activity, so offset 0 retains everyone
+      if (r.getLong(1) == 0L) assert(r.getDouble(4) == 1.0, r.toString)
+    }
+  }
+
+  test("brand_affinity: ranked by lift with the support floor enforced") {
+    val rows = graft.ops.AnalyticsOps
+      .brandAffinity(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 20)
+    val lifts = rows.map(_.getDouble(3)).toSeq
+    assert(lifts == lifts.sorted.reverse)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 20)     // support floor
+      assert(r.getString(0) < r.getString(1)) // canonical pair order
+      assert(r.getDouble(3) > 0)
+    }
+  }
+
   test("KMV aggregator: order-independent, bounded, duplicate-idempotent; estimator sane") {
     val agg = new graft.functions.KmvSmallest(4)
     val vals = Seq("c", "a", "f", "a", "b", "e", "d", "b")
