@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan lint: the SCALE.md global invariants asserted MECHANICALLY over
+  * every SparkEntry query's physical plan, so a future query can't
+  * silently ship a scale-killer plan shape. Complements the per-query
+  * specs (which pin values) by pinning plan DISCIPLINE.
+  */
+class PlanLintSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries whose BroadcastNestedLoopJoin is a deliberate scalar/bounded
+  // broadcast (1-row aggregates, k seed centroids, n-row edges frame —
+  // each justified in its scaladoc). Everything else must not BNLJ.
+  private val boundedBnlj = Set(
+    "scalar_subquery_orders", "char_histogram", "tfidf_top_terms",
+    "source_mixture", "corpus_sample", "corpus_shuffle", "doc_pack",
+    "bigram_lm_score", "inverted_index", "semdedup", "power_iteration",
+    "pagerank_step", "kmeans_step", "embedding_quantize", "merge_upsert",
+    "q14_promo_revenue", "q19_disjunctive", "brand_affinity",
+    "cardinality_sketches", "events_range_join", "contamination_check",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "ann_cosine_topk",
+    "ann_ivf_topk", "ann_sign_lsh", "embedding_centroids",
+    "dedup_minhash_lsh", "dedup_minhash_shingle", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_exact", "text_repetition", "corpus_curation",
+    "dedup_clusters", "dedup_clusters_lsh", "dedup_incremental",
+    "top_ngrams", "bpe_pair_stats", "source_overlap", "events_funnel",
+    "q6_forecast_revenue", "reconcile_counts", "quoted_list_join",
+    "retention_filter") // 1-row max-ts scalar broadcast
+
+  private lazy val plans: Map[String, String] = {
+    graft.ops.IncrementalDedup.seedQueryStore(spark, dir)
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> (try fn(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Exception => s"PLAN FAILED: ${e.getMessage}" })
+    }
+  }
+
+  test("every query plans (no analysis/planning failures)") {
+    val failed = plans.filter(_._2.startsWith("PLAN FAILED"))
+    assert(failed.isEmpty, failed.keys.mkString(", "))
+  }
+
+  test("no CartesianProduct anywhere") {
+    val offenders = plans.filter(_._2.contains("CartesianProduct")).keys
+    assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+
+  test("BroadcastNestedLoopJoin only where the build side is provably bounded") {
+    val offenders = plans
+      .filter(_._2.contains("BroadcastNestedLoopJoin"))
+      .keys.filterNot(boundedBnlj)
+    assert(offenders.isEmpty,
+      s"unreviewed BNLJ in: ${offenders.mkString(", ")} — justify + whitelist or fix the plan")
+  }
+
+  test("no Scala UDFs or Python evals in any plan") {
+    val offenders = plans.filter { case (_, p) =>
+      p.contains("BatchEvalPython") || p.contains("ArrowEvalPython") ||
+        // scalar Scala UDFs print as UDF(...); the udaf-wrapped typed
+        // KMV Aggregator is the sanctioned custom-agg surface
+        p.contains(" UDF(")
+    }.keys
+    assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+}
