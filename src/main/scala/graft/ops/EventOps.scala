@@ -376,7 +376,36 @@ object EventOps {
       |      FROM events)
       |ORDER BY event_id""".stripMargin
 
+  /** Sliding (hopping) windows — 2-hour windows every hour, so each event
+    * lands in exactly two: Spark's `window()` plans one Expand (2 rows per
+    * event) + a keyed aggregation, the same shape the streaming engine
+    * uses. The oracle reproduces the expansion with a 2-bucket
+    * generate_series. Sparse hours differ from [[eventsTumbling]]: a
+    * window appears iff ANY event falls in it.
+    */
+  def eventsSliding(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  val eventsSlidingOracle: String =
+    """SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+      |       event_type, count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value
+      |FROM (
+      |  SELECT event_type, value,
+      |         date_trunc('hour', ts) - to_hours(off) AS win_start
+      |  FROM events, LATERAL unnest(generate_series(0, 1)) u(off))
+      |GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sliding" -> (eventsSliding _),
     "events_gap_fill" -> (eventsGapFill _),
     "events_value_quartiles" -> (eventsValueQuartiles _),
     "events_funnel" -> (eventsFunnel _),
@@ -389,6 +418,7 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "events_sliding" -> eventsSlidingOracle,
     "events_gap_fill" -> eventsGapFillOracle,
     "events_value_quartiles" -> eventsValueQuartilesOracle,
     "events_funnel" -> eventsFunnelOracle,

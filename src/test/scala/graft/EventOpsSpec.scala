@@ -10,6 +10,13 @@ class EventOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("events_sliding: every event counted twice; totals reconcile with tumbling") {
+    val sliding = graft.ops.EventOps.eventsSliding(spark, dir).collect()
+    val slidingN = sliding.map(_.getLong(2)).sum
+    val total = graft.ops.Tables(spark, dir, "events").count()
+    assert(slidingN == 2 * total, s"$slidingN != 2*$total")
+  }
+
   test("events_gap_fill: fills from the user's latest prior observation only") {
     val ev = graft.ops.Tables(spark, dir, "events")
       .select("event_id", "user_id", "ts").collect()
