@@ -23,6 +23,23 @@ class SanitizeProps extends AnyFunSuite {
     Gen.alphaNumChar.map(_.toString), Gen.oneOf("'", ";", "--", "-", " "),
     Gen.oneOf(SqlSyntaxWords))).map(_.mkString)
 
+  test("KMV buffer equals sorted-distinct-take-k under any reduce/merge split") {
+    val agg = new graft.functions.KmvSmallest(5)
+    val gen = for {
+      xs <- Gen.listOf(Gen.oneOf(Gen.alphaLowerStr.map(_.take(6)),
+        Gen.numStr.map(_.take(4))))
+      cut <- Gen.choose(0, xs.length)
+    } yield (xs, cut)
+    holds(Prop.forAll(gen) { case (xs: List[String], cut: Int) =>
+      val expected = xs.distinct.sorted.take(5).toVector
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      val direct = xs.foldLeft(agg.zero)(agg.reduce)
+      merged == expected && direct == expected
+    })
+  }
+
   test("sanitize output never contains forbidden characters") {
     holds(Prop.forAll(Gen.listOfN(10, weird)) { xs: List[String] =>
       sanitizeBatch(xs).forall(out =>
