@@ -53,8 +53,8 @@ object IntersectSizeRewrite extends Rule[LogicalPlan] {
   */
 object LevenshteinPrefilter extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Abs, And, Expression,
-    GreaterThanOrEqual, Length, LessThan, LessThanOrEqual, Levenshtein,
-    Literal, Subtract}
+    GreaterThan, GreaterThanOrEqual, Length, LessThan, LessThanOrEqual,
+    Levenshtein, Literal, Subtract}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
   import org.apache.spark.sql.types.IntegerType
 
@@ -68,15 +68,24 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
     case GreaterThanOrEqual(k: Literal, Levenshtein(l, r, None))
         if k.dataType == IntegerType =>
       Some(GreaterThanOrEqual(k, Abs(Subtract(Length(l), Length(r)), failOnError = false)))
+    case GreaterThan(k: Literal, Levenshtein(l, r, None))
+        if k.dataType == IntegerType =>
+      Some(GreaterThan(k, Abs(Subtract(Length(l), Length(r)), failOnError = false)))
     case _ => None
   }
 
   private def rewrite(cond: Expression): Expression = {
-    val existing = cond.collect { case e => e }
+    // idempotence check is PER COMPARISON — only an `And(guard, cmp)` pair
+    // for this exact cmp marks it wrapped. (Scanning the whole condition
+    // for any semantically-equal guard would let a guard in an unrelated
+    // disjunct suppress the rewrite exactly where it helps.)
+    val wrapped = cond.collect {
+      case And(g, c) if guardFor(c).exists(_.semanticEquals(g)) => c
+    }
     cond.transformUp {
       case cmp if guardFor(cmp).isDefined =>
-        val g = guardFor(cmp).get
-        if (existing.exists(_.semanticEquals(g))) cmp else And(g, cmp)
+        if (wrapped.exists(_.semanticEquals(cmp))) cmp
+        else And(guardFor(cmp).get, cmp)
     }
   }
 

@@ -9,6 +9,10 @@ object Verify {
     // driver always passes exactly (sfDir, outDir) and gets the full run
     val Array(sfDir, outDir, rest @ _*) = args
     val only = rest.toSet
+    // a typo'd name would otherwise dump nothing and exit 0 — looking
+    // exactly like a successful verification of the misspelled query
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -690,8 +690,12 @@ object AnalyticsOps {
     val updates = base.filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey").as("u_orderkey"),
         (col("o_totalprice") * 1.05).as("u_totalprice"))
+    // new-row keys map to the strictly-negative space (-key - 1; orderkeys
+    // are >= 0 at every SF), so the synthetic keys cannot collide with real
+    // keys at any scale — an additive offset would collide once
+    // max(o_orderkey) crossed it
     val inserts = base.filter(col("o_orderkey") % 100 === 0)
-      .select((col("o_orderkey") + lit(1000000000L)).as("u_orderkey"),
+      .select((-col("o_orderkey") - 1).as("u_orderkey"),
         (col("o_totalprice") * 0.5).as("u_totalprice"))
     val changes = updates.unionAll(inserts)
     val merged = base.join(changes,
@@ -715,7 +719,7 @@ object AnalyticsOps {
       |         o_totalprice * 1.05 AS u_totalprice
       |  FROM base WHERE o_orderkey % 10 = 0
       |  UNION ALL
-      |  SELECT o_orderkey + 1000000000 AS u_orderkey,
+      |  SELECT -o_orderkey - 1 AS u_orderkey,
       |         o_totalprice * 0.5 AS u_totalprice
       |  FROM base WHERE o_orderkey % 100 = 0),
       |merged AS (

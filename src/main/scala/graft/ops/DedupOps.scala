@@ -572,6 +572,11 @@ object DedupOps {
         col("a.doc_id") < col("b.doc_id") &&
         col("a.fp") =!= col("b.fp") &&
         dist.between(0, 20))
+      // dist appears in the condition AND here — Catalyst shares no
+      // subexpressions across a join and its parent project, so surviving
+      // pairs pay the banded DP twice. Deliberate: survivors are the tiny
+      // verified set, and the alternative (post-join filter) gets pushed
+      // back into the join with its conjuncts ahead of the cheap prunes
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         dist.as("edit_dist"))
       // a (tiny) hash-shuffle boundary before the sort: the broadcast-join

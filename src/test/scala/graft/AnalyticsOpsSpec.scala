@@ -70,7 +70,11 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("kmv"), 8))
       .collect()
     assert(rows.nonEmpty)
-    rows.foreach { row =>
+    // kmvEstimate is null for groups under k distinct values (documented);
+    // require at least one estimable group so the test can't pass vacuously
+    val estimable = rows.filterNot(_.isNullAt(3))
+    assert(estimable.nonEmpty, "no group reached k distinct users")
+    estimable.foreach { row =>
       val exact = row.getLong(1).toDouble
       val est = row.getDouble(3)
       assert(est > 0.3 * exact && est < 3.0 * exact,

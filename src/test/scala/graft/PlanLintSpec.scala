@@ -31,6 +31,9 @@ class PlanLintSpec extends AnyFunSuite {
     "retention_filter") // 1-row max-ts scalar broadcast
 
   private lazy val plans: Map[String, String] = {
+    // lint the SAME optimizer configuration Verify/Bench run (and make the
+    // lint order-independent under GraftOptimizationsSpec's install)
+    GraftOptimizations.install(spark)
     graft.ops.IncrementalDedup.seedQueryStore(spark, dir)
     SparkEntry.queries.map { case (name, fn) =>
       name -> (try fn(spark, dir).queryExecution.executedPlan.toString
