@@ -59,6 +59,30 @@ class PlanLintSpec extends AnyFunSuite {
       s"unreviewed BNLJ in: ${offenders.mkString(", ")} — justify + whitelist or fix the plan")
   }
 
+  test("flagship queries keep their designed shuffle-exchange budget") {
+    // the scaladoc claims ("one shuffle on its natural key") pinned as
+    // numbers, so a refactor can't silently add an exchange. Counts are
+    // upper bounds at sf0.001 plan time (AQE may remove, never add).
+    val budget = Map(
+      "q1_pricing_summary" -> 1,  // one keyed agg exchange
+      "dedup_exact" -> 1,         // fingerprint groupBy
+      "token_stats" -> 1,         // per-source agg
+      "events_tumbling" -> 1,     // hour-bucket agg
+      "q6_forecast_revenue" -> 1, // 1-row final agg exchange
+      "lang_id" -> 0,             // narrow map + sort only
+      "sanitize_text" -> 0,
+      "doc_fingerprint" -> 1,     // fp_prefix cluster-size window
+      "multimodal_meta" -> 0)
+    val offenders = budget.flatMap { case (name, maxEx) =>
+      // count data exchanges, excluding the final sort's range exchange
+      // (oracle-determinism overhead, not part of the operator's work)
+      val n = "Exchange (?!rangepartitioning)".r
+        .findAllIn(plans(name)).size
+      if (n > maxEx) Some(s"$name: $n exchanges (budget $maxEx)") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("no Scala UDFs or Python evals in any plan") {
     val offenders = plans.filter { case (_, p) =>
       p.contains("BatchEvalPython") || p.contains("ArrowEvalPython") ||
