@@ -81,7 +81,11 @@ object Bench {
     val medians = results.map { case (k, reps) =>
       k -> (if (reps.exists(_ < 0)) -1.0 else median(reps))
     }
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal per-query values: at 90+ queries full double precision blew
+    // the final line past the driver's ~2.1 KB stdout tail window and the
+    // gate recorded parsed:null (VERDICT r4 #1); ms resolution is plenty
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // failed queries poison the total too (−1 each would HELP the total;
     // a clearly-broken negative total can't pass a regression bar quietly)
@@ -90,7 +94,13 @@ object Bench {
     // driver-facing line keeps the EXACT agreed schema; the per-rep spread
     // (noise forensics) goes to a side file only
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the full line above still grows with the query count; this one never
+    // does (~90 bytes). Printed LAST so any tail window, however small,
+    // captures a complete parseable record; the full per-query map is in the
+    // preceding line AND in SPARK_GRAFT_BENCH_OUT.
+    val compact =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}"""
     val detail = results.map { case (k, reps) =>
       "\"" + k + "\":[" + reps.mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -117,5 +127,6 @@ object Bench {
     spark.stop()
     System.out.flush(); System.err.flush()
     println(json)
+    println(compact)
   }
 }

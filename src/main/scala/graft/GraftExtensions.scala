@@ -56,6 +56,10 @@ object GraftExtensions {
       es => graft.functions.expressions.DotProduct(
         expression(VectorFunctions.toDoubleArray(c(es.head))),
         expression(VectorFunctions.toDoubleArray(c(es(1)))))),
+    ("squared_distance", 2,
+      es => graft.functions.expressions.SquaredDistance(
+        expression(VectorFunctions.toDoubleArray(c(es.head))),
+        expression(VectorFunctions.toDoubleArray(c(es(1)))))),
     ("simhash64", 1,
       es => graft.functions.expressions.SimHash64(es.head)),
     ("intersect_size", 2,

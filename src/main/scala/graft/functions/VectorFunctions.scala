@@ -31,6 +31,22 @@ object VectorFunctions {
   def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Σ (aᵢ−bᵢ)² — the native codegen'd [[SquaredDistance]] expression
+    * (sequential left fold, bit-identical to [[squaredDistanceComposed]];
+    * keeps Σ(x−y)² rather than the catastrophically-cancelling
+    * |a|²+|b|²−2ab identity).
+    */
+  def squaredDistance(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.expressions.SquaredDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** The built-in composition equivalent of [[squaredDistance]] — kept as
+    * the cross-check reference (VectorExpressionsSpec pins bit equality).
+    */
+  def squaredDistanceComposed(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosineSim(a: Column, b: Column): Column =

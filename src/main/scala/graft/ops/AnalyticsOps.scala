@@ -660,13 +660,17 @@ object AnalyticsOps {
       .orderBy("order_year")
   }
 
+  // count(*) FILTER, not sum(CASE …): DuckDB's sum over integers widens to
+  // HUGEINT and the driver hash is type-width-sensitive (the round-1 failure
+  // mode scripts/dev_check.py documents); FILTER counts are BIGINT, matching
+  // Spark's pivot count.
   val pivotPriorityYearOracle: String =
     """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-      |       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-      |       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
-      |       sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_medium,
-      |       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_notspec,
-      |       sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low
+      |       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+      |       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+      |       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+      |       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
       |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
 
   /** MERGE/UPSERT relational core — the modern replacement for the

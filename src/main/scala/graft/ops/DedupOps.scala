@@ -495,9 +495,8 @@ object DedupOps {
     val cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("dist", round(expr(
-        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, " +
-          "(acc, d) -> acc + d)"), 6))
+      .withColumn("dist",
+        round(squaredDistance(col("v"), col("cv")), 6))
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("cid"), col("v")), struct(col("dist"), col("cid")))
         .as("m"))

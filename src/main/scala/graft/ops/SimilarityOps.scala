@@ -215,9 +215,8 @@ object SimilarityOps {
     val cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     emb.crossJoin(broadcast(cents))
-      .withColumn("dist", round(expr(
-        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, " +
-          "(acc, d) -> acc + d)"), 6))
+      .withColumn("dist",
+        round(squaredDistance(col("v"), col("cv")), 6))
       .groupBy(col("vec_id"))
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"),
         min(col("dist")).as("min_dist"))

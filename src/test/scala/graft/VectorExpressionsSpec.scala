@@ -45,6 +45,39 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
   }
 
+  test("SquaredDistance == zip_with/aggregate composition, bit for bit") {
+    val vecs = graft.ops.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+    val a = vecs.as("a"); val b = vecs.as("b")
+    val pairs = a.join(b, col("a.vec_id") % 17 === col("b.vec_id") % 17 &&
+      col("a.vec_id") < col("b.vec_id"))
+    val diffs = pairs.select(
+        VectorFunctions.squaredDistance(col("a.v"), col("b.v")).as("native"),
+        VectorFunctions.squaredDistanceComposed(col("a.v"), col("b.v")).as("composed"))
+      .filter(col("native") =!= col("composed") ||
+        col("native").isNull =!= col("composed").isNull)
+      .count()
+    assert(diffs == 0L)
+  }
+
+  test("SquaredDistance null semantics match the composition") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 5.0))),   // 4 + 9 = 13.0
+      (Some(Seq(1.0)), Some(Seq(1.0, 2.0))),        // length mismatch → null
+      (None, Some(Seq(1.0)))                        // null array → null
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.squaredDistance(col("a"), col("b")).as("native"),
+      VectorFunctions.squaredDistanceComposed(col("a"), col("b")).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(rows(0).getDouble(0) == 13.0)
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+  }
+
   test("SimHash64 == explode + 64-expression aggregate composition") {
     val native = DedupOps.simhashSignatures(spark, dir)
       .select("doc_id", "simhash").collect()
@@ -213,6 +246,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
     GraftExtensions.register(spark)
     val r = spark.sql(
       """SELECT dot_product(array(1.0, 2.0), array(3.0, 4.0)) AS d,
+        |       squared_distance(array(1.0, 2.0), array(3.0, 5.0)) AS sd,
         |       simhash64(array(CAST(5 AS BIGINT))) AS s,
         |       intersect_size(array(1, 2, 3), array(2, 3, 4)) AS i,
         |       size(minhash_signature(array(CAST(5 AS BIGINT)), 48)) AS m,
@@ -221,12 +255,13 @@ class VectorExpressionsSpec extends AnyFunSuite {
         |       size(sign_lsh_buckets(array(1.0, -2.0), 4, 20)) AS b,
         |       char_entropy('aabb') AS e""".stripMargin).head()
     assert(r.getDouble(0) == 11.0)
-    assert(r.getLong(1) == 5L) // single hash: sig bits == its set bits
-    assert(r.getInt(2) == 2)
-    assert(r.getInt(3) == 48)
-    assert(r.getInt(4) == 2)  // 3 tokens, k=2 → 2 shingles
-    assert(r.getInt(5) == 20) // one bucket per band
-    assert(r.getDouble(6) == 1.0) // two chars, uniform → exactly 1 bit
+    assert(r.getDouble(1) == 13.0) // (1-3)² + (2-5)²
+    assert(r.getLong(2) == 5L) // single hash: sig bits == its set bits
+    assert(r.getInt(3) == 2)
+    assert(r.getInt(4) == 48)
+    assert(r.getInt(5) == 2)  // 3 tokens, k=2 → 2 shingles
+    assert(r.getInt(6) == 20) // one bucket per band
+    assert(r.getDouble(7) == 1.0) // two chars, uniform → exactly 1 bit
     // structural params must be literals
     val err = intercept[Exception] {
       spark.sql("SELECT sign_lsh_buckets(array(1.0), CAST(id AS INT), 2) " +
