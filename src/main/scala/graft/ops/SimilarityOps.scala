@@ -87,6 +87,96 @@ object SimilarityOps {
        |  WHERE q.vec_id < $NQueries)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** IVF with nprobe > 1 — the recall-for-throughput knob every real ANN
+    * deployment tunes ([[annIvfTopk]] is the nprobe=1 degenerate case,
+    * hard-wired to the query's own label). Here the coarse quantizer is
+    * LEARNED: per-label centroids (mean of the normalized member vectors,
+    * the [[embeddingCentroids]] shape), each query ranks all centroids by
+    * squared distance and probes the `nprobe` nearest buckets; candidates
+    * from those buckets are exact-cosine scored and top-k'd.
+    *
+    * Scale shape: the centroid table is labels × d — broadcast-sized by
+    * construction (that IS what makes it a coarse quantizer), so query →
+    * probe-list is a narrow broadcast join; candidate scan touches only
+    * nprobe/L of the corpus via the (label=probe) equi-join; the only
+    * corpus shuffle is the per-query top-k window. Recall(nprobe=2) ≥
+    * recall(nprobe=1) is pinned in SimilarityOpsSpec against the exact
+    * [[annCosineTopk]].
+    */
+  def annIvfProbe(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val emb = embeddings(s, dir)
+    // learned coarse quantizer: per-label mean of normalized vectors,
+    // components rounded to 6 (cross-engine accumulation-order damping)
+    val cents = emb
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("label"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("cdist", round(squaredDistance(col("qv"), col("cv")), 6))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("label").as("probe_label"))
+    val scored = emb.join(broadcast(probes),
+        col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  def annIvfProbe2(s: SparkSession, dir: String): DataFrame =
+    annIvfProbe(s, dir, nprobe = 2)
+
+  val annIvfProbe2Oracle: String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |                  ${normalizeOracle("embedding")} AS v
+       |           FROM embeddings),
+       |m AS (
+       |  SELECT label, i AS pos, round(avg(v[i]), 6) AS m
+       |  FROM e, LATERAL unnest(generate_series(1, len(v))) t(i)
+       |  GROUP BY label, i),
+       |c AS (SELECT label, list(m ORDER BY pos) AS cv FROM m GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < $NQueries),
+       |pd AS (
+       |  SELECT q.query_id, c.label,
+       |         round(sum((qv[i] - cv[i]) * (qv[i] - cv[i])), 6) AS cdist
+       |  FROM q, c, LATERAL unnest(generate_series(1, len(qv))) t(i)
+       |  GROUP BY q.query_id, c.label),
+       |probes AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT query_id, label,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cdist, label) AS prn
+       |    FROM pd)
+       |  WHERE prn <= 2),
+       |cand AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |         list_dot_product(q.qv, e.v) AS cos
+       |  FROM probes p
+       |  JOIN e ON e.label = p.label
+       |  JOIN q ON q.query_id = p.query_id
+       |  WHERE e.vec_id <> p.query_id)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   /** Sign-LSH (random hyperplane) multi-table ANN, rows-only: `bands`
     * hash tables, each keyed by a `bitsPerBand`-bit bucket id from the
     * signs of projections onto hyperplanes derived deterministically from
@@ -246,6 +336,116 @@ object SimilarityOps {
       |       round(sum(min_dist), 4) AS inertia
       |FROM a WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** Multi-iteration Lloyd's k-means (k = 8, seeded on the first k
+    * vectors) — [[kmeansStep]] driven to N rounds, the converged-loop
+    * pattern [[ClusterOps]] established (localCheckpoint per round against
+    * lineage blowup). Emits per-round cluster occupancy and inertia, the
+    * monotone-descent trace a training pipeline monitors.
+    *
+    * Scale shape, per round: ONE pass over the corpus. The broadcast-
+    * centroid cross join + argmin is the only corpus-sized shuffle; the
+    * posexplode fans the assigned vectors to (cluster, dim) rows whose
+    * keyed aggregation produces BOTH the round summary (count/inertia read
+    * off the pos=0 rows — dims are uniform, so any one position sees every
+    * member exactly once) and the next round's centroids. That k×d-row
+    * aggregate is `localCheckpoint`ed eagerly: one job per round, the
+    * summary and the update both read the tiny checkpoint blocks, the next
+    * round's plan starts from k×d rows instead of a growing lineage, and
+    * the driver never holds a vector.
+    *
+    * Engine parity: distances as in [[kmeansStep]] (Σ(x−y)² rounded to 6,
+    * cid tie-break); updated centroid components are means rounded to 6
+    * (damps cross-engine accumulation-order ulps, and makes round-2 input
+    * exactly reproducible); inertia rounded to 4.
+    */
+  def kmeansIterate(s: SparkSession, dir: String,
+      k: Int = 8, rounds: Int = 2): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("dist", round(squaredDistance(col("v"), col("cv")), 6))
+        .groupBy(col("vec_id"))
+        .agg(
+          min_by(struct(col("cid").as("cluster"), col("v")),
+            struct(col("dist"), col("cid"))).as("m"),
+          min(col("dist")).as("min_dist"))
+        .select(col("m.cluster").as("cluster"), col("m.v").as("v"),
+          col("min_dist"))
+      val byDim = assigned
+        .select(col("cluster"), col("min_dist"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"), count(lit(1)).as("n"),
+          round(sum(col("min_dist")), 4).as("inertia"))
+        .localCheckpoint()
+      val summary = byDim.filter(col("pos") === 0)
+        .select(lit(r).as("iter"), col("cluster"),
+          col("n").as("n_members"), col("inertia"))
+      out = if (out == null) summary else out.unionByName(summary)
+      if (r < rounds)
+        cents = byDim
+          .select(col("cluster"), col("pos"), round(col("m"), 6).as("m"))
+          .groupBy(col("cluster"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("cv"))
+          .select(col("cluster").as("cid"), col("cv"))
+    }
+    out.orderBy("iter", "cluster")
+  }
+
+  def kmeans2Step(s: SparkSession, dir: String): DataFrame =
+    kmeansIterate(s, dir, k = 8, rounds = 2)
+
+  /** N=2 unrolled in CTEs: assign → summarize → per-dimension mean
+    * centroids → re-assign → summarize.
+    */
+  val kmeans2StepOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT e.vec_id, c0.cid,
+      |         round(sum((v[i] - cv[i]) * (v[i] - cv[i])), 6) AS dist
+      |  FROM e, c0, LATERAL unnest(generate_series(1, len(v))) t(i)
+      |  GROUP BY e.vec_id, c0.cid),
+      |a1 AS (
+      |  SELECT vec_id, cid AS cluster, dist AS min_dist,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+      |           AS rn
+      |  FROM d1),
+      |s1 AS (
+      |  SELECT 1 AS iter, cluster, count(*) AS n_members,
+      |         round(sum(min_dist), 4) AS inertia
+      |  FROM a1 WHERE rn = 1 GROUP BY cluster),
+      |m1 AS (
+      |  SELECT a.cluster, t.i AS pos, round(avg(v[i]), 6) AS m
+      |  FROM (SELECT vec_id, cluster FROM a1 WHERE rn = 1) a
+      |  JOIN e USING (vec_id),
+      |  LATERAL unnest(generate_series(1, len(v))) t(i)
+      |  GROUP BY a.cluster, t.i),
+      |c1 AS (SELECT cluster AS cid, list(m ORDER BY pos) AS cv
+      |       FROM m1 GROUP BY cluster),
+      |d2 AS (
+      |  SELECT e.vec_id, c1.cid,
+      |         round(sum((v[i] - cv[i]) * (v[i] - cv[i])), 6) AS dist
+      |  FROM e, c1, LATERAL unnest(generate_series(1, len(v))) t(i)
+      |  GROUP BY e.vec_id, c1.cid),
+      |a2 AS (
+      |  SELECT vec_id, cid AS cluster, dist AS min_dist,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+      |           AS rn
+      |  FROM d2),
+      |s2 AS (
+      |  SELECT 2 AS iter, cluster, count(*) AS n_members,
+      |         round(sum(min_dist), 4) AS inertia
+      |  FROM a2 WHERE rn = 1 GROUP BY cluster)
+      |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |ORDER BY iter, cluster""".stripMargin
+
   /** One power-iteration step toward the corpus's top principal component:
     * w¹ ∝ Σᵢ vᵢ·(vᵢ·w⁰) from the deterministic uniform seed w⁰ = 1/√d —
     * the distributed-linear-algebra kernel under PCA/spectral embedding
@@ -342,8 +542,10 @@ object SimilarityOps {
     "embedding_quantize" -> (embeddingQuantize _),
     "power_iteration" -> (powerIteration _),
     "kmeans_step" -> (kmeansStep _),
+    "kmeans_2step" -> (kmeans2Step _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_probe2" -> (annIvfProbe2 _),
     "ann_sign_lsh" -> (annSignLsh _),
     "embedding_centroids" -> (embeddingCentroids _))
 
@@ -351,7 +553,9 @@ object SimilarityOps {
     "embedding_quantize" -> embeddingQuantizeOracle,
     "power_iteration" -> powerIterationOracle,
     "kmeans_step" -> kmeansStepOracle,
+    "kmeans_2step" -> kmeans2StepOracle,
     "ann_cosine_topk" -> annCosineTopkOracle,
     "ann_ivf_topk" -> annIvfTopkOracle,
+    "ann_ivf_probe2" -> annIvfProbe2Oracle,
     "embedding_centroids" -> embeddingCentroidsOracle)
 }

@@ -186,6 +186,27 @@ class DedupOpsSpec extends AnyFunSuite {
       s"sign-LSH ANN recall too low: $recall (${lsh.intersect(exact).size}/${exact.size})")
   }
 
+  test("IVF nprobe: recall(nprobe=2) ≥ recall(nprobe=1), strictly more candidate coverage") {
+    // nprobe is THE recall-for-throughput knob: probing more coarse buckets
+    // can only widen the candidate set, so top-k recall vs the exact
+    // baseline is monotone in nprobe (set inclusion per query)
+    val exact = SimilarityOps.annCosineTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(nprobe: Int): Double = {
+      val got = SimilarityOps.annIvfProbe(spark, dir, nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recallOf(1)
+    val r2 = recallOf(2)
+    assert(r2 >= r1, s"recall must be monotone in nprobe: r1=$r1 r2=$r2")
+    // and probing every bucket IS the exact search — recall 1.0
+    val nLabels = graft.ops.Tables(spark, dir, "embeddings")
+      .select("label").distinct().count().toInt
+    assert(recallOf(nLabels) == 1.0,
+      "nprobe = all buckets must recover the exact top-k")
+  }
+
   test("sign-LSH ANN: per-query ranks contiguous, cos non-increasing, ⊆ brute-force candidates") {
     val rows = SimilarityOps.annSignLsh(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
