@@ -74,19 +74,16 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def rewrite(cond: Expression): Expression = {
-    // idempotence check is PER COMPARISON — only an `And(guard, cmp)` pair
-    // for this exact cmp marks it wrapped. (Scanning the whole condition
-    // for any semantically-equal guard would let a guard in an unrelated
-    // disjunct suppress the rewrite exactly where it helps.)
-    val wrapped = cond.collect {
-      case And(g, c) if guardFor(c).exists(_.semanticEquals(g)) => c
-    }
-    cond.transformUp {
-      case cmp if guardFor(cmp).isDefined =>
-        if (wrapped.exists(_.semanticEquals(cmp))) cmp
-        else And(guardFor(cmp).get, cmp)
-    }
+  // idempotence is POSITIONAL — an `And(guard, cmp)` pair is treated as a
+  // unit and skipped in place, so a guarded copy in one disjunct cannot
+  // suppress the rewrite of an unguarded copy elsewhere in the condition
+  // (a semantic-equality set over the whole condition did exactly that —
+  // ADVICE r4). The comparison is a leaf for our purposes (no nested
+  // Levenshtein inside it), so returning the pair unchanged is safe.
+  private def rewrite(cond: Expression): Expression = cond match {
+    case a @ And(g, c) if guardFor(c).exists(_.semanticEquals(g)) => a
+    case cmp if guardFor(cmp).isDefined => And(guardFor(cmp).get, cmp)
+    case other => other.mapChildren(rewrite)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

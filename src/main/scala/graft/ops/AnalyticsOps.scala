@@ -569,8 +569,10 @@ object AnalyticsOps {
 
   /** TPC-H Q18-shaped large-volume orders: aggregate-then-filter (HAVING)
     * on a fact table, then join the survivors back to their order/customer
-    * rows. The HAVING survivor set is orders of magnitude smaller than
-    * lineitem, so it broadcasts into the enrichment joins; sort keys are
+    * rows. The HAVING survivor set is ~1-2% of orders — small at test
+    * scale but LINEAR in the corpus, so no fixed broadcast hint: AQE
+    * decides at runtime (broadcast while it fits, shuffled-hash at scale),
+    * the same attach discipline as [[q10ReturnedItems]]. Sort keys are
     * raw stored columns (no float arithmetic), so the top-100 cut is
     * engine-deterministic without rounding tricks.
     */
@@ -583,7 +585,7 @@ object AnalyticsOps {
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"), col("o_orderdate"))
     val cust = Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"))
-    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),

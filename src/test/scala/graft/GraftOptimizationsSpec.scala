@@ -73,6 +73,31 @@ class GraftOptimizationsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("prefilter idempotence is positional: a guarded copy in one disjunct " +
+      "does not suppress the rewrite of an unguarded copy elsewhere") {
+    import org.apache.spark.sql.catalyst.expressions.{Abs, And, AttributeReference,
+      Length, LessThanOrEqual, Levenshtein, Literal, Or, Subtract}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    import org.apache.spark.sql.types.StringType
+    val a = AttributeReference("a", StringType)()
+    val b = AttributeReference("b", StringType)()
+    val cmp = LessThanOrEqual(Levenshtein(a, b, None), Literal(5))
+    val guard = LessThanOrEqual(
+      Abs(Subtract(Length(a), Length(b)), failOnError = false), Literal(5))
+    val rel = LocalRelation(a, b)
+    // (guard AND cmp) OR cmp — the second, unguarded cmp must still be
+    // wrapped (the r4 semantic-equality set skipped it); the first pair
+    // must stay a unit (no double guard)
+    val out = LevenshteinPrefilter(Filter(Or(And(guard, cmp), cmp), rel))
+      .asInstanceOf[Filter].condition
+    val expected = Or(And(guard, cmp), And(guard, cmp))
+    assert(out.semanticEquals(expected), s"got: $out")
+    // and a second application changes nothing
+    val again = LevenshteinPrefilter(Filter(out, rel))
+      .asInstanceOf[Filter].condition
+    assert(again fastEquals out)
+  }
+
   test("legacy sizeOfNull plans are left untouched (rule-level guard)") {
     // this Spark version's analyzer emits Size(_, false) regardless of the
     // legacy conf on the DataFrame path, so pin the guard on the rule itself

@@ -18,7 +18,8 @@ class PlanLintSpec extends AnyFunSuite {
     "scalar_subquery_orders", "char_histogram", "tfidf_top_terms",
     "source_mixture", "corpus_sample", "corpus_shuffle", "doc_pack",
     "bigram_lm_score", "inverted_index", "semdedup", "power_iteration",
-    "pagerank_step", "kmeans_step", "embedding_quantize", "merge_upsert",
+    "pagerank_step", "kmeans_step", "kmeans_2step", "ann_ivf_probe2",
+    "embedding_quantize", "merge_upsert",
     "q14_promo_revenue", "q19_disjunctive", "brand_affinity",
     "cardinality_sketches", "events_range_join", "contamination_check",
     "dedup_embedding_cosine", "dedup_embedding_lsh", "ann_cosine_topk",
@@ -74,9 +75,12 @@ class PlanLintSpec extends AnyFunSuite {
       "doc_fingerprint" -> 1,     // fp_prefix cluster-size window
       "multimodal_meta" -> 0)
     val offenders = budget.flatMap { case (name, maxEx) =>
-      // count data exchanges, excluding the final sort's range exchange
-      // (oracle-determinism overhead, not part of the operator's work)
-      val n = "Exchange (?!rangepartitioning)".r
+      // count SHUFFLE exchanges only — anchored so the match can't land
+      // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
+      // are cheap by design, reused exchanges don't re-execute) — and
+      // excluding the final sort's range exchange (oracle-determinism
+      // overhead, not part of the operator's work)
+      val n = "(?<![A-Za-z])Exchange (hashpartitioning|SinglePartition)".r
         .findAllIn(plans(name)).size
       if (n > maxEx) Some(s"$name: $n exchanges (budget $maxEx)") else None
     }
