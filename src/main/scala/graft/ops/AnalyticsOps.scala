@@ -787,6 +787,90 @@ object AnalyticsOps {
       |FROM contrib
       |ORDER BY rank DESC, p_partkey LIMIT 20""".stripMargin
 
+  /** Multi-iteration PageRank over the part co-purchase graph —
+    * [[pagerankStep]] driven to N rounds with the FULL rank vector
+    * (coalesce(in_sum, 0) keeps sink-only parts at the teleport floor so
+    * their out-contributions are correct in the next round; the one-step
+    * query could ignore them because it never re-reads ranks).
+    *
+    * Scale shape: the edge list and out-degree table are built ONCE and
+    * `localCheckpoint`ed (the loop re-reads both every round — the
+    * [[ClusterOps]] discipline); each round is one edge-keyed shuffle for
+    * the contribution sum plus a node-sized left join, and the node-sized
+    * rank vector is checkpointed per round so lineage stays flat. No
+    * driver-side ranks.
+    *
+    * Engine parity: intermediate ranks rounded to 10 (pins the engines to
+    * identical round-N inputs; values sit ≥ 1e-5 so 10 decimals is damping,
+    * not information loss), final ranks to 8 as in [[pagerankStep]].
+    */
+  def pagerankIterate(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val a = li.as("a"); val b = li.as("b")
+    val edges = a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val nParts = Tables(s, dir, "part")
+      .agg(count(lit(1)).cast("double").as("n"))
+    val parts = Tables(s, dir, "part").select(col("p_partkey"))
+    var ranks = parts.crossJoin(broadcast(nParts))
+      .select(col("p_partkey"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to rounds) {
+      val contrib = edges
+        .join(outdeg, "src")
+        .join(ranks.select(col("p_partkey").as("src"), col("rank")), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+      ranks = parts
+        .join(contrib, col("p_partkey") === col("dst"), "left")
+        .crossJoin(broadcast(nParts))
+        .select(col("p_partkey"),
+          round(lit(0.15) / col("n") +
+            lit(0.85) * coalesce(col("in_sum"), lit(0.0)), 10).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("p_partkey"), round(col("rank"), 8).as("rank"))
+      .orderBy(col("rank").desc, col("p_partkey"))
+      .limit(20)
+  }
+
+  def pagerank2Step(s: SparkSession, dir: String): DataFrame =
+    pagerankIterate(s, dir, rounds = 2)
+
+  /** N=2 unrolled: contribution → damped update → contribution → update. */
+  val pagerank2StepOracle: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |np AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM part),
+      |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      |r0 AS (SELECT p_partkey, 1.0 / n AS rank FROM part, np),
+      |c1 AS (
+      |  SELECT e.dst, sum(r0.rank / o.outdeg) AS in_sum
+      |  FROM edges e JOIN outdeg o ON e.src = o.src
+      |  JOIN r0 ON r0.p_partkey = e.src
+      |  GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT p.p_partkey,
+      |         round(0.15 / n + 0.85 * coalesce(c1.in_sum, 0), 10) AS rank
+      |  FROM part p LEFT JOIN c1 ON c1.dst = p.p_partkey, np),
+      |c2 AS (
+      |  SELECT e.dst, sum(r1.rank / o.outdeg) AS in_sum
+      |  FROM edges e JOIN outdeg o ON e.src = o.src
+      |  JOIN r1 ON r1.p_partkey = e.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT p.p_partkey,
+      |         round(0.15 / n + 0.85 * coalesce(c2.in_sum, 0), 10) AS rank
+      |  FROM part p LEFT JOIN c2 ON c2.dst = p.p_partkey, np)
+      |SELECT p_partkey, round(rank, 8) AS rank FROM r2
+      |ORDER BY rank DESC, p_partkey LIMIT 20""".stripMargin
+
   /** KMV distinct sketch per event_type via the typed
     * [[graft.functions.KmvSmallest]] Aggregator — deterministic (md5, no
     * seeds), so unlike HLL the DuckDB oracle reproduces the EXACT sketch
@@ -932,6 +1016,7 @@ object AnalyticsOps {
     "doc_grouping_sets" -> (docGroupingSets _),
     "merge_upsert" -> (mergeUpsert _),
     "pagerank_step" -> (pagerankStep _),
+    "pagerank_2step" -> (pagerank2Step _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -961,6 +1046,7 @@ object AnalyticsOps {
     "doc_grouping_sets" -> groupingSetsText,
     "merge_upsert" -> mergeUpsertOracle,
     "pagerank_step" -> pagerankStepOracle,
+    "pagerank_2step" -> pagerank2StepOracle,
     "q10_returned_items" -> q10Oracle,
     "q14_promo_revenue" -> q14Oracle,
     "q18_large_orders" -> q18Oracle,

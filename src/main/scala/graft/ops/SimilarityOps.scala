@@ -490,6 +490,78 @@ object SimilarityOps {
        |FROM bydim, nrm ORDER BY pos""".stripMargin
   }
 
+  /** Multi-iteration power method — [[powerIteration]] driven to N rounds:
+    * wⁿ ∝ Σᵢ vᵢ·(vᵢ·wⁿ⁻¹), converging to the top principal component.
+    * Round 1 projects onto the deterministic uniform seed exactly as the
+    * single step; each later round folds the previous d-row w back into
+    * ONE array (a d-element broadcast) so the projection s = v·w stays a
+    * narrow codegen'd [[graft.functions.expressions.DotProduct]] pass —
+    * the corpus never shuffles vectors, only (pos, x·s) partials with
+    * map-side combine, and the d-row w table is `localCheckpoint`ed per
+    * round so lineage stays flat.
+    *
+    * Engine parity: each round's w is the normalized result rounded to 6 —
+    * identical to the single step's published output, so round N's input
+    * is exactly round N−1's result in both engines.
+    */
+  def powerIterate(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val d = 64
+    val seed = 1.0 / math.sqrt(d.toDouble)
+    var w: DataFrame = null
+    for (r <- 1 to rounds) {
+      val projected =
+        if (r == 1)
+          emb.withColumn("s",
+            aggregate(col("v"), lit(0.0), (acc, x) => acc + x * lit(seed)))
+        else {
+          val wArr = w.groupBy().agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")).as("wv"))
+          emb.crossJoin(broadcast(wArr))
+            .withColumn("s", dot(col("v"), col("wv")))
+        }
+      val byDim = projected
+        .select(col("s"), posexplode(col("v")))
+        .groupBy(col("pos"))
+        .agg(sum(col("col") * col("s")).as("w_raw"))
+      val nrm = byDim.agg(sqrt(sum(col("w_raw") * col("w_raw"))).as("nrm"))
+      w = byDim.crossJoin(broadcast(nrm))
+        .select(col("pos"), round(col("w_raw") / col("nrm"), 6).as("w"))
+        .localCheckpoint()
+    }
+    w.select(col("pos"), col("w").as("w2")).orderBy("pos")
+  }
+
+  def powerIteration2Step(s: SparkSession, dir: String): DataFrame =
+    powerIterate(s, dir, rounds = 2)
+
+  val powerIteration2StepOracle: String = {
+    val seed = "(1.0 / sqrt(64.0))"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |proj1 AS (
+       |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * $seed)) AS s
+       |  FROM e),
+       |bydim1 AS (
+       |  SELECT i - 1 AS pos, sum(v[i] * s) AS w_raw
+       |  FROM proj1, LATERAL unnest(generate_series(1, len(v))) t(i)
+       |  GROUP BY i),
+       |nrm1 AS (SELECT sqrt(sum(w_raw * w_raw)) AS nrm FROM bydim1),
+       |w1 AS (SELECT pos, round(w_raw / nrm, 6) AS w FROM bydim1, nrm1),
+       |wv AS (SELECT list(w ORDER BY pos) AS wv FROM w1),
+       |proj2 AS (
+       |  SELECT vec_id, v, list_dot_product(v, wv) AS s FROM e, wv),
+       |bydim2 AS (
+       |  SELECT i - 1 AS pos, sum(v[i] * s) AS w_raw
+       |  FROM proj2, LATERAL unnest(generate_series(1, len(v))) t(i)
+       |  GROUP BY i),
+       |nrm2 AS (SELECT sqrt(sum(w_raw * w_raw)) AS nrm FROM bydim2)
+       |SELECT CAST(pos AS INT) AS pos, round(w_raw / nrm, 6) AS w2
+       |FROM bydim2, nrm2 ORDER BY pos""".stripMargin
+  }
+
   /** Per-vector int8 (256-level) min/max quantization audit: quantize,
     * dequantize, and report the reconstruction error — the compression
     * check run before shipping embeddings to an ANN index at 4 bytes→1
@@ -541,6 +613,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_quantize" -> (embeddingQuantize _),
     "power_iteration" -> (powerIteration _),
+    "power_iteration_2step" -> (powerIteration2Step _),
     "kmeans_step" -> (kmeansStep _),
     "kmeans_2step" -> (kmeans2Step _),
     "ann_cosine_topk" -> (annCosineTopk _),
@@ -552,6 +625,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "embedding_quantize" -> embeddingQuantizeOracle,
     "power_iteration" -> powerIterationOracle,
+    "power_iteration_2step" -> powerIteration2StepOracle,
     "kmeans_step" -> kmeansStepOracle,
     "kmeans_2step" -> kmeans2StepOracle,
     "ann_cosine_topk" -> annCosineTopkOracle,

@@ -18,7 +18,9 @@ class PlanLintSpec extends AnyFunSuite {
     "scalar_subquery_orders", "char_histogram", "tfidf_top_terms",
     "source_mixture", "corpus_sample", "corpus_shuffle", "doc_pack",
     "bigram_lm_score", "inverted_index", "semdedup", "power_iteration",
-    "pagerank_step", "kmeans_step", "kmeans_2step", "ann_ivf_probe2",
+    "power_iteration_2step",
+    "pagerank_step", "pagerank_2step", "kmeans_step", "kmeans_2step",
+    "ann_ivf_probe2",
     "embedding_quantize", "merge_upsert",
     "q14_promo_revenue", "q19_disjunctive", "brand_affinity",
     "cardinality_sketches", "events_range_join", "contamination_check",
