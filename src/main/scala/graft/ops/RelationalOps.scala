@@ -1,0 +1,406 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The remaining classic TPC-H query shapes, adapted to the reduced test
+  * schema (no partsupp / l_shipmode / commit-receipt dates / c_phone —
+  * each adaptation keeps the SHAPE that makes the query a distinct
+  * operator exercise: EXISTS/NOT-EXISTS semi/anti joins, correlated
+  * scalar aggregates, HAVING-vs-global-scalar cuts, outer-join count
+  * distributions, argmax-by-scalar-subquery selection).
+  *
+  * Scale notes apply throughout: nation/supplier are broadcast-sized
+  * dimensions (25 / 100 rows — and in real TPC-H still tiny relative to
+  * facts); fact-fact joins shuffle on their natural keys and AQE picks
+  * the strategy for derived survivor sets (the q18/q10 discipline —
+  * no fixed broadcast hints on linearly-growing sides).
+  */
+object RelationalOps {
+
+  private def ts(d: String) = lit(d).cast("timestamp")
+
+  /** TPC-H Q4 shape: EXISTS — orders in a quarter with at least one line
+    * shipped more than 60 days after ordering, counted per priority.
+    * Plans as a left-semi join on the order key; the date conjunct rides
+    * the join condition, not a post-filter.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1996-04-01"))
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Oracle: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q7 shape: volume shipping between two nations — supplier
+    * nation × customer nation × ship year, with the disjunctive
+    * nation-pair predicate. Both nation joins broadcast (25 rows); the
+    * lineitem-orders join is the only fact-fact shuffle.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val n2 = Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    val sup = Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val cust = Tables(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    Tables(s, dir, "lineitem")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("snk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Oracle: String =
+    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(year(l_shipdate) AS INT) AS l_year,
+      |         l_extendedprice * (1 - l_discount) AS volume
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q9 shape: product-type profit by nation and year. The schema
+    * has no partsupp, so supply cost is synthesized as half the part's
+    * retail price — preserving the 5-way fact-dimension join and the
+    * nation × year rollup that define the query.
+    */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val prt = Tables(s, dir, "part").select(col("p_partkey"), col("p_retailprice"))
+    val ord = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    Tables(s, dir, "lineitem")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.5) * col("p_retailprice") * col("l_quantity")), 2)
+        .as("sum_profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  val q9Oracle: String =
+    """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |         l_extendedprice * (1 - l_discount)
+      |           - 0.5 * p_retailprice * l_quantity AS amount
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN part     ON p_partkey = l_partkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN nation   ON n_nationkey = s_nationkey)
+      |GROUP BY nation, o_year ORDER BY nation, o_year""".stripMargin
+
+  /** TPC-H Q11 shape: parts whose shipped value (through one nation's
+    * suppliers) exceeds a fraction of the national total — a grouped
+    * aggregate HAVING-compared against a scalar subquery over the SAME
+    * aggregate. Spark computes the per-part frame once; the total is a
+    * 1-row broadcast against it (exchange reuse, no second scan at plan
+    * level). Both sides of the cut are rounded to 2 so the boundary is
+    * engine-deterministic.
+    */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables(s, dir, "nation")
+      .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))
+    val pv = Tables(s, dir, "lineitem")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("l_quantity") * col("l_extendedprice")).as("value"))
+    val cut = pv.agg((sum(col("value")) * lit(0.002)).as("cut"))
+    pv.crossJoin(broadcast(cut))
+      .filter(round(col("value"), 2) > round(col("cut"), 2))
+      .select(col("p_partkey"), round(col("value"), 2).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  val q11Oracle: String =
+    """WITH pv AS (
+      |  SELECT l_partkey AS p_partkey,
+      |         sum(l_quantity * l_extendedprice) AS value
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation   ON n_nationkey = s_nationkey
+      |  WHERE n_name = 'NATION_3'
+      |  GROUP BY l_partkey)
+      |SELECT p_partkey, round(value, 2) AS value
+      |FROM pv
+      |WHERE round(value, 2) > (SELECT round(sum(value) * 0.002, 2) FROM pv)
+      |ORDER BY round(value, 2) DESC, p_partkey""".stripMargin
+
+  /** TPC-H Q12 shape: conditional priority-class counts after a
+    * fact-fact join (l_returnflag stands in for the absent l_shipmode).
+    * `count(when(...))` compiles to the same conditional count as the
+    * oracle's FILTER clause — BIGINT on both engines, no HUGEINT trap.
+    */
+  def q12PriorityClasses(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(high, lit(1))).as("high_line_count"),
+        count(when(!high, lit(1))).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q12Oracle: String =
+    """SELECT l_returnflag,
+      |       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+      |         AS high_line_count,
+      |       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+      |         AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    * join with a predicate ON THE JOIN (not a post-filter: customers
+    * whose only orders are filtered out must still count as 0), then a
+    * histogram of the per-customer counts. Two keyed shuffles.
+    */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val perCust = Tables(s, dir, "customer").select(col("c_custkey"))
+      .join(ord,
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "5-LOW",
+        "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Oracle: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15 shape: top supplier by quarterly revenue — the revenue
+    * aggregate is computed once, its max is a 1-row broadcast scalar, and
+    * the argmax selection is an equality filter against it (revenue
+    * rounded BEFORE the max so the tie-set is engine-deterministic).
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val mx = revenue.agg(max(col("total_revenue")).as("mx"))
+    Tables(s, dir, "supplier")
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15Oracle: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17 shape: revenue impact of small-quantity orders — a
+    * correlated per-part average re-expressed as a grouped aggregate
+    * joined back to the fact rows. The per-part threshold join is
+    * AQE-decided (the brand filter shrinks it, but it grows with the
+    * part count). Quantities are integral doubles, so the per-part
+    * average is bit-exact on both engines and the `<` cut needs no
+    * rounding guard.
+    */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val brandParts = Tables(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("ak"))
+      .agg((avg(col("l_quantity")) * lit(0.2)).as("qty_cut"))
+    li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(avgQty, col("l_partkey") === col("ak"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  val q17Oracle: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+      |       count(*) AS n_small
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q21 shape (adapted to shipdate-only): suppliers who were the
+    * LAST to ship in multi-supplier finished orders — EXISTS (another
+    * supplier in the order) AND NOT EXISTS (another supplier shipping
+    * strictly later), i.e. one left-semi and one left-anti self-join of
+    * lineitem on the order key, both shuffling on l_orderkey so AQE
+    * co-plans them.
+    */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val fOrders = Tables(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val other = li.select(col("l_orderkey").as("ok2"),
+      col("l_suppkey").as("sk2"), col("l_shipdate").as("sd2"))
+    val waiting = li
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(other,
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+        "left_semi")
+      .join(other,
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2") &&
+          col("sd2") > col("l_shipdate"),
+        "left_anti")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    waiting
+      .join(broadcast(Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21Oracle: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM (
+      |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      |  FROM lineitem l1
+      |  JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |                WHERE l2.l_orderkey = l1.l_orderkey
+      |                  AND l2.l_suppkey <> l1.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                    WHERE l3.l_orderkey = l1.l_orderkey
+      |                      AND l3.l_suppkey <> l1.l_suppkey
+      |                      AND l3.l_shipdate > l1.l_shipdate)) t
+      |JOIN supplier ON s_suppkey = t.l_suppkey
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 shape (c_nationkey stands in for the phone country code):
+    * well-funded customers from a nation subset with no RECENT orders —
+    * a global-average scalar subquery feeding a filter, then an anti
+    * join against the filtered order feed (the dormancy cutoff keeps the
+    * anti join non-vacuous on this testdata, where every customer has
+    * SOME order). The acctbal cut compares raw doubles: the scalar
+    * differs between engines only in final-ulp accumulation order, and no
+    * customer balance sits within 1e-9 of it (balances have 2-decimal
+    * granularity).
+    */
+  def q22GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+      .filter(col("c_nationkey") < 7)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("abal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("abal"))
+      .join(Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1999-01-01"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val q22Oracle: String =
+    """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+      |       round(sum(c_acctbal), 2) AS totacctbal
+      |FROM customer
+      |WHERE c_nationkey < 7
+      |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                   WHERE c_acctbal > 0 AND c_nationkey < 7)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q12_priority_classes" -> (q12PriorityClasses _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "q22_global_sales" -> (q22GlobalSales _))
+
+  val oracles: Map[String, String] = Map(
+    "q4_order_priority" -> q4Oracle,
+    "q7_volume_shipping" -> q7Oracle,
+    "q9_product_profit" -> q9Oracle,
+    "q11_important_parts" -> q11Oracle,
+    "q12_priority_classes" -> q12Oracle,
+    "q13_customer_distribution" -> q13Oracle,
+    "q15_top_supplier" -> q15Oracle,
+    "q17_small_quantity" -> q17Oracle,
+    "q21_waiting_suppliers" -> q21Oracle,
+    "q22_global_sales" -> q22Oracle)
+}

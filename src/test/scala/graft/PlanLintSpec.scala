@@ -31,6 +31,7 @@ class PlanLintSpec extends AnyFunSuite {
     "dedup_clusters", "dedup_clusters_lsh", "dedup_incremental",
     "top_ngrams", "bpe_pair_stats", "source_overlap", "events_funnel",
     "q6_forecast_revenue", "reconcile_counts", "quoted_list_join",
+    "q11_important_parts", "q22_global_sales", // 1-row scalar-cut broadcasts
     "retention_filter") // 1-row max-ts scalar broadcast
 
   private lazy val plans: Map[String, String] = {
