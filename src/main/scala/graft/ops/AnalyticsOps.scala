@@ -738,6 +738,70 @@ object AnalyticsOps {
       |SELECT action, count(*) AS n_rows, round(sum(price), 2) AS sum_price
       |FROM merged GROUP BY action ORDER BY action""".stripMargin
 
+  /** SCD Type-2 dimension versioning — the warehouse-standard history-
+    * keeping MERGE the reference's truncate+reload destroys
+    * (`CSVtoSQLimport.ps1:198-200` keeps no history at all): a changes
+    * feed against the customer dimension emits, per key, the closed prior
+    * version (is_current = false) plus the new current version, while
+    * untouched and inserted keys stay single-version current. The changes
+    * feed is derived deterministically (every 10th customer re-priced,
+    * every 100th key inserted into the negative key space, as in
+    * [[mergeUpsert]]).
+    *
+    * Scale shape: ONE full-outer co-partitioned shuffle join on the
+    * dimension key; both version branches project from the same joined
+    * frame (exchange reuse — no second join), and the union is narrow.
+    * Per-row arithmetic only — no cross-row sums — so no rounding is
+    * needed for engine parity.
+    */
+  def scd2Customer(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val updates = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("u_key"),
+        (col("c_acctbal") * 1.1).as("u_acctbal"),
+        col("c_mktsegment").as("u_segment"))
+    val inserts = base.filter(col("c_custkey") % 100 === 0)
+      .select((-col("c_custkey") - 1).as("u_key"),
+        (col("c_acctbal") * 0.5).as("u_acctbal"),
+        lit("NEW").as("u_segment"))
+    val joined = base.join(updates.unionAll(inserts),
+      col("c_custkey") === col("u_key"), "full_outer")
+    val v1 = joined.filter(col("c_custkey").isNotNull)
+      .select(col("c_custkey").as("key"), lit(1).as("version"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"),
+        col("u_key").isNull.as("is_current"))
+    val v2 = joined.filter(col("u_key").isNotNull)
+      .select(coalesce(col("c_custkey"), col("u_key")).as("key"),
+        when(col("c_custkey").isNotNull, 2).otherwise(1).as("version"),
+        col("u_acctbal").as("acctbal"), col("u_segment").as("segment"),
+        lit(true).as("is_current"))
+    v1.unionAll(v2).orderBy("key", "version")
+  }
+
+  val scd2CustomerOracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      |changes AS (
+      |  SELECT c_custkey AS u_key, c_acctbal * 1.1 AS u_acctbal,
+      |         c_mktsegment AS u_segment
+      |  FROM base WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT -c_custkey - 1, c_acctbal * 0.5, 'NEW'
+      |  FROM base WHERE c_custkey % 100 = 0),
+      |j AS (SELECT * FROM base
+      |      FULL OUTER JOIN changes ON c_custkey = u_key)
+      |SELECT key, version, acctbal, segment, is_current FROM (
+      |  SELECT c_custkey AS key, 1 AS version, c_acctbal AS acctbal,
+      |         c_mktsegment AS segment, u_key IS NULL AS is_current
+      |  FROM j WHERE c_custkey IS NOT NULL
+      |  UNION ALL
+      |  SELECT coalesce(c_custkey, u_key),
+      |         CASE WHEN c_custkey IS NOT NULL THEN 2 ELSE 1 END,
+      |         u_acctbal, u_segment, TRUE
+      |  FROM j WHERE u_key IS NOT NULL)
+      |ORDER BY key, version""".stripMargin
+
   /** One PageRank iteration over the part co-purchase graph (parts sharing
     * an order are neighbors): rank¹ = 0.15/N + 0.85·Σ_in rank⁰/outdeg from
     * the uniform start. Top-20 by rounded rank.
@@ -1017,6 +1081,7 @@ object AnalyticsOps {
     "merge_upsert" -> (mergeUpsert _),
     "pagerank_step" -> (pagerankStep _),
     "pagerank_2step" -> (pagerank2Step _),
+    "scd2_customer" -> (scd2Customer _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -1047,6 +1112,7 @@ object AnalyticsOps {
     "merge_upsert" -> mergeUpsertOracle,
     "pagerank_step" -> pagerankStepOracle,
     "pagerank_2step" -> pagerank2StepOracle,
+    "scd2_customer" -> scd2CustomerOracle,
     "q10_returned_items" -> q10Oracle,
     "q14_promo_revenue" -> q14Oracle,
     "q18_large_orders" -> q18Oracle,

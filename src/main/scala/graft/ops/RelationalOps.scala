@@ -69,8 +69,8 @@ object RelationalOps {
       .join(broadcast(n1), col("s_nationkey") === col("snk"))
       .join(broadcast(n2), col("c_nationkey") === col("cnk"))
       .filter(
-        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -90,8 +90,8 @@ object RelationalOps {
       |  JOIN customer ON c_custkey = o_custkey
       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      |     OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
