@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import graft.config.ImportConfig
 import graft.io.{CsvFolderSink, CsvTable}
-import graft.streaming.{StreamingEvents, StreamingImport}
+import graft.streaming.{StreamingEvents, StreamingImport, StreamingJoin}
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -129,5 +129,31 @@ class StreamingSpec extends AnyFunSuite {
     val missing = batch.keys.filterNot(streamed.contains)
     assert(missing.forall(_._1 > lastClosed),
       s"non-trailing windows missing from stream: $missing")
+  }
+
+  test("stream-stream interval join matches the batch join exactly") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // bounded drain (AvailableNow) advances the watermark past every event
+    // at termination, so the inner join emits the COMPLETE match set — an
+    // exact set-equality check against the batch interval join, not a
+    // closed-prefix check
+    val streamed = StreamingJoin.runOnce(spark, dir, "ssj_test")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val ev = graft.ops.Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "batch interval join is vacuous at this SF")
+    assert(streamed == batch,
+      s"stream−batch=${(streamed -- batch).size} batch−stream=${(batch -- streamed).size}")
   }
 }
