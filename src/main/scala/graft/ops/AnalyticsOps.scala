@@ -738,6 +738,62 @@ object AnalyticsOps {
       |SELECT action, count(*) AS n_rows, round(sum(price), 2) AS sum_price
       |FROM merged GROUP BY action ORDER BY action""".stripMargin
 
+  /** Full CUBE over order status × priority — the remaining grouping-sets
+    * family member ([[q1Rollup]] covers ROLLUP, `doc_grouping_sets` covers
+    * explicit GROUPING SETS): all four marginal combinations in one Expand
+    * + single aggregation pass, no per-subtotal re-scan.
+    */
+  def cubeOrderStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("orderstatus", "orderpriority")
+
+  val cubeOrderStatsOracle: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+      |       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+      |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY orderstatus, orderpriority""".stripMargin
+
+  /** RANGE-interval window frame — trailing 30-day spend per customer
+    * order ([[runningTotal]] covers the ROWS frame; this is the
+    * value-based frame whose peers are determined by the ORDER BY value,
+    * not row position). The frame key is the epoch day number, so
+    * `rangeBetween(-30, 0)` spans exactly the preceding 30 days and
+    * same-day peers aggregate identically in both engines regardless of
+    * tie order. One customer-keyed shuffle.
+    */
+  def trailing30dSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    Tables(s, dir, "orders")
+      .withColumn("day",
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")))
+      .withColumn("trailing_spend",
+        round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("trailing_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val trailing30dSpendOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |       round(sum(o_totalprice) OVER (
+      |         PARTITION BY o_custkey
+      |         ORDER BY datediff('day', DATE '1995-01-01', o_orderdate)
+      |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2)
+      |         AS trailing_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** SCD Type-2 dimension versioning — the warehouse-standard history-
     * keeping MERGE the reference's truncate+reload destroys
     * (`CSVtoSQLimport.ps1:198-200` keeps no history at all): a changes
@@ -1082,6 +1138,8 @@ object AnalyticsOps {
     "pagerank_step" -> (pagerankStep _),
     "pagerank_2step" -> (pagerank2Step _),
     "scd2_customer" -> (scd2Customer _),
+    "cube_order_stats" -> (cubeOrderStats _),
+    "trailing_30d_spend" -> (trailing30dSpend _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -1113,6 +1171,8 @@ object AnalyticsOps {
     "pagerank_step" -> pagerankStepOracle,
     "pagerank_2step" -> pagerank2StepOracle,
     "scd2_customer" -> scd2CustomerOracle,
+    "cube_order_stats" -> cubeOrderStatsOracle,
+    "trailing_30d_spend" -> trailing30dSpendOracle,
     "q10_returned_items" -> q10Oracle,
     "q14_promo_revenue" -> q14Oracle,
     "q18_large_orders" -> q18Oracle,

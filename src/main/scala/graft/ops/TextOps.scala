@@ -536,6 +536,62 @@ object TextOps {
        |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
        |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
 
+  /** Second BPE merge iteration — [[bpePairStats]] picks the first merge
+    * rule; this applies it and recounts: the winning pair is replaced by a
+    * single reserved symbol ('Þ' — absent from the corpus, asserted
+    * implicitly by determinism of the counts) in every vocabulary word,
+    * then adjacent-pair frequencies are recounted over the merged
+    * vocabulary. `replace` is leftmost-first non-overlapping in BOTH
+    * engines — exactly BPE's merge application order — so the iteration
+    * is engine-reproducible without a tokenizer runtime.
+    *
+    * Scale shape: both iterations run on the distinct word-frequency
+    * table (Zipf-small), never the token stream; the winning pair is a
+    * 1-row broadcast into the narrow merge map.
+    */
+  def bpe2Merge(s: SparkSession, dir: String): DataFrame = {
+    val wf = Tables(s, dir, "documents")
+      .select(explode(split(normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val top1 = wf
+      .select(explode(expr(
+        "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
+        .as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(1)
+      .select(col("pair").as("top_pair"))
+    wf.crossJoin(broadcast(top1))
+      .select(expr("replace(w, top_pair, 'Þ')").as("w2"), col("f"))
+      .filter(length(col("w2")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, length(w2) - 2), i -> substring(w2, i + 1, 2))"))
+        .as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(30)
+  }
+
+  val bpe2MergeOracle: String =
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(${normTextOracle("text")}, ' ')) AS w
+       |  FROM documents),
+       |wf AS (
+       |  SELECT w, count(*) AS f FROM words WHERE len(w) >= 2 GROUP BY w),
+       |p1 AS (
+       |  SELECT w[i:i+1] AS pair, f
+       |  FROM wf, LATERAL unnest(generate_series(1, len(w) - 1)) t(i)),
+       |c1 AS (SELECT pair, sum(f) AS cnt FROM p1 GROUP BY pair),
+       |top1 AS (SELECT pair FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+       |m2 AS (
+       |  SELECT replace(w, (SELECT pair FROM top1), 'Þ') AS w, f FROM wf),
+       |m2f AS (SELECT w, f FROM m2 WHERE len(w) >= 2),
+       |p2 AS (
+       |  SELECT w[i:i+1] AS pair, f
+       |  FROM m2f, LATERAL unnest(generate_series(1, len(w) - 1)) t(i))
+       |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+       |FROM p2 GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
+
   /** Per-document character-distribution Shannon entropy — the cheap
     * repetitive/degenerate-content signal (low bits/char ⇒ filler, mash,
     * or heavy repetition). Runs as ONE narrow map over the corpus via the
@@ -750,6 +806,7 @@ object TextOps {
     "bigram_lm_score" -> (bigramLmScore _),
     "quality_percentile_cut" -> (qualityPercentileCut _),
     "bpe_pair_stats" -> (bpePairStats _),
+    "bpe_2merge" -> (bpe2Merge _),
     "char_entropy" -> (charEntropy _),
     "doc_pack" -> (docPack _),
     "lang_id" -> (langId _),
@@ -769,6 +826,7 @@ object TextOps {
     "bigram_lm_score" -> bigramLmScoreOracle,
     "quality_percentile_cut" -> qualityPercentileCutOracle,
     "bpe_pair_stats" -> bpePairStatsOracle,
+    "bpe_2merge" -> bpe2MergeOracle,
     "char_entropy" -> charEntropyOracle,
     "doc_pack" -> docPackOracle,
     "lang_id" -> langIdOracle,

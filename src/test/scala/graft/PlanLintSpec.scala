@@ -29,7 +29,8 @@ class PlanLintSpec extends AnyFunSuite {
     "dedup_minhash_lsh", "dedup_minhash_shingle", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_exact", "text_repetition", "corpus_curation",
     "dedup_clusters", "dedup_clusters_lsh", "dedup_incremental",
-    "top_ngrams", "bpe_pair_stats", "source_overlap", "events_funnel",
+    "top_ngrams", "bpe_pair_stats", "bpe_2merge", "source_overlap",
+    "events_funnel",
     "q6_forecast_revenue", "reconcile_counts", "quoted_list_join",
     "q11_important_parts", "q22_global_sales", // 1-row scalar-cut broadcasts
     "retention_filter") // 1-row max-ts scalar broadcast
@@ -76,7 +77,13 @@ class PlanLintSpec extends AnyFunSuite {
       "lang_id" -> 0,             // narrow map + sort only
       "sanitize_text" -> 0,
       "doc_fingerprint" -> 1,     // fp_prefix cluster-size window
-      "multimodal_meta" -> 0)
+      "multimodal_meta" -> 0,
+      // heaviest-query shapes pinned (VERDICT r4 polish): a refactor that
+      // adds an exchange to either should fail loudly, not ship quietly
+      "pagerank_step" -> 6,       // edge distinct, outdeg agg, outdeg join,
+                                  // contrib agg + partials
+      "dedup_editdistance" -> 1)  // prefix-block join broadcasts; one
+                                  // survivor-set boundary exchange
     val offenders = budget.flatMap { case (name, maxEx) =>
       // count SHUFFLE exchanges only — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
