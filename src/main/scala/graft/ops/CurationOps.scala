@@ -272,11 +272,56 @@ object CurationOps {
        |FROM sp GROUP BY source, split ORDER BY source, split""".stripMargin
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006 —
+    * the A-ES key u^(1/w)): top-5 documents per source with selection
+    * probability proportional to n_chars. The uniform u derives from the
+    * content fingerprint (md5 first 8 hex nibbles + ½, over 2³²), so the
+    * sample is retry-idempotent and engine-reproducible like
+    * [[corpusSample]]; ranking uses ln(u)/w (same order as u^(1/w),
+    * better conditioned). One source-keyed window shuffle; at real scale
+    * the per-partition top-k runs map-side before the k-row merge.
+    */
+  def corpusWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((conv(substring(DedupOps.fingerprint(col("text")), 1, 8),
+          16, 10).cast("double") + 0.5) / 4294967296.0).as("u"))
+      .withColumn("lnkey", log(col("u")) / col("n_chars").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("lnkey").desc, col("doc_id"))
+    docs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+        round(col("lnkey"), 6).as("lnkey"))
+      .orderBy("source", "rank")
+  }
+
+  val corpusWeightedSampleOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars,
+       |         (CAST(('0x' || substr(md5(${DedupOps.normTextOracle("text")}), 1, 8))
+       |            AS BIGINT) + 0.5) / 4294967296.0 AS u
+       |  FROM documents WHERE n_chars > 0),
+       |k AS (
+       |  SELECT doc_id, source, n_chars,
+       |         ln(u) / CAST(n_chars AS DOUBLE) AS lnkey
+       |  FROM d),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY lnkey DESC, doc_id) AS rank
+       |  FROM k)
+       |SELECT source, rank, doc_id, n_chars, round(lnkey, 6) AS lnkey
+       |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_split" -> (corpusSplit _),
     "source_overlap" -> (sourceOverlap _),
     "corpus_curation" -> (corpusCuration _),
     "corpus_sample" -> (corpusSample _),
+    "corpus_weighted_sample" -> (corpusWeightedSample _),
     "corpus_shuffle" -> (corpusShuffle _),
     "source_mixture" -> (sourceMixture _))
 
@@ -285,6 +330,7 @@ object CurationOps {
     "source_overlap" -> sourceOverlapOracle,
     "corpus_curation" -> corpusCurationOracle,
     "corpus_sample" -> corpusSampleOracle,
+    "corpus_weighted_sample" -> corpusWeightedSampleOracle,
     "corpus_shuffle" -> corpusShuffleOracle,
     "source_mixture" -> sourceMixtureOracle)
 }

@@ -380,7 +380,45 @@ object RelationalOps {
       |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
       |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin
 
+  /** TPC-H Q2 shape (lineitem as the part-supplier bridge — no partsupp
+    * in this schema): for each large part, the cheapest supplier that has
+    * shipped it (min acctbal, supplier key tie-break) — the classic
+    * argmin-per-group-with-join. `min_by` over a struct gives the argmin
+    * in ONE aggregation pass (no self-join back, no window): the
+    * (part, supplier) bridge dedups in the same shuffle the argmin uses.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val bigParts = Tables(s, dir, "part")
+      .filter(col("p_size") >= 48).select(col("p_partkey"))
+    val sup = Tables(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    Tables(s, dir, "lineitem")
+      .join(broadcast(bigParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey").as("p_partkey"), col("l_suppkey"))
+      .distinct()
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"))
+      .agg(min_by(
+        struct(col("s_suppkey"), col("s_name"), col("s_acctbal")),
+        struct(col("s_acctbal"), col("s_suppkey"))).as("m"))
+      .select(col("p_partkey"), col("m.s_suppkey").as("s_suppkey"),
+        col("m.s_name").as("s_name"), col("m.s_acctbal").as("s_acctbal"))
+      .orderBy("p_partkey")
+  }
+
+  val q2Oracle: String =
+    """SELECT p_partkey, s_suppkey, s_name, s_acctbal FROM (
+      |  SELECT b.p_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
+      |         row_number() OVER (PARTITION BY b.p_partkey
+      |           ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+      |  FROM (SELECT DISTINCT l_partkey AS p_partkey, l_suppkey
+      |        FROM lineitem
+      |        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)) b
+      |  JOIN supplier s ON s.s_suppkey = b.l_suppkey)
+      |WHERE rn = 1 ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q9_product_profit" -> (q9ProductProfit _),
@@ -393,6 +431,7 @@ object RelationalOps {
     "q22_global_sales" -> (q22GlobalSales _))
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2Oracle,
     "q4_order_priority" -> q4Oracle,
     "q7_volume_shipping" -> q7Oracle,
     "q9_product_profit" -> q9Oracle,
