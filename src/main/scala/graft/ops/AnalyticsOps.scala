@@ -1020,6 +1020,94 @@ object AnalyticsOps {
       |SELECT event_type, exact_users, kmv
       |FROM ex JOIN kmv USING (event_type) ORDER BY event_type""".stripMargin
 
+  /** KMV sketch-based set-overlap estimation between event types — the
+    * mergeable-sketch payoff: once per-type KMV sketches exist
+    * ([[kmvUserSketch]]'s shape), ANY pairwise intersection estimates
+    * come from the k-row sketches alone, never re-scanning the events.
+    * Estimator: over the union's k-min sketch U, ρ = |U ∩ A ∩ B| / |U|
+    * and |A∪B| ≈ (|U|−1)/u_max (Beyer et al., SIGMOD'07), giving
+    * |A∩B| ≈ ρ·|A∪B|. md5-deterministic, so the DuckDB oracle reproduces
+    * the EXACT estimate; the exact overlap rides alongside for the error
+    * audit.
+    *
+    * Scale shape: one keyed aggregation builds the sketches (O(k)
+    * mergeable buffers); the pair join is sketch×sketch (T² rows for T
+    * types — tiny); exact overlap is one distinct + one self-join on
+    * user_id, present only as the audit column.
+    */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val K = 32
+    val sketches = Tables(s, dir, "events")
+      .select(col("event_type"),
+        md5(col("user_id").cast("string").cast("binary")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketch.kmvSmallest(col("h"), K).as("sk"))
+    val a = sketches.select(col("event_type").as("type_a"),
+      split(col("sk"), ",").as("ha"))
+    val b = sketches.select(col("event_type").as("type_b"),
+      split(col("sk"), ",").as("hb"))
+    val ut = Tables(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val exact = ut.as("x").join(ut.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .withColumn("u",
+        slice(array_sort(array_distinct(concat(col("ha"), col("hb")))), 1, K))
+      .withColumn("mk", size(col("u")))
+      .withColumn("umax",
+        (conv(substring(element_at(col("u"), size(col("u"))), 1, 8), 16, 10)
+          .cast("double") + 0.5) / 4294967296.0)
+      .withColumn("common", size(filter(col("u"),
+        x => array_contains(col("ha"), x) && array_contains(col("hb"), x))))
+      .withColumn("est_overlap",
+        round((col("common").cast("double") / col("mk").cast("double")) *
+          ((col("mk").cast("double") - 1.0) / col("umax")), 2))
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
+        col("est_overlap"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val kmvOverlapOracle: String =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |                  md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+      |r AS (SELECT event_type, h,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |      FROM h),
+      |sk AS (SELECT event_type, list(h ORDER BY h) AS sk
+      |       FROM r WHERE rn <= 32 GROUP BY event_type),
+      |ut AS (SELECT DISTINCT event_type, user_id FROM events),
+      |exact AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |         count(*) AS exact_overlap
+      |  FROM ut x JOIN ut y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         a.sk AS ha, b.sk AS hb,
+      |         list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:32] AS u
+      |  FROM sk a, sk b WHERE a.event_type < b.event_type),
+      |est AS (
+      |  SELECT type_a, type_b,
+      |         len(u) AS mk,
+      |         (CAST(('0x' || substr(u[len(u)], 1, 8)) AS BIGINT) + 0.5)
+      |           / 4294967296.0 AS umax,
+      |         len(list_filter(u, x -> list_contains(ha, x)
+      |           AND list_contains(hb, x))) AS common
+      |  FROM pairs)
+      |SELECT e.type_a, e.type_b,
+      |       coalesce(x.exact_overlap, 0) AS exact_overlap,
+      |       round((CAST(common AS DOUBLE) / CAST(mk AS DOUBLE)) *
+      |             ((CAST(mk AS DOUBLE) - 1.0) / umax), 2) AS est_overlap
+      |FROM est e LEFT JOIN exact x USING (type_a, type_b)
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** Weekly cohort retention: users grouped by the week of their first
     * signup, tracked by distinct-active weeks after it — the
     * product-analytics retention matrix. Every stage is user- or
@@ -1139,6 +1227,7 @@ object AnalyticsOps {
     "pagerank_2step" -> (pagerank2Step _),
     "scd2_customer" -> (scd2Customer _),
     "cube_order_stats" -> (cubeOrderStats _),
+    "kmv_overlap" -> (kmvOverlap _),
     "trailing_30d_spend" -> (trailing30dSpend _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
@@ -1172,6 +1261,7 @@ object AnalyticsOps {
     "pagerank_2step" -> pagerank2StepOracle,
     "scd2_customer" -> scd2CustomerOracle,
     "cube_order_stats" -> cubeOrderStatsOracle,
+    "kmv_overlap" -> kmvOverlapOracle,
     "trailing_30d_spend" -> trailing30dSpendOracle,
     "q10_returned_items" -> q10Oracle,
     "q14_promo_revenue" -> q14Oracle,

@@ -110,6 +110,32 @@ object EventOps {
       |             CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The same per-type props aggregation as [[eventsJson]] through Spark
+    * 4's VariantType path — `parse_json` → `variant_get` instead of
+    * `from_json` → struct field. Variant keeps the document open-schema
+    * (no DDL up front) while still binary-encoded and predicate-friendly;
+    * this query exists to keep THAT expression tree (VariantGet over
+    * VariantType) on the tested surface. Same oracle semantics as the
+    * struct path.
+    */
+  def eventsVariant(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high_k"))
+      .orderBy("event_type")
+
+  val eventsVariantOracle: String =
+    """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_k
+      |FROM (SELECT event_type,
+      |             CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Top-k users by total event value (sort + limit with deterministic
     * tie-break). `orderBy + limit` compiles to TakeOrderedAndProject —
     * partial top-10 on EVERY partition, then a 10-row merge — so no global
@@ -415,6 +441,7 @@ object EventOps {
     "events_tumbling" -> (eventsTumbling _),
     "events_sessionize" -> (eventsSessionize _),
     "events_json" -> (eventsJson _),
+    "events_variant" -> (eventsVariant _),
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
@@ -428,5 +455,6 @@ object EventOps {
     "events_tumbling" -> eventsTumblingOracle,
     "events_sessionize" -> eventsSessionizeOracle,
     "events_json" -> eventsJsonOracle,
+    "events_variant" -> eventsVariantOracle,
     "events_topk_users" -> eventsTopkUsersOracle)
 }

@@ -23,7 +23,8 @@ class PlanLintSpec extends AnyFunSuite {
     "ann_ivf_probe2",
     "embedding_quantize", "merge_upsert",
     "q14_promo_revenue", "q19_disjunctive", "brand_affinity",
-    "cardinality_sketches", "events_range_join", "contamination_check",
+    "cardinality_sketches", "kmv_overlap", // sketch×sketch: T-row sides
+    "events_range_join", "contamination_check",
     "dedup_embedding_cosine", "dedup_embedding_lsh", "ann_cosine_topk",
     "ann_ivf_topk", "ann_sign_lsh", "embedding_centroids",
     "dedup_minhash_lsh", "dedup_minhash_shingle", "dedup_ngram_jaccard",
