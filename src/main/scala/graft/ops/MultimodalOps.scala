@@ -162,12 +162,71 @@ object MultimodalOps {
       |FROM frames WHERE frame_idx % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Resize PLANNING as a metadata-only pass: the stub decoder's source
+    * dimensions are pure functions of payload length, so the
+    * aspect-preserving fit into 224×224 — the exact [[FakeDecoder
+    * .resizeFit]] arithmetic — runs as codegen'd Column arithmetic with
+    * NO decode and no mapPartitions. This is the shape of a real
+    * pipeline's resize scheduler (decide scale factors and output sizes
+    * from header metadata, decode only what actually needs resampling);
+    * `MultimodalOpsSpec` pins this plan-level arithmetic row-identical to
+    * the typed decoder path's resized dims. Oracle-backed (integer
+    * division floors identically in both engines for positive operands).
+    */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val maxDim = 224
+    val base = mediaTable(s, dir)
+      .withColumn("len", octet_length(col("payload")))
+      .withColumn("width", (lit(16) + col("len") % 640).cast("int"))
+      .withColumn("height", (lit(16) + (col("len") * 7) % 480).cast("int"))
+      .withColumn("long_side", greatest(col("width"), col("height")))
+    base
+      .withColumn("resized_w",
+        when(col("long_side") <= maxDim, col("width"))
+          .otherwise(greatest(lit(1),
+            floor(col("width") * maxDim / col("long_side")).cast("int"))))
+      .withColumn("resized_h",
+        when(col("long_side") <= maxDim, col("height"))
+          .otherwise(greatest(lit(1),
+            floor(col("height") * maxDim / col("long_side")).cast("int"))))
+      .withColumn("needs_resize", col("long_side") > maxDim)
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("resized_w"), col("resized_h"), col("needs_resize"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalResizeOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS media_type,
+      |         octet_length(encode(text)) AS len
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, media_type,
+      |         CAST(16 + len % 640 AS INT) AS width,
+      |         CAST(16 + (len * 7) % 480 AS INT) AS height
+      |  FROM m),
+      |g AS (SELECT *, greatest(width, height) AS long_side FROM d)
+      |SELECT doc_id, media_type, width, height,
+      |       CASE WHEN long_side <= 224 THEN width
+      |            ELSE greatest(1, CAST(floor(width * 224 / long_side) AS INT))
+      |       END AS resized_w,
+      |       CASE WHEN long_side <= 224 THEN height
+      |            ELSE greatest(1, CAST(floor(height * 224 / long_side) AS INT))
+      |       END AS resized_h,
+      |       long_side > 224 AS needs_resize
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
-    "multimodal_frames" -> (multimodalFrames _))
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_resize" -> (multimodalResize _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaOracle,
-    "multimodal_frames" -> multimodalFramesOracle)
+    "multimodal_frames" -> multimodalFramesOracle,
+    "multimodal_resize" -> multimodalResizeOracle)
 }
