@@ -99,6 +99,63 @@ object AnalyticsOps {
       |  SELECT 'except', (SELECT count(*) FROM (SELECT k FROM wo EXCEPT SELECT k FROM b)))
       |ORDER BY op""".stripMargin
 
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL over the order-
+    * priority BAGS of two customer segments ([[setOpsCustomers]] covers
+    * the distinct forms). Bag semantics count multiplicities, so the ops
+    * plan as a single count-per-value aggregation + min/subtract rather
+    * than a distinct exchange.
+    */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    def seg(name: String) = {
+      val keys = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === name).select("c_custkey")
+      Tables(s, dir, "orders")
+        .join(broadcast(keys), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderpriority").as("p"))
+    }
+    val a = seg("BUILDING"); val b = seg("MACHINERY")
+    val mk = (name: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    mk("except_all", a.exceptAll(b))
+      .unionAll(mk("intersect_all", a.intersectAll(b)))
+      .orderBy("op")
+  }
+
+  val setOpsAllOracle: String =
+    """WITH a AS (SELECT o_orderpriority AS p FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                      WHERE c_mktsegment = 'BUILDING')),
+      |b AS (SELECT o_orderpriority AS p FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                      WHERE c_mktsegment = 'MACHINERY'))
+      |SELECT op, n FROM (
+      |  SELECT 'except_all' AS op,
+      |         (SELECT count(*) FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)) AS n
+      |  UNION ALL
+      |  SELECT 'intersect_all',
+      |         (SELECT count(*) FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)))
+      |ORDER BY op""".stripMargin
+
+  /** Correlated LATERAL subquery on the portable-SQL surface (same
+    * literal text on Spark and DuckDB, like [[sqlQ3]]): top-2 orders per
+    * customer — the per-row dependent subquery Catalyst decorrelates into
+    * a ranked window join, with no hand-written window in the query text.
+    */
+  val sqlLateralText: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c_custkey <= 100
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  def sqlLateral(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(t =>
+      Tables(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlLateralText)
+  }
+
   /** Rollup (grouping-sets family): per-flag, per-flag-status, and grand
     * totals in one pass — Spark plans a single Expand + aggregation.
     */
@@ -1228,6 +1285,8 @@ object AnalyticsOps {
     "scd2_customer" -> (scd2Customer _),
     "cube_order_stats" -> (cubeOrderStats _),
     "kmv_overlap" -> (kmvOverlap _),
+    "set_ops_all" -> (setOpsAll _),
+    "sql_lateral" -> (sqlLateral _),
     "trailing_30d_spend" -> (trailing30dSpend _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
@@ -1262,6 +1321,8 @@ object AnalyticsOps {
     "scd2_customer" -> scd2CustomerOracle,
     "cube_order_stats" -> cubeOrderStatsOracle,
     "kmv_overlap" -> kmvOverlapOracle,
+    "set_ops_all" -> setOpsAllOracle,
+    "sql_lateral" -> sqlLateralText,
     "trailing_30d_spend" -> trailing30dSpendOracle,
     "q10_returned_items" -> q10Oracle,
     "q14_promo_revenue" -> q14Oracle,

@@ -110,6 +110,52 @@ object EventOps {
       |             CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Gap-based sessionization through Spark's NATIVE `session_window`
+    * operator (SessionWindowing + MergingSessionsExec — the engine merges
+    * overlapping [ts, ts+gap) intervals itself) rather than the
+    * lag/flag/cumsum window composition of [[eventsSessionize]]. Same
+    * 30-minute gap; the two differ only at an exact-gap boundary
+    * (session_window starts a NEW session at diff == gap; the lag form
+    * keeps it — microsecond-exact data makes that measure-zero, and the
+    * oracle encodes session_window's `>=` rule precisely at µs
+    * resolution). One user-keyed shuffle, state merges map-side.
+    */
+  def eventsSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  /** µs-exact: DuckDB truncates the parquet ns timestamps to µs exactly
+    * like Tables' `ts div 1000`, so `us - lag(us) >= 1800e6` reproduces
+    * session_window's boundary rule bit-for-bit.
+    */
+  val eventsSessionWindowOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, value, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, value, ts, us, event_id,
+      |         CASE WHEN lag(us) OVER w IS NULL
+      |                OR us - lag(us) OVER w >= 1800000000 THEN 1
+      |              ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |ses AS (
+      |  SELECT user_id, value, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM ses GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** The same per-type props aggregation as [[eventsJson]] through Spark
     * 4's VariantType path — `parse_json` → `variant_get` instead of
     * `from_json` → struct field. Variant keeps the document open-schema
@@ -442,6 +488,7 @@ object EventOps {
     "events_sessionize" -> (eventsSessionize _),
     "events_json" -> (eventsJson _),
     "events_variant" -> (eventsVariant _),
+    "events_session_window" -> (eventsSessionWindow _),
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
@@ -456,5 +503,6 @@ object EventOps {
     "events_sessionize" -> eventsSessionizeOracle,
     "events_json" -> eventsJsonOracle,
     "events_variant" -> eventsVariantOracle,
+    "events_session_window" -> eventsSessionWindowOracle,
     "events_topk_users" -> eventsTopkUsersOracle)
 }
