@@ -100,8 +100,16 @@ object SimilarityOps {
     * probe-list is a narrow broadcast join; candidate scan touches only
     * nprobe/L of the corpus via the (label=probe) equi-join; the only
     * corpus shuffle is the per-query top-k window. Recall(nprobe=2) ≥
-    * recall(nprobe=1) is pinned in SimilarityOpsSpec against the exact
-    * [[annCosineTopk]].
+    * recall(nprobe=1) is pinned in DedupOpsSpec against the exact
+    * [[annCosineTopk]], including recall = 1.0 when probing every bucket.
+    *
+    * Measured at sf0.01: own-label nprobe=1 ([[annIvfTopk]]) recall 0.08,
+    * learned-centroid nprobe=2 recall 0.32 — honest numbers for a corpus
+    * whose labels are NOT cosine-aligned clusters. The trade is
+    * corpus-dependent: on the same corpus the unsupervised sign-LSH path
+    * ([[annSignLsh]]) reaches 0.94–0.96, which is why IT is the
+    * recommended default and IVF exists as the bucketed-index SHAPE with
+    * its tuning knob.
     */
   def annIvfProbe(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val emb = embeddings(s, dir)
