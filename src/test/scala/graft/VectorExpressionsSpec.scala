@@ -78,6 +78,24 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
   }
 
+  test("SquaredDistance == composition on random vectors (property, incl. ±0/huge/tiny)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val value = Gen.oneOf(
+      Gen.choose(-10.0, 10.0), Gen.const(0.0), Gen.const(-0.0),
+      Gen.choose(-1e12, 1e12), Gen.choose(-1e-12, 1e-12))
+    val vec = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, value))
+    val prop = Prop.forAll(Gen.listOfN(6, Gen.zip(vec, vec))) {
+      vs: List[(List[Double], List[Double])] =>
+        val df = vs.toDF("a", "b")
+        df.select(
+            VectorFunctions.squaredDistance(col("a"), col("b")).as("n"),
+            VectorFunctions.squaredDistanceComposed(col("a"), col("b")).as("c"))
+          .filter(!(col("n") <=> col("c"))).count() == 0L
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("SimHash64 == explode + 64-expression aggregate composition") {
     val native = DedupOps.simhashSignatures(spark, dir)
       .select("doc_id", "simhash").collect()
