@@ -592,6 +592,46 @@ object TextOps {
        |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
        |FROM p2 GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
 
+  /** Corpus heavy hitters (words above 0.5% frequency) via the two-pass
+    * Misra–Gries pattern: pass 1 proposes ≤ k candidates with the O(k)
+    * mergeable [[graft.functions.MisraGriesCandidates]] Aggregator — no
+    * shuffle of the distinct-token space, just k-entry maps merging
+    * map-side; pass 2 recounts EXACTLY over the tiny broadcast candidate
+    * list, so only candidate-matching rows reach the count shuffle. The
+    * MG superset guarantee (every item above n/(k+1) survives any
+    * reduce/merge order; k = 256 ≫ the 200 implied by the threshold)
+    * makes the recount complete and the final answer deterministic —
+    * hence ORACLE-CHECKABLE even though the candidate set itself is
+    * merge-order-dependent. Completes the sketch family: KMV (distinct),
+    * HLL/KLL (`cardinality_sketches`), MG (frequent items).
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(explode(split(normText(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val total = words.agg(count(lit(1)).cast("double").as("n"))
+    val cands = words
+      .agg(graft.functions.MisraGries.candidates(col("w"), 256).as("cands"))
+      .select(explode(col("cands")).as("w"))
+    words.join(broadcast(cands), "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") > col("n") / 200.0)
+      .select(col("w"), col("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+  }
+
+  val heavyHittersOracle: String =
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(${normTextOracle("text")}, ' ')) AS w
+       |  FROM documents),
+       |w2 AS (SELECT w FROM words WHERE w <> ''),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM w2)
+       |SELECT w, count(*) AS cnt FROM w2
+       |GROUP BY w HAVING count(*) > (SELECT n FROM tot) / 200.0
+       |ORDER BY cnt DESC, w""".stripMargin
+
   /** Per-document character-distribution Shannon entropy — the cheap
     * repetitive/degenerate-content signal (low bits/char ⇒ filler, mash,
     * or heavy repetition). Runs as ONE narrow map over the corpus via the
@@ -807,6 +847,7 @@ object TextOps {
     "quality_percentile_cut" -> (qualityPercentileCut _),
     "bpe_pair_stats" -> (bpePairStats _),
     "bpe_2merge" -> (bpe2Merge _),
+    "heavy_hitters" -> (heavyHitters _),
     "char_entropy" -> (charEntropy _),
     "doc_pack" -> (docPack _),
     "lang_id" -> (langId _),
@@ -827,6 +868,7 @@ object TextOps {
     "quality_percentile_cut" -> qualityPercentileCutOracle,
     "bpe_pair_stats" -> bpePairStatsOracle,
     "bpe_2merge" -> bpe2MergeOracle,
+    "heavy_hitters" -> heavyHittersOracle,
     "char_entropy" -> charEntropyOracle,
     "doc_pack" -> docPackOracle,
     "lang_id" -> langIdOracle,

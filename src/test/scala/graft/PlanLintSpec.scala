@@ -30,7 +30,9 @@ class PlanLintSpec extends AnyFunSuite {
     "dedup_minhash_lsh", "dedup_minhash_shingle", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_exact", "text_repetition", "corpus_curation",
     "dedup_clusters", "dedup_clusters_lsh", "dedup_incremental",
-    "top_ngrams", "bpe_pair_stats", "bpe_2merge", "source_overlap",
+    "top_ngrams", "bpe_pair_stats", "bpe_2merge",
+    "heavy_hitters", // 1-row total-count scalar broadcast
+    "source_overlap",
     "events_funnel",
     "q6_forecast_revenue", "reconcile_counts", "quoted_list_join",
     "q11_important_parts", "q22_global_sales", // 1-row scalar-cut broadcasts
