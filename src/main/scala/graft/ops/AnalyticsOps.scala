@@ -99,6 +99,45 @@ object AnalyticsOps {
       |  SELECT 'except', (SELECT count(*) FROM (SELECT k FROM wo EXCEPT SELECT k FROM b)))
       |ORDER BY op""".stripMargin
 
+  /** ANALYZE-style table profile — per column: row count, null count,
+    * exact distinct count — the stats pass every warehouse runs before
+    * query planning / data-quality gates. ONE scan: a single Aggregate
+    * carries all 11 per-column aggregates (Spark plans the multiple
+    * DISTINCTs as one Expand — 11× row expansion, not 11 scans), and the
+    * wide 1-row result melts to per-column rows with a narrow
+    * explode(array(struct…)). The oracle re-scans per column — the
+    * oracle optimizes for obviousness, the engine for scan count.
+    */
+  def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "lineitem")
+    val cols = t.columns.toSeq
+    val aggs =
+      count(lit(1)).as("n_rows") +:
+        cols.flatMap { c =>
+          Seq(count(when(col(c).isNull, 1)).as(s"nulls_$c"),
+            countDistinct(col(c)).as(s"dist_$c"))
+        }
+    val wide = t.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col("n_rows"),
+          col(s"nulls_$c").as("n_nulls"), col(s"dist_$c").as("n_distinct"))
+      }: _*)).as("p"))
+      .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"))
+      .orderBy("column")
+  }
+
+  val tableProfileOracle: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |       count(*) FILTER ($c IS NULL) AS n_nulls,
+         |       count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   /** Multiset set operations — INTERSECT ALL / EXCEPT ALL over the order-
     * priority BAGS of two customer segments ([[setOpsCustomers]] covers
     * the distinct forms). Bag semantics count multiplicities, so the ops
@@ -1286,6 +1325,7 @@ object AnalyticsOps {
     "cube_order_stats" -> (cubeOrderStats _),
     "kmv_overlap" -> (kmvOverlap _),
     "set_ops_all" -> (setOpsAll _),
+    "table_profile" -> (tableProfile _),
     "sql_lateral" -> (sqlLateral _),
     "trailing_30d_spend" -> (trailing30dSpend _),
     "q10_returned_items" -> (q10ReturnedItems _),
@@ -1322,6 +1362,7 @@ object AnalyticsOps {
     "cube_order_stats" -> cubeOrderStatsOracle,
     "kmv_overlap" -> kmvOverlapOracle,
     "set_ops_all" -> setOpsAllOracle,
+    "table_profile" -> tableProfileOracle,
     "sql_lateral" -> sqlLateralText,
     "trailing_30d_spend" -> trailing30dSpendOracle,
     "q10_returned_items" -> q10Oracle,
