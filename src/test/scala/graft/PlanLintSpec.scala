@@ -85,8 +85,16 @@ class PlanLintSpec extends AnyFunSuite {
       // adds an exchange to either should fail loudly, not ship quietly
       "pagerank_step" -> 6,       // edge distinct, outdeg agg, outdeg join,
                                   // contrib agg + partials
-      "dedup_editdistance" -> 1)  // prefix-block join broadcasts; one
+      "dedup_editdistance" -> 1,  // prefix-block join broadcasts; one
                                   // survivor-set boundary exchange
+      "trailing_30d_spend" -> 1,  // one customer-keyed window shuffle
+      "scd2_customer" -> 1,       // ONE full-outer co-partitioned join
+      "q13_customer_distribution" -> 2, // outer join + count histogram
+      "events_session_window" -> 1,     // one user-keyed session merge
+      "heavy_hitters" -> 3,       // MG 1-row agg, candidate recount,
+                                  // total-count scalar
+      "q21_waiting_suppliers" -> 2) // order-key self-joins share one
+                                  // exchange + the s_name count
     val offenders = budget.flatMap { case (name, maxEx) =>
       // count SHUFFLE exchanges only — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
