@@ -95,6 +95,131 @@ object RelationalOps {
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** TPC-H Q8 shape: national market share — of all PROMO-type sales to
+    * ASIA-region customers, the fraction supplied by NATION_19, per
+    * order year. Two conditional sums in one aggregation; region, nation
+    * and the type-filtered part list broadcast; the share division is
+    * rounded at 6 (the one order-dependent double op in the query).
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables(s, dir, "nation")
+      .join(broadcast(Tables(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .select(col("n_nationkey"))
+    val suppNation = Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val promoParts = Tables(s, dir, "part")
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val cust = Tables(s, dir, "customer")
+      .join(broadcast(asiaNations),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"))
+    Tables(s, dir, "lineitem")
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).as("o_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+        col("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_19", col("volume"))
+          .otherwise(0.0)) / sum(col("volume")), 6).as("mkt_share"),
+        round(sum(col("volume")), 2).as("total_volume"))
+      .orderBy("o_year")
+  }
+
+  val q8Oracle: String =
+    """SELECT o_year,
+      |       round(sum(CASE WHEN supp_nation = 'NATION_19' THEN volume
+      |                      ELSE 0 END) / sum(volume), 6) AS mkt_share,
+      |       round(sum(volume), 2) AS total_volume
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |         l_extendedprice * (1 - l_discount) AS volume,
+      |         n2.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      |  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'ASIA'
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation n2 ON n2.n_nationkey = s_nationkey)
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q16 shape (lineitem as the part-supplier bridge): distinct
+    * supplier counts per (brand, size) for a part subset, excluding
+    * "complaint" suppliers (negative account balance stands in for the
+    * comment LIKE filter) — NOT-IN anti join + grouped COUNT DISTINCT.
+    */
+  def q16SupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables(s, dir, "part")
+      .filter(col("p_size").isin(5, 15, 25, 35, 45) &&
+        col("p_brand") =!= "Brand#4")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val complaint = Tables(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(complaint),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  val q16Oracle: String =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_size IN (5, 15, 25, 35, 45) AND p_brand <> 'Brand#4'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  /** TPC-H Q20 shape (shipped quantity stands in for partsupp
+    * availability): NATION_19 suppliers who moved more than 100 units of
+    * 'small *' parts — a HAVING-gated per-supplier aggregate feeding a
+    * semi join into the supplier dimension. Quantities are integral
+    * doubles, so the HAVING cut needs no rounding guard.
+    */
+  def q20ExcessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables(s, dir, "part")
+      .filter(col("p_name").startsWith("small ")).select(col("p_partkey"))
+    val movers = Tables(s, dir, "lineitem")
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 100)
+    val n19 = Tables(s, dir, "nation")
+      .filter(col("n_name") === "NATION_19").select(col("n_nationkey"))
+    Tables(s, dir, "supplier")
+      .join(broadcast(n19), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(movers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
+  val q20Oracle: String =
+    """SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_name = 'NATION_19')
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                        WHERE p_name LIKE 'small %')
+      |    GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+      |ORDER BY s_name""".stripMargin
+
   /** TPC-H Q9 shape: product-type profit by nation and year. The schema
     * has no partsupp, so supply cost is synthesized as half the part's
     * retail price — preserving the 5-way fact-dimension join and the
@@ -421,7 +546,10 @@ object RelationalOps {
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
+    "q16_supplier_count" -> (q16SupplierCount _),
+    "q20_excess_suppliers" -> (q20ExcessSuppliers _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q12_priority_classes" -> (q12PriorityClasses _),
     "q13_customer_distribution" -> (q13CustomerDistribution _),
@@ -434,7 +562,10 @@ object RelationalOps {
     "q2_min_cost_supplier" -> q2Oracle,
     "q4_order_priority" -> q4Oracle,
     "q7_volume_shipping" -> q7Oracle,
+    "q8_market_share" -> q8Oracle,
     "q9_product_profit" -> q9Oracle,
+    "q16_supplier_count" -> q16Oracle,
+    "q20_excess_suppliers" -> q20Oracle,
     "q11_important_parts" -> q11Oracle,
     "q12_priority_classes" -> q12Oracle,
     "q13_customer_distribution" -> q13Oracle,
