@@ -35,6 +35,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the iterative drivers (kmeans/pagerank/power 2step, ClusterOps,
+      // CurationOps) mint localCheckpoint blocks at plan construction;
+      // nothing re-reads them after the write, so drop them here or
+      // storage memory accumulates across the 100+ queries (same
+      // discipline as Bench between reps)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
