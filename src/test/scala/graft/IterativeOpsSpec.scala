@@ -46,6 +46,25 @@ class IterativeOpsSpec extends AnyFunSuite {
     assert(mass <= 20.0) // limit-20 frame: sanity ceiling only
   }
 
+  test("SCD2: version chains are well-formed (one current row per key, closed priors)") {
+    val rows = AnalyticsOps.scd2Customer(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4)))
+    val byKey = rows.groupBy(_._1)
+    assert(byKey.nonEmpty)
+    byKey.foreach { case (key, vs) =>
+      // exactly one current version per key
+      assert(vs.count(_._3) == 1, s"key $key: ${vs.count(_._3)} current rows")
+      val versions = vs.map(_._2).sorted.toSeq
+      // versions are 1..n with the HIGHEST one current, all priors closed
+      assert(versions == (1 to versions.length), s"key $key: $versions")
+      val current = vs.filter(_._3).head._2
+      assert(current == versions.last, s"key $key: current=$current of $versions")
+    }
+    // the changes feed actually produced two-version chains and inserts
+    assert(byKey.exists(_._2.length == 2), "no updated key has 2 versions")
+    assert(byKey.keys.exists(_ < 0), "no inserted (negative-key) rows")
+  }
+
   test("power iteration: output is unit-normalized (Σw² ≈ 1) and matches the single step's direction") {
     val w2 = SimilarityOps.powerIterate(spark, dir, rounds = 2)
       .collect().map(_.getDouble(1))
