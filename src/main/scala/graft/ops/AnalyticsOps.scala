@@ -99,6 +99,34 @@ object AnalyticsOps {
       |  SELECT 'except', (SELECT count(*) FROM (SELECT k FROM wo EXCEPT SELECT k FROM b)))
       |ORDER BY op""".stripMargin
 
+  /** Salted skew join on the driver-verified surface: events joined to a
+    * per-type dimension on `event_type` — 5 distinct keys over 10k+ rows,
+    * the hottest-key shape that melts one reducer in a plain shuffle
+    * join. [[SkewOps.saltedJoin]] (factor 8) spreads each hot key across
+    * 8 sub-partitions (dimension side exploded ×8); the oracle is the
+    * PLAIN SQL join, so the gate proves the salted plan is
+    * row-for-row equivalent — the SkewOpsSpec row-identity property,
+    * promoted to the oracle gate.
+    */
+  def saltedJoinCheck(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables(s, dir, "events").select(col("event_type"), col("value"))
+    val dim = events.groupBy(col("event_type")).agg(count(lit(1)).as("type_total"))
+      .select(col("event_type").as("et2"), col("type_total"))
+    SkewOps.saltedJoin(events, dim, "event_type", "et2", factor = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * col("type_total")), 2).as("weighted_sum"))
+      .orderBy("event_type")
+  }
+
+  val saltedJoinCheckOracle: String =
+    """WITH dim AS (SELECT event_type AS et2, count(*) AS type_total
+      |             FROM events GROUP BY event_type)
+      |SELECT event_type, count(*) AS n,
+      |       round(sum(value * type_total), 2) AS weighted_sum
+      |FROM events JOIN dim ON event_type = et2
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** ANALYZE-style table profile — per column: row count, null count,
     * exact distinct count — the stats pass every warehouse runs before
     * query planning / data-quality gates. ONE scan: a single Aggregate
@@ -1326,6 +1354,7 @@ object AnalyticsOps {
     "kmv_overlap" -> (kmvOverlap _),
     "set_ops_all" -> (setOpsAll _),
     "table_profile" -> (tableProfile _),
+    "salted_join_check" -> (saltedJoinCheck _),
     "sql_lateral" -> (sqlLateral _),
     "trailing_30d_spend" -> (trailing30dSpend _),
     "q10_returned_items" -> (q10ReturnedItems _),
@@ -1363,6 +1392,7 @@ object AnalyticsOps {
     "kmv_overlap" -> kmvOverlapOracle,
     "set_ops_all" -> setOpsAllOracle,
     "table_profile" -> tableProfileOracle,
+    "salted_join_check" -> saltedJoinCheckOracle,
     "sql_lateral" -> sqlLateralText,
     "trailing_30d_spend" -> trailing30dSpendOracle,
     "q10_returned_items" -> q10Oracle,

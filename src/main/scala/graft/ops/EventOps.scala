@@ -182,6 +182,33 @@ object EventOps {
       |             CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Exact interpolated percentiles per event type — the `percentile`
+    * (PERCENTILE_CONT) aggregate itself, complementing the rank-based
+    * `events_value_quartiles` (ntile buckets) and `events_value_stats`
+    * (median): Spark's linear interpolation at rank p·(n−1) matches
+    * DuckDB's `quantile_cont` definition, so the values oracle-match at
+    * 4 decimals. One keyed aggregation; at real scale swap in
+    * `approx_percentile` (KLL) — `cardinality_sketches` pins that
+    * sketch's error against this exact form.
+    */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.75)), 4).as("p75"),
+        round(percentile(col("value"), lit(0.95)), 4).as("p95"))
+      .orderBy("event_type")
+
+  val valuePercentilesOracle: String =
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.25), 4) AS p25,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.75), 4) AS p75,
+      |       round(quantile_cont(value, 0.95), 4) AS p95
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Top-k users by total event value (sort + limit with deterministic
     * tie-break). `orderBy + limit` compiles to TakeOrderedAndProject —
     * partial top-10 on EVERY partition, then a 10-row merge — so no global
@@ -489,6 +516,7 @@ object EventOps {
     "events_json" -> (eventsJson _),
     "events_variant" -> (eventsVariant _),
     "events_session_window" -> (eventsSessionWindow _),
+    "events_value_percentiles" -> (valuePercentiles _),
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
@@ -504,5 +532,6 @@ object EventOps {
     "events_json" -> eventsJsonOracle,
     "events_variant" -> eventsVariantOracle,
     "events_session_window" -> eventsSessionWindowOracle,
+    "events_value_percentiles" -> valuePercentilesOracle,
     "events_topk_users" -> eventsTopkUsersOracle)
 }
