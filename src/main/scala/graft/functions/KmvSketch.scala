@@ -53,6 +53,23 @@ object KmvSketch {
   /** Column form for untyped `groupBy(...).agg(...)`. */
   def kmvSmallest(c: Column, k: Int): Column = udaf(new KmvSmallest(k)).apply(c)
 
+  /** (first-8-hex-nibbles + ½) / 2³² — uniform in (0,1) from an md5 hex
+    * string. ONE definition shared by A-ES weighted sampling
+    * (`corpus_weighted_sample`) and the KMV union estimator
+    * (`kmv_overlap`); [[hexPrefixUniformSql]] is the DuckDB mirror of the
+    * same arithmetic, so engine/oracle parity is definitional rather than
+    * maintained by hand at each call site. (The 13-hex variant in
+    * [[kmvEstimate]] trades range for the full 52 bits a double holds —
+    * widen here the same way if 32 bits ever bites.)
+    */
+  def hexPrefixUniform(h: Column): Column = {
+    import org.apache.spark.sql.functions._
+    (conv(substring(h, 1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+  }
+
+  def hexPrefixUniformSql(expr: String): String =
+    s"(CAST(('0x' || substr($expr, 1, 8)) AS BIGINT) + 0.5) / 4294967296.0"
+
   /** KMV cardinality estimate from the k-th (last) hash of [[kmvSmallest]]'s
     * output: (k−1) / fraction, where the fraction is the first 13 hex
     * chars (52 bits — exact in a double) scaled to [0, 1). Returns null

@@ -34,8 +34,13 @@ class MisraGriesCandidates(k: Int)
     if (m.size <= k) m
     else {
       // subtract the (k+1)-th largest counter from every counter; at most
-      // k survive (those strictly above it)
-      val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      // k survive (those strictly above it). On the reduce path the map
+      // is exactly k+1 entries, where the (k+1)-th largest IS the minimum
+      // — O(k) instead of the O(k log k) sort, and reduce overflow is the
+      // hot loop (most incoming items are absent from a full buffer).
+      val cut =
+        if (m.size == k + 1) m.values.min
+        else m.values.toSeq.sorted(Ordering[Long].reverse)(k)
       m.flatMap { case (i, c) =>
         if (c - cut > 0) Some(i -> (c - cut)) else None
       }

@@ -929,10 +929,15 @@ object AnalyticsOps {
     * [[mergeUpsert]]).
     *
     * Scale shape: ONE full-outer co-partitioned shuffle join on the
-    * dimension key; both version branches project from the same joined
-    * frame (exchange reuse — no second join), and the union is narrow.
-    * Per-row arithmetic only — no cross-row sums — so no rounding is
-    * needed for engine parity.
+    * dimension key. Both version rows come out of the SAME joined row via
+    * an explode over an array of version structs — a union of two
+    * filtered projections would NOT keep that shape: Catalyst pushes the
+    * per-branch isNotNull filters through the union and splits the plan
+    * into two separate outer joins with duplicate scans (observed: 5
+    * scans of customer, 2 joins). The explode is opaque to that rewrite,
+    * so the join — and at scale its one co-partitioned shuffle — is paid
+    * exactly once. Per-row arithmetic only — no cross-row sums — so no
+    * rounding is needed for engine parity.
     */
   def scd2Customer(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir, "customer")
@@ -947,16 +952,22 @@ object AnalyticsOps {
         lit("NEW").as("u_segment"))
     val joined = base.join(updates.unionAll(inserts),
       col("c_custkey") === col("u_key"), "full_outer")
-    val v1 = joined.filter(col("c_custkey").isNotNull)
-      .select(col("c_custkey").as("key"), lit(1).as("version"),
-        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"),
-        col("u_key").isNull.as("is_current"))
-    val v2 = joined.filter(col("u_key").isNotNull)
-      .select(coalesce(col("c_custkey"), col("u_key")).as("key"),
-        when(col("c_custkey").isNotNull, 2).otherwise(1).as("version"),
-        col("u_acctbal").as("acctbal"), col("u_segment").as("segment"),
-        lit(true).as("is_current"))
-    v1.unionAll(v2).orderBy("key", "version")
+    val v1 = when(col("c_custkey").isNotNull, struct(
+      col("c_custkey").as("key"), lit(1).as("version"),
+      col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"),
+      col("u_key").isNull.as("is_current")))
+    val v2 = when(col("u_key").isNotNull, struct(
+      coalesce(col("c_custkey"), col("u_key")).as("key"),
+      when(col("c_custkey").isNotNull, 2).otherwise(1).as("version"),
+      col("u_acctbal").as("acctbal"), col("u_segment").as("segment"),
+      lit(true).as("is_current")))
+    joined
+      .select(explode(array(v1, v2)).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v.key").as("key"), col("v.version").as("version"),
+        col("v.acctbal").as("acctbal"), col("v.segment").as("segment"),
+        col("v.is_current").as("is_current"))
+      .orderBy("key", "version")
   }
 
   val scd2CustomerOracle: String =
@@ -1183,8 +1194,8 @@ object AnalyticsOps {
         slice(array_sort(array_distinct(concat(col("ha"), col("hb")))), 1, K))
       .withColumn("mk", size(col("u")))
       .withColumn("umax",
-        (conv(substring(element_at(col("u"), size(col("u"))), 1, 8), 16, 10)
-          .cast("double") + 0.5) / 4294967296.0)
+        graft.functions.KmvSketch.hexPrefixUniform(
+          element_at(col("u"), size(col("u")))))
       .withColumn("common", size(filter(col("u"),
         x => array_contains(col("ha"), x) && array_contains(col("hb"), x))))
       .withColumn("est_overlap",
@@ -1198,7 +1209,7 @@ object AnalyticsOps {
   }
 
   val kmvOverlapOracle: String =
-    """WITH h AS (SELECT DISTINCT event_type,
+    s"""WITH h AS (SELECT DISTINCT event_type,
       |                  md5(CAST(user_id AS VARCHAR)) AS h FROM events),
       |r AS (SELECT event_type, h,
       |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -1220,8 +1231,8 @@ object AnalyticsOps {
       |est AS (
       |  SELECT type_a, type_b,
       |         len(u) AS mk,
-      |         (CAST(('0x' || substr(u[len(u)], 1, 8)) AS BIGINT) + 0.5)
-      |           / 4294967296.0 AS umax,
+      |         ${graft.functions.KmvSketch.hexPrefixUniformSql("u[len(u)]")}
+      |           AS umax,
       |         len(list_filter(u, x -> list_contains(ha, x)
       |           AND list_contains(hb, x))) AS common
       |  FROM pairs)

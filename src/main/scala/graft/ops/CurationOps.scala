@@ -286,8 +286,8 @@ object CurationOps {
     val docs = Tables(s, dir, "documents")
       .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("source"), col("n_chars"),
-        ((conv(substring(DedupOps.fingerprint(col("text")), 1, 8),
-          16, 10).cast("double") + 0.5) / 4294967296.0).as("u"))
+        graft.functions.KmvSketch.hexPrefixUniform(
+          DedupOps.fingerprint(col("text"))).as("u"))
       .withColumn("lnkey", log(col("u")) / col("n_chars").cast("double"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
@@ -302,8 +302,8 @@ object CurationOps {
   val corpusWeightedSampleOracle: String =
     s"""WITH d AS (
        |  SELECT doc_id, source, n_chars,
-       |         (CAST(('0x' || substr(md5(${DedupOps.normTextOracle("text")}), 1, 8))
-       |            AS BIGINT) + 0.5) / 4294967296.0 AS u
+       |         ${graft.functions.KmvSketch.hexPrefixUniformSql(
+                    s"md5(${DedupOps.normTextOracle("text")})")} AS u
        |  FROM documents WHERE n_chars > 0),
        |k AS (
        |  SELECT doc_id, source, n_chars,

@@ -88,7 +88,10 @@ class PlanLintSpec extends AnyFunSuite {
       "dedup_editdistance" -> 1,  // prefix-block join broadcasts; one
                                   // survivor-set boundary exchange
       "trailing_30d_spend" -> 1,  // one customer-keyed window shuffle
-      "scd2_customer" -> 1,       // ONE full-outer co-partitioned join
+      "scd2_customer" -> 2,       // ONE full-outer join = one hash
+                                  // exchange per side (outer joins
+                                  // cannot broadcast); the explode keeps
+                                  // Catalyst from splitting it in two
       "q13_customer_distribution" -> 2, // outer join + count histogram
       "events_session_window" -> 1,     // one user-keyed session merge
       "heavy_hitters" -> 3,       // MG 1-row agg, candidate recount,
@@ -100,8 +103,11 @@ class PlanLintSpec extends AnyFunSuite {
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
       // are cheap by design, reused exchanges don't re-execute) — and
       // excluding the final sort's range exchange (oracle-determinism
-      // overhead, not part of the operator's work)
-      val n = "(?<![A-Za-z])Exchange (hashpartitioning|SinglePartition)".r
+      // overhead, not part of the operator's work). RoundRobinPartitioning
+      // IS counted: a stray repartition(n) is exactly the full-shuffle
+      // refactor this budget exists to catch.
+      val n = ("(?<![A-Za-z])Exchange " +
+        "(hashpartitioning|SinglePartition|RoundRobinPartitioning)").r
         .findAllIn(plans(name)).size
       if (n > maxEx) Some(s"$name: $n exchanges (budget $maxEx)") else None
     }
