@@ -137,7 +137,22 @@ class StreamingSpec extends AnyFunSuite {
     // at termination, so the inner join emits the COMPLETE match set — an
     // exact set-equality check against the batch interval join, not a
     // closed-prefix check
-    val streamed = StreamingJoin.runOnce(spark, dir, "ssj_test")
+    val events = graft.streaming.StreamingEvents.readEventStream(spark, dir)
+    val q = StreamingJoin.attributedPurchases(events)
+      .writeStream.queryName("ssj_test").outputMode("append")
+      .format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // exact set equality below is only sound if the drain ran as ONE
+    // micro-batch: across batches, rows >30 min out of order would be
+    // dropped as watermark-late and the check would be flaky (ADVICE r5).
+    // Pin that precondition loudly instead of assuming it.
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 1,
+      s"drain split into $dataBatches data batches; exact-equality " +
+        "precondition broken (multi-file fixture or maxFilesPerTrigger?)")
+    val streamed = spark.table("ssj_test")
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     val ev = graft.ops.Tables(spark, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
