@@ -1350,7 +1350,44 @@ object AnalyticsOps {
       |WHERE n_both >= 20
       |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin
 
+  /** Pairwise Pearson correlation matrix of lineitem's measure columns —
+    * the feature-screening pass before any modeling. ONE scan: all six
+    * pair aggregates ride a single Aggregate (corr is a plain
+    * one-pass co-moment, no distinct/Expand), then the 1-row wide result
+    * melts to pair rows with a narrow explode. Rounded to 4 — the
+    * co-moment accumulation order differs across engines in the last
+    * ulps.
+    */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 4).as(s"${a}__$b")
+    }
+    val wide = Tables(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(s"${a}__$b").as("pearson_r"))
+      }: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.pearson_r"))
+      .orderBy("col_a", "col_b")
+  }
+
+  val corrMatrixOracle: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |       round(corr($a, $b), 4) AS pearson_r FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corr_matrix" -> (corrMatrix _),
     "cohort_retention" -> (cohortRetention _),
     "brand_affinity" -> (brandAffinity _),
     "kmv_user_sketch" -> (kmvUserSketch _),
@@ -1389,6 +1426,7 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "corr_matrix" -> corrMatrixOracle,
     "cohort_retention" -> cohortRetentionOracle,
     "brand_affinity" -> brandAffinityOracle,
     "kmv_user_sketch" -> kmvUserSketchOracle,

@@ -503,7 +503,53 @@ object EventOps {
       |GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** Robust outlier detection via Median Absolute Deviation — the
+    * median-based alternative to [[eventsAnomaly]]'s z-score (robust to
+    * the very outliers it hunts). Per type: median(value), then
+    * MAD = median(|value − median|), then the count beyond 3·MAD.
+    * Exact `percentile` keyed aggregates (typed-median per group), a
+    * broadcast-sized per-type join back (5 rows), and one counting pass —
+    * the events table is scanned twice (the second median depends on the
+    * first), never collected. The 3·MAD comparison runs on UNROUNDED
+    * doubles: both engines derive med/adev through identical IEEE ops, so
+    * the boundary is deterministic.
+    */
+  def eventsMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"),
+        percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.drop("med").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        count(when(col("adev") > lit(3) * col("mad"), 1)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val eventsMadOracle: String =
+    """WITH med AS (
+      |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, any_value(med) AS med, median(adev) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, count(*) AS n,
+      |       round(any_value(m.med), 4) AS med,
+      |       round(any_value(m.mad), 4) AS mad,
+      |       count(*) FILTER (d.adev > 3 * m.mad) AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_mad" -> (eventsMad _),
     "events_sliding" -> (eventsSliding _),
     "events_gap_fill" -> (eventsGapFill _),
     "events_value_quartiles" -> (eventsValueQuartiles _),
@@ -520,6 +566,7 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "events_mad" -> eventsMadOracle,
     "events_sliding" -> eventsSlidingOracle,
     "events_gap_fill" -> eventsGapFillOracle,
     "events_value_quartiles" -> eventsValueQuartilesOracle,

@@ -542,7 +542,207 @@ object RelationalOps {
       |  JOIN supplier s ON s.s_suppkey = b.l_suppkey)
       |WHERE rn = 1 ORDER BY p_partkey""".stripMargin
 
+  /** Bloom-filter semi join — [[graft.functions.BloomFunctions]] builds the
+    * runtime-filter gate explicitly: lineitem rows pass `might_contain`
+    * (a false-positive-only superset test against the finished-order key
+    * set) BEFORE the exchange, then the exact left-semi join settles the
+    * survivors. The oracle is the plain EXISTS — proving the bloom stage
+    * changes the plan, not the answer. At 100 TB the payoff is that the
+    * probe shuffle carries only (roughly) matching rows; the false-positive
+    * overshoot is bounded by the filter's FPP, not the data.
+    */
+  def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val fKeys = Tables(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+      .filter(graft.functions.BloomFunctions.bloomMightContain(
+        fKeys, expectedItems = 200000L, value = col("l_orderkey")))
+      .join(fKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val bloomSemiJoinOracle: String =
+    """SELECT l_returnflag, count(*) AS n_lines,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** 2-D skyline (Pareto frontier): parts minimizing retail price while
+    * maximizing size — no other part is at-least-as-cheap AND
+    * at-least-as-large with one strict. Plans WITHOUT the quadratic
+    * NOT-EXISTS self-join the definition suggests: collapse to one row
+    * per distinct price (keyed aggregate), one sequential running-max
+    * window over the PRICE-CARDINALITY table (not the data), then a
+    * price-keyed join back. The only non-scaling step is the window over
+    * distinct prices — the inherent sequential frontier scan, on a table
+    * the size of the price domain. The oracle IS the quadratic
+    * NOT EXISTS, so the gate proves the window formulation exact,
+    * duplicate and tie semantics included (equal points do not dominate
+    * each other; both survive).
+    */
+  def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables(s, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val perPrice = p.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("best_size"))
+    val cheaper = Window.orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("run_max_lt", max(col("best_size")).over(cheaper))
+    p.join(frontier, "p_retailprice")
+      .filter(col("p_size") === col("best_size") &&
+        (col("run_max_lt").isNull || col("run_max_lt") < col("p_size")))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy("p_partkey")
+  }
+
+  val paretoFrontierOracle: String =
+    """SELECT p_partkey, p_retailprice, p_size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice
+      |    AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Wide→long melt (`Dataset.unpivot`, the relational UNPIVOT): per-flag
+    * measure totals melted to (flag, metric, total) rows — the shape every
+    * metrics store ingests. The unpivot itself is NARROW (an Expand over
+    * the already-aggregated 3-row table); all data-sized work happens in
+    * the keyed aggregate before it.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("quantity"),
+        round(sum(col("l_extendedprice")), 2).as("extendedprice"),
+        round(sum(col("l_discount")), 2).as("discount"),
+        round(sum(col("l_tax")), 2).as("tax"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "metric", "total")
+      .orderBy("l_returnflag", "metric")
+  }
+
+  val unpivotMetricsOracle: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |         round(sum(l_quantity), 2) AS quantity,
+      |         round(sum(l_extendedprice), 2) AS extendedprice,
+      |         round(sum(l_discount), 2) AS discount,
+      |         round(sum(l_tax), 2) AS tax
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, total FROM (
+      |  SELECT l_returnflag, 'quantity' AS metric, quantity AS total FROM w
+      |  UNION ALL SELECT l_returnflag, 'extendedprice', extendedprice FROM w
+      |  UNION ALL SELECT l_returnflag, 'discount', discount FROM w
+      |  UNION ALL SELECT l_returnflag, 'tax', tax FROM w)
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** Referential-integrity audit over the star schema's four FK edges:
+    * per relationship, orphaned child keys (anti join child→parent) and
+    * unreferenced parent rows (anti join parent→child). Each direction is
+    * ONE anti join aggregated to a scalar — dimension sides broadcast,
+    * the fact-fact edge shuffles on its key; the four relationship rows
+    * union. The audit every warehouse load gate runs before publishing.
+    */
+  def integrityAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(ck))
+        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val unreferenced = parent.select(col(pk))
+        .join(child.select(col(ck)), col(pk) === col(ck), "left_anti")
+        .agg(count(lit(1)).as("n_unreferenced"))
+      orphans.crossJoin(unreferenced)
+        .select(lit(name).as("fk"), col("n_orphans"), col("n_unreferenced"))
+    }
+    val li = Tables(s, dir, "lineitem")
+    edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+        Tables(s, dir, "orders"), "o_orderkey")
+      .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+        Tables(s, dir, "part"), "p_partkey"))
+      .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables(s, dir, "supplier"), "s_suppkey"))
+      .unionAll(edge("orders.o_custkey->customer", Tables(s, dir, "orders"),
+        "o_custkey", Tables(s, dir, "customer"), "c_custkey"))
+      .orderBy("fk")
+  }
+
+  val integrityAuditOracle: String =
+    """SELECT * FROM (
+      |SELECT 'lineitem.l_orderkey->orders' AS fk,
+      |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans,
+      |  (SELECT count(*) FROM orders WHERE NOT EXISTS
+      |    (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)) AS n_unreferenced
+      |UNION ALL
+      |SELECT 'lineitem.l_partkey->part',
+      |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+      |    (SELECT 1 FROM part WHERE p_partkey = l_partkey)),
+      |  (SELECT count(*) FROM part WHERE NOT EXISTS
+      |    (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey))
+      |UNION ALL
+      |SELECT 'lineitem.l_suppkey->supplier',
+      |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+      |    (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)),
+      |  (SELECT count(*) FROM supplier WHERE NOT EXISTS
+      |    (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey))
+      |UNION ALL
+      |SELECT 'orders.o_custkey->customer',
+      |  (SELECT count(*) FROM orders WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+      |  (SELECT count(*) FROM customer WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)))
+      |ORDER BY fk""".stripMargin
+
+  /** Month-over-month revenue growth: monthly totals (one keyed
+    * aggregate), then lag + percent change over the MONTH-CARDINALITY
+    * table — the sequential window runs on dozens of rows regardless of
+    * fact size. Growth is computed on the already-rounded monthly totals
+    * so both engines difference identical inputs.
+    */
+  def monthlyGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    monthly
+      .withColumn("prev", lag(col("revenue"), 1).over(Window.orderBy(col("m"))))
+      .select(date_format(col("m"), "yyyy-MM").as("month"), col("revenue"),
+        round((col("revenue") - col("prev")) / col("prev") * 100, 4)
+          .as("pct_growth"))
+      .orderBy("month")
+  }
+
+  val monthlyGrowthOracle: String =
+    """WITH monthly AS (
+      |  SELECT date_trunc('month', o_orderdate) AS m,
+      |         round(sum(o_totalprice), 2) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT strftime(m, '%Y-%m') AS month, revenue,
+      |       round((revenue - lag(revenue, 1) OVER (ORDER BY m))
+      |             / lag(revenue, 1) OVER (ORDER BY m) * 100, 4) AS pct_growth
+      |FROM monthly ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_semi_join" -> (bloomSemiJoin _),
+    "pareto_frontier" -> (paretoFrontier _),
+    "unpivot_metrics" -> (unpivotMetrics _),
+    "integrity_audit" -> (integrityAudit _),
+    "monthly_growth" -> (monthlyGrowth _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
@@ -559,6 +759,11 @@ object RelationalOps {
     "q22_global_sales" -> (q22GlobalSales _))
 
   val oracles: Map[String, String] = Map(
+    "bloom_semi_join" -> bloomSemiJoinOracle,
+    "pareto_frontier" -> paretoFrontierOracle,
+    "unpivot_metrics" -> unpivotMetricsOracle,
+    "integrity_audit" -> integrityAuditOracle,
+    "monthly_growth" -> monthlyGrowthOracle,
     "q2_min_cost_supplier" -> q2Oracle,
     "q4_order_priority" -> q4Oracle,
     "q7_volume_shipping" -> q7Oracle,

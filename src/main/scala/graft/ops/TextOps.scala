@@ -840,7 +840,50 @@ object TextOps {
        |       round(n / sum(n) OVER (PARTITION BY lang), 4) AS recall
        |FROM cells ORDER BY lang, lang_pred""".stripMargin
 
+  /** Zipf's-law fit of the corpus token-frequency curve: regression of
+    * ln(freq) on ln(rank) over the top-1000 whitespace tokens — the
+    * sanity check every corpus report carries (natural text slopes near
+    * −1; synthetic or template-heavy corpora drift). Token counting is a
+    * keyed aggregate with map-side partials; ranking is a window over the
+    * VOCABULARY table (not the corpus) with a deterministic
+    * (freq desc, token) tie-break so both engines rank identically; the
+    * regression aggregates (`regr_slope`/`regr_intercept`/`regr_r2`) run
+    * over 1000 rows.
+    */
+  def tokenZipf(s: SparkSession, dir: String): DataFrame = {
+    val freqs = Tables(s, dir, "documents")
+      .select(explode(split(normText(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val ranked = freqs
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+      .filter(col("rank") <= 1000)
+    ranked.agg(
+      count(lit(1)).as("n_terms"),
+      round(regr_slope(log(col("freq")), log(col("rank"))), 4).as("zipf_slope"),
+      round(regr_intercept(log(col("freq")), log(col("rank"))), 4)
+        .as("zipf_intercept"),
+      round(regr_r2(log(col("freq")), log(col("rank"))), 4).as("r2"))
+  }
+
+  val tokenZipfOracle: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(t, '\\S+')) AS tok
+       |  FROM (SELECT ${normTextOracle("text")} AS t FROM documents)),
+       |freqs AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+       |ranked AS (
+       |  SELECT freq,
+       |         row_number() OVER (ORDER BY freq DESC, tok) AS rank
+       |  FROM freqs QUALIFY rank <= 1000)
+       |SELECT count(*) AS n_terms,
+       |       round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+       |       round(regr_intercept(ln(freq), ln(rank)), 4) AS zipf_intercept,
+       |       round(regr_r2(ln(freq), ln(rank)), 4) AS r2
+       |FROM ranked""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_zipf" -> (tokenZipf _),
     "lang_confusion" -> (langConfusion _),
     "inverted_index" -> (invertedIndex _),
     "bigram_lm_score" -> (bigramLmScore _),
@@ -862,6 +905,7 @@ object TextOps {
     "contamination_check" -> (contaminationCheck _))
 
   val oracles: Map[String, String] = Map(
+    "token_zipf" -> tokenZipfOracle,
     "lang_confusion" -> langConfusionOracle,
     "inverted_index" -> invertedIndexOracle,
     "bigram_lm_score" -> bigramLmScoreOracle,

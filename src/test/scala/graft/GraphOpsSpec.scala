@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the co-purchase graph operators, plus a brute-force
+  * triangle cross-check at sf0.001 (the DuckDB oracle at sf0.01 is the
+  * primary gate; this pins the degree-ordered orientation against the
+  * definitional enumeration inside one engine too).
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("triangle_count matches the definitional u<v<w enumeration") {
+    import org.apache.spark.sql.functions._
+    val row = graft.ops.GraphOps.triangleCount(spark, dir).collect().head
+    val (nNodes, nEdges, nWedges, nTri) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // definitional count: canonical edges e1=(a,b), e2=(b,c), e3=(a,c)
+    val li = graft.ops.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val a = li.as("a"); val b = li.as("b")
+    val edges = a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct().cache()
+    try {
+      val e1 = edges.as("e1"); val e2 = edges.as("e2"); val e3 = edges.as("e3")
+      val brute = e1
+        .join(e2, col("e2.u") === col("e1.v"))
+        .join(e3, col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .count()
+      assert(nTri == brute, s"oriented $nTri vs brute-force $brute")
+      assert(nEdges == edges.count())
+    } finally edges.unpersist()
+    // structural sanity: every triangle closes 3 wedges
+    assert(3 * nTri <= nWedges)
+    assert(nNodes > 0 && row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
+  }
+
+  test("degree_distribution masses sum to the node and edge totals") {
+    val rows = graft.ops.GraphOps.degreeDistribution(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val tri = graft.ops.GraphOps.triangleCount(spark, dir).collect().head
+    // Σ n_nodes over buckets = n_nodes; Σ degree·n_nodes = 2·|E|
+    assert(rows.map(_.getLong(1)).sum == tri.getLong(0))
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == 2 * tri.getLong(1))
+    // degrees strictly increasing (grouped + ordered)
+    val degs = rows.map(_.getLong(0)).toSeq
+    assert(degs == degs.sorted && degs.distinct == degs)
+  }
+}

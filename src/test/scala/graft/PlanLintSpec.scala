@@ -36,7 +36,9 @@ class PlanLintSpec extends AnyFunSuite {
     "events_funnel",
     "q6_forecast_revenue", "reconcile_counts", "quoted_list_join",
     "q11_important_parts", "q22_global_sales", // 1-row scalar-cut broadcasts
-    "retention_filter") // 1-row max-ts scalar broadcast
+    "retention_filter", // 1-row max-ts scalar broadcast
+    "integrity_audit",  // 1-row orphan×unreferenced counter cross joins
+    "triangle_count")   // 1-row stats×triangle-count cross joins
 
   private lazy val plans: Map[String, String] = {
     // lint the SAME optimizer configuration Verify/Bench run (and make the

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-6 relational/statistical operators. The DuckDB
+  * oracle at sf0.01 is the primary gate; these pin the engine-side
+  * algebraic claims (bloom gate changes the plan not the answer, window
+  * skyline equals the definitional domination check, audit consistency)
+  * inside one engine.
+  */
+class RelationalOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bloom_semi_join result is row-identical to the plain semi join") {
+    val bloomed = graft.ops.RelationalOps.bloomSemiJoin(spark, dir).collect()
+    val fKeys = graft.ops.Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val plain = graft.ops.Tables(spark, dir, "lineitem")
+      .join(fKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("l_returnflag").collect()
+    assert(bloomed.toSeq == plain.toSeq)
+  }
+
+  test("bloom_semi_join plan contains the might_contain gate") {
+    val plan = graft.ops.RelationalOps.bloomSemiJoin(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("might_contain"), "bloom gate missing from plan")
+  }
+
+  test("pareto_frontier equals the definitional domination filter") {
+    val frontier = graft.ops.RelationalOps.paretoFrontier(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val all = graft.ops.Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def dominates(q: (Long, Double, Int), p: (Long, Double, Int)): Boolean =
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3)
+    val expected = all.filter(p => !all.exists(q => dominates(q, p))).toSet
+    assert(frontier == expected)
+  }
+
+  test("unpivot_metrics emits all four measures per flag, totals preserved") {
+    val rows = graft.ops.RelationalOps.unpivotMetrics(spark, dir).collect()
+    val byFlag = rows.groupBy(_.getString(0))
+    byFlag.foreach { case (_, rs) =>
+      assert(rs.map(_.getString(1)).sorted.toSeq ==
+        Seq("discount", "extendedprice", "quantity", "tax"))
+    }
+    // melted quantity total equals the direct aggregate
+    val melted = rows.filter(_.getString(1) == "quantity").map(_.getDouble(2)).sum
+    val direct = graft.ops.Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("q"))
+      .collect().map(_.getDouble(1)).sum
+    assert(math.abs(melted - direct) < 1e-6)
+  }
+
+  test("integrity_audit: synthetic star schema has no orphans; unreferenced counts match anti joins") {
+    val rows = graft.ops.RelationalOps.integrityAudit(spark, dir).collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getLong(1) == 0L, s"orphans in ${r.getString(0)}"))
+    val custUnref = rows.find(_.getString(0).startsWith("orders.o_custkey"))
+      .get.getLong(2)
+    val expected = graft.ops.Tables(spark, dir, "customer")
+      .join(graft.ops.Tables(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(custUnref == expected)
+  }
+
+  test("monthly_growth: pct_growth recomputes from consecutive revenues") {
+    val rows = graft.ops.RelationalOps.monthlyGrowth(spark, dir).collect()
+    assert(rows.length > 12)
+    assert(rows.head.isNullAt(2)) // first month has no predecessor
+    rows.sliding(2).filter(_.length == 2).foreach { w =>
+      val prev = w(0); val cur = w(1)
+      val expect = BigDecimal(
+        (cur.getDouble(1) - prev.getDouble(1)) / prev.getDouble(1) * 100)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(cur.getDouble(2) - expect) < 1e-9,
+        s"${cur.getString(0)}: ${cur.getDouble(2)} vs $expect")
+    }
+  }
+
+  test("token_zipf: natural-ish corpus slopes negative with sane fit") {
+    val r = graft.ops.TextOps.tokenZipf(spark, dir).collect().head
+    assert(r.getLong(0) > 10)  // vocabulary floor (sf0.001 is ~30 terms)
+    assert(r.getDouble(1) < 0, "zipf slope must be negative")
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1) // r2 in [0,1]
+  }
+
+  test("corr_matrix: all six distinct pairs once, r in [-1,1]") {
+    val rows = graft.ops.AnalyticsOps.corrMatrix(spark, dir).collect()
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val expected = (for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))).toSet
+    assert(pairs == expected)
+    rows.foreach { r =>
+      val v = r.getDouble(2)
+      assert(v >= -1.0 && v <= 1.0)
+    }
+  }
+
+  test("events_mad: outliers bounded and MAD non-negative") {
+    val rows = graft.ops.EventOps.eventsMad(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0)            // mad
+      assert(r.getLong(4) < r.getLong(1))      // outliers strictly < n
+    }
+  }
+}
