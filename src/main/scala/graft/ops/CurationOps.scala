@@ -316,7 +316,40 @@ object CurationOps {
        |SELECT source, rank, doc_id, n_chars, round(lnkey, 6) AS lnkey
        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
+  /** Fixed-size-per-stratum sample (the distributed reservoir): exactly
+    * k = 20 documents per source, selected by a deterministic md5 draw
+    * (retry-idempotent and engine-reproducible like every sampler here —
+    * the hash IS the random tape). Implementation is the per-group top-k
+    * window on the hash order. At 100 TB the same semantics can
+    * partial-combine — a bounded k-smallest typed Aggregator (the
+    * [[graft.functions.KmvSketch]] pattern keeps exactly k smallest
+    * hashes map-side) — but the window form is what the oracle can
+    * replicate; both select the identical k rows.
+    */
+  def corpusReservoir(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("rsv"), col("doc_id").cast("string"))).as("draw"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("draw"), col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("doc_id"))
+      .orderBy("source", "rank")
+  }
+
+  val corpusReservoirOracle: String =
+    """SELECT source, rank, doc_id FROM (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5('rsv' || CAST(doc_id AS VARCHAR)), doc_id)
+      |           AS rank
+      |  FROM documents)
+      |WHERE rank <= 20 ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_reservoir" -> (corpusReservoir _),
     "corpus_split" -> (corpusSplit _),
     "source_overlap" -> (sourceOverlap _),
     "corpus_curation" -> (corpusCuration _),
@@ -326,6 +359,7 @@ object CurationOps {
     "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_reservoir" -> corpusReservoirOracle,
     "corpus_split" -> corpusSplitOracle,
     "source_overlap" -> sourceOverlapOracle,
     "corpus_curation" -> corpusCurationOracle,

@@ -124,11 +124,90 @@ object GraphOps {
       |SELECT deg AS degree, count(*) AS n_nodes
       |FROM deg GROUP BY deg ORDER BY degree""".stripMargin
 
+  /** Two synchronized rounds of Label Propagation (Raghavan et al.,
+    * Phys. Rev. E '07) for community detection: labels start as node ids;
+    * each round every node adopts its neighbors' MODE label
+    * (count desc, label asc tie-break — fully deterministic, so the
+    * DuckDB 2-round CTE unroll is an exact oracle). Per round: one
+    * edge-keyed shuffle for the (node, label) counts and a
+    * `max_by(struct)` argmax per node — the mode aggregation that makes
+    * LPA a different operator from PageRank's weighted sum or Borůvka's
+    * min propagation. Node-sized label vector localCheckpointed per
+    * round ([[ClusterOps]] discipline); isolated parts keep their own
+    * label via the left join. Output: the 20 largest communities.
+    */
+  def labelPropagation(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val edges = coPurchaseEdges(s, dir).localCheckpoint()
+    val sym = edges.unionAll(
+      edges.select(col("v").as("u"), col("u").as("v")))
+    val parts = Tables(s, dir, "part").select(col("p_partkey").as("node"))
+    var labels = parts.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val nbr = sym
+        .join(labels.select(col("node").as("v"), col("label")), "v")
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = nbr.groupBy(col("u"))
+        .agg(max_by(col("label"), struct(col("cnt"), -col("label")))
+          .as("new_label"))
+      labels = parts
+        .join(best, col("node") === col("u"), "left")
+        .select(col("node"), coalesce(col("new_label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label"))
+      .limit(20)
+  }
+
+  def labelPropagation2Step(s: SparkSession, dir: String): DataFrame =
+    labelPropagation(s, dir, rounds = 2)
+
+  /** N=2 unrolled; the argmax is a row_number window (count desc, label
+    * asc) — semantically identical to the engine's max_by tie-break.
+    */
+  val labelPropagation2StepOracle: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+      |l0 AS (SELECT p_partkey AS node, p_partkey AS label FROM part),
+      |c1 AS (
+      |  SELECT s.u, l.label, count(*) AS cnt
+      |  FROM sym s JOIN l0 l ON l.node = s.v
+      |  GROUP BY s.u, l.label),
+      |b1 AS (
+      |  SELECT u, label AS new_label FROM (
+      |    SELECT u, label, row_number() OVER (PARTITION BY u
+      |      ORDER BY cnt DESC, label) AS rn FROM c1)
+      |  WHERE rn = 1),
+      |l1 AS (
+      |  SELECT node, coalesce(b.new_label, node) AS label
+      |  FROM l0 LEFT JOIN b1 b ON b.u = node),
+      |c2 AS (
+      |  SELECT s.u, l.label, count(*) AS cnt
+      |  FROM sym s JOIN l1 l ON l.node = s.v
+      |  GROUP BY s.u, l.label),
+      |b2 AS (
+      |  SELECT u, label AS new_label FROM (
+      |    SELECT u, label, row_number() OVER (PARTITION BY u
+      |      ORDER BY cnt DESC, label) AS rn FROM c2)
+      |  WHERE rn = 1),
+      |l2 AS (
+      |  SELECT node, coalesce(b.new_label, node) AS label
+      |  FROM (SELECT node FROM l0) n LEFT JOIN b2 b ON b.u = n.node)
+      |SELECT label, count(*) AS n_members
+      |FROM l2 GROUP BY label
+      |ORDER BY n_members DESC, label LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "triangle_count" -> (triangleCount _),
-    "degree_distribution" -> (degreeDistribution _))
+    "degree_distribution" -> (degreeDistribution _),
+    "label_propagation_2step" -> (labelPropagation2Step _))
 
   val oracles: Map[String, String] = Map(
     "triangle_count" -> triangleCountOracle,
-    "degree_distribution" -> degreeDistributionOracle)
+    "degree_distribution" -> degreeDistributionOracle,
+    "label_propagation_2step" -> labelPropagation2StepOracle)
 }

@@ -38,6 +38,34 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(nNodes > 0 && row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
   }
 
+  test("label_propagation: communities shrink monotonically in round count") {
+    val r1 = graft.ops.GraphOps.labelPropagation(spark, dir, rounds = 1)
+      .collect()
+    val r2 = graft.ops.GraphOps.labelPropagation(spark, dir, rounds = 2)
+      .collect()
+    assert(r1.nonEmpty && r2.nonEmpty)
+    // output sorted by size desc, label asc
+    Seq(r1, r2).foreach { rows =>
+      val sizes = rows.map(_.getLong(1)).toSeq
+      assert(sizes == sizes.sorted.reverse)
+    }
+    // propagation concentrates mass: the biggest community after 2 rounds
+    // is at least as large as after 1 (mode adoption never fragments the
+    // dominant label on this near-clique co-purchase graph)
+    assert(r2.head.getLong(1) >= r1.head.getLong(1))
+  }
+
+  test("corpus_reservoir: exactly k rows per stratum, deterministic") {
+    val rows = graft.ops.CurationOps.corpusReservoir(spark, dir).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= 20, src)
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    val again = graft.ops.CurationOps.corpusReservoir(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("degree_distribution masses sum to the node and edge totals") {
     val rows = graft.ops.GraphOps.degreeDistribution(spark, dir).collect()
     assert(rows.nonEmpty)
