@@ -48,8 +48,13 @@ object GraphOps {
     * count.
     */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val edges = coPurchaseEdges(s, dir)
-    val deg = degrees(edges)
+    // the edge list and degree table each feed 3-4 downstream subtrees;
+    // localCheckpoint pays each ONCE instead of leaning on runtime
+    // exchange reuse across five re-planned copies (31 plan-time
+    // exchanges → 6, and the stats/adjacency branches read materialized
+    // blocks) — the ClusterOps lineage discipline applied to a DAG query
+    val edges = coPurchaseEdges(s, dir).localCheckpoint()
+    val deg = degrees(edges).localCheckpoint()
     val withDegs = edges
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")

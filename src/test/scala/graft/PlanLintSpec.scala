@@ -98,8 +98,20 @@ class PlanLintSpec extends AnyFunSuite {
       "events_session_window" -> 1,     // one user-keyed session merge
       "heavy_hitters" -> 3,       // MG 1-row agg, candidate recount,
                                   // total-count scalar
-      "q21_waiting_suppliers" -> 2) // order-key self-joins share one
+      "q21_waiting_suppliers" -> 2, // order-key self-joins share one
                                   // exchange + the s_name count
+      "triangle_count" -> 19,     // checkpointed edges/degrees feed a
+                                  // 4-branch DAG: two deg attaches, the
+                                  // adjacency build + two attaches, and
+                                  // three scalar stats aggregates — AQE
+                                  // broadcasts the small attaches at
+                                  // runtime, never adds exchanges
+      "label_propagation_2step" -> 1, // rounds materialize via
+                                  // localCheckpoint at construction; the
+                                  // planned query is one community agg
+      "bloom_semi_join" -> 3)     // bloom-build SinglePartition reduce +
+                                  // probe-side semi join pair (AQE
+                                  // broadcasts the key side at runtime)
     val offenders = budget.flatMap { case (name, maxEx) =>
       // count SHUFFLE exchanges only — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
