@@ -1386,7 +1386,51 @@ object AnalyticsOps {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
   }
 
+  /** Equi-DEPTH histogram of order totals (the ANALYZE histogram the
+    * optimizer's selectivity estimates come from — [[charHistogram]] is
+    * the equal-WIDTH sibling): nine exact-percentile cutpoints from ONE
+    * aggregate (`percentile` with a percentage array), attached as a
+    * 1-row broadcast, then bucket = 1 + Σ(value > cut_i) as nine STATIC
+    * codegen'd comparisons (generated by the same loop that emits the
+    * oracle SQL — no interpreted HOF, no global-window ntile over the
+    * corpus), and one keyed aggregate for the per-bucket stats.
+    */
+  def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val ps = (1 to 9).map(_ / 10.0)
+    val cuts = Tables(s, dir, "orders")
+      .agg(percentile(col("o_totalprice"),
+        array(ps.map(lit): _*)).as("cuts"))
+    val bucket = (1 to 9).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("o_totalprice") > element_at(col("cuts"), i), 1)
+        .otherwise(0)
+    }
+    Tables(s, dir, "orders").select(col("o_totalprice"))
+      .crossJoin(broadcast(cuts))
+      .select(bucket.as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
+  val equidepthHistogramOracle: String = {
+    val terms = (1 to 9).map { i =>
+      s"(CASE WHEN o_totalprice > cuts[$i] THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT quantile_cont(o_totalprice,
+       |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+       |  FROM orders)
+       |SELECT bucket, count(*) AS n_orders,
+       |       round(min(o_totalprice), 2) AS lo,
+       |       round(max(o_totalprice), 2) AS hi
+       |FROM (SELECT 1 + $terms AS bucket, o_totalprice FROM orders, c)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "equidepth_histogram" -> (equidepthHistogram _),
     "corr_matrix" -> (corrMatrix _),
     "cohort_retention" -> (cohortRetention _),
     "brand_affinity" -> (brandAffinity _),
@@ -1426,6 +1470,7 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "equidepth_histogram" -> equidepthHistogramOracle,
     "corr_matrix" -> corrMatrixOracle,
     "cohort_retention" -> cohortRetentionOracle,
     "brand_affinity" -> brandAffinityOracle,

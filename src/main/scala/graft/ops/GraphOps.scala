@@ -206,13 +206,90 @@ object GraphOps {
       |FROM l2 GROUP BY label
       |ORDER BY n_members DESC, label LIMIT 20""".stripMargin
 
+  /** Two rounds of k-core peeling (Seidman '83; the distributed peel is
+    * Montresor et al.'s message-passing formulation collapsed to keyed
+    * aggregates): repeatedly drop nodes of degree < k and re-derive the
+    * induced subgraph. k is data-derived (⌈mean degree⌉ = ⌈2·|E|/|V|⌉) so
+    * the peel is non-vacuous at every SF. Unlike PageRank (value
+    * iteration) or LPA (label iteration), the LOOP MUTATES STRUCTURE:
+    * each round is one degree aggregate + two semi joins of the
+    * checkpointed edge list against surviving nodes. Reports the graph
+    * before/after: nodes, edges, min degree.
+    */
+  def kcorePeel(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    var edges = coPurchaseEdges(s, dir).localCheckpoint()
+    val n0 = degrees(edges).count()
+    val e0 = edges.count()
+    val k = math.ceil(2.0 * e0 / n0).toLong
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges)
+        .filter(col("deg") >= k).select(col("node"))
+      edges = edges
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    val degAfter = degrees(edges)
+    degAfter.agg(
+        count(lit(1)).as("n_nodes"),
+        coalesce(min(col("deg")), lit(0L)).as("min_degree"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .select(lit(n0).as("nodes_before"), lit(e0).as("edges_before"),
+        lit(k).as("k"), col("n_nodes"), col("n_edges"), col("min_degree"))
+  }
+
+  def kcore2Step(s: SparkSession, dir: String): DataFrame =
+    kcorePeel(s, dir, rounds = 2)
+
+  /** N=2 unrolled peel; k = ceil(2E/V) computed in the same CTE. */
+  val kcore2StepOracle: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg0 AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      |  GROUP BY node),
+      |kv AS (
+      |  SELECT (SELECT count(*) FROM deg0) AS n0,
+      |         (SELECT count(*) FROM edges) AS e0,
+      |         CAST(ceil(2.0 * (SELECT count(*) FROM edges) /
+      |                   (SELECT count(*) FROM deg0)) AS BIGINT) AS k),
+      |keep1 AS (SELECT node FROM deg0, kv WHERE deg >= k),
+      |e1 AS (
+      |  SELECT u, v FROM edges
+      |  WHERE u IN (SELECT node FROM keep1)
+      |    AND v IN (SELECT node FROM keep1)),
+      |deg1 AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+      |  GROUP BY node),
+      |keep2 AS (SELECT node FROM deg1, kv WHERE deg >= k),
+      |e2 AS (
+      |  SELECT u, v FROM e1
+      |  WHERE u IN (SELECT node FROM keep2)
+      |    AND v IN (SELECT node FROM keep2)),
+      |deg2 AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+      |  GROUP BY node)
+      |SELECT kv.n0 AS nodes_before, kv.e0 AS edges_before, kv.k,
+      |       (SELECT count(*) FROM deg2) AS n_nodes,
+      |       (SELECT count(*) FROM e2) AS n_edges,
+      |       (SELECT coalesce(min(deg), 0) FROM deg2) AS min_degree
+      |FROM kv""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "triangle_count" -> (triangleCount _),
     "degree_distribution" -> (degreeDistribution _),
-    "label_propagation_2step" -> (labelPropagation2Step _))
+    "label_propagation_2step" -> (labelPropagation2Step _),
+    "kcore_2step" -> (kcore2Step _))
 
   val oracles: Map[String, String] = Map(
     "triangle_count" -> triangleCountOracle,
     "degree_distribution" -> degreeDistributionOracle,
-    "label_propagation_2step" -> labelPropagation2StepOracle)
+    "label_propagation_2step" -> labelPropagation2StepOracle,
+    "kcore_2step" -> kcore2StepOracle)
 }

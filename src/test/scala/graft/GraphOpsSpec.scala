@@ -66,6 +66,38 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("kcore_2step: peeling only shrinks the graph, k is the mean degree") {
+    val r = graft.ops.GraphOps.kcore2Step(spark, dir).collect().head
+    val (n0, e0, k) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (n2, e2, minDeg) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(n0 > 0 && e0 > 0)
+    assert(k == math.ceil(2.0 * e0 / n0).toLong)
+    assert(n2 <= n0 && e2 <= e0)
+    // peeling never produces degree-0 nodes (nodes exist only via edges)
+    if (n2 > 0) assert(minDeg >= 1)
+    // one more round can only shrink further (monotone peel)
+    val r3 = graft.ops.GraphOps.kcorePeel(spark, dir, rounds = 3)
+      .collect().head
+    assert(r3.getLong(3) <= n2 && r3.getLong(4) <= e2)
+  }
+
+  test("equidepth_histogram: complete, near-balanced, ordered buckets") {
+    val rows = graft.ops.AnalyticsOps.equidepthHistogram(spark, dir).collect()
+    val total = graft.ops.Tables(spark, dir, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    // exact-percentile cuts keep every decile within a tie's width of n/10
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - total / 10.0) <= total * 0.05,
+        s"bucket ${r.getInt(0)} has ${r.getLong(1)} of $total")
+    }
+    // bucket value ranges are disjoint and increasing
+    rows.sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(0).getDouble(3) <= w(1).getDouble(2),
+        s"bucket ${w(0).getInt(0)} hi > bucket ${w(1).getInt(0)} lo")
+    }
+  }
+
   test("degree_distribution masses sum to the node and edge totals") {
     val rows = graft.ops.GraphOps.degreeDistribution(spark, dir).collect()
     assert(rows.nonEmpty)

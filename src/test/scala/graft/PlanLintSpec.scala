@@ -38,7 +38,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q11_important_parts", "q22_global_sales", // 1-row scalar-cut broadcasts
     "retention_filter", // 1-row max-ts scalar broadcast
     "integrity_audit",  // 1-row orphan×unreferenced counter cross joins
-    "triangle_count")   // 1-row stats×triangle-count cross joins
+    "triangle_count",   // 1-row stats×triangle-count cross joins
+    "kcore_2step",      // 1-row node-stats×edge-count cross join
+    "equidepth_histogram") // 1-row cutpoint-array broadcast
 
   private lazy val plans: Map[String, String] = {
     // lint the SAME optimizer configuration Verify/Bench run (and make the
