@@ -75,33 +75,43 @@ class PlanLintSpec extends AnyFunSuite {
     // the scaladoc claims ("one shuffle on its natural key") pinned as
     // numbers, so a refactor can't silently add an exchange. Counts are
     // upper bounds at sf0.001 plan time (AQE may remove, never add).
+    // numbers INCLUDE the trailing deterministic orderBy's range exchange
+    // (+1) where the query has one; orderBy+limit queries compile to
+    // TakeOrderedAndProject and get no such +1
     val budget = Map(
-      "q1_pricing_summary" -> 1,  // one keyed agg exchange
-      "dedup_exact" -> 1,         // fingerprint groupBy
-      "token_stats" -> 1,         // per-source agg
-      "events_tumbling" -> 1,     // hour-bucket agg
-      "q6_forecast_revenue" -> 1, // 1-row final agg exchange
-      "lang_id" -> 0,             // narrow map + sort only
-      "sanitize_text" -> 0,
-      "doc_fingerprint" -> 1,     // fp_prefix cluster-size window
-      "multimodal_meta" -> 0,
+      "q1_pricing_summary" -> 2,  // one keyed agg exchange (+sort)
+      "dedup_exact" -> 2,         // fingerprint groupBy (+sort)
+      "token_stats" -> 2,         // per-source agg (+sort)
+      "events_tumbling" -> 2,     // hour-bucket agg (+sort)
+      "q6_forecast_revenue" -> 1, // 1-row final agg exchange, NO sort —
+                                  // any added range exchange now fails
+      "lang_id" -> 1,             // narrow map, sort only
+      "sanitize_text" -> 1,       // narrow map, sort only
+      "doc_fingerprint" -> 2,     // fp_prefix cluster-size window (+sort)
+      "multimodal_meta" -> 1,     // narrow map, sort only
       // heaviest-query shapes pinned (VERDICT r4 polish): a refactor that
       // adds an exchange to either should fail loudly, not ship quietly
       "pagerank_step" -> 6,       // edge distinct, outdeg agg, outdeg join,
-                                  // contrib agg + partials
-      "dedup_editdistance" -> 1,  // prefix-block join broadcasts; one
-                                  // survivor-set boundary exchange
-      "trailing_30d_spend" -> 1,  // one customer-keyed window shuffle
-      "scd2_customer" -> 2,       // ONE full-outer join = one hash
+                                  // contrib agg + partials; top-20 is
+                                  // TakeOrdered, no sort exchange
+      "dedup_editdistance" -> 2,  // prefix-block join broadcasts; one
+                                  // survivor-set boundary exchange (+sort)
+      "trailing_30d_spend" -> 2,  // one customer-keyed window shuffle
+                                  // (+sort)
+      "scd2_customer" -> 3,       // ONE full-outer join = one hash
                                   // exchange per side (outer joins
                                   // cannot broadcast); the explode keeps
                                   // Catalyst from splitting it in two
-      "q13_customer_distribution" -> 2, // outer join + count histogram
-      "events_session_window" -> 1,     // one user-keyed session merge
-      "heavy_hitters" -> 3,       // MG 1-row agg, candidate recount,
-                                  // total-count scalar
+                                  // (+sort)
+      "q13_customer_distribution" -> 3, // outer join + count histogram
+                                  // (+sort)
+      "events_session_window" -> 2,     // one user-keyed session merge
+                                  // (+sort)
+      "heavy_hitters" -> 4,       // MG 1-row agg, candidate recount,
+                                  // total-count scalar (+sort)
       "q21_waiting_suppliers" -> 2, // order-key self-joins share one
-                                  // exchange + the s_name count
+                                  // exchange + the s_name count; top-20
+                                  // is TakeOrdered, no sort exchange
       "triangle_count" -> 19,     // checkpointed edges/degrees feed a
                                   // 4-branch DAG: two deg attaches, the
                                   // adjacency build + two attaches, and
@@ -111,23 +121,26 @@ class PlanLintSpec extends AnyFunSuite {
       "label_propagation_2step" -> 1, // rounds materialize via
                                   // localCheckpoint at construction; the
                                   // planned query is one community agg
-      "bloom_semi_join" -> 3)     // bloom-build SinglePartition reduce +
+      "bloom_semi_join" -> 4)     // bloom-build SinglePartition reduce +
                                   // probe-side semi join pair (AQE
                                   // broadcasts the key side at runtime)
+                                  // (+sort)
     val offenders = budget.flatMap { case (name, maxEx) =>
-      // count SHUFFLE exchanges only — anchored so the match can't land
+      // count ALL shuffle exchanges — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
       // are cheap by design, reused exchanges don't re-execute).
       // RoundRobinPartitioning IS counted: a stray repartition(n) is
       // exactly the full-shuffle refactor this budget exists to catch.
-      // Range exchanges: exactly ONE is exempt (the trailing deterministic
-      // orderBy every query carries for the oracle); any second range
-      // exchange is an interior global sort and counts (ADVICE r5).
+      // Range exchanges count too, with NO blanket exemption — a "forgive
+      // one range exchange" rule silently passed an interior global sort
+      // in queries with no trailing orderBy (review r6); instead each
+      // budget number simply INCLUDES its query's trailing deterministic
+      // orderBy where one plans as a range exchange (orderBy+limit
+      // compiles to TakeOrderedAndProject, which shuffles nothing).
       val n = ("(?<![A-Za-z])Exchange " +
-        "(hashpartitioning|SinglePartition|RoundRobinPartitioning)").r
-        .findAllIn(plans(name)).size +
-        math.max(0, "(?<![A-Za-z])Exchange rangepartitioning".r
-          .findAllIn(plans(name)).size - 1)
+        "(hashpartitioning|SinglePartition|RoundRobinPartitioning|" +
+        "rangepartitioning)").r
+        .findAllIn(plans(name)).size
       if (n > maxEx) Some(s"$name: $n exchanges (budget $maxEx)") else None
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
