@@ -316,8 +316,9 @@ object CurationOps {
        |SELECT source, rank, doc_id, n_chars, round(lnkey, 6) AS lnkey
        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
-  /** Fixed-size-per-stratum sample (the distributed reservoir): exactly
-    * k = 20 documents per source, selected by a deterministic md5 draw
+  /** Fixed-size-per-stratum sample (the distributed reservoir):
+    * min(k = 20, stratum size) documents per source — a stratum smaller
+    * than k yields all its rows — selected by a deterministic md5 draw
     * (retry-idempotent and engine-reproducible like every sampler here —
     * the hash IS the random tape). Implementation is the per-group top-k
     * window on the hash order. At 100 TB the same semantics can

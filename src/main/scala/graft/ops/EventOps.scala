@@ -510,9 +510,13 @@ object EventOps {
     * Exact `percentile` keyed aggregates (typed-median per group), a
     * broadcast-sized per-type join back (5 rows), and one counting pass —
     * the events table is scanned twice (the second median depends on the
-    * first), never collected. The 3·MAD comparison runs on UNROUNDED
-    * doubles: both engines derive med/adev through identical IEEE ops, so
-    * the boundary is deterministic.
+    * first), never collected: `dev` is localCheckpointed because BOTH the
+    * MAD build and the final count read it — without the cut Catalyst
+    * plans the scan+broadcast-join subtree twice and the corpus is read
+    * three times (the [[graft.ops.GraphOps]] lineage discipline). The
+    * 3·MAD comparison runs on UNROUNDED doubles: both engines derive
+    * med/adev through identical IEEE ops, so the boundary is
+    * deterministic.
     */
   def eventsMad(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events").select(col("event_type"), col("value"))
@@ -520,6 +524,7 @@ object EventOps {
       .agg(percentile(col("value"), lit(0.5)).as("med"))
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("adev", abs(col("value") - col("med")))
+      .localCheckpoint()
     val mad = dev.groupBy(col("event_type"))
       .agg(first(col("med")).as("med"),
         percentile(col("adev"), lit(0.5)).as("mad"))

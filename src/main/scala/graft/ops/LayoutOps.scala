@@ -11,23 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object LayoutOps {
 
-  /** 32-bit Z-value: bit-interleave of the low 16 bits of two keys
-    * (partkey even positions, suppkey odd). Built from plain shift/mask
-    * built-ins — codegen'd, no UDF; the SAME loop generates the oracle's
-    * SQL so the interleave is definitionally identical on both engines.
-    * Keys above 2^16 would truncate identically on both sides (the
+  /** The interleave schedule — (source lane, input bit, output position)
+    * for all 32 bits: key A's bit i lands at even position 2i, key B's at
+    * odd 2i+1. This ONE list generates both the Column tree and the
+    * oracle's SQL below, so the interleave is definitionally identical on
+    * both engines — an edit here (wider bits, swapped lanes) changes both
+    * in lockstep.
+    */
+  private val lanes: Seq[(Int, Int, Int)] =
+    (0 until 16).flatMap(i => Seq((0, i, 2 * i), (1, i, 2 * i + 1)))
+
+  /** 32-bit Z-value: bit-interleave of the low 16 bits of two keys per
+    * [[lanes]]. Built from plain shift/mask built-ins — codegen'd, no
+    * UDF. Keys above 2^16 would truncate identically on both sides (the
     * testdata's keys are far below it).
     */
   def zValue(a: Column, b: Column): Column =
-    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    lanes.foldLeft(lit(0L)) { case (acc, (src, bit, pos)) =>
+      val in = if (src == 0) a else b
+      acc.bitwiseOR(shiftleft(shiftright(in, bit).bitwiseAND(lit(1L)), pos))
     }
 
   private def zValueSql(a: String, b: String): String =
-    (0 until 16).flatMap { i =>
-      Seq(s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})")
+    lanes.map { case (src, bit, pos) =>
+      val in = if (src == 0) a else b
+      s"((($in >> $bit) & 1) << $pos)"
     }.mkString(" | ")
 
   /** Z-order layout quality report: lineitem keyed by

@@ -43,9 +43,11 @@ object StreamingJoin {
   }
 
   /** Drain the events table as a bounded stream through the join into an
-    * in-memory sink; returns the completed result.
+    * in-memory sink; returns the completed query — the joined rows live in
+    * `spark.table(queryName)`, batch accounting in `q.recentProgress` (the
+    * test pins its single-batch exactness precondition on it).
     */
-  def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def runOnce(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
     val events = StreamingEvents.readEventStream(spark, dir)
     val q: StreamingQuery = attributedPurchases(events)
       .writeStream
@@ -55,6 +57,6 @@ object StreamingJoin {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    q
   }
 }

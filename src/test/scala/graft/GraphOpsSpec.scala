@@ -38,7 +38,7 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(nNodes > 0 && row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
   }
 
-  test("label_propagation: communities shrink monotonically in round count") {
+  test("label_propagation: dominant community only grows with rounds") {
     val r1 = graft.ops.GraphOps.labelPropagation(spark, dir, rounds = 1)
       .collect()
     val r2 = graft.ops.GraphOps.labelPropagation(spark, dir, rounds = 2)
@@ -55,7 +55,7 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r2.head.getLong(1) >= r1.head.getLong(1))
   }
 
-  test("corpus_reservoir: exactly k rows per stratum, deterministic") {
+  test("corpus_reservoir: at most k rows per stratum, deterministic") {
     val rows = graft.ops.CurationOps.corpusReservoir(spark, dir).collect()
     val bySource = rows.groupBy(_.getString(0))
     bySource.foreach { case (src, rs) =>

@@ -137,13 +137,7 @@ class StreamingSpec extends AnyFunSuite {
     // at termination, so the inner join emits the COMPLETE match set — an
     // exact set-equality check against the batch interval join, not a
     // closed-prefix check
-    val events = graft.streaming.StreamingEvents.readEventStream(spark, dir)
-    val q = StreamingJoin.attributedPurchases(events)
-      .writeStream.queryName("ssj_test").outputMode("append")
-      .format("memory")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = StreamingJoin.runOnce(spark, dir, "ssj_test")
     // exact set equality below is only sound if the drain ran as ONE
     // micro-batch: across batches, rows >30 min out of order would be
     // dropped as watermark-late and the check would be flaky (ADVICE r5).
