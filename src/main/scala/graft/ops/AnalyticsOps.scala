@@ -1429,7 +1429,81 @@ object AnalyticsOps {
        |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** The quantiles [[quantileSketch]] estimates — ONE schedule generates
+    * both the Spark select and the oracle SQL (the [[graft.ops.LayoutOps]]
+    * single-source discipline), so est-column parity is definitional.
+    */
+  private val sketchQs: Seq[(String, Double)] =
+    Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9)
+
+  /** Single-pass quantile ESTIMATES per event type from the
+    * [[graft.functions.SampleQuantile]] hash-sample sketch (k = 512
+    * smallest-md5 rows per group — a uniform, merge-order-independent
+    * sample; rank error O(1/√k)), with the exact interpolated median
+    * computed alongside so the sketch's error is visible in the output.
+    * Scale shape: the sketch is an O(k) mergeable buffer with map-side
+    * partial aggregation — k pairs per partition per group on the wire —
+    * where [[equidepthHistogram]]'s exact `percentile` ships every value
+    * to its group's reducer; at 100 TB the sketch is the affordable
+    * first pass and the exact form the per-bucket refinement. Estimates
+    * are SELECTED raw data values (no interpolation), so the oracle's
+    * rank-over-hash window reproduces them bit-for-bit.
+    */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val k = 512
+    val smp = col("smp")
+    val ests = sketchQs.map { case (name, q) =>
+      element_at(smp,
+        ceil(lit(q) * size(smp)).cast("int")).as(s"${name}_est")
+    }
+    Tables(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        md5(col("event_id").cast("string")).as("h"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.SampleQuantile.hashSample(col("h"), col("value"), k)
+          .as("smp"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50_exact"))
+      .select(Seq(col("event_type"), col("n_rows"),
+        size(smp).cast("long").as("n_sample")) ++ ests :+ col("p50_exact"): _*)
+      .withColumn("p50_err", round(abs(col("p50_est") - col("p50_exact")), 4))
+      .orderBy("event_type")
+  }
+
+  val quantileSketchOracle: String = {
+    val estTerms = sketchQs.map { case (name, q) =>
+      s"max(CASE WHEN vr = CAST(ceil($q * m) AS BIGINT) THEN value END) AS ${name}_est"
+    }.mkString(",\n         ")
+    val estCols = sketchQs.map { case (name, _) => s"${name}_est" }.mkString(", ")
+    s"""WITH h AS (
+       |  SELECT event_type, value, md5(CAST(event_id AS VARCHAR)) AS hh
+       |  FROM events WHERE value IS NOT NULL),
+       |r AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rk
+       |  FROM h),
+       |o AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+       |         count(*) OVER (PARTITION BY event_type) AS m
+       |  FROM r WHERE rk <= 512),
+       |est AS (
+       |  SELECT event_type, max(m) AS n_sample,
+       |         $estTerms
+       |  FROM o GROUP BY event_type),
+       |ex AS (
+       |  SELECT event_type, count(*) AS n_rows,
+       |         round(quantile_cont(value, 0.5), 4) AS p50_exact
+       |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+       |SELECT est.event_type, n_rows, n_sample, $estCols, p50_exact,
+       |       round(abs(p50_est - p50_exact), 4) AS p50_err
+       |FROM est JOIN ex USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantile_sketch" -> (quantileSketch _),
     "equidepth_histogram" -> (equidepthHistogram _),
     "corr_matrix" -> (corrMatrix _),
     "cohort_retention" -> (cohortRetention _),
@@ -1470,6 +1544,7 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "quantile_sketch" -> quantileSketchOracle,
     "equidepth_histogram" -> equidepthHistogramOracle,
     "corr_matrix" -> corrMatrixOracle,
     "cohort_retention" -> cohortRetentionOracle,
