@@ -131,6 +131,26 @@ class StreamingSpec extends AnyFunSuite {
       s"non-trailing windows missing from stream: $missing")
   }
 
+  test("stream-static enrichment matches the batch dimension join exactly") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamingEnrich
+    // stateless: no watermark, no state store — every drained row must
+    // equal its batch counterpart regardless of batch split, so this is
+    // exact set equality with NO single-batch precondition (contrast the
+    // stream-stream test below)
+    StreamingEnrich.runOnce(spark, dir, "enrich_test")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), Option(r.get(4)), Option(r.get(5)))
+    val streamed = spark.table("enrich_test").collect().map(key).toSet
+    val batch = StreamingEnrich.enriched(
+      graft.ops.Tables(spark, dir, "events"),
+      StreamingEnrich.dimension(spark, dir)).collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // left join kept every event: user_ids 0..149 all have customer rows
+    // in the fixture, so enrichment must be total here
+    assert(spark.table("enrich_test").filter(col("n_name").isNull).count() == 0)
+  }
+
   test("stream-stream interval join matches the batch join exactly") {
     import org.apache.spark.sql.functions.{col, expr}
     // bounded drain (AvailableNow) advances the watermark past every event
