@@ -632,6 +632,48 @@ object TextOps {
        |GROUP BY w HAVING count(*) > (SELECT n FROM tot) / 200.0
        |ORDER BY cnt DESC, w""".stripMargin
 
+  /** [[heavyHitters]] GROUPED: Misra–Gries as a per-group aggregation —
+    * one O(k) buffer PER SOURCE merging map-side (the per-shard/
+    * per-language vocabulary-stats shape a corpus pipeline runs at
+    * 100 TB), where the global form keeps a single buffer. Same two-pass
+    * determinism argument: each group's candidate set is a superset of
+    * its true >n_g/(k+1) hitters under any merge order (k = 128 ≫ the
+    * 100 the per-group threshold implies), and the exact recount over
+    * the broadcast (source, word) candidate pairs makes the final answer
+    * oracle-checkable. Words above 1% of their OWN source's token count —
+    * a per-stratum threshold, not the global one.
+    */
+  def heavyHittersBySource(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(normText(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tot = words.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val cands = words.groupBy(col("source"))
+      .agg(graft.functions.MisraGries.candidates(col("w"), 128).as("cands"))
+      .select(col("source"), explode(col("cands")).as("w"))
+    words.join(broadcast(cands), Seq("source", "w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(tot), "source")
+      .filter(col("cnt") > col("n") / 100.0)
+      .select(col("source"), col("w"), col("cnt"))
+      .orderBy(col("source"), col("cnt").desc, col("w"))
+  }
+
+  val heavyHittersBySourceOracle: String =
+    s"""WITH words AS (
+       |  SELECT source, unnest(string_split(${normTextOracle("text")}, ' ')) AS w
+       |  FROM documents),
+       |w2 AS (SELECT source, w FROM words WHERE w <> ''),
+       |tot AS (
+       |  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM w2 GROUP BY source)
+       |SELECT source, w, count(*) AS cnt
+       |FROM w2 JOIN tot USING (source)
+       |GROUP BY source, w, n HAVING count(*) > n / 100.0
+       |ORDER BY source, cnt DESC, w""".stripMargin
+
   /** Per-document character-distribution Shannon entropy — the cheap
     * repetitive/degenerate-content signal (low bits/char ⇒ filler, mash,
     * or heavy repetition). Runs as ONE narrow map over the corpus via the
@@ -891,6 +933,7 @@ object TextOps {
     "bpe_pair_stats" -> (bpePairStats _),
     "bpe_2merge" -> (bpe2Merge _),
     "heavy_hitters" -> (heavyHitters _),
+    "heavy_hitters_by_source" -> (heavyHittersBySource _),
     "char_entropy" -> (charEntropy _),
     "doc_pack" -> (docPack _),
     "lang_id" -> (langId _),
@@ -913,6 +956,7 @@ object TextOps {
     "bpe_pair_stats" -> bpePairStatsOracle,
     "bpe_2merge" -> bpe2MergeOracle,
     "heavy_hitters" -> heavyHittersOracle,
+    "heavy_hitters_by_source" -> heavyHittersBySourceOracle,
     "char_entropy" -> charEntropyOracle,
     "doc_pack" -> docPackOracle,
     "lang_id" -> langIdOracle,

@@ -35,6 +35,23 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy_hitters_by_source equals the exact per-source answer") {
+    val got = TextOps.heavyHittersBySource(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val bySource = Tables(spark, dir, "documents")
+      .select(col("source"), explode(split(DedupOps.normText(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val totals = bySource.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = bySource.groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .filter(r => r.getLong(2) > totals(r.getString(0)) / 100.0)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy { case (s, w, c) => (s, -c, w) }.toSeq
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("heavy_hitters equals the exact groupBy-HAVING answer") {
     val got = TextOps.heavyHitters(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
