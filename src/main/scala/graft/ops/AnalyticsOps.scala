@@ -1429,6 +1429,55 @@ object AnalyticsOps {
        |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Join-key skew diagnostic — the profiling pass that decides between a
+    * plain shuffle join, AQE's runtime skew split, and the deterministic
+    * [[graft.ops.SkewOps.saltedJoin]] fallback. Per-key frequencies of
+    * `l_suppkey` (a real join key) in one keyed aggregate, then the
+    * distribution summary: key/row totals, mean/p99/max rows per key,
+    * max/mean skew ratio, and the number of keys above 4× the mean (the
+    * salting candidates). The per-key count frame is key-sized, not
+    * corpus-sized, and is localCheckpointed because both the summary and
+    * the hot-key count read it — one corpus scan total. The hot-key
+    * threshold uses the DEFINITIONAL mean (n_rows/n_keys, both exact
+    * longs) so the boundary arithmetic is identical on both engines.
+    */
+  def skewStats(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir, "lineitem")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val summary = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      round(avg(col("cnt")), 4).as("mean_rows_per_key"),
+      round(percentile(col("cnt").cast("double"), lit(0.99)), 4)
+        .as("p99_rows_per_key"),
+      max(col("cnt")).as("max_rows_per_key"),
+      round(max(col("cnt")) / avg(col("cnt")), 4).as("skew_ratio"))
+    val hot = counts.crossJoin(broadcast(
+        counts.agg((sum(col("cnt")).cast("double") /
+          count(lit(1))).as("mean"))))
+      .filter(col("cnt") > lit(4.0) * col("mean"))
+      .agg(count(lit(1)).as("n_hot_keys"))
+    summary.crossJoin(broadcast(hot))
+  }
+
+  val skewStatsOracle: String =
+    """WITH c AS (
+      |  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |         CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |         round(avg(cnt), 4) AS mean_rows_per_key,
+      |         round(quantile_cont(CAST(cnt AS DOUBLE), 0.99), 4)
+      |           AS p99_rows_per_key,
+      |         max(cnt) AS max_rows_per_key,
+      |         round(max(cnt) / avg(cnt), 4) AS skew_ratio
+      |  FROM c),
+      |h AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_hot_keys
+      |  FROM c, m WHERE cnt > 4.0 * (CAST(n_rows AS DOUBLE) / n_keys))
+      |SELECT * FROM m, h""".stripMargin
+
   /** The quantiles [[quantileSketch]] estimates — ONE schedule generates
     * both the Spark select and the oracle SQL (the [[graft.ops.LayoutOps]]
     * single-source discipline), so est-column parity is definitional.
@@ -1503,6 +1552,7 @@ object AnalyticsOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_stats" -> (skewStats _),
     "quantile_sketch" -> (quantileSketch _),
     "equidepth_histogram" -> (equidepthHistogram _),
     "corr_matrix" -> (corrMatrix _),
@@ -1544,6 +1594,7 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "skew_stats" -> skewStatsOracle,
     "quantile_sketch" -> quantileSketchOracle,
     "equidepth_histogram" -> equidepthHistogramOracle,
     "corr_matrix" -> corrMatrixOracle,

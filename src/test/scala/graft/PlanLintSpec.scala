@@ -40,7 +40,8 @@ class PlanLintSpec extends AnyFunSuite {
     "integrity_audit",  // 1-row orphan×unreferenced counter cross joins
     "triangle_count",   // 1-row stats×triangle-count cross joins
     "kcore_2step",      // 1-row node-stats×edge-count cross join
-    "equidepth_histogram") // 1-row cutpoint-array broadcast
+    "equidepth_histogram", // 1-row cutpoint-array broadcast
+    "skew_stats")       // 1-row mean + summary×hot-count cross joins
 
   private lazy val plans: Map[String, String] = {
     // lint the SAME optimizer configuration Verify/Bench run (and make the
@@ -79,6 +80,12 @@ class PlanLintSpec extends AnyFunSuite {
     // (+1) where the query has one; orderBy+limit queries compile to
     // TakeOrderedAndProject and get no such +1
     val budget = Map(
+      "quantile_sketch" -> 2,     // per-source sketch agg (+sort)
+      "heavy_hitters_by_source" -> 4, // per-source MG agg, candidate
+                                  // recount agg + partials (+sort)
+      "skew_stats" -> 3,          // suppkey count agg + the two 1-row
+                                  // summary/hot-count aggregates; NO sort
+                                  // (single-row result)
       "q1_pricing_summary" -> 2,  // one keyed agg exchange (+sort)
       "dedup_exact" -> 2,         // fingerprint groupBy (+sort)
       "token_stats" -> 2,         // per-source agg (+sort)
