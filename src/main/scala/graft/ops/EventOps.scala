@@ -553,7 +553,135 @@ object EventOps {
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY d.event_type ORDER BY event_type""".stripMargin
 
+  /** Interval coalescing (gaps-and-islands over VARIABLE-length intervals):
+    * each event opens an interval [ts, ts + (round(value)+60) sec]; per user,
+    * overlapping/touching intervals merge into islands. Unlike gap
+    * sessionization (fixed inactivity threshold), a long interval can
+    * swallow many later short ones, so island membership needs the running
+    * MAX of all previous interval ENDS — `max(end) over (rows unbounded
+    * preceding to 1 preceding)` — not just the previous row's end. Both
+    * window passes and the island aggregate reuse the ONE user_id shuffle;
+    * per-user state is a single running max, skew-safe under AQE.
+    */
+  def eventsIslands(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_s"), col("event_id"))
+    val iv = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("start_s"),
+        (unix_timestamp(col("ts")) +
+          round(col("value"), 0).cast("long") + 60L).as("end_s"))
+    iv
+      .withColumn("prev_max_end",
+        max(col("end_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("start_s") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        min(col("start_s")).as("island_start_s"),
+        max(col("end_s")).as("island_end_s"),
+        (max(col("end_s")) - min(col("start_s"))).as("span_sec"))
+      .orderBy("user_id", "island")
+  }
+
+  val eventsIslandsOracle: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+      |         CAST(floor(epoch(ts)) AS BIGINT)
+      |           + CAST(round(value, 0) AS BIGINT) + 60 AS end_s
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, start_s, end_s,
+      |         CASE WHEN max(end_s) OVER (PARTITION BY user_id
+      |                ORDER BY start_s, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |                IS NULL
+      |              OR start_s > max(end_s) OVER (PARTITION BY user_id
+      |                ORDER BY start_s, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |              THEN 1 ELSE 0 END AS new_island,
+      |         event_id
+      |  FROM iv),
+      |islanded AS (
+      |  SELECT user_id, start_s, end_s,
+      |         CAST(sum(new_island) OVER (PARTITION BY user_id
+      |           ORDER BY start_s, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS island
+      |  FROM flagged)
+      |SELECT user_id, island, count(*) AS n_intervals,
+      |       min(start_s) AS island_start_s,
+      |       max(end_s) AS island_end_s,
+      |       max(end_s) - min(start_s) AS span_sec
+      |FROM islanded GROUP BY user_id, island
+      |ORDER BY user_id, island""".stripMargin
+
+  /** CDC change-log compaction: the events stream read as a change log
+    * (signup → INSERT, error → DELETE tombstone, anything else → UPDATE),
+    * compacted to the net final state per key — the batch form of what a
+    * streaming materialized view maintains. Last-writer-wins is ONE
+    * `max_by(payload, (ts, event_id))` keyed aggregate — no per-key window
+    * sort, no row_number: partial aggregation keeps a single candidate row
+    * per key per partition, so the shuffle carries one row per (partition,
+    * key) instead of the full history. Tombstone filtering (last op = D)
+    * happens AFTER compaction, and the per-op audit counts ride the same
+    * aggregate for free.
+    */
+  def cdcCompaction(s: SparkSession, dir: String): DataFrame = {
+    val op = when(col("event_type") === "signup", "I")
+      .when(col("event_type") === "error", "D")
+      .otherwise("U")
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value"), op.as("op"))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("op"), struct(col("ts"), col("event_id"))).as("last_op"),
+        round(max_by(col("value"), struct(col("ts"), col("event_id"))), 4)
+          .as("last_value"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        count(when(col("op") === "I", 1)).as("n_inserts"),
+        count(when(col("op") === "U", 1)).as("n_updates"),
+        count(when(col("op") === "D", 1)).as("n_deletes"))
+      .filter(col("last_op") =!= "D")
+      .orderBy("user_id")
+  }
+
+  val cdcCompactionOracle: String =
+    """WITH log AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN event_type = 'signup' THEN 'I'
+      |              WHEN event_type = 'error' THEN 'D'
+      |              ELSE 'U' END AS op
+      |  FROM events),
+      |last AS (
+      |  SELECT user_id, op AS last_op, round(value, 4) AS last_value
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+      |  WHERE rn = 1),
+      |audit AS (
+      |  SELECT user_id,
+      |         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+      |         count(*) FILTER (op = 'I') AS n_inserts,
+      |         count(*) FILTER (op = 'U') AS n_updates,
+      |         count(*) FILTER (op = 'D') AS n_deletes
+      |  FROM log GROUP BY user_id)
+      |SELECT user_id, last_op, last_value, last_ts,
+      |       n_inserts, n_updates, n_deletes
+      |FROM last JOIN audit USING (user_id)
+      |WHERE last_op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_islands" -> (eventsIslands _),
+    "cdc_compaction" -> (cdcCompaction _),
     "events_mad" -> (eventsMad _),
     "events_sliding" -> (eventsSliding _),
     "events_gap_fill" -> (eventsGapFill _),
@@ -571,6 +699,8 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "events_islands" -> eventsIslandsOracle,
+    "cdc_compaction" -> cdcCompactionOracle,
     "events_mad" -> eventsMadOracle,
     "events_sliding" -> eventsSlidingOracle,
     "events_gap_fill" -> eventsGapFillOracle,

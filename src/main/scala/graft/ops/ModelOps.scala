@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-in-the-loop corpus operators: training a (tiny) model INSIDE the
+  * engine, the way a large-scale data pipeline trains quality classifiers
+  * over its own corpus (the reference has no analog; this extends SURVEY.md
+  * §7.5's text-quality family from scoring heuristics to a trained scorer).
+  *
+  * The kernel is batch gradient descent as a KEYLESS AGGREGATE: one full
+  * pass per iteration computing `avg(residual · feature)` per weight — a
+  * 1-row result regardless of corpus size. The weight vector rides between
+  * iterations as a 1-row broadcast (the [[AnalyticsOps.equidepthHistogram]]
+  * scalar-broadcast discipline), so nothing ever collects to the driver and
+  * each iteration is exactly one pruned columnar scan + one partial-agg
+  * shuffle of 32 rows. At 100 TB the cost is N_iter corpus scans — the
+  * textbook distributed-GD profile (compute-bound map, negligible shuffle).
+  *
+  * Determinism discipline (the [[SimilarityOps.kmeans2Step]] precedent):
+  * weights are rounded to 6 decimals at each iteration boundary so both
+  * engines chain from IDENTICAL intermediates, and losses to 4.
+  */
+object ModelOps {
+
+  private val eta = 0.1 // learning rate; 2·η·avg(…) folds the loss' 2x
+
+  /** Two unrolled batch-GD iterations of least-squares linear regression
+    * predicting mean token length from (chars/1000, tokens/100) document
+    * features. Output: one row per iteration with the post-step weights and
+    * the pre-step loss, so the oracle pins BOTH the gradient math and the
+    * loss trajectory (loss must be non-increasing — `ModelOpsSpec`).
+    */
+  def linreg2Step(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables(s, dir, "documents").select(
+      (col("n_chars").cast("double") / 1000.0).as("x1"),
+      (size(split(col("text"), " ")).cast("double") / 100.0).as("x2"),
+      (col("n_chars").cast("double") /
+        size(split(col("text"), " ")).cast("double")).as("y"))
+
+    def step(iter: Int, b: Column, w1: Column, w2: Column)
+        (src: DataFrame): DataFrame = {
+      val e = b + w1 * col("x1") + w2 * col("x2") - col("y")
+      src.agg(
+        round(first(b) - lit(2 * eta) * avg(e), 6).as("b"),
+        round(first(w1) - lit(2 * eta) * avg(e * col("x1")), 6).as("w1"),
+        round(first(w2) - lit(2 * eta) * avg(e * col("x2")), 6).as("w2"),
+        round(avg(e * e), 4).as("loss_before"))
+        .select(lit(iter).as("iter"), col("b"), col("w1"), col("w2"),
+          col("loss_before"))
+    }
+
+    val s1 = step(1, lit(0.0), lit(0.0), lit(0.0))(f)
+    val s2 = step(2, col("b1"), col("w11"), col("w21"))(
+      f.crossJoin(broadcast(s1.select(
+        col("b").as("b1"), col("w1").as("w11"), col("w2").as("w21")))))
+    s1.unionAll(s2).orderBy("iter")
+  }
+
+  val linreg2StepOracle: String =
+    """WITH f AS (
+      |  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+      |         CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS y
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT round(0.0 - 0.2 * avg(0.0 - y), 6) AS b,
+      |         round(0.0 - 0.2 * avg((0.0 - y) * x1), 6) AS w1,
+      |         round(0.0 - 0.2 * avg((0.0 - y) * x2), 6) AS w2,
+      |         round(avg((0.0 - y) * (0.0 - y)), 4) AS loss_before
+      |  FROM f),
+      |s2 AS (
+      |  SELECT round(any_value(s1.b)
+      |           - 0.2 * avg(s1.b + s1.w1 * x1 + s1.w2 * x2 - y), 6) AS b,
+      |         round(any_value(s1.w1)
+      |           - 0.2 * avg((s1.b + s1.w1 * x1 + s1.w2 * x2 - y) * x1), 6)
+      |           AS w1,
+      |         round(any_value(s1.w2)
+      |           - 0.2 * avg((s1.b + s1.w1 * x1 + s1.w2 * x2 - y) * x2), 6)
+      |           AS w2,
+      |         round(avg((s1.b + s1.w1 * x1 + s1.w2 * x2 - y)
+      |           * (s1.b + s1.w1 * x1 + s1.w2 * x2 - y)), 4) AS loss_before
+      |  FROM f, s1)
+      |SELECT 1 AS iter, * FROM s1
+      |UNION ALL SELECT 2 AS iter, * FROM s2
+      |ORDER BY iter""".stripMargin
+
+  /** The trained scorer APPLIED: score every document with the 2-step
+    * weights (a 1-row broadcast into a narrow codegen'd map — zero extra
+    * shuffles beyond the training aggregates) and report the per-source
+    * quality profile: mean prediction, mean absolute residual, and the
+    * share of documents whose token length the model over-predicts by >20%.
+    * This is the quality-classifier deployment shape: train once, score the
+    * corpus inline, aggregate by slice for curation decisions.
+    */
+  def qualityModelScore(s: SparkSession, dir: String): DataFrame = {
+    val w = linreg2Step(s, dir).filter(col("iter") === 2)
+      .select(col("b"), col("w1"), col("w2"))
+    Tables(s, dir, "documents")
+      .select(col("source"),
+        (col("n_chars").cast("double") / 1000.0).as("x1"),
+        (size(split(col("text"), " ")).cast("double") / 100.0).as("x2"),
+        (col("n_chars").cast("double") /
+          size(split(col("text"), " ")).cast("double")).as("y"))
+      .crossJoin(broadcast(w))
+      .withColumn("pred", col("b") + col("w1") * col("x1") +
+        col("w2") * col("x2"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("pred")), 4).as("mean_pred"),
+        round(avg(abs(col("pred") - col("y"))), 4).as("mean_abs_err"),
+        count(when(col("pred") > lit(1.2) * col("y"), 1))
+          .as("n_overpredicted"))
+      .orderBy("source")
+  }
+
+  val qualityModelScoreOracle: String =
+    """WITH f AS (
+      |  SELECT source,
+      |         CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+      |         CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS y
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT round(0.0 - 0.2 * avg(0.0 - y), 6) AS b,
+      |         round(0.0 - 0.2 * avg((0.0 - y) * x1), 6) AS w1,
+      |         round(0.0 - 0.2 * avg((0.0 - y) * x2), 6) AS w2
+      |  FROM f),
+      |s2 AS (
+      |  SELECT round(any_value(s1.b)
+      |           - 0.2 * avg(s1.b + s1.w1 * x1 + s1.w2 * x2 - y), 6) AS b,
+      |         round(any_value(s1.w1)
+      |           - 0.2 * avg((s1.b + s1.w1 * x1 + s1.w2 * x2 - y) * x1), 6)
+      |           AS w1,
+      |         round(any_value(s1.w2)
+      |           - 0.2 * avg((s1.b + s1.w1 * x1 + s1.w2 * x2 - y) * x2), 6)
+      |           AS w2
+      |  FROM f, s1),
+      |scored AS (
+      |  SELECT f.source, s2.b + s2.w1 * f.x1 + s2.w2 * f.x2 AS pred, f.y
+      |  FROM f, s2)
+      |SELECT source, count(*) AS n_docs,
+      |       round(avg(pred), 4) AS mean_pred,
+      |       round(avg(abs(pred - y)), 4) AS mean_abs_err,
+      |       count(*) FILTER (pred > 1.2 * y) AS n_overpredicted
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "linreg_2step" -> (linreg2Step _),
+    "quality_model_score" -> (qualityModelScore _))
+
+  val oracles: Map[String, String] = Map(
+    "linreg_2step" -> linreg2StepOracle,
+    "quality_model_score" -> qualityModelScoreOracle)
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.ModelOps
+
+/** Training-dynamics invariants of the model-in-the-loop operators —
+  * properties the value-pinning oracle cannot express (GD descent must hold
+  * for ANY learning rate small enough, not just reproduce one trajectory).
+  */
+class ModelOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("batch GD loss is non-increasing across the two steps") {
+    val rows = ModelOps.linreg2Step(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(4))).toMap
+    assert(rows.keySet == Set(1, 2))
+    // loss_before(iter=2) is the loss AT w1; step 1 starts from w0 = 0 —
+    // a descent step at eta=0.1 on these (scaled ~O(1)) features must not
+    // increase the loss beyond 4-decimal rounding noise
+    assert(rows(2) <= rows(1) + 1e-4,
+      s"loss rose after step 1: ${rows(1)} -> ${rows(2)}")
+  }
+
+  test("first step moves weights in the negative-gradient direction") {
+    val w1 = ModelOps.linreg2Step(spark, dir).collect()
+      .find(_.getInt(0) == 1).get
+    // at w0 = 0 every residual is -y with y > 0 (chars per token >= 1),
+    // so each gradient component is negative and each weight must rise
+    assert(w1.getDouble(1) > 0, s"bias ${w1.getDouble(1)} not positive")
+    assert(w1.getDouble(2) > 0, s"w1 ${w1.getDouble(2)} not positive")
+    assert(w1.getDouble(3) > 0, s"w2 ${w1.getDouble(3)} not positive")
+  }
+
+  test("scoring profile is consistent: every source scored, errors finite") {
+    val rows = ModelOps.qualityModelScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)}: empty source group")
+      assert(!r.getDouble(3).isNaN && r.getDouble(3) >= 0,
+        s"${r.getString(0)}: bad mean_abs_err ${r.getDouble(3)}")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= r.getLong(1),
+        s"${r.getString(0)}: overpredicted count out of range")
+    }
+  }
+}

@@ -41,7 +41,9 @@ class PlanLintSpec extends AnyFunSuite {
     "triangle_count",   // 1-row stats×triangle-count cross joins
     "kcore_2step",      // 1-row node-stats×edge-count cross join
     "equidepth_histogram", // 1-row cutpoint-array broadcast
-    "skew_stats")       // 1-row mean + summary×hot-count cross joins
+    "skew_stats",       // 1-row mean + summary×hot-count cross joins
+    "linreg_2step",     // 1-row weight-vector broadcast between GD steps
+    "quality_model_score") // same 1-row weight broadcast, then scoring
 
   private lazy val plans: Map[String, String] = {
     // lint the SAME optimizer configuration Verify/Bench run (and make the
@@ -81,6 +83,15 @@ class PlanLintSpec extends AnyFunSuite {
     // TakeOrderedAndProject and get no such +1
     val budget = Map(
       "quantile_sketch" -> 2,     // per-source sketch agg (+sort)
+      "events_islands" -> 2,      // ONE user_id shuffle feeds both window
+                                  // passes AND the island agg — hash(user)
+                                  // co-locates (user, island) (+sort)
+      "cdc_compaction" -> 2,      // one max_by keyed agg (+sort)
+      "linreg_2step" -> 3,        // three 1-row GD aggregates (s1 rides
+                                  // both the union and the broadcast); the
+                                  // 2-row sort never plans an exchange
+      "quality_model_score" -> 4, // two GD aggregates + per-source agg
+                                  // (+sort)
       "heavy_hitters_by_source" -> 4, // per-source MG agg, candidate
                                   // recount agg + partials (+sort)
       "skew_stats" -> 3,          // suppkey count agg + the two 1-row
