@@ -618,7 +618,113 @@ object SimilarityOps {
       |       END, 6) AS mean_abs_err
       |FROM mm ORDER BY vec_id""".stripMargin
 
+  /** Product-quantization ANN (Jégou et al., PAMI'11 shape): vectors split
+    * into `M` subspaces, each subvector coded as its nearest entry in a
+    * per-subspace codebook, and queries scored against the CODES via an
+    * asymmetric-distance (ADC) lookup table — the memory-bound regime's
+    * index: the corpus compresses from d doubles to M bytes per vector.
+    * The codebook here is a deterministic seed sample (the first C
+    * vectors' subvectors — the [[kmeansIterate]] seeding rule), which
+    * keeps the whole pipeline a pure function of the data: unlike the
+    * hash-dependent [[annSignLsh]], PQ is fully DuckDB-reproducible, so
+    * this is the one compressed-index ANN with a value-pinning oracle.
+    *
+    * Scale shape: the codebook (M·C subvectors) and the per-query ADC
+    * table (M·C partial distances per query) are broadcast-sized by
+    * construction; encoding is corpus × M·C via a broadcast join + one
+    * (vec, sub) argmin aggregate; search touches only the CODES table
+    * (corpus × M ids — the compressed index, never the vectors) joined to
+    * the broadcast ADC table, one (query, vec) sum, one per-query top-k
+    * window. Vectors are normalized, so squared-L2 order = cosine order
+    * and recall vs [[annCosineTopk]] is well-defined (pinned in
+    * SimilarityPqSpec). Distances round to 6 before every argmin/sum —
+    * the [[kmeansIterate]] cross-engine determinism discipline.
+    */
+  def annPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val approx = pqApproxDistances(s, dir)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    approx.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("approx_dist"), 4).as("approx_dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The ADC distance frame (query_id, vec_id, approx_dist) — shared by
+    * [[annPqTopk]] (pure-ADC top-k, the oracle-pinned surface) and the
+    * shortlist-re-rank composition SimilarityPqSpec measures recall on.
+    */
+  private[graft] def pqApproxDistances(s: SparkSession, dir: String): DataFrame = {
+    val m = 4; val subDim = 16; val c = 16
+    val emb = embeddings(s, dir)
+    val subs = emb.select(col("vec_id"), posexplode(
+        array((0 until m).map(j => slice(col("v"), j * subDim + 1, subDim)): _*)))
+      .select(col("vec_id"), col("pos").as("sub_id"), col("col").as("sv"))
+    val codebook = subs.filter(col("vec_id") < c)
+      .select(col("sub_id").as("cb_sub"), col("vec_id").as("cid"),
+        col("sv").as("cv"))
+    val codes = subs.join(broadcast(codebook), col("sub_id") === col("cb_sub"))
+      .withColumn("dist", round(squaredDistance(col("sv"), col("cv")), 6))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("code"))
+    val adc = subs.filter(col("vec_id") < NQueries)
+      .join(broadcast(codebook), col("sub_id") === col("cb_sub"))
+      .select(col("vec_id").as("query_id"), col("sub_id").as("q_sub"),
+        col("cid"),
+        round(squaredDistance(col("sv"), col("cv")), 6).as("pd"))
+    codes.join(broadcast(adc),
+        col("sub_id") === col("q_sub") && col("code") === col("cid") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("pd")), 6).as("approx_dist"))
+  }
+
+  val annPqTopkOracle: String = {
+    val norm = graft.functions.VectorFunctions.normalizeOracle("embedding")
+    s"""WITH e AS (SELECT vec_id, $norm AS v FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, j AS sub_id, v[j*16+1 : j*16+16] AS sv
+       |  FROM e, LATERAL unnest(generate_series(0, 3)) t(j)),
+       |cb AS (SELECT sub_id AS cb_sub, vec_id AS cid, sv AS cv
+       |       FROM subs WHERE vec_id < 16),
+       |enc AS (
+       |  SELECT s.vec_id, s.sub_id, cb.cid,
+       |         round(sum((s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])), 6)
+       |           AS dist
+       |  FROM subs s JOIN cb ON cb.cb_sub = s.sub_id,
+       |       LATERAL unnest(generate_series(1, 16)) t(i)
+       |  GROUP BY s.vec_id, s.sub_id, cb.cid),
+       |codes AS (
+       |  SELECT vec_id, sub_id, cid AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+       |      ORDER BY dist, cid) AS rn FROM enc)
+       |  WHERE rn = 1),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, q.sub_id AS q_sub, cb.cid,
+       |         round(sum((q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i])), 6)
+       |           AS pd
+       |  FROM subs q JOIN cb ON cb.cb_sub = q.sub_id,
+       |       LATERAL unnest(generate_series(1, 16)) t(i)
+       |  WHERE q.vec_id < $NQueries
+       |  GROUP BY q.vec_id, q.sub_id, cb.cid),
+       |approx AS (
+       |  SELECT a.query_id, c.vec_id, round(sum(a.pd), 6) AS approx_dist
+       |  FROM codes c JOIN adc a
+       |    ON a.q_sub = c.sub_id AND a.cid = c.code
+       |   AND c.vec_id <> a.query_id
+       |  GROUP BY a.query_id, c.vec_id)
+       |SELECT query_id, rank, neighbor_id,
+       |       round(approx_dist, 4) AS approx_dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, approx_dist,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY approx_dist, vec_id) AS rank
+       |  FROM approx)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_topk" -> (annPqTopk _),
     "embedding_quantize" -> (embeddingQuantize _),
     "power_iteration" -> (powerIteration _),
     "power_iteration_2step" -> (powerIteration2Step _),
@@ -631,6 +737,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "ann_pq_topk" -> annPqTopkOracle,
     "embedding_quantize" -> embeddingQuantizeOracle,
     "power_iteration" -> powerIterationOracle,
     "power_iteration_2step" -> powerIteration2StepOracle,

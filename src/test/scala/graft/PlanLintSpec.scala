@@ -92,6 +92,9 @@ class PlanLintSpec extends AnyFunSuite {
                                   // 2-row sort never plans an exchange
       "quality_model_score" -> 4, // two GD aggregates + per-source agg
                                   // (+sort)
+      "ann_pq_topk" -> 4,         // encode argmin agg + ADC sum agg +
+                                  // per-query top-k window (+sort);
+                                  // codebook/ADC table ride broadcasts
       "heavy_hitters_by_source" -> 4, // per-source MG agg, candidate
                                   // recount agg + partials (+sort)
       "skew_stats" -> 3,          // suppkey count agg + the two 1-row
