@@ -737,7 +737,118 @@ object RelationalOps {
       |             / lag(revenue, 1) OVER (ORDER BY m) * 100, 4) AS pct_growth
       |FROM monthly ORDER BY month""".stripMargin
 
+  /** Incremental aggregate maintenance — the materialized-view algebra:
+    * per-user event stats maintained by MERGING partial aggregate states
+    * (base ⊎ delta) instead of recomputing from all rows. The split is
+    * deterministic (event_id % 5: four fifths "already aggregated" base,
+    * one fifth "new arrivals"); each side folds to algebraic partials
+    * (count, sum, min, max), and the merge is sum-of-counts, sum-of-sums,
+    * min-of-mins, max-of-maxes, with avg DERIVED from merged sum/count —
+    * never averaged-of-averages. The ORACLE is the full recompute over all
+    * events, so the green row proves the maintenance algebra exact, not
+    * just plausible.
+    *
+    * Scale: this is why 100 TB dashboards refresh in minutes — the update
+    * pass scans ONLY the delta; the base rides as its (users-sized) partial
+    * state. Both sides here scan the same file only because the fixture is
+    * one table; the plan shape (two pruned scans → two keyed partials →
+    * one users-sized merge agg) is the production one.
+    */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    def partials(src: DataFrame): DataFrame = src
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    val ev = Tables(s, dir, "events").select(col("user_id"), col("value"),
+      col("event_id"))
+    val base = partials(ev.filter(col("event_id") % 5 =!= 4))
+    val delta = partials(ev.filter(col("event_id") % 5 === 4))
+    base.unionByName(delta)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+        round(sum(col("sum_v")), 4).as("sum_value"),
+        round(sum(col("sum_v")) / sum(col("n")), 4).as("avg_value"),
+        min(col("min_v")).as("min_value"),
+        max(col("max_v")).as("max_value"))
+      .orderBy("user_id")
+  }
+
+  val incrementalAggOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value,
+      |       round(sum(value) / count(*), 4) AS avg_value,
+      |       min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Snapshot diff / reconciliation: compare two versions of the orders
+    * table (the "next snapshot" derived deterministically — deletes where
+    * key % 97 = 0, 5% price uplift where key % 13 = 0, re-keyed inserts
+    * where key % 101 = 0) and report per-status row counts plus the total
+    * absolute price drift of changed rows — the audit every CDC/backfill
+    * pipeline runs before swapping snapshots.
+    *
+    * Scale shape: ONE full-outer join on the snapshot key (co-partitioned
+    * hash shuffle per side — outer joins cannot broadcast), status
+    * classified per row by null-ness and column comparison (codegen'd
+    * conditionals, no row fingerprint string-building — doubles compare
+    * exactly, never via formatted hashes), then a tiny status rollup.
+    */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val old = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k_old"),
+        col("o_totalprice").as("price_old"))
+    val nw = Tables(s, dir, "orders")
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 1.05)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .unionAll(Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          (col("o_totalprice") * 0.5).as("o_totalprice")))
+      .select(col("o_orderkey").as("k_new"),
+        col("o_totalprice").as("price_new"))
+    old.join(nw, col("k_old") === col("k_new"), "full_outer")
+      .select(
+        when(col("k_old").isNull, "added")
+          .when(col("k_new").isNull, "removed")
+          .when(col("price_old") =!= col("price_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        abs(coalesce(col("price_new"), lit(0.0)) -
+          coalesce(col("price_old"), lit(0.0))).as("drift"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(when(col("status") === "changed", col("drift"))
+          .otherwise(0.0)), 2).as("price_drift"))
+      .orderBy("status")
+  }
+
+  val tableDiffOracle: String =
+    """WITH old AS (
+      |  SELECT o_orderkey AS k_old, o_totalprice AS price_old FROM orders),
+      |nw AS (
+      |  SELECT o_orderkey AS k_new,
+      |         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.05
+      |              ELSE o_totalprice END AS price_new
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_totalprice * 0.5
+      |  FROM orders WHERE o_orderkey % 101 = 0),
+      |classified AS (
+      |  SELECT CASE WHEN k_old IS NULL THEN 'added'
+      |              WHEN k_new IS NULL THEN 'removed'
+      |              WHEN price_old <> price_new THEN 'changed'
+      |              ELSE 'unchanged' END AS status,
+      |         abs(coalesce(price_new, 0) - coalesce(price_old, 0)) AS drift
+      |  FROM old FULL OUTER JOIN nw ON k_old = k_new)
+      |SELECT status, count(*) AS n_rows,
+      |       round(sum(CASE WHEN status = 'changed' THEN drift
+      |                      ELSE 0 END), 2) AS price_drift
+      |FROM classified GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incremental_agg" -> (incrementalAgg _),
+    "table_diff" -> (tableDiff _),
     "bloom_semi_join" -> (bloomSemiJoin _),
     "pareto_frontier" -> (paretoFrontier _),
     "unpivot_metrics" -> (unpivotMetrics _),
@@ -759,6 +870,8 @@ object RelationalOps {
     "q22_global_sales" -> (q22GlobalSales _))
 
   val oracles: Map[String, String] = Map(
+    "incremental_agg" -> incrementalAggOracle,
+    "table_diff" -> tableDiffOracle,
     "bloom_semi_join" -> bloomSemiJoinOracle,
     "pareto_frontier" -> paretoFrontierOracle,
     "unpivot_metrics" -> unpivotMetricsOracle,

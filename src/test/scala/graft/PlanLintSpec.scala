@@ -95,6 +95,13 @@ class PlanLintSpec extends AnyFunSuite {
       "ann_pq_topk" -> 4,         // encode argmin agg + ADC sum agg +
                                   // per-query top-k window (+sort);
                                   // codebook/ADC table ride broadcasts
+      "incremental_agg" -> 3,     // base partials + delta partials + the
+                                  // users-sized merge agg; sort reuses
+      "table_diff" -> 4,          // full-outer hash exchange per side +
+                                  // status rollup (+sort)
+      "link_prediction" -> 5,     // checkpointed edges/adjacency feed the
+                                  // hop join, candidate distinct, score
+                                  // attach, top-k window (+sort)
       "heavy_hitters_by_source" -> 4, // per-source MG agg, candidate
                                   // recount agg + partials (+sort)
       "skew_stats" -> 3,          // suppkey count agg + the two 1-row
