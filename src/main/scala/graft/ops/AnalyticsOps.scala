@@ -1429,6 +1429,115 @@ object AnalyticsOps {
        |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Foreign-key discovery — schema profiling by CONTAINMENT: for each
+    * candidate (child.column → parent.column) pair, the fraction of the
+    * child's distinct values found in the parent. True FK edges score
+    * 1.0; the deliberately wrong pair (o_custkey → s_suppkey) scores the
+    * accidental overlap — the separation a profiler needs to PROPOSE
+    * keys on an undocumented 100 TB lake.
+    *
+    * Scale shape: each side reduces to its DISTINCT key set FIRST (one
+    * pruned-scan keyed aggregate per column — never a row-level join),
+    * then a left-semi join between the two key sets counts the
+    * intersection; parents are key-sized, so AQE broadcasts them. Four
+    * candidate pairs = four independent subtrees in one union — at
+    * production scale each pair's distinct sets would come from the
+    * ANALYZE pass ([[tableProfile]]) instead of re-scanning.
+    */
+  def fkDiscovery(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childCol: String,
+        parent: DataFrame, parentCol: String): DataFrame = {
+      val ckeys = child.select(col(childCol).as("k"))
+        .filter(col("k").isNotNull).distinct().localCheckpoint()
+      val pkeys = parent.select(col(parentCol).as("k")).distinct()
+      val contained = ckeys.join(pkeys, Seq("k"), "left_semi")
+        .agg(count(lit(1)).as("n_contained"))
+      ckeys.agg(count(lit(1)).as("n_child_keys"))
+        .crossJoin(broadcast(contained))
+        .select(lit(name).as("candidate"), col("n_child_keys"),
+          col("n_contained"),
+          round(col("n_contained").cast("double") /
+            col("n_child_keys"), 4).as("containment"))
+    }
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val sup = Tables(s, dir, "supplier")
+    val n = Tables(s, dir, "nation")
+    edge("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(edge("orders.o_custkey->customer.c_custkey", o, "o_custkey", c, "c_custkey"))
+      .unionByName(edge("customer.c_nationkey->nation.n_nationkey", c, "c_nationkey", n, "n_nationkey"))
+      .unionByName(edge("orders.o_custkey->supplier.s_suppkey", o, "o_custkey", sup, "s_suppkey"))
+      .orderBy("candidate")
+  }
+
+  val fkDiscoveryOracle: String = {
+    def e(name: String, ct: String, cc: String, pt: String, pc: String) =
+      s"""SELECT '$name' AS candidate,
+         |       CAST(count(*) AS BIGINT) AS n_child_keys,
+         |       CAST(count(*) FILTER (k IN (SELECT $pc FROM $pt))
+         |         AS BIGINT) AS n_contained,
+         |       round(CAST(count(*) FILTER (k IN (SELECT $pc FROM $pt))
+         |         AS DOUBLE) / count(*), 4) AS containment
+         |FROM (SELECT DISTINCT $cc AS k FROM $ct WHERE $cc IS NOT NULL)""".stripMargin
+    Seq(
+      e("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      e("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      e("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+      e("orders.o_custkey->supplier.s_suppkey", "orders", "o_custkey", "supplier", "s_suppkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+  }
+
+  /** Contiguous global ranking WITHOUT a single-partition window — the
+    * scale answer to `row_number() OVER (ORDER BY …)`: exact decile
+    * cutpoints (one aggregate, the [[equidepthHistogram]] pass) split the
+    * data into value buckets; ranks are bucket offset + LOCAL rank, where
+    * the local window partitions by bucket (a keyed shuffle, never one
+    * task) and the ≤10-row offset table (running sum over bucket counts)
+    * broadcasts. Emits every 50th rank as the verification sample. The
+    * oracle is the definitional global window — same ranks, different
+    * plan, which is the point.
+    */
+  def globalRank(s: SparkSession, dir: String): DataFrame = {
+    val ps = (1 to 9).map(_ / 10.0)
+    val cuts = Tables(s, dir, "documents")
+      .agg(percentile(col("n_chars"), array(ps.map(lit): _*)).as("cuts"))
+    val bucket = (1 to 9).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("n_chars") > element_at(col("cuts"), i), 1)
+        .otherwise(0)
+    }
+    val bucketed = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_chars"), bucket.as("bucket"))
+      .localCheckpoint()
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    bucketed
+      .withColumn("local_rank", row_number().over(localW))
+      .join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("n_chars"),
+        (col("offset") + col("local_rank")).as("global_rank"))
+      .filter((col("global_rank") % 50) === 0)
+      .orderBy("global_rank")
+  }
+
+  val globalRankOracle: String =
+    """SELECT doc_id, n_chars, global_rank FROM (
+      |  SELECT doc_id, n_chars,
+      |         row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
+      |  FROM documents)
+      |WHERE global_rank % 50 = 0 ORDER BY global_rank""".stripMargin
+
   /** Join-key skew diagnostic — the profiling pass that decides between a
     * plain shuffle join, AQE's runtime skew split, and the deterministic
     * [[graft.ops.SkewOps.saltedJoin]] fallback. Per-key frequencies of
@@ -1552,6 +1661,8 @@ object AnalyticsOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fk_discovery" -> (fkDiscovery _),
+    "global_rank" -> (globalRank _),
     "skew_stats" -> (skewStats _),
     "quantile_sketch" -> (quantileSketch _),
     "equidepth_histogram" -> (equidepthHistogram _),
@@ -1594,6 +1705,8 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "fk_discovery" -> fkDiscoveryOracle,
+    "global_rank" -> globalRankOracle,
     "skew_stats" -> skewStatsOracle,
     "quantile_sketch" -> quantileSketchOracle,
     "equidepth_histogram" -> equidepthHistogramOracle,

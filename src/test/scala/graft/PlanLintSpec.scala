@@ -43,7 +43,9 @@ class PlanLintSpec extends AnyFunSuite {
     "equidepth_histogram", // 1-row cutpoint-array broadcast
     "skew_stats",       // 1-row mean + summary×hot-count cross joins
     "linreg_2step",     // 1-row weight-vector broadcast between GD steps
-    "quality_model_score") // same 1-row weight broadcast, then scoring
+    "quality_model_score", // same 1-row weight broadcast, then scoring
+    "fk_discovery",     // 1-row n_contained×n_child_keys counter joins
+    "global_rank")      // 1-row cutpoint-array broadcast (equidepth shape)
 
   private lazy val plans: Map[String, String] = {
     // lint the SAME optimizer configuration Verify/Bench run (and make the
@@ -102,6 +104,13 @@ class PlanLintSpec extends AnyFunSuite {
       "link_prediction" -> 5,     // checkpointed edges/adjacency feed the
                                   // hop join, candidate distinct, score
                                   // attach, top-k window (+sort)
+      "fk_discovery" -> 12,       // 4 candidate edges × (parent distinct,
+                                  // contained count, child-key count);
+                                  // child distincts materialize at
+                                  // construction (checkpoint), parents
+                                  // broadcast at runtime via AQE
+      "global_rank" -> 4,         // cutpoint agg + bucket-keyed local
+                                  // window + 10-row offset window (+sort)
       "heavy_hitters_by_source" -> 4, // per-source MG agg, candidate
                                   // recount agg + partials (+sort)
       "skew_stats" -> 3,          // suppkey count agg + the two 1-row
