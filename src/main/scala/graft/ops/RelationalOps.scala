@@ -424,22 +424,28 @@ object RelationalOps {
     * co-plans them.
     */
   def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    // EXISTS/NOT-EXISTS decorrelated to AGGREGATES (r6 rewrite, 22.6 s →
+    // aggregate shape): a supplier s in order o survives the NOT-EXISTS
+    // (no OTHER supplier ships later than some row of s) iff
+    // ms(o,s) ≥ max_{s'≠s} ms(o,s') where ms is the per-supplier max
+    // shipdate — and by tie case-analysis that is exactly
+    // ms(o,s) = max_s ms(o,s). The EXISTS (another supplier on the
+    // order) is nsupp ≥ 2. So three lineitem self-shuffles with pairwise
+    // O(items²/order) predicates collapse into TWO keyed aggregates
+    // ((o,s) then o) + one co-keyed attach; the oracle keeps the
+    // definitional EXISTS/NOT-EXISTS SQL, proving the rewrite.
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
     val fOrders = Tables(s, dir, "orders")
       .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
-    val other = li.select(col("l_orderkey").as("ok2"),
-      col("l_suppkey").as("sk2"), col("l_shipdate").as("sd2"))
-    val waiting = li
+    val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("ms"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(max(col("ms")).as("m1"), count(lit(1)).as("nsupp"))
+    val waiting = perSupp.join(perOrder, "l_orderkey")
+      .filter(col("nsupp") >= 2 && col("ms") === col("m1"))
       .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .join(other,
-        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
-        "left_semi")
-      .join(other,
-        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2") &&
-          col("sd2") > col("l_shipdate"),
-        "left_anti")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .select(col("l_orderkey"), col("l_suppkey"))
     waiting
       .join(broadcast(Tables(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"))),

@@ -146,9 +146,13 @@ class PlanLintSpec extends AnyFunSuite {
                                   // (+sort)
       "heavy_hitters" -> 4,       // MG 1-row agg, candidate recount,
                                   // total-count scalar (+sort)
-      "q21_waiting_suppliers" -> 2, // order-key self-joins share one
-                                  // exchange + the s_name count; top-20
-                                  // is TakeOrdered, no sort exchange
+      "q21_waiting_suppliers" -> 4, // decorrelated aggregate shape: the
+                                  // (o,s) max-shipdate agg, the per-order
+                                  // max/nsupp agg, the co-keyed attach,
+                                  // the s_name count (13× vs the
+                                  // EXISTS/NOT-EXISTS self-join plan);
+                                  // top-20 is TakeOrdered, no sort
+                                  // exchange
       "triangle_count" -> 19,     // checkpointed edges/degrees feed a
                                   // 4-branch DAG: two deg attaches, the
                                   // adjacency build + two attaches, and
