@@ -1442,6 +1442,80 @@ object AnalyticsOps {
        |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Time-hierarchy sketch rollup — the lambda-architecture pattern: 720
+    * HOURLY KMV distinct-user sketches merge into 30 DAILY cardinality
+    * estimates WITHOUT re-reading events. Sketch merge is pure array
+    * algebra (flatten → distinct → sort → keep k smallest — the KMV union
+    * is closed under exactly this), and the Beyer et al. estimate
+    * (k−1)/u_k applies to the merged sketch as if it had been built from
+    * the raw day. Hours with < k distinct users contribute their entire
+    * (exact) hash set, so the merged estimate degrades nowhere. The exact
+    * daily distinct rides alongside as the error audit.
+    *
+    * Scale: this is how a 100 TB event lake serves "distinct users for
+    * ANY date range" — O(k) state per grain cell, merges proportional to
+    * cells (not events), md5-deterministic so the estimate itself is
+    * oracle-EXACT. One events scan for the hourly partials (the daily
+    * level touches only the 720-row sketch table), one for the audit.
+    */
+  def kmvRollup(s: SparkSession, dir: String): DataFrame = {
+    val K = 32
+    val hashed = Tables(s, dir, "events").select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+      md5(col("user_id").cast("string").cast("binary")).as("h"),
+      col("user_id"))
+    val hourly = hashed.groupBy(col("day"), col("hour"))
+      .agg(graft.functions.KmvSketch.kmvSmallest(col("h"), K).as("sk"))
+    val daily = hourly.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_hours"),
+        slice(array_sort(array_distinct(
+          flatten(collect_list(split(col("sk"), ","))))), 1, K).as("u"))
+      .withColumn("m", size(col("u")))
+      .withColumn("est_users",
+        round(when(col("m") < K, col("m").cast("double"))
+          .otherwise(lit((K - 1).toDouble) /
+            graft.functions.KmvSketch.hexPrefixUniform(
+              element_at(col("u"), K))), 2))
+    val exact = hashed.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    daily.join(exact, "day")
+      .select(col("day"), col("n_hours"), col("est_users"),
+        col("exact_users"))
+      .orderBy("day")
+  }
+
+  val kmvRollupOracle: String = {
+    val umax = graft.functions.KmvSketch.hexPrefixUniformSql("u[len(u)]")
+    s"""WITH e AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |         strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       |         md5(CAST(user_id AS VARCHAR)) AS h, user_id
+       |  FROM events),
+       |hh AS (SELECT DISTINCT day, hour, h FROM e),
+       |r AS (SELECT day, hour, h,
+       |             row_number() OVER (PARTITION BY day, hour ORDER BY h)
+       |               AS rn
+       |      FROM hh),
+       |hourly AS (SELECT day, hour, list(h ORDER BY h) AS sk
+       |           FROM r WHERE rn <= 32 GROUP BY day, hour),
+       |flat AS (SELECT DISTINCT day, unnest(sk) AS h FROM hourly),
+       |r2 AS (SELECT day, h,
+       |              row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+       |       FROM flat),
+       |u AS (SELECT day, list(h ORDER BY h) AS u
+       |      FROM r2 WHERE rn <= 32 GROUP BY day),
+       |nh AS (SELECT day, count(*) AS n_hours FROM hourly GROUP BY day),
+       |ex AS (SELECT day, count(DISTINCT user_id) AS exact_users
+       |       FROM e GROUP BY day)
+       |SELECT day, n_hours,
+       |       round(CASE WHEN len(u) < 32 THEN CAST(len(u) AS DOUBLE)
+       |                  ELSE 31.0 / ($umax) END, 2) AS est_users,
+       |       exact_users
+       |FROM u JOIN nh USING (day) JOIN ex USING (day)
+       |ORDER BY day""".stripMargin
+  }
+
   /** Foreign-key discovery — schema profiling by CONTAINMENT: for each
     * candidate (child.column → parent.column) pair, the fraction of the
     * child's distinct values found in the parent. True FK edges score
@@ -1676,6 +1750,7 @@ object AnalyticsOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fk_discovery" -> (fkDiscovery _),
     "global_rank" -> (globalRank _),
+    "kmv_rollup" -> (kmvRollup _),
     "skew_stats" -> (skewStats _),
     "quantile_sketch" -> (quantileSketch _),
     "equidepth_histogram" -> (equidepthHistogram _),
@@ -1720,6 +1795,7 @@ object AnalyticsOps {
   val oracles: Map[String, String] = Map(
     "fk_discovery" -> fkDiscoveryOracle,
     "global_rank" -> globalRankOracle,
+    "kmv_rollup" -> kmvRollupOracle,
     "skew_stats" -> skewStatsOracle,
     "quantile_sketch" -> quantileSketchOracle,
     "equidepth_histogram" -> equidepthHistogramOracle,

@@ -111,6 +111,9 @@ class PlanLintSpec extends AnyFunSuite {
                                   // broadcast at runtime via AQE
       "global_rank" -> 4,         // cutpoint agg + bucket-keyed local
                                   // window + 10-row offset window (+sort)
+      "kmv_rollup" -> 5,          // hourly sketch agg, daily merge agg
+                                  // (720-row input), exact-audit distinct
+                                  // pair, day attach (+sort)
       "heavy_hitters_by_source" -> 4, // per-source MG agg, candidate
                                   // recount agg + partials (+sort)
       "skew_stats" -> 3,          // suppkey count agg + the two 1-row
