@@ -349,7 +349,31 @@ object CurationOps {
       |  FROM documents)
       |WHERE rank <= 20 ORDER BY source, rank""".stripMargin
 
+  /** [[corpusReservoir]]'s 100 TB execution path made real: the same
+    * exactly-k-per-source sample computed by the bounded-k
+    * [[graft.functions.TopKRows]] typed Aggregator instead of a window —
+    * partial aggregation ships ≤ k rows per (partition, source) where the
+    * window form shuffles the whole corpus to rank it. Same md5 draw,
+    * same tie-break, same ORACLE (the window-form SQL): the green row
+    * proves the aggregator IS the window semantics, at the mergeable-
+    * buffer price.
+    */
+  def corpusReservoirAgg(s: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("rsv"), col("doc_id").cast("string"))).as("draw"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKRows.topKIds(col("draw"), col("doc_id"), k)
+        .as("ids"))
+      .select(col("source"), posexplode(col("ids")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("col").as("doc_id"))
+      .orderBy("source", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_reservoir_agg" -> (corpusReservoirAgg _),
     "corpus_reservoir" -> (corpusReservoir _),
     "corpus_split" -> (corpusSplit _),
     "source_overlap" -> (sourceOverlap _),
@@ -360,6 +384,7 @@ object CurationOps {
     "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_reservoir_agg" -> corpusReservoirOracle,
     "corpus_reservoir" -> corpusReservoirOracle,
     "corpus_split" -> corpusSplitOracle,
     "source_overlap" -> sourceOverlapOracle,

@@ -114,6 +114,9 @@ class PlanLintSpec extends AnyFunSuite {
       "kmv_rollup" -> 5,          // hourly sketch agg, daily merge agg
                                   // (720-row input), exact-audit distinct
                                   // pair, day attach (+sort)
+      "corpus_reservoir_agg" -> 2, // ONE bounded-k aggregate exchange
+                                  // (≤k rows per partition per source
+                                  // reach it) (+sort)
       "heavy_hitters_by_source" -> 4, // per-source MG agg, candidate
                                   // recount agg + partials (+sort)
       "skew_stats" -> 3,          // suppkey count agg + the two 1-row
