@@ -1467,10 +1467,14 @@ object AnalyticsOps {
       col("user_id"))
     val hourly = hashed.groupBy(col("day"), col("hour"))
       .agg(graft.functions.KmvSketch.kmvSmallest(col("h"), K).as("sk"))
+    // array_remove guards the all-null-users hour: an empty sketch string
+    // splits to [""], which would sort before every md5 hash and displace
+    // a real one from the day's k-smallest (latent on this fixture — no
+    // null user_ids — but real on a nullable lake)
     val daily = hourly.groupBy(col("day"))
       .agg(count(lit(1)).as("n_hours"),
-        slice(array_sort(array_distinct(
-          flatten(collect_list(split(col("sk"), ","))))), 1, K).as("u"))
+        slice(array_sort(array_distinct(array_remove(
+          flatten(collect_list(split(col("sk"), ","))), ""))), 1, K).as("u"))
       .withColumn("m", size(col("u")))
       .withColumn("est_users",
         round(when(col("m") < K, col("m").cast("double"))

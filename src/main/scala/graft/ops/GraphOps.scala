@@ -311,14 +311,18 @@ object GraphOps {
       .orderBy(col("deg").desc, col("u")).limit(10)
       .select(col("u").as("seed"), col("nbrs").as("seed_nbrs"),
         col("deg").as("seed_deg"))
-    // one hop out of each seed neighborhood → distance-≤2 candidates
-    val hop = seeds.select(col("seed"), col("seed_nbrs"), col("seed_deg"),
-        explode(col("seed_nbrs")).as("mid"))
+      .localCheckpoint()
+    // one hop out of each seed neighborhood → distance-≤2 candidates.
+    // IDS ONLY through the explode/distinct: the seed's O(deg) adjacency
+    // array re-attaches AFTER dedup from the 10-row broadcast — carrying
+    // it through the hop would put O(seeds·deg²) array elements on the
+    // broadcast and an O(deg) payload on every distinct row
+    val hop = seeds.select(col("seed"), explode(col("seed_nbrs")).as("mid"))
     val cands = adjLong.join(broadcast(hop), col("u") === col("mid"))
       .filter(col("v") =!= col("seed"))
-      .select(col("seed"), col("seed_nbrs"), col("seed_deg"),
-        col("v").as("cand"))
+      .select(col("seed"), col("v").as("cand"))
       .distinct()
+      .join(broadcast(seeds), "seed")
       // drop already-linked pairs: candidate ∈ N(seed)
       .filter(!array_contains(col("seed_nbrs"), col("cand")))
     val scored = cands

@@ -31,12 +31,20 @@ object ModelOps {
     * the pre-step loss, so the oracle pins BOTH the gradient math and the
     * loss trajectory (loss must be non-increasing — `ModelOpsSpec`).
     */
-  def linreg2Step(s: SparkSession, dir: String): DataFrame = {
-    val f = Tables(s, dir, "documents").select(
+  /** The ONE featurization both training and scoring read — written once
+    * so the scorer can never silently drift from the features the weights
+    * were trained on (review r6 finding).
+    */
+  private def features(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("source"),
       (col("n_chars").cast("double") / 1000.0).as("x1"),
       (size(split(col("text"), " ")).cast("double") / 100.0).as("x2"),
       (col("n_chars").cast("double") /
         size(split(col("text"), " ")).cast("double")).as("y"))
+
+  def linreg2Step(s: SparkSession, dir: String): DataFrame = {
+    val f = features(s, dir).drop("source")
 
     def step(iter: Int, b: Column, w1: Column, w2: Column)
         (src: DataFrame): DataFrame = {
@@ -96,12 +104,7 @@ object ModelOps {
   def qualityModelScore(s: SparkSession, dir: String): DataFrame = {
     val w = linreg2Step(s, dir).filter(col("iter") === 2)
       .select(col("b"), col("w1"), col("w2"))
-    Tables(s, dir, "documents")
-      .select(col("source"),
-        (col("n_chars").cast("double") / 1000.0).as("x1"),
-        (size(split(col("text"), " ")).cast("double") / 100.0).as("x2"),
-        (col("n_chars").cast("double") /
-          size(split(col("text"), " ")).cast("double")).as("y"))
+    features(s, dir)
       .crossJoin(broadcast(w))
       .withColumn("pred", col("b") + col("w1") * col("x1") +
         col("w2") * col("x2"))

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+  TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Streaming CDC materialization — the always-on form of the batch
   * [[graft.ops.EventOps.cdcCompaction]] query: the event stream read as a
@@ -82,27 +82,7 @@ object StreamingCdc {
     * materialized current row; tombstoned users are filtered by the
     * consumer (`last_op = 'D'`), mirroring the batch query's post-filter.
     */
-  def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val q: StreamingQuery = cdcState(
-          StreamingEvents.readEventStream(spark, dir))
-        .writeStream
-        .queryName(queryName)
-        .outputMode("update")
-        .format("memory")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(queryName)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
-  }
+  def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    MemoryDrain.drain(spark,
+      cdcState(StreamingEvents.readEventStream(spark, dir)), queryName).table
 }

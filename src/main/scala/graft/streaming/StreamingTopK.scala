@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
-  StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig}
+  TimeMode, TimerValues, TTLConfig}
 
 /** Streaming heavy hitters: sharded Misra-Gries sketches as
   * `transformWithState` MapState — the always-on form of the batch
@@ -81,30 +81,12 @@ object StreamingTopK {
 
   /** Bounded drain into a memory sink (RocksDB provider, as
     * transformWithState requires). The LAST emission per (shard, user) is
-    * that shard's final candidate set.
+    * that shard's final candidate set; `nBatches` lets callers scale
+    * across-emission bounds when the source splits the drain.
     */
   def runOnce(spark: SparkSession, dir: String, queryName: String,
-      shards: Int = 4, k: Int = 16): DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val q: StreamingQuery = topKCandidates(
-          StreamingEvents.readEventStream(spark, dir), shards, k)
-        .writeStream
-        .queryName(queryName)
-        .outputMode("update")
-        .format("memory")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(queryName)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
-  }
+      shards: Int = 4, k: Int = 16): MemoryDrain.Drained =
+    MemoryDrain.drain(spark,
+      topKCandidates(StreamingEvents.readEventStream(spark, dir), shards, k),
+      queryName)
 }

@@ -5,7 +5,7 @@ import java.time.Duration
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+  TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Per-user running stats on the `transformWithState` arbitrary-state API
   * (Spark 4's successor to `mapGroupsWithState`): each user's cumulative
@@ -64,32 +64,12 @@ object StreamingUserStats {
         TimeMode.None(), OutputMode.Update())
   }
 
-  /** Bounded drain into a memory sink (RocksDB provider set for the run —
-    * transformWithState refuses the default HDFS-backed store). Returns
+  /** Bounded drain into a memory sink (via [[MemoryDrain]]). Returns
     * every per-batch update row; the LAST row per user is the final total.
     */
   def runOnce(spark: SparkSession, dir: String, queryName: String,
-      ttl: Option[Duration] = None): DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val q: StreamingQuery = userStats(
-          StreamingEvents.readEventStream(spark, dir), ttl)
-        .writeStream
-        .queryName(queryName)
-        .outputMode("update")
-        .format("memory")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(queryName)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
-  }
+      ttl: Option[Duration] = None): DataFrame =
+    MemoryDrain.drain(spark,
+      userStats(StreamingEvents.readEventStream(spark, dir), ttl),
+      queryName).table
 }
