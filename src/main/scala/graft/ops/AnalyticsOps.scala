@@ -396,6 +396,39 @@ object AnalyticsOps {
     s.sql(sqlQ3Text)
   }
 
+  /** Recursive CTE on the portable-SQL surface (Spark 4's WITH RECURSIVE
+    * — same literal text on both engines, like [[sqlQ3]]): a generated
+    * 91-day calendar spine LEFT-JOINed to daily order stats, so days with
+    * ZERO orders appear as explicit zero rows — the gap-free time series
+    * every dashboard needs, and the canonical recursive-CTE use (the
+    * spine recursion is 91 single-row steps; the corpus-sized work stays
+    * one grouped aggregate).
+    */
+  val sqlDateSpineText: String =
+    """WITH RECURSIVE spine(d) AS (
+      |  SELECT CAST('1996-01-01' AS DATE)
+      |  UNION ALL
+      |  SELECT CAST(d + INTERVAL '1' DAY AS DATE) FROM spine
+      |  WHERE d < CAST('1996-03-31' AS DATE)
+      |),
+      |daily AS (
+      |  SELECT o_orderdate AS d, count(*) AS n_orders,
+      |         round(sum(o_totalprice), 2) AS total
+      |  FROM orders
+      |  WHERE o_orderdate BETWEEN CAST('1996-01-01' AS DATE)
+      |                        AND CAST('1996-03-31' AS DATE)
+      |  GROUP BY o_orderdate)
+      |SELECT CAST(spine.d AS STRING) AS day,
+      |       coalesce(n_orders, 0) AS n_orders,
+      |       coalesce(total, 0.0) AS total
+      |FROM spine LEFT JOIN daily ON spine.d = daily.d
+      |ORDER BY day""".stripMargin
+
+  def sqlDateSpine(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(sqlDateSpineText)
+  }
+
   /** Explicit GROUPING SETS + `grouping()` markers on the portable-SQL
     * surface (same literal text on Spark and DuckDB, like [[sqlQ3]]) —
     * per-lang totals, per-source totals, and the grand total in ONE pass
@@ -1755,6 +1788,7 @@ object AnalyticsOps {
     "fk_discovery" -> (fkDiscovery _),
     "global_rank" -> (globalRank _),
     "kmv_rollup" -> (kmvRollup _),
+    "sql_date_spine" -> (sqlDateSpine _),
     "skew_stats" -> (skewStats _),
     "quantile_sketch" -> (quantileSketch _),
     "equidepth_histogram" -> (equidepthHistogram _),
@@ -1800,6 +1834,7 @@ object AnalyticsOps {
     "fk_discovery" -> fkDiscoveryOracle,
     "global_rank" -> globalRankOracle,
     "kmv_rollup" -> kmvRollupOracle,
+    "sql_date_spine" -> sqlDateSpineText,
     "skew_stats" -> skewStatsOracle,
     "quantile_sketch" -> quantileSketchOracle,
     "equidepth_histogram" -> equidepthHistogramOracle,
