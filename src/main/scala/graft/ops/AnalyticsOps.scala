@@ -1553,6 +1553,72 @@ object AnalyticsOps {
        |ORDER BY day""".stripMargin
   }
 
+  /** Population-stability drift (PSI) between the first and second half of
+    * the event stream — the feature-drift monitor every deployed model
+    * pipeline runs: decile cutpoints learned on the REFERENCE period bin
+    * both periods (the [[equidepthHistogram]] static-comparison pass —
+    * binning is nine codegen'd comparisons against a 1-row broadcast, no
+    * corpus window), then PSI_i = (p_a − p_b)·ln(p_a/p_b) per bin with the
+    * standard 1e-6 floor so an emptied bin reads as a large finite term
+    * instead of ∞. Σ PSI > 0.2 is the conventional retrain trigger; the
+    * per-bin terms localize WHERE the distribution moved.
+    */
+  def driftPsi(s: SparkSession, dir: String): DataFrame = {
+    val ps = (1 to 9).map(_ / 10.0)
+    val ev = Tables(s, dir, "events")
+      .select(col("value"), (dayofmonth(col("ts")) <= 15).as("is_a"))
+    val cuts = ev.filter(col("is_a"))
+      .agg(percentile(col("value"), array(ps.map(lit): _*)).as("cuts"))
+    val bucket = (1 to 9).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("value") > element_at(col("cuts"), i), 1).otherwise(0)
+    }
+    val counts = ev.crossJoin(broadcast(cuts))
+      .select(col("is_a"), bucket.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(when(col("is_a"), 1)).as("n_a"),
+        count(when(!col("is_a"), 1)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).cast("double").as("ta"),
+      sum(col("n_b")).cast("double").as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("pa", greatest(col("n_a").cast("double") / col("ta"),
+        lit(1e-6)))
+      .withColumn("pb", greatest(col("n_b").cast("double") / col("tb"),
+        lit(1e-6)))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(col("pa"), 4).as("pa"), round(col("pb"), 4).as("pb"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6)
+          .as("psi_term"))
+      .orderBy("bin")
+  }
+
+  val driftPsiOracle: String = {
+    val terms = (1 to 9).map { i =>
+      s"(CASE WHEN value > cuts[$i] THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH ev AS (
+       |  SELECT value, date_part('day', ts) <= 15 AS is_a FROM events),
+       |c AS (
+       |  SELECT quantile_cont(value,
+       |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+       |  FROM ev WHERE is_a),
+       |counts AS (
+       |  SELECT bin, count(*) FILTER (is_a) AS n_a,
+       |         count(*) FILTER (NOT is_a) AS n_b
+       |  FROM (SELECT is_a, 1 + $terms AS bin FROM ev, c)
+       |  GROUP BY bin),
+       |tot AS (
+       |  SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+       |         CAST(sum(n_b) AS DOUBLE) AS tb FROM counts),
+       |p AS (
+       |  SELECT bin, n_a, n_b,
+       |         greatest(CAST(n_a AS DOUBLE) / ta, 1e-6) AS pa,
+       |         greatest(CAST(n_b AS DOUBLE) / tb, 1e-6) AS pb
+       |  FROM counts, tot)
+       |SELECT bin, n_a, n_b, round(pa, 4) AS pa, round(pb, 4) AS pb,
+       |       round((pa - pb) * ln(pa / pb), 6) AS psi_term
+       |FROM p ORDER BY bin""".stripMargin
+  }
+
   /** Foreign-key discovery — schema profiling by CONTAINMENT: for each
     * candidate (child.column → parent.column) pair, the fraction of the
     * child's distinct values found in the parent. True FK edges score
@@ -1789,6 +1855,7 @@ object AnalyticsOps {
     "global_rank" -> (globalRank _),
     "kmv_rollup" -> (kmvRollup _),
     "sql_date_spine" -> (sqlDateSpine _),
+    "drift_psi" -> (driftPsi _),
     "skew_stats" -> (skewStats _),
     "quantile_sketch" -> (quantileSketch _),
     "equidepth_histogram" -> (equidepthHistogram _),
@@ -1835,6 +1902,7 @@ object AnalyticsOps {
     "global_rank" -> globalRankOracle,
     "kmv_rollup" -> kmvRollupOracle,
     "sql_date_spine" -> sqlDateSpineText,
+    "drift_psi" -> driftPsiOracle,
     "skew_stats" -> skewStatsOracle,
     "quantile_sketch" -> quantileSketchOracle,
     "equidepth_histogram" -> equidepthHistogramOracle,

@@ -149,11 +149,94 @@ object ModelOps {
       |       count(*) FILTER (pred > 1.2 * y) AS n_overpredicted
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  /** Train/holdout evaluation closing the ML loop: train the 2-step GD
+    * weights on the md5-nibble TRAIN split (the [[CurationOps.corpusSplit]]
+    * content-stable rule: nibble < 13 of 16 ≈ 81%) and report MSE and R²
+    * on the held-out remainder — the metric a quality-classifier pipeline
+    * gates deployment on. Same one-pass aggregate shape as training: the
+    * holdout eval is ONE keyless aggregate over the val split with the
+    * 1-row weight broadcast; nothing collects.
+    *
+    * R² guard: computed against the VAL split's own mean (the baseline a
+    * holdout metric must beat), so R² < 0 is visible when the model
+    * underperforms the constant predictor.
+    */
+  def modelEval(s: SparkSession, dir: String): DataFrame = {
+    // the [[CurationOps.corpusSplit]] content-stable nibble rule verbatim
+    // (instr/strpos is the proven cross-engine hex-digit decoder)
+    val isTrain = (instr(lit("0123456789abcdef"),
+      substring(md5(col("doc_id").cast("string").cast("binary")), 32, 1))
+      - 1) < 13
+    val f = Tables(s, dir, "documents").select(
+      col("doc_id"), isTrain.as("is_train"),
+      (col("n_chars").cast("double") / 1000.0).as("x1"),
+      (size(split(col("text"), " ")).cast("double") / 100.0).as("x2"),
+      (col("n_chars").cast("double") /
+        size(split(col("text"), " ")).cast("double")).as("y"))
+
+    def step(b: Column, w1: Column, w2: Column)(src: DataFrame): DataFrame = {
+      val e = b + w1 * col("x1") + w2 * col("x2") - col("y")
+      src.agg(
+        round(first(b) - lit(2 * eta) * avg(e), 6).as("b"),
+        round(first(w1) - lit(2 * eta) * avg(e * col("x1")), 6).as("w1"),
+        round(first(w2) - lit(2 * eta) * avg(e * col("x2")), 6).as("w2"))
+    }
+    val train = f.filter(col("is_train"))
+    val s1 = step(lit(0.0), lit(0.0), lit(0.0))(train)
+    val s2 = step(col("b1"), col("w11"), col("w21"))(
+      train.crossJoin(broadcast(s1.select(
+        col("b").as("b1"), col("w1").as("w11"), col("w2").as("w21")))))
+    val err = col("b") + col("w1") * col("x1") + col("w2") * col("x2") - col("y")
+    f.filter(!col("is_train"))
+      .crossJoin(broadcast(s2))
+      .agg(
+        count(lit(1)).as("n_val"),
+        round(avg(err * err), 4).as("mse"),
+        round(lit(1.0) - avg(err * err) /
+          (avg(col("y") * col("y")) - avg(col("y")) * avg(col("y"))), 4)
+          .as("r2"))
+  }
+
+  val modelEvalOracle: String =
+    """WITH f AS (
+      |  SELECT (strpos('0123456789abcdef',
+      |            substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) < 13
+      |           AS is_train,
+      |         CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+      |         CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS y
+      |  FROM documents),
+      |tr AS (SELECT * FROM f WHERE is_train),
+      |s1 AS (
+      |  SELECT round(0.0 - 0.2 * avg(0.0 - y), 6) AS b,
+      |         round(0.0 - 0.2 * avg((0.0 - y) * x1), 6) AS w1,
+      |         round(0.0 - 0.2 * avg((0.0 - y) * x2), 6) AS w2
+      |  FROM tr),
+      |s2 AS (
+      |  SELECT round(any_value(s1.b)
+      |           - 0.2 * avg(s1.b + s1.w1 * x1 + s1.w2 * x2 - y), 6) AS b,
+      |         round(any_value(s1.w1)
+      |           - 0.2 * avg((s1.b + s1.w1 * x1 + s1.w2 * x2 - y) * x1), 6)
+      |           AS w1,
+      |         round(any_value(s1.w2)
+      |           - 0.2 * avg((s1.b + s1.w1 * x1 + s1.w2 * x2 - y) * x2), 6)
+      |           AS w2
+      |  FROM tr, s1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_val,
+      |       round(avg((s2.b + s2.w1 * x1 + s2.w2 * x2 - y)
+      |         * (s2.b + s2.w1 * x1 + s2.w2 * x2 - y)), 4) AS mse,
+      |       round(1.0 - avg((s2.b + s2.w1 * x1 + s2.w2 * x2 - y)
+      |           * (s2.b + s2.w1 * x1 + s2.w2 * x2 - y))
+      |         / (avg(y * y) - avg(y) * avg(y)), 4) AS r2
+      |FROM f, s2 WHERE NOT is_train""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "linreg_2step" -> (linreg2Step _),
-    "quality_model_score" -> (qualityModelScore _))
+    "quality_model_score" -> (qualityModelScore _),
+    "model_eval" -> (modelEval _))
 
   val oracles: Map[String, String] = Map(
     "linreg_2step" -> linreg2StepOracle,
-    "quality_model_score" -> qualityModelScoreOracle)
+    "quality_model_score" -> qualityModelScoreOracle,
+    "model_eval" -> modelEvalOracle)
 }

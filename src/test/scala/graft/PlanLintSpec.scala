@@ -45,7 +45,9 @@ class PlanLintSpec extends AnyFunSuite {
     "linreg_2step",     // 1-row weight-vector broadcast between GD steps
     "quality_model_score", // same 1-row weight broadcast, then scoring
     "fk_discovery",     // 1-row n_contained×n_child_keys counter joins
-    "global_rank")      // 1-row cutpoint-array broadcast (equidepth shape)
+    "global_rank",      // 1-row cutpoint-array broadcast (equidepth shape)
+    "model_eval",       // 1-row weight-vector broadcasts between GD steps
+    "drift_psi")        // 1-row cutpoint + total-count broadcasts
 
   private lazy val plans: Map[String, String] = {
     // lint the SAME optimizer configuration Verify/Bench run (and make the
@@ -117,6 +119,10 @@ class PlanLintSpec extends AnyFunSuite {
       "corpus_reservoir_agg" -> 2, // ONE bounded-k aggregate exchange
                                   // (≤k rows per partition per source
                                   // reach it) (+sort)
+      "model_eval" -> 3,          // two GD aggregates + the holdout eval
+                                  // aggregate; 1-row result, no sort
+      "drift_psi" -> 6,           // reference-decile agg, bin counts agg,
+                                  // total agg + partials (+sort)
       "heavy_hitters_by_source" -> 4, // per-source MG agg, candidate
                                   // recount agg + partials (+sort)
       "skew_stats" -> 3,          // suppkey count agg + the two 1-row
