@@ -602,7 +602,114 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Exact substring-duplication detection (the char-gram fingerprint
+    * variant of Lee et al. 2021's "Deduplicating Training Data Makes
+    * Language Models Better" exact-substring dedup, reference scope: the
+    * corpus-hygiene layer a training pipeline runs before
+    * [[dedupMinhashLsh]]-style whole-doc near-dup): every K=20-char
+    * window of normalized text is fingerprinted with the native
+    * Rabin–Karp [[graft.functions.expressions.RollingShingleHash]]
+    * (O(chars) per doc, codegen'd); a window is DUPLICATED if it occurs
+    * in ≥2 distinct docs; overlapping/adjacent duplicated windows merge
+    * into maximal spans (the gaps-and-islands fold [[EventOps]] uses on
+    * time intervals, here on char positions); per doc: span count, chars
+    * covered, covered fraction — the signal that decides span-level
+    * removal vs whole-doc drop.
+    *
+    * Scale shape: the position explode is one row per char position —
+    * the HONEST cost of exact substring dedup (suffix-array formulations
+    * save constants, not the O(corpus) pass; stride-sampling the windows
+    * is the standard cheapening knob and changes only the sequence
+    * generator). Downstream of the explode everything is keyed: the
+    * duplicated-fingerprint test is min≠max over a fp-keyed aggregate
+    * (NO count-distinct Expand, map-side combined), the survivor filter
+    * a fp-keyed left-semi join (AQE decides the build side), and the
+    * island fold a doc-keyed window — per-doc sized partitions, no
+    * global window anywhere. Cross-engine identity: distinct-doc sets
+    * per 20-char STRING gram (oracle) equal the sets per 64-bit rolling
+    * hash modulo ~2⁻⁶⁴ collisions — the [[TextOps.shingleFingerprint]]
+    * argument.
+    */
+  def duplicateSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
+    val K = 20
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), length(col("norm")).as("n_chars"),
+        bc(graft.functions.expressions.RollingShingleHash(
+          be(transform(split(col("norm"), ""), c => xxhash64(c))), K))
+          .as("fps"))
+      .localCheckpoint() // feeds the explode AND the final per-doc attach
+    val pos = docs.select(col("doc_id"),
+      posexplode(col("fps")).as(Seq("pos0", "fp")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("fp"))
+    // duplicated ⇔ seen in ≥2 distinct docs ⇔ min(doc)≠max(doc) per fp
+    val dup = pos.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi")).select(col("fp"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = pos.join(dup, Seq("fp"), "left_semi")
+      // windows [pos, pos+K-1]: new island when the previous duplicated
+      // window neither overlaps nor touches (gap > K)
+      .withColumn("brk", when(lag(col("pos"), 1).over(byDoc).isNull ||
+        col("pos") - lag(col("pos"), 1).over(byDoc) > K, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + K).as("span_len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("span_len")).cast("long").as("dup_chars"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("n_chars"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val duplicateSpansOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${normTextOracle("text")} AS norm,
+       |         length(${normTextOracle("text")}) AS n_chars
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i AS pos, substr(norm, i, 20) AS g
+       |  FROM base, LATERAL unnest(generate_series(1, n_chars - 19)) AS t(i)),
+       |dup AS (
+       |  SELECT g FROM grams GROUP BY g
+       |  HAVING min(doc_id) <> max(doc_id)),
+       |dpos AS (
+       |  SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN lag(pos) OVER w IS NULL
+       |                OR pos - lag(pos) OVER w > 20 THEN 1 ELSE 0 END AS brk
+       |  FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |islands AS (
+       |  SELECT doc_id, pos,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM isl),
+       |per_island AS (
+       |  SELECT doc_id, island, max(pos) - min(pos) + 20 AS span_len
+       |  FROM islands GROUP BY doc_id, island),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_dup_spans,
+       |         CAST(sum(span_len) AS BIGINT) AS dup_chars
+       |  FROM per_island GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       |       coalesce(p.dup_chars, 0) AS dup_chars,
+       |       round(CAST(coalesce(p.dup_chars, 0) AS DOUBLE) / b.n_chars, 4)
+       |         AS dup_frac
+       |FROM base b LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "duplicate_spans" -> (duplicateSpans _),
     "dedup_editdistance" -> (dedupEditDistance _),
     "semdedup" -> (semDedup _),
     "dedup_exact" -> (dedupExact _),
@@ -614,6 +721,7 @@ object DedupOps {
     "dedup_minhash_shingle" -> (dedupMinhashShingle _))
 
   val oracles: Map[String, String] = Map(
+    "duplicate_spans" -> duplicateSpansOracle,
     "dedup_editdistance" -> dedupEditDistanceOracle,
     "semdedup" -> semDedupOracle,
     "dedup_exact" -> dedupExactOracle,

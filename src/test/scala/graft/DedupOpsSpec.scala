@@ -207,6 +207,36 @@ class DedupOpsSpec extends AnyFunSuite {
       "nprobe = all buckets must recover the exact top-k")
   }
 
+  test("duplicate_spans = independent Scala string-gram recomputation (exact per-doc equality)") {
+    val K = 20
+    val norm = graft.ops.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim).toMap
+    // ground truth on STRING grams — a different code path from both the
+    // rolling hash (Spark) and the SQL oracle
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, t) <- norm; i <- 0 to t.length - K)
+      gramDocs.updateWith(t.substring(i, i + K))(
+        s => Some(s.getOrElse(Set.empty) + id))
+    val expected = norm.map { case (id, t) =>
+      val dupPos = (0 to t.length - K)
+        .filter(i => gramDocs(t.substring(i, i + K)).size >= 2)
+      // merge [p, p+K-1] windows that overlap or touch
+      val islands = dupPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, p) if p <= e0 + 1 => (s0, math.max(e0, p + K - 1)) :: rest
+        case (acc, p) => (p, p + K - 1) :: acc
+      }
+      id -> (islands.length.toLong, islands.map(ie => ie._2 - ie._1 + 1L).sum)
+    }
+    val got = DedupOps.duplicateSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == expected.keySet)
+    val bad = expected.filter { case (id, e) => got(id) != e }
+    assert(bad.isEmpty, s"span mismatch (first 5): ${bad.take(5)}")
+    assert(expected.values.exists(_._1 > 0), "fixture has no duplicated spans — vacuous")
+  }
+
   test("sign-LSH ANN: per-query ranks contiguous, cos non-increasing, ⊆ brute-force candidates") {
     val rows = SimilarityOps.annSignLsh(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

@@ -130,6 +130,11 @@ class PlanLintSpec extends AnyFunSuite {
                                   // (single-row result)
       "q1_pricing_summary" -> 2,  // one keyed agg exchange (+sort)
       "dedup_exact" -> 2,         // fingerprint groupBy (+sort)
+      "duplicate_spans" -> 3,     // fp-keyed dup agg + ONE doc-keyed
+                                  // window exchange shared by both island
+                                  // windows AND the span rollup (+sort);
+                                  // semi-join/attach sides are AQE
+                                  // broadcasts
       "token_stats" -> 2,         // per-source agg (+sort)
       "events_tumbling" -> 2,     // hour-bucket agg (+sort)
       "q6_forecast_revenue" -> 1, // 1-row final agg exchange, NO sort —
