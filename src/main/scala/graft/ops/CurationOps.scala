@@ -372,7 +372,79 @@ object CurationOps {
       .orderBy("source", "rank")
   }
 
+  /** N-gram novelty in arrival order (doc_id as ingest time): per doc,
+    * the fraction of its DISTINCT 3-token shingles first seen in that doc
+    * — the marginal-diversity signal dataset builders rank incoming
+    * shards by (a near-zero-novelty shard adds tokens but no new
+    * content; the complement of [[DedupOps.duplicateSpans]]' redundancy
+    * view). Shingles are native Rabin–Karp rolling hashes
+    * ([[graft.functions.expressions.RollingShingleHash]]), distinct per
+    * doc BEFORE the explode (narrow), so the shuffle carries one row per
+    * distinct (doc, shingle).
+    *
+    * Scale shape — NO fingerprint join-back: "first seen in d" means
+    * min(doc_id) over the shingle's postings equals d, so n_novel per
+    * doc is a groupBy(first_doc) COUNT of the min-aggregate's own output
+    * and n_grams a groupBy(doc) count of the postings — two keyed,
+    * map-side-combined aggregates over the same explode, merged on the
+    * doc-sized result. Cross-engine identity: distinct-hash counts equal
+    * distinct string-3-gram counts modulo ~2⁻⁶⁴ collisions
+    * ([[TextOps.shingleFingerprint]] argument).
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(bc(graft.functions.expressions.RollingShingleHash(
+          be(transform(split(DedupOps.normText(col("text")), " "),
+            t => xxhash64(t))), 3))).as("fps"))
+    val pairs = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val firsts = pairs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val nNovel = firsts.groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    val nGrams = pairs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    docs.select(col("doc_id"))
+      .join(nGrams, Seq("doc_id"), "left")
+      .join(nNovel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_grams"), 4)).otherwise(lit(0.0)).as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltyOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         string_split(${DedupOps.normTextOracle("text")}, ' ') AS tokens
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS g
+       |  FROM toks, LATERAL unnest(generate_series(1, len(tokens) - 2)) AS t(i)),
+       |firsts AS (SELECT g, min(doc_id) AS first_doc FROM pairs GROUP BY g),
+       |n_novel AS (
+       |  SELECT first_doc AS doc_id, count(*) AS n_novel
+       |  FROM firsts GROUP BY first_doc),
+       |n_grams AS (
+       |  SELECT doc_id, count(*) AS n_grams FROM pairs GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       coalesce(g.n_grams, 0) AS n_grams,
+       |       coalesce(v.n_novel, 0) AS n_novel,
+       |       CASE WHEN coalesce(g.n_grams, 0) > 0
+       |            THEN round(CAST(coalesce(v.n_novel, 0) AS DOUBLE)
+       |                       / g.n_grams, 4)
+       |            ELSE 0.0 END AS novelty_frac
+       |FROM toks t
+       |LEFT JOIN n_grams g USING (doc_id)
+       |LEFT JOIN n_novel v USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_novelty" -> (ngramNovelty _),
     "corpus_reservoir_agg" -> (corpusReservoirAgg _),
     "corpus_reservoir" -> (corpusReservoir _),
     "corpus_split" -> (corpusSplit _),
@@ -384,6 +456,7 @@ object CurationOps {
     "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
+    "ngram_novelty" -> ngramNoveltyOracle,
     "corpus_reservoir_agg" -> corpusReservoirOracle,
     "corpus_reservoir" -> corpusReservoirOracle,
     "corpus_split" -> corpusSplitOracle,

@@ -63,4 +63,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty, "fixture has no cross-source overlap - vacuous")
   }
+
+  test("ngram_novelty: first doc fully novel, novel counts partition the distinct-gram universe") {
+    val rows = CurationOps.ngramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // the lowest doc_id with any grams sees every one of them first
+    val first = rows.filter(_._2 > 0).minBy(_._1)
+    assert(first._3 == first._2 && first._4 == 1.0,
+      s"first doc not fully novel: $first")
+    rows.foreach { case (id, n, novel, frac) =>
+      assert(novel <= n, s"doc $id: n_novel > n_grams")
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // each distinct gram is novel in exactly one doc: Σ n_novel = |universe|
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
+    val universe = graft.ops.Tables(spark, dir, "documents")
+      .select(explode(array_distinct(bc(
+        graft.functions.expressions.RollingShingleHash(
+          be(transform(split(graft.ops.DedupOps.normText(col("text")), " "),
+            t => xxhash64(t))), 3)))).as("fp"))
+      .agg(countDistinct(col("fp"))).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == universe,
+      "Σ n_novel must equal the corpus-wide distinct-shingle count")
+  }
 }

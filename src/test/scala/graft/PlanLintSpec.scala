@@ -135,6 +135,11 @@ class PlanLintSpec extends AnyFunSuite {
                                   // windows AND the span rollup (+sort);
                                   // semi-join/attach sides are AQE
                                   // broadcasts
+      "ngram_novelty" -> 4,       // postings explode feeds the fp-keyed
+                                  // min agg + doc-keyed gram count; novel
+                                  // count re-keys the min agg's own
+                                  // output (+sort); doc-sized merges are
+                                  // AQE broadcasts
       "token_stats" -> 2,         // per-source agg (+sort)
       "events_tumbling" -> 2,     // hour-bucket agg (+sort)
       "q6_forecast_revenue" -> 1, // 1-row final agg exchange, NO sort —
