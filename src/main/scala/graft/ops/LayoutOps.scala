@@ -80,9 +80,66 @@ object LayoutOps {
        |       min(l_suppkey) AS supp_min, max(l_suppkey) AS supp_max
        |FROM cut GROUP BY file_id ORDER BY file_id""".stripMargin
 
+  /** Small-file compaction planning — the table-maintenance pass every
+    * lakehouse runs (each ingested document modeled as one file of
+    * `n_chars` bytes; a doc-per-file landing zone is exactly the
+    * small-file problem). Greedy bin packing in deterministic (doc_id)
+    * order: a file lands in bucket `⌊cum_before / target⌋`, so output
+    * groups are contiguous runs that fill to ≥ the target before
+    * spilling to the next — one pass, no pair-wise fitting, and the
+    * assignment is a pure function of the manifest (idempotent across
+    * retries, same argument as [[CurationOps.corpusSample]]).
+    *
+    * Scale shape: the running sum is a SOURCE-partitioned window — the
+    * planner works per partition directory like real compaction jobs, so
+    * no global single-partition window exists; output is bucket-sized,
+    * input manifest-sized (file listings, not data). Integer `DIV` keeps
+    * bucket ids exact on both engines (no double rounding).
+    */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = 2048L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("bytes"))
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("bucket", expr(s"(cum - bytes) DIV $target"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("total_bytes"),
+        min(col("doc_id")).as("doc_first"),
+        max(col("doc_id")).as("doc_last"))
+      .withColumn("fill",
+        round(col("total_bytes").cast("double") / target, 4))
+      .orderBy("source", "bucket")
+  }
+
+  val compactionPlanOracle: String =
+    """WITH files AS (
+      |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS bytes
+      |  FROM documents),
+      |planned AS (
+      |  SELECT doc_id, source, bytes,
+      |         CAST(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM files)
+      |SELECT source, (cum - bytes) // 2048 AS bucket,
+      |       count(*) AS n_files,
+      |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+      |       min(doc_id) AS doc_first,
+      |       max(doc_id) AS doc_last,
+      |       round(CAST(sum(bytes) AS DOUBLE) / 2048, 4) AS fill
+      |FROM planned
+      |GROUP BY source, (cum - bytes) // 2048
+      |ORDER BY source, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compaction_plan" -> (compactionPlan _),
     "zorder_stats" -> (zorderStats _))
 
   val oracles: Map[String, String] = Map(
+    "compaction_plan" -> compactionPlanOracle,
     "zorder_stats" -> zorderStatsOracle)
 }

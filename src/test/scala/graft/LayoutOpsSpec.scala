@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.LayoutOps
 
 class LayoutOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -36,5 +37,40 @@ class LayoutOpsSpec extends AnyFunSuite {
     val avgSpan = rows.map(r => r.getLong(3) - r.getLong(2)).sum.toDouble / 16
     assert(avgSpan <= domain / 2.0,
       s"avg part span $avgSpan vs domain $domain — z runs not clustered")
+  }
+
+  test("compaction_plan: greedy packing invariants (contiguity, conservation, boundary fill)") {
+    val target = 2048L
+    val rows = LayoutOps.compactionPlan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .selectExpr("source", "cast(n_chars as long)").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // conservation: every file is planned exactly once
+    assert(rows.map(_._3).sum == docs.length)
+    assert(rows.map(_._4).sum == docs.map(_._2).sum)
+    rows.groupBy(_._1).foreach { case (src, bs) =>
+      val sorted = bs.sortBy(_._2)
+      // buckets are contiguous from 0 within each source dir
+      assert(sorted.map(_._2).toSeq == (0L until bs.length).toSeq,
+        s"$src: bucket ids not contiguous")
+      // greedy boundary: a bucket only closes once the cumulative total
+      // has reached its boundary — so through every non-final bucket b,
+      // Σ bytes ≥ (b+1)·target
+      sorted.dropRight(1).foldLeft(0L) { case (cum, (_, b, _, total, _, _)) =>
+        val through = cum + total
+        assert(through >= (b + 1) * target,
+          s"$src bucket $b closed at $through < ${(b + 1) * target}")
+        through
+      }
+      // file runs are contiguous: doc ranges never interleave
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x._6 < y._5,
+          s"$src: bucket ${x._2} doc range overlaps ${y._2}")
+        case _ =>
+      }
+    }
   }
 }
