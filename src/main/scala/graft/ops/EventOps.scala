@@ -679,7 +679,72 @@ object EventOps {
       |WHERE last_op <> 'D'
       |ORDER BY user_id""".stripMargin
 
+  /** Exponentially-weighted trailing average per user over the hourly
+    * value series — the time-series smoother behind rate limiting, trend
+    * lines, and alert baselines (the static complement of the streaming
+    * anomaly state fold). Observation-indexed: weights decay per PRIOR
+    * BUCKET (lag over existing hourly rows), renormalized over the
+    * buckets actually present, so series heads and gaps stay unbiased.
+    *
+    * Implemented with SIX EXPLICIT LAG COLUMNS, not a recursive state or
+    * a collect+HOF fold: lag() is codegen'd, the fixed j=0..5 summation
+    * order is reproduced verbatim in the oracle SQL (identical IEEE
+    * operation order ⇒ bit-identical doubles before the final round),
+    * and the EWMA consumes the ROUNDED bucket means — the
+    * [[eventsAnomaly]] discipline, so engine-side 1e-12 aggregation
+    * drift can't move the output. One user-keyed window over
+    * hourly-bucket-sized data (already reduced by the aggregate).
+    */
+  def eventsEwma(s: SparkSession, dir: String): DataFrame = {
+    val decay = 0.5
+    val depth = 5
+    val hourly = Tables(s, dir, "events")
+      .groupBy(col("user_id"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"))
+      .agg(round(avg(col("value")), 4).as("v"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    val lagged = (1 to depth).foldLeft(hourly) { (df, j) =>
+      df.withColumn(s"l$j", lag(col("v"), j).over(byUser))
+    }
+    // fixed-order weighted fold: j = 0, 1, …, 5 — same order in the oracle
+    val num = (1 to depth).foldLeft(col("v")) { (acc, j) =>
+      acc + coalesce(col(s"l$j") * lit(math.pow(decay, j)), lit(0.0))
+    }
+    val den = (1 to depth).foldLeft(lit(1.0)) { (acc, j) =>
+      acc + when(col(s"l$j").isNotNull, lit(math.pow(decay, j)))
+        .otherwise(lit(0.0))
+    }
+    lagged.select(col("user_id"), col("hour"), col("v"),
+        round(num / den, 4).as("ewma"))
+      .orderBy("user_id", "hour")
+  }
+
+  val eventsEwmaOracle: String = {
+    val lags = (1 to 5).map(j =>
+      s"lag(v, $j) OVER (PARTITION BY user_id ORDER BY hour) AS l$j")
+      .mkString(",\n      |         ")
+    val num = (1 to 5).foldLeft("v") { (acc, j) =>
+      s"($acc + coalesce(l$j * ${math.pow(0.5, j)}, 0.0))"
+    }
+    val den = (1 to 5).foldLeft("1.0") { (acc, j) =>
+      s"($acc + CASE WHEN l$j IS NOT NULL THEN ${math.pow(0.5, j)} ELSE 0.0 END)"
+    }
+    s"""WITH hourly AS (
+      |  SELECT user_id,
+      |         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |         round(avg(value), 4) AS v
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT user_id, hour, v,
+      |         $lags
+      |  FROM hourly)
+      |SELECT user_id, hour, v, round($num / $den, 4) AS ewma
+      |FROM lagged ORDER BY user_id, hour""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ewma" -> (eventsEwma _),
     "events_islands" -> (eventsIslands _),
     "cdc_compaction" -> (cdcCompaction _),
     "events_mad" -> (eventsMad _),
@@ -699,6 +764,7 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "events_ewma" -> eventsEwmaOracle,
     "events_islands" -> eventsIslandsOracle,
     "cdc_compaction" -> cdcCompactionOracle,
     "events_mad" -> eventsMadOracle,

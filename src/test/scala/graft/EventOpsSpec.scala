@@ -114,4 +114,30 @@ class EventOpsSpec extends AnyFunSuite {
     assert(a == b, "binned range join must reproduce the theta join exactly")
     assert(b.nonEmpty)
   }
+
+  test("events_ewma = independent Scala fold over the hourly series") {
+    val rows = graft.ops.EventOps.eventsEwma(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    def rnd(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.groupBy(_._1).foreach { case (user, series) =>
+      val sorted = series.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, hour, v, ewma), i) =>
+        val window = sorted.slice(math.max(0, i - 5), i + 1).reverse // j=0 first
+        var num = 0.0; var den = 0.0
+        window.zipWithIndex.foreach { case ((_, _, vj, _), j) =>
+          num += vj * math.pow(0.5, j); den += math.pow(0.5, j)
+        }
+        val expected = rnd(num / den)
+        assert(math.abs(ewma - expected) < 5e-5,
+          s"user $user hour $hour: ewma=$ewma expected=$expected")
+        // smoother stays inside the window's value envelope
+        val vs = window.map(_._3)
+        assert(ewma >= vs.min - 1e-9 && ewma <= vs.max + 1e-9)
+      }
+      // head of the series: no history, EWMA == the bucket value
+      assert(sorted.head._4 == rnd(sorted.head._3))
+    }
+  }
 }
