@@ -856,7 +856,106 @@ object RelationalOps {
       |                      ELSE 0 END), 2) AS price_drift
       |FROM classified GROUP BY status ORDER BY status""".stripMargin
 
+  /** Probabilistic record linkage (the Fellegi–Sunter decision model,
+    * JASA '69, reduced to its deterministic core): do supplier and
+    * customer registry rows describe the same party? The operator
+    * demonstrates the three mechanics every entity-resolution pipeline
+    * at scale is built from, on the fields this schema shares:
+    *
+    *  1. **Banded blocking, never a cross join**: candidates must share
+    *     (nationkey, acctbal-band) — the supplier side explodes to its
+    *     band ±1 (3 rows, the standard trick so near-boundary matches
+    *     can't be lost), the join is a plain equi-join on the composite
+    *     block key, and per-block fanout is bounded by block population,
+    *     independent of table sizes.
+    *  2. **Agreement vector → additive log-weight score**: balance
+    *     proximity in EXACT CENTS (tiers +3/+2/+1 — doubles never
+    *     compared, the [[tableDiff]] cents discipline) plus a
+    *     registration-digit agreement (+0.5), summed like
+    *     Fellegi–Sunter log2(m/u) field weights.
+    *  3. **Best-match resolution**: one row per supplier — top score,
+    *     ties broken by smaller cent distance then key (fully
+    *     deterministic), with the surviving candidate count kept for
+    *     audit.
+    *
+    * A pair can only meet in the CUSTOMER's own band (the exploded side
+    * must equal it), so banding introduces no duplicates and needs no
+    * distinct.
+    */
+  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (c: org.apache.spark.sql.Column) =>
+      round(c * 100).cast("long")
+    val band = 100000L // 1000.00 currency units, in cents
+    val sup = Tables(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"),
+        cents(col("s_acctbal")).as("s_cents"))
+      .withColumn("b0", expr(s"s_cents DIV $band"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_cents"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("blk"))
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("c_cents"))
+      .withColumn("blk", expr(s"c_cents DIV $band"))
+    val scored = sup.join(cust,
+        col("s_nationkey") === col("c_nationkey") &&
+          sup("blk") === cust("blk"))
+      .withColumn("dcents", abs(col("s_cents") - col("c_cents")))
+      .filter(col("dcents") <= 25000L)
+      .withColumn("score",
+        when(col("dcents") <= 5000L, 3.0)
+          .when(col("dcents") <= 10000L, 2.0).otherwise(1.0) +
+        when(col("s_suppkey") % 10 === col("c_custkey") % 10, 0.5)
+          .otherwise(0.0))
+      .filter(col("score") >= 1.0)
+    val bySup = Window.partitionBy(col("s_suppkey"))
+    val ranked = scored
+      .withColumn("n_candidates", count(lit(1)).over(bySup))
+      .withColumn("rank", row_number().over(bySup.orderBy(
+        col("score").desc, col("dcents"), col("c_custkey"))))
+    ranked.filter(col("rank") === 1)
+      .select(col("s_suppkey"), col("c_custkey"), col("score"),
+        col("dcents"), col("n_candidates"))
+      .orderBy("s_suppkey")
+  }
+
+  val recordLinkageOracle: String =
+    """WITH sup AS (
+      |  SELECT s_suppkey, s_nationkey,
+      |         CAST(round(s_acctbal * 100) AS BIGINT) AS s_cents
+      |  FROM supplier),
+      |sup_b AS (
+      |  SELECT s_suppkey, s_nationkey, s_cents,
+      |         (s_cents // 100000) + d AS blk
+      |  FROM sup, LATERAL unnest([-1, 0, 1]) AS t(d)),
+      |cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS c_cents,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS blk
+      |  FROM customer),
+      |scored AS (
+      |  SELECT s_suppkey, c_custkey,
+      |         abs(s_cents - c_cents) AS dcents,
+      |         (CASE WHEN abs(s_cents - c_cents) <= 5000 THEN 3.0
+      |               WHEN abs(s_cents - c_cents) <= 10000 THEN 2.0
+      |               ELSE 1.0 END
+      |          + CASE WHEN s_suppkey % 10 = c_custkey % 10 THEN 0.5
+      |                 ELSE 0.0 END) AS score
+      |  FROM sup_b JOIN cust
+      |    ON s_nationkey = c_nationkey AND sup_b.blk = cust.blk
+      |  WHERE abs(s_cents - c_cents) <= 25000),
+      |ranked AS (
+      |  SELECT s_suppkey, c_custkey, score, dcents,
+      |         count(*) OVER (PARTITION BY s_suppkey) AS n_candidates,
+      |         row_number() OVER (PARTITION BY s_suppkey
+      |           ORDER BY score DESC, dcents, c_custkey) AS rank
+      |  FROM scored WHERE score >= 1.0)
+      |SELECT s_suppkey, c_custkey, CAST(score AS DOUBLE) AS score,
+      |       dcents, n_candidates
+      |FROM ranked WHERE rank = 1 ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "record_linkage" -> (recordLinkage _),
     "incremental_agg" -> (incrementalAgg _),
     "table_diff" -> (tableDiff _),
     "bloom_semi_join" -> (bloomSemiJoin _),
@@ -880,6 +979,7 @@ object RelationalOps {
     "q22_global_sales" -> (q22GlobalSales _))
 
   val oracles: Map[String, String] = Map(
+    "record_linkage" -> recordLinkageOracle,
     "incremental_agg" -> incrementalAggOracle,
     "table_diff" -> tableDiffOracle,
     "bloom_semi_join" -> bloomSemiJoinOracle,

@@ -116,4 +116,38 @@ class RelationalOpsSpec extends AnyFunSuite {
       assert(r.getLong(4) < r.getLong(1))      // outliers strictly < n
     }
   }
+
+  test("record_linkage = unblocked brute-force resolution (banding loses no candidate)") {
+    val sup = graft.ops.Tables(spark, dir, "supplier")
+      .selectExpr("s_suppkey", "s_nationkey",
+        "cast(round(s_acctbal * 100) as long) as cents").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val cust = graft.ops.Tables(spark, dir, "customer")
+      .selectExpr("c_custkey", "c_nationkey",
+        "cast(round(c_acctbal * 100) as long) as cents").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // brute force: every same-nation pair within the range, no banding
+    val expected = sup.flatMap { case (sk, sn, sc) =>
+      val cands = cust.filter { case (_, cn, cc) =>
+        cn == sn && math.abs(sc - cc) <= 25000L }
+        .map { case (ck, _, cc) =>
+          val d = math.abs(sc - cc)
+          val score = (if (d <= 5000L) 3.0 else if (d <= 10000L) 2.0 else 1.0) +
+            (if (sk % 10 == ck % 10) 0.5 else 0.0)
+          (ck, score, d)
+        }.filter(_._2 >= 1.0)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy { case (ck, score, d) => (-score, d, ck) }
+        Some(sk -> (best._1, best._2, best._3, cands.length.toLong))
+      }
+    }.toMap
+    val got = graft.ops.RelationalOps.recordLinkage(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected,
+      s"only-stream=${(got.keySet -- expected.keySet).take(3)} " +
+        s"only-ref=${(expected.keySet -- got.keySet).take(3)}")
+    assert(got.nonEmpty, "fixture linked nothing — vacuous")
+  }
 }
