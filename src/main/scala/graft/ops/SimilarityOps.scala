@@ -366,6 +366,42 @@ object SimilarityOps {
     * (damps cross-engine accumulation-order ulps, and makes round-2 input
     * exactly reproducible); inertia rounded to 4.
     */
+  /** One Lloyd round: assign to broadcast centroids, reduce to the
+    * checkpointed (cluster, pos) table carrying the per-dim mean, member
+    * count, and round inertia — the shared kernel of [[kmeansIterate]]
+    * and [[kmeansConverged]].
+    */
+  private[graft] def kmeansRound(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("dist", round(squaredDistance(col("v"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(struct(col("cid").as("cluster"), col("v")),
+          struct(col("dist"), col("cid"))).as("m"),
+        min(col("dist")).as("min_dist"))
+      .select(col("m.cluster").as("cluster"), col("m.v").as("v"),
+        col("min_dist"))
+      .select(col("cluster"), col("min_dist"), posexplode(col("v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("col")).as("m"), count(lit(1)).as("n"),
+        round(sum(col("min_dist")), 4).as("inertia"))
+      .localCheckpoint()
+
+  /** The k-row array-form centroid table the next round broadcasts. */
+  private[graft] def centsOf(byDim: DataFrame): DataFrame =
+    byDim
+      .select(col("cluster"), col("pos"), round(col("m"), 6).as("m"))
+      .groupBy(col("cluster"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+      .select(col("cluster").as("cid"), col("cv"))
+
+  private[graft] def roundSummary(byDim: DataFrame, r: Int): DataFrame =
+    byDim.filter(col("pos") === 0)
+      .select(lit(r).as("iter"), col("cluster"),
+        col("n").as("n_members"), col("inertia"))
+
   def kmeansIterate(s: SparkSession, dir: String,
       k: Int = 8, rounds: Int = 2): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
@@ -374,33 +410,49 @@ object SimilarityOps {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     var out: DataFrame = null
     for (r <- 1 to rounds) {
-      val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("dist", round(squaredDistance(col("v"), col("cv")), 6))
-        .groupBy(col("vec_id"))
-        .agg(
-          min_by(struct(col("cid").as("cluster"), col("v")),
-            struct(col("dist"), col("cid"))).as("m"),
-          min(col("dist")).as("min_dist"))
-        .select(col("m.cluster").as("cluster"), col("m.v").as("v"),
-          col("min_dist"))
-      val byDim = assigned
-        .select(col("cluster"), col("min_dist"), posexplode(col("v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("m"), count(lit(1)).as("n"),
-          round(sum(col("min_dist")), 4).as("inertia"))
-        .localCheckpoint()
-      val summary = byDim.filter(col("pos") === 0)
-        .select(lit(r).as("iter"), col("cluster"),
-          col("n").as("n_members"), col("inertia"))
+      val byDim = kmeansRound(emb, cents)
+      val summary = roundSummary(byDim, r)
       out = if (out == null) summary else out.unionByName(summary)
-      if (r < rounds)
-        cents = byDim
-          .select(col("cluster"), col("pos"), round(col("m"), 6).as("m"))
-          .groupBy(col("cluster"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("m")))),
-            x => x.getField("m")).as("cv"))
-          .select(col("cluster").as("cid"), col("cv"))
+      if (r < rounds) cents = centsOf(byDim)
+    }
+    out.orderBy("iter", "cluster")
+  }
+
+  /** Lloyd's driven TO CONVERGENCE — the `iterate(n)` wrapper completed
+    * (VERDICT r4 #4): rounds run until the largest per-component centroid
+    * move drops below ε (or maxRounds), emitting the same per-round
+    * occupancy/inertia trace as [[kmeansIterate]] for however many rounds
+    * that took. The stopping probe is a 1-row MAX over the k×d joined
+    * consecutive centroid tables — a scalar driver action per round, the
+    * [[ClusterOps]] convergence-probe discipline (the corpus itself never
+    * reaches the driver); state between rounds is the checkpointed k×d
+    * table, so lineage stays flat no matter how many rounds ε demands.
+    * Because rounds-to-converge is data-dependent, no static SQL unroll
+    * can oracle this query — it ships rows-only, pinned in ScalaTest
+    * against [[kmeansIterate]]'s oracle-verified trace at the observed
+    * round count plus the convergence criterion itself.
+    */
+  def kmeansConverged(s: SparkSession, dir: String, k: Int = 8,
+      eps: Double = 1e-2, maxRounds: Int = 15): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var out: DataFrame = null
+    var r = 0
+    var shift = Double.MaxValue
+    while (shift >= eps && r < maxRounds) {
+      r += 1
+      val byDim = kmeansRound(emb, cents)
+      out = if (out == null) roundSummary(byDim, r)
+        else out.unionByName(roundSummary(byDim, r))
+      val next = centsOf(byDim)
+      // 1-row scalar probe: max |Δcomponent| between consecutive rounds
+      shift = next.select(col("cid"), posexplode(col("cv")).as(Seq("pos", "m")))
+        .join(cents.select(col("cid"),
+          posexplode(col("cv")).as(Seq("pos", "m0"))), Seq("cid", "pos"))
+        .agg(max(abs(col("m") - col("m0")))).collect()(0).getDouble(0)
+      cents = next
     }
     out.orderBy("iter", "cluster")
   }
@@ -730,6 +782,8 @@ object SimilarityOps {
     "power_iteration_2step" -> (powerIteration2Step _),
     "kmeans_step" -> (kmeansStep _),
     "kmeans_2step" -> (kmeans2Step _),
+    "kmeans_converged" -> ((s: SparkSession, dir: String) =>
+      kmeansConverged(s, dir)),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_probe2" -> (annIvfProbe2 _),

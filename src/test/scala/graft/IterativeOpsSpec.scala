@@ -71,4 +71,27 @@ class IterativeOpsSpec extends AnyFunSuite {
     val dot = w1.zip(w2).map { case (a, b) => a * b }.sum
     assert(dot > 0, s"direction flipped between iterations: w1·w2 = $dot")
   }
+
+  test("kmeans_converged: trace = fixed-round iterate at the observed R, descent, genuine stop") {
+    val rows = SimilarityOps.kmeansConverged(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val rounds = rows.map(_._1).max
+    assert(rounds >= 2, "converged on the seed round — vacuous fixture")
+    assert(rounds < 15, "hit maxRounds without converging")
+    // the convergence loop must retrace the oracle-verified fixed-round
+    // driver exactly — same kernel, same per-round output
+    val fixed = SimilarityOps.kmeansIterate(spark, dir, k = 8, rounds = rounds)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSet == fixed.toSet,
+      "converged trace diverges from the fixed-round driver")
+    // Lloyd's descent: total inertia non-increasing round over round
+    val inertia = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.map(_._4).sum }
+    inertia.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-6, s"inertia rose: $inertia")
+      case _ =>
+    }
+  }
 }

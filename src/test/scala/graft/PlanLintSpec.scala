@@ -20,6 +20,7 @@ class PlanLintSpec extends AnyFunSuite {
     "bigram_lm_score", "inverted_index", "semdedup", "power_iteration",
     "power_iteration_2step",
     "pagerank_step", "pagerank_2step", "kmeans_step", "kmeans_2step",
+    "kmeans_converged",
     "ann_ivf_probe2",
     "embedding_quantize", "merge_upsert",
     "q14_promo_revenue", "q19_disjunctive", "brand_affinity",
