@@ -13,23 +13,35 @@ import org.apache.spark.sql.types._
   */
 object StreamingEvents {
 
-  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) → LongType under
-    * the nanosAsLong conf; converted to a micros timestamp in-stream).
+  /** events.parquet physical schema minus `ts`, whose encoding varies by
+    * testdata generation (TIMESTAMP(NANOS) → LongType under the nanosAsLong
+    * conf, or TIMESTAMP(MICROS) → TIMESTAMP_NTZ) — see Tables. The file
+    * source needs a user-supplied schema, so probe the batch footer once and
+    * splice the actual `ts` type in, then normalize in-stream exactly as the
+    * batch loader does.
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // the streaming file source accepts a directory or a glob, not a bare
     // file path — the character class makes this a glob anchored at `dir`
-    spark.readStream
-      .schema(eventsRawSchema)
+    val raw = spark.readStream
+      .schema(eventsRawSchema(tsType))
       .parquet(s"$dir/[e]vents.parquet")
-      // integral div — see Tables: double division loses ns precision
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        // integral div — see Tables: double division loses ns precision
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour windows × event_type with a 30-minute watermark. */

@@ -35,5 +35,8 @@ object RowsOnly {
   val expected: Set[String] =
     Set("dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_shingle",
       "dedup_embedding_lsh", "dedup_clusters_lsh", "ann_sign_lsh",
-      "multimodal_decode", "cardinality_sketches")
+      "multimodal_decode", "cardinality_sketches",
+      // stop-round count is float-convergence-dependent; IterativeOpsSpec
+      // pins trace ≡ fixed-round iterate at the observed R + strict descent
+      "kmeans_converged")
 }
