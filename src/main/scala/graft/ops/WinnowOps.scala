@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints and cross-document substring dedup
+  * (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm).
+  *
+  * Every k-token shingle is hashed; within each window of `W` consecutive
+  * shingle hashes the MINIMUM hash is selected. The selected set is the
+  * document's fingerprint, with the winnowing guarantee: any token run of
+  * length ≥ W + K − 1 shared verbatim by two documents yields at least one
+  * shared fingerprint, while expected fingerprint density drops to
+  * 2/(W+1) of the shingle count — the local-algorithm sweet spot between
+  * "sample every shingle" (exact but K× the data) and "one hash per doc"
+  * (exact-dup only). This is the cross-document EXACT-substring detector
+  * the n-gram-Jaccard / MinHash family can't express: those measure
+  * whole-document set overlap, winnowing localizes verbatim reuse
+  * (contamination spans, boilerplate, quotes) anywhere inside documents
+  * of arbitrarily different length.
+  *
+  * Hash choice: md5 hex of the shingle STRING, compared lexicographically
+  * — identical in Spark and DuckDB, so unlike the xxhash64-based MinHash
+  * sketches the winnowed selection itself is value-level oracle-checked
+  * (the [[TextOps.shingleFingerprint]] count-parity trick is not needed).
+  *
+  * Scale shape: fingerprint extraction is a NARROW per-doc map (the O(n·W)
+  * window-min is per-row work inside codegen'd higher-order functions — no
+  * shuffle, no corpus-wide window). The pair join is fp-keyed with a
+  * stop-fingerprint cap (document frequency ≤ [[MaxDf]], mirrored in the
+  * oracle) — the same bucket-size bound the LSH band joins apply, so one
+  * boilerplate string shared by half the corpus can't quadratically blow
+  * up a bucket; candidate volume is Σ df² over surviving fps, each df
+  * capped. Reference surface: the same dirty-data quarantine intent as
+  * `CSVtoSQLimport.ps1:242-251`'s skip-and-log, lifted to corpus scale.
+  */
+object WinnowOps {
+
+  private val K = 4 // tokens per shingle
+  private val W = 4 // shingle hashes per winnowing window
+  private val MaxDf = 50 // stop-fingerprint document-frequency cap
+  private val MinShared = 3 // shared fingerprints to report a pair
+
+  /** (doc_id, n_shingles, fps: array of distinct winnowed md5 hex). */
+  private def winnowed(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(DedupOps.normText(col("text")), " ")
+    def shingleAt(t: Column, i: Column): Column =
+      md5(concat_ws(" ", slice(t, i, lit(K))).cast("binary"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_sh", greatest(size(col("toks")) - (K - 1), lit(0)))
+      // hashes of all shingles, positions 1..n_sh (1-based slice)
+      .withColumn("hs",
+        when(col("n_sh") === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), greatest(col("n_sh"), lit(1))),
+            i => shingleAt(col("toks"), i))))
+      // window minima over full windows only: j = 1 .. n_sh - W + 1; docs
+      // shorter than one window keep their single minimum (SIGMOD'03 §4's
+      // boundary rule: short docs are fingerprinted by their global min)
+      .withColumn("fps",
+        when(col("n_sh") === 0, array().cast("array<string>"))
+          .when(col("n_sh") <= W, array(array_min(col("hs"))))
+          .otherwise(array_distinct(
+            transform(sequence(lit(1), col("n_sh") - (W - 1)),
+              j => array_min(slice(col("hs"), j, lit(W)))))))
+      .select(col("doc_id"), col("n_sh").as("n_shingles"), col("fps"))
+  }
+
+  /** Per-document fingerprint density: shingles vs winnowed count. */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    winnowed(s, dir)
+      .select(col("doc_id"), col("n_shingles"),
+        size(col("fps")).as("n_fingerprints"))
+      .orderBy("doc_id")
+
+  private def oracleSel: String = {
+    val norm = DedupOps.normTextOracle("text")
+    s"""toks AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS tokens FROM documents),
+       |sh AS (
+       |  SELECT doc_id, i,
+       |         md5(array_to_string(tokens[i:i+${K - 1}], ' ')) AS h,
+       |         greatest(len(tokens) - ${K - 1}, 0) AS n_sh
+       |  FROM toks, LATERAL unnest(generate_series(1,
+       |         greatest(len(tokens) - ${K - 1}, 1))) t(i)
+       |  WHERE len(tokens) >= $K),
+       |win AS (
+       |  SELECT doc_id, i, n_sh,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |           ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp
+       |  FROM sh),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, fp FROM win
+       |  WHERE n_sh <= $W AND i = 1
+       |     OR i <= n_sh - ${W - 1})""".stripMargin
+  }
+
+  val winnowFingerprintOracle: String = {
+    val norm = DedupOps.normTextOracle("text")
+    s"""WITH $oracleSel,
+       |cnt AS (SELECT doc_id, count(*) AS n_fingerprints FROM sel
+       |        GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       greatest(len(t.tokens) - ${K - 1}, 0) AS n_shingles,
+       |       coalesce(c.n_fingerprints, 0) AS n_fingerprints
+       |FROM toks t LEFT JOIN cnt c USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** Cross-document substring-reuse pairs: documents sharing ≥ [[MinShared]]
+    * winnowed fingerprints, stop-fingerprints (df > [[MaxDf]]) dropped
+    * before the join. n_shared is a lower bound on distinct shared ≥
+    * (W+K−1)-token verbatim runs.
+    */
+  def dedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    val fps = winnowed(s, dir)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf)
+      .select("fp")
+    val pruned = fps.join(rare, "fp")
+    val a = pruned.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = pruned.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupWinnowOracle: String =
+    s"""WITH $oracleSel,
+       |rare AS (
+       |  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= $MaxDf),
+       |pruned AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       count(*) AS n_shared
+       |FROM pruned a JOIN pruned b
+       |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $MinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "winnow_fingerprint" -> (winnowFingerprint _),
+    "dedup_winnow" -> (dedupWinnow _))
+
+  val oracles: Map[String, String] = Map(
+    "winnow_fingerprint" -> winnowFingerprintOracle,
+    "dedup_winnow" -> dedupWinnowOracle)
+}
