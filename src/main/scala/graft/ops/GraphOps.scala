@@ -374,7 +374,75 @@ object GraphOps {
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY seed, rank""".stripMargin
 
+  /** Multi-source BFS, `rounds` frontier expansions from the parts of the
+    * lowest order key (a deterministic, data-derived seed set): per-level
+    * reach counts — the shortest-path primitive under every "within N
+    * hops" graph query (recommendation radius, blast-radius analysis,
+    * neighborhood sampling for graph-ML training data).
+    *
+    * Scale shape — textbook frontier BFS on a shuffle engine: each round
+    * is ONE frontier-keyed semi-join into the (mirrored) edge list plus an
+    * ids-only left-anti against the visited set — no per-node state, no
+    * Σ deg² wedge materialization, rows bounded by the frontier's edge
+    * incidence. localCheckpoint per round truncates the growing iterative
+    * lineage exactly like [[kcorePeel]]; visited stays (node, dist) ids
+    * only. The oracle unrolls N=2 as CTE levels with NOT IN guards.
+    */
+  def bfsFrom(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val edges = coPurchaseEdges(s, dir).localCheckpoint()
+    val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val li = Tables(s, dir, "lineitem")
+    val minOrd = li.agg(min(col("l_orderkey")).as("mo"))
+    val src = li.join(broadcast(minOrd), col("l_orderkey") === col("mo"))
+      .select(col("l_partkey").as("node")).distinct()
+    var visited = src.withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = src
+    for (r <- 1 to rounds) {
+      val next = und
+        .join(frontier.select(col("node").as("u")), Seq("u"), "left_semi")
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.union(next.withColumn("dist", lit(r))).localCheckpoint()
+      frontier = next
+    }
+    visited.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy("dist")
+  }
+
+  def bfs2Step(s: SparkSession, dir: String): DataFrame =
+    bfsFrom(s, dir, rounds = 2)
+
+  val bfs2StepOracle: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |und AS (
+      |  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      |src AS (
+      |  SELECT DISTINCT l_partkey AS node FROM lineitem
+      |  WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)),
+      |d1 AS (
+      |  SELECT DISTINCT e.v AS node FROM und e JOIN src ON e.u = src.node
+      |  WHERE e.v NOT IN (SELECT node FROM src)),
+      |d2 AS (
+      |  SELECT DISTINCT e.v AS node FROM und e JOIN d1 ON e.u = d1.node
+      |  WHERE e.v NOT IN (SELECT node FROM src)
+      |    AND e.v NOT IN (SELECT node FROM d1)),
+      |lvl AS (
+      |  SELECT node, 0 AS dist FROM src
+      |  UNION ALL SELECT node, 1 FROM d1
+      |  UNION ALL SELECT node, 2 FROM d2)
+      |SELECT dist, count(*) AS n_nodes, min(node) AS min_node,
+      |       max(node) AS max_node
+      |FROM lvl GROUP BY dist ORDER BY dist""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bfs_2step" -> (bfs2Step _),
     "link_prediction" -> (linkPrediction _),
     "triangle_count" -> (triangleCount _),
     "degree_distribution" -> (degreeDistribution _),
@@ -382,6 +450,7 @@ object GraphOps {
     "kcore_2step" -> (kcore2Step _))
 
   val oracles: Map[String, String] = Map(
+    "bfs_2step" -> bfs2StepOracle,
     "link_prediction" -> linkPredictionOracle,
     "triangle_count" -> triangleCountOracle,
     "degree_distribution" -> degreeDistributionOracle,

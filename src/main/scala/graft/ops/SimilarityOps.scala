@@ -775,7 +775,143 @@ object SimilarityOps {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF + PQ, composed (the FAISS IVFPQ architecture — Jégou PAMI'11
+    * §V): the learned coarse quantizer of [[annIvfProbe]] prunes the
+    * corpus to the query's `nprobe` nearest cells, and within the probed
+    * cells the [[annPqTopk]] ADC table scores the compressed CODES — the
+    * memory-bound regime's full index: candidate volume shrinks by
+    * nprobe/L AND every candidate costs M byte-code lookups instead of a
+    * d-dim vector scan. Both constituents are deterministic pure
+    * functions of the data, so the composition keeps a value-pinning
+    * DuckDB oracle — unlike any hash-seeded ANN.
+    *
+    * Scale shape: probes (queries × nprobe) and the ADC table (queries ×
+    * M·C partials) stay broadcast-sized; the corpus-side scan touches
+    * only the CODES table (M small ints per vector) filtered by the
+    * broadcast probe list, then one (query, vec) sum and one per-query
+    * top-k window. Distances round to 6 before every argmin/sum (the
+    * [[kmeansIterate]] cross-engine discipline).
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val m = 4; val subDim = 16; val c = 16; val nprobe = 2
+    val emb = embeddings(s, dir)
+    // learned coarse quantizer — per-label mean, the annIvfProbe shape
+    val cents = emb
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+    val qs = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("label"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("cdist", round(squaredDistance(col("qv"), col("cv")), 6))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("label").as("probe_label"))
+    // PQ encode (label carried through so the probe filter hits the codes)
+    val subs = emb.select(col("vec_id"), col("label"), posexplode(
+        array((0 until m).map(j => slice(col("v"), j * subDim + 1, subDim)): _*)))
+      .select(col("vec_id"), col("label"), col("pos").as("sub_id"),
+        col("col").as("sv"))
+    val codebook = subs.filter(col("vec_id") < c)
+      .select(col("sub_id").as("cb_sub"), col("vec_id").as("cid"),
+        col("sv").as("cv"))
+    val codes = subs.join(broadcast(codebook), col("sub_id") === col("cb_sub"))
+      .withColumn("dist", round(squaredDistance(col("sv"), col("cv")), 6))
+      .groupBy(col("vec_id"), col("label"), col("sub_id"))
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("code"))
+    val adc = subs.filter(col("vec_id") < NQueries)
+      .join(broadcast(codebook), col("sub_id") === col("cb_sub"))
+      .select(col("vec_id").as("query_id"), col("sub_id").as("q_sub"),
+        col("cid"),
+        round(squaredDistance(col("sv"), col("cv")), 6).as("pd"))
+    val scored = codes
+      .join(broadcast(probes),
+        col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
+      .join(broadcast(adc),
+        col("sub_id") === col("q_sub") && col("code") === col("cid") &&
+          probes("query_id") === adc("query_id"))
+      .groupBy(probes("query_id").as("query_id"), col("vec_id"))
+      .agg(round(sum(col("pd")), 6).as("approx_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("approx_dist"), 4).as("approx_dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfPqOracle: String = {
+    val norm = graft.functions.VectorFunctions.normalizeOracle("embedding")
+    s"""WITH e AS (SELECT vec_id, label, $norm AS v FROM embeddings),
+       |m AS (
+       |  SELECT label, i AS pos, round(avg(v[i]), 6) AS m
+       |  FROM e, LATERAL unnest(generate_series(1, len(v))) t(i)
+       |  GROUP BY label, i),
+       |c AS (SELECT label, list(m ORDER BY pos) AS cv FROM m GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < $NQueries),
+       |cd AS (
+       |  SELECT q.query_id, c.label,
+       |         round(sum((qv[i] - cv[i]) * (qv[i] - cv[i])), 6) AS cdist
+       |  FROM q, c, LATERAL unnest(generate_series(1, len(qv))) t(i)
+       |  GROUP BY q.query_id, c.label),
+       |probes AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT query_id, label,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cdist, label) AS prn
+       |    FROM cd)
+       |  WHERE prn <= 2),
+       |subs AS (
+       |  SELECT vec_id, label, j AS sub_id, v[j*16+1 : j*16+16] AS sv
+       |  FROM e, LATERAL unnest(generate_series(0, 3)) t(j)),
+       |cb AS (SELECT sub_id AS cb_sub, vec_id AS cid, sv AS cv
+       |       FROM subs WHERE vec_id < 16),
+       |enc AS (
+       |  SELECT s.vec_id, s.label, s.sub_id, cb.cid,
+       |         round(sum((s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])), 6)
+       |           AS dist
+       |  FROM subs s JOIN cb ON cb.cb_sub = s.sub_id,
+       |       LATERAL unnest(generate_series(1, 16)) t(i)
+       |  GROUP BY s.vec_id, s.label, s.sub_id, cb.cid),
+       |codes AS (
+       |  SELECT vec_id, label, sub_id, cid AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+       |      ORDER BY dist, cid) AS rn FROM enc)
+       |  WHERE rn = 1),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, q.sub_id AS q_sub, cb.cid,
+       |         round(sum((q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i])), 6)
+       |           AS pd
+       |  FROM subs q JOIN cb ON cb.cb_sub = q.sub_id,
+       |       LATERAL unnest(generate_series(1, 16)) t(i)
+       |  WHERE q.vec_id < $NQueries
+       |  GROUP BY q.vec_id, q.sub_id, cb.cid),
+       |approx AS (
+       |  SELECT p.query_id, c2.vec_id, round(sum(a.pd), 6) AS approx_dist
+       |  FROM probes p
+       |  JOIN codes c2 ON c2.label = p.label AND c2.vec_id <> p.query_id
+       |  JOIN adc a ON a.query_id = p.query_id
+       |            AND a.q_sub = c2.sub_id AND a.cid = c2.code
+       |  GROUP BY p.query_id, c2.vec_id)
+       |SELECT query_id, rank, neighbor_id,
+       |       round(approx_dist, 4) AS approx_dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, approx_dist,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY approx_dist, vec_id) AS rank
+       |  FROM approx)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_pq" -> (annIvfPq _),
     "ann_pq_topk" -> (annPqTopk _),
     "embedding_quantize" -> (embeddingQuantize _),
     "power_iteration" -> (powerIteration _),
@@ -791,6 +927,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "ann_ivf_pq" -> annIvfPqOracle,
     "ann_pq_topk" -> annPqTopkOracle,
     "embedding_quantize" -> embeddingQuantizeOracle,
     "power_iteration" -> powerIterationOracle,

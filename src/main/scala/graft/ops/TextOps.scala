@@ -924,6 +924,72 @@ object TextOps {
        |       round(regr_r2(ln(freq), ln(rank)), 4) AS r2
        |FROM ranked""".stripMargin
 
+  /** Mutual information + entropies of the (lang, source) pair — the
+    * information-theoretic dependence profile between two categorical
+    * columns ("does source determine language?"), the signal behind
+    * corpus-mixture design and leakage checks between sampling strata.
+    * MI in nats with marginal entropies and the min-entropy-normalized
+    * coefficient (NMI ∈ [0,1]).
+    *
+    * Scale shape: ONE (lang, source) groupBy reduces the corpus to L×S
+    * rows (map-side combined); marginals and totals are re-aggregations
+    * of that tiny table, attached by broadcast; every log term is
+    * computed on exact integer counts, so the only float work happens on
+    * L×S rows and the result rounds to 6 (the cross-engine accumulation
+    * damping the vector ops use).
+    */
+  def mutualInformation(s: SparkSession, dir: String): DataFrame = {
+    val joint = Tables(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_ls"))
+    val total = joint.agg(sum(col("n_ls")).as("n"),
+      count(lit(1)).as("n_cells"))
+    val langM = joint.groupBy(col("lang")).agg(sum(col("n_ls")).as("n_l"))
+    val srcM = joint.groupBy(col("source")).agg(sum(col("n_ls")).as("n_s"))
+    val mi = joint
+      .join(broadcast(langM), "lang")
+      .join(broadcast(srcM), "source")
+      .crossJoin(broadcast(total))
+      .agg(sum((col("n_ls") / col("n")) *
+        log((col("n_ls") * col("n")) / (col("n_l") * col("n_s"))))
+        .as("mi"))
+    val hl = langM.crossJoin(broadcast(total))
+      .agg((-sum((col("n_l") / col("n")) * log(col("n_l") / col("n"))))
+        .as("h_lang"))
+    val hs = srcM.crossJoin(broadcast(total))
+      .agg((-sum((col("n_s") / col("n")) * log(col("n_s") / col("n"))))
+        .as("h_source"))
+    total.crossJoin(mi).crossJoin(hl).crossJoin(hs)
+      .select(col("n").as("n_docs"), col("n_cells"),
+        round(col("mi"), 6).as("mi_nats"),
+        round(col("h_lang"), 6).as("h_lang_nats"),
+        round(col("h_source"), 6).as("h_source_nats"),
+        round(col("mi") / least(col("h_lang"), col("h_source")), 6)
+          .as("nmi"))
+  }
+
+  val mutualInformationOracle: String =
+    """WITH joint AS (
+      |  SELECT lang, source, count(*) AS n_ls FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT sum(n_ls) AS n, count(*) AS n_cells FROM joint),
+      |lm AS (SELECT lang, sum(n_ls) AS n_l FROM joint GROUP BY lang),
+      |sm AS (SELECT source, sum(n_ls) AS n_s FROM joint GROUP BY source),
+      |mi AS (
+      |  SELECT sum((j.n_ls / t.n) * ln((j.n_ls * t.n) / (l.n_l * s.n_s)))
+      |           AS mi
+      |  FROM joint j JOIN lm l USING (lang) JOIN sm s USING (source),
+      |       tot t),
+      |hl AS (SELECT -sum((n_l / t.n) * ln(n_l / t.n)) AS h_lang
+      |       FROM lm, tot t),
+      |hs AS (SELECT -sum((n_s / t.n) * ln(n_s / t.n)) AS h_source
+      |       FROM sm, tot t)
+      |SELECT t.n AS n_docs, t.n_cells,
+      |       round(mi.mi, 6) AS mi_nats,
+      |       round(hl.h_lang, 6) AS h_lang_nats,
+      |       round(hs.h_source, 6) AS h_source_nats,
+      |       round(mi.mi / least(hl.h_lang, hs.h_source), 6) AS nmi
+      |FROM tot t, mi, hl, hs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "token_zipf" -> (tokenZipf _),
     "lang_confusion" -> (langConfusion _),
@@ -945,7 +1011,8 @@ object TextOps {
     "text_repetition" -> (textRepetition _),
     "pii_redact" -> (piiRedact _),
     "top_ngrams" -> (topNgrams _),
-    "contamination_check" -> (contaminationCheck _))
+    "contamination_check" -> (contaminationCheck _),
+    "mutual_information" -> (mutualInformation _))
 
   val oracles: Map[String, String] = Map(
     "token_zipf" -> tokenZipfOracle,
@@ -968,5 +1035,6 @@ object TextOps {
     "text_repetition" -> textRepetitionOracle,
     "pii_redact" -> piiRedactOracle,
     "top_ngrams" -> topNgramsOracle,
-    "contamination_check" -> contaminationCheckOracle)
+    "contamination_check" -> contaminationCheckOracle,
+    "mutual_information" -> mutualInformationOracle)
 }

@@ -109,4 +109,19 @@ class GraphOpsSpec extends AnyFunSuite {
     val degs = rows.map(_.getLong(0)).toSeq
     assert(degs == degs.sorted && degs.distinct == degs)
   }
+
+  test("bfs_2step: levels are disjoint, cumulative, and frontier-consistent") {
+    val two = graft.ops.GraphOps.bfsFrom(spark, dir, rounds = 2).collect()
+    val dists = two.map(_.getInt(0)).toSeq
+    assert(dists == dists.sorted && dists.head == 0, s"levels: $dists")
+    two.foreach(r => assert(r.getLong(1) > 0, s"empty level ${r.getInt(0)}"))
+    // one fewer round = identical shared levels (BFS levels are stable)
+    val one = graft.ops.GraphOps.bfsFrom(spark, dir, rounds = 1).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    two.filter(_.getInt(0) <= 1).foreach { r =>
+      assert(one(r.getInt(0)) == ((r.getLong(1), r.getLong(2), r.getLong(3))),
+        s"level ${r.getInt(0)} changed between rounds=1 and rounds=2")
+    }
+  }
+
 }

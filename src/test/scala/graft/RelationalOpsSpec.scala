@@ -150,4 +150,16 @@ class RelationalOpsSpec extends AnyFunSuite {
         s"only-ref=${(expected.keySet -- got.keySet).take(3)}")
     assert(got.nonEmpty, "fixture linked nothing — vacuous")
   }
+
+  test("mutual_information: information-theoretic bounds hold") {
+    val r = graft.ops.TextOps.mutualInformation(spark, dir).collect().head
+    val (mi, hl, hs, nmi) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(hl > 0 && hs > 0, s"degenerate marginals: $hl, $hs")
+    // MI >= 0 (Gibbs) and MI <= min(H) -- allow the 6-decimal rounding slack
+    assert(mi >= -1e-6, s"negative MI: $mi")
+    assert(mi <= math.min(hl, hs) + 1e-6, s"MI $mi exceeds min entropy")
+    assert(nmi >= -1e-6 && nmi <= 1 + 1e-6, s"NMI out of [0,1]: $nmi")
+  }
+
 }

@@ -61,4 +61,26 @@ class SimilarityPqSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(r > recallOf(adcOnly), "re-rank did not improve on pure ADC")
   }
+
+  test("ivf_pq: pruning reuses ADC scores verbatim and keeps usable recall") {
+    val ivf = SimilarityOps.annIvfPq(spark, dir)
+      .select("query_id", "neighbor_id", "approx_dist").collect()
+    assert(ivf.nonEmpty)
+    // composition contract: the coarse quantizer only PRUNES candidates --
+    // every surviving (query, neighbor) must carry exactly the score the
+    // flat ADC table assigns it (4-decimal surface, same as the queries)
+    val adc = SimilarityOps.pqApproxDistances(spark, dir)
+      .select(col("query_id"), col("vec_id"),
+        round(col("approx_dist"), 4).as("d")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ivf.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(adc.get(k).contains(r.getDouble(2)),
+        s"ivf_pq score for $k diverges from flat ADC: ${r.getDouble(2)} vs ${adc.get(k)}")
+    }
+    val rec = recallOf(ivf.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    info(s"ivf_pq recall vs exact: $rec")
+    assert(rec >= 0.1, s"ivf_pq recall $rec collapsed (measured 0.14)")
+  }
+
 }
