@@ -22,6 +22,8 @@ class PlanLintSpec extends AnyFunSuite {
     "pagerank_step", "pagerank_2step", "kmeans_step", "kmeans_2step",
     "kmeans_converged",
     "ann_ivf_probe2",
+    "ann_ivf_pq",          // k-label centroid table crossed with NQueries
+    "mutual_information",  // 1-row total-count broadcasts onto L×S cells
     "embedding_quantize", "merge_upsert",
     "q14_promo_revenue", "q19_disjunctive", "brand_affinity",
     "cardinality_sketches", "kmv_overlap", // sketch×sketch: T-row sides
