@@ -743,7 +743,50 @@ object EventOps {
       |FROM lagged ORDER BY user_id, hour""".stripMargin
   }
 
+  /** Calendar seasonality profile: the (day-of-week × hour-of-day) grid of
+    * event counts and mean values with each cell's deviation from the
+    * global mean — the classic seasonal-baseline decomposition that
+    * anomaly thresholds ([[eventsAnomaly]], [[eventsMad]]) should be
+    * conditioned on ("is 3 AM Sunday traffic low, or is the service
+    * down?").
+    *
+    * Scale shape: ONE map-side-combined groupBy reduces the stream to a
+    * ≤ 7×24-cell grid; the global mean re-aggregates that grid and
+    * attaches as a 1-row broadcast; per-cell float math happens on 168
+    * rows. Day-of-week is aligned to DuckDB's Sunday=0 convention
+    * (Spark's `dayofweek` is Sunday=1) and cast to long so the grid keys
+    * hash identically across engines.
+    */
+  def seasonalProfile(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(s, dir, "events")
+      .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"), col("value"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sv"))
+    val overall = cells.agg(
+      (sum(col("sv")) / sum(col("n_events"))).as("g"))
+    cells.crossJoin(broadcast(overall))
+      .select(col("dow"), col("hod"), col("n_events"),
+        round(col("sv") / col("n_events"), 6).as("avg_value"),
+        round(col("sv") / col("n_events") - col("g"), 6)
+          .as("dev_from_global"))
+      .orderBy("dow", "hod")
+  }
+
+  val seasonalProfileOracle: String =
+    """WITH cells AS (
+      |  SELECT dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+      |         hour(CAST(ts AS TIMESTAMP)) AS hod,
+      |         count(*) AS n_events, sum(value) AS sv
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT sum(sv) / sum(n_events) AS g FROM cells)
+      |SELECT dow, hod, n_events,
+      |       round(sv / n_events, 6) AS avg_value,
+      |       round(sv / n_events - g.g, 6) AS dev_from_global
+      |FROM cells, g ORDER BY dow, hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seasonal_profile" -> (seasonalProfile _),
     "events_ewma" -> (eventsEwma _),
     "events_islands" -> (eventsIslands _),
     "cdc_compaction" -> (cdcCompaction _),
@@ -764,6 +807,7 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "seasonal_profile" -> seasonalProfileOracle,
     "events_ewma" -> eventsEwmaOracle,
     "events_islands" -> eventsIslandsOracle,
     "cdc_compaction" -> cdcCompactionOracle,

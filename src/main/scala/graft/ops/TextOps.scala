@@ -592,6 +592,100 @@ object TextOps {
        |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
        |FROM p2 GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
 
+  /** BPE APPLY — the encode half of the learn→encode tokenizer loop
+    * ([[bpePairStats]] / [[bpe2Merge]] are the learn half): the two
+    * corpus-learned merges are applied to every word and the per-source
+    * token-length budget reports the achieved compression — the number a
+    * tokenizer-aware data pipeline actually schedules on (context-window
+    * packing, cost estimates).
+    *
+    * Scale shape: learning reuses the word-frequency aggregate (one
+    * token-keyed shuffle); both learned merges are 1-row broadcasts;
+    * encoding is a NARROW per-doc map (higher-order `aggregate` over the
+    * word array with two non-overlapping left-to-right `replace`s — the
+    * identical primitive in DuckDB, so the whole encode is value-pinned);
+    * the per-source rollup is one map-side-combined groupBy.
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        split(normText(col("text")), " ").as("ws"))
+    val wf = docs.select(explode(col("ws")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val top1 = wf
+      .select(explode(expr(
+        "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
+        .as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(1)
+      .select(col("pair").as("p1"))
+    val top2 = wf.crossJoin(broadcast(top1))
+      .select(expr("replace(w, p1, 'Þ')").as("w2"), col("f"))
+      .filter(length(col("w2")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, length(w2) - 2), i -> substring(w2, i + 1, 2))"))
+        .as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(1)
+      .select(col("pair").as("p2"))
+    docs.crossJoin(broadcast(top1)).crossJoin(broadcast(top2))
+      .select(col("source"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))")
+          .as("c_raw"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + " +
+          "length(replace(w, p1, 'Þ')))").as("c_m1"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + " +
+          "length(replace(replace(w, p1, 'Þ'), p2, 'ß')))").as("c_m2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("c_raw")).as("chars_raw"),
+        sum(col("c_m1")).as("chars_after_m1"),
+        sum(col("c_m2")).as("chars_after_m2"))
+      .withColumn("compression",
+        round(col("chars_after_m2") / col("chars_raw"), 6))
+      .orderBy("source")
+  }
+
+  val bpeEncodeOracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |         string_split(${normTextOracle("text")}, ' ') AS ws
+       |  FROM documents),
+       |wf AS (
+       |  SELECT w, count(*) AS f FROM (
+       |    SELECT unnest(ws) AS w FROM docs) WHERE len(w) >= 2 GROUP BY w),
+       |p1c AS (
+       |  SELECT w[i:i+1] AS pair, sum(f) AS cnt
+       |  FROM wf, LATERAL unnest(generate_series(1, len(w) - 1)) t(i)
+       |  GROUP BY pair),
+       |t1 AS (SELECT pair AS p1 FROM p1c ORDER BY cnt DESC, pair LIMIT 1),
+       |m2 AS (
+       |  SELECT replace(w, (SELECT p1 FROM t1), 'Þ') AS w, f FROM wf),
+       |p2c AS (
+       |  SELECT w[i:i+1] AS pair, sum(f) AS cnt
+       |  FROM (SELECT w, f FROM m2 WHERE len(w) >= 2),
+       |       LATERAL unnest(generate_series(1, len(w) - 1)) t(i)
+       |  GROUP BY pair),
+       |t2 AS (SELECT pair AS p2 FROM p2c ORDER BY cnt DESC, pair LIMIT 1),
+       |enc AS (
+       |  SELECT d.doc_id, d.source,
+       |         coalesce(list_sum(list_transform(d.ws, w -> len(w))), 0)
+       |           AS c_raw,
+       |         coalesce(list_sum(list_transform(d.ws,
+       |           w -> len(replace(w, t1.p1, 'Þ')))), 0) AS c_m1,
+       |         coalesce(list_sum(list_transform(d.ws,
+       |           w -> len(replace(replace(w, t1.p1, 'Þ'), t2.p2, 'ß')))),
+       |           0) AS c_m2
+       |  FROM docs d, t1, t2)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(c_raw) AS BIGINT) AS chars_raw,
+       |       CAST(sum(c_m1) AS BIGINT) AS chars_after_m1,
+       |       CAST(sum(c_m2) AS BIGINT) AS chars_after_m2,
+       |       round(CAST(sum(c_m2) AS DOUBLE) / sum(c_raw), 6)
+       |         AS compression
+       |FROM enc GROUP BY source ORDER BY source""".stripMargin
+
   /** Corpus heavy hitters (words above 0.5% frequency) via the two-pass
     * Misra–Gries pattern: pass 1 proposes ≤ k candidates with the O(k)
     * mergeable [[graft.functions.MisraGriesCandidates]] Aggregator — no
@@ -1012,7 +1106,8 @@ object TextOps {
     "pii_redact" -> (piiRedact _),
     "top_ngrams" -> (topNgrams _),
     "contamination_check" -> (contaminationCheck _),
-    "mutual_information" -> (mutualInformation _))
+    "mutual_information" -> (mutualInformation _),
+    "bpe_encode" -> (bpeEncode _))
 
   val oracles: Map[String, String] = Map(
     "token_zipf" -> tokenZipfOracle,
@@ -1036,5 +1131,6 @@ object TextOps {
     "pii_redact" -> piiRedactOracle,
     "top_ngrams" -> topNgramsOracle,
     "contamination_check" -> contaminationCheckOracle,
-    "mutual_information" -> mutualInformationOracle)
+    "mutual_information" -> mutualInformationOracle,
+    "bpe_encode" -> bpeEncodeOracle)
 }

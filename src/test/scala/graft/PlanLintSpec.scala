@@ -34,6 +34,8 @@ class PlanLintSpec extends AnyFunSuite {
     "dedup_simhash", "dedup_exact", "text_repetition", "corpus_curation",
     "dedup_clusters", "dedup_clusters_lsh", "dedup_incremental",
     "top_ngrams", "bpe_pair_stats", "bpe_2merge",
+    "bpe_encode",         // two 1-row learned-merge broadcasts
+    "seasonal_profile",   // 1-row global-mean broadcast onto the 168-cell grid
     "heavy_hitters", // 1-row total-count scalar broadcast
     "source_overlap",
     "events_funnel",

@@ -162,4 +162,26 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(nmi >= -1e-6 && nmi <= 1 + 1e-6, s"NMI out of [0,1]: $nmi")
   }
 
+
+  test("bpe_encode: merges only ever shorten; compression in (0, 1]") {
+    graft.ops.TextOps.bpeEncode(spark, dir).collect().foreach { r =>
+      val (raw, m1, m2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(m1 <= raw && m2 <= m1,
+        s"${r.getString(0)}: lengths must be monotone $raw >= $m1 >= $m2")
+      assert(m2 > 0 && r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("seasonal_profile: complete bounded grid, counts conserved") {
+    val rows = graft.ops.EventOps.seasonalProfile(spark, dir).collect()
+    assert(rows.length <= 7 * 24)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 6, s"dow ${r.getLong(0)}")
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23, s"hod ${r.getLong(1)}")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    val expected = graft.ops.Tables(spark, dir, "events").count()
+    assert(total == expected, s"grid counts $total != $expected events")
+  }
+
 }
