@@ -910,8 +910,75 @@ object SimilarityOps {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** PQ shortlist → exact re-rank — the PRODUCTION ANN serving shape
+    * (SimilarityPqSpec measures its recall curve: ADC-only 0.20–0.34 →
+    * 0.82 re-ranked@100): the compressed-code scan nominates a
+    * `Shortlist`-sized candidate set per query, and only those ≤100
+    * vectors are fetched for exact cosine. At 100 TB this is the whole
+    * point of PQ — the corpus-wide pass touches M-byte codes, full
+    * vectors ride ONLY the (queries × shortlist) join, which stays
+    * broadcast-sized. Deterministic end-to-end (seeded codebook + rounded
+    * ADC + exact rerank), so unlike every hash-seeded index the serving
+    * path itself is value-level oracle-pinned.
+    */
+  def annPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val shortlist = 100
+    val sw = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    val short = pqApproxDistances(s, dir)
+      .withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val emb = embeddings(s, dir)
+    val rer = short
+      .join(broadcast(emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))),
+        "query_id")
+      .join(emb, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        dot(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annPqRerankOracle: String = {
+    val norm = graft.functions.VectorFunctions.normalizeOracle("embedding")
+    // reuse the ADC CTE chain of annPqTopkOracle up to `approx`, then
+    // shortlist + exact re-rank
+    val adcChain = annPqTopkOracle
+      .substring(0, annPqTopkOracle.indexOf("SELECT query_id, rank,"))
+    s"""${adcChain.trim},
+       |shortlist AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY approx_dist, vec_id) AS rn
+       |    FROM approx)
+       |  WHERE rn <= 100),
+       |qv AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |       WHERE vec_id < $NQueries),
+       |rer AS (
+       |  SELECT s.query_id, s.vec_id,
+       |         list_dot_product(q.qv, e2.v) AS cos
+       |  FROM shortlist s
+       |  JOIN qv q ON q.query_id = s.query_id
+       |  JOIN e e2 ON e2.vec_id = s.vec_id)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rer)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_pq" -> (annIvfPq _),
+    "ann_pq_rerank" -> (annPqRerank _),
     "ann_pq_topk" -> (annPqTopk _),
     "embedding_quantize" -> (embeddingQuantize _),
     "power_iteration" -> (powerIteration _),
@@ -928,6 +995,7 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_pq" -> annIvfPqOracle,
+    "ann_pq_rerank" -> annPqRerankOracle,
     "ann_pq_topk" -> annPqTopkOracle,
     "embedding_quantize" -> embeddingQuantizeOracle,
     "power_iteration" -> powerIterationOracle,
