@@ -976,7 +976,63 @@ object SimilarityOps {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Embedding-space outlier pruning — the centroid-distance quality
+    * filter (the SemDeDup paper's sibling operation: instead of dropping
+    * near-DUPLICATES inside a cluster, drop vectors FAR from every
+    * cluster — off-topic/noise docs whose text-level quality scores look
+    * fine): each vector's squared distance to its own label centroid,
+    * flagged when above the corpus-wide exact 95th percentile.
+    *
+    * Scale shape: centroids are one posexplode aggregate (labels × d,
+    * broadcast-sized); distances are a narrow codegen'd map
+    * ([[graft.functions.expressions.SquaredDistance]]); the cutoff is a
+    * single `percentile` AGGREGATE (no corpus-wide sort/window — the
+    * [[AnalyticsOps.equidepthHistogram]] discipline) attached as a 1-row
+    * broadcast. Distances round to 6 before the percentile so the
+    * interpolated cut is computed on identical values in both engines.
+    */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val cents = emb
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+    val d = emb.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        round(squaredDistance(col("v"), col("cv")), 6).as("dist"))
+    val cut = d.agg(percentile(col("dist"), lit(0.95)).as("p95"))
+    d.crossJoin(broadcast(cut))
+      .filter(col("dist") > col("p95"))
+      .select(col("vec_id"), col("label"), col("dist"),
+        round(col("p95"), 6).as("p95"))
+      .orderBy("vec_id")
+  }
+
+  val embeddingOutliersOracle: String = {
+    val norm = graft.functions.VectorFunctions.normalizeOracle("embedding")
+    s"""WITH e AS (SELECT vec_id, label, $norm AS v FROM embeddings),
+       |m AS (
+       |  SELECT label, i AS pos, round(avg(v[i]), 6) AS m
+       |  FROM e, LATERAL unnest(generate_series(1, len(v))) t(i)
+       |  GROUP BY label, i),
+       |c AS (SELECT label, list(m ORDER BY pos) AS cv FROM m GROUP BY label),
+       |d AS (
+       |  SELECT e.vec_id, e.label,
+       |         round(sum((v[i] - cv[i]) * (v[i] - cv[i])), 6) AS dist
+       |  FROM e JOIN c USING (label),
+       |       LATERAL unnest(generate_series(1, len(v))) t(i)
+       |  GROUP BY e.vec_id, e.label),
+       |cut AS (SELECT quantile_cont(dist, 0.95) AS p95 FROM d)
+       |SELECT vec_id, label, dist, round(p95, 6) AS p95
+       |FROM d, cut WHERE dist > p95 ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_outliers" -> (embeddingOutliers _),
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_pq_topk" -> (annPqTopk _),
@@ -994,6 +1050,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "embedding_outliers" -> embeddingOutliersOracle,
     "ann_ivf_pq" -> annIvfPqOracle,
     "ann_pq_rerank" -> annPqRerankOracle,
     "ann_pq_topk" -> annPqTopkOracle,

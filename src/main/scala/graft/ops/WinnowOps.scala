@@ -41,12 +41,16 @@ object WinnowOps {
   private val MaxDf = 50 // stop-fingerprint document-frequency cap
   private val MinShared = 3 // shared fingerprints to report a pair
 
-  /** (doc_id, n_shingles, fps: array of distinct winnowed md5 hex). */
-  private def winnowed(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, n_shingles, fps: array of distinct winnowed md5 hex). With
+    * `keepHashes` the pre-distinct window-minima array rides along as
+    * `fps_pos` (index j-1 = window position j) for span localization.
+    */
+  private def winnowed(s: SparkSession, dir: String,
+      keepHashes: Boolean = false): DataFrame = {
     val toks = split(DedupOps.normText(col("text")), " ")
     def shingleAt(t: Column, i: Column): Column =
       md5(concat_ws(" ", slice(t, i, lit(K))).cast("binary"))
-    Tables(s, dir, "documents")
+    val base = Tables(s, dir, "documents")
       .select(col("doc_id"), toks.as("toks"))
       .withColumn("n_sh", greatest(size(col("toks")) - (K - 1), lit(0)))
       // hashes of all shingles, positions 1..n_sh (1-based slice)
@@ -57,13 +61,17 @@ object WinnowOps {
       // window minima over full windows only: j = 1 .. n_sh - W + 1; docs
       // shorter than one window keep their single minimum (SIGMOD'03 §4's
       // boundary rule: short docs are fingerprinted by their global min)
-      .withColumn("fps",
+      .withColumn("fps_pos",
         when(col("n_sh") === 0, array().cast("array<string>"))
           .when(col("n_sh") <= W, array(array_min(col("hs"))))
-          .otherwise(array_distinct(
+          .otherwise(
             transform(sequence(lit(1), col("n_sh") - (W - 1)),
-              j => array_min(slice(col("hs"), j, lit(W)))))))
-      .select(col("doc_id"), col("n_sh").as("n_shingles"), col("fps"))
+              j => array_min(slice(col("hs"), j, lit(W))))))
+      .withColumn("fps", array_distinct(col("fps_pos")))
+    if (keepHashes)
+      base.select(col("doc_id"), col("n_sh"), col("fps_pos"))
+    else
+      base.select(col("doc_id"), col("n_sh").as("n_shingles"), col("fps"))
   }
 
   /** Per-document fingerprint density: shingles vs winnowed count. */
@@ -142,11 +150,84 @@ object WinnowOps {
        |GROUP BY 1, 2 HAVING count(*) >= $MinShared
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** (doc_id, fp, pos): each winnowed fingerprint with the FIRST window
+    * position that selected it — the positional index [[dedupWinnowSpans]]
+    * joins. Same selection as [[winnowed]], plus provenance.
+    */
+  private def winnowedPositions(s: SparkSession, dir: String): DataFrame = {
+    val withFps = winnowed(s, dir, keepHashes = true)
+    withFps
+      .select(col("doc_id"), col("n_sh"),
+        posexplode(col("fps_pos")))
+      .select(col("doc_id"), col("col").as("fp"),
+        (col("pos") + 1).as("win_pos"))
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(min(col("win_pos")).as("pos"))
+  }
+
+  /** Span localization for the [[dedupWinnow]] pairs: WHERE the verbatim
+    * reuse sits in each document — per pair, the bounding token-position
+    * range of the matched fingerprints on both sides (the cross-document
+    * analog of TextOps' within-document `duplicate_spans`). A contiguous
+    * lifted quote shows as a tight [lo, hi] on both docs; scattered
+    * boilerplate shows as a wide range with the same n_shared.
+    *
+    * Scale shape: identical join graph to [[dedupWinnow]] (fp-keyed with
+    * the same stop-fp cap) — positions are two extra ints riding rows
+    * that already exist; the span bounds are min/max aggregates of the
+    * same pair groupBy.
+    */
+  def dedupWinnowSpans(s: SparkSession, dir: String): DataFrame = {
+    val fps = winnowedPositions(s, dir)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf)
+      .select("fp")
+    val pruned = fps.join(rare, "fp")
+    val a = pruned.select(col("fp"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"))
+    val b = pruned.select(col("fp"), col("doc_id").as("doc_b"),
+      col("pos").as("pos_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("pos_a")).as("a_lo"), max(col("pos_a")).as("a_hi"),
+        min(col("pos_b")).as("b_lo"), max(col("pos_b")).as("b_hi"))
+      .filter(col("n_shared") >= MinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def oracleSelPos: String =
+    s"""selp AS (
+       |  SELECT doc_id, fp, min(i) AS pos FROM win
+       |  WHERE n_sh <= $W AND i = 1
+       |     OR i <= n_sh - ${W - 1}
+       |  GROUP BY doc_id, fp)""".stripMargin
+
+  val dedupWinnowSpansOracle: String =
+    s"""WITH $oracleSel,
+       |$oracleSelPos,
+       |rare AS (
+       |  SELECT fp FROM selp GROUP BY fp HAVING count(*) <= $MaxDf),
+       |pruned AS (SELECT s.doc_id, s.fp, s.pos
+       |           FROM selp s JOIN rare USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       count(*) AS n_shared,
+       |       min(a.pos) AS a_lo, max(a.pos) AS a_hi,
+       |       min(b.pos) AS b_lo, max(b.pos) AS b_hi
+       |FROM pruned a JOIN pruned b
+       |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $MinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "winnow_fingerprint" -> (winnowFingerprint _),
-    "dedup_winnow" -> (dedupWinnow _))
+    "dedup_winnow" -> (dedupWinnow _),
+    "dedup_winnow_spans" -> (dedupWinnowSpans _))
 
   val oracles: Map[String, String] = Map(
     "winnow_fingerprint" -> winnowFingerprintOracle,
-    "dedup_winnow" -> dedupWinnowOracle)
+    "dedup_winnow" -> dedupWinnowOracle,
+    "dedup_winnow_spans" -> dedupWinnowSpansOracle)
 }

@@ -23,6 +23,7 @@ class PlanLintSpec extends AnyFunSuite {
     "kmeans_converged",
     "ann_ivf_probe2",
     "ann_ivf_pq",          // k-label centroid table crossed with NQueries
+    "embedding_outliers",  // 1-row p95-cutoff broadcast
     "mutual_information",  // 1-row total-count broadcasts onto L×S cells
     "embedding_quantize", "merge_upsert",
     "q14_promo_revenue", "q19_disjunctive", "brand_affinity",
