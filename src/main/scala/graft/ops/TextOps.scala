@@ -1077,7 +1077,7 @@ object TextOps {
       |       FROM lm, tot t),
       |hs AS (SELECT -sum((n_s / t.n) * ln(n_s / t.n)) AS h_source
       |       FROM sm, tot t)
-      |SELECT t.n AS n_docs, t.n_cells,
+      |SELECT CAST(t.n AS BIGINT) AS n_docs, t.n_cells,
       |       round(mi.mi, 6) AS mi_nats,
       |       round(hl.h_lang, 6) AS h_lang_nats,
       |       round(hs.h_source, 6) AS h_source_nats,

@@ -159,8 +159,10 @@ object WinnowOps {
     withFps
       .select(col("doc_id"), col("n_sh"),
         posexplode(col("fps_pos")))
+      // long, not int: DuckDB's generate_series positions are BIGINT and
+      // the driver's hash is type-width-sensitive (the r4 pivot lesson)
       .select(col("doc_id"), col("col").as("fp"),
-        (col("pos") + 1).as("win_pos"))
+        (col("pos") + 1).cast("long").as("win_pos"))
       .groupBy(col("doc_id"), col("fp"))
       .agg(min(col("win_pos")).as("pos"))
   }

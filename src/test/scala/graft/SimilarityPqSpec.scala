@@ -83,4 +83,16 @@ class SimilarityPqSpec extends AnyFunSuite {
     assert(rec >= 0.1, s"ivf_pq recall $rec collapsed (measured 0.14)")
   }
 
+
+  test("embedding_outliers: ~5% tail flagged above one shared cutoff") {
+    val rows = SimilarityOps.embeddingOutliers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = graft.ops.Tables(spark, dir, "embeddings").count()
+    assert(rows.length <= math.ceil(0.06 * n),
+      s"${rows.length} flagged of $n — p95 cutoff should flag ~5%")
+    val cuts = rows.map(_.getDouble(3)).distinct
+    assert(cuts.length == 1, s"cutoff must be corpus-global: ${cuts.toSeq}")
+    rows.foreach(r => assert(r.getDouble(2) > cuts.head))
+  }
+
 }

@@ -70,4 +70,19 @@ class WinnowOpsSpec extends AnyFunSuite {
     // every shingle (broken winnow → 1.0) or almost none (broken min).
     assert(agg > 0.15 && agg < 0.6, s"winnow density out of band: $agg")
   }
+
+  test("spans: same pairs and counts as dedup_winnow, ordered bounds") {
+    val pairs = WinnowOps.dedupWinnow(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val spans = WinnowOps.dedupWinnowSpans(spark, dir).collect()
+    assert(spans.length == pairs.size, "span rows must mirror pair rows")
+    spans.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(pairs.get(k).contains(r.getLong(2)),
+        s"pair $k n_shared diverges between dedup_winnow and spans")
+      assert(r.getLong(3) <= r.getLong(4) && r.getLong(5) <= r.getLong(6),
+        s"pair $k: span bounds unordered")
+    }
+  }
+
 }
