@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints and cross-document substring dedup
@@ -24,15 +25,24 @@ import org.apache.spark.sql.functions._
   * sketches the winnowed selection itself is value-level oracle-checked
   * (the [[TextOps.shingleFingerprint]] count-parity trick is not needed).
   *
-  * Scale shape: fingerprint extraction is a NARROW per-doc map (the O(n·W)
-  * window-min is per-row work inside codegen'd higher-order functions — no
-  * shuffle, no corpus-wide window). The pair join is fp-keyed with a
-  * stop-fingerprint cap (document frequency ≤ [[MaxDf]], mirrored in the
-  * oracle) — the same bucket-size bound the LSH band joins apply, so one
-  * boilerplate string shared by half the corpus can't quadratically blow
-  * up a bucket; candidate volume is Σ df² over surviving fps, each df
-  * capped. Reference surface: the same dirty-data quarantine intent as
-  * `CSVtoSQLimport.ps1:242-251`'s skip-and-log, lifted to corpus scale.
+  * Scale shape: ONE narrow pass hashes each shingle exactly once
+  * (generator input is evaluated once per row), then the window-min runs
+  * as a doc_id-partitioned ROWS window — linear, compiled, O(W) frame
+  * state; the ONLY corpus shuffle before the pair join is hash(doc_id).
+  * NOT implemented as nested array higher-order functions: Catalyst's
+  * CollapseProject inlines a referenced array column into every consumer,
+  * so `transform(windows, j -> min(slice(hs, j, W)))` re-evaluates the
+  * FULL O(n) md5 chain per window — O(n²) interpreted work per document
+  * (measured: a single sf0.1 bench task pinned a core for 10+ minutes;
+  * the row-form runs in seconds). The row form is also literally the
+  * oracle's shape, so both engines compute the identical selection. The
+  * pair join is fp-keyed with a stop-fingerprint cap (document frequency
+  * ≤ [[MaxDf]], mirrored in the oracle) — the same bucket-size bound the
+  * LSH band joins apply, so one boilerplate string shared by half the
+  * corpus can't quadratically blow up a bucket; candidate volume is
+  * Σ df² over surviving fps, each df capped. Reference surface: the same
+  * dirty-data quarantine intent as `CSVtoSQLimport.ps1:242-251`'s
+  * skip-and-log, lifted to corpus scale.
   */
 object WinnowOps {
 
@@ -41,44 +51,61 @@ object WinnowOps {
   private val MaxDf = 50 // stop-fingerprint document-frequency cap
   private val MinShared = 3 // shared fingerprints to report a pair
 
-  /** (doc_id, n_shingles, fps: array of distinct winnowed md5 hex). With
-    * `keepHashes` the pre-distinct window-minima array rides along as
-    * `fps_pos` (index j-1 = window position j) for span localization.
+  /** One row per shingle: (doc_id, n_sh, i, h) with 1-based position `i`
+    * and md5-hex hash `h`; documents with no shingle keep a single
+    * (null i, null h) row via the outer generator so per-doc aggregates
+    * still see them. Positions/counts are long — DuckDB's
+    * generate_series/len are BIGINT and the driver hash is
+    * type-width-sensitive (the r4 pivot lesson).
     */
-  private def winnowed(s: SparkSession, dir: String,
-      keepHashes: Boolean = false): DataFrame = {
+  private def shingleHashRows(s: SparkSession, dir: String): DataFrame = {
     val toks = split(DedupOps.normText(col("text")), " ")
     def shingleAt(t: Column, i: Column): Column =
       md5(concat_ws(" ", slice(t, i, lit(K))).cast("binary"))
-    val base = Tables(s, dir, "documents")
+    Tables(s, dir, "documents")
       .select(col("doc_id"), toks.as("toks"))
-      .withColumn("n_sh", greatest(size(col("toks")) - (K - 1), lit(0)))
-      // hashes of all shingles, positions 1..n_sh (1-based slice)
-      .withColumn("hs",
-        when(col("n_sh") === 0, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), greatest(col("n_sh"), lit(1))),
-            i => shingleAt(col("toks"), i))))
-      // window minima over full windows only: j = 1 .. n_sh - W + 1; docs
-      // shorter than one window keep their single minimum (SIGMOD'03 §4's
-      // boundary rule: short docs are fingerprinted by their global min)
-      .withColumn("fps_pos",
-        when(col("n_sh") === 0, array().cast("array<string>"))
-          .when(col("n_sh") <= W, array(array_min(col("hs"))))
-          .otherwise(
-            transform(sequence(lit(1), col("n_sh") - (W - 1)),
-              j => array_min(slice(col("hs"), j, lit(W))))))
-      .withColumn("fps", array_distinct(col("fps_pos")))
-    if (keepHashes)
-      base.select(col("doc_id"), col("n_sh"), col("fps_pos"))
-    else
-      base.select(col("doc_id"), col("n_sh").as("n_shingles"), col("fps"))
+      .withColumn("n_sh_i", greatest(size(col("toks")) - (K - 1), lit(0)))
+      .select(col("doc_id"), col("n_sh_i").cast("long").as("n_sh"),
+        posexplode_outer(
+          when(col("n_sh_i") === 0, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(1), greatest(col("n_sh_i"), lit(1))),
+              i => shingleAt(col("toks"), i)))))
+      .select(col("doc_id"), col("n_sh"),
+        (col("pos") + 1).cast("long").as("i"), col("col").as("h"))
   }
+
+  /** Winnow selection predicate over the windowed rows: full windows only
+    * (j = 1 .. n_sh − W + 1); docs shorter than one window keep their
+    * single global minimum (SIGMOD'03 §4's boundary rule).
+    */
+  private val selected: Column =
+    (col("n_sh") <= W && col("i") === 1) || col("i") <= col("n_sh") - (W - 1)
+
+  /** Rows with the window minimum attached: the frame is the next W
+    * shingle hashes within the document.
+    */
+  private def windowed(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, W - 1)
+    shingleHashRows(s, dir).withColumn("fp", min(col("h")).over(w))
+  }
+
+  /** (doc_id, fp, pos): the distinct winnowed fingerprints with the FIRST
+    * selecting window position. hash(doc_id) from the window satisfies the
+    * (doc_id, fp) clustering, so this adds no exchange.
+    */
+  private def selectedFps(s: SparkSession, dir: String): DataFrame =
+    windowed(s, dir).filter(selected)
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(min(col("i")).as("pos"))
 
   /** Per-document fingerprint density: shingles vs winnowed count. */
   def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
-    winnowed(s, dir)
-      .select(col("doc_id"), col("n_shingles"),
-        size(col("fps")).as("n_fingerprints"))
+    windowed(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_sh")).as("n_shingles"),
+        count_distinct(when(selected, col("fp"))).as("n_fingerprints"))
       .orderBy("doc_id")
 
   private def oracleSel: String = {
@@ -121,8 +148,7 @@ object WinnowOps {
     * (W+K−1)-token verbatim runs.
     */
   def dedupWinnow(s: SparkSession, dir: String): DataFrame = {
-    val fps = winnowed(s, dir)
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val fps = selectedFps(s, dir).select(col("doc_id"), col("fp"))
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxDf)
@@ -150,23 +176,6 @@ object WinnowOps {
        |GROUP BY 1, 2 HAVING count(*) >= $MinShared
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** (doc_id, fp, pos): each winnowed fingerprint with the FIRST window
-    * position that selected it — the positional index [[dedupWinnowSpans]]
-    * joins. Same selection as [[winnowed]], plus provenance.
-    */
-  private def winnowedPositions(s: SparkSession, dir: String): DataFrame = {
-    val withFps = winnowed(s, dir, keepHashes = true)
-    withFps
-      .select(col("doc_id"), col("n_sh"),
-        posexplode(col("fps_pos")))
-      // long, not int: DuckDB's generate_series positions are BIGINT and
-      // the driver's hash is type-width-sensitive (the r4 pivot lesson)
-      .select(col("doc_id"), col("col").as("fp"),
-        (col("pos") + 1).cast("long").as("win_pos"))
-      .groupBy(col("doc_id"), col("fp"))
-      .agg(min(col("win_pos")).as("pos"))
-  }
-
   /** Span localization for the [[dedupWinnow]] pairs: WHERE the verbatim
     * reuse sits in each document — per pair, the bounding token-position
     * range of the matched fingerprints on both sides (the cross-document
@@ -175,12 +184,12 @@ object WinnowOps {
     * boilerplate shows as a wide range with the same n_shared.
     *
     * Scale shape: identical join graph to [[dedupWinnow]] (fp-keyed with
-    * the same stop-fp cap) — positions are two extra ints riding rows
+    * the same stop-fp cap) — positions are one extra long riding rows
     * that already exist; the span bounds are min/max aggregates of the
     * same pair groupBy.
     */
   def dedupWinnowSpans(s: SparkSession, dir: String): DataFrame = {
-    val fps = winnowedPositions(s, dir)
+    val fps = selectedFps(s, dir)
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxDf)

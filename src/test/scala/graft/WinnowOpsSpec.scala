@@ -49,8 +49,8 @@ class WinnowOpsSpec extends AnyFunSuite {
     val rows = WinnowOps.winnowFingerprint(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val nSh = r.getAs[Int]("n_shingles").toLong
-      val nFp = r.getAs[Int]("n_fingerprints").toLong
+      val nSh = r.getAs[Long]("n_shingles")
+      val nFp = r.getAs[Long]("n_fingerprints")
       if (nSh == 0) assert(nFp == 0, s"doc ${r.get(0)}: fps without shingles")
       else {
         assert(nFp >= 1, s"doc ${r.get(0)}: no fingerprint despite $nSh shingles")
