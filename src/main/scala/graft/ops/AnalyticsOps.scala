@@ -651,6 +651,108 @@ object AnalyticsOps {
        |SELECT source, rank, w AS term, tf, score
        |FROM ranked WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
+  /** Sparse lexical similarity: TF-IDF-weighted cosine between documents
+    * over an INVERTED INDEX of 5-token shingles — the classic IR
+    * retrieval modality, complementing dense-embedding ANN (different
+    * signal: exact phrase overlap weighted by rarity) and the set-overlap
+    * dedup family (weighted, not binary). Shingles are the term unit
+    * because they are the discriminative one: this corpus has only ~30
+    * distinct words, each in ~80% of documents (probed in DuckDB), so
+    * unigram tf-idf is degenerate — while its ~24k distinct 5-shingles
+    * have df ≈ 1-3. Real pipelines hit the same wall with boilerplate-
+    * heavy corpora; shingle terms are the standard fix.
+    *
+    * Exactness of the pruning: stop-shingles (df > 50) are EXCLUDED from
+    * the similarity definition (the subspace is documented, both engines
+    * agree), which bounds every posting-list join bucket at df² ≤ 2500 —
+    * the LSH-band cap discipline. Posting lists for df = 1 shingles are
+    * skipped in the JOIN only — a df-1 term cannot produce a pair — but
+    * their mass STAYS in the norms, so unique content correctly dilutes
+    * the cosine; the skip is an exact optimization, not an approximation.
+    *
+    * Scale shape: ONE (doc, shingle) tf shuffle (map-side combined,
+    * generator input hashed once per row — the WinnowOps lesson); df and
+    * norms re-aggregate that table; candidates come ONLY from shared
+    * pairable postings (ids + weights ride the join, never arrays);
+    * per-pair scoring is one keyed aggregate with doc norms carried as
+    * functional grouping keys. Weights round to 6 before any product,
+    * cosine to 4 before the threshold.
+    */
+  def sparseCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val dfCap = 50
+    val shK = 5
+    val toks = split(DedupOps.normText(col("text")), " ")
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n", greatest(size(col("t")) - (shK - 1), lit(0)))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), col("n")),
+          i => concat_ws(" ", slice(col("t"), i, lit(shK))))).as("s"))
+    val tf = sh.groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val weights = tf.join(dfT.filter(col("df") <= dfCap), "s")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("wt", round(col("tf") *
+        log(col("n_docs").cast("double") / col("df")), 6))
+    val norms = weights.groupBy(col("doc_id"))
+      .agg(round(sqrt(sum(col("wt") * col("wt"))), 6).as("nrm"))
+    val rows = weights.filter(col("df") >= 2).join(norms, "doc_id")
+      .select(col("s"), col("doc_id"), col("wt"), col("nrm"))
+    val a = rows.select(col("s"), col("doc_id").as("doc_a"),
+      col("wt").as("wa"), col("nrm").as("na"))
+    val b = rows.select(col("s"), col("doc_id").as("doc_b"),
+      col("wt").as("wb"), col("nrm").as("nb"))
+    a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("wa") * col("wb")).as("dot"))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= 0.5 && col("n_terms") >= 2)
+      .select(col("doc_a"), col("doc_b"), col("n_terms"), col("cosine"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val sparseCosinePairsOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(${DedupOps.normTextOracle("text")}, ' ') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS s
+       |  FROM toks, LATERAL unnest(generate_series(1,
+       |         greatest(len(t) - 4, 0))) u(i)
+       |  WHERE len(t) >= 5),
+       |tf AS (SELECT doc_id, s, count(*) AS tf FROM sh GROUP BY 1, 2),
+       |dft AS (SELECT s, count(*) AS df FROM tf GROUP BY s),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+       |wts AS (
+       |  SELECT t.doc_id, t.s, d.df,
+       |         round(t.tf * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS wt
+       |  FROM tf t JOIN dft d USING (s), nd
+       |  WHERE d.df <= 50),
+       |nrm AS (
+       |  SELECT doc_id, round(sqrt(sum(wt * wt)), 6) AS nrm
+       |  FROM wts GROUP BY doc_id),
+       |rows_ AS (
+       |  SELECT w.s, w.doc_id, w.wt, n.nrm
+       |  FROM wts w JOIN nrm n USING (doc_id)
+       |  WHERE w.df >= 2),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nrm AS na,
+       |         b.nrm AS nb, count(*) AS n_terms,
+       |         sum(a.wt * b.wt) AS dot
+       |  FROM rows_ a JOIN rows_ b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, n_terms,
+       |       round(dot / (na * nb), 4) AS cosine
+       |FROM pairs
+       |WHERE round(dot / (na * nb), 4) >= 0.5 AND n_terms >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** TPC-H Q10-shaped returned-item report: which customers returned the
     * most revenue. Fact-to-fact join (lineitem ⋈ orders) shuffles on the
     * order key; the customer dimension attaches AQE-decided (broadcast at
@@ -1882,6 +1984,7 @@ object AnalyticsOps {
     "pivot_priority_year" -> (pivotPriorityYear _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
+    "sparse_cosine_pairs" -> (sparseCosinePairs _),
     "char_histogram" -> (charHistogram _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "window_dedup_latest" -> (windowDedupLatest _),
@@ -1929,6 +2032,7 @@ object AnalyticsOps {
     "pivot_priority_year" -> pivotPriorityYearOracle,
     "q6_forecast_revenue" -> q6Oracle,
     "tfidf_top_terms" -> tfidfOracle,
+    "sparse_cosine_pairs" -> sparseCosinePairsOracle,
     "char_histogram" -> charHistogramOracle,
     "q5_local_supplier" -> q5Oracle,
     "window_dedup_latest" -> windowDedupOracle,

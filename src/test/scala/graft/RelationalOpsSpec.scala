@@ -184,4 +184,21 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(total == expected, s"grid counts $total != $expected events")
   }
 
+
+  test("sparse_cosine_pairs: valid cosines, ordered pairs, known dup found") {
+    val rows = graft.ops.AnalyticsOps.sparseCosinePairs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonical")
+      val c = r.getDouble(3)
+      assert(c >= 0.5 && c <= 1.0 + 1e-9, s"cosine out of range: $c")
+      assert(r.getLong(2) >= 2)
+    }
+    // weighted phrase cosine must recover some of the exact-jaccard dups
+    val jac = graft.ops.DedupOps.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cos = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((cos & jac).nonEmpty, "no overlap with jaccard near-dups")
+  }
+
 }
