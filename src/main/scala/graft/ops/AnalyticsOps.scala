@@ -753,6 +753,118 @@ object AnalyticsOps {
        |WHERE round(dot / (na * nb), 4) >= 0.5 AND n_terms >= 2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** BM25 query-by-example retrieval — the RANKING half of sparse
+    * retrieval ([[sparseCosinePairs]] is the pair-MINING half): the
+    * pairable shingles of the best-connected document (most df∈[2,50]
+    * shingles, min id on ties) form the query, and
+    * every other document scores by Robertson/Spärck-Jones BM25
+    * (k1 = 1.2, b = 0.75, the smoothed ln(1 + (N−df+0.5)/(df+0.5)) idf)
+    * with shingle counts as term frequencies and per-doc shingle counts
+    * as document length. The serving shape of every lexical search
+    * engine, query-anchored instead of all-pairs. On THIS synthetic
+    * corpus the result set is thin by construction — shared-shingle
+    * structure is strictly near-dup pairs/triples (probed: max distinct
+    * lexical neighbors = 2), so the ranking degenerates to "find my
+    * near-duplicate"; on a natural corpus the same plan ranks hundreds.
+    * The oracle pins the exact BM25 arithmetic either way.
+    *
+    * Scale shape: the query term list (one doc's pairable shingles ×
+    * idf) and the avgdl scalar are broadcast-sized by construction;
+    * candidates come ONLY from postings matching a query term (inverted
+    * lookup — the corpus never self-joins); scoring is one doc-keyed
+    * aggregate with dl carried as a functional grouping key; the top-20
+    * compiles to TakeOrderedAndProject (per-partition top-k, no global
+    * sort). Per-term contributions round to 6 before the sum, scores to
+    * 4 before the cut (cross-engine ranking determinism).
+    */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val dfCap = 50; val shK = 5; val k1 = 1.2; val b = 0.75
+    val toks = split(DedupOps.normText(col("text")), " ")
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n", greatest(size(col("t")) - (shK - 1), lit(0)))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), col("n")),
+          i => concat_ws(" ", slice(col("t"), i, lit(shK))))).as("s"))
+    val tf = sh.groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val stats = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val corpus = stats.agg(countDistinct(col("doc_id")).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // query doc = the one with the MOST pairable shingles (min id on
+    // ties): deterministic, and guaranteed to have query terms — the
+    // lowest id can be a fully-unique document with zero pairable terms
+    val pairable = tf
+      .join(dfT.filter(col("df") >= 2 && col("df") <= dfCap), "s")
+    val qsel = pairable.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("np"))
+      .agg(max(struct(col("np"), (-col("doc_id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("qdoc"))
+    val qterms = pairable.crossJoin(broadcast(qsel))
+      .filter(col("doc_id") === col("qdoc"))
+      .crossJoin(broadcast(corpus))
+      .select(col("s"),
+        round(log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5)), 6).as("idf"),
+        col("qdoc"), col("avgdl"))
+    val scored = tf.join(broadcast(qterms), "s")
+      .filter(col("doc_id") =!= col("qdoc"))
+      .join(stats, "doc_id")
+      .withColumn("contrib", round(col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("contrib")), 4).as("score"))
+    scored
+      .select(col("doc_id"), col("dl"), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val bm25SearchOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(${DedupOps.normTextOracle("text")}, ' ') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS s
+       |  FROM toks, LATERAL unnest(generate_series(1,
+       |         greatest(len(t) - 4, 0))) u(i)
+       |  WHERE len(t) >= 5),
+       |tf AS (SELECT doc_id, s, count(*) AS tf FROM sh GROUP BY 1, 2),
+       |dft AS (SELECT s, count(*) AS df FROM tf GROUP BY s),
+       |stats AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+       |          GROUP BY doc_id),
+       |corpus AS (
+       |  SELECT count(DISTINCT doc_id) AS n_docs, avg(dl) AS avgdl
+       |  FROM stats),
+       |pairable AS (
+       |  SELECT t.doc_id, t.s, t.tf, d.df
+       |  FROM tf t JOIN dft d USING (s) WHERE d.df BETWEEN 2 AND 50),
+       |qsel AS (
+       |  SELECT doc_id AS qdoc FROM (
+       |    SELECT doc_id, count(*) AS np FROM pairable GROUP BY 1)
+       |  ORDER BY np DESC, doc_id LIMIT 1),
+       |qterms AS (
+       |  SELECT p.s,
+       |         round(ln(1.0 + (c.n_docs - p.df + 0.5) / (p.df + 0.5)), 6)
+       |           AS idf,
+       |         q.qdoc, c.avgdl
+       |  FROM pairable p, qsel q, corpus c
+       |  WHERE p.doc_id = q.qdoc),
+       |scored AS (
+       |  SELECT t.doc_id, st.dl, count(*) AS n_terms,
+       |         round(sum(round(q.idf * t.tf * 2.2 /
+       |           (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * st.dl / q.avgdl)),
+       |           6)), 4) AS score
+       |  FROM tf t JOIN qterms q USING (s)
+       |  JOIN stats st ON st.doc_id = t.doc_id
+       |  WHERE t.doc_id <> q.qdoc
+       |  GROUP BY t.doc_id, st.dl)
+       |SELECT doc_id, dl, n_terms, score
+       |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** TPC-H Q10-shaped returned-item report: which customers returned the
     * most revenue. Fact-to-fact join (lineitem ⋈ orders) shuffles on the
     * order key; the customer dimension attaches AQE-decided (broadcast at
@@ -1985,6 +2097,7 @@ object AnalyticsOps {
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "sparse_cosine_pairs" -> (sparseCosinePairs _),
+    "bm25_search" -> (bm25Search _),
     "char_histogram" -> (charHistogram _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "window_dedup_latest" -> (windowDedupLatest _),
@@ -2033,6 +2146,7 @@ object AnalyticsOps {
     "q6_forecast_revenue" -> q6Oracle,
     "tfidf_top_terms" -> tfidfOracle,
     "sparse_cosine_pairs" -> sparseCosinePairsOracle,
+    "bm25_search" -> bm25SearchOracle,
     "char_histogram" -> charHistogramOracle,
     "q5_local_supplier" -> q5Oracle,
     "window_dedup_latest" -> windowDedupOracle,

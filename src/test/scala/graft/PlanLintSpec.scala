@@ -24,6 +24,7 @@ class PlanLintSpec extends AnyFunSuite {
     "ann_ivf_probe2",
     "ann_ivf_pq",          // k-label centroid table crossed with NQueries
     "sparse_cosine_pairs", // 1-row corpus-size broadcast onto the tf table
+    "bm25_search",         // 1-row qdoc/avgdl scalar broadcasts
     "embedding_outliers",  // 1-row p95-cutoff broadcast
     "mutual_information",  // 1-row total-count broadcasts onto L×S cells
     "embedding_quantize", "merge_upsert",
