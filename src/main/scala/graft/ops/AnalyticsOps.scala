@@ -1384,6 +1384,107 @@ object AnalyticsOps {
       |SELECT p_partkey, round(rank, 8) AS rank FROM r2
       |ORDER BY rank DESC, p_partkey LIMIT 20""".stripMargin
 
+  /** Personalized PageRank, 2 rounds — [[pagerankIterate]] with the
+    * teleport mass CONCENTRATED on a seed set (the parts of the lowest
+    * order, the [[GraphOps.bfsFrom]] seed convention) instead of uniform:
+    * rank = 0.15·1[v∈S]/|S| + 0.85·Σ contributions. THE
+    * recommendation/affinity primitive ("parts related to THIS basket"):
+    * global PageRank measures centrality, PPR measures proximity to the
+    * seeds, and the two-round unroll keeps the same CTE oracle shape as
+    * [[pagerank2Step]].
+    *
+    * Scale shape identical to [[pagerankIterate]]: canonical-pair+mirror
+    * edge build and out-degrees checkpointed once, one edge-keyed
+    * contribution shuffle + one node-sized left join per round, the seed
+    * flag riding the node-sized rank vector, per-round localCheckpoint.
+    * Intermediate ranks round to 10, final to 8 (engine parity).
+    */
+  def pprIterate(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val a = li.as("a"); val b = li.as("b")
+    val canonical = a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val edges = canonical.unionAll(
+      canonical.select(col("dst").as("src"), col("src").as("dst")))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val minOrd = li.agg(min(col("l_orderkey")).as("mo"))
+    val seeds = li.join(broadcast(minOrd), col("l_orderkey") === col("mo"))
+      .select(col("l_partkey").as("p_partkey")).distinct()
+      .withColumn("sd", lit(1.0))
+    val nSeeds = seeds.agg(count(lit(1)).cast("double").as("ns"))
+    val parts = Tables(s, dir, "part").select(col("p_partkey"))
+      .join(broadcast(seeds), Seq("p_partkey"), "left")
+      .crossJoin(broadcast(nSeeds))
+      .select(col("p_partkey"),
+        (coalesce(col("sd"), lit(0.0)) / col("ns")).as("tele"))
+      .localCheckpoint()
+    var ranks = parts.select(col("p_partkey"), col("tele").as("rank"))
+    for (_ <- 1 to rounds) {
+      val contrib = edges
+        .join(outdeg, "src")
+        .join(ranks.select(col("p_partkey").as("src"), col("rank")), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+      ranks = parts
+        .join(contrib, col("p_partkey") === col("dst"), "left")
+        .select(col("p_partkey"),
+          round(lit(0.15) * col("tele") +
+            lit(0.85) * coalesce(col("in_sum"), lit(0.0)), 10).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.filter(col("rank") > 0)
+      .select(col("p_partkey"), round(col("rank"), 8).as("rank"))
+      .orderBy(col("rank").desc, col("p_partkey"))
+      .limit(20)
+  }
+
+  def ppr2Step(s: SparkSession, dir: String): DataFrame =
+    pprIterate(s, dir, rounds = 2)
+
+  val ppr2StepOracle: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      |seeds AS (
+      |  SELECT DISTINCT l_partkey AS p_partkey FROM lineitem
+      |  WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)),
+      |ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
+      |tele AS (
+      |  SELECT p.p_partkey,
+      |         CASE WHEN s.p_partkey IS NULL THEN 0.0 ELSE 1.0 / n.ns END
+      |           AS tele
+      |  FROM part p LEFT JOIN seeds s USING (p_partkey), ns n),
+      |r0 AS (SELECT p_partkey, tele AS rank FROM tele),
+      |c1 AS (
+      |  SELECT e.dst, sum(r0.rank / o.outdeg) AS in_sum
+      |  FROM edges e JOIN outdeg o ON e.src = o.src
+      |  JOIN r0 ON r0.p_partkey = e.src
+      |  GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT t.p_partkey,
+      |         round(0.15 * t.tele + 0.85 * coalesce(c1.in_sum, 0), 10)
+      |           AS rank
+      |  FROM tele t LEFT JOIN c1 ON c1.dst = t.p_partkey),
+      |c2 AS (
+      |  SELECT e.dst, sum(r1.rank / o.outdeg) AS in_sum
+      |  FROM edges e JOIN outdeg o ON e.src = o.src
+      |  JOIN r1 ON r1.p_partkey = e.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT t.p_partkey,
+      |         round(0.15 * t.tele + 0.85 * coalesce(c2.in_sum, 0), 10)
+      |           AS rank
+      |  FROM tele t LEFT JOIN c2 ON c2.dst = t.p_partkey)
+      |SELECT p_partkey, round(rank, 8) AS rank FROM r2
+      |WHERE rank > 0
+      |ORDER BY rank DESC, p_partkey LIMIT 20""".stripMargin
+
   /** KMV distinct sketch per event_type via the typed
     * [[graft.functions.KmvSmallest]] Aggregator — deterministic (md5, no
     * seeds), so unlike HLL the DuckDB oracle reproduces the EXACT sketch
@@ -2081,6 +2182,7 @@ object AnalyticsOps {
     "merge_upsert" -> (mergeUpsert _),
     "pagerank_step" -> (pagerankStep _),
     "pagerank_2step" -> (pagerank2Step _),
+    "ppr_2step" -> (ppr2Step _),
     "scd2_customer" -> (scd2Customer _),
     "cube_order_stats" -> (cubeOrderStats _),
     "kmv_overlap" -> (kmvOverlap _),
@@ -2130,6 +2232,7 @@ object AnalyticsOps {
     "merge_upsert" -> mergeUpsertOracle,
     "pagerank_step" -> pagerankStepOracle,
     "pagerank_2step" -> pagerank2StepOracle,
+    "ppr_2step" -> ppr2StepOracle,
     "scd2_customer" -> scd2CustomerOracle,
     "cube_order_stats" -> cubeOrderStatsOracle,
     "kmv_overlap" -> kmvOverlapOracle,

@@ -19,7 +19,7 @@ class PlanLintSpec extends AnyFunSuite {
     "source_mixture", "corpus_sample", "corpus_shuffle", "doc_pack",
     "bigram_lm_score", "inverted_index", "semdedup", "power_iteration",
     "power_iteration_2step",
-    "pagerank_step", "pagerank_2step", "kmeans_step", "kmeans_2step",
+    "pagerank_step", "pagerank_2step", "ppr_2step", "kmeans_step", "kmeans_2step",
     "kmeans_converged",
     "ann_ivf_probe2",
     "ann_ivf_pq",          // k-label centroid table crossed with NQueries
