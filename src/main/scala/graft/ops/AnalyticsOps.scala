@@ -689,8 +689,9 @@ object AnalyticsOps {
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), col("n")),
           i => concat_ws(" ", slice(col("t"), i, lit(shK))))).as("s"))
+    // tf feeds df/total/weights subtrees; pay the scan + aggregate once
     val tf = sh.groupBy(col("doc_id"), col("s"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
     val dfT = tf.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     val weights = tf.join(dfT.filter(col("df") <= dfCap), "s")
@@ -787,8 +788,11 @@ object AnalyticsOps {
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), col("n")),
           i => concat_ws(" ", slice(col("t"), i, lit(shK))))).as("s"))
+    // tf feeds SIX subtrees (df, stats, corpus, qsel, qterms, scoring);
+    // localCheckpoint pays the corpus scan + shingle aggregate ONCE
+    // instead of once per consumer (ClusterOps lineage discipline)
     val tf = sh.groupBy(col("doc_id"), col("s"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
     val dfT = tf.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val stats = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val corpus = stats.agg(countDistinct(col("doc_id")).as("n_docs"),

@@ -96,9 +96,12 @@ object WinnowOps {
     * (doc_id, fp) clustering, so this adds no exchange.
     */
   private def selectedFps(s: SparkSession, dir: String): DataFrame =
+    // feeds the df aggregate AND both pair-join sides; localCheckpoint
+    // pays the hash pass + window once (ClusterOps lineage discipline)
     windowed(s, dir).filter(selected)
       .groupBy(col("doc_id"), col("fp"))
       .agg(min(col("i")).as("pos"))
+      .localCheckpoint()
 
   /** Per-document fingerprint density: shingles vs winnowed count. */
   def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
