@@ -43,10 +43,21 @@ object LayoutOps {
     * files would hold), then per-run min/max of BOTH dimensions — the
     * exact statistics a format like Parquet footer/Iceberg manifest would
     * expose to a scan planner, showing every run covers only a narrow
-    * rectangle of the key plane. In the real writer the ntile becomes
-    * `repartitionByRange(zCol)` + `sortWithinPartitions(zCol)` (no global
-    * window); the query form exists so DuckDB can replicate the cuts
-    * bit-for-bit (ntile over a deterministic total order).
+    * rectangle of the key plane.
+    *
+    * Scale shape: NO single-partition window. The definitional form is
+    * `ntile(16) OVER (ORDER BY z, …)` — a global total order that would
+    * funnel every row through one task at 100×. Instead this computes the
+    * exact global rank with the [[AnalyticsOps.globalRank]] technique
+    * (32 percentile cutpoints on z → bucket-partitioned local
+    * `row_number` → broadcast bucket offsets; ties on z can't straddle a
+    * bucket boundary because bucketing is by z value), then derives the
+    * ntile id ARITHMETICALLY from (rank, n): the first `n % 16` tiles
+    * hold `n DIV 16 + 1` rows, the rest `n DIV 16` — the shared
+    * Spark/DuckDB ntile definition, so the oracle can stay the
+    * definitional window while the plan shards. The heaviest op left is
+    * the bucket-keyed sort, exactly `repartitionByRange + local sort` of
+    * the real Z-order writer.
     */
   def zorderStats(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -54,8 +65,38 @@ object LayoutOps {
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
       .withColumn("z", zValue(col("l_partkey"), col("l_suppkey")))
-    li.withColumn("file_id", ntile(16).over(
-        Window.orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))))
+    val nBuckets = 32
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = li.agg(
+      percentile(col("z"), array(ps.map(lit): _*)).as("cuts"),
+      count(lit(1)).as("n_total"))
+    val bucket = (1 until nBuckets).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("z") > element_at(col("cuts"), i), 1).otherwise(0)
+    }
+    val bucketed = li.crossJoin(broadcast(cuts))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("z"), col("n_total"),
+        bucket.as("bucket"))
+      .localCheckpoint()
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val localW = Window.partitionBy(col("bucket"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+    bucketed
+      .withColumn("local_rank", row_number().over(localW))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("rk", col("offset") + col("local_rank"))
+      .withColumn("base", expr("n_total DIV 16"))
+      .withColumn("rem", expr("n_total % 16"))
+      .withColumn("file_id",
+        when(col("rk") <= (col("base") + 1) * col("rem"),
+          expr("(rk - 1) DIV (base + 1) + 1"))
+          .otherwise(expr("rem + (rk - 1 - (base + 1) * rem) DIV base + 1"))
+          .cast("int"))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("l_partkey")).as("part_min"),

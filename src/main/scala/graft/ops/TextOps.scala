@@ -980,21 +980,27 @@ object TextOps {
     * ln(freq) on ln(rank) over the top-1000 whitespace tokens — the
     * sanity check every corpus report carries (natural text slopes near
     * −1; synthetic or template-heavy corpora drift). Token counting is a
-    * keyed aggregate with map-side partials; ranking is a window over the
-    * VOCABULARY table (not the corpus) with a deterministic
-    * (freq desc, token) tie-break so both engines rank identically; the
-    * regression aggregates (`regr_slope`/`regr_intercept`/`regr_r2`) run
-    * over 1000 rows.
+    * keyed aggregate with map-side partials; the top-1000 cut is
+    * `orderBy + limit` — TakeOrderedAndProject, a partial top-1000 on
+    * every partition then a 1000-row merge, NEVER a window over the full
+    * vocabulary (web-scale vocab is 10⁸+; an unpartitioned `row_number`
+    * there funnels it through one task). Rank is re-derived by the same
+    * deterministic (freq desc, token) order WITHIN the 1000 surviving
+    * rows, so both engines rank identically; the regression aggregates
+    * (`regr_slope`/`regr_intercept`/`regr_r2`) run over 1000 rows.
     */
   def tokenZipf(s: SparkSession, dir: String): DataFrame = {
     val freqs = Tables(s, dir, "documents")
       .select(explode(split(normText(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    val ranked = freqs
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
-      .filter(col("rank") <= 1000)
+    val top1000 = freqs
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(1000)
+    val ranked = top1000
+      .withColumn("rank", row_number().over(
+        // input is the 1000-row limit result — bounded, deliberate
+        Window.orderBy(col("freq").desc, col("tok"))))
     ranked.agg(
       count(lit(1)).as("n_terms"),
       round(regr_slope(log(col("freq")), log(col("rank"))), 4).as("zipf_slope"),

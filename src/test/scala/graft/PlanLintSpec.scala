@@ -57,16 +57,19 @@ class PlanLintSpec extends AnyFunSuite {
     "model_eval",       // 1-row weight-vector broadcasts between GD steps
     "drift_psi")        // 1-row cutpoint + total-count broadcasts
 
-  private lazy val plans: Map[String, String] = {
+  private lazy val planTrees: Map[String, Either[String, org.apache.spark.sql.execution.SparkPlan]] = {
     // lint the SAME optimizer configuration Verify/Bench run (and make the
     // lint order-independent under GraftOptimizationsSpec's install)
     GraftOptimizations.install(spark)
     graft.ops.IncrementalDedup.seedQueryStore(spark, dir)
     SparkEntry.queries.map { case (name, fn) =>
-      name -> (try fn(spark, dir).queryExecution.executedPlan.toString
-        catch { case e: Exception => s"PLAN FAILED: ${e.getMessage}" })
+      name -> (try Right(fn(spark, dir).queryExecution.executedPlan)
+        catch { case e: Exception => Left(s"PLAN FAILED: ${e.getMessage}") })
     }
   }
+
+  private lazy val plans: Map[String, String] =
+    planTrees.map { case (n, p) => n -> p.fold(identity, _.toString) }
 
   test("every query plans (no analysis/planning failures)") {
     val failed = plans.filter(_._2.startsWith("PLAN FAILED"))
@@ -215,6 +218,65 @@ class PlanLintSpec extends AnyFunSuite {
       if (n > maxEx) Some(s"$name: $n exchanges (budget $maxEx)") else None
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  // unpartitioned windows whose INPUT is an aggregate bounded by key
+  // cardinality — each bound argued in the query's scaladoc. Every other
+  // unpartitioned WindowExec must sit on a limit (TakeOrderedAndProject /
+  // Limit) or be partitioned: at 100× an unpartitioned window over
+  // corpus/vocab-sized input funnels every row through ONE task (the
+  // zorder_stats/token_zipf class this rule closes — review r7).
+  private val boundedNoPartitionWindow = Map(
+    "global_rank" -> "offsets over ≤10 decile-bucket counts",
+    "zorder_stats" -> "offsets over 32 z-bucket counts",
+    "monthly_growth" -> "lag over month-cardinality (≤84) aggregate",
+    "pareto_frontier" -> "running max over the price-domain aggregate (p_retailprice ≤ ~200k distinct by TPC-H construction)")
+
+  test("unpartitioned WindowExec only over limit-bounded or whitelisted-aggregate input") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case other => other.children
+    }
+    def all(p: SparkPlan): Seq[SparkPlan] =
+      p +: (kids(p).flatMap(all) ++ p.subqueries.flatMap(all))
+    // strip the wrappers a window legitimately sits on (its required sort,
+    // projections, exchanges) down to the node that determines cardinality
+    def strip(p: SparkPlan)(terminal: SparkPlan => Boolean): Boolean = p match {
+      case w @ (_: SortExec | _: ProjectExec | _: FilterExec |
+                _: CoalesceExec | _: WholeStageCodegenExec |
+                _: InputAdapter) => w.children.exists(strip(_)(terminal))
+      case e: Exchange => e.children.exists(strip(_)(terminal))
+      case other => terminal(other)
+    }
+    def boundedByLimit(p: SparkPlan): Boolean = strip(p) {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: LocalLimitExec | _: CollectLimitExec => true
+      case _ => false
+    }
+    // the whitelist forgives a window ONLY when it sits on an aggregate
+    // (the key-cardinality bound the justification argues) — reverting a
+    // whitelisted query to a window over raw/sorted corpus rows still fails
+    def onAggregate(p: SparkPlan): Boolean = strip(p) {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _ => false
+    }
+    val offenders = planTrees.toSeq.flatMap {
+      case (name, Right(plan)) =>
+        all(plan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty &&
+              !boundedByLimit(w.child) &&
+              !(boundedNoPartitionWindow.contains(name) && onAggregate(w.child)) =>
+            s"$name (window child: ${w.child.nodeName})"
+        }
+      case _ => Nil
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over unbounded input in: ${offenders.mkString(", ")} — " +
+        "partition it, cut with orderBy+limit first, or justify + whitelist a key-cardinality bound")
   }
 
   test("no Scala UDFs or Python evals in any plan") {
