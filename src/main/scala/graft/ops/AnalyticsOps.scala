@@ -1254,37 +1254,15 @@ object AnalyticsOps {
     * round (the [[ClusterOps]] hook-compress-contract loop shows the
     * iteration pattern at scale).
     */
-  def pagerankStep(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val a = li.as("a"); val b = li.as("b")
-    // canonical u<v self-join HALVES the rows the distinct shuffles (the
-    // mirror direction is a narrow union after dedup), and localCheckpoint
-    // pays the build once for the out-degree aggregate AND the
-    // contribution join ([[pagerankIterate]]'s discipline; the
-    // un-checkpointed ≠-join shape ran the self-join twice and had made
-    // the single-step query SLOWER than the two-round loop)
-    val canonical = a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
-      .localCheckpoint()
-    val edges = canonical.unionAll(
-      canonical.select(col("dst").as("src"), col("src").as("dst")))
-    val nParts = Tables(s, dir, "part")
-      .agg(count(lit(1)).cast("double").as("n"))
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val contrib = edges.join(outdeg, "src")
-      .crossJoin(broadcast(nParts))
-      .groupBy(col("dst").as("p_partkey"))
-      .agg(sum(lit(1.0) / col("n") / col("outdeg")).as("in_sum"),
-        first(col("n")).as("n"))
-    contrib
-      .select(col("p_partkey"),
-        round(lit(0.15) / col("n") + lit(0.85) * col("in_sum"), 8).as("rank"))
-      .orderBy(col("rank").desc, col("p_partkey"))
-      .limit(20)
-  }
+  def pagerankStep(s: SparkSession, dir: String): DataFrame =
+    // ONE audited shape serves every PageRank entry: rounds=1 of the
+    // checkpointed canonical-pair loop below (review r7 — the bespoke
+    // single-step query had drifted slower than the two-round loop;
+    // sharing [[pagerankIterate]] makes that impossible by construction)
+    pagerankIterate(s, dir, rounds = 1)
 
+  /** N=1 unroll of [[pagerank2StepOracle]]'s CTE chain: every part keeps a
+    * row (the teleport floor), matching the loop's left-join+coalesce. */
   val pagerankStepOracle: String =
     """WITH edges AS (
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -1292,12 +1270,17 @@ object AnalyticsOps {
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
       |np AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM part),
       |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-      |contrib AS (
-      |  SELECT dst AS p_partkey, sum(1.0 / n / outdeg) AS in_sum, any_value(n) AS n
-      |  FROM edges JOIN outdeg USING (src), np
-      |  GROUP BY dst)
-      |SELECT p_partkey, round(0.15 / n + 0.85 * in_sum, 8) AS rank
-      |FROM contrib
+      |r0 AS (SELECT p_partkey, 1.0 / n AS rank FROM part, np),
+      |c1 AS (
+      |  SELECT e.dst, sum(r0.rank / o.outdeg) AS in_sum
+      |  FROM edges e JOIN outdeg o ON e.src = o.src
+      |  JOIN r0 ON r0.p_partkey = e.src
+      |  GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT p.p_partkey,
+      |         round(0.15 / n + 0.85 * coalesce(c1.in_sum, 0), 10) AS rank
+      |  FROM part p LEFT JOIN c1 ON c1.dst = p.p_partkey, np)
+      |SELECT p_partkey, round(rank, 8) AS rank FROM r1
       |ORDER BY rank DESC, p_partkey LIMIT 20""".stripMargin
 
   /** Multi-iteration PageRank over the part co-purchase graph —
@@ -1321,7 +1304,7 @@ object AnalyticsOps {
     val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val a = li.as("a"); val b = li.as("b")
     // canonical u<v + mirror: the distinct shuffles half the pair volume
-    // (same rewrite as [[pagerankStep]], measured 1.75× there)
+    // (measured 1.75× over the naive ≠-join when introduced in r7)
     val canonical = a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))

@@ -69,4 +69,25 @@ class CacheHygieneSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
+
+  test("iterative queries pin only bounded checkpoint blocks, all droppable") {
+    // the iterative drivers (graph loops, curation) mint localCheckpoints
+    // at plan CONSTRUCTION; Bench drops them between reps via
+    // getPersistentRDDs ++ unpersist. Pin both halves of that contract:
+    // (a) one construction pins a BOUNDED number of RDDs (a leak here
+    // compounds across bench reps — the bfs_2step rep-drift suspicion,
+    // VERDICT r7 #7), and (b) the bench-style unpersist empties the map.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    for (name <- Seq("bfs_2step", "pagerank_step", "dedup_clusters",
+        "corpus_curation")) {
+      run(name)
+      val pinned = spark.sparkContext.getPersistentRDDs
+      assert(pinned.size <= 24,
+        s"$name pinned ${pinned.size} RDDs in one construction — unbounded " +
+          "checkpoint retention compounds across bench reps")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"$name left undroppable persistent RDDs")
+    }
+  }
 }

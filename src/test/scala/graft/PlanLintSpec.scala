@@ -161,9 +161,12 @@ class PlanLintSpec extends AnyFunSuite {
       "multimodal_meta" -> 1,     // narrow map, sort only
       // heaviest-query shapes pinned (VERDICT r4 polish): a refactor that
       // adds an exchange to either should fail loudly, not ship quietly
-      "pagerank_step" -> 6,       // edge distinct, outdeg agg, outdeg join,
-                                  // contrib agg + partials; top-20 is
-                                  // TakeOrdered, no sort exchange
+      "pagerank_step" -> 6,       // = pagerankIterate(rounds=1): edge/
+                                  // outdeg/rank frames localCheckpoint at
+                                  // construction so the planned tail is
+                                  // small; 6 is a safe upper bound.
+                                  // top-20 is TakeOrdered, no sort
+                                  // exchange
       "dedup_editdistance" -> 2,  // prefix-block join broadcasts; one
                                   // survivor-set boundary exchange (+sort)
       "trailing_30d_spend" -> 2,  // one customer-keyed window shuffle
