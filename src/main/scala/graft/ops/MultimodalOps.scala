@@ -5,12 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §7.5): image/audio/video payloads
   * as opaque `binary` columns with typed metadata, decoded batch-wise on
-  * executors. No media libraries exist in this container, so the decoder is
-  * a CLEARLY-MARKED deterministic stub ([[FakeDecoder]]) — the Spark-side
-  * contract (schema, partition-wise batching, feature shape) is real and
-  * tested; swapping in a real JNI/JavaCV decoder changes only the stub body.
+  * executors.
   *
-  * The test stand-in payload derives from `documents.text` bytes; in
+  * IMAGE decode is REAL as of r8: [[graft.functions.ImageCodec]] drives the
+  * JDK's built-in `javax.imageio` PNG codec (no external libraries needed),
+  * and `multimodal_decode` round-trips actual PNG bytes — synthesized from
+  * closed-form pixel arithmetic so a DuckDB oracle can value-check the
+  * decode (PNG is lossless, so decoded pixels ≡ the formula). Audio/video
+  * decode remains a CLEARLY-MARKED deterministic stub ([[FakeDecoder]]) —
+  * no audio/video codec ships with the JDK; the Spark-side contract
+  * (schema, partition-wise batching, feature shape) is real and tested, and
+  * swapping in a JavaCV/ffmpeg decoder changes only the stub body.
+  *
+  * The stand-in audio/video payload derives from `documents.text` bytes; in
   * production payloads arrive via `spark.read.format("binaryFile")` or
   * parquet binary columns.
   *
@@ -20,16 +27,18 @@ import org.apache.spark.sql.functions._
   * never touch the decoder.
   */
 object MultimodalOps {
+  import graft.functions.ImageCodec
 
   final case class MediaFeatures(
       doc_id: Long, media_type: String, byte_len: Int, sha256: String,
       width: Int, height: Int, resized_w: Int, resized_h: Int,
       n_frames: Int, features: Array[Float])
 
-  /** STUB decoder — deterministic fake. A real build replaces this body
-    * with an actual image/audio decode; everything else is production
-    * plumbing. Dimensions derive from content length, "features" are a
-    * 16-dim byte-histogram-ish projection of the payload.
+  /** STUB decoder for AUDIO/VIDEO payloads (images use the real
+    * [[graft.functions.ImageCodec]]) — deterministic fake. A real build
+    * replaces this body with an actual audio/video decode; everything else
+    * is production plumbing. Dimensions derive from content length,
+    * "features" are a 16-dim byte-histogram-ish projection of the payload.
     */
   object FakeDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
@@ -92,7 +101,10 @@ object MultimodalOps {
 
   /** Decode/feature-extract over partition-wise batches (the Scala analog of
     * mapInPandas: one iterator per partition, vectorizable inside). Typed
-    * output via the MediaFeatures encoder. Rows-only (stub-dependent).
+    * output via the MediaFeatures encoder. Image payloads that decode as a
+    * real ImageIO format take the REAL codec path (true dims + luminance
+    * histogram); everything else (audio/video, non-image bytes) falls back
+    * to the documented stub.
     */
   def extractFeatures(media: DataFrame, frameBytes: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -104,7 +116,12 @@ object MultimodalOps {
         // so sequential reuse is safe and avoids a per-row allocation
         val md = java.security.MessageDigest.getInstance("SHA-256")
         batch.map { case (id, mtype, payload) =>
-          val (w, h, feats) = FakeDecoder.decode(payload)
+          val real =
+            if (mtype == "image") ImageCodec.decode(payload) else None
+          val (w, h, feats) = real match {
+            case Some(d) => (d.width, d.height, d.lumaHist)
+            case None    => FakeDecoder.decode(payload)
+          }
           val (rw, rh) = FakeDecoder.resizeFit(w, h, 224)
           MediaFeatures(id, mtype, payload.length,
             md.digest(payload).map("%02x".format(_)).mkString,
@@ -116,12 +133,73 @@ object MultimodalOps {
       }
   }
 
-  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
-    extractFeatures(mediaTable(s, dir)).toDF()
-      .select(col("doc_id"), col("media_type"), col("byte_len"),
-        col("sha256"), col("width"), col("height"), col("n_frames"),
-        round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+  /** Deterministic synthetic image corpus: pixel (x,y) of doc d is the
+    * closed-form [[graft.functions.ImageCodec.synthRgb]] arithmetic,
+    * ENCODED to real PNG bytes executor-side. Narrow mapPartitions — the
+    * image build parallelizes like any media ingest.
+    */
+  def syntheticImages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0) // the mediaTable "image" stratum
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h) = ImageCodec.synthDims(id)
+          (id, ImageCodec.encodePng(w, h, (x, y) => ImageCodec.synthRgb(id, x, y)))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL image decode, value-oracle-backed: encode the synthetic corpus to
+    * PNG, decode it back through `javax.imageio`, and emit integer-exact
+    * per-channel pixel sums. PNG is lossless, so the decoded sums equal the
+    * pixel formula's — which the oracle computes in closed form (per-pixel
+    * unnest over the ≤16×14 grids) WITHOUT any codec. A broken decode
+    * (wrong dims, channel swap, stride bug, color-space drift) breaks the
+    * hash match; a payload that fails to decode throws rather than
+    * degrading to the stub.
+    */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    syntheticImages(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, png) =>
+          val d = ImageCodec.decode(png).getOrElse(
+            throw new IllegalStateException(s"doc $id: payload is not a decodable image"))
+          (id, d.width, d.height, d.width.toLong * d.height,
+            d.sumR, d.sumG, d.sumB)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b")
       .orderBy("doc_id")
+  }
+
+  /** Closed-form transliteration of [[graft.functions.ImageCodec.synthRgb]]
+    * + [[graft.functions.ImageCodec.synthDims]] — no codec on the oracle
+    * side, which is the point: two independent routes to the same pixels.
+    */
+  val multimodalDecodeOracle: String =
+    """WITH imgs AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 9 AS INT) AS width,
+      |         CAST(8 + (doc_id * 3) % 7 AS INT) AS height
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT i.doc_id, i.width, i.height, gx.x, gy.y
+      |  FROM imgs i
+      |  JOIN (SELECT unnest(generate_series(0, 15)) AS x) gx ON gx.x < i.width
+      |  JOIN (SELECT unnest(generate_series(0, 13)) AS y) gy ON gy.y < i.height)
+      |SELECT doc_id, width, height,
+      |       CAST(count(*) AS BIGINT) AS n_px,
+      |       CAST(sum((doc_id * 7 + x * 13 + y * 31) % 256) AS BIGINT) AS sum_r,
+      |       CAST(sum((doc_id * 11 + x * 17 + y * 23) % 256) AS BIGINT) AS sum_g,
+      |       CAST(sum((doc_id * 5 + x * 29 + y * 19) % 256) AS BIGINT) AS sum_b
+      |FROM px
+      |GROUP BY doc_id, width, height
+      |ORDER BY doc_id""".stripMargin
 
   /** Frame sampling over video payloads: fixed 64-byte "frames" via binary
     * substring + sequence/posexplode, keeping every 4th frame — the Spark
@@ -227,6 +305,7 @@ object MultimodalOps {
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaOracle,
+    "multimodal_decode" -> multimodalDecodeOracle,
     "multimodal_frames" -> multimodalFramesOracle,
     "multimodal_resize" -> multimodalResizeOracle)
 }

@@ -28,4 +28,50 @@ class MultimodalOpsSpec extends AnyFunSuite {
       assert(decoded(id) == p, s"doc $id: planned=$p decoded=${decoded(id)}")
     }
   }
+
+  test("ImageCodec round-trips real PNG bytes losslessly") {
+    import graft.functions.ImageCodec
+    for (id <- Seq(0L, 3L, 42L, 999L)) {
+      val (w, h) = ImageCodec.synthDims(id)
+      val png = ImageCodec.encodePng(w, h, (x, y) => ImageCodec.synthRgb(id, x, y))
+      // a real PNG container, not a fake: 8-byte magic per the PNG spec
+      assert((png.take(8).map(_ & 0xff) sameElements
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)), s"doc $id: not a PNG")
+      val d = ImageCodec.decode(png).getOrElse(fail(s"doc $id: decode failed"))
+      assert(d.width == w && d.height == h)
+      // closed-form channel sums — what the multimodal_decode oracle pins
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = ImageCodec.synthRgb(id, x, y)
+        er += (p >> 16) & 0xff; eg += (p >> 8) & 0xff; eb += p & 0xff
+      }
+      assert((d.sumR, d.sumG, d.sumB) == ((er, eg, eb)), s"doc $id: channel sums")
+      assert(d.lumaHist.sum.toLong == w.toLong * h, s"doc $id: histogram mass")
+    }
+  }
+
+  test("ImageCodec rejects non-image bytes (the stub-fallback seam)") {
+    import graft.functions.ImageCodec
+    assert(ImageCodec.decode("not an image at all".getBytes).isEmpty)
+    assert(ImageCodec.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("image media rows take the real-codec path when payloads are PNGs") {
+    import graft.functions.ImageCodec
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // a media table whose image payloads ARE real PNGs: decode must report
+    // the true raster dims, not the stub's length-derived fake dims
+    val media = MultimodalOps.syntheticImages(spark, dir)
+      .withColumn("media_type", lit("image"))
+      .select(col("doc_id"), col("media_type"), col("payload"))
+    val feats = MultimodalOps.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val (w, h) = ImageCodec.synthDims(f.doc_id)
+      assert((f.width, f.height) == ((w, h)),
+        s"doc ${f.doc_id}: real decode expected ${(w, h)}, got ${(f.width, f.height)}")
+      assert(f.features.sum.toLong == w.toLong * h, "luma histogram mass")
+    }
+  }
 }
