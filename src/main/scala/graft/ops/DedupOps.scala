@@ -399,33 +399,50 @@ object DedupOps {
   }
 
   /** Shingle-based MinHash LSH (the brief's literal
-    * shingle→minhash→band→bucket-join): set elements are 5-token Rabin–Karp
-    * rolling-hash fingerprints (order-sensitive, unlike the word-set
-    * variant), minhashed/banded/verified with the same machinery —
-    * RollingShingleHash ∘ MinHashSignature are both narrow maps, so
-    * everything before the band join stays shuffle-free. Rows-only
-    * (hash-dependent); consistency vs exact shingle-Jaccard in DedupOpsSpec.
+    * shingle→minhash→band→bucket-join): set elements are 5-token shingles
+    * (order-sensitive, unlike the word-set variant), identified by 60-bit
+    * md5 prefixes, minhashed by the ENGINE-INDEPENDENT affine family
+    * ([[graft.functions.expressions.AffineMinHash]] — one narrow pass, md5-
+    * derived constants), banded by 60-bit md5 band hashes, and verified
+    * with exact Jaccard. Every hash is md5-derived, so the ENTIRE pipeline
+    * — signature, banding, candidates, verify — is transliterated into the
+    * DuckDB oracle and value-checked end-to-end (the winnowing trick of r7
+    * applied to MinHash; this family was rows-only through r7 because
+    * xxhash64 has no ANSI-SQL equivalent). Everything before the band join
+    * stays shuffle-free; consistency vs exact shingle-Jaccard additionally
+    * in DedupOpsSpec.
+    *
+    * Two hash widths, deliberately: EXACT-verify set elements keep 60 bits
+    * (corpus-scale birthday-safe), while the signature reduces them mod 2³²
+    * inside AffineMinHash (A·m+B must not overflow signed 64 on either
+    * engine) — a signature collision only ever ADDS a candidate, which
+    * exact verify then scores correctly.
     */
   def dedupMinhashShingle(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
-    import graft.functions.expressions.{MinHashSignature, RollingShingleHash}
+    import graft.functions.expressions.{AffineMinHash, Md5ShingleId}
     val nHashes = 48; val bands = 4; val rowsPerBand = nHashes / bands
     val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(normText(col("text")), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 5)
+      // one digest pass per window (native Md5ShingleId) — the equivalent
+      // conv∘md5∘array_join∘slice built-in chain allocates five
+      // intermediates per shingle and measured 10× this query's budget
       .select(col("doc_id"),
-        array_distinct(bc(RollingShingleHash(be(
-          transform(split(normText(col("text")), " "), t => xxhash64(t))),
-          k = 5))).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+        array_distinct(bc(Md5ShingleId(be(col("tokens")), k = 5)))
+          .as("shingles"))
     // no .cache() on docs/banded — same exchange-reuse shape as
     // dedupMinhashLsh (see the comments there)
     val sig = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"),
-      bc(MinHashSignature(be(col("shingles")), nHashes)).as("sig"))
-    // single-long band hashes + first-agreeing-band dedup filter instead of
-    // a distinct exchange; array inlined in the posexplode so the inferred
-    // generate filters constant-fold — same construction as dedupMinhashLsh
+      bc(AffineMinHash(be(col("shingles")), nHashes)).as("sig"))
+    // 60-bit md5 band hashes (long join keys, not 32-char strings) +
+    // first-agreeing-band dedup filter instead of a distinct exchange;
+    // array inlined in the posexplode so the inferred generate filters
+    // constant-fold — same construction as dedupMinhashLsh
     def bandArr = array((0 until bands).map(bnd =>
-      xxhash64((0 until rowsPerBand).map(r =>
-        col("sig")(bnd * rowsPerBand + r)): _*)): _*)
+      conv(substring(md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+        col("sig")(bnd * rowsPerBand + r)): _*)), 1, 15), 16, 10)
+        .cast("long")): _*)
     val banded = sig.select(col("doc_id"), col("n_sh"), bandArr.as("bhs"),
       posexplode(bandArr))
       .select(col("doc_id"), col("n_sh"), col("bhs"),
@@ -458,6 +475,63 @@ object DedupOps {
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Full transliteration of [[dedupMinhashShingle]] — shingling, affine
+    * signature (constants INTERPOLATED from the same
+    * [[graft.functions.expressions.AffineMinHash]] schedule, the LayoutOps
+    * single-source discipline), banding, candidate join, exact verify. The
+    * size-ratio and first-agreeing-band prunes are lossless/dedup-only, so
+    * the oracle states the definitional form (DISTINCT band-collision
+    * pairs) instead.
+    */
+  val dedupMinhashShingleOracle: String = {
+    import graft.functions.expressions.AffineMinHash
+    val norm = normTextOracle("text")
+    val nHashes = 48; val bands = 4; val rowsPerBand = nHashes / bands
+    val sigCols = (0 until nHashes).map(j =>
+      s"min((${AffineMinHash.A(j)} * (m % 4294967296) + " +
+        s"${AffineMinHash.B(j)}) % 4294967296) AS s$j")
+      .mkString(",\n         ")
+    val bandSelects = (0 until bands).map { bnd =>
+      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(j => s"s$j").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, " +
+        s"('0x' || substr(md5(concat_ws(',', $cols)), 1, 15))::BIGINT AS bsig " +
+        "FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS tokens FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(array_to_string(tokens[i:i+4], ' ')), 1, 15))::BIGINT AS m
+       |  FROM toks, LATERAL unnest(generate_series(1, len(tokens) - 4)) t(i)
+       |  WHERE len(tokens) >= 5),
+       |sh AS (SELECT DISTINCT doc_id, m FROM sh0),
+       |szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS n_i
+       |  FROM pairs p
+       |  JOIN sh x ON x.doc_id = p.doc_a
+       |  JOIN sh y ON y.doc_id = p.doc_b AND y.m = x.m
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |       round(CAST(i.n_i AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_i), 6) AS jaccard
+       |FROM inter i
+       |JOIN szs na ON na.doc_id = i.doc_a
+       |JOIN szs nb ON nb.doc_id = i.doc_b
+       |WHERE CAST(i.n_i AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_i) >= 0.8
+       |ORDER BY i.doc_a, i.doc_b""".stripMargin
   }
 
   /** The wide composition MinHashSignature replaced — kept ONLY as the
@@ -726,5 +800,6 @@ object DedupOps {
     "semdedup" -> semDedupOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
-    "dedup_embedding_cosine" -> dedupEmbeddingCosineOracle)
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineOracle,
+    "dedup_minhash_shingle" -> dedupMinhashShingleOracle)
 }

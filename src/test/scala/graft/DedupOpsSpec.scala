@@ -51,8 +51,8 @@ class DedupOpsSpec extends AnyFunSuite {
       assert(r.getLong(0) < r.getLong(1))
     }
     // independent ground truth: string shingles via Scala sliding windows
-    // (a completely different code path from RollingShingleHash — hash
-    // collisions are the only permissible divergence, at ~2^-64)
+    // (a completely different code path from the md5-prefix shingle ids —
+    // hash collisions are the only permissible divergence, at ~2^-60)
     val texts = graft.ops.Tables(spark, dir, "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) ->

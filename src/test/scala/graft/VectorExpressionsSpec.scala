@@ -176,6 +176,51 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("Md5ShingleId == conv/md5/array_join/slice built-in composition, bit for bit") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.expressions.Md5ShingleId
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(DedupOps.normText(col("text")), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 5)
+    val composed = transform(sequence(lit(1), size(col("tokens")) - 4),
+      i => conv(substring(md5(array_join(slice(col("tokens"), i, lit(5)), " ")),
+        1, 15), 16, 10).cast("long"))
+    val diffs = docs.select(
+        ColumnBridge.column(Md5ShingleId(
+          ColumnBridge.expression(col("tokens")), k = 5)).as("native"),
+        composed.as("composed"))
+      .filter(!(col("native") <=> col("composed"))).count()
+    assert(diffs == 0L)
+  }
+
+  test("AffineMinHash == transform/array_min HOF composition, bit for bit") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.expressions.AffineMinHash
+    val nHashes = 48
+    // same 60-bit md5 shingle prehash the shipped query feeds it
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(DedupOps.normText(col("text")), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 5)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("tokens")) - 4),
+          i => conv(substring(md5(array_join(slice(col("tokens"), i, lit(5)), " ")),
+            1, 15), 16, 10).cast("long"))).as("sh"))
+    // composition: one array_min per hash function over the affine map —
+    // built-ins only, a completely independent evaluation path
+    val composedCol = array((0 until nHashes).map { j =>
+      coalesce(array_min(transform(col("sh"),
+        m => (lit(AffineMinHash.A(j)) * (m % AffineMinHash.Mod) +
+          lit(AffineMinHash.B(j))) % AffineMinHash.Mod)),
+        lit(Long.MaxValue))
+    }: _*)
+    val diffs = docs.select(
+        ColumnBridge.column(AffineMinHash(
+          ColumnBridge.expression(col("sh")), nHashes)).as("native"),
+        composedCol.as("composed"))
+      .filter(!(col("native") <=> col("composed"))).count()
+    assert(diffs == 0L)
+  }
+
   test("SignLshBuckets == per-plane zip_with/aggregate composition, bit for bit") {
     val vecs = graft.ops.Tables(spark, dir, "embeddings")
       .select(col("vec_id"), VectorFunctions.toDoubleArray(col("embedding")).as("v"))
