@@ -58,4 +58,49 @@ class JdbcSinkIntegrationSpec extends AnyFunSuite {
       assert(rs.getInt(1) == 1)
     } finally conn.close()
   }
+
+  test("resilient sink: poisoned rows are skipped mid-batch, not fatal (K3 fidelity)") {
+    import spark.implicits._
+    import graft.io.ResilientJdbcTableSink
+    val dbDir = Files.createTempDirectory("graft-derby-r").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    // pre-created table with constraints Spark can't pre-validate away:
+    // a PRIMARY KEY and a NOT NULL column — the reference's real-world
+    // mid-load failure modes (CSVtoSQLimport.ps1:242-251)
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE STOCK (
+          |  ITEMID BIGINT PRIMARY KEY,
+          |  ITEMNAME VARCHAR(100) NOT NULL,
+          |  LASTSOLD VARCHAR(30))""".stripMargin)
+    } finally conn.close()
+
+    val sink = new ResilientJdbcTableSink(cfg(), urlOverride = Some(url),
+      quoteName = false, batchSize = 4)
+    // 8 rows, two poisoned: a duplicate PK (id 3) and a null NOT NULL name
+    val rows = Seq[(Long, String, String)](
+      (1L, "A", "2024-01-01"), (2L, "B", "2024-01-02"),
+      (3L, "C", "2024-01-03"), (3L, "C-dup", "2024-01-03"),
+      (4L, "D", "2024-01-04"), (5L, null, "2024-01-05"),
+      (6L, "F", "2024-01-06"), (7L, "G", "2024-01-07"))
+    val skipped = sink.writeSkippingErrors(
+      rows.toDF("ITEMID", "ITEMNAME", "LASTSOLD").coalesce(1), "STOCK")
+    assert(skipped == 2, s"expected 2 skipped rows, got $skipped")
+    val landed = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "STOCK").load()
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(landed.toSeq ==
+      Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "D"), (6L, "F"), (7L, "G")),
+      "healthy rows must land exactly once around the poisoned ones")
+
+    // truncate-on-rewrite still holds for the resilient path
+    val skipped2 = sink.writeSkippingErrors(
+      Seq((9L, "OnlyRow", "2024-02-01")).toDF("ITEMID", "ITEMNAME", "LASTSOLD"),
+      "STOCK")
+    assert(skipped2 == 0)
+    val after = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "STOCK").load().collect()
+    assert(after.map(_.getLong(0)).toSeq == Seq(9L))
+  }
 }
