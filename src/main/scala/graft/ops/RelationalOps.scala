@@ -593,7 +593,12 @@ object RelationalOps {
     * window over the PRICE-CARDINALITY table (not the data), then a
     * price-keyed join back. The only non-scaling step is the window over
     * distinct prices — the inherent sequential frontier scan, on a table
-    * the size of the price domain. The oracle IS the quadratic
+    * the size of the price domain, which is BOUNDED BY CONSTRUCTION:
+    * TPC-H defines p_retailprice = (90000 + (partkey/10 mod 20001) +
+    * 100·(partkey mod 1000)) / 100, giving ≤ ~120k distinct cent values
+    * at ANY scale factor — the window input cannot grow with the data
+    * (whitelisted as an aggregate-bounded no-partition window in
+    * PlanLintSpec). The oracle IS the quadratic
     * NOT EXISTS, so the gate proves the window formulation exact,
     * duplicate and tie semantics included (equal points do not dominate
     * each other; both survive).

@@ -732,7 +732,13 @@ object SimilarityOps {
       .agg(round(sum(col("pd")), 6).as("approx_dist"))
   }
 
-  val annPqTopkOracle: String = {
+  /** The shared e/subs/cb/enc/codes/adc/approx CTE chain of the two PQ
+    * oracles — a NAMED val (the WinnowOps.oracleSel pattern) so
+    * [[annPqTopkOracle]] and [[annPqRerankOracle]] compose from one
+    * definition instead of substring surgery (ADVICE r7: an indexOf-based
+    * splice threw or silently mis-spliced on any rewording).
+    */
+  private val pqAdcChain: String = {
     val norm = graft.functions.VectorFunctions.normalizeOracle("embedding")
     s"""WITH e AS (SELECT vec_id, $norm AS v FROM embeddings),
        |subs AS (
@@ -765,7 +771,11 @@ object SimilarityOps {
        |  FROM codes c JOIN adc a
        |    ON a.q_sub = c.sub_id AND a.cid = c.code
        |   AND c.vec_id <> a.query_id
-       |  GROUP BY a.query_id, c.vec_id)
+       |  GROUP BY a.query_id, c.vec_id)""".stripMargin
+  }
+
+  val annPqTopkOracle: String =
+    s"""$pqAdcChain
        |SELECT query_id, rank, neighbor_id,
        |       round(approx_dist, 4) AS approx_dist FROM (
        |  SELECT query_id, vec_id AS neighbor_id, approx_dist,
@@ -773,7 +783,6 @@ object SimilarityOps {
        |           ORDER BY approx_dist, vec_id) AS rank
        |  FROM approx)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
-  }
 
   /** IVF + PQ, composed (the FAISS IVFPQ architecture — Jégou PAMI'11
     * §V): the learned coarse quantizer of [[annIvfProbe]] prunes the
@@ -946,13 +955,9 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
-  val annPqRerankOracle: String = {
-    val norm = graft.functions.VectorFunctions.normalizeOracle("embedding")
-    // reuse the ADC CTE chain of annPqTopkOracle up to `approx`, then
-    // shortlist + exact re-rank
-    val adcChain = annPqTopkOracle
-      .substring(0, annPqTopkOracle.indexOf("SELECT query_id, rank,"))
-    s"""${adcChain.trim},
+  val annPqRerankOracle: String =
+    // the shared ADC chain up to `approx`, then shortlist + exact re-rank
+    s"""$pqAdcChain,
        |shortlist AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
@@ -974,7 +979,6 @@ object SimilarityOps {
        |           ORDER BY cos DESC, vec_id) AS rank
        |  FROM rer)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
-  }
 
   /** Embedding-space outlier pruning — the centroid-distance quality
     * filter (the SemDeDup paper's sibling operation: instead of dropping

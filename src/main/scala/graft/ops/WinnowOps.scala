@@ -133,8 +133,7 @@ object WinnowOps {
        |     OR i <= n_sh - ${W - 1})""".stripMargin
   }
 
-  val winnowFingerprintOracle: String = {
-    val norm = DedupOps.normTextOracle("text")
+  val winnowFingerprintOracle: String =
     s"""WITH $oracleSel,
        |cnt AS (SELECT doc_id, count(*) AS n_fingerprints FROM sel
        |        GROUP BY doc_id)
@@ -143,7 +142,6 @@ object WinnowOps {
        |       coalesce(c.n_fingerprints, 0) AS n_fingerprints
        |FROM toks t LEFT JOIN cnt c USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
-  }
 
   /** Cross-document substring-reuse pairs: documents sharing ≥ [[MinShared]]
     * winnowed fingerprints, stop-fingerprints (df > [[MaxDf]]) dropped

@@ -98,6 +98,57 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows.values.sum == total + inserted)
   }
 
+  test("bm25_search: multi-candidate ranking, tie-break, and top-20 cut " +
+      "(crafted corpus — the sf corpus yields only 1 candidate, ADVICE r7)") {
+    import java.nio.file.Files
+    // 26 docs: doc 0 (the query doc by the most-pairable/min-id rule)
+    // carries a 30-token run; docs 1..25 each embed the run's first 10
+    // tokens (→ 6 shared 5-token shingles, tf=1 each) plus unique padding
+    // of length 5 + (i mod 12) — so scores strictly decrease with padding
+    // length (BM25 dl-normalization) and equal-padding docs TIE, pinning
+    // the doc_id tie-break; 25 candidates exercises the top-20 cut.
+    val run = (1 to 30).map(i => s"c$i").mkString(" ")
+    val head10 = (1 to 10).map(i => s"c$i").mkString(" ")
+    val texts = run +: (1 to 25).map { i =>
+      val pad = (1 to (5 + i % 12)).map(j => s"u${i}x$j").mkString(" ")
+      s"$head10 $pad"
+    }
+    val d = Files.createTempDirectory("graft-bm25").toString
+    spark.createDataFrame(texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "spec", t.length.toLong)
+      }).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    // independent Scala BM25 with the query's exact rounding discipline
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val shingles = texts.map(_.split(" ").toSeq.sliding(5).map(_.mkString(" ")).toSeq)
+    val tf = shingles.zipWithIndex.flatMap { case (ss, id) =>
+      ss.groupBy(identity).map { case (s2, g) => (id.toLong, s2, g.size) } }
+    val dfm = tf.groupBy(_._2).map { case (s2, g) => s2 -> g.size }
+    val dl = tf.groupBy(_._1).map { case (id, g) => id -> g.map(_._3).sum.toLong }
+    val nDocs = dl.size
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val qterms = tf.filter(t => t._1 == 0L &&
+      dfm(t._2) >= 2 && dfm(t._2) <= 50).map(_._2).toSet
+    assert(qterms.size == 6, s"crafted corpus broke: ${qterms.size} query terms")
+    val expected = tf.filter(t => t._1 != 0L && qterms(t._2))
+      .groupBy(_._1).map { case (id, g) =>
+        val score = r(g.map { case (_, s2, f) =>
+          val idf = r(math.log(1.0 + (nDocs - dfm(s2) + 0.5) / (dfm(s2) + 0.5)), 6)
+          r(idf * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)), 6)
+        }.sum, 4)
+        (id, dl(id), g.size.toLong, score)
+      }.toSeq.sortBy(x => (-x._4, x._1)).take(20)
+    assert(expected.size == 20 && expected.map(_._4).distinct.size < 20,
+      "corpus must overflow the top-20 AND contain score ties")
+
+    val got = graft.ops.AnalyticsOps.bm25Search(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toSeq
+    assert(got == expected,
+      s"bm25 ranking mismatch:\n got      $got\n expected $expected")
+  }
+
   test("pagerank_step: ranks positive, descending, and bounded by damping") {
     val rows = graft.ops.AnalyticsOps
       .pagerankStep(spark, "/root/testdata/sf0.01").collect()
