@@ -151,7 +151,8 @@ class XlsxPartitionReader(p: XlsxInputPartition,
   }.getOrElse(throw new IllegalArgumentException(
     s"sheet '$sheetName' not found in ${p.path}"))
   private val shared = XlsxParser.sharedStrings(zip)
-  private val allRows = XlsxParser.rows(zip, entry, shared)
+  private val allRows =
+    XlsxParser.rows(zip, entry, shared, XlsxParser.dateStyles(zip))
   // THIS file's header row maps required column NAMES to its own column
   // positions — files in a directory load may order columns differently,
   // and positional mapping from the schema-inference file would silently

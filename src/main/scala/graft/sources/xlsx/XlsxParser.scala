@@ -9,10 +9,17 @@ import scala.collection.mutable
   * `java.util.zip` + StAX — because no POI/spark-excel jar ships in the
   * offline image (SURVEY.md §7.3). Scope mirrors what the reference's
   * `Import-Excel` consumes (/root/reference/ExcelToCSVexport.ps1:171,192):
-  * sheet names, shared strings, and cached cell values `<v>` — formulas are
-  * never evaluated (the reference reads cached values likewise), styles are
-  * ignored, date serials stay numeric strings feeding the Excel-serial
-  * conversion exactly as the reference's CSV flow does.
+  * sheet names, shared strings, cached cell values `<v>` (formulas are
+  * never evaluated; the reference reads cached values likewise), and —
+  * as of r8 — DATE-STYLED numeric cells: `Import-Excel` materializes
+  * date-formatted cells as DateTime values, so cells whose style resolves
+  * to a date number format render as `yyyy-MM-dd HH:mm:ss` strings using
+  * the REAL Excel epoch (1899-12-30, .NET `FromOADate` semantics — what
+  * Import-Excel produces), while unstyled serials stay numeric strings
+  * feeding the F-D1 conversion exactly as the reference's CSV flow does.
+  * (F-D1 itself keeps the reference's hard-coded 1900-01-01 epoch —
+  * SURVEY §7.6.1 documents that deliberate 2-day divergence; this path
+  * mirrors Import-Excel, not CSVtoSQLimport.)
   */
 object XlsxParser {
 
@@ -102,15 +109,79 @@ object XlsxParser {
     } finally xml.close()
   }
 
+  /** Style ids (cellXfs positions) whose number format is a DATE format:
+    * builtin ids 14–22/45–47 or a custom format code containing a
+    * date/time token after literal sections (`[...]`, `"..."`, `\x`) are
+    * stripped — the standard spreadsheet-reader heuristic (POI uses the
+    * same shape). Missing styles.xml → empty set (no date rendering).
+    */
+  def dateStyles(zip: ZipFile): Set[Int] = {
+    val entry = zip.getEntry("xl/styles.xml")
+    if (entry == null) return Set.empty
+    val xml = factory.createXMLStreamReader(zip.getInputStream(entry))
+    try {
+      val customDate = mutable.Set[Int]()
+      val xfFmts = mutable.ArrayBuffer[Int]()
+      var inCellXfs = false
+      while (xml.hasNext) {
+        xml.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            xml.getLocalName match {
+              case "numFmt" =>
+                for (id <- attr(xml, "numFmtId"); code <- attr(xml, "formatCode")) {
+                  val stripped = code
+                    .replaceAll("\\[[^\\]]*\\]", "")
+                    .replaceAll("\"[^\"]*\"", "")
+                    .replaceAll("\\\\.", "")
+                  if (stripped.exists(ch => "ymdhYMDH".indexOf(ch) >= 0))
+                    customDate += id.toInt
+                }
+              case "cellXfs" => inCellXfs = true
+              case "xf" if inCellXfs =>
+                xfFmts += attr(xml, "numFmtId").map(_.toInt).getOrElse(0)
+              case _ =>
+            }
+          case XMLStreamConstants.END_ELEMENT if xml.getLocalName == "cellXfs" =>
+            inCellXfs = false
+          case _ =>
+        }
+      }
+      def isDate(fmt: Int): Boolean =
+        (fmt >= 14 && fmt <= 22) || (fmt >= 45 && fmt <= 47) ||
+          customDate.contains(fmt)
+      xfFmts.zipWithIndex.collect { case (fmt, i) if isDate(fmt) => i }.toSet
+    } finally xml.close()
+  }
+
+  /** Excel serial → `yyyy-MM-dd HH:mm:ss` via the REAL Excel epoch
+    * (1899-12-30; .NET `DateTime.FromOADate`, which Import-Excel returns,
+    * rounds to the nearest millisecond). Out-of-range/unparseable → None
+    * (caller keeps the raw string, like Import-Excel surfacing the error
+    * value verbatim).
+    */
+  private val dtFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss")
+  def excelSerialToDateTime(raw: String): Option[String] =
+    raw.trim.toDoubleOption
+      .filter(v => v >= 0 && v < 2958466) // < 10000-01-01
+      .map { v =>
+        val millis = math.round(v * 86400000.0)
+        java.time.LocalDateTime.of(1899, 12, 30, 0, 0)
+          .plus(millis, java.time.temporal.ChronoUnit.MILLIS)
+          .format(dtFmt)
+      }
+
   /** One parsed sheet row: 1-based row number + cells by 0-based column. */
   final case class SheetRow(rowNum: Long, cells: Map[Int, String])
 
   /** Streams rows of one worksheet entry. All values are strings (§1.2
     * universal cell type): shared strings resolved, booleans as TRUE/FALSE,
-    * numerics as their raw `<v>` text.
+    * numerics as their raw `<v>` text — except numeric cells whose style is
+    * in `dateStyleIds`, which render as `yyyy-MM-dd HH:mm:ss` (the
+    * Import-Excel DateTime materialization; see the object scaladoc).
     */
-  def rows(zip: ZipFile, sheetEntry: String,
-      shared: IndexedSeq[String]): Iterator[SheetRow] = {
+  def rows(zip: ZipFile, sheetEntry: String, shared: IndexedSeq[String],
+      dateStyleIds: Set[Int] = Set.empty): Iterator[SheetRow] = {
     val entry = zip.getEntry(sheetEntry)
     require(entry != null, s"worksheet entry not found: $sheetEntry")
     val xml = factory.createXMLStreamReader(zip.getInputStream(entry))
@@ -126,6 +197,7 @@ object XlsxParser {
         var cells: mutable.Map[Int, String] = null
         var cellCol = -1
         var cellType = "n"
+        var cellDateStyled = false
         var text: StringBuilder = null
         var capture = false
         var implicitCol = 0
@@ -143,6 +215,8 @@ object XlsxParser {
                   cellCol = attr(xml, "r").map(colIndex).getOrElse(implicitCol)
                   implicitCol = cellCol + 1
                   cellType = attr(xml, "t").getOrElse("n")
+                  cellDateStyled = dateStyleIds.nonEmpty &&
+                    attr(xml, "s").exists(s2 => dateStyleIds.contains(s2.toInt))
                 case "v" | "t" if cells != null =>
                   text = new StringBuilder; capture = true
                 case _ =>
@@ -155,9 +229,12 @@ object XlsxParser {
                   capture = false
                   if (cellCol >= 0) {
                     val raw = text.toString
+
                     val value = cellType match {
                       case "s" => shared.lift(raw.trim.toInt).getOrElse("")
                       case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
+                      case "n" if cellDateStyled =>
+                        excelSerialToDateTime(raw).getOrElse(raw)
                       case _ => raw // n, str, inlineStr's t handled here too
                     }
                     cells(cellCol) = value
@@ -208,7 +285,7 @@ object XlsxParser {
     }.getOrElse(throw new IllegalArgumentException(
       s"sheet '$sheetName' not found in $path (have: ${sheetNames(path).mkString(", ")})"))
     val shared = sharedStrings(zip)
-    val all = rows(zip, entry, shared)
+    val all = rows(zip, entry, shared, dateStyles(zip))
     val headerCells = all.find(_.rowNum == headerRow.toLong)
       .map(_.cells).getOrElse(Map.empty)
     // `all` already consumed up to and including the header row

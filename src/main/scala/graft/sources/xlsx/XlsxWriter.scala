@@ -7,15 +7,18 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 /** Builds minimal valid xlsx workbooks with java.util.zip — no POI in the
   * offline image, so both the DSv2 tests (FIXTURES.md §B8) and any fixture
   * generation go through this writer. Write-side scope is deliberately
-  * minimal (sharedStrings + inline/boolean/numeric cells, no styles): the
-  * reference never writes Excel, only reads it.
+  * minimal (sharedStrings + inline/boolean/numeric cells + one date style
+  * for reader coverage): the reference never writes Excel, only reads it.
   */
 object XlsxWriter {
 
   /** sheets: (name, rows); each row: cell values by 0-based column (None →
     * cell omitted entirely). Strings go through sharedStrings (t="s") except
     * those starting with "inline:" (inlineStr) or parsing as numbers (kept
-    * as native numeric cells); "TRUE"/"FALSE" become boolean cells.
+    * as native numeric cells); "TRUE"/"FALSE" become boolean cells; a
+    * "date:SERIAL" prefix writes a numeric cell styled with builtin date
+    * format 14 (style id 1 in the emitted styles.xml) — reader coverage for
+    * the Import-Excel styled-date materialization.
     * `omitRowNumbers` drops the OPTIONAL r attribute from row elements
     * (some real producers do) — reader regression coverage.
     */
@@ -29,6 +32,8 @@ object XlsxWriter {
       val ref = s"${colLetters(c)}$rowNum"
       if (v == "TRUE" || v == "FALSE")
         s"""<c r="$ref" t="b"><v>${if (v == "TRUE") 1 else 0}</v></c>"""
+      else if (v.startsWith("date:"))
+        s"""<c r="$ref" s="1"><v>${v.stripPrefix("date:")}</v></c>"""
       else if (v.startsWith("inline:"))
         s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(v.stripPrefix("inline:"))}</t></is></c>"""
       else if (v.nonEmpty && v.forall(ch => ch.isDigit || ch == '.' || ch == '-'))
@@ -89,6 +94,10 @@ object XlsxWriter {
       put("xl/workbook.xml", workbookXml)
       put("xl/_rels/workbook.xml.rels", relsXml)
       put("xl/sharedStrings.xml", sharedXml)
+      // style 0 = general, style 1 = builtin date format 14 (m/d/yyyy)
+      put("xl/styles.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/></cellXfs></styleSheet>""".stripMargin)
       sheetXmls.zipWithIndex.foreach { case (xml, i) =>
         put(s"xl/worksheets/sheet${i + 1}.xml", xml)
       }

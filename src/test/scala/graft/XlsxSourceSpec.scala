@@ -192,4 +192,31 @@ class XlsxSourceSpec extends AnyFunSuite {
     val csv = Files.readString(root.resolve("csv_out/Stock.csv"))
     assert(csv.linesIterator.toSeq == Seq("ItemId,ItemName", "1,Widget", "2,Gadget"))
   }
+
+  test("date-STYLED cells render as DateTime strings; unstyled serials stay numeric " +
+      "(Import-Excel materialization, VERDICT r7 missing #3)") {
+    val dir = Files.createTempDirectory("graft-xlsx-dates")
+    val wb = dir.resolve("dated.xlsx")
+    // 45123.5 = 2023-07-16 12:00:00 on the REAL Excel epoch (1899-12-30);
+    // one column styled as a date, one carrying the same serial unstyled
+    XlsxTestWriter.write(wb, Seq(
+      "Stock" -> Seq(
+        Seq(Some("ItemId"), Some("LastSold"), Some("RawSerial")),
+        Seq(Some("1"), Some("date:45123.5"), Some("45123.5")),
+        Seq(Some("2"), Some("date:45124"), Some("45124")),
+        Seq(Some("3"), Some("date:2958466"), Some("oops"))))) // out of range
+    val rows = spark.read.format("xlsx").option("sheet", "Stock")
+      .load(wb.toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("1", "2023-07-16 12:00:00", "45123.5"),
+      ("2", "2023-07-17 00:00:00", "45124"),
+      ("3", "2958466", "oops")), // unconvertible serial keeps raw text
+      s"styled-date rendering mismatch: $rows")
+    // styles.xml recognition: style 1 (numFmtId 14) is a date style
+    val zip = new java.util.zip.ZipFile(wb.toFile)
+    try assert(XlsxParser.dateStyles(zip) == Set(1))
+    finally zip.close()
+  }
 }
