@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.{AnalyticsOps, ClusterOps, CurationOps, DedupOps, EventOps, GraphOps, IncrementalDedup, LayoutOps, ModelOps, MultimodalOps, RefPipelines, RelationalOps, SimilarityOps, Tables, TextOps, WinnowOps}
+import graft.ops.{AnalyticsOps, ClusterOps, CurationOps, DedupOps, EventOps, GraphOps, IncrementalDedup, LayoutOps, ModelOps, MultimodalOps, RefPipelines, RelationalOps, SimilarityOps, SketchOps, Tables, TextOps, WinnowOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -31,7 +31,8 @@ object SparkEntry {
       ClusterOps.queries ++ CurationOps.queries ++ SimilarityOps.queries ++
       TextOps.queries ++ EventOps.queries ++ AnalyticsOps.queries ++
       RelationalOps.queries ++ MultimodalOps.queries ++ GraphOps.queries ++
-      LayoutOps.queries ++ ModelOps.queries ++ WinnowOps.queries
+      LayoutOps.queries ++ ModelOps.queries ++ WinnowOps.queries ++
+      SketchOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (the
@@ -42,5 +43,6 @@ object SparkEntry {
       ClusterOps.oracles ++ CurationOps.oracles ++ SimilarityOps.oracles ++
       TextOps.oracles ++ EventOps.oracles ++ AnalyticsOps.oracles ++
       RelationalOps.oracles ++ MultimodalOps.oracles ++ GraphOps.oracles ++
-      LayoutOps.oracles ++ ModelOps.oracles ++ WinnowOps.oracles
+      LayoutOps.oracles ++ ModelOps.oracles ++ WinnowOps.oracles ++
+      SketchOps.oracles
 }

@@ -2152,7 +2152,47 @@ object AnalyticsOps {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** Sample autocorrelation of the daily order-revenue series at calendar
+    * lags 1–7 days — the seasonality probe behind [[EventOps]]'
+    * seasonal profile. Deliberately NOT the window-function formulation
+    * (`lag(x, k) OVER (ORDER BY d)` funnels the whole series through one
+    * task): lagged pairs come from a DATE-KEYED equi-join of the daily
+    * aggregate against itself shifted by k days (missing calendar days
+    * simply produce no pair), with the 7-row lag dimension broadcast. The
+    * series is a date-domain-bounded aggregate (~2.4k rows at any SF —
+    * same boundedness argument as `pareto_frontier`), so even the
+    * self-join is manifest-sized; `corr` is Spark's/DuckDB's shared
+    * sample-Pearson, rounded past summation-order noise.
+    */
+  def autocorrLag(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(col("o_totalprice")).as("x"))
+    val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+    val prev = daily.select(col("d").as("d_prev"), col("x").as("x_prev"))
+    daily.join(broadcast(lags))
+      .withColumn("d_prev", date_sub(col("d"), col("lag")))
+      .join(prev, "d_prev")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("x"), col("x_prev")), 6).as("acf"))
+      .orderBy("lag")
+  }
+
+  val autocorrLagOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x
+      |  FROM orders GROUP BY 1),
+      |ks AS (SELECT unnest(generate_series(1, 7)) AS lag)
+      |SELECT CAST(k.lag AS INTEGER) AS lag, count(*) AS n_pairs,
+      |       round(corr(a.x, b.x), 6) AS acf
+      |FROM ks k
+      |JOIN daily a ON true
+      |JOIN daily b ON b.d = a.d - CAST(k.lag || ' days' AS INTERVAL)
+      |GROUP BY k.lag ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "autocorr_lag" -> (autocorrLag _),
     "fk_discovery" -> (fkDiscovery _),
     "global_rank" -> (globalRank _),
     "kmv_rollup" -> (kmvRollup _),
@@ -2203,6 +2243,7 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "autocorr_lag" -> autocorrLagOracle,
     "fk_discovery" -> fkDiscoveryOracle,
     "global_rank" -> globalRankOracle,
     "kmv_rollup" -> kmvRollupOracle,

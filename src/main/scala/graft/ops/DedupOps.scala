@@ -249,22 +249,33 @@ object DedupOps {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** SimHash near-dup, hash-dependent → rows-only. 64-bit signature via the
-    * native [[graft.functions.expressions.SimHash64]] expression over
-    * xxhash64'd distinct tokens — a NARROW map (no explode, no signature
-    * shuffle; the only shuffle is the pair join). Near-dups are pairs (same
-    * `source` block) within Hamming distance 3 via `bit_count(xor)`.
+  /** SimHash near-dup — VALUE-PINNED since r8 (the r7 winnowing/minhash md5
+    * trick applied to the last rows-only dedup family member): the 64-bit
+    * signature comes from the native
+    * [[graft.functions.expressions.SimHash64]] expression over
+    * ENGINE-INDEPENDENT 60-bit md5 token ids
+    * ([[graft.functions.expressions.Md5ShingleId]] with k=1 — one digest
+    * pass, no per-token string intermediates) instead of xxhash64, so the
+    * whole pipeline — signature, banding, candidates, Hamming verify — is
+    * transliterated into the DuckDB oracle and value-checked end-to-end.
+    * Bits 60–63 of every token id are structurally 0 (15 hex chars), so
+    * those four signature bits are constantly 0 on BOTH engines — the
+    * multi-index completeness argument below is bit-position-agnostic and
+    * unaffected. Still a NARROW map (no explode, no signature shuffle; the
+    * only shuffle is the pair join). Near-dups are pairs (same `source`
+    * block) within Hamming distance 3 via `bit_count(xor)`.
     * [[simhashSignatures]] is the per-doc signature frame, also used by the
     * equivalence test against the explode+aggregate composition.
     */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.expressions.{Md5ShingleId, SimHash64}
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        ColumnBridge.column(graft.functions.expressions.SimHash64(
-          ColumnBridge.expression(
-            transform(array_distinct(split(normText(col("text")), " ")),
-              t => xxhash64(t))))).as("simhash"))
+        ColumnBridge.column(SimHash64(
+          Md5ShingleId(ColumnBridge.expression(
+            array_distinct(split(normText(col("text")), " "))), k = 1)))
+          .as("simhash"))
   }
 
   /** Candidate generation is the standard Hamming multi-index (Manku et al.
@@ -298,6 +309,43 @@ object DedupOps {
       .filter(col("hamming") <= 3)
       .distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Full transliteration of [[dedupSimhash]] — md5 token ids, bit-count
+    * signature (ties at exactly 0 → bit 0, matching SimHash64's
+    * `counts(b) > 0` rule), 4×16-bit banding, Hamming ≤ 3 verify. The
+    * DISTINCT collapses multi-band collisions exactly as the Spark side
+    * does. `hamming` cast to INTEGER to match Spark `bit_count`'s int32.
+    */
+  val dedupSimhashOracle: String = {
+    val norm = normTextOracle("text")
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, source, unnest(string_split($norm, ' ')) AS tok
+       |  FROM documents),
+       |toks AS (SELECT DISTINCT doc_id, source, tok FROM toks0),
+       |h AS (SELECT doc_id, source,
+       |             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |bits AS (
+       |  SELECT doc_id, source, bb.b AS b,
+       |         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+       |  GROUP BY doc_id, source, bb.b),
+       |sig AS (
+       |  SELECT doc_id, source,
+       |         CAST(sum(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END)
+       |           AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id, source),
+       |banded AS (
+       |  SELECT doc_id, source, simhash, bd.band AS band,
+       |         (simhash >> (bd.band * 16)) & 65535 AS bval
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bd)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bval = b.bval AND a.source = b.source
+       | AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** MinHash signatures + banded LSH, hash-dependent → rows-only. 48 hash
@@ -801,5 +849,6 @@ object DedupOps {
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineOracle,
+    "dedup_simhash" -> dedupSimhashOracle,
     "dedup_minhash_shingle" -> dedupMinhashShingleOracle)
 }

@@ -176,11 +176,74 @@ object LayoutOps {
       |GROUP BY source, (cum - bytes) // 2048
       |ORDER BY source, bucket""".stripMargin
 
+  /** Zone-map (min/max statistics) scan-pruning report — the read-side
+    * payoff of layout work and THE mechanism that turns a 100 TB table
+    * into a 2 TB scan: files are the monthly ship-date partitions
+    * (`yyyyMM`, the standard time-partitioned ingest layout — orderkey
+    * runs would NOT prune, since TPC-H dates are uniform within any key
+    * range), each file's footer stats are its min/max `l_shipdate`, and a
+    * mid-month Q6-style date-range predicate classifies every file as
+    * `skip` (range disjoint — never opened), `full` (contained — no
+    * row-level filtering needed), or `partial` (boundary months). The
+    * deliberately month-unaligned predicate makes all three classes
+    * non-empty. `selectivity` is the true matching fraction per class,
+    * making the report self-auditing: skip rows must show 0.0 and full
+    * rows 1.0, or the pruning logic is wrong. Manifest-sized keyed
+    * aggregates only — the per-file stats agg is exactly what a real
+    * planner reads from Parquet footers / Iceberg manifests without
+    * touching data.
+    */
+  def zonemapPrune(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.sql.Date.valueOf("1995-03-15"))
+    val hi = lit(java.sql.Date.valueOf("1995-05-15"))
+    val zm = Tables(s, dir, "lineitem")
+      .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("int").as("file_id"),
+        col("l_shipdate").cast("date").as("d"))
+      .groupBy(col("file_id"))
+      .agg(min(col("d")).as("d_min"), max(col("d")).as("d_max"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("d").between(lo, hi), 1).otherwise(0)).as("matched"))
+    zm.select(
+        when(col("d_max") < lo || col("d_min") > hi, "skip")
+          .when(col("d_min") >= lo && col("d_max") <= hi, "full")
+          .otherwise("partial").as("decision"),
+        col("n_rows"), col("matched"))
+      .groupBy(col("decision"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("n_rows"),
+        round(sum(col("matched")).cast("double") / sum(col("n_rows")), 4)
+          .as("selectivity"))
+      .orderBy("decision")
+  }
+
+  val zonemapPruneOracle: String =
+    """WITH f AS (
+      |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER)
+      |           AS file_id,
+      |         CAST(l_shipdate AS DATE) AS d
+      |  FROM lineitem),
+      |zm AS (
+      |  SELECT file_id, min(d) AS d_min, max(d) AS d_max, count(*) AS n_rows,
+      |         sum(CASE WHEN d BETWEEN DATE '1995-03-15' AND DATE '1995-05-15'
+      |             THEN 1 ELSE 0 END) AS matched
+      |  FROM f GROUP BY 1)
+      |SELECT CASE WHEN d_max < DATE '1995-03-15' OR d_min > DATE '1995-05-15'
+      |              THEN 'skip'
+      |            WHEN d_min >= DATE '1995-03-15' AND d_max <= DATE '1995-05-15'
+      |              THEN 'full'
+      |            ELSE 'partial' END AS decision,
+      |       count(*) AS n_files, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+      |       round(CAST(sum(matched) AS DOUBLE) / sum(n_rows), 4) AS selectivity
+      |FROM zm GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "compaction_plan" -> (compactionPlan _),
+    "zonemap_prune" -> (zonemapPrune _),
     "zorder_stats" -> (zorderStats _))
 
   val oracles: Map[String, String] = Map(
     "compaction_plan" -> compactionPlanOracle,
+    "zonemap_prune" -> zonemapPruneOracle,
     "zorder_stats" -> zorderStatsOracle)
 }

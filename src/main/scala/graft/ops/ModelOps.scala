@@ -230,13 +230,53 @@ object ModelOps {
       |         / (avg(y * y) - avg(y) * avg(y)), 4) AS r2
       |FROM f, s2 WHERE NOT is_train""".stripMargin
 
+  /** Upper-triangular Gram matrix X^T X of the 64-dim embedding corpus —
+    * the normal-equation / covariance / PCA building block (one pass, then
+    * eigen-work happens on the d×d result, never on the data). Plan: a
+    * double posexplode expands each row to its d(d+1)/2 upper-tri products
+    * feeding ONE keyed aggregate — map-side partial aggregation caps the
+    * shuffle at 2080 (i,j) cells per partition regardless of row count,
+    * which is the whole trick: at 100 TB the only thing that moves is a
+    * d² matrix per partition (for d in the thousands you'd switch to a
+    * mapPartitions BLAS accumulation, same shuffle shape). Dims are
+    * 1-based to match DuckDB list indexing; float→double casts happen
+    * before any product on both engines; round(4) absorbs the ~1e-13
+    * summation-order noise of a 500-term double sum.
+    */
+  def gramMatrix(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        (col("pos") + 1).as("i"), col("col").cast("double").as("xi"))
+    e.select(col("vec_id"), col("i"), col("xi"), posexplode(col("embedding")))
+      .select(col("i"), col("xi"),
+        (col("pos") + 1).as("j"), col("col").cast("double").as("xj"))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum(col("xi") * col("xj")), 4).as("gram"))
+      .orderBy("i", "j")
+  }
+
+  val gramMatrixOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+      |         CAST(embedding[t.i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |       LATERAL unnest(generate_series(1, len(embedding))) t(i))
+      |SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 4) AS gram
+      |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |GROUP BY a.i, b.i ORDER BY a.i, b.i""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "linreg_2step" -> (linreg2Step _),
     "quality_model_score" -> (qualityModelScore _),
+    "gram_matrix" -> (gramMatrix _),
     "model_eval" -> (modelEval _))
 
   val oracles: Map[String, String] = Map(
     "linreg_2step" -> linreg2StepOracle,
     "quality_model_score" -> qualityModelScoreOracle,
+    "gram_matrix" -> gramMatrixOracle,
     "model_eval" -> modelEvalOracle)
 }

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, oracle-backed streaming sketches — the md5 value-pinning
+  * pattern (r7 winnowing → r7 minhash → r8 simhash) applied to the two
+  * classic frequency/cardinality sketches. Spark's own
+  * `approx_count_distinct` HLL is engine-internal (hence
+  * `cardinality_sketches` stays rows-only); these implementations derive
+  * every hash from md5, so signature, buckets, estimator arithmetic, and
+  * correction branches are transliterated 1:1 into DuckDB SQL and
+  * value-checked end-to-end. Both sketches are pure keyed aggregates —
+  * map-side partial aggregation bounds the shuffle at (groups × sketch
+  * width) rows regardless of input size, the whole point of sketching a
+  * 100 TB stream.
+  */
+object SketchOps {
+
+  /** HLL parameters shared by the Column tree and the oracle SQL (the
+    * LayoutOps `lanes` single-source discipline): p=5 → m=32 buckets; the
+    * 60-bit md5 hash splits into 5 bucket bits + 55 rank bits; integer
+    * bucket weights 2^(56-rank) make the harmonic-mean SUM exactly
+    * order-independent (summing doubles would make the estimate depend on
+    * Spark's partition order), with ONE double division at the end. At
+    * real scale p would be 12–14; 32 buckets keeps the sf-domain estimate
+    * honest (±1.04/√32 ≈ 18%) while every branch still exercises.
+    */
+  private val hllM = 32
+  private val hllP = 5 // log2(m)
+  private val wBits = 55 // 60-bit md5 prefix minus p
+  private val pow56 = 1L << 56 // weight scale: 2^(wBits+1)
+  private val alphaM2: Double = 0.7213 / (1 + 1.079 / hllM) * hllM * hllM
+
+  /** Per-supplier distinct-order cardinality via a fully deterministic
+    * HyperLogLog (Flajolet et al. 2007), compared against the exact
+    * distinct count. Plan: narrow hash map → groupBy (supplier, bucket)
+    * max(rank) — partial agg caps the shuffle at m rows per supplier per
+    * partition — → groupBy supplier harmonic sum (integer!) → one
+    * broadcast-sized frame joined to the exact counts. The exact
+    * countDistinct is the accuracy baseline (same role as
+    * `cardinality_sketches`), deliberately paid.
+    */
+  def hllEstimate(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        conv(substring(md5(col("l_orderkey").cast("string").cast("binary")),
+          1, 15), 16, 10).cast("long").as("h"))
+    val ranked = hashed.select(col("l_suppkey"),
+      col("h").bitwiseAND(lit((hllM - 1).toLong)).as("bucket"),
+      when(shiftright(col("h"), hllP) === 0, lit(wBits + 1))
+        .otherwise(instr(lpad(bin(shiftright(col("h"), hllP)), wBits, "0"),
+          "1")).as("rank"))
+    val sums = ranked.groupBy(col("l_suppkey"), col("bucket"))
+      .agg(max(col("rank")).as("mr"))
+      .groupBy(col("l_suppkey"))
+      .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), 56 - mr)")).cast("long") +
+        (lit(hllM.toLong) - count(lit(1))) * lit(pow56)).as("s_int"),
+        (lit(hllM) - count(lit(1))).cast("long").as("v"))
+    val est = sums.select(col("l_suppkey"), col("v"),
+      (lit(alphaM2) / (col("s_int").cast("double") / lit(pow56.toDouble)))
+        .as("raw"))
+      .select(col("l_suppkey"),
+        when(col("raw") <= lit(2.5 * hllM) && col("v") > 0,
+          lit(hllM.toDouble) * log(lit(hllM.toDouble) / col("v").cast("double")))
+          .otherwise(col("raw")).as("est"))
+    val exact = Tables(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    est.join(exact, "l_suppkey")
+      .select(col("l_suppkey"), col("n_exact"),
+        round(col("est"), 2).as("hll_est"),
+        round(abs(col("est") - col("n_exact")) / col("n_exact"), 4)
+          .as("rel_err"))
+      .orderBy("l_suppkey")
+  }
+
+  /** Same HLL, transliterated: md5 hash split, bin/lpad/strpos rank
+    * (Spark `instr` ≡ DuckDB `strpos`, both 1-based), integer harmonic
+    * sum, identical division/branch shapes so both engines compute the
+    * SAME doubles before the rounding.
+    */
+  val hllEstimateOracle: String =
+    s"""WITH h AS (
+       |  SELECT l_suppkey,
+       |         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM lineitem),
+       |br AS (
+       |  SELECT l_suppkey, h & ${hllM - 1} AS bucket,
+       |         CASE WHEN (h >> $hllP) = 0 THEN ${wBits + 1}
+       |              ELSE strpos(lpad(bin(h >> $hllP), $wBits, '0'), '1') END AS rank
+       |  FROM h),
+       |mx AS (SELECT l_suppkey, bucket, max(rank) AS mr FROM br GROUP BY 1, 2),
+       |s AS (
+       |  SELECT l_suppkey,
+       |         CAST(sum(1::BIGINT << (56 - mr)) AS BIGINT)
+       |           + CAST($hllM - count(*) AS BIGINT) * $pow56 AS s_int,
+       |         CAST($hllM - count(*) AS BIGINT) AS v
+       |  FROM mx GROUP BY 1),
+       |est AS (
+       |  SELECT l_suppkey, v,
+       |         CAST($alphaM2 AS DOUBLE) /
+       |           (CAST(s_int AS DOUBLE) / CAST(${pow56.toDouble} AS DOUBLE)) AS raw
+       |  FROM s),
+       |corrected AS (
+       |  SELECT l_suppkey,
+       |         CASE WHEN raw <= ${2.5 * hllM} AND v > 0
+       |              THEN ${hllM.toDouble} * ln(${hllM.toDouble} / CAST(v AS DOUBLE))
+       |              ELSE raw END AS est
+       |  FROM est),
+       |exact AS (
+       |  SELECT l_suppkey, count(DISTINCT l_orderkey) AS n_exact
+       |  FROM lineitem GROUP BY 1)
+       |SELECT e.l_suppkey, x.n_exact, round(e.est, 2) AS hll_est,
+       |       round(abs(e.est - x.n_exact) / x.n_exact, 4) AS rel_err
+       |FROM corrected e JOIN exact x USING (l_suppkey)
+       |ORDER BY l_suppkey""".stripMargin
+
+  private val cmDepth = 4
+  private val cmWidth = 64
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) over event user
+    * activity: d=4 md5-derived hash rows × w=64 buckets, point-queried for
+    * the exact top-20 users. The sketch build is ONE keyed aggregate over
+    * a 4× row expansion (partial agg caps the shuffle at d·w rows per
+    * partition — the sketch IS the aggregation state); estimates are
+    * min-over-rows, integers end to end, so the overcount column shows the
+    * ε=e/w one-sided error live against ground truth. w=64 at 150 users
+    * deliberately overloads buckets so collisions are visible; at scale w
+    * grows to 2^16+ and the shuffle stays d·w.
+    */
+  def countminEst(s: SparkSession, dir: String): DataFrame = {
+    val rows = array((0 until cmDepth).map(i => lit(i)): _*)
+    def bucketOf(key: org.apache.spark.sql.Column,
+        i: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(i.cast("string"), lit(","),
+        key.cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("long") % cmWidth
+    val ev = Tables(s, dir, "events")
+    val sketch = ev.select(col("user_id"), explode(rows).as("i"))
+      .select(col("i"), bucketOf(col("user_id"), col("i")).as("bucket"))
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val top20 = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), col("user_id"))
+      .limit(20)
+    val keyed = top20.select(col("user_id"), col("exact_cnt"),
+        explode(rows).as("i"))
+      .select(col("user_id"), col("exact_cnt"), col("i"),
+        bucketOf(col("user_id"), col("i")).as("bucket"))
+    keyed.join(sketch, Seq("i", "bucket"))
+      .groupBy(col("user_id"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cm_est"))
+      .select(col("user_id"), col("exact_cnt"), col("cm_est"),
+        (col("cm_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(desc("exact_cnt"), col("user_id"))
+  }
+
+  val countminEstOracle: String =
+    s"""WITH hashes AS (
+       |  SELECT e.user_id, r.i,
+       |         ('0x' || substr(md5(r.i || ',' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % $cmWidth AS bucket
+       |  FROM events e CROSS JOIN (SELECT unnest(generate_series(0, ${cmDepth - 1})) AS i) r),
+       |sketch AS (SELECT i, bucket, count(*) AS cnt FROM hashes GROUP BY 1, 2),
+       |top20 AS (
+       |  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+       |  ORDER BY exact_cnt DESC, user_id LIMIT 20),
+       |keyed AS (
+       |  SELECT t.user_id, t.exact_cnt, r.i,
+       |         ('0x' || substr(md5(r.i || ',' || CAST(t.user_id AS VARCHAR)), 1, 15))::BIGINT % $cmWidth AS bucket
+       |  FROM top20 t CROSS JOIN (SELECT unnest(generate_series(0, ${cmDepth - 1})) AS i) r)
+       |SELECT k.user_id, k.exact_cnt, CAST(min(s.cnt) AS BIGINT) AS cm_est,
+       |       CAST(min(s.cnt) - k.exact_cnt AS BIGINT) AS overcount
+       |FROM keyed k JOIN sketch s ON s.i = k.i AND s.bucket = k.bucket
+       |GROUP BY k.user_id, k.exact_cnt
+       |ORDER BY k.exact_cnt DESC, k.user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hll_estimate" -> (hllEstimate _),
+    "countmin_est" -> (countminEst _))
+
+  val oracles: Map[String, String] = Map(
+    "hll_estimate" -> hllEstimateOracle,
+    "countmin_est" -> countminEstOracle)
+}

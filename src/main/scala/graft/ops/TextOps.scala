@@ -1090,7 +1090,51 @@ object TextOps {
       |       round(mi.mi / least(hl.h_lang, hs.h_source), 6) AS nmi
       |FROM tot t, mi, hl, hs""".stripMargin
 
+  /** Fixed-size overlapping chunking — the context-window prep step of
+    * every RAG/pretraining pipeline: 64-token windows at stride 48
+    * (16-token overlap). Start positions are `1, 49, 97, …` up to
+    * `n − 16`, so the final (possibly short) chunk always reaches the last
+    * token and no chunk is a strict suffix of its predecessor; a doc
+    * shorter than one window yields exactly one chunk. Entirely narrow —
+    * `sequence` + `posexplode` + `slice`, no shuffle except the output
+    * sort — and embarrassingly parallel at any scale. Chunk text is
+    * emitted as its md5 (value-checkable without megabytes of output);
+    * `chunk_idx` is derived arithmetically from `start` so both engines
+    * agree without a window function.
+    */
+  def docChunk(s: SparkSession, dir: String): DataFrame = {
+    val chunkLen = 64; val stride = 48
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(normText(col("text")), " ").as("tokens"))
+      .select(col("doc_id"), col("tokens"),
+        explode(sequence(lit(1),
+          greatest(lit(1), size(col("tokens")) - lit(chunkLen - stride)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST((start - 1) DIV $stride + 1 AS INT)").as("chunk_idx"),
+        col("start"),
+        size(slice(col("tokens"), col("start"), lit(chunkLen))).as("n_tok"),
+        md5(concat_ws(" ", slice(col("tokens"), col("start"), lit(chunkLen)))
+          .cast("binary")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val docChunkOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(${normTextOracle("text")}, ' ') AS tokens
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, tokens, CAST(u.s AS INTEGER) AS start
+       |  FROM toks,
+       |       LATERAL unnest(generate_series(1, greatest(1, len(tokens) - 16), 48)) u(s))
+       |SELECT doc_id, CAST((start - 1) // 48 + 1 AS INTEGER) AS chunk_idx,
+       |       start,
+       |       CAST(len(tokens[start:start+63]) AS INTEGER) AS n_tok,
+       |       md5(array_to_string(tokens[start:start+63], ' ')) AS chunk_hash
+       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunk" -> (docChunk _),
     "token_zipf" -> (tokenZipf _),
     "lang_confusion" -> (langConfusion _),
     "inverted_index" -> (invertedIndex _),
@@ -1116,6 +1160,7 @@ object TextOps {
     "bpe_encode" -> (bpeEncode _))
 
   val oracles: Map[String, String] = Map(
+    "doc_chunk" -> docChunkOracle,
     "token_zipf" -> tokenZipfOracle,
     "lang_confusion" -> langConfusionOracle,
     "inverted_index" -> invertedIndexOracle,

@@ -17,8 +17,11 @@ class PipelinesSpec extends AnyFunSuite {
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only queries are allowed (approximate/hash-dependent ops) but
-    // must be a deliberate, documented list:
-    assert(noOracle.forall(RowsOnly.expected), s"undocumented rows-only: $noOracle")
+    // must be EXACTLY the deliberate, documented list — a stale entry here
+    // means a query gained an oracle without this doc keeping up:
+    assert(noOracle == RowsOnly.expected,
+      s"undocumented rows-only: ${noOracle -- RowsOnly.expected}; " +
+        s"stale RowsOnly entries: ${RowsOnly.expected -- noOracle}")
   }
 
   test("all queries execute with rows > 0 at sf0.001") {
@@ -33,9 +36,13 @@ class PipelinesSpec extends AnyFunSuite {
 /** Queries intentionally lacking a DuckDB oracle (hash/model-dependent). */
 object RowsOnly {
   val expected: Set[String] =
-    Set("dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_shingle",
-      "dedup_embedding_lsh", "dedup_clusters_lsh", "ann_sign_lsh",
-      "multimodal_decode", "cardinality_sketches",
+    // xxhash64-dependent (value-pinned md5 siblings exist: the minhash
+    // family's dedup_minhash_shingle, simhash's dedup_simhash since r8):
+    Set("dedup_minhash_lsh", "dedup_embedding_lsh", "dedup_clusters_lsh",
+      "ann_sign_lsh",
+      // Spark-internal HLL, not SQL-expressible (deterministic md5 HLL
+      // sibling: hll_estimate, oracle-backed)
+      "cardinality_sketches",
       // stop-round count is float-convergence-dependent; IterativeOpsSpec
       // pins trace ≡ fixed-round iterate at the observed R + strict descent
       "kmeans_converged")

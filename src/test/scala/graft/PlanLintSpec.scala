@@ -45,6 +45,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q6_forecast_revenue", "reconcile_counts", "quoted_list_join",
     "q11_important_parts", "q22_global_sales", // 1-row scalar-cut broadcasts
     "retention_filter", // 1-row max-ts scalar broadcast
+    "autocorr_lag",     // 7-row lag-dimension broadcast onto the daily agg
     "integrity_audit",  // 1-row orphan×unreferenced counter cross joins
     "triangle_count",   // 1-row stats×triangle-count cross joins
     "kcore_2step",      // 1-row node-stats×edge-count cross join

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{AnalyticsOps, LayoutOps, ModelOps, SketchOps, Tables, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Property pins for the r8 additions: the md5-deterministic sketches
+  * (HLL, Count-Min), the Gram matrix, chunking, zone-map pruning, and
+  * calendar-lag autocorrelation. Value-level equality vs DuckDB is the
+  * driver gate's job; these pin the mathematical invariants that survive
+  * any refactor of the plumbing.
+  */
+class SketchOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hll_estimate: estimates within the m=32 HLL error envelope") {
+    val rows = SketchOps.hllEstimate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val relErrs = rows.map(_.getDouble(3))
+    // 1.04/sqrt(32) ~ 18% std error; median must sit well inside 2 sigma
+    // and no group may be wildly off (5 sigma)
+    val sorted = relErrs.sorted
+    assert(sorted(sorted.length / 2) <= 0.40,
+      s"median rel_err ${sorted(sorted.length / 2)} too high for m=32")
+    assert(relErrs.max <= 1.0, s"outlier rel_err ${relErrs.max}")
+  }
+
+  test("countmin_est: one-sided error, within the e/w * N bound") {
+    val rows = SketchOps.countminEst(spark, dir).collect()
+    val nUsers = Tables(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.length == math.min(20L, nUsers))
+    val n = Tables(spark, dir, "events").count()
+    val bound = math.ceil(math.E / 64 * n).toLong
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2); val over = r.getLong(3)
+      assert(est >= exact, s"CMS undercounted: est=$est exact=$exact")
+      assert(over == est - exact)
+      // Markov bound holds in expectation per row; min over 4 independent
+      // rows exceeding 2x the epsilon*N bound would be a broken sketch
+      assert(over <= 2 * bound, s"overcount $over way past eN=$bound")
+    }
+  }
+
+  test("gram_matrix: upper triangle, PSD-consistent diagonal, symmetry via Cauchy-Schwarz") {
+    val rows = ModelOps.gramMatrix(spark, dir).collect()
+    val d = 64
+    assert(rows.length == d * (d + 1) / 2)
+    val g = rows.map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    (1 to d).foreach { i =>
+      assert(g((i, i)) >= 0, s"diagonal ($i,$i) negative: ${g((i, i))}")
+    }
+    // Cauchy–Schwarz: g(i,j)^2 <= g(i,i) * g(j,j) (slack for round(4))
+    for (i <- 1 to d; j <- i to d) {
+      assert(g((i, j)) * g((i, j)) <= g((i, i)) * g((j, j)) + 1e-4,
+        s"($i,$j) violates Cauchy-Schwarz")
+    }
+  }
+
+  test("doc_chunk: full coverage, stride/overlap exact, short docs one chunk") {
+    val chunks = TextOps.docChunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(graft.ops.DedupOps.normText(col("text")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet == docs.keySet, "some doc lost all its chunks")
+    chunks.foreach { case (docId, cs) =>
+      val n = docs(docId)
+      val sortedCs = cs.sortBy(_._2)
+      // chunk_idx is 1..k dense; starts are 1, 49, 97, ...
+      assert(sortedCs.map(_._2).toSeq == (1 to cs.length))
+      sortedCs.foreach { case (_, idx, start, nTok) =>
+        assert(start == 1 + (idx - 1) * 48)
+        assert(nTok == math.min(64, n - start + 1),
+          s"doc $docId chunk $idx: n_tok $nTok, n=$n start=$start")
+      }
+      // coverage: the last chunk reaches the last token
+      val (_, _, lastStart, lastNTok) = sortedCs.last
+      assert(lastStart + lastNTok - 1 == n, s"doc $docId tail uncovered")
+      // every non-final chunk is full-size
+      sortedCs.dropRight(1).foreach { case (_, _, _, nTok) =>
+        assert(nTok == 64)
+      }
+    }
+  }
+
+  test("zonemap_prune: self-auditing selectivities and complete partition") {
+    val rows = LayoutOps.zonemapPrune(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byDecision = rows.map(r => r._1 -> r).toMap
+    assert(rows.map(_._1).toSet.subsetOf(Set("skip", "full", "partial")))
+    byDecision.get("skip").foreach { case (_, _, _, sel) =>
+      assert(sel == 0.0, s"skip class must match nothing, got $sel")
+    }
+    byDecision.get("full").foreach { case (_, _, _, sel) =>
+      assert(sel == 1.0, s"full class must match everything, got $sel")
+    }
+    byDecision.get("partial").foreach { case (_, _, _, sel) =>
+      assert(sel > 0.0 && sel < 1.0, s"partial selectivity $sel out of (0,1)")
+    }
+    assert(rows.map(_._3).sum == Tables(spark, dir, "lineitem").count(),
+      "classes don't partition the table")
+    // the report's reason to exist: a date predicate on ingest-ordered
+    // files must actually skip most files
+    val skipFiles = byDecision.get("skip").map(_._2).getOrElse(0L)
+    val totalFiles = rows.map(_._2).sum
+    assert(skipFiles.toDouble / totalFiles >= 0.5,
+      s"only $skipFiles/$totalFiles files skipped — zone maps not pruning")
+  }
+
+  test("autocorr_lag: 7 lags, |acf| bounded, pair counts shrink with lag") {
+    val rows = AnalyticsOps.autocorrLag(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1 to 7))
+    rows.foreach { case (lag, n, acf) =>
+      assert(n > 100, s"lag $lag has only $n pairs")
+      assert(acf >= -1.0 && acf <= 1.0, s"acf $acf out of [-1,1] at lag $lag")
+    }
+    // calendar-join property: pairs at lag k can never exceed pairs at
+    // a divisor-free smaller domain bound (n_days - distinct missing);
+    // weaker but refactor-stable: no lag has more pairs than days
+    val days = Tables(spark, dir, "orders")
+      .select(col("o_orderdate").cast("date")).distinct().count()
+    rows.foreach { case (_, n, _) => assert(n <= days) }
+  }
+}
