@@ -49,15 +49,25 @@ object LayoutOps {
     * `ntile(16) OVER (ORDER BY z, …)` — a global total order that would
     * funnel every row through one task at 100×. Instead this computes the
     * exact global rank with the [[AnalyticsOps.globalRank]] technique
-    * (32 percentile cutpoints on z → bucket-partitioned local
-    * `row_number` → broadcast bucket offsets; ties on z can't straddle a
-    * bucket boundary because bucketing is by z value), then derives the
-    * ntile id ARITHMETICALLY from (rank, n): the first `n % 16` tiles
-    * hold `n DIV 16 + 1` rows, the rest `n DIV 16` — the shared
-    * Spark/DuckDB ntile definition, so the oracle can stay the
-    * definitional window while the plan shards. The heaviest op left is
-    * the bucket-keyed sort, exactly `repartitionByRange + local sort` of
-    * the real Z-order writer.
+    * (32 z cutpoints → bucket-partitioned local `row_number` → broadcast
+    * bucket offsets; ties on z can't straddle a bucket boundary because
+    * bucketing is by z value), then derives the ntile id ARITHMETICALLY
+    * from (rank, n): the first `n % 16` tiles hold `n DIV 16 + 1` rows,
+    * the rest `n DIV 16` — the shared Spark/DuckDB ntile definition, so
+    * the oracle can stay the definitional window while the plan shards.
+    *
+    * Two deliberate differences from globalRank's documents-sized shape
+    * (review r8 — applying it verbatim to the 100×-bigger lineitem ran
+    * 12s warm at sf0.1 vs ~2s): cutpoints come from exact `percentile`
+    * over a DETERMINISTIC 1-in-64 xxhash64 row sample (the full-table
+    * percentile builds a value-count map over ~|table| distinct z — the
+    * sample bounds the state, cut ERROR only skews bucket parallelism,
+    * never rank correctness, and determinism keeps the two `bucketed`
+    * consumers consistent without materialization), and NO localCheckpoint
+    * (blockmanager-writing every corpus row cost 6× the recompute; the
+    * two consumers re-derive the narrow bucketed map for ~0.3s each).
+    * The heaviest op left is the bucket-keyed sort, exactly
+    * `repartitionByRange + local sort` of the real Z-order writer.
     */
   def zorderStats(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -67,17 +77,24 @@ object LayoutOps {
       .withColumn("z", zValue(col("l_partkey"), col("l_suppkey")))
     val nBuckets = 32
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val cuts = li.agg(
-      percentile(col("z"), array(ps.map(lit): _*)).as("cuts"),
-      count(lit(1)).as("n_total"))
-    val bucket = (1 until nBuckets).foldLeft(lit(1)) { (acc, i) =>
-      acc + when(col("z") > element_at(col("cuts"), i), 1).otherwise(0)
-    }
-    val bucketed = li.crossJoin(broadcast(cuts))
+    val cuts = li
+      .filter(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+        lit(64)) === 0)
+      .agg(percentile(col("z"), array(ps.map(lit): _*)).as("cuts"))
+    val totals = li.agg(count(lit(1)).as("n_total"))
+    // binary-search bucket assignment: percentile output is sorted, so the
+    // largest idx with z > cuts[idx] (idx 0 = none) equals the linear
+    // |{i : z > cuts_i}| count — 5 comparisons/row instead of 31, which
+    // matters because this expression runs in BOTH bucketed consumers
+    // (measured 6× on the per-pass projection at sf0.1)
+    val bucket = Seq(16, 8, 4, 2, 1).foldLeft(lit(0)) { (idx, step) =>
+      idx + when(col("z") > element_at(col("cuts"), idx + lit(step)), step)
+        .otherwise(0)
+    } + lit(1)
+    val bucketed = li.crossJoin(broadcast(cuts)).crossJoin(broadcast(totals))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"), col("z"), col("n_total"),
         bucket.as("bucket"))
-      .localCheckpoint()
     val offsets = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
       .withColumn("offset",

@@ -243,7 +243,11 @@ object ModelOps {
     * before any product on both engines; round(4) absorbs the ~1e-13
     * summation-order noise of a 500-term double sum.
     */
-  def gramMatrix(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered upper-tri Gram cells — shared by [[gramMatrix]] (which just
+    * adds the deterministic output sort) and [[pcaPower]] (which iterates
+    * on it and must not inherit an interior global sort).
+    */
+  private def gramUpper(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         posexplode(col("embedding")))
@@ -255,28 +259,87 @@ object ModelOps {
       .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j"))
       .agg(round(sum(col("xi") * col("xj")), 4).as("gram"))
-      .orderBy("i", "j")
   }
 
-  val gramMatrixOracle: String =
-    """WITH e AS (
+  def gramMatrix(s: SparkSession, dir: String): DataFrame =
+    gramUpper(s, dir).orderBy("i", "j")
+
+  /** The shared CTE chain producing the upper-tri Gram cells — interpolated
+    * into both oracles so the two stay definitionally identical (the
+    * WinnowOps shared-oracle-chain discipline).
+    */
+  private val gramUpperSql: String =
+    """e AS (
       |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
       |         CAST(embedding[t.i] AS DOUBLE) AS x
       |  FROM embeddings,
-      |       LATERAL unnest(generate_series(1, len(embedding))) t(i))
-      |SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 4) AS gram
-      |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
-      |GROUP BY a.i, b.i ORDER BY a.i, b.i""".stripMargin
+      |       LATERAL unnest(generate_series(1, len(embedding))) t(i)),
+      |g0 AS (
+      |  SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 4) AS gram
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |  GROUP BY a.i, b.i)""".stripMargin
+
+  val gramMatrixOracle: String =
+    s"""WITH $gramUpperSql
+       |SELECT i, j, gram FROM g0 ORDER BY i, j""".stripMargin
+
+  /** Top principal direction of the embedding corpus by two fixed power-
+    * iteration steps on the ROUNDED Gram matrix — the promised eigen-work
+    * that happens on the d×d result, never on the data: after [[gramUpper]]
+    * pays its one corpus pass (localCheckpointed so the two mat-vec
+    * consumers don't recompute it), everything here is d- or d²-sized —
+    * symmetrize, u₁ = G·1, normalize, u₂ = G·v₁, normalize, Rayleigh
+    * quotient λ ≈ v₁ᵀu₂. Starting from the all-ones vector and a FIXED
+    * two steps keeps the result deterministic (no convergence branch, no
+    * sign ambiguity). Basing both engines on the 4-dp-rounded Gram makes
+    * their inputs bit-identical, so the only float divergence left is
+    * 64-term summation order (~1e-15) — invisible at round(6).
+    */
+  def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    val g0 = gramUpper(s, dir).localCheckpoint()
+    val g = g0.union(g0.filter(col("i") < col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("gram")))
+    val u1 = g.groupBy(col("i")).agg(sum(col("gram")).as("u"))
+    val n1 = u1.agg(sqrt(sum(col("u") * col("u"))).as("n"))
+    val v1 = u1.crossJoin(broadcast(n1))
+      .select(col("i"), (col("u") / col("n")).as("v"))
+    val u2 = g.join(v1.select(col("i").as("j"), col("v")), "j")
+      .groupBy(col("i")).agg(sum(col("gram") * col("v")).as("u"))
+    val n2 = u2.agg(sqrt(sum(col("u") * col("u"))).as("n"))
+    val lam = v1.join(u2, "i").agg(sum(col("v") * col("u")).as("l"))
+    u2.crossJoin(broadcast(n2)).crossJoin(broadcast(lam))
+      .select(col("i"), round(col("u") / col("n"), 6).as("loading"),
+        round(col("l"), 4).as("eigenvalue"))
+      .orderBy("i")
+  }
+
+  val pcaPowerOracle: String =
+    s"""WITH $gramUpperSql,
+       |g AS (SELECT i, j, gram FROM g0
+       |      UNION ALL
+       |      SELECT j AS i, i AS j, gram FROM g0 WHERE i < j),
+       |u1 AS (SELECT i, sum(gram) AS u FROM g GROUP BY i),
+       |n1 AS (SELECT sqrt(sum(u * u)) AS n FROM u1),
+       |v1 AS (SELECT i, u / n AS v FROM u1, n1),
+       |u2 AS (SELECT g.i, sum(g.gram * v1.v) AS u
+       |       FROM g JOIN v1 ON v1.i = g.j GROUP BY g.i),
+       |n2 AS (SELECT sqrt(sum(u * u)) AS n FROM u2),
+       |lam AS (SELECT sum(v1.v * u2.u) AS l FROM v1 JOIN u2 USING (i))
+       |SELECT u2.i, round(u2.u / n2.n, 6) AS loading,
+       |       round(lam.l, 4) AS eigenvalue
+       |FROM u2, n2, lam ORDER BY u2.i""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "linreg_2step" -> (linreg2Step _),
     "quality_model_score" -> (qualityModelScore _),
     "gram_matrix" -> (gramMatrix _),
+    "pca_power" -> (pcaPower _),
     "model_eval" -> (modelEval _))
 
   val oracles: Map[String, String] = Map(
     "linreg_2step" -> linreg2StepOracle,
     "quality_model_score" -> qualityModelScoreOracle,
     "gram_matrix" -> gramMatrixOracle,
+    "pca_power" -> pcaPowerOracle,
     "model_eval" -> modelEvalOracle)
 }

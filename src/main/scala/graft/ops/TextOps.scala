@@ -1133,8 +1133,34 @@ object TextOps {
        |       md5(array_to_string(tokens[start:start+63], ' ')) AS chunk_hash
        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Per-source quantile normalization of document length — the standard
+    * move when mixing heterogeneous corpora: a raw cutoff like
+    * "n_chars > 300" means different things in different sources, so each
+    * doc gets its within-source quantile (`cume_dist`: fraction of the
+    * source at or below it) and downstream curation thresholds become
+    * source-fair. The window is PARTITIONED by source — per-partition
+    * sort, never a global funnel (contrast the banned unpartitioned-window
+    * class) — and both engines share the exact cume_dist tie semantics
+    * (ties get the count of all their peers), so no hash-sensitive
+    * rounding games are needed beyond the usual round(6).
+    */
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(cume_dist().over(w), 6).as("q"))
+      .orderBy("doc_id")
+  }
+
+  val quantileNormalizeOracle: String =
+    """SELECT doc_id, source, n_chars,
+      |       round(cume_dist() OVER (PARTITION BY source ORDER BY n_chars), 6) AS q
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunk" -> (docChunk _),
+    "quantile_normalize" -> (quantileNormalize _),
     "token_zipf" -> (tokenZipf _),
     "lang_confusion" -> (langConfusion _),
     "inverted_index" -> (invertedIndex _),
@@ -1161,6 +1187,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "doc_chunk" -> docChunkOracle,
+    "quantile_normalize" -> quantileNormalizeOracle,
     "token_zipf" -> tokenZipfOracle,
     "lang_confusion" -> langConfusionOracle,
     "inverted_index" -> invertedIndexOracle,

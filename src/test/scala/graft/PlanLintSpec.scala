@@ -46,10 +46,13 @@ class PlanLintSpec extends AnyFunSuite {
     "q11_important_parts", "q22_global_sales", // 1-row scalar-cut broadcasts
     "retention_filter", // 1-row max-ts scalar broadcast
     "autocorr_lag",     // 7-row lag-dimension broadcast onto the daily agg
+    "pca_power",        // 1-row norm/Rayleigh broadcasts onto d-sized frames
     "integrity_audit",  // 1-row orphan×unreferenced counter cross joins
     "triangle_count",   // 1-row stats×triangle-count cross joins
     "kcore_2step",      // 1-row node-stats×edge-count cross join
     "equidepth_histogram", // 1-row cutpoint-array broadcast
+    "zorder_stats",     // 1-row sampled-cutpoint + total-count broadcasts
+                        // (previously hidden behind a localCheckpoint)
     "skew_stats",       // 1-row mean + summary×hot-count cross joins
     "linreg_2step",     // 1-row weight-vector broadcast between GD steps
     "quality_model_score", // same 1-row weight broadcast, then scoring

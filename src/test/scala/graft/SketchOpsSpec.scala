@@ -111,6 +111,45 @@ class SketchOpsSpec extends AnyFunSuite {
       s"only $skipFiles/$totalFiles files skipped — zone maps not pruning")
   }
 
+  test("pca_power: unit-norm loadings, Rayleigh quotient non-decreasing") {
+    val rows = ModelOps.pcaPower(spark, dir).collect()
+    assert(rows.length == 64)
+    val v = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val lambda = rows.head.getDouble(2)
+    assert(rows.forall(_.getDouble(2) == lambda), "eigenvalue not constant")
+    assert(lambda > 0, s"PSD Gram must have positive top eigenvalue, got $lambda")
+    val norm = math.sqrt(v.values.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"loadings not unit norm: $norm")
+    // power-iteration property: the Rayleigh quotient at the NEXT iterate
+    // (the returned v2) must not be below the reported one (which is at v1)
+    val g = ModelOps.gramMatrix(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    def gAt(i: Int, j: Int) = if (i <= j) g((i, j)) else g((j, i))
+    val rayleighV2 = (for (i <- 1 to 64; j <- 1 to 64)
+      yield v(i) * gAt(i, j) * v(j)).sum
+    assert(rayleighV2 >= lambda - 0.05,
+      s"R(v2)=$rayleighV2 below reported lambda=$lambda — iteration broken")
+  }
+
+  test("quantile_normalize: per-source cume_dist hits 1.0 and is monotone") {
+    val rows = TextOps.quantileNormalize(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._3).max == 1.0, s"$src: max quantile != 1.0")
+      assert(rs.forall(r => r._3 > 0.0 && r._3 <= 1.0))
+      // monotone in the metric: sort by n_chars, q must be non-decreasing,
+      // and ties in n_chars must share the same q
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, n1, q1), (_, n2, q2)) =>
+          assert(q2 >= q1, s"$src: q not monotone")
+          if (n1 == n2) assert(q1 == q2, s"$src: ties at $n1 diverge")
+        case _ =>
+      }
+    }
+  }
+
   test("autocorr_lag: 7 lags, |acf| bounded, pair counts shrink with lag") {
     val rows = AnalyticsOps.autocorrLag(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
