@@ -1035,7 +1035,143 @@ object SimilarityOps {
        |FROM d, cut WHERE dist > p95 ORDER BY vec_id""".stripMargin
   }
 
+  /** Hybrid retrieval — Reciprocal Rank Fusion (Cormack et al. SIGIR'09)
+    * of a SPARSE arm (word-level BM25, k1=1.2 / b=0.75 — word granularity
+    * on purpose: the 5-shingle `bm25_search` arm yields near-singleton
+    * candidate lists on this strictly-paired corpus, worthless for fusion)
+    * and a DENSE arm (exact cosine over the document embeddings,
+    * vec_id ≡ doc_id) for one deterministic query document (longest text,
+    * min-id tiebreak). Each arm cuts an orderBy+limit top-50
+    * (TakeOrderedAndProject — the rank window then sits on limit-bounded
+    * input, never a corpus window); fused score is
+    * Σ 1/(60 + rank) over the lists containing the doc — the standard
+    * RAG-serving move that needs NO score calibration between arms, which
+    * is exactly why it is the production default for sparse+dense.
+    *
+    * Scale shape: the BM25 side is the audited inverted-index pattern
+    * (tf localCheckpointed once for its five consumers; stop-terms
+    * dropped by the RELATIVE df·5 ≤ n_docs·4 cap — integer-exact on both
+    * engines, so the cap needs no per-SF retuning); the dense side is one
+    * broadcast query vector against the corpus; the fusion itself joins
+    * two 50-row frames. Everything score-ranked is rounded before
+    * ranking (sparse) or tie-broken by id (dense, the annCosineTopk
+    * convention).
+    */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val kRrf = 60; val listK = 50; val k1 = 1.2; val b = 0.75
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val qsel = docs
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("qdoc"))
+    val tf = docs.select(col("doc_id"),
+        explode(split(graft.ops.DedupOps.normText(col("text")), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val stats = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val corpus = stats.agg(countDistinct(col("doc_id")).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qterms = tf.join(dfT, "t").crossJoin(broadcast(qsel))
+      .filter(col("doc_id") === col("qdoc"))
+      .crossJoin(broadcast(corpus))
+      .filter(col("df") >= 2 && col("df") * 5 <= col("n_docs") * 4)
+      .select(col("t"),
+        round(log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5)), 6).as("idf"),
+        col("qdoc"), col("avgdl"))
+    val scored = tf.join(broadcast(qterms), "t")
+      .filter(col("doc_id") =!= col("qdoc"))
+      .join(stats, "doc_id")
+      .withColumn("contrib", round(col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+    val sparseRank = scored
+      .orderBy(col("score").desc, col("doc_id")).limit(listK)
+      .withColumn("r_sparse", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_sparse"))
+    val emb = embeddings(s, dir)
+    val qv = emb.crossJoin(broadcast(qsel))
+      .filter(col("vec_id") === col("qdoc"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val dense = emb.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("vec_id").as("doc_id"), dot(col("qv"), col("v")).as("cos"))
+    val denseRank = dense
+      .orderBy(col("cos").desc, col("doc_id")).limit(listK)
+      .withColumn("r_dense", row_number()
+        .over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_dense"))
+    sparseRank.join(denseRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_sparse"), col("r_dense"),
+        round(coalesce(lit(1.0) / (lit(kRrf) + col("r_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("r_dense")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val rrfFusionOracle: String = {
+    val norm = graft.ops.DedupOps.normTextOracle("text")
+    val cos = graft.functions.VectorFunctions
+      .cosineOracle("q.embedding", "c.embedding")
+    s"""WITH qsel AS (
+       |  SELECT doc_id AS qdoc FROM documents
+       |  ORDER BY n_chars DESC, doc_id LIMIT 1),
+       |tf AS (
+       |  SELECT doc_id, u.t AS t, count(*) AS tf
+       |  FROM documents, LATERAL unnest(string_split($norm, ' ')) u(t)
+       |  GROUP BY doc_id, u.t),
+       |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |stats AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+       |          GROUP BY doc_id),
+       |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs, avg(dl) AS avgdl
+       |           FROM stats),
+       |qterms AS (
+       |  SELECT f.t,
+       |         round(ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS idf,
+       |         s.qdoc, c.avgdl
+       |  FROM tf f JOIN dft d USING (t), qsel s, corpus c
+       |  WHERE f.doc_id = s.qdoc AND d.df >= 2 AND d.df * 5 <= c.n_docs * 4),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |         round(sum(round(q.idf * t.tf * 2.2 /
+       |           (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * st.dl / q.avgdl)), 6)), 4)
+       |           AS score
+       |  FROM tf t JOIN qterms q USING (t)
+       |  JOIN stats st ON st.doc_id = t.doc_id
+       |  WHERE t.doc_id <> q.qdoc
+       |  GROUP BY t.doc_id),
+       |sparse_rank AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+       |           AS INTEGER) AS r_sparse
+       |  FROM (SELECT doc_id, score FROM scored
+       |        ORDER BY score DESC, doc_id LIMIT 50)),
+       |dense AS (
+       |  SELECT c.vec_id AS doc_id, $cos AS cos
+       |  FROM embeddings c JOIN embeddings q
+       |    ON q.vec_id = (SELECT qdoc FROM qsel)
+       |  WHERE c.vec_id <> q.vec_id),
+       |dense_rank AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+       |           AS INTEGER) AS r_dense
+       |  FROM (SELECT doc_id, cos FROM dense
+       |        ORDER BY cos DESC, doc_id LIMIT 50)),
+       |fused AS (
+       |  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id, s.r_sparse, d.r_dense,
+       |         round(coalesce(CAST(1.0 AS DOUBLE) / (60 + s.r_sparse),
+       |                 CAST(0.0 AS DOUBLE))
+       |             + coalesce(CAST(1.0 AS DOUBLE) / (60 + d.r_dense),
+       |                 CAST(0.0 AS DOUBLE)), 6) AS rrf
+       |  FROM sparse_rank s FULL OUTER JOIN dense_rank d ON s.doc_id = d.doc_id)
+       |SELECT doc_id, r_sparse, r_dense, rrf FROM fused
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rrf_fusion" -> (rrfFusion _),
     "embedding_outliers" -> (embeddingOutliers _),
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_pq_rerank" -> (annPqRerank _),
@@ -1054,6 +1190,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "rrf_fusion" -> rrfFusionOracle,
     "embedding_outliers" -> embeddingOutliersOracle,
     "ann_ivf_pq" -> annIvfPqOracle,
     "ann_pq_rerank" -> annPqRerankOracle,

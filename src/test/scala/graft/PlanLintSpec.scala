@@ -47,6 +47,8 @@ class PlanLintSpec extends AnyFunSuite {
     "retention_filter", // 1-row max-ts scalar broadcast
     "autocorr_lag",     // 7-row lag-dimension broadcast onto the daily agg
     "pca_power",        // 1-row norm/Rayleigh broadcasts onto d-sized frames
+    "rrf_fusion",       // 1-row query-doc / corpus-stats / query-vector
+                        // broadcasts feeding both retrieval arms
     "integrity_audit",  // 1-row orphan×unreferenced counter cross joins
     "triangle_count",   // 1-row stats×triangle-count cross joins
     "kcore_2step",      // 1-row node-stats×edge-count cross join

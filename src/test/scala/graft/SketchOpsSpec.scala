@@ -150,6 +150,25 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rrf_fusion: scores recomputable from ranks, ordered, ranks in [1,50]") {
+    val rows = graft.ops.SimilarityOps.rrfFusion(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    def rankOpt(r: org.apache.spark.sql.Row, i: Int): Option[Int] =
+      if (r.isNullAt(i)) None else Some(r.getInt(i))
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val rs = rankOpt(r, 1); val rd = rankOpt(r, 2); val rrf = r.getDouble(3)
+      assert(rs.nonEmpty || rd.nonEmpty, "doc in neither list")
+      (rs ++ rd).foreach(x => assert(x >= 1 && x <= 50, s"rank $x out of range"))
+      val expect = rs.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rd.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-6,
+        s"rrf $rrf != recomputed $expect for ranks $rs/$rd")
+      assert(rrf <= prev + 1e-9, "rrf not descending")
+      prev = rrf
+    }
+  }
+
   test("autocorr_lag: 7 lags, |acf| bounded, pair counts shrink with lag") {
     val rows = AnalyticsOps.autocorrLag(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))

@@ -100,11 +100,15 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val native = DedupOps.simhashSignatures(spark, dir)
       .select("doc_id", "simhash").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // the original wide composition (what the narrow expression replaced)
+    // the original wide composition (what the narrow expression replaced),
+    // over the SAME md5 token ids the r8 value-pinned signature path uses
+    // (the conv∘md5 chain is pinned bit-identical to Md5ShingleId below)
     val toks = graft.ops.Tables(spark, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(split(DedupOps.normText(col("text")), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h",
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
     val composed = toks.groupBy(col("doc_id")).agg(
       (0 until 64).map { i =>
         val bitSum = sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1)
