@@ -176,11 +176,123 @@ object SketchOps {
        |GROUP BY k.user_id, k.exact_cnt
        |ORDER BY k.exact_cnt DESC, k.user_id""".stripMargin
 
+  private val bootReps = 32
+
+  /** Integer inverse-CDF cutoffs for Poisson(1) on the 32-bit affine-hash
+    * domain: `u < cuts(k)` ⇒ weight k (else 5). ONE Scala definition
+    * feeds both the Column tree and the oracle SQL as literals, and the
+    * comparison is pure integer — the resample "randomness" is exactly
+    * reproducible on both engines.
+    */
+  private val poissonCuts: Seq[Long] = {
+    val pmf = (0 until 5).map(k =>
+      math.exp(-1.0) / (1 to k).foldLeft(1.0)(_ * _))
+    val dom = math.pow(2.0, 32)
+    pmf.scanLeft(0.0)(_ + _).tail.map(c => (c * dom).toLong)
+  }
+
+  /** Poisson bootstrap (the large-scale bootstrap: per-row replicate
+    * weights ~ Poisson(1) instead of true multinomial resampling, exact
+    * as n → ∞) of the per-priority mean order value: 32 replicates,
+    * weights drawn DETERMINISTICALLY via [[poissonCuts]] from ONE md5
+    * per row re-keyed per replicate by the
+    * [[graft.functions.expressions.AffineMinHash]] constant family —
+    * per-(row, replicate) md5 was the first cut and measured 7 s warm at
+    * sf0.1 (the documented conv∘md5 builtin-chain allocation cost × R);
+    * one digest + 32 codegen'd multiply-adds per row is ~5× cheaper.
+    * Affine re-keys of one hash are pairwise DEPENDENT uniforms per row,
+    * but replicate MEANS average that dependence out across rows — the
+    * spec pins se_boot within 3× of σ/√n, and the DuckDB cross-check at
+    * sf0.01 lands within 10% of theory. The whole sampling distribution
+    * — standard error and the 2.5/97.5% percentile CI — is value-checked
+    * against DuckDB. This is how error bars work at 100 TB: no data
+    * movement per replicate, just a ×R narrow expansion feeding ONE
+    * keyed aggregate whose shuffle is (groups × R) partial rows per
+    * partition; the replicate means then live on a 160-row frame. Means
+    * are rounded (6dp) BEFORE the quantile/stddev pass so both engines
+    * interpolate identical inputs.
+    */
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.AffineMinHash.{A, B, Mod}
+    val ords = Tables(s, dir, "orders")
+    val w = poissonCuts.zipWithIndex.foldRight(lit(5): org.apache.spark.sql.Column) {
+      case ((cut, k), acc) => when(col("u") < cut, k).otherwise(acc)
+    }
+    val reps = array((0 until bootReps).map(r =>
+      struct(lit(r).as("r"),
+        ((lit(A(r)) * col("m") + lit(B(r))) % lit(Mod)).as("u"))): _*)
+    val boot = ords
+      .select(col("o_orderpriority").as("pri"), col("o_totalprice").as("x"),
+        (conv(substring(md5(col("o_orderkey").cast("string").cast("binary")),
+          1, 15), 16, 10).cast("long") % lit(Mod)).as("m"))
+      .select(col("pri"), col("x"), explode(reps).as("rep"))
+      .select(col("pri"), col("x"), col("rep.r").as("r"), col("rep.u").as("u"))
+      .withColumn("w", w)
+      .groupBy(col("pri"), col("r"))
+      .agg(round(sum(col("w") * col("x")) / sum(col("w")), 6).as("m"))
+    val stats = boot.groupBy(col("pri"))
+      .agg(round(stddev_samp(col("m")), 4).as("se_boot"),
+        round(percentile(col("m"), lit(0.025)), 4).as("ci_lo"),
+        round(percentile(col("m"), lit(0.975)), 4).as("ci_hi"))
+    val actual = ords.groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(avg(col("o_totalprice")), 4).as("mean_actual"))
+    actual.join(stats, "pri")
+      .select(col("pri").as("o_orderpriority"), col("n_rows"),
+        col("mean_actual"), col("se_boot"), col("ci_lo"), col("ci_hi"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The row hash, affine re-key, weight CASE, and stats chain
+    * transliterated; the same [[poissonCuts]] and
+    * [[graft.functions.expressions.AffineMinHash]] constants guarantee
+    * identical resamples. Spark's exact `percentile` and DuckDB's
+    * `quantile_cont` share linear interpolation (pinned previously by
+    * `events_value_percentiles`).
+    */
+  val bootstrapCiOracle: String = {
+    import graft.functions.expressions.AffineMinHash.{A, B, Mod}
+    val wCase = "CASE " + poissonCuts.zipWithIndex.map { case (cut, k) =>
+      s"WHEN u < $cut THEN $k" }.mkString(" ") + " ELSE 5 END"
+    val repRows = (0 until bootReps).map(r =>
+      s"(${r}, ${A(r)}, ${B(r)})").mkString(", ")
+    s"""WITH reps AS (SELECT * FROM (VALUES $repRows) v(r, a, b)),
+       |h0 AS (
+       |  SELECT o_orderpriority AS pri, o_totalprice AS x,
+       |         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+       |           % $Mod AS m
+       |  FROM orders),
+       |w AS (
+       |  SELECT h0.pri, h0.x, reps.r,
+       |         (reps.a * h0.m + reps.b) % $Mod AS u
+       |  FROM h0 CROSS JOIN reps),
+       |wts AS (SELECT pri, x, r, $wCase AS w FROM w),
+       |boot AS (
+       |  SELECT pri, r, round(sum(w * x) / sum(w), 6) AS m
+       |  FROM wts GROUP BY pri, r),
+       |stats AS (
+       |  SELECT pri,
+       |         round(stddev_samp(m), 4) AS se_boot,
+       |         round(quantile_cont(m, 0.025), 4) AS ci_lo,
+       |         round(quantile_cont(m, 0.975), 4) AS ci_hi
+       |  FROM boot GROUP BY pri),
+       |actual AS (
+       |  SELECT o_orderpriority AS pri, count(*) AS n_rows,
+       |         round(avg(o_totalprice), 4) AS mean_actual
+       |  FROM orders GROUP BY 1)
+       |SELECT a.pri AS o_orderpriority, a.n_rows, a.mean_actual,
+       |       s.se_boot, s.ci_lo, s.ci_hi
+       |FROM actual a JOIN stats s ON s.pri = a.pri
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hll_estimate" -> (hllEstimate _),
+    "bootstrap_ci" -> (bootstrapCi _),
     "countmin_est" -> (countminEst _))
 
   val oracles: Map[String, String] = Map(
     "hll_estimate" -> hllEstimateOracle,
+    "bootstrap_ci" -> bootstrapCiOracle,
     "countmin_est" -> countminEstOracle)
 }

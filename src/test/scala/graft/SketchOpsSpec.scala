@@ -43,6 +43,29 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap_ci: CI ordered and brackets the mean; SE near sigma/sqrt(n)") {
+    val rows = SketchOps.bootstrapCi(spark, dir).collect()
+    assert(rows.length == 5)
+    val ords = Tables(spark, dir, "orders")
+      .agg(stddev_samp(col("o_totalprice")).as("sd"), count(lit(1)).as("n"))
+      .collect()(0)
+    rows.foreach { r =>
+      val n = r.getLong(1); val mean = r.getDouble(2)
+      val se = r.getDouble(3); val lo = r.getDouble(4); val hi = r.getDouble(5)
+      assert(lo < hi, "degenerate CI")
+      // a 95% percentile CI from 32 replicates almost surely brackets the
+      // point estimate; allow a 1-SE slack for the tiny-R percentile bias
+      assert(mean > lo - se && mean < hi + se,
+        s"mean $mean outside CI [$lo, $hi] +/- se $se")
+      // Poisson-bootstrap SE of a mean ~ sigma/sqrt(n_group) — within 3x
+      val expected = ords.getDouble(0) / math.sqrt(n.toDouble)
+      assert(se > expected / 3 && se < expected * 3,
+        s"se $se implausible vs sigma/sqrt(n) = $expected")
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables(spark, dir, "orders").count())
+  }
+
   test("gram_matrix: upper triangle, PSD-consistent diagonal, symmetry via Cauchy-Schwarz") {
     val rows = ModelOps.gramMatrix(spark, dir).collect()
     val d = 64
