@@ -176,6 +176,114 @@ object SketchOps {
        |GROUP BY k.user_id, k.exact_cnt
        |ORDER BY k.exact_cnt DESC, k.user_id""".stripMargin
 
+  private val ipWidth = 4096
+
+  /** Join-cardinality estimation from Count-Min sketch INNER PRODUCTS
+    * (Cormode & Muthukrishnan's second classic use): |A ⋈ B| =
+    * Σ_k f_A(k)·f_B(k), estimated as min over the d hash rows of
+    * Σ_b A[i][b]·B[i][b] — the optimizer-statistics move that sizes a
+    * join from two (d × w)-cell summaries WITHOUT executing it (here the
+    * orders ⋈ customer custkey join; the exact join runs alongside as
+    * the audit, like every sketch in this file). The estimate is
+    * one-sided (collision mass only adds), within ε·‖f_A‖₁·‖f_B‖₁/w in
+    * expectation per row — w=4096 keeps that ≈ 5% of the true mass at
+    * sf0.01. Same md5 bucket scheme as [[countminEst]], so the whole
+    * estimator is value-checked in DuckDB; sketch builds are keyed
+    * aggregates with (d·w)-bounded shuffles, the inner product a
+    * (d·w)-row join.
+    */
+  def cmsJoinCard(s: SparkSession, dir: String): DataFrame = {
+    def sketch(df: DataFrame, key: String): DataFrame =
+      df.select(col(key), explode(array((0 until cmDepth).map(lit): _*)).as("i"))
+        .select(col("i"),
+          (conv(substring(md5(concat(col("i").cast("string"), lit(","),
+            col(key).cast("string")).cast("binary")), 1, 15), 16, 10)
+            .cast("long") % ipWidth).as("bucket"))
+        .groupBy(col("i"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+    val a = sketch(Tables(s, dir, "orders"), "o_custkey")
+    val b = sketch(Tables(s, dir, "customer"), "c_custkey")
+    val est = a.as("a").join(b.as("b"),
+        col("a.i") === col("b.i") && col("a.bucket") === col("b.bucket"))
+      .groupBy(col("a.i"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("ip"))
+      .agg(min(col("ip")).as("cms_est"))
+    val exact = Tables(s, dir, "orders").select(col("o_custkey"))
+      .join(Tables(s, dir, "customer").select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("exact_card"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_card"), col("cms_est"),
+        (col("cms_est") - col("exact_card")).as("overcount"),
+        round(col("cms_est").cast("double") / col("exact_card"), 4).as("ratio"))
+  }
+
+  val cmsJoinCardOracle: String =
+    s"""WITH r AS (SELECT unnest(generate_series(0, ${cmDepth - 1})) AS i),
+       |a AS (
+       |  SELECT r.i,
+       |         ('0x' || substr(md5(r.i || ',' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % $ipWidth AS bucket,
+       |         count(*) AS cnt
+       |  FROM orders CROSS JOIN r GROUP BY 1, 2),
+       |b AS (
+       |  SELECT r.i,
+       |         ('0x' || substr(md5(r.i || ',' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % $ipWidth AS bucket,
+       |         count(*) AS cnt
+       |  FROM customer CROSS JOIN r GROUP BY 1, 2),
+       |ip AS (
+       |  SELECT a.i, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+       |  FROM a JOIN b ON a.i = b.i AND a.bucket = b.bucket GROUP BY a.i),
+       |est AS (SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM ip),
+       |exact AS (
+       |  SELECT count(*) AS exact_card
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+       |SELECT x.exact_card, e.cms_est,
+       |       CAST(e.cms_est - x.exact_card AS BIGINT) AS overcount,
+       |       round(CAST(e.cms_est AS DOUBLE) / x.exact_card, 4) AS ratio
+       |FROM exact x, est e""".stripMargin
+
+  private val dpDomain = 1L << 60
+
+  /** Differentially-private per-source document counts: Laplace(1/ε)
+    * noise (ε = 1, sensitivity 1 for a count) via the inverse CDF of an
+    * md5-uniform draw keyed on the source name. The draw being a pure
+    * function of the key makes the release IDEMPOTENT — re-running the
+    * pipeline republishes the SAME noisy value instead of spending fresh
+    * ε per run (deterministic-noise single-release semantics: the ε
+    * budget is paid once per key, and the scaladoc is the accounting
+    * record). The +0.5 offset keeps u strictly inside (0,1) so the ln
+    * never sees 0; identical arithmetic shapes on both engines make the
+    * noise — not just the count — value-checked. Keyed aggregate + a
+    * narrow noise map: nothing here grows past the group count.
+    */
+  def dpCounts(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("source").cast("binary")), 1, 15), 16, 10)
+      .cast("long").cast("double") + 0.5) / lit(dpDomain.toDouble)
+    Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("u", u)
+      .select(col("source"), col("true_count"),
+        round(col("true_count") +
+          when(col("u") < 0.5, log(lit(2.0) * col("u")))
+            .otherwise(-log(lit(2.0) * (lit(1.0) - col("u")))), 4)
+          .as("dp_count"))
+      .orderBy("source")
+  }
+
+  val dpCountsOracle: String =
+    s"""WITH c AS (SELECT source, count(*) AS true_count FROM documents
+       |           GROUP BY 1),
+       |u AS (
+       |  SELECT source, true_count,
+       |         (CAST(('0x' || substr(md5(source), 1, 15))::BIGINT AS DOUBLE)
+       |            + 0.5) / CAST(${dpDomain.toDouble} AS DOUBLE) AS u
+       |  FROM c)
+       |SELECT source, true_count,
+       |       round(true_count + (CASE WHEN u < 0.5 THEN ln(2.0 * u)
+       |                           ELSE -ln(2.0 * (1.0 - u)) END), 4) AS dp_count
+       |FROM u ORDER BY source""".stripMargin
+
   private val bootReps = 32
 
   /** Integer inverse-CDF cutoffs for Poisson(1) on the 32-bit affine-hash
@@ -289,10 +397,14 @@ object SketchOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hll_estimate" -> (hllEstimate _),
     "bootstrap_ci" -> (bootstrapCi _),
+    "cms_join_card" -> (cmsJoinCard _),
+    "dp_counts" -> (dpCounts _),
     "countmin_est" -> (countminEst _))
 
   val oracles: Map[String, String] = Map(
     "hll_estimate" -> hllEstimateOracle,
     "bootstrap_ci" -> bootstrapCiOracle,
+    "cms_join_card" -> cmsJoinCardOracle,
+    "dp_counts" -> dpCountsOracle,
     "countmin_est" -> countminEstOracle)
 }

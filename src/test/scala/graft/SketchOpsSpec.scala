@@ -66,6 +66,34 @@ class SketchOpsSpec extends AnyFunSuite {
       Tables(spark, dir, "orders").count())
   }
 
+  test("cms_join_card: one-sided estimate, FK-exact baseline, sane ratio") {
+    val r = SketchOps.cmsJoinCard(spark, dir).collect()(0)
+    val exact = r.getLong(0); val est = r.getLong(1)
+    // FK integrity: every order joins exactly one customer
+    assert(exact == Tables(spark, dir, "orders").count())
+    assert(est >= exact, s"CMS inner product undercounted: $est < $exact")
+    assert(r.getLong(2) == est - exact)
+    // collision mass bound: e * |A| * |B| / w above the true mass would
+    // mean a broken sketch (w=4096 keeps expected excess ~ a few %)
+    val nB = Tables(spark, dir, "customer").count()
+    assert(est - exact <= math.ceil(math.E * exact * nB / 4096).toLong,
+      s"overcount ${est - exact} beyond the CMS bound")
+  }
+
+  test("dp_counts: Laplace noise bounded, nonzero, deterministic across runs") {
+    val rows = SketchOps.dpCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, t, dp) =>
+      // P(|Laplace(1)| > 20) = e^-20 — a violation means broken noise
+      assert(math.abs(dp - t) < 20, s"$src: noise ${dp - t} implausible")
+      assert(dp != t.toDouble, s"$src: noise exactly zero")
+    }
+    val again = SketchOps.dpCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == again.toSeq, "noise not idempotent across runs")
+  }
+
   test("gram_matrix: upper triangle, PSD-consistent diagonal, symmetry via Cauchy-Schwarz") {
     val rows = ModelOps.gramMatrix(spark, dir).collect()
     val d = 64
