@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => IntersectSizeRewrite)
     e.injectOptimizerRule(_ => LevenshteinPrefilter)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     GraftExtensions.functions.foreach { case (name, arity, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),

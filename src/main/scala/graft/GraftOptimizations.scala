@@ -98,10 +98,16 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
 
 object GraftOptimizations {
   val rules: Seq[Rule[LogicalPlan]] = Seq(IntersectSizeRewrite, LevenshteinPrefilter)
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     rules.foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r
     }
+    // the whole-operator rung (§7.4 case c): the planner strategy for the
+    // native AsOfJoin logical node
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+  }
 }

@@ -32,7 +32,7 @@ object SparkEntry {
       TextOps.queries ++ EventOps.queries ++ AnalyticsOps.queries ++
       RelationalOps.queries ++ MultimodalOps.queries ++ GraphOps.queries ++
       LayoutOps.queries ++ ModelOps.queries ++ WinnowOps.queries ++
-      SketchOps.queries
+      SketchOps.queries ++ graft.plans.AsOfJoinOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (the
@@ -44,5 +44,5 @@ object SparkEntry {
       TextOps.oracles ++ EventOps.oracles ++ AnalyticsOps.oracles ++
       RelationalOps.oracles ++ MultimodalOps.oracles ++ GraphOps.oracles ++
       LayoutOps.oracles ++ ModelOps.oracles ++ WinnowOps.oracles ++
-      SketchOps.oracles
+      SketchOps.oracles ++ graft.plans.AsOfJoinOps.oracles
 }

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
+import graft.ops.Tables
+
+/** DataFrame-facing builder for the native [[AsOfJoin]] operator, plus the
+  * gate query proving it end-to-end: `asof_join_native` re-runs the
+  * view→purchase attribution of `asof_join_attribution` through the custom
+  * operator and is held to the SAME DuckDB oracle — the green pair is the
+  * proof that the O(n+m) merge operator and the interval-join + window
+  * composition are semantically identical.
+  */
+object AsOfJoinOps {
+
+  /** Inner as-of join: latest `right` row per `left` row with equal key,
+    * `rightTime ∈ (leftTime − tolerance, leftTime]`, ties on rightTime
+    * broken by max `rightTieBreak`. Expressions are resolved against the
+    * ANALYZED children, so the assembled [[AsOfJoin]] node enters planning
+    * fully resolved.
+    */
+  def asOf(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      rightTieBreak: Column, toleranceMicros: Long): DataFrame = {
+    val spark = left.sparkSession
+    val plan = AsOfJoin(
+      DatasetBridge.analyzedPlan(left), DatasetBridge.analyzedPlan(right),
+      ColumnBridge.expression(leftKey), ColumnBridge.expression(rightKey),
+      ColumnBridge.expression(leftTime), ColumnBridge.expression(rightTime),
+      ColumnBridge.expression(rightTieBreak), toleranceMicros)
+    DatasetBridge.ofRows(spark, plan)
+  }
+
+  /** The attribution query on the native operator. Times ride as
+    * `unix_micros` of the second-truncated timestamps (the operator's
+    * LongType contract); `gap_sec` divides exactly because both stamps are
+    * whole seconds. Output and oracle are identical to
+    * `asof_join_attribution`.
+    */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_s").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts_s").as("v_ts"))
+    val joined = asOf(purchases, views,
+      leftKey = col("user_id"), rightKey = col("v_user"),
+      leftTime = unix_micros(col("p_ts")), rightTime = unix_micros(col("v_ts")),
+      rightTieBreak = col("view_id"),
+      toleranceMicros = 7L * 24 * 3600 * 1000000L)
+    joined
+      .select(col("purchase_id"), col("user_id"),
+        col("view_id").as("attributed_view_id"),
+        ((unix_micros(col("p_ts")) - unix_micros(col("v_ts"))) / 1000000L)
+          .cast("long").as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join_native" -> (asofJoinNative _))
+
+  /** Deliberately the SAME oracle text as `asof_join_attribution` — one
+    * definitional SQL checking both the composed and the native plan.
+    */
+  val oracles: Map[String, String] = Map(
+    "asof_join_native" -> graft.ops.AnalyticsOps.asofJoinOracle)
+}

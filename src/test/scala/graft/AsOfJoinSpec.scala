@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{AsOfJoinExec, AsOfJoinOps}
+
+/** The native as-of operator (§7.4 ladder case c): strategy actually plans
+  * it, the merge agrees with the composed interval-join + window form on
+  * real data, and the contract edges (tolerance boundary, time ties, null
+  * keys, no-match rows) behave as documented.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    GraftOptimizations.install(s)
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  test("strategy plans AsOfJoinExec (not a fallback) with key-clustered exchanges") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val top = AsOfJoinOps.asofJoinNative(spark, dir).queryExecution.executedPlan
+    // descend through the AQE wrapper (its inputPlan is not a `children` kid)
+    val plan = top match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val execs = plan.collect { case e: AsOfJoinExec => e }
+    assert(execs.size == 1, s"expected one AsOfJoinExec, plan:\n$plan")
+    // EnsureRequirements must have clustered both children by key — that
+    // shows in the adaptive wrapper's CURRENT plan string (inputPlan is
+    // the pre-preparation tree)
+    val s = top.toString
+    assert(s.contains("Exchange hashpartitioning"), "children not key-clustered")
+    assert(s.contains("Sort ["), "children not sorted for the merge")
+  }
+
+  test("native merge == composed interval-join + window, row for row") {
+    val native = AsOfJoinOps.asofJoinNative(spark, dir).collect().map(_.toSeq)
+    val composed = graft.ops.AnalyticsOps.asofJoinAttribution(spark, dir)
+      .collect().map(_.toSeq)
+    assert(native.length == composed.length)
+    assert(native.toSeq == composed.toSeq)
+  }
+
+  test("contract edges: tolerance boundary exclusive, ties pick max tie-break, nulls never match") {
+    import spark.implicits._
+    // times below are raw longs in the operator's (unit-agnostic) time
+    // axis; tolerance is in the SAME unit
+    val tolMicros = 10L
+    val left = Seq(
+      (1L, java.lang.Long.valueOf(100L), 20L), // best right t=20: 20 > 10 ✓
+      (2L, java.lang.Long.valueOf(100L), 30L), // best right t=25: 25 > 20 ✓
+      (3L, java.lang.Long.valueOf(100L), 35L), // best 25: 25 > 25 ✗ — the
+                                               // EXACT exclusive boundary
+      (4L, java.lang.Long.valueOf(200L), 50L), // ties at t=50: ids 7,8 → 8
+      (5L, null.asInstanceOf[java.lang.Long], 50L), // null key: no match
+      (6L, java.lang.Long.valueOf(999L), 50L)) // no right rows for key
+      .toDF("lid", "k", "lt")
+    val right = Seq(
+      (10L, java.lang.Long.valueOf(100L), 15L),
+      (11L, java.lang.Long.valueOf(100L), 20L),
+      (12L, java.lang.Long.valueOf(100L), 25L),
+      (7L, java.lang.Long.valueOf(200L), 50L),
+      (8L, java.lang.Long.valueOf(200L), 50L),
+      (9L, null.asInstanceOf[java.lang.Long], 50L))
+      .toDF("rid", "rk", "rt")
+    val out = AsOfJoinOps.asOf(left, right,
+        leftKey = col("k"), rightKey = col("rk"),
+        leftTime = col("lt"), rightTime = col("rt"),
+        rightTieBreak = col("rid"), toleranceMicros = tolMicros)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 11L, 2L -> 12L, 4L -> 8L),
+      s"got $out")
+    // boundary: left 3 at t=35 has best right at 25; 25 > 35-10=25 fails
+    // the EXCLUSIVE lower bound (> lt - tol) — must be absent
+    assert(!out.contains(3L))
+  }
+
+  test("merge is exact under adversarial partitioning (pre-skewed inputs)") {
+    // repartition inputs badly — requiredChildDistribution must fix it
+    val ev = graft.ops.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_s").as("p_ts")).repartition(7, col("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts_s").as("v_ts")).repartition(3)
+    val out = AsOfJoinOps.asOf(p, v,
+        col("user_id"), col("v_user"),
+        unix_micros(col("p_ts")), unix_micros(col("v_ts")),
+        col("view_id"), 7L * 24 * 3600 * 1000000L)
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val ref = graft.ops.AnalyticsOps.asofJoinAttribution(spark, dir)
+      .select("purchase_id", "attributed_view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out == ref)
+  }
+}
