@@ -25,6 +25,12 @@ object AsOfJoinOps {
       leftTime: Column, rightTime: Column,
       rightTieBreak: Column, toleranceMicros: Long): DataFrame = {
     val spark = left.sparkSession
+    // the DataFrame-facing API owns its planning needs: without the
+    // strategy the node is unplannable ("No plan for AsOfJoin"), so
+    // self-register (idempotent) instead of depending on install order
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val plan = AsOfJoin(
       DatasetBridge.analyzedPlan(left), DatasetBridge.analyzedPlan(right),
       ColumnBridge.expression(leftKey), ColumnBridge.expression(rightKey),
