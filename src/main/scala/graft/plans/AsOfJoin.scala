@@ -30,16 +30,23 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Contract: `leftTime`/`rightTime` evaluate to LongType (micros — cast
   * timestamps with `unix_micros`); keys share a dataType; null key or time
-  * never matches. Output = left.output ++ right.output (matched rows
-  * only).
+  * never matches. Output = left.output ++ right.output: matched rows only
+  * when inner, every left row when `isOuter` (unmatched — including
+  * null-key/time left rows, SQL LEFT JOIN style — carry a nulled right
+  * side, and the right attributes turn nullable).
   */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Expression,
-    toleranceMicros: Long) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    toleranceMicros: Long,
+    isOuter: Boolean = false) extends BinaryNode {
+  // left-outer keeps every left row (SQL LEFT JOIN semantics: null key /
+  // time rows survive too) with the right side nulled when unmatched
+  override def output: Seq[Attribute] =
+    if (isOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -51,8 +58,9 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, rtb, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, rtb, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, rtb, tol, outer) =>
+      AsOfJoinExec(lk, rk, lt, rt, rtb, tol, outer,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -72,9 +80,12 @@ case class AsOfJoinExec(
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Expression,
     toleranceMicros: Long,
+    isOuter: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (isOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) ::
@@ -87,6 +98,8 @@ case class AsOfJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val tol = toleranceMicros
+    val outer = isOuter
+    val nRightCols = right.output.size
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val lkBound = BindReferences.bindReference(leftKey, left.output)
     val ltBound = BindReferences.bindReference(leftTime, left.output)
@@ -96,6 +109,8 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nRightCols)
       new Iterator[InternalRow] {
         // one-row lookahead into the right side (rows are reused buffers —
         // anything retained across next() must be copied)
@@ -118,7 +133,9 @@ case class AsOfJoinExec(
             val l = lIter.next()
             val lk = lkBound.eval(l)
             val ltv = ltBound.eval(l)
-            if (lk != null && ltv != null) {
+            if (lk == null || ltv == null) {
+              if (outer) pending = proj(joined(l, nullRight))
+            } else {
               val lt = ltv.asInstanceOf[Long]
               // consume right rows with (key < lk) or (key == lk, time <= lt)
               var continue = rHead != null
@@ -141,6 +158,8 @@ case class AsOfJoinExec(
               if (bestRow != null && keyOrd.compare(bestKey, lk) == 0 &&
                   bestTime <= lt && bestTime > lt - tol) {
                 pending = proj(joined(l, bestRow))
+              } else if (outer) {
+                pending = proj(joined(l, nullRight))
               }
             }
           }

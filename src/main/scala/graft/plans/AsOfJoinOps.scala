@@ -23,7 +23,8 @@ object AsOfJoinOps {
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
-      rightTieBreak: Column, toleranceMicros: Long): DataFrame = {
+      rightTieBreak: Column, toleranceMicros: Long,
+      isOuter: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // the DataFrame-facing API owns its planning needs: without the
     // strategy the node is unplannable ("No plan for AsOfJoin"), so
@@ -35,7 +36,7 @@ object AsOfJoinOps {
       DatasetBridge.analyzedPlan(left), DatasetBridge.analyzedPlan(right),
       ColumnBridge.expression(leftKey), ColumnBridge.expression(rightKey),
       ColumnBridge.expression(leftTime), ColumnBridge.expression(rightTime),
-      ColumnBridge.expression(rightTieBreak), toleranceMicros)
+      ColumnBridge.expression(rightTieBreak), toleranceMicros, isOuter)
     DatasetBridge.ofRows(spark, plan)
   }
 
@@ -68,12 +69,62 @@ object AsOfJoinOps {
       .orderBy("purchase_id")
   }
 
+  /** LEFT-OUTER variant: every purchase appears; the ~11% with no view in
+    * the 7-day lookback carry NULL attribution — the report shape
+    * marketing actually wants ("what fraction of purchases are organic").
+    */
+  def asofJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_s").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts_s").as("v_ts"))
+    asOf(purchases, views,
+        col("user_id"), col("v_user"),
+        unix_micros(col("p_ts")), unix_micros(col("v_ts")),
+        col("view_id"), 7L * 24 * 3600 * 1000000L, isOuter = true)
+      .select(col("purchase_id"), col("user_id"),
+        col("view_id").as("attributed_view_id"),
+        ((unix_micros(col("p_ts")) - unix_micros(col("v_ts"))) / 1000000L)
+          .cast("long").as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinOuterOracle: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   date_trunc('second', ts) AS ts_s FROM events),
+      |best AS (
+      |  SELECT purchase_id, attributed_view_id, gap_sec FROM (
+      |    SELECT p.event_id AS purchase_id,
+      |           v.event_id AS attributed_view_id,
+      |           CAST(floor(epoch(p.ts_s)) AS BIGINT)
+      |             - CAST(floor(epoch(v.ts_s)) AS BIGINT) AS gap_sec,
+      |           row_number() OVER (PARTITION BY p.event_id
+      |             ORDER BY v.ts_s DESC, v.event_id DESC) AS rn
+      |    FROM ev p JOIN ev v
+      |      ON p.event_type = 'purchase' AND v.event_type = 'view'
+      |     AND p.user_id = v.user_id
+      |     AND v.ts_s <= p.ts_s
+      |     AND v.ts_s > p.ts_s - INTERVAL 7 DAY)
+      |  WHERE rn = 1)
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      |       b.attributed_view_id, b.gap_sec
+      |FROM ev p LEFT JOIN best b ON b.purchase_id = p.event_id
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "asof_join_native" -> (asofJoinNative _))
+    "asof_join_native" -> (asofJoinNative _),
+    "asof_join_outer" -> (asofJoinOuter _))
 
   /** Deliberately the SAME oracle text as `asof_join_attribution` — one
     * definitional SQL checking both the composed and the native plan.
     */
   val oracles: Map[String, String] = Map(
-    "asof_join_native" -> graft.ops.AnalyticsOps.asofJoinOracle)
+    "asof_join_native" -> graft.ops.AnalyticsOps.asofJoinOracle,
+    "asof_join_outer" -> asofJoinOuterOracle)
 }

@@ -79,6 +79,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("outer mode keeps every left row; unmatched and null-key rows carry nulls") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, java.lang.Long.valueOf(100L), 20L), // matched
+      (3L, java.lang.Long.valueOf(100L), 35L), // boundary-excluded → null
+      (5L, null.asInstanceOf[java.lang.Long], 50L), // null key → null
+      (6L, java.lang.Long.valueOf(999L), 50L)) // no right key → null
+      .toDF("lid", "k", "lt")
+    val right = Seq(
+      (11L, java.lang.Long.valueOf(100L), 20L),
+      (12L, java.lang.Long.valueOf(100L), 25L))
+      .toDF("rid", "rk", "rt")
+    val out = AsOfJoinOps.asOf(left, right,
+        col("k"), col("rk"), col("lt"), col("rt"), col("rid"),
+        toleranceMicros = 10L, isOuter = true)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(1L -> Some(11L), 3L -> None, 5L -> None, 6L -> None),
+      s"got $out")
+    // and on real data: outer row count == left row count, inner ⊆ outer
+    val nPurchases = graft.ops.Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(AsOfJoinOps.asofJoinOuter(spark, dir).count() == nPurchases)
+  }
+
   test("merge is exact under adversarial partitioning (pre-skewed inputs)") {
     // repartition inputs badly — requiredChildDistribution must fix it
     val ev = graft.ops.Tables(spark, dir, "events")
