@@ -785,7 +785,150 @@ object EventOps {
       |       round(sv / n_events - g.g, 6) AS dev_from_global
       |FROM cells, g ORDER BY dow, hod""".stripMargin
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic marketing cut done scale-safe: users reduce to one row each
+    * (keyed aggregate), quartile cutpoints for all three axes come from
+    * ONE aggregate over that user-sized frame, and scoring is static
+    * codegen'd comparisons against the 1-row cut broadcast (the
+    * `equidepth_histogram` shape — never an ntile window over users,
+    * which would funnel the user table through one task at web scale).
+    * `monetary` is rounded BEFORE cutting so boundary users land in the
+    * same quartile on both engines (raw double sums differ at 1e-12 by
+    * summation order — enough to flip a quartile at an exact cut).
+    * Output: one row per populated (r,f,m) cell with its population and
+    * totals.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val mx = ev.agg(max(col("ts").cast("date")).as("maxd"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(max(col("ts").cast("date")).as("lastd"),
+        count(lit(1)).as("freq"),
+        round(sum(col("value")), 4).as("monetary"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        datediff(col("maxd"), col("lastd")).cast("long").as("recency"),
+        col("freq"), col("monetary"))
+    val qs = array(lit(0.25), lit(0.5), lit(0.75))
+    val cuts = users.agg(
+      percentile(col("recency"), qs).as("rc"),
+      percentile(col("freq"), qs).as("fc"),
+      percentile(col("monetary"), qs).as("mc"))
+    def quart(v: org.apache.spark.sql.Column, c: String) =
+      (1 to 3).foldLeft(lit(1)) { (acc, i) =>
+        acc + when(v > element_at(col(c), i), 1).otherwise(0)
+      }
+    users.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("freq"), col("monetary"),
+        quart(col("recency"), "rc").as("r_q"),
+        quart(col("freq"), "fc").as("f_q"),
+        quart(col("monetary"), "mc").as("m_q"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("freq")).as("total_events"),
+        round(sum(col("monetary")), 2).as("total_value"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  val rfmSegmentsOracle: String =
+    """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |         CAST(date_diff('day', max(CAST(ts AS DATE)),
+      |           (SELECT maxd FROM mx)) AS BIGINT) AS recency,
+      |         count(*) AS freq,
+      |         round(sum(value), 4) AS monetary
+      |  FROM events GROUP BY user_id),
+      |cuts AS (
+      |  SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rc,
+      |         quantile_cont(freq, [0.25, 0.5, 0.75]) AS fc,
+      |         quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+      |  FROM u),
+      |scored AS (
+      |  SELECT user_id, freq, monetary,
+      |         1 + (CASE WHEN recency > rc[1] THEN 1 ELSE 0 END)
+      |           + (CASE WHEN recency > rc[2] THEN 1 ELSE 0 END)
+      |           + (CASE WHEN recency > rc[3] THEN 1 ELSE 0 END) AS r_q,
+      |         1 + (CASE WHEN freq > fc[1] THEN 1 ELSE 0 END)
+      |           + (CASE WHEN freq > fc[2] THEN 1 ELSE 0 END)
+      |           + (CASE WHEN freq > fc[3] THEN 1 ELSE 0 END) AS f_q,
+      |         1 + (CASE WHEN monetary > mc[1] THEN 1 ELSE 0 END)
+      |           + (CASE WHEN monetary > mc[2] THEN 1 ELSE 0 END)
+      |           + (CASE WHEN monetary > mc[3] THEN 1 ELSE 0 END) AS m_q
+      |  FROM u, cuts)
+      |SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+      |       CAST(m_q AS INTEGER) AS m_q,
+      |       count(*) AS n_users,
+      |       CAST(sum(freq) AS BIGINT) AS total_events,
+      |       round(sum(monetary), 2) AS total_value
+      |FROM scored GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""".stripMargin
+
+  /** Sequential pattern mining with a Markov null model: the top user-
+    * journey TRIGRAMS, each compared against its expected count under the
+    * order-1 chain (`E[abc] = n_ab · n_bc / n_b·`), so `lift` separates
+    * real sequential structure from what bigram frequencies already
+    * predict — the upgrade over [[eventsTransitions]]' plain transition
+    * matrix. One user-partitioned double-`lead` pass builds trigrams and
+    * bigrams from the SAME frame; everything after is |alphabet|²-sized
+    * (≤ 25/125 rows), joined broadcast-style, top-10 by TakeOrdered.
+    */
+  def pathMining(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val o = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .localCheckpoint()
+    val tri = o.filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("obs"))
+    val bi = o.filter(col("e2").isNotNull)
+      .groupBy(col("event_type").as("b1"), col("e2").as("b2"))
+      .agg(count(lit(1)).as("n_bi"))
+    val bstart = bi.groupBy(col("b1")).agg(sum(col("n_bi")).as("n_start"))
+    val exp = col("ab_n").cast("double") * col("bc_n") / col("n_start")
+    tri
+      .join(bi.select(col("b1").as("e1"), col("b2").as("e2"),
+        col("n_bi").as("ab_n")), Seq("e1", "e2"))
+      .join(bi.select(col("b1").as("e2"), col("b2").as("e3"),
+        col("n_bi").as("bc_n")), Seq("e2", "e3"))
+      .join(bstart.select(col("b1").as("e2"), col("n_start")), Seq("e2"))
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"),
+        col("obs"), round(exp, 2).as("exp_markov"),
+        round(col("obs") / exp, 4).as("lift"))
+      .orderBy(col("obs").desc, col("path"))
+      .limit(10)
+  }
+
+  val pathMiningOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         lead(event_type, 1) OVER w AS e2,
+      |         lead(event_type, 2) OVER w AS e3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |tri AS (
+      |  SELECT event_type AS e1, e2, e3, count(*) AS obs
+      |  FROM o WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+      |bi AS (
+      |  SELECT event_type AS b1, e2 AS b2, count(*) AS n_bi
+      |  FROM o WHERE e2 IS NOT NULL GROUP BY 1, 2),
+      |bstart AS (SELECT b1, CAST(sum(n_bi) AS BIGINT) AS n_start
+      |           FROM bi GROUP BY 1)
+      |SELECT t.e1 || '>' || t.e2 || '>' || t.e3 AS path, t.obs,
+      |       round(CAST(ab.n_bi AS DOUBLE) * bc.n_bi / bs.n_start, 2)
+      |         AS exp_markov,
+      |       round(t.obs / (CAST(ab.n_bi AS DOUBLE) * bc.n_bi / bs.n_start), 4)
+      |         AS lift
+      |FROM tri t
+      |JOIN bi ab ON ab.b1 = t.e1 AND ab.b2 = t.e2
+      |JOIN bi bc ON bc.b1 = t.e2 AND bc.b2 = t.e3
+      |JOIN bstart bs ON bs.b1 = t.e2
+      |ORDER BY t.obs DESC, path LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rfm_segments" -> (rfmSegments _),
+    "path_mining" -> (pathMining _),
     "seasonal_profile" -> (seasonalProfile _),
     "events_ewma" -> (eventsEwma _),
     "events_islands" -> (eventsIslands _),
@@ -807,6 +950,8 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "rfm_segments" -> rfmSegmentsOracle,
+    "path_mining" -> pathMiningOracle,
     "seasonal_profile" -> seasonalProfileOracle,
     "events_ewma" -> eventsEwmaOracle,
     "events_islands" -> eventsIslandsOracle,

@@ -50,6 +50,7 @@ class PlanLintSpec extends AnyFunSuite {
     "rrf_fusion",       // 1-row query-doc / corpus-stats / query-vector
                         // broadcasts feeding both retrieval arms
     "cms_join_card",    // 1-row exact-count x sketch-estimate cross join
+    "rfm_segments",     // 1-row max-date + quartile-cut broadcasts
     "integrity_audit",  // 1-row orphan×unreferenced counter cross joins
     "triangle_count",   // 1-row stats×triangle-count cross joins
     "kcore_2step",      // 1-row node-stats×edge-count cross join

@@ -220,6 +220,35 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm_segments: quartile cells partition the user base, scores in 1..4") {
+    val rows = graft.ops.EventOps.rfmSegments(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (rq, fq, mq, n, _) =>
+      assert(rq >= 1 && rq <= 4 && fq >= 1 && fq <= 4 && mq >= 1 && mq <= 4)
+      assert(n > 0)
+    }
+    val ev = Tables(spark, dir, "events")
+    assert(rows.map(_._4).sum ==
+      ev.select(col("user_id")).distinct().count(), "users lost or doubled")
+    assert(rows.map(_._5).sum == ev.count(), "events lost or doubled")
+  }
+
+  test("path_mining: lift recomputable, obs-ordered, Markov expectations positive") {
+    val rows = graft.ops.EventOps.pathMining(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 10)
+    var prev = Long.MaxValue
+    rows.foreach { case (path, obs, exp, lift) =>
+      assert(path.split(">").length == 3)
+      assert(obs > 0 && exp > 0)
+      assert(math.abs(lift - obs / exp) < 0.01,
+        s"$path: lift $lift != obs/exp ${obs / exp}")
+      assert(obs <= prev, "not ordered by obs desc")
+      prev = obs
+    }
+  }
+
   test("autocorr_lag: 7 lags, |acf| bounded, pair counts shrink with lag") {
     val rows = AnalyticsOps.autocorrLag(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
