@@ -2191,7 +2191,97 @@ object AnalyticsOps {
       |JOIN daily b ON b.d = a.d - CAST(k.lag || ' days' AS INTERVAL)
       |GROUP BY k.lag ORDER BY lag""".stripMargin
 
+  /** Kaplan–Meier survival estimator (JASA 1958) over TIME-TO-REPEAT-
+    * PURCHASE: for each customer the subject interval runs from their
+    * first order date to their second DISTINCT order date (the event);
+    * customers who never reorder are RIGHT-CENSORED at the study end
+    * (max order date) — the administrative-censoring design every
+    * retention/churn analysis uses. S(t) = Π_{u≤t} (1 − d_u/n_u) with
+    * the standard tie convention (subjects censored at t stay in the
+    * risk set at t).
+    *
+    * Numerics: d_t, c_t and the risk set are exact BIGINTs — n_t is the
+    * REVERSE cumulative subject count (Σ from current row to the end),
+    * so no total-minus-lag subtraction chain; the only floats are the
+    * per-row 1 − d/n factors, multiplied as exp∘Σ∘ln in identical row
+    * order on both engines (the [[driftPsi]] ln/exp cross-engine
+    * precedent), with an exhausted risk set (d = n on the final day)
+    * clamped to −1e9 so S underflows to exactly 0.0 rather than ln(0).
+    *
+    * Scale shape: two keyed aggregates on o_custkey + one keyed
+    * aggregate on duration; the two cumulative windows are unpartitioned
+    * BUT sit on the duration-day aggregate — cardinality ≤ the ~2,500-day
+    * TPC-H order calendar by construction (PlanLint whitelist), and both
+    * share one WindowExec sort. Study end is a 1-row scalar broadcast.
+    */
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables(s, dir, "orders")
+      .select(col("o_custkey").as("c"), col("o_orderdate").cast("date").as("d"))
+    val studyEnd = ord.agg(max(col("d")).as("study_end"))
+    val first = ord.groupBy(col("c")).agg(min(col("d")).as("d1"))
+    val second = ord.join(first, "c").filter(col("d") > col("d1"))
+      .groupBy(col("c")).agg(min(col("d")).as("d2"))
+    val subjects = first.join(second, Seq("c"), "left")
+      .crossJoin(broadcast(studyEnd))
+      .select(
+        when(col("d2").isNotNull, datediff(col("d2"), col("d1")))
+          .otherwise(datediff(col("study_end"), col("d1")))
+          .cast("long").as("duration"),
+        col("d2").isNotNull.cast("long").as("observed"))
+    val byDur = subjects.groupBy(col("duration"))
+      .agg(count(lit(1)).as("n_subjects"), sum(col("observed")).as("events"))
+      .withColumn("censored", col("n_subjects") - col("events"))
+    val byT = Window.orderBy(col("duration"))
+    val atRisk = sum(col("n_subjects"))
+      .over(byT.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val lnFactor = when(col("events") < col("at_risk"),
+      log(lit(1.0) - col("events").cast("double") / col("at_risk")))
+      .otherwise(lit(-1e9))
+    byDur.withColumn("at_risk", atRisk)
+      .withColumn("survival", round(exp(sum(lnFactor)
+        .over(byT.rowsBetween(Window.unboundedPreceding, Window.currentRow))), 6))
+      .select(col("duration"), col("at_risk"), col("events"), col("censored"),
+        col("survival"))
+      .orderBy(col("duration"))
+  }
+
+  val kaplanMeierOracle: String =
+    """WITH se AS (SELECT max(CAST(o_orderdate AS DATE)) AS study_end FROM orders),
+      |f AS (SELECT o_custkey AS c, min(CAST(o_orderdate AS DATE)) AS d1
+      |      FROM orders GROUP BY 1),
+      |snd AS (SELECT o.o_custkey AS c, min(CAST(o.o_orderdate AS DATE)) AS d2
+      |        FROM orders o JOIN f ON o.o_custkey = f.c
+      |          AND CAST(o.o_orderdate AS DATE) > f.d1
+      |        GROUP BY 1),
+      |subj AS (
+      |  SELECT CASE WHEN snd.d2 IS NOT NULL
+      |           THEN date_diff('day', f.d1, snd.d2)
+      |           ELSE date_diff('day', f.d1, (SELECT study_end FROM se)) END
+      |           AS duration,
+      |         CASE WHEN snd.d2 IS NOT NULL THEN 1 ELSE 0 END AS observed
+      |  FROM f LEFT JOIN snd ON f.c = snd.c),
+      |g AS (SELECT CAST(duration AS BIGINT) AS duration,
+      |             count(*) AS n_subjects,
+      |             CAST(sum(observed) AS BIGINT) AS events
+      |      FROM subj GROUP BY 1),
+      |r AS (SELECT duration, n_subjects, events,
+      |             n_subjects - events AS censored,
+      |             CAST(sum(n_subjects) OVER (ORDER BY duration
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |               AS BIGINT) AS at_risk
+      |      FROM g)
+      |SELECT duration, at_risk, events, censored,
+      |       round(exp(sum(CASE WHEN events < at_risk
+      |           THEN ln(1 - CAST(events AS DOUBLE) / at_risk)
+      |           ELSE -1e9 END)
+      |         OVER (ORDER BY duration
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+      |         AS survival
+      |FROM r ORDER BY duration""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kaplan_meier" -> (kaplanMeier _),
     "autocorr_lag" -> (autocorrLag _),
     "fk_discovery" -> (fkDiscovery _),
     "global_rank" -> (globalRank _),
@@ -2243,6 +2333,7 @@ object AnalyticsOps {
     "running_total" -> (runningTotal _))
 
   val oracles: Map[String, String] = Map(
+    "kaplan_meier" -> kaplanMeierOracle,
     "autocorr_lag" -> autocorrLagOracle,
     "fk_discovery" -> fkDiscoveryOracle,
     "global_rank" -> globalRankOracle,

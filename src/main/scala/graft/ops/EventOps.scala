@@ -926,7 +926,79 @@ object EventOps {
       |JOIN bstart bs ON bs.b1 = t.e2
       |ORDER BY t.obs DESC, path LIMIT 10""".stripMargin
 
+  /** Deterministic A/B experiment readout: every user is assigned a
+    * variant by md5-parity of their id (the standard hash-bucket
+    * experiment split — stable across runs, engines, and data order; the
+    * same md5→BIGINT bridge [[graft.ops.DedupOps]] uses for its
+    * engine-independent fingerprints), then Welch's unequal-variance
+    * t-test compares event values between arms: t = (m_A − m_B) /
+    * √(s²_A/n_A + s²_B/n_B) with the Welch–Satterthwaite df. On this
+    * synthetic data the split is null by construction, so |t| small is
+    * the expected readout — the operator is the machinery.
+    *
+    * Scale shape: ONE conditional keyless aggregate — six partial
+    * aggregates ride map-side combine into a single 1-row reduce; no
+    * join, no window, no per-arm pass. Variance comes from the exact
+    * moment identity s² = (Σx² − n·m²)/(n−1) over conditional sums so
+    * both engines aggregate the same moments (built-in var_samp differs
+    * in merge order across engines; the moments round stably at 4 dp).
+    */
+  def abTestStats(s: SparkSession, dir: String): DataFrame = {
+    val variant = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 2
+    def arm(v: Int, c: org.apache.spark.sql.Column) =
+      when(variant === v, c)
+    def n(v: Int) = count(arm(v, lit(1))).cast("double")
+    def sx(v: Int) = sum(arm(v, col("value")))
+    def sxx(v: Int) = sum(arm(v, col("value") * col("value")))
+    Tables(s, dir, "events")
+      .agg(n(0).as("na"), sx(0).as("sa"), sxx(0).as("qa"),
+        n(1).as("nb"), sx(1).as("sb"), sxx(1).as("qb"))
+      .select(
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(col("sa") / col("na"), 4).as("mean_a"),
+        round(col("sb") / col("nb"), 4).as("mean_b"),
+        ((col("qa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)).as("va"),
+        ((col("qb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)).as("vb"),
+        (col("sa") / col("na") - col("sb") / col("nb")).as("diff"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        round(col("va"), 4).as("var_a"), round(col("vb"), 4).as("var_b"),
+        round(col("diff") /
+          sqrt(col("va") / col("n_a") + col("vb") / col("n_b")), 4).as("welch_t"),
+        round(pow(col("va") / col("n_a") + col("vb") / col("n_b"), 2) /
+          (pow(col("va") / col("n_a"), 2) / (col("n_a") - 1) +
+            pow(col("vb") / col("n_b"), 2) / (col("n_b") - 1)), 2).as("welch_df"))
+  }
+
+  val abTestStatsOracle: String =
+    """WITH t AS (
+      |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+      |           AS variant, value
+      |  FROM events),
+      |m AS (
+      |  SELECT CAST(count(*) FILTER (variant = 0) AS DOUBLE) AS na,
+      |         sum(value) FILTER (variant = 0) AS sa,
+      |         sum(value * value) FILTER (variant = 0) AS qa,
+      |         CAST(count(*) FILTER (variant = 1) AS DOUBLE) AS nb,
+      |         sum(value) FILTER (variant = 1) AS sb,
+      |         sum(value * value) FILTER (variant = 1) AS qb
+      |  FROM t),
+      |v AS (
+      |  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+      |         (qa - sa * sa / na) / (na - 1) AS va,
+      |         (qb - sb * sb / nb) / (nb - 1) AS vb
+      |  FROM m)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |       round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+      |       round(va, 4) AS var_a, round(vb, 4) AS var_b,
+      |       round((ma - mb) / sqrt(va / na + vb / nb), 4) AS welch_t,
+      |       round(pow(va / na + vb / nb, 2) /
+      |             (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)),
+      |             2) AS welch_df
+      |FROM v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab_test_stats" -> (abTestStats _),
     "rfm_segments" -> (rfmSegments _),
     "path_mining" -> (pathMining _),
     "seasonal_profile" -> (seasonalProfile _),
@@ -950,6 +1022,7 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "ab_test_stats" -> abTestStatsOracle,
     "rfm_segments" -> rfmSegmentsOracle,
     "path_mining" -> pathMiningOracle,
     "seasonal_profile" -> seasonalProfileOracle,

@@ -441,8 +441,69 @@ object GraphOps {
       |       max(node) AS max_node
       |FROM lvl GROUP BY dist ORDER BY dist""".stripMargin
 
+  /** HITS hubs-and-authorities (Kleinberg, J.ACM'99) on the customer→part
+    * purchase BIPARTITE graph: customers are hubs ("good buyers point at
+    * good products"), parts are authorities. Two mutual-reinforcement
+    * iterations from h₀≡1:
+    *
+    *   a₁(p) = Σ_{c∈N(p)} h₀(c)   (= the in-degree),
+    *   h₁(c) = Σ_{p∈N(c)} a₁(p),
+    *   a₂(p) = Σ_{c∈N(p)} h₁(c),
+    *
+    * run UNNORMALIZED in exact BIGINT arithmetic — per-step L2
+    * normalization rescales every score by the same constant and never
+    * changes the ranking (J.ACM'99 §3 normalizes only so the power
+    * iteration converges numerically; a fixed 2-step prefix doesn't need
+    * it), so the cross-engine float-summation-order hazard vanishes from
+    * the iteration entirely. The single final L2 normalization is one
+    * 1-row scalar broadcast (squares cast to double BEFORE summing — the
+    * long×long square would overflow first at web-scale counts).
+    *
+    * Scale shape: the edge build is the orders⋈lineitem keyed join
+    * (edge-linear), each iteration is one keyed join + keyed aggregate on
+    * the natural key (p then c then p) — never a Σ deg² wedge set — and
+    * the top-20 cut is TakeOrderedAndProject. Reference basket semantics:
+    * `InvoiceFileSearchFromSQL.ps1:66-81` key-set scaled to ranking.
+    */
+  def hitsBipartite(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      // three downstream consumers (a1, the h1 join, the a2 join) — pay
+      // the orders⋈lineitem build once (the triangleCount discipline)
+      .localCheckpoint()
+    val a1 = edges.groupBy(col("p")).agg(count(lit(1)).as("a1"))
+    val h1 = edges.join(a1, "p").groupBy(col("c")).agg(sum(col("a1")).as("h1"))
+    val a2 = edges.join(h1, "c").groupBy(col("p")).agg(sum(col("h1")).as("a2"))
+    val ad = col("a2").cast("double")
+    val nrm = a2.agg(sqrt(sum(ad * ad)).as("nrm"))
+    a2.crossJoin(broadcast(nrm))
+      .select(col("p").as("partkey"), col("a2").as("authority_raw"),
+        round(col("a2") / col("nrm"), 6).as("authority"))
+      .orderBy(desc("authority_raw"), col("partkey")).limit(20)
+  }
+
+  val hitsBipartiteOracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |a1 AS (SELECT p, count(*) AS a1 FROM e GROUP BY p),
+      |h1 AS (SELECT e.c, CAST(sum(a1.a1) AS BIGINT) AS h1
+      |       FROM e JOIN a1 USING (p) GROUP BY e.c),
+      |a2 AS (SELECT e.p, CAST(sum(h1.h1) AS BIGINT) AS a2
+      |       FROM e JOIN h1 USING (c) GROUP BY e.p),
+      |nrm AS (SELECT sqrt(sum(CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE))) AS nrm
+      |        FROM a2)
+      |SELECT p AS partkey, a2 AS authority_raw,
+      |       round(a2 / nrm.nrm, 6) AS authority
+      |FROM a2, nrm
+      |ORDER BY authority_raw DESC, partkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bfs_2step" -> (bfs2Step _),
+    "hits_bipartite" -> (hitsBipartite _),
     "link_prediction" -> (linkPrediction _),
     "triangle_count" -> (triangleCount _),
     "degree_distribution" -> (degreeDistribution _),
@@ -451,6 +512,7 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "bfs_2step" -> bfs2StepOracle,
+    "hits_bipartite" -> hitsBipartiteOracle,
     "link_prediction" -> linkPredictionOracle,
     "triangle_count" -> triangleCountOracle,
     "degree_distribution" -> degreeDistributionOracle,

@@ -200,4 +200,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(plan.contains("LessThan(l_quantity,24.0)"))
     assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"))
   }
+
+  test("kaplan_meier: estimator invariants + definitional product cross-check") {
+    val rows = graft.ops.AnalyticsOps
+      .kaplanMeier(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // (duration, at_risk, events, censored, survival)
+    val durs = rows.map(_.getLong(0))
+    assert(durs.sameElements(durs.sorted), "rows ordered by duration")
+    // risk set: strictly decreasing reverse-cumulative; head == all subjects
+    val atRisk = rows.map(_.getLong(1))
+    atRisk.sliding(2).foreach { case Array(a, b) => assert(a > b) }
+    val subjects = rows.map(r => r.getLong(2) + r.getLong(3)).sum
+    assert(atRisk.head == subjects, "risk set at t₀ must be every subject")
+    val nCust = graft.ops.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_custkey").distinct().count()
+    assert(subjects == nCust, "one subject per customer")
+    // survival: starts ≤ 1, non-increasing, and equals the running product
+    var prod = 1.0
+    rows.foreach { r =>
+      val (n, d, s) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      prod *= (if (d < n) 1.0 - d.toDouble / n else 0.0)
+      assert(math.abs(s - prod) < 1e-6, s"S(${r.getLong(0)}) $s vs product $prod")
+    }
+    rows.map(_.getDouble(4)).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, "survival must be non-increasing")
+    }
+    // censored subjects are exactly the customers with ONE distinct order
+    // date (sf0.001's dense calendar may make this zero — the count must
+    // still reconcile, and the sf0.01 oracle run exercises real censoring)
+    val nSingle = graft.ops.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select(org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.col("o_orderdate").cast("date").as("d"))
+      .distinct()
+      .groupBy("o_custkey").count()
+      .filter(org.apache.spark.sql.functions.col("count") === 1).count()
+    assert(rows.map(_.getLong(3)).sum == nSingle,
+      "censored must equal single-order-date customers")
+  }
 }

@@ -140,4 +140,28 @@ class EventOpsSpec extends AnyFunSuite {
       assert(sorted.head._4 == rnd(sorted.head._3))
     }
   }
+
+  test("ab_test_stats: arms partition the events; moments match a direct pass") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.EventOps.abTestStats(spark, dir).collect().head
+    val (nA, nB) = (r.getLong(0), r.getLong(1))
+    val total = graft.ops.Tables(spark, dir, "events").count()
+    assert(nA + nB == total, "variants must partition the event stream")
+    assert(nA > 0 && nB > 0, "md5-parity split left an arm empty")
+    // recompute arm A's mean/variance directly and compare at the
+    // operator's own rounding
+    val ev = graft.ops.Tables(spark, dir, "events")
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2)
+    val a = ev.filter(col("variant") === 0).select("value").collect().map(_.getDouble(0))
+    val mean = a.sum / a.length
+    val varS = a.map(x => (x - mean) * (x - mean)).sum / (a.length - 1)
+    assert(math.abs(r.getDouble(2) - mean) < 1e-3, s"mean_a ${r.getDouble(2)} vs $mean")
+    assert(math.abs(r.getDouble(4) - varS) < 1e-2, s"var_a ${r.getDouble(4)} vs $varS")
+    // Welch df bounds: min(n)-1 ≤ df ≤ n_a+n_b-2
+    val df = r.getDouble(7)
+    assert(df >= math.min(nA, nB) - 1 && df <= nA + nB - 2, s"df $df out of bounds")
+    assert(!r.getDouble(6).isNaN && !r.getDouble(6).isInfinite)
+  }
 }

@@ -124,4 +124,35 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hits_bipartite: top-20 authorities match the definitional 2-step sums") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.GraphOps.hitsBipartite(spark, dir).collect()
+    assert(rows.length == 20)
+    // descending by raw score, partkey tie-break, normalized scores in (0,1]
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (ra, rb) = (a.getLong(1), b.getLong(1))
+      assert(ra > rb || (ra == rb && a.getLong(0) < b.getLong(0)))
+    }
+    rows.foreach(r => assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0))
+    // definitional cross-check inside one engine: a2(p) for the winner
+    // equals Σ_{c∈N(p)} Σ_{p'∈N(c)} indeg(p') computed the naive way
+    val ord = graft.ops.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = graft.ops.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct().cache()
+    try {
+      val top = rows.head.getLong(0)
+      val e1 = e.as("e1"); val e2 = e.as("e2"); val e3 = e.as("e3")
+      // paths p ← c ← p' : count (c,p') pairs reachable = Σ indeg via path enum
+      val brute = e1.filter(col("e1.p") === top)
+        .join(e2, col("e2.c") === col("e1.c"))
+        .join(e3, col("e3.p") === col("e2.p"))
+        .count()
+      assert(rows.head.getLong(1) == brute,
+        s"a2(top) ${rows.head.getLong(1)} vs path enumeration $brute")
+    } finally e.unpersist()
+  }
+
 }

@@ -51,6 +51,8 @@ class PlanLintSpec extends AnyFunSuite {
                         // broadcasts feeding both retrieval arms
     "cms_join_card",    // 1-row exact-count x sketch-estimate cross join
     "rfm_segments",     // 1-row max-date + quartile-cut broadcasts
+    "hits_bipartite",   // 1-row L2-norm scalar broadcast onto the part scores
+    "kaplan_meier",     // 1-row study-end scalar broadcast onto subjects
     "integrity_audit",  // 1-row orphan×unreferenced counter cross joins
     "triangle_count",   // 1-row stats×triangle-count cross joins
     "kcore_2step",      // 1-row node-stats×edge-count cross join
@@ -241,7 +243,8 @@ class PlanLintSpec extends AnyFunSuite {
     "global_rank" -> "offsets over ≤10 decile-bucket counts",
     "zorder_stats" -> "offsets over 32 z-bucket counts",
     "monthly_growth" -> "lag over month-cardinality (≤84) aggregate",
-    "pareto_frontier" -> "running max over the price-domain aggregate (p_retailprice ≤ ~200k distinct by TPC-H construction)")
+    "pareto_frontier" -> "running max over the price-domain aggregate (p_retailprice ≤ ~200k distinct by TPC-H construction)",
+    "kaplan_meier" -> "risk-set/survival cumulatives over the duration-day aggregate (≤ the ~2,500-day TPC-H order calendar)")
 
   test("unpartitioned WindowExec only over limit-bounded or whitelisted-aggregate input") {
     import org.apache.spark.sql.execution._
@@ -257,9 +260,14 @@ class PlanLintSpec extends AnyFunSuite {
     // strip the wrappers a window legitimately sits on (its required sort,
     // projections, exchanges) down to the node that determines cardinality
     def strip(p: SparkPlan)(terminal: SparkPlan => Boolean): Boolean = p match {
+      // WindowExec is row-count-preserving, so a window STACKED on another
+      // window (kaplan_meier's risk-set + survival cumulatives) is bounded
+      // by whatever bounds the inner window's input
       case w @ (_: SortExec | _: ProjectExec | _: FilterExec |
                 _: CoalesceExec | _: WholeStageCodegenExec |
-                _: InputAdapter) => w.children.exists(strip(_)(terminal))
+                _: InputAdapter |
+                _: org.apache.spark.sql.execution.window.WindowExec) =>
+        w.children.exists(strip(_)(terminal))
       case e: Exchange => e.children.exists(strip(_)(terminal))
       case other => terminal(other)
     }
