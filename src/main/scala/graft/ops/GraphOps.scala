@@ -501,8 +501,82 @@ object GraphOps {
       |FROM a2, nrm
       |ORDER BY authority_raw DESC, partkey LIMIT 20""".stripMargin
 
+  /** Weighted single-source shortest paths, 2 relaxation rounds — the
+    * Bellman–Ford step expressed as join + keyed min (the Pregel/GraphX
+    * "message + merge" shape on a shuffle engine). Edge weight is the
+    * INVERSE co-purchase count 1/|shared orders| — strongly-associated
+    * parts are "close" — so unlike [[bfsFrom]]'s hop counts the frontier
+    * ordering is weight-driven and a 2-hop path can beat a 1-hop edge.
+    * Source = the basket of the minimum order key (the BFS source set).
+    *
+    * Determinism: weights are 1/BIGINT (exact inputs), a round-r distance
+    * is a sum of ≤r weights (fixed association order, no reduction-order
+    * variance), and min() over identical candidate sets agrees across
+    * engines; round(6) only at output.
+    *
+    * Scale shape: each round is ONE frontier⋈edges keyed join + ONE
+    * node-keyed min-aggregate — rows bounded by the frontier's edge
+    * incidence, state is (node, dist) pairs only, lineage truncated per
+    * round via localCheckpoint (the [[bfsFrom]] discipline). The oracle
+    * unrolls both rounds as min-plus CTE levels.
+    */
+  def ssspFrom(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val a = li.as("a"); val b = li.as("b")
+    val canon = a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg((lit(1.0) / count(lit(1))).as("w"))
+    val edges = canon.union(canon.select(col("v"), col("u"), col("w")))
+      .localCheckpoint()
+    val minOrd = li.agg(min(col("l_orderkey")).as("mo"))
+    val src = li.join(broadcast(minOrd), col("l_orderkey") === col("mo"))
+      .select(col("l_partkey").as("node")).distinct()
+      .withColumn("dist", lit(0.0))
+    var dists = src.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = edges
+        .join(dists.select(col("node").as("u"), col("dist")), Seq("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      dists = dists.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dists.select(col("node"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("dist"), col("node")).limit(20)
+  }
+
+  def sssp2Step(s: SparkSession, dir: String): DataFrame =
+    ssspFrom(s, dir, rounds = 2)
+
+  val sssp2StepOracle: String =
+    """WITH canon AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+      |         CAST(1 AS DOUBLE) / count(*) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |edges AS (SELECT u, v, w FROM canon
+      |          UNION ALL SELECT v AS u, u AS v, w FROM canon),
+      |d0 AS (SELECT DISTINCT l_partkey AS node, CAST(0 AS DOUBLE) AS dist
+      |       FROM lineitem
+      |       WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)),
+      |d1 AS (SELECT node, min(dist) AS dist FROM (
+      |         SELECT node, dist FROM d0
+      |         UNION ALL
+      |         SELECT e.v AS node, d0.dist + e.w AS dist
+      |         FROM edges e JOIN d0 ON e.u = d0.node) GROUP BY node),
+      |d2 AS (SELECT node, min(dist) AS dist FROM (
+      |         SELECT node, dist FROM d1
+      |         UNION ALL
+      |         SELECT e.v AS node, d1.dist + e.w AS dist
+      |         FROM edges e JOIN d1 ON e.u = d1.node) GROUP BY node)
+      |SELECT node, round(dist, 6) AS dist
+      |FROM d2 ORDER BY dist, node LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bfs_2step" -> (bfs2Step _),
+    "sssp_2step" -> (sssp2Step _),
     "hits_bipartite" -> (hitsBipartite _),
     "link_prediction" -> (linkPrediction _),
     "triangle_count" -> (triangleCount _),
@@ -512,6 +586,7 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "bfs_2step" -> bfs2StepOracle,
+    "sssp_2step" -> sssp2StepOracle,
     "hits_bipartite" -> hitsBipartiteOracle,
     "link_prediction" -> linkPredictionOracle,
     "triangle_count" -> triangleCountOracle,

@@ -124,6 +124,24 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sssp_2step: sources at 0, distances ordered, and ≤ the BFS hop bound") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.GraphOps.sssp2Step(spark, dir).collect()
+    assert(rows.length == 20)
+    val dists = rows.map(_.getDouble(1))
+    dists.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    // the source basket all sits at distance 0 and heads the ranking
+    val li = graft.ops.Tables(spark, dir, "lineitem")
+    val srcParts = li.filter(col("l_orderkey") ===
+        li.agg(min(col("l_orderkey"))).collect().head.getLong(0))
+      .select("l_partkey").distinct().collect().map(_.getLong(0)).toSet
+    val zeros = rows.filter(_.getDouble(1) == 0.0).map(_.getLong(0)).toSet
+    assert(zeros.nonEmpty && zeros.subsetOf(srcParts),
+      s"zero-distance nodes $zeros must be source parts")
+    // every finite 2-round distance is ≤ 2 (each hop weight ≤ 1)
+    dists.foreach(d => assert(d >= 0.0 && d <= 2.0 + 1e-9))
+  }
+
   test("hits_bipartite: top-20 authorities match the definitional 2-step sums") {
     import org.apache.spark.sql.functions._
     val rows = graft.ops.GraphOps.hitsBipartite(spark, dir).collect()
