@@ -329,8 +329,84 @@ object ModelOps {
        |       round(lam.l, 4) AS eigenvalue
        |FROM u2, n2, lam ORDER BY u2.i""".stripMargin
 
+  /** Two unrolled batch-GD iterations of LOGISTIC regression — the binary
+    * quality-classifier twin of [[linreg2Step]] (real curation pipelines
+    * train keep/drop classifiers, not regressors). Label: mean token
+    * length above the corpus-median 5.49 cut; features are the same
+    * (chars/1000, tokens/100) pair. Each iteration is the cross-entropy
+    * gradient as a keyless aggregate — σ(z) evaluated per row in codegen,
+    * `avg((σ(z) − y)·x)` per weight, 1-row result — with the weight
+    * vector riding a 1-row broadcast between iterations and weights
+    * rounded to 6 at each boundary so both engines chain from identical
+    * intermediates (the class scaladoc's determinism discipline; σ and
+    * ln are the [[AnalyticsOps.driftPsi]] exp/ln cross-engine precedent).
+    * Reported loss is the pre-step log-loss, rounded to 4. Scale: two
+    * corpus scans, 1-row shuffles — the distributed-GD profile.
+    */
+  def logreg2Step(s: SparkSession, dir: String): DataFrame = {
+    val f = features(s, dir)
+      .select(col("x1"), col("x2"), (col("y") > 5.49).cast("double").as("y"))
+
+    def step(iter: Int, b: Column, w1: Column, w2: Column)
+        (src: DataFrame): DataFrame = {
+      val z = b + w1 * col("x1") + w2 * col("x2")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val g = p - col("y")
+      src.agg(
+        round(first(b) - lit(eta) * avg(g), 6).as("b"),
+        round(first(w1) - lit(eta) * avg(g * col("x1")), 6).as("w1"),
+        round(first(w2) - lit(eta) * avg(g * col("x2")), 6).as("w2"),
+        round(avg(-(col("y") * log(p) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - p))), 4).as("loss_before"))
+        .select(lit(iter).as("iter"), col("b"), col("w1"), col("w2"),
+          col("loss_before"))
+    }
+
+    val s1 = step(1, lit(0.0), lit(0.0), lit(0.0))(f)
+    val s2 = step(2, col("b1"), col("w11"), col("w21"))(
+      f.crossJoin(broadcast(s1.select(
+        col("b").as("b1"), col("w1").as("w11"), col("w2").as("w21")))))
+    s1.unionAll(s2).orderBy("iter")
+  }
+
+  val logreg2StepOracle: String =
+    """WITH f AS (
+      |  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+      |         CASE WHEN CAST(n_chars AS DOUBLE)
+      |                / len(string_split(text, ' ')) > 5.49
+      |              THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT round(0.0 - 0.1 * avg(0.5 - y), 6) AS b,
+      |         round(0.0 - 0.1 * avg((0.5 - y) * x1), 6) AS w1,
+      |         round(0.0 - 0.1 * avg((0.5 - y) * x2), 6) AS w2,
+      |         round(avg(-(y * ln(0.5) + (1 - y) * ln(0.5))), 4)
+      |           AS loss_before
+      |  FROM f),
+      |s2 AS (
+      |  SELECT round(any_value(s1.b) - 0.1 * avg(
+      |           1.0 / (1.0 + exp(-(s1.b + s1.w1 * x1 + s1.w2 * x2))) - y),
+      |           6) AS b,
+      |         round(any_value(s1.w1) - 0.1 * avg(
+      |           (1.0 / (1.0 + exp(-(s1.b + s1.w1 * x1 + s1.w2 * x2))) - y)
+      |             * x1), 6) AS w1,
+      |         round(any_value(s1.w2) - 0.1 * avg(
+      |           (1.0 / (1.0 + exp(-(s1.b + s1.w1 * x1 + s1.w2 * x2))) - y)
+      |             * x2), 6) AS w2,
+      |         round(avg(-(
+      |           y * ln(1.0 / (1.0 + exp(-(s1.b + s1.w1 * x1 + s1.w2 * x2))))
+      |           + (1 - y) * ln(1 - 1.0 / (1.0 +
+      |               exp(-(s1.b + s1.w1 * x1 + s1.w2 * x2)))))), 4)
+      |           AS loss_before
+      |  FROM f, s1)
+      |SELECT 1 AS iter, * FROM s1
+      |UNION ALL SELECT 2 AS iter, * FROM s2
+      |ORDER BY iter""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "linreg_2step" -> (linreg2Step _),
+    "logreg_2step" -> (logreg2Step _),
     "quality_model_score" -> (qualityModelScore _),
     "gram_matrix" -> (gramMatrix _),
     "pca_power" -> (pcaPower _),
@@ -338,6 +414,7 @@ object ModelOps {
 
   val oracles: Map[String, String] = Map(
     "linreg_2step" -> linreg2StepOracle,
+    "logreg_2step" -> logreg2StepOracle,
     "quality_model_score" -> qualityModelScoreOracle,
     "gram_matrix" -> gramMatrixOracle,
     "pca_power" -> pcaPowerOracle,

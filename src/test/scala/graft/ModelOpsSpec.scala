@@ -22,6 +22,22 @@ class ModelOpsSpec extends AnyFunSuite {
       s"loss rose after step 1: ${rows(1)} -> ${rows(2)}")
   }
 
+  test("logistic GD: iter-1 loss is exactly ln 2 and descent holds") {
+    val rows = ModelOps.logreg2Step(spark, dir).collect()
+      .map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(rows.keySet == Set(1, 2))
+    // at w = 0 every p is exactly 0.5, so the pre-step log-loss is ln 2
+    // regardless of the data — a closed-form pin on the loss arithmetic
+    assert(rows(1)._4 == math.floor(math.log(2) * 1e4 + 0.5) / 1e4,
+      s"iter-1 loss ${rows(1)._4} != round(ln 2, 4)")
+    assert(rows(2)._4 <= rows(1)._4 + 1e-4,
+      s"log-loss rose after step 1: ${rows(1)._4} -> ${rows(2)._4}")
+    // the step must have moved at least one weight off zero
+    val (b, w1, w2, _) = rows(1)
+    assert(b != 0.0 || w1 != 0.0 || w2 != 0.0, "step 1 left weights at zero")
+  }
+
   test("first step moves weights in the negative-gradient direction") {
     val w1 = ModelOps.linreg2Step(spark, dir).collect()
       .find(_.getInt(0) == 1).get

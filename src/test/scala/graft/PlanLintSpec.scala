@@ -61,6 +61,7 @@ class PlanLintSpec extends AnyFunSuite {
                         // (previously hidden behind a localCheckpoint)
     "skew_stats",       // 1-row mean + summary×hot-count cross joins
     "linreg_2step",     // 1-row weight-vector broadcast between GD steps
+    "logreg_2step",     // same 1-row weight broadcast, logistic twin
     "quality_model_score", // same 1-row weight broadcast, then scoring
     "fk_discovery",     // 1-row n_contained×n_child_keys counter joins
     "global_rank",      // 1-row cutpoint-array broadcast (equidepth shape)
