@@ -997,7 +997,77 @@ object EventOps {
       |             2) AS welch_df
       |FROM v""".stripMargin
 
+  /** The conversion-rate counterpart of [[abTestStats]]: a 2×2 chi-square
+    * independence test of user-level HIGH-VALUE purchase conversion
+    * (a purchase event with value > 200) by the same
+    * md5-parity variant split. Counts stay exact BIGINTs all the way to
+    * the final statistic (χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — the
+    * closed 2×2 form needs no expected-cell floats), so the only float op
+    * is one division, rounded at 4. Significance at α=0.05 is χ² > 3.841
+    * (1 df).
+    *
+    * Scale shape: one user-keyed aggregate (conversion flag per user) +
+    * one keyless 1-row aggregate of four conditional counts — map-side
+    * combine end-to-end, no join, no window. The (ad−bc)² cross term is
+    * computed in DOUBLE: at web-scale user counts the BIGINT square would
+    * overflow first.
+    */
+  def abChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 200, 1L)
+        .otherwise(0L)).as("converted"))
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).as("variant"),
+        col("converted"))
+    def cell(v: Int, conv0: Long) =
+      count(when(col("variant") === v && col("converted") === conv0, 1))
+    val d = (c: String) => col(c).cast("double")
+    users.agg(
+      cell(0, 1L).as("a"), cell(0, 0L).as("b"),
+      cell(1, 1L).as("c"), cell(1, 0L).as("d"))
+      .select(col("a").as("conv_a"), col("b").as("nonconv_a"),
+        col("c").as("conv_b"), col("d").as("nonconv_b"),
+        round((d("a") + d("b") + d("c") + d("d")) *
+          pow(d("a") * d("d") - d("b") * d("c"), 2) /
+          ((d("a") + d("b")) * (d("c") + d("d")) *
+            (d("a") + d("c")) * (d("b") + d("d"))), 4).as("chi2"))
+      .select(col("conv_a"), col("nonconv_a"), col("conv_b"), col("nonconv_b"),
+        col("chi2"), (col("chi2") > 3.841).as("significant"))
+  }
+
+  val abChiSquareOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         max(CASE WHEN event_type = 'purchase' AND value > 200
+      |               THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id),
+      |t AS (
+      |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |           % 2 AS variant, converted
+      |  FROM u),
+      |m AS (
+      |  SELECT count(*) FILTER (variant = 0 AND converted = 1) AS a,
+      |         count(*) FILTER (variant = 0 AND converted = 0) AS b,
+      |         count(*) FILTER (variant = 1 AND converted = 1) AS c,
+      |         count(*) FILTER (variant = 1 AND converted = 0) AS d
+      |  FROM t)
+      |SELECT a AS conv_a, b AS nonconv_a, c AS conv_b, d AS nonconv_b,
+      |       round((CAST(a AS DOUBLE) + b + c + d) *
+      |             pow(CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c, 2) /
+      |             ((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d) *
+      |              (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)), 4)
+      |         AS chi2,
+      |       round((CAST(a AS DOUBLE) + b + c + d) *
+      |             pow(CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c, 2) /
+      |             ((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d) *
+      |              (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)), 4)
+      |         > 3.841 AS significant
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab_chi_square" -> (abChiSquare _),
     "ab_test_stats" -> (abTestStats _),
     "rfm_segments" -> (rfmSegments _),
     "path_mining" -> (pathMining _),
@@ -1022,6 +1092,7 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "ab_chi_square" -> abChiSquareOracle,
     "ab_test_stats" -> abTestStatsOracle,
     "rfm_segments" -> rfmSegmentsOracle,
     "path_mining" -> pathMiningOracle,

@@ -141,6 +141,27 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ab_chi_square: cells partition the users; chi2 matches the expected-cell form") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.EventOps.abChiSquare(spark, dir).collect().head
+    val cells = Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val nUsers = graft.ops.Tables(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(cells.sum == nUsers, "2x2 cells must partition the user base")
+    assert(cells.forall(_ >= 0))
+    // the closed 2x2 form must equal the definitional sum over cells of
+    // (obs - exp)^2 / exp
+    val Array(a, b, c, d) = cells.map(_.toDouble)
+    val n = a + b + c + d
+    val exp = Array((a + b) * (a + c) / n, (a + b) * (b + d) / n,
+      (c + d) * (a + c) / n, (c + d) * (b + d) / n)
+    val defn = cells.map(_.toDouble).zip(exp)
+      .map { case (o, e) => (o - e) * (o - e) / e }.sum
+    assert(math.abs(r.getDouble(4) - defn) < 1e-3,
+      s"closed-form chi2 ${r.getDouble(4)} vs definitional $defn")
+    assert(r.getBoolean(5) == (r.getDouble(4) > 3.841))
+  }
+
   test("ab_test_stats: arms partition the events; moments match a direct pass") {
     import org.apache.spark.sql.functions._
     val r = graft.ops.EventOps.abTestStats(spark, dir).collect().head
