@@ -25,18 +25,25 @@ object PerfProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    def time[T](name: String)(f: => T): Double = {
+      val t0 = System.nanoTime(); f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name%-34s $dt%8.2f s"); dt
     }
     def sink(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // A/B protocol (BASELINE.md): cold shot, then `SPARK_GRAFT_PROBE_REPS`
+    // warm reps (default 3); the recorded verdict number is the warm median.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
     graft.ops.IncrementalDedup.seedQueryStore(spark, dir)
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
       time(s"$n (cold)")(sink(q(spark, dir)))
-      time(s"$n (warm)")(sink(q(spark, dir)))
+      val warm = (1 to reps).map(i => time(s"$n (warm $i)")(sink(q(spark, dir))))
+      val s = warm.sorted
+      val m = if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      println(f"[probe] $n%-34s median-of-$reps%d warm: $m%8.2f s")
     }
     spark.stop()
   }
