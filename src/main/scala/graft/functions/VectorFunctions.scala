@@ -68,15 +68,20 @@ object VectorFunctions {
     ColumnBridge.column(graft.functions.expressions.SignLshBuckets(
       ColumnBridge.expression(v), bitsPerBand, bands))
 
-  /** Projection of `v` onto deterministic hash-derived hyperplane `h`:
-    * weight for dimension i is `pmod(xxhash64(i,h), 1e6)/1e6 − 0.5`,
-    * uniform in [−0.5, 0.5) — no external randomness, reproducible across
-    * runs. Composed-form reference for [[signLshBuckets]].
+  /** Projection of `v` onto the deterministic md5-derived hyperplane `h`:
+    * weight for dimension i is `(md5id60("i_h") mod 1e6)/1e6 − 0.5`,
+    * uniform in [−0.5, 0.5) — md5id60 = first 15 hex chars of the digest
+    * as a BIGINT (the Md5ShingleId convention, always ≥ 0), so the SAME
+    * weight is computable in DuckDB:
+    * `(('0x' || substr(md5(i || '_' || h), 1, 15))::BIGINT % 1000000)/1e6 − 0.5`.
+    * Composed-form reference for [[signLshBuckets]].
     */
   def planeDot(v: Column, h: Int): Column =
     aggregate(
       zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-        x * ((pmod(xxhash64(i, lit(h)), lit(1000000)).cast("double") /
+        x * (((conv(substring(md5(
+            concat(i.cast("string"), lit("_"), lit(h.toString))), 1, 15),
+            16, 10).cast("long") % lit(1000000L)).cast("double") /
           lit(1000000.0)) - lit(0.5))),
       lit(0.0), (acc, x) => acc + x)
 
@@ -98,4 +103,31 @@ object VectorFunctions {
 
   def cosineOracle(a: String, b: String): String =
     s"list_dot_product(${normalizeOracle(a)}, ${normalizeOracle(b)})"
+
+  /** DuckDB transliteration of [[signLshBuckets]] over the `embeddings`
+    * table, as a WITH-clause fragment defining `e(vec_id, label, v)` and
+    * `bb(vec_id, band, bucket)`. The weight CTE states the SAME md5
+    * formula as [[graft.functions.expressions.SignLshBuckets.weight]];
+    * the plane sums differ from the Spark fold only in fp addition order
+    * (sign decisions are ~0.1-magnitude sums — a flip needs |Σ| ≲ 1e-15,
+    * negligible at any realistic corpus size and absent on this one).
+    */
+  def signLshBucketsOracleCte(bitsPerBand: Int, bands: Int): String = {
+    val planes = bitsPerBand * bands
+    s"""e AS (SELECT vec_id, label, ${normalizeOracle("embedding")} AS v
+       |      FROM embeddings),
+       |w AS (SELECT i.i AS dim, p.p AS plane,
+       |             (('0x' || substr(md5(i.i || '_' || p.p), 1, 15))::BIGINT
+       |               % 1000000) / 1000000.0 - 0.5 AS w
+       |      FROM (SELECT max(len(v)) AS d FROM e) dims,
+       |           LATERAL unnest(generate_series(0, d - 1)) i(i),
+       |           LATERAL unnest(generate_series(0, ${planes - 1})) p(p)),
+       |ps AS (SELECT e.vec_id, w.plane, sum(e.v[w.dim + 1] * w.w) AS s
+       |       FROM e, w WHERE w.dim < len(e.v)
+       |       GROUP BY e.vec_id, w.plane),
+       |bb AS (SELECT vec_id, plane // $bitsPerBand AS band,
+       |              sum(CASE WHEN s > 0 THEN 1 << (plane % $bitsPerBand)
+       |                  ELSE 0 END) AS bucket
+       |       FROM ps GROUP BY vec_id, plane // $bitsPerBand)""".stripMargin
+  }
 }

@@ -169,15 +169,38 @@ object ClusterOps {
     clustersOver(DedupOps.dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
 
   /** The composition a 100 TB corpus actually runs: clusters over the
-    * BANDED-LSH edge set ([[DedupOps.dedupMinhashLsh]] — linear candidate
-    * generation) instead of the exact prefix-filtered edges. Rows-only
-    * (hash-dependent edges); ClusterOpsSpec pins agreement with a
-    * driver-side union-find over the same edges, and the minhash recall
-    * bound (≥ 0.8 vs exact, DedupOpsSpec) carries over: a missed edge can
-    * only split a cluster, never merge two.
+    * BANDED-LSH edge set ([[DedupOps.dedupMinhashShingle]] — the literal
+    * shingle→minhash→band→bucket-join with ENGINE-INDEPENDENT md5-affine
+    * hashes, linear candidate generation) instead of the exact
+    * prefix-filtered edges. VALUE-PINNED since r9: the edge set is fully
+    * DuckDB-reproducible (it rode [[DedupOps.dedupMinhashLsh]]'s
+    * Spark-internal mllib hashes through r8, which kept this rows-only),
+    * so the oracle composes the shingle-LSH transliteration with the
+    * recursive-CTE closure of [[dedupClustersOracle]]. ClusterOpsSpec
+    * additionally pins agreement with a driver-side union-find over the
+    * same edges, and the minhash recall bound (DedupOpsSpec) carries over:
+    * a missed edge can only split a cluster, never merge two.
     */
   def dedupClustersLsh(s: SparkSession, dir: String): DataFrame =
-    clustersOver(DedupOps.dedupMinhashLsh(s, dir).select("doc_a", "doc_b"))
+    clustersOver(DedupOps.dedupMinhashShingle(s, dir).select("doc_a", "doc_b"))
+
+  /** [[dedupClustersOracle]]'s recursive closure over the
+    * [[DedupOps.dedupMinhashShingleOracle]] edge set.
+    */
+  val dedupClustersLshOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${DedupOps.dedupMinhashShingleOracle})),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT u AS src, u AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+       |SELECT src AS doc_id, min(dst) AS cluster_rep,
+       |       src = min(dst) AS keep
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   /** DuckDB: transitive closure by recursive CTE over the symmetric edge
     * set, then min over reachable nodes — O(n²) per component, fine as a
@@ -203,5 +226,6 @@ object ClusterOps {
     "dedup_clusters_lsh" -> (dedupClustersLsh _))
 
   val oracles: Map[String, String] = Map(
-    "dedup_clusters" -> dedupClustersOracle)
+    "dedup_clusters" -> dedupClustersOracle,
+    "dedup_clusters_lsh" -> dedupClustersLshOracle)
 }

@@ -195,8 +195,11 @@ object DedupOps {
        |WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
 
   /** Embedding near-dup with banded sign-LSH candidate generation — the
-    * scale path for [[dedupEmbeddingCosine]]'s semantics, rows-only
-    * (hyperplane-dependent; recall vs the exact baseline is pinned in
+    * scale path for [[dedupEmbeddingCosine]]'s semantics, VALUE-PINNED
+    * since r9 (hyperplanes are md5-derived —
+    * [[graft.functions.expressions.SignLshBuckets.weight]] — so the whole
+    * bucket→candidate→verify pipeline is transliterated into the DuckDB
+    * oracle; recall vs the exact baseline additionally pinned in
     * DedupOpsSpec). One narrow pass computes all band buckets (native
     * [[graft.functions.expressions.SignLshBuckets]]); candidates collide on
     * (label, band, bucket) — a linear shuffle on the band key, no
@@ -248,6 +251,24 @@ object DedupOps {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Full transliteration of [[dedupEmbeddingLsh]] (0.35 / 4×20 default):
+    * md5 hyperplane weights, band buckets, within-label bucket-collision
+    * candidates, exact-cosine verify.
+    */
+  val dedupEmbeddingLshOracle: String =
+    s"""WITH ${graft.functions.VectorFunctions.signLshBucketsOracleCte(4, 20)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE ea.label = eb.label AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
+       |  SELECT c.vec_a, c.vec_b, list_dot_product(ea.v, eb.v) AS cos
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
+       |  JOIN e eb ON eb.vec_id = c.vec_b)
+       |WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
 
   /** SimHash near-dup — VALUE-PINNED since r8 (the r7 winnowing/minhash md5
     * trick applied to the last rows-only dedup family member): the 64-bit
@@ -849,6 +870,7 @@ object DedupOps {
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineOracle,
+    "dedup_embedding_lsh" -> dedupEmbeddingLshOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_minhash_shingle" -> dedupMinhashShingleOracle)
 }

@@ -9,7 +9,8 @@ import graft.functions.VectorFunctions._
   * cosine top-k as the exactness baseline, plus the IVF-style bucketed
   * variant (labels = coarse-quantizer assignment, nprobe=1) as the scale
   * path. A third, fully unsupervised scale path is sign-LSH (random
-  * hyperplane) bucketing — see [[annSignLsh]], rows-only.
+  * hyperplane) bucketing — see [[annSignLsh]], value-pinned via md5-derived
+  * hyperplanes since r9.
   *
   * Scale design: queries are a small broadcast side against a corpus that
   * only shuffles for the per-query top-k window (partitioned by query id —
@@ -185,11 +186,15 @@ object SimilarityOps {
        |  FROM cand)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  /** Sign-LSH (random hyperplane) multi-table ANN, rows-only: `bands`
-    * hash tables, each keyed by a `bitsPerBand`-bit bucket id from the
-    * signs of projections onto hyperplanes derived deterministically from
-    * xxhash64(dim, plane) — no external randomness, reproducible across
-    * runs. A candidate is any vector sharing a bucket with the query in ANY
+  /** Sign-LSH (random hyperplane) multi-table ANN — VALUE-PINNED since r9:
+    * `bands` hash tables, each keyed by a `bitsPerBand`-bit bucket id from
+    * the signs of projections onto hyperplanes derived deterministically
+    * from md5(dim, plane) (the r8 `dedup_simhash` md5 trick applied to the
+    * hyperplane family — no external randomness, reproducible across runs
+    * AND engines, so the whole pipeline — buckets, candidates, exact
+    * re-score, top-k — is transliterated into the DuckDB oracle and
+    * value-checked end-to-end). A candidate is any vector sharing a bucket
+    * with the query in ANY
     * band (the classic OR-construction; a single-table variant measured
     * recall 0/50 against the exact top-k on this corpus — one 8-bit exact
     * signature match is hopeless at top-neighbor cos ≈ 0.4); candidates are
@@ -236,6 +241,27 @@ object SimilarityOps {
         round(col("cos"), 4).as("cos"))
       .orderBy("query_id", "rank")
   }
+
+  /** Full transliteration of [[annSignLsh]] (4×20 default) — md5 weights,
+    * plane-sum signs, band buckets, OR-construction candidates, exact
+    * cosine re-score, top-k.
+    */
+  val annSignLshOracle: String =
+    s"""WITH ${signLshBucketsOracleCte(4, 20)},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+       |  FROM bb q JOIN bb n ON n.band = q.band AND n.bucket = q.bucket
+       |  WHERE q.vec_id < $NQueries AND n.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id, list_dot_product(eq.v, en.v) AS cos
+       |  FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+       |  JOIN e en ON en.vec_id = c.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   /** Per-label embedding centroids — the coarse-quantizer training step an
     * IVF index needs ([[annIvfTopk]] consumes exactly these buckets), and
@@ -1203,5 +1229,6 @@ object SimilarityOps {
     "ann_cosine_topk" -> annCosineTopkOracle,
     "ann_ivf_topk" -> annIvfTopkOracle,
     "ann_ivf_probe2" -> annIvfProbe2Oracle,
+    "ann_sign_lsh" -> annSignLshOracle,
     "embedding_centroids" -> embeddingCentroidsOracle)
 }

@@ -66,7 +66,7 @@ class ClusterOpsSpec extends AnyFunSuite {
   }
 
   test("dedup_clusters_lsh matches union-find over the banded-LSH edges") {
-    val edges = DedupOps.dedupMinhashLsh(spark, dir)
+    val edges = DedupOps.dedupMinhashShingle(spark, dir)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(edges.nonEmpty, "no LSH near-dup edges at sf0.001")

@@ -36,10 +36,10 @@ class PipelinesSpec extends AnyFunSuite {
 /** Queries intentionally lacking a DuckDB oracle (hash/model-dependent). */
 object RowsOnly {
   val expected: Set[String] =
-    // xxhash64-dependent (value-pinned md5 siblings exist: the minhash
-    // family's dedup_minhash_shingle, simhash's dedup_simhash since r8):
-    Set("dedup_minhash_lsh", "dedup_embedding_lsh", "dedup_clusters_lsh",
-      "ann_sign_lsh",
+    // mllib-MinHash-dependent (value-pinned md5 sibling:
+    // dedup_minhash_shingle; the sign-LSH family and clusters_lsh moved to
+    // md5 hyperplanes/edges in r9 and are fully oracle-backed now):
+    Set("dedup_minhash_lsh",
       // Spark-internal HLL, not SQL-expressible (deterministic md5 HLL
       // sibling: hll_estimate, oracle-backed)
       "cardinality_sketches",
