@@ -62,6 +62,62 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** 56-bit difference hash (dHash) of a decoded image: box-average the
+    * integer luma (r·299 + g·587 + b·114, UNSCALED — comparisons are
+    * division-free) onto a 9×7 grid with the standard pooling assignment
+    * `cell_i = x·9/w, cell_j = y·7/h`, then bit `k = j·8 + i` (i in 0..7,
+    * j in 0..6) is set iff cell (i,j)'s mean luma strictly exceeds cell
+    * (i+1,j)'s — compared exactly via cross-multiplication
+    * `s_i·n_{i+1} > s_{i+1}·n_i`, so the whole hash is INTEGER arithmetic
+    * and transliterates to SQL verbatim (the value-pinning requirement).
+    * 56 bits (not the classic 64) keeps every partial `1::BIGINT << k`
+    * positive on both engines — no sign-bit special cases. Scale/crop
+    * robustness is the usual dHash story: the pooled grid is resolution-
+    * independent, so near-identical images at different sizes hash near-
+    * identically. Pure function of the pixels — the mapPartitions decode
+    * stays coordination-free.
+    */
+  def dHash56(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = Array.ofDim[Long](7, 9)
+    val cnts = Array.ofDim[Long](7, 9)
+    var y = 0
+    while (y < h) {
+      val cj = y * 7 / h
+      var x = 0
+      while (x < w) {
+        val ci = x * 9 / w
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sums(cj)(ci) += r * 299L + g * 587L + b * 114L
+        cnts(cj)(ci) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 7) {
+      var i = 0
+      while (i < 8) {
+        if (sums(j)(i) * cnts(j)(i + 1) > sums(j)(i + 1) * cnts(j)(i))
+          hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** Decode + dHash in one pass; None when the bytes aren't a readable
+    * image.
+    */
+  def decodeDHash(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null) None
+    else Some((img.getWidth, img.getHeight, dHash56(img)))
+  }
+
   /** Decode any ImageIO-supported payload (PNG/BMP/GIF/JPEG); None when
     * the bytes aren't a readable image (the caller's fallback seam).
     */

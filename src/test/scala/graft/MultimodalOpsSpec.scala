@@ -74,4 +74,41 @@ class MultimodalOpsSpec extends AnyFunSuite {
       assert(f.features.sum.toLong == w.toLong * h, "luma histogram mass")
     }
   }
+
+  test("phash dedup: every 1-pixel-perturbed group pair is caught within Hamming ≤ 1") {
+    // the corpus construction guarantee: doc g (≡0 mod 6) and its perturbed
+    // twin g+3 differ in ONE pixel, which lands in pooled cell (0,0) and so
+    // can flip dHash bit 0 only — the pair MUST survive banding (≥3 of 4
+    // bands identical) and the Hamming ≤ 3 verify
+    val ids = graft.ops.Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectedPairs = ids.filter(g => g % 6 == 0 && ids.contains(g + 3))
+      .map(g => (g, g + 3))
+    assert(expectedPairs.nonEmpty, "fixture has no perturbed group pairs — vacuous")
+    val got = MultimodalOps.multimodalPhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    expectedPairs.foreach { p =>
+      assert(got.contains(p), s"near-dup pair $p missed by banding")
+      assert(got(p) <= 1, s"pair $p hamming ${got(p)} > 1 — perturbation leaked past cell (0,0)")
+    }
+  }
+
+  test("dHash56 is identical across a lossless re-encode and flips ≤1 bit on a 1-pixel change") {
+    import graft.functions.ImageCodec
+    val (w, h) = (24, 20)
+    def png(perturb: Boolean) = ImageCodec.encodePng(w, h, { (x, y) =>
+      val p = ImageCodec.synthRgb(42L, x, y)
+      if (perturb && x == 0 && y == 0)
+        ((((p >> 16) & 0xff) + 16) % 256 << 16) | (p & 0xffff)
+      else p
+    })
+    val Some((_, _, a)) = ImageCodec.decodeDHash(png(perturb = false))
+    val Some((_, _, a2)) = ImageCodec.decodeDHash(png(perturb = false))
+    val Some((_, _, b)) = ImageCodec.decodeDHash(png(perturb = true))
+    assert(a == a2, "dHash not deterministic across encodes")
+    assert(java.lang.Long.bitCount(a ^ b) <= 1,
+      s"1-pixel perturbation flipped ${java.lang.Long.bitCount(a ^ b)} bits")
+    assert((a >>> 56) == 0L && (b >>> 56) == 0L, "dHash56 must leave bits 56..63 clear")
+  }
 }
