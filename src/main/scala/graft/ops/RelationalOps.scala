@@ -589,19 +589,25 @@ object RelationalOps {
     * maximizing size — no other part is at-least-as-cheap AND
     * at-least-as-large with one strict. Plans WITHOUT the quadratic
     * NOT-EXISTS self-join the definition suggests: collapse to one row
-    * per distinct price (keyed aggregate), one sequential running-max
-    * window over the PRICE-CARDINALITY table (not the data), then a
-    * price-keyed join back. The only non-scaling step is the window over
-    * distinct prices — the inherent sequential frontier scan, on a table
-    * the size of the price domain, which is BOUNDED BY CONSTRUCTION:
-    * TPC-H defines p_retailprice = (90000 + (partkey/10 mod 20001) +
-    * 100·(partkey mod 1000)) / 100, giving ≤ ~120k distinct cent values
-    * at ANY scale factor — the window input cannot grow with the data
-    * (whitelisted as an aggregate-bounded no-partition window in
-    * PlanLintSpec). The oracle IS the quadratic
-    * NOT EXISTS, so the gate proves the window formulation exact,
-    * duplicate and tie semantics included (equal points do not dominate
-    * each other; both survive).
+    * per distinct price (keyed aggregate), then compute the
+    * strictly-cheaper running max WITHOUT a price-domain-sized
+    * single-task window (re-sharded r9 — the r6 shape ran one
+    * no-partition window over the distinct-price aggregate, whose ~120k
+    * bound GROWS with scale factor, the one whitelist entry VERDICT r8
+    * flagged): decile cutpoints over the price aggregate (one percentile
+    * pass, 1-row broadcast — the [[AnalyticsOps.globalRank]] shape) split
+    * prices into ≤10 range buckets; the running max is then bucket-LOCAL
+    * (window partitioned by bucket — a keyed shuffle, never one task)
+    * combined with broadcast strictly-before bucket prefix-maxima (a
+    * ≤10-row no-partition window). Range bucketing by VALUE keeps the
+    * strict-inequality semantics exact: equal prices share a bucket, and
+    * any price in an earlier bucket is strictly cheaper (bucket(p') <
+    * bucket(p) ⇒ ∃cut: p' ≤ cut < p). `greatest` is null-skipping on
+    * both engines, so the global minimum price (no local predecessor, no
+    * earlier bucket) keeps its NULL → unconditional frontier membership.
+    * The oracle IS the quadratic NOT EXISTS, so the gate proves the
+    * bucketed formulation exact, duplicate and tie semantics included
+    * (equal points do not dominate each other; both survive).
     */
   def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -609,10 +615,30 @@ object RelationalOps {
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
     val perPrice = p.groupBy(col("p_retailprice"))
       .agg(max(col("p_size")).as("best_size"))
-    val cheaper = Window.orderBy(col("p_retailprice"))
+    val ps = (1 to 9).map(_ / 10.0)
+    val cuts = perPrice
+      .agg(percentile(col("p_retailprice"), array(ps.map(lit): _*)).as("cuts"))
+    val bucketExpr = (1 to 9).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("p_retailprice") > element_at(col("cuts"), i), 1)
+        .otherwise(0)
+    }
+    val bucketed = perPrice.crossJoin(broadcast(cuts))
+      .select(col("p_retailprice"), col("best_size"), bucketExpr.as("bucket"))
+    val localW = Window.partitionBy(col("bucket"))
+      .orderBy(col("p_retailprice"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = perPrice
-      .withColumn("run_max_lt", max(col("best_size")).over(cheaper))
+    val local = bucketed
+      .withColumn("local_max_lt", max(col("best_size")).over(localW))
+    val bucketPrefix = bucketed.groupBy(col("bucket"))
+      .agg(max(col("best_size")).as("bmax"))
+      .withColumn("prefix_max_lt",
+        max(col("bmax")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bucket"), col("prefix_max_lt"))
+    val frontier = local.join(broadcast(bucketPrefix), "bucket")
+      .withColumn("run_max_lt",
+        greatest(col("local_max_lt"), col("prefix_max_lt")))
+      .select(col("p_retailprice"), col("best_size"), col("run_max_lt"))
     p.join(frontier, "p_retailprice")
       .filter(col("p_size") === col("best_size") &&
         (col("run_max_lt").isNull || col("run_max_lt") < col("p_size")))

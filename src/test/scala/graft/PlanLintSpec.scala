@@ -65,6 +65,7 @@ class PlanLintSpec extends AnyFunSuite {
     "quality_model_score", // same 1-row weight broadcast, then scoring
     "fk_discovery",     // 1-row n_contained×n_child_keys counter joins
     "global_rank",      // 1-row cutpoint-array broadcast (equidepth shape)
+    "pareto_frontier",  // 1-row price-cutpoint-array broadcast (same shape)
     "model_eval",       // 1-row weight-vector broadcasts between GD steps
     "drift_psi")        // 1-row cutpoint + total-count broadcasts
 
@@ -244,7 +245,7 @@ class PlanLintSpec extends AnyFunSuite {
     "global_rank" -> "offsets over ≤10 decile-bucket counts",
     "zorder_stats" -> "offsets over 32 z-bucket counts",
     "monthly_growth" -> "lag over month-cardinality (≤84) aggregate",
-    "pareto_frontier" -> "running max over the price-domain aggregate (p_retailprice ≤ ~200k distinct by TPC-H construction)",
+    "pareto_frontier" -> "prefix maxima over ≤10 price-decile-bucket rows (bucket-local running max carries the price-domain work)",
     "kaplan_meier" -> "risk-set/survival cumulatives over the duration-day aggregate (≤ the ~2,500-day TPC-H order calendar)")
 
   test("unpartitioned WindowExec only over limit-bounded or whitelisted-aggregate input") {
