@@ -173,4 +173,24 @@ class GraphOpsSpec extends AnyFunSuite {
     } finally e.unpersist()
   }
 
+  test("GraphEdges seam: seeded and unseeded paths are row-identical; seed is idempotent") {
+    import graft.ops.GraphEdges
+    GraphEdges.clear()
+    try {
+      val unseeded = GraphEdges.canonical(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pr0 = graft.ops.AnalyticsOps.pagerankStep(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      GraphEdges.seed(spark, dir)
+      GraphEdges.seed(spark, dir) // idempotent — no second materialization
+      val seeded = GraphEdges.canonical(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(seeded == unseeded, "materialized edge list diverges from inline build")
+      // a graph query must return the SAME rows either way (the property
+      // that makes seeding a bench-only optimization, not a semantics knob)
+      val pr1 = graft.ops.AnalyticsOps.pagerankStep(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(pr0.sameElements(pr1), "pagerank_step differs seeded vs unseeded")
+    } finally GraphEdges.clear()
+  }
 }
