@@ -34,6 +34,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * when inner, every left row when `isOuter` (unmatched — including
   * null-key/time left rows, SQL LEFT JOIN style — carry a nulled right
   * side, and the right attributes turn nullable).
+  *
+  * `nearest = true` switches to the pandas `merge_asof
+  * direction='nearest'` contract (r9): match the same-key right row
+  * minimizing |rightTime − leftTime| subject to |Δt| ≤ tolerance
+  * (INCLUSIVE on both sides, vs backward's half-open lookback), equal
+  * distance broken toward the backward row, equal times broken by max
+  * `rightTieBreak` in BOTH directions. Same single merge pass; state grows
+  * from one buffered row to two (backward best + the max-tie row of the
+  * first forward timestamp).
   */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
@@ -41,7 +50,8 @@ case class AsOfJoin(
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Expression,
     toleranceMicros: Long,
-    isOuter: Boolean = false) extends BinaryNode {
+    isOuter: Boolean = false,
+    nearest: Boolean = false) extends BinaryNode {
   // left-outer keeps every left row (SQL LEFT JOIN semantics: null key /
   // time rows survive too) with the right side nulled when unmatched
   override def output: Seq[Attribute] =
@@ -58,8 +68,8 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, rtb, tol, outer) =>
-      AsOfJoinExec(lk, rk, lt, rt, rtb, tol, outer,
+    case AsOfJoin(l, r, lk, rk, lt, rt, rtb, tol, outer, near) =>
+      AsOfJoinExec(lk, rk, lt, rt, rtb, tol, outer, near,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -81,6 +91,7 @@ case class AsOfJoinExec(
     rightTieBreak: Expression,
     toleranceMicros: Long,
     isOuter: Boolean,
+    nearest: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -99,6 +110,7 @@ case class AsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val tol = toleranceMicros
     val outer = isOuter
+    val near = nearest
     val nRightCols = right.output.size
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val lkBound = BindReferences.bindReference(leftKey, left.output)
@@ -118,6 +130,14 @@ case class AsOfJoinExec(
         private var bestKey: Any = null
         private var bestTime: Long = 0L
         private var bestRow: InternalRow = null
+        // nearest mode's second buffered row: the max-tie-break right row
+        // at the single first-forward timestamp for the current key. It
+        // sits logically BEFORE rHead in the sorted stream (its equal-time
+        // run was already consumed), so the backward consume loop drains it
+        // first when a later left row passes its time.
+        private var fwdKey: Any = null
+        private var fwdTime: Long = 0L
+        private var fwdRow: InternalRow = null
         private var pending: InternalRow = null
 
         private def advanceRight(): InternalRow = {
@@ -127,6 +147,11 @@ case class AsOfJoinExec(
           }
           null
         }
+
+        // logical right-stream head: the forward buffer, then rHead
+        private def headRow: InternalRow = if (fwdRow != null) fwdRow else rHead
+        private def popRight(): Unit =
+          if (fwdRow != null) fwdRow = null else rHead = advanceRight()
 
         private def findNext(): Unit = {
           while (pending == null && lIter.hasNext) {
@@ -138,26 +163,64 @@ case class AsOfJoinExec(
             } else {
               val lt = ltv.asInstanceOf[Long]
               // consume right rows with (key < lk) or (key == lk, time <= lt)
-              var continue = rHead != null
+              var continue = headRow != null
               while (continue) {
-                val rk = rkBound.eval(rHead)
+                val h = headRow
+                val rk = rkBound.eval(h)
                 val c = keyOrd.compare(rk, lk)
                 if (c < 0) {
-                  rHead = advanceRight()
+                  popRight()
                 } else if (c == 0 &&
-                    rtBound.eval(rHead).asInstanceOf[Long] <= lt) {
+                    rtBound.eval(h).asInstanceOf[Long] <= lt) {
                   bestKey = rk
-                  bestTime = rtBound.eval(rHead).asInstanceOf[Long]
-                  bestRow = rHead.copy()
-                  rHead = advanceRight()
+                  bestTime = rtBound.eval(h).asInstanceOf[Long]
+                  bestRow = h.copy()
+                  popRight()
                 } else {
                   continue = false
                 }
-                if (rHead == null) continue = false
+                if (headRow == null) continue = false
               }
-              if (bestRow != null && keyOrd.compare(bestKey, lk) == 0 &&
-                  bestTime <= lt && bestTime > lt - tol) {
+              // nearest: materialize the forward candidate — the max-tie
+              // row of the first same-key timestamp after lt. Rows with
+              // equal (key, time) are consecutive (tie-break-sorted), so
+              // keeping the last of the run costs O(run) once, and the run
+              // rows can never serve a LATER left row differently (for any
+              // left row, only the max-tie row at a timestamp can win).
+              if (near && fwdRow == null && rHead != null) {
+                val rk = rkBound.eval(rHead)
+                if (keyOrd.compare(rk, lk) == 0) {
+                  val tf = rtBound.eval(rHead).asInstanceOf[Long]
+                  fwdKey = rk
+                  fwdTime = tf
+                  fwdRow = rHead.copy()
+                  rHead = advanceRight()
+                  var run = rHead != null
+                  while (run) {
+                    val nk = rkBound.eval(rHead)
+                    if (keyOrd.compare(nk, lk) == 0 &&
+                        rtBound.eval(rHead).asInstanceOf[Long] == tf) {
+                      fwdRow = rHead.copy()
+                      rHead = advanceRight()
+                      run = rHead != null
+                    } else run = false
+                  }
+                }
+              }
+              val backOk =
+                if (near)
+                  bestRow != null && keyOrd.compare(bestKey, lk) == 0 &&
+                    lt - bestTime <= tol
+                else
+                  bestRow != null && keyOrd.compare(bestKey, lk) == 0 &&
+                    bestTime <= lt && bestTime > lt - tol
+              val fwdOk = near && fwdRow != null &&
+                keyOrd.compare(fwdKey, lk) == 0 && fwdTime - lt <= tol
+              if (backOk && (!fwdOk || lt - bestTime <= fwdTime - lt)) {
+                // equal distance → backward wins (the pandas convention)
                 pending = proj(joined(l, bestRow))
+              } else if (fwdOk) {
+                pending = proj(joined(l, fwdRow))
               } else if (outer) {
                 pending = proj(joined(l, nullRight))
               }

@@ -24,7 +24,7 @@ object AsOfJoinOps {
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
       rightTieBreak: Column, toleranceMicros: Long,
-      isOuter: Boolean = false): DataFrame = {
+      isOuter: Boolean = false, nearest: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // the DataFrame-facing API owns its planning needs: without the
     // strategy the node is unplannable ("No plan for AsOfJoin"), so
@@ -36,7 +36,8 @@ object AsOfJoinOps {
       DatasetBridge.analyzedPlan(left), DatasetBridge.analyzedPlan(right),
       ColumnBridge.expression(leftKey), ColumnBridge.expression(rightKey),
       ColumnBridge.expression(leftTime), ColumnBridge.expression(rightTime),
-      ColumnBridge.expression(rightTieBreak), toleranceMicros, isOuter)
+      ColumnBridge.expression(rightTieBreak), toleranceMicros, isOuter,
+      nearest)
     DatasetBridge.ofRows(spark, plan)
   }
 
@@ -94,6 +95,59 @@ object AsOfJoinOps {
       .orderBy("purchase_id")
   }
 
+  /** NEAREST-direction variant (pandas `merge_asof direction='nearest'`,
+    * VERDICT r8 #6): each purchase attributes to the view minimizing
+    * |Δt| within a 2-day INCLUSIVE tolerance either side — the
+    * "closest touchpoint" attribution shape. `gap_sec` is SIGNED
+    * (negative = the attributed view came after the purchase). Equal
+    * distance resolves backward, equal times resolve to max view_id —
+    * the operator contract, independently stated by the oracle's
+    * `row_number` ordering.
+    */
+  def asofJoinNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_s").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts_s").as("v_ts"))
+    asOf(purchases, views,
+        col("user_id"), col("v_user"),
+        unix_micros(col("p_ts")), unix_micros(col("v_ts")),
+        col("view_id"), 2L * 24 * 3600 * 1000000L, nearest = true)
+      .select(col("purchase_id"), col("user_id"),
+        col("view_id").as("attributed_view_id"),
+        ((unix_micros(col("p_ts")) - unix_micros(col("v_ts"))) / 1000000L)
+          .cast("long").as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
+  /** min-by-|Δt| DuckDB formulation: same-|Δt| prefers the backward row,
+    * same time prefers max view_id — exactly the operator's pick order.
+    */
+  val asofJoinNearestOracle: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   date_trunc('second', ts) AS ts_s FROM events),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts_s AS p_ts
+      |      FROM ev WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id AS view_id, user_id, ts_s AS v_ts
+      |      FROM ev WHERE event_type = 'view'),
+      |cand AS (
+      |  SELECT p.purchase_id, p.user_id, v.view_id,
+      |         CAST(floor(epoch(p.p_ts)) AS BIGINT)
+      |           - CAST(floor(epoch(v.v_ts)) AS BIGINT) AS gap_sec,
+      |         row_number() OVER (PARTITION BY p.purchase_id
+      |           ORDER BY abs(epoch(p.p_ts) - epoch(v.v_ts)),
+      |                    CASE WHEN v.v_ts <= p.p_ts THEN 0 ELSE 1 END,
+      |                    v.view_id DESC) AS rn
+      |  FROM p JOIN v ON v.user_id = p.user_id
+      |   AND abs(epoch(p.p_ts) - epoch(v.v_ts)) <= 2 * 24 * 3600)
+      |SELECT purchase_id, user_id, view_id AS attributed_view_id, gap_sec
+      |FROM cand WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   val asofJoinOuterOracle: String =
     """WITH ev AS (SELECT event_id, user_id, event_type,
       |                   date_trunc('second', ts) AS ts_s FROM events),
@@ -119,12 +173,14 @@ object AsOfJoinOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_native" -> (asofJoinNative _),
-    "asof_join_outer" -> (asofJoinOuter _))
+    "asof_join_outer" -> (asofJoinOuter _),
+    "asof_join_nearest" -> (asofJoinNearest _))
 
   /** Deliberately the SAME oracle text as `asof_join_attribution` — one
     * definitional SQL checking both the composed and the native plan.
     */
   val oracles: Map[String, String] = Map(
     "asof_join_native" -> graft.ops.AnalyticsOps.asofJoinOracle,
-    "asof_join_outer" -> asofJoinOuterOracle)
+    "asof_join_outer" -> asofJoinOuterOracle,
+    "asof_join_nearest" -> asofJoinNearestOracle)
 }

@@ -127,4 +127,78 @@ class AsOfJoinSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(out == ref)
   }
+
+  test("nearest mode: min |Δt|, INCLUSIVE tolerance, backward wins ties, max tie-break both directions") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 30L),  // back 25 (Δ5) vs fwd 40 (Δ10) → back (rid 12)
+      (2L, 100L, 38L),  // back 25 (Δ13) vs fwd 40 (Δ2) → FORWARD (rid 13)
+      (3L, 100L, 50L),  // exact tie: back 40 (Δ10) vs fwd 60 (Δ10) → back (rid 13)
+      (4L, 100L, 75L),  // back 60 Δ15 > tol(10); fwd 85 Δ10 = tol INCLUSIVE → fwd
+      (5L, 100L, 97L),  // fwd-time tie at 107: rids 16,17 → max rid 17
+      (6L, 200L, 10L))  // only a FORWARD row exists for this key → rid 20
+      .toDF("lid", "k", "lt")
+    val right = Seq(
+      (11L, 100L, 15L),
+      (12L, 100L, 25L),
+      (13L, 100L, 40L),
+      (14L, 100L, 60L),
+      (15L, 100L, 85L),
+      (16L, 100L, 107L),
+      (17L, 100L, 107L),
+      (20L, 200L, 15L))
+      .toDF("rid", "rk", "rt")
+    val out = AsOfJoinOps.asOf(left, right,
+        col("k"), col("rk"), col("lt"), col("rt"), col("rid"),
+        toleranceMicros = 10L, nearest = true)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 12L, 2L -> 13L, 3L -> 13L, 4L -> 15L,
+      5L -> 17L, 6L -> 20L), s"got $out")
+    // backward-at-exact-tolerance is INCLUSIVE in nearest mode (vs the
+    // backward mode's exclusive bound): lt=35, back 25, Δ=10=tol → matches
+    val incl = AsOfJoinOps.asOf(
+        Seq((9L, 100L, 35L)).toDF("lid", "k", "lt"),
+        Seq((12L, 100L, 25L)).toDF("rid", "rk", "rt"),
+        col("k"), col("rk"), col("lt"), col("rt"), col("rid"),
+        toleranceMicros = 10L, nearest = true)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(incl.toSeq == Seq((9L, 12L)))
+  }
+
+  test("nearest mode on real data matches a composed min-by-|Δt| formulation") {
+    val native = AsOfJoinOps.asofJoinNearest(spark, dir).collect().map(_.toSeq)
+    // composed reference: inclusive |Δt| band join + rank window with the
+    // same (|Δt|, backward-first, max view_id) pick order
+    val ev = graft.ops.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_s").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts_s").as("v_ts"))
+    val tolSec = 2L * 24 * 3600
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id"))
+      .orderBy(abs(unix_micros(col("p_ts")) - unix_micros(col("v_ts"))),
+        when(col("v_ts") <= col("p_ts"), 0).otherwise(1),
+        col("view_id").desc)
+    val composed = p.join(v, col("user_id") === col("v_user") &&
+        abs(unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+          <= tolSec * 1000000L)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        col("view_id").as("attributed_view_id"),
+        ((unix_micros(col("p_ts")) - unix_micros(col("v_ts"))) / 1000000L)
+          .cast("long").as("gap_sec"))
+      .orderBy("purchase_id").collect().map(_.toSeq)
+    assert(native.length == composed.length)
+    assert(native.toSeq == composed.toSeq)
+    // the mode must actually exercise forward picks on this data
+    assert(native.exists(r => r(3).asInstanceOf[Long] < 0),
+      "no forward attribution — nearest is vacuously backward here")
+  }
 }
