@@ -958,16 +958,24 @@ object EventOps {
         col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
         round(col("sa") / col("na"), 4).as("mean_a"),
         round(col("sb") / col("nb"), 4).as("mean_b"),
-        ((col("qa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)).as("va"),
-        ((col("qb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)).as("vb"),
-        (col("sa") / col("na") - col("sb") / col("nb")).as("diff"))
+        round((col("qa") - col("sa") * col("sa") / col("na")) /
+          (col("na") - 1), 4).as("var_a"),
+        round((col("qb") - col("sb") * col("sb") / col("nb")) /
+          (col("nb") - 1), 4).as("var_b"))
+      // t and df are formed from the ROUNDED moments (ADVICE r8): the raw
+      // numerator mean_a − mean_b is a catastrophic cancellation of two
+      // nearly equal full-corpus sums whose reduction order differs across
+      // engines — rounding the moments FIRST makes the statistic a
+      // deterministic function of already-agreed 4-dp values at any SF
       .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
-        round(col("va"), 4).as("var_a"), round(col("vb"), 4).as("var_b"),
-        round(col("diff") /
-          sqrt(col("va") / col("n_a") + col("vb") / col("n_b")), 4).as("welch_t"),
-        round(pow(col("va") / col("n_a") + col("vb") / col("n_b"), 2) /
-          (pow(col("va") / col("n_a"), 2) / (col("n_a") - 1) +
-            pow(col("vb") / col("n_b"), 2) / (col("n_b") - 1)), 2).as("welch_df"))
+        col("var_a"), col("var_b"),
+        round((col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 4)
+          .as("welch_t"),
+        round(pow(col("var_a") / col("n_a") + col("var_b") / col("n_b"), 2) /
+          (pow(col("var_a") / col("n_a"), 2) / (col("n_a") - 1) +
+            pow(col("var_b") / col("n_b"), 2) / (col("n_b") - 1)), 2)
+          .as("welch_df"))
   }
 
   val abTestStatsOracle: String =
@@ -984,13 +992,13 @@ object EventOps {
       |         sum(value * value) FILTER (variant = 1) AS qb
       |  FROM t),
       |v AS (
-      |  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
-      |         (qa - sa * sa / na) / (na - 1) AS va,
-      |         (qb - sb * sb / nb) / (nb - 1) AS vb
+      |  SELECT na, nb, round(sa / na, 4) AS ma, round(sb / nb, 4) AS mb,
+      |         round((qa - sa * sa / na) / (na - 1), 4) AS va,
+      |         round((qb - sb * sb / nb) / (nb - 1), 4) AS vb
       |  FROM m)
       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-      |       round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
-      |       round(va, 4) AS var_a, round(vb, 4) AS var_b,
+      |       ma AS mean_a, mb AS mean_b,
+      |       va AS var_a, vb AS var_b,
       |       round((ma - mb) / sqrt(va / na + vb / nb), 4) AS welch_t,
       |       round(pow(va / na + vb / nb, 2) /
       |             (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)),
@@ -1029,10 +1037,16 @@ object EventOps {
       cell(1, 1L).as("c"), cell(1, 0L).as("d"))
       .select(col("a").as("conv_a"), col("b").as("nonconv_a"),
         col("c").as("conv_b"), col("d").as("nonconv_b"),
-        round((d("a") + d("b") + d("c") + d("d")) *
-          pow(d("a") * d("d") - d("b") * d("c"), 2) /
-          ((d("a") + d("b")) * (d("c") + d("d")) *
-            (d("a") + d("c")) * (d("b") + d("d"))), 4).as("chi2"))
+        // zero-margin guard (ADVICE r8): an empty row/column margin (e.g.
+        // no value>200 purchases at some SF) has no measurable association
+        // — χ² is DEFINED as 0 there instead of a null from 0/0
+        round(when(
+          (d("a") + d("b")) * (d("c") + d("d")) *
+            (d("a") + d("c")) * (d("b") + d("d")) === 0, lit(0.0))
+          .otherwise((d("a") + d("b") + d("c") + d("d")) *
+            pow(d("a") * d("d") - d("b") * d("c"), 2) /
+            ((d("a") + d("b")) * (d("c") + d("d")) *
+              (d("a") + d("c")) * (d("b") + d("d")))), 4).as("chi2"))
       .select(col("conv_a"), col("nonconv_a"), col("conv_b"), col("nonconv_b"),
         col("chi2"), (col("chi2") > 3.841).as("significant"))
   }
@@ -1052,19 +1066,21 @@ object EventOps {
       |         count(*) FILTER (variant = 0 AND converted = 0) AS b,
       |         count(*) FILTER (variant = 1 AND converted = 1) AS c,
       |         count(*) FILTER (variant = 1 AND converted = 0) AS d
-      |  FROM t)
+      |  FROM t),
+      |x AS (
+      |  SELECT a, b, c, d,
+      |         CASE WHEN (CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d) *
+      |                   (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d) = 0
+      |              THEN CAST(0 AS DOUBLE)
+      |              ELSE round((CAST(a AS DOUBLE) + b + c + d) *
+      |                pow(CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c, 2) /
+      |                ((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d) *
+      |                 (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)), 4)
+      |         END AS chi2
+      |  FROM m)
       |SELECT a AS conv_a, b AS nonconv_a, c AS conv_b, d AS nonconv_b,
-      |       round((CAST(a AS DOUBLE) + b + c + d) *
-      |             pow(CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c, 2) /
-      |             ((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d) *
-      |              (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)), 4)
-      |         AS chi2,
-      |       round((CAST(a AS DOUBLE) + b + c + d) *
-      |             pow(CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c, 2) /
-      |             ((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d) *
-      |              (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)), 4)
-      |         > 3.841 AS significant
-      |FROM m""".stripMargin
+      |       chi2, chi2 > 3.841 AS significant
+      |FROM x""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ab_chi_square" -> (abChiSquare _),

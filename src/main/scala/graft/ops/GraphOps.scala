@@ -501,7 +501,11 @@ object GraphOps {
   /** Weighted single-source shortest paths, 2 relaxation rounds — the
     * Bellman–Ford step expressed as join + keyed min (the Pregel/GraphX
     * "message + merge" shape on a shuffle engine). Edge weight is the
-    * INVERSE co-purchase count 1/|shared orders| — strongly-associated
+    * INVERSE co-occurrence PAIR count — 1 over the number of lineitem
+    * row pairs sharing an order (an order holding a part on m lines
+    * contributes m·m' pairs, not 1, so this is pair multiplicity rather
+    * than |shared orders|; both engines compute the identical quantity) —
+    * strongly-associated
     * parts are "close" — so unlike [[bfsFrom]]'s hop counts the frontier
     * ordering is weight-driven and a 2-hop path can beat a 1-hop edge.
     * Source = the basket of the minimum order key (the BFS source set).

@@ -210,7 +210,10 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(durs.sameElements(durs.sorted), "rows ordered by duration")
     // risk set: strictly decreasing reverse-cumulative; head == all subjects
     val atRisk = rows.map(_.getLong(1))
-    atRisk.sliding(2).foreach { case Array(a, b) => assert(a > b) }
+    // withFilter: a single-row result must degrade to a clean pass, not a
+    // MatchError from the undersized trailing window (ADVICE r8)
+    atRisk.sliding(2).withFilter(_.length == 2)
+      .foreach { case Array(a, b) => assert(a > b) }
     val subjects = rows.map(r => r.getLong(2) + r.getLong(3)).sum
     assert(atRisk.head == subjects, "risk set at t₀ must be every subject")
     val nCust = graft.ops.Tables(spark, "/root/testdata/sf0.001", "orders")
@@ -223,9 +226,10 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       prod *= (if (d < n) 1.0 - d.toDouble / n else 0.0)
       assert(math.abs(s - prod) < 1e-6, s"S(${r.getLong(0)}) $s vs product $prod")
     }
-    rows.map(_.getDouble(4)).sliding(2).foreach { case Array(a, b) =>
-      assert(b <= a + 1e-9, "survival must be non-increasing")
-    }
+    rows.map(_.getDouble(4)).sliding(2).withFilter(_.length == 2)
+      .foreach { case Array(a, b) =>
+        assert(b <= a + 1e-9, "survival must be non-increasing")
+      }
     // censored subjects are exactly the customers with ONE distinct order
     // date (sf0.001's dense calendar may make this zero — the count must
     // still reconcile, and the sf0.01 oracle run exercises real censoring)
