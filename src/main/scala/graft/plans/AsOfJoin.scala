@@ -43,6 +43,21 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * `rightTieBreak` in BOTH directions. Same single merge pass; state grows
   * from one buffered row to two (backward best + the max-tie row of the
   * first forward timestamp).
+  *
+  * `forward = true` (r10) is `direction='forward'`: match the EARLIEST
+  * same-key right row with `rightTime ∈ [leftTime, leftTime + tolerance]`
+  * (inclusive both ends), equal times broken by max `rightTieBreak`. Same
+  * merge pass holding only the forward buffer — consumed pre-left rows are
+  * discarded, never copied, so forward is the cheapest direction.
+  *
+  * `allowExact = false` (r10, pandas `allow_exact_matches=False`)
+  * excludes `rightTime == leftTime` rows from matching in every
+  * direction: backward becomes the open window (lt − tol, lt), forward
+  * [lt, …] becomes (lt, lt + tol], nearest requires |Δt| > 0. The
+  * equal-time run is still retained for LATER left rows where it is
+  * strictly in the past (nearest/backward keep its max-tie row as the
+  * backward candidate; forward proves it useless — a row at time lt can
+  * never be a strict-future match for any left time ≥ lt — and drops it).
   */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
@@ -51,7 +66,10 @@ case class AsOfJoin(
     rightTieBreak: Expression,
     toleranceMicros: Long,
     isOuter: Boolean = false,
-    nearest: Boolean = false) extends BinaryNode {
+    nearest: Boolean = false,
+    forward: Boolean = false,
+    allowExact: Boolean = true) extends BinaryNode {
+  require(!(nearest && forward), "nearest and forward are exclusive directions")
   // left-outer keeps every left row (SQL LEFT JOIN semantics: null key /
   // time rows survive too) with the right side nulled when unmatched
   override def output: Seq[Attribute] =
@@ -68,8 +86,8 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, rtb, tol, outer, near) =>
-      AsOfJoinExec(lk, rk, lt, rt, rtb, tol, outer, near,
+    case AsOfJoin(l, r, lk, rk, lt, rt, rtb, tol, outer, near, fwd, exact) =>
+      AsOfJoinExec(lk, rk, lt, rt, rtb, tol, outer, near, fwd, exact,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -92,6 +110,8 @@ case class AsOfJoinExec(
     toleranceMicros: Long,
     isOuter: Boolean,
     nearest: Boolean,
+    forward: Boolean,
+    allowExactMatches: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -111,6 +131,8 @@ case class AsOfJoinExec(
     val tol = toleranceMicros
     val outer = isOuter
     val near = nearest
+    val fwd = forward
+    val exactOk = allowExactMatches
     val nRightCols = right.output.size
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val lkBound = BindReferences.bindReference(leftKey, left.output)
@@ -162,36 +184,75 @@ case class AsOfJoinExec(
               if (outer) pending = proj(joined(l, nullRight))
             } else {
               val lt = ltv.asInstanceOf[Long]
-              // consume right rows with (key < lk) or (key == lk, time <= lt)
+              // consume right rows with (key < lk) or (key == lk) and a
+              // time strictly before lt — or AT lt when exact matches are
+              // allowed and a direction that matches backward is active
+              // (in forward mode the == lt run must survive the consume so
+              // it can be buffered as the forward candidate). Keys are
+              // evaluated off reused row buffers, so anything retained
+              // across an iterator advance — key value included — is
+              // copied (UTF8String etc. would otherwise be overwritten).
               var continue = headRow != null
               while (continue) {
                 val h = headRow
                 val rk = rkBound.eval(h)
                 val c = keyOrd.compare(rk, lk)
-                if (c < 0) {
+                val consume =
+                  if (c < 0) true
+                  else if (c > 0) false
+                  else {
+                    val rt = rtBound.eval(h).asInstanceOf[Long]
+                    if (exactOk && !fwd) rt <= lt else rt < lt
+                  }
+                if (consume) {
+                  if (c == 0 && !fwd) {
+                    bestKey = InternalRow.copyValue(rk)
+                    bestTime = rtBound.eval(h).asInstanceOf[Long]
+                    bestRow = h.copy()
+                  }
                   popRight()
-                } else if (c == 0 &&
-                    rtBound.eval(h).asInstanceOf[Long] <= lt) {
-                  bestKey = rk
-                  bestTime = rtBound.eval(h).asInstanceOf[Long]
-                  bestRow = h.copy()
-                  popRight()
-                } else {
-                  continue = false
-                }
+                } else continue = false
                 if (headRow == null) continue = false
               }
-              // nearest: materialize the forward candidate — the max-tie
-              // row of the first same-key timestamp after lt. Rows with
-              // equal (key, time) are consecutive (tie-break-sorted), so
-              // keeping the last of the run costs O(run) once, and the run
-              // rows can never serve a LATER left row differently (for any
-              // left row, only the max-tie row at a timestamp can win).
-              if (near && fwdRow == null && rHead != null) {
+              // the backward candidate this left row gets to use is fixed
+              // NOW — the equal-time handling below may overwrite it with
+              // state meant only for later left rows
+              val bRow = bestRow; val bKey = bestKey; val bTime = bestTime
+              // allow_exact_matches=false: the same-key == lt run can never
+              // match THIS left row, but must not block the forward buffer.
+              // Pop it: nearest/backward keep its max-tie row as the
+              // backward candidate for later (strictly greater) left times;
+              // forward discards it (a row at time lt is never a strict
+              // future match for any left time ≥ lt).
+              if (!exactOk && (near || fwd)) {
+                var run = headRow != null
+                while (run) {
+                  val h = headRow
+                  val rk = rkBound.eval(h)
+                  if (keyOrd.compare(rk, lk) == 0 &&
+                      rtBound.eval(h).asInstanceOf[Long] == lt) {
+                    if (!fwd) {
+                      bestKey = InternalRow.copyValue(rk)
+                      bestTime = lt
+                      bestRow = h.copy()
+                    }
+                    popRight()
+                    run = headRow != null
+                  } else run = false
+                }
+              }
+              // nearest/forward: materialize the forward candidate — the
+              // max-tie row of the first same-key timestamp at/after lt.
+              // Rows with equal (key, time) are consecutive
+              // (tie-break-sorted), so keeping the last of the run costs
+              // O(run) once, and the run rows can never serve a LATER left
+              // row differently (for any left row, only the max-tie row at
+              // a timestamp can win).
+              if ((near || fwd) && fwdRow == null && rHead != null) {
                 val rk = rkBound.eval(rHead)
                 if (keyOrd.compare(rk, lk) == 0) {
                   val tf = rtBound.eval(rHead).asInstanceOf[Long]
-                  fwdKey = rk
+                  fwdKey = InternalRow.copyValue(rk)
                   fwdTime = tf
                   fwdRow = rHead.copy()
                   rHead = advanceRight()
@@ -207,18 +268,21 @@ case class AsOfJoinExec(
                   }
                 }
               }
+              val exactGuardB = exactOk || bTime < lt
               val backOk =
-                if (near)
-                  bestRow != null && keyOrd.compare(bestKey, lk) == 0 &&
-                    lt - bestTime <= tol
+                if (fwd) false
+                else if (near)
+                  bRow != null && keyOrd.compare(bKey, lk) == 0 &&
+                    lt - bTime <= tol && exactGuardB
                 else
-                  bestRow != null && keyOrd.compare(bestKey, lk) == 0 &&
-                    bestTime <= lt && bestTime > lt - tol
-              val fwdOk = near && fwdRow != null &&
-                keyOrd.compare(fwdKey, lk) == 0 && fwdTime - lt <= tol
-              if (backOk && (!fwdOk || lt - bestTime <= fwdTime - lt)) {
+                  bRow != null && keyOrd.compare(bKey, lk) == 0 &&
+                    bTime <= lt && bTime > lt - tol && exactGuardB
+              val fwdOk = (near || fwd) && fwdRow != null &&
+                keyOrd.compare(fwdKey, lk) == 0 && fwdTime - lt <= tol &&
+                fwdTime >= lt && (exactOk || fwdTime > lt)
+              if (backOk && (!fwdOk || lt - bTime <= fwdTime - lt)) {
                 // equal distance → backward wins (the pandas convention)
-                pending = proj(joined(l, bestRow))
+                pending = proj(joined(l, bRow))
               } else if (fwdOk) {
                 pending = proj(joined(l, fwdRow))
               } else if (outer) {

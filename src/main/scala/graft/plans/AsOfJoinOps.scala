@@ -24,7 +24,8 @@ object AsOfJoinOps {
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
       rightTieBreak: Column, toleranceMicros: Long,
-      isOuter: Boolean = false, nearest: Boolean = false): DataFrame = {
+      isOuter: Boolean = false, nearest: Boolean = false,
+      forward: Boolean = false, allowExactMatches: Boolean = true): DataFrame = {
     val spark = left.sparkSession
     // the DataFrame-facing API owns its planning needs: without the
     // strategy the node is unplannable ("No plan for AsOfJoin"), so
@@ -37,7 +38,7 @@ object AsOfJoinOps {
       ColumnBridge.expression(leftKey), ColumnBridge.expression(rightKey),
       ColumnBridge.expression(leftTime), ColumnBridge.expression(rightTime),
       ColumnBridge.expression(rightTieBreak), toleranceMicros, isOuter,
-      nearest)
+      nearest, forward, allowExactMatches)
     DatasetBridge.ofRows(spark, plan)
   }
 
@@ -125,6 +126,60 @@ object AsOfJoinOps {
       .orderBy("purchase_id")
   }
 
+  /** FORWARD-direction variant (pandas `merge_asof direction='forward'`,
+    * VERDICT r9 #6): each purchase matches the EARLIEST view at-or-after
+    * it within a 2-day inclusive tolerance — the post-purchase
+    * re-engagement shape ("how quickly does a buyer come back to look").
+    * `gap_sec` = view − purchase is ≥ 0 by construction. Equal times are
+    * a valid match (allowExactMatches default) and resolve to max
+    * view_id; the `allowExactMatches = false` boundary is spec-pinned in
+    * `AsOfJoinSpec` rather than oracled (the corpus has few same-second
+    * collisions, a spec makes the boundary explicit on adversarial data).
+    */
+  def asofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_s").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts_s").as("v_ts"))
+    asOf(purchases, views,
+        col("user_id"), col("v_user"),
+        unix_micros(col("p_ts")), unix_micros(col("v_ts")),
+        col("view_id"), 2L * 24 * 3600 * 1000000L, forward = true)
+      .select(col("purchase_id"), col("user_id"),
+        col("view_id").as("next_view_id"),
+        ((unix_micros(col("v_ts")) - unix_micros(col("p_ts"))) / 1000000L)
+          .cast("long").as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
+  /** min-by-(t_r − t_l) DuckDB formulation of the forward pick: first
+    * at-or-after view within tolerance, ties at the chosen time to max
+    * view_id — independently states the operator's contract.
+    */
+  val asofJoinForwardOracle: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   date_trunc('second', ts) AS ts_s FROM events),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts_s AS p_ts
+      |      FROM ev WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id AS view_id, user_id, ts_s AS v_ts
+      |      FROM ev WHERE event_type = 'view'),
+      |cand AS (
+      |  SELECT p.purchase_id, p.user_id, v.view_id,
+      |         CAST(floor(epoch(v.v_ts)) AS BIGINT)
+      |           - CAST(floor(epoch(p.p_ts)) AS BIGINT) AS gap_sec,
+      |         row_number() OVER (PARTITION BY p.purchase_id
+      |           ORDER BY v.v_ts ASC, v.view_id DESC) AS rn
+      |  FROM p JOIN v ON v.user_id = p.user_id
+      |   AND v.v_ts >= p.p_ts
+      |   AND epoch(v.v_ts) - epoch(p.p_ts) <= 2 * 24 * 3600)
+      |SELECT purchase_id, user_id, view_id AS next_view_id, gap_sec
+      |FROM cand WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   /** min-by-|Δt| DuckDB formulation: same-|Δt| prefers the backward row,
     * same time prefers max view_id — exactly the operator's pick order.
     */
@@ -174,7 +229,8 @@ object AsOfJoinOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_native" -> (asofJoinNative _),
     "asof_join_outer" -> (asofJoinOuter _),
-    "asof_join_nearest" -> (asofJoinNearest _))
+    "asof_join_nearest" -> (asofJoinNearest _),
+    "asof_join_forward" -> (asofJoinForward _))
 
   /** Deliberately the SAME oracle text as `asof_join_attribution` — one
     * definitional SQL checking both the composed and the native plan.
@@ -182,5 +238,6 @@ object AsOfJoinOps {
   val oracles: Map[String, String] = Map(
     "asof_join_native" -> graft.ops.AnalyticsOps.asofJoinOracle,
     "asof_join_outer" -> asofJoinOuterOracle,
-    "asof_join_nearest" -> asofJoinNearestOracle)
+    "asof_join_nearest" -> asofJoinNearestOracle,
+    "asof_join_forward" -> asofJoinForwardOracle)
 }

@@ -201,4 +201,123 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native.exists(r => r(3).asInstanceOf[Long] < 0),
       "no forward attribution — nearest is vacuously backward here")
   }
+
+  test("forward mode: earliest at-or-after, INCLUSIVE tolerance both ends, max tie-break") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 20L), // fwd 25 (Δ5) → rid 12
+      (2L, 100L, 25L), // exact time allowed → rid 12
+      (3L, 100L, 28L), // fwd 40, Δ12 > tol(10) → absent
+      (4L, 100L, 38L), // fwd-time tie at 40: rids 13,14 → max 14
+      (5L, 100L, 61L), // nothing at/after → absent
+      (6L, 100L, 50L)) // fwd 60, Δ10 = tol INCLUSIVE → rid 15
+      .toDF("lid", "k", "lt")
+    val right = Seq(
+      (11L, 100L, 15L),
+      (12L, 100L, 25L),
+      (13L, 100L, 40L),
+      (14L, 100L, 40L),
+      (15L, 100L, 60L))
+      .toDF("rid", "rk", "rt")
+    val out = AsOfJoinOps.asOf(left, right,
+        col("k"), col("rk"), col("lt"), col("rt"), col("rid"),
+        toleranceMicros = 10L, forward = true)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 12L, 2L -> 12L, 4L -> 14L, 6L -> 15L),
+      s"got $out")
+  }
+
+  test("forward mode on real data matches the min-by-(t_r - t_l) composed formulation") {
+    val native = AsOfJoinOps.asofJoinForward(spark, dir).collect().map(_.toSeq)
+    val ev = graft.ops.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_s").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts_s").as("v_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id"))
+      .orderBy(col("v_ts").asc, col("view_id").desc)
+    val composed = p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") &&
+        unix_micros(col("v_ts")) - unix_micros(col("p_ts"))
+          <= 2L * 24 * 3600 * 1000000L)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        col("view_id").as("next_view_id"),
+        ((unix_micros(col("v_ts")) - unix_micros(col("p_ts"))) / 1000000L)
+          .cast("long").as("gap_sec"))
+      .orderBy("purchase_id").collect().map(_.toSeq)
+    assert(native.length == composed.length)
+    assert(native.toSeq == composed.toSeq)
+    assert(native.forall(r => r(3).asInstanceOf[Long] >= 0),
+      "forward gap must be non-negative")
+  }
+
+  test("allowExactMatches=false: equal-time rows excluded in every direction, retained for later lefts") {
+    import spark.implicits._
+    // BACKWARD: lt=30 must skip the rt=30 row and take rt=25; a LATER
+    // left at 35 must still see the rt=30 row as its backward best
+    val bl = Seq((1L, 100L, 30L), (2L, 100L, 35L)).toDF("lid", "k", "lt")
+    val br = Seq((10L, 100L, 25L), (11L, 100L, 30L)).toDF("rid", "rk", "rt")
+    val back = AsOfJoinOps.asOf(bl, br,
+        col("k"), col("rk"), col("lt"), col("rt"), col("rid"),
+        toleranceMicros = 10L, allowExactMatches = false)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back == Map(1L -> 10L, 2L -> 11L), s"got $back")
+
+    // NEAREST: lt=30 must skip Δ0 (rt=30), see PAST the equal-time run to
+    // the forward row at 33 (Δ3) and prefer it over back 25 (Δ5); the
+    // popped rt=30 row must then serve lt=31 as its backward best (Δ1
+    // beats fwd Δ2)
+    val nl = Seq((1L, 100L, 30L), (2L, 100L, 31L)).toDF("lid", "k", "lt")
+    val nr = Seq((10L, 100L, 25L), (20L, 100L, 30L), (21L, 100L, 33L))
+      .toDF("rid", "rk", "rt")
+    val near = AsOfJoinOps.asOf(nl, nr,
+        col("k"), col("rk"), col("lt"), col("rt"), col("rid"),
+        toleranceMicros = 10L, nearest = true, allowExactMatches = false)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(near == Map(1L -> 21L, 2L -> 20L), s"got $near")
+
+    // FORWARD: lt=30 must skip the rt=30 run (including its tie rows) and
+    // match the strictly-future rt=35
+    val fl = Seq((1L, 100L, 30L)).toDF("lid", "k", "lt")
+    val fr = Seq((30L, 100L, 30L), (31L, 100L, 30L), (32L, 100L, 35L))
+      .toDF("rid", "rk", "rt")
+    val fwd = AsOfJoinOps.asOf(fl, fr,
+        col("k"), col("rk"), col("lt"), col("rt"), col("rid"),
+        toleranceMicros = 10L, forward = true, allowExactMatches = false)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fwd == Map(1L -> 32L), s"got $fwd")
+  }
+
+  test("forward/nearest buffered keys survive iterator reuse for string keys (defensive copy)") {
+    import spark.implicits._
+    // string keys exercise the UTF8String buffer-reuse hazard (ADVICE r9):
+    // many interleaved keys force the right iterator to advance while
+    // bestKey/fwdKey are held across left rows
+    val ks = (0 until 40).map(i => f"k$i%02d")
+    val left = ks.zipWithIndex.map { case (k, i) =>
+      (i.toLong, k, 100L)
+    }.toDF("lid", "k", "lt")
+    val right = ks.zipWithIndex.flatMap { case (k, i) =>
+      Seq((1000L + i, k, 90L), (2000L + i, k, 110L))
+    }.toDF("rid", "rk", "rt")
+    val out = AsOfJoinOps.asOf(left, right,
+        col("k"), col("rk"), col("lt"), col("rt"), col("rid"),
+        toleranceMicros = 50L, nearest = true)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Δ10 both directions, backward wins ties → the 1000-block row per key
+    assert(out == ks.indices.map(i => i.toLong -> (1000L + i)).toMap,
+      s"got $out")
+  }
 }
