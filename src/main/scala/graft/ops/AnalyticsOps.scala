@@ -1646,10 +1646,12 @@ object AnalyticsOps {
     * ranks on the ROUNDED value with a lexicographic tiebreak.
     */
   def brandAffinity(s: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables(s, dir, "lineitem")
-      .join(Tables(s, dir, "part").select(col("p_partkey"), col("p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("okey"), col("p_brand")).distinct()
+    // the distinct (order, brand) basket table comes from the GraphEdges
+    // seam (materialized once per session when seeded; inline otherwise —
+    // VERDICT r9 #3): the lineitem⋈part scan + distinct is shared work,
+    // only the brand-level pair join and the three aggregates stay
+    // query-local
+    val baskets = GraphEdges.brandBaskets(s, dir)
     val nOrders = Tables(s, dir, "orders")
       .agg(count(lit(1)).cast("double").as("n"))
     val brandCount = baskets.groupBy(col("p_brand"))
