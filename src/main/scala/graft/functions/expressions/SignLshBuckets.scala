@@ -99,7 +99,13 @@ object SignLshBuckets {
       else {
         val nd = math.max(dims, cur.length)
         val np = math.max(planes, if (cur.length > 0) cur(0).length else 0)
-        val out = Array.tabulate(nd, np)(weight)
+        // grow INCREMENTALLY: copy already-digested cells, tabulate only
+        // the new ones — heterogeneous vector lengths arriving in
+        // ascending order would otherwise recompute the whole md5 matrix
+        // per length, O(n²) digest work under this lock (ADVICE r9)
+        val out = Array.tabulate(nd, np) { (i, p) =>
+          if (i < cur.length && p < cur(i).length) cur(i)(p) else weight(i, p)
+        }
         wcache = out
         out
       }

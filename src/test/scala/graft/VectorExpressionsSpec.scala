@@ -258,6 +258,28 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("SignLshBuckets oracle validity: min |plane sum| on the gate corpus is far above fp-reorder error") {
+    // The sign-LSH value pin assumes no (vector, plane) sum lands within
+    // fp-ADDITION-REORDER error of 0: DuckDB's sum order differs from the
+    // Spark fold, and a near-zero sum would nondeterministically flip a
+    // bucket bit, breaking the ann_sign_lsh / dedup_embedding_lsh /
+    // dedup_clusters_lsh oracles as a flaky diff. Assert the margin at the
+    // GATE (sf0.01) corpus and all 80 shipped planes (4 bits × 20 bands)
+    // so the fragility, if a regenerated corpus ever introduces it, fails
+    // HERE with a clear message instead of at the driver gate (ADVICE r9).
+    val planes = 4 * 20
+    val vecs = graft.ops.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(VectorFunctions.normalize(
+        VectorFunctions.toDoubleArray(col("embedding"))).as("v"))
+    val minAbs = vecs
+      .select(array_min(array((0 until planes).map(h =>
+        abs(VectorFunctions.planeDot(col("v"), h))): _*)).as("m"))
+      .agg(min(col("m"))).head.getDouble(0)
+    assert(minAbs > 1e-9,
+      f"min |plane sum| = $minAbs%.3e — within fp-reorder error of a sign flip; " +
+        "re-derive the LSH value pins before trusting the oracle family")
+  }
+
   test("SignLshBuckets null semantics: null array → null; null element skipped") {
     // DEFINED divergence from the composed reference (which zeroes every
     // plane through null propagation): matches MinHashSignature's contract
