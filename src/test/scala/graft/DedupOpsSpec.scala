@@ -186,6 +186,24 @@ class DedupOpsSpec extends AnyFunSuite {
       s"sign-LSH ANN recall too low: $recall (${lsh.intersect(exact).size}/${exact.size})")
   }
 
+  test("HNSW-lite ANN: measured recall ≥ 0.8 vs the exact top-k; widening the beam is monotone") {
+    val exact = SimilarityOps.annCosineTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hnsw = SimilarityOps.annHnswTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = hnsw.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"HNSW ANN recall too low: $recall (${hnsw.intersect(exact).size}/${exact.size})")
+    // more entry points can only widen the visited set — recall is
+    // monotone in the beam width (the graph-ANN ef knob)
+    val wide = SimilarityOps.annHnswTopk(spark, dir,
+        bitsPerBand = 8, bands = 10, degree = 20, levelMod = 16, entries = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallWide = wide.intersect(exact).size.toDouble / exact.size
+    assert(recallWide >= recall,
+      s"recall must be monotone in entries: base=$recall wide=$recallWide")
+  }
+
   test("IVF nprobe: recall(nprobe=2) ≥ recall(nprobe=1), strictly more candidate coverage") {
     // nprobe is THE recall-for-throughput knob: probing more coarse buckets
     // can only widen the candidate set, so top-k recall vs the exact
