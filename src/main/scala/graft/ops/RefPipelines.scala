@@ -167,7 +167,30 @@ object RefPipelines {
       .orderBy("event_id")
   }
 
+  /** F7/ST5 retention as an auditable query (VERDICT r9 #7): the
+    * [[Housekeeping.auditFrame]] classifier over a synthetic file listing
+    * derived from `orders` (path = export CSV name per order, mtime = the
+    * order timestamp, `now` = the listing's max mtime as a broadcast
+    * scalar, TTL 90 days). Narrow map + 1-row scalar attach — no shuffle
+    * beyond the deterministic orderBy. `mtime` rides formatted (the
+    * retention_filter timestamp convention).
+    */
+  def retentionAudit(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val listing = o.select(
+      concat(lit("/data/export/"), col("o_orderkey").cast("string"),
+        lit(".csv")).as("path"),
+      col("o_orderdate").as("mtime"))
+    val now = o.agg(max(col("o_orderdate")).as("now"))
+    Housekeeping.auditFrame(listing.crossJoin(broadcast(now)), col("now"), 90)
+      .select(col("path"),
+        date_format(col("mtime"), "yyyy-MM-dd HH:mm:ss").as("mtime_s"),
+        col("age_days"), col("would_delete"))
+      .orderBy("path")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retention_audit" -> (retentionAudit _),
     "csv_import_core" -> (csvImportCore _),
     "sanitize_text" -> (sanitizeText _),
     "excel_date_convert" -> (excelDateConvert _),
@@ -181,6 +204,16 @@ object RefPipelines {
     "retention_filter" -> (retentionFilter _))
 
   val oracles: Map[String, String] = Map(
+    "retention_audit" ->
+      """WITH nw AS (SELECT max(o_orderdate) AS now FROM orders),
+        |l AS (SELECT '/data/export/' || CAST(o_orderkey AS VARCHAR)
+        |         || '.csv' AS path,
+        |       o_orderdate AS mtime FROM orders)
+        |SELECT path, strftime(mtime, '%Y-%m-%d %H:%M:%S') AS mtime_s,
+        |       CAST(floor((epoch(now) - epoch(mtime)) / 86400) AS BIGINT)
+        |         AS age_days,
+        |       epoch(mtime) < epoch(now) - 90 * 86400 AS would_delete
+        |FROM l, nw ORDER BY path""".stripMargin,
     "csv_import_core" ->
       s"""SELECT o_orderkey, o_custkey,
          |  ${sanitizeSqlOracle("o_orderstatus")} AS status_clean,

@@ -14,7 +14,7 @@ object PerfProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_clusters",
+      else Seq("dedup_minhash_shingle", "dedup_ngram_jaccard", "dedup_clusters",
         "corpus_curation", "dedup_embedding_lsh", "dedup_embedding_cosine",
         "ann_cosine_topk", "dedup_simhash")
     val spark = SparkSession.builder()

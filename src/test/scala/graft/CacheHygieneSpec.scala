@@ -17,8 +17,17 @@ class CacheHygieneSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  // dedup_minhash_lsh left the driver registry in r10 but keeps these
+  // hygiene contracts as public API
+  private def query(name: String) = name match {
+    case "dedup_minhash_lsh" =>
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.ops.DedupOps.dedupMinhashLsh(s, d)
+    case n => SparkEntry.queries(n)
+  }
+
   private def run(name: String): org.apache.spark.sql.DataFrame = {
-    val df = SparkEntry.queries(name)(spark, dir)
+    val df = query(name)(spark, dir)
     df.write.format("noop").mode("overwrite").save()
     df
   }
@@ -60,7 +69,7 @@ class CacheHygieneSpec extends AnyFunSuite {
           "dedup_ngram_jaccard", "dedup_minhash_shingle")) {
         // drive THIS df's QueryExecution (a .write would spawn its own) so
         // executedPlan is the final adaptive plan with materialized stages
-        val df = SparkEntry.queries(name)(spark, dir)
+        val df = query(name)(spark, dir)
         df.collect()
         val reused = countReused(df.queryExecution.executedPlan)
         assert(reused >= 1,

@@ -242,6 +242,42 @@ class PipelineServicesSpec extends AnyFunSuite {
     assert(!Files.exists(oldF) && Files.exists(newF))
   }
 
+  test("housekeeping auditFrame == candidates() on real files (would_delete set identity)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmp()
+    val now = Instant.now()
+    // files straddling the 30-day cutoff, including the exact boundary
+    // (candidates() is STRICTLY-before: a file aged exactly maxAgeDays
+    // survives — auditFrame must agree)
+    val ages = Seq("a.txt" -> 45L, "b.txt" -> 31L, "c.txt" -> 30L,
+      "d.txt" -> 29L, "e.txt" -> 0L)
+    ages.foreach { case (n, d) =>
+      val f = dir.resolve(n); Files.writeString(f, n)
+      Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime.from(
+        now.minus(d, ChronoUnit.DAYS)))
+    }
+    val cfg = HousekeepingConfig(Seq(dir), maxAgeDays = 30)
+    val fromFiles = Housekeeping.candidates(cfg, now)
+      .map(_.path.toString).toSet
+    import spark.implicits._
+    val listing = ages.map { case (n, d) =>
+      (dir.resolve(n).toString,
+        new java.sql.Timestamp(now.minus(d, ChronoUnit.DAYS).toEpochMilli))
+    }.toDF("path", "mtime")
+    val audited = Housekeeping.auditFrame(
+        listing, lit(new java.sql.Timestamp(now.toEpochMilli)), 30)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+    val fromFrame = audited.collect { case (p, _, true) => p }.toSet
+    assert(fromFrame == fromFiles,
+      s"auditFrame disagrees with candidates(): frame=$fromFrame files=$fromFiles")
+    // the boundary file (exactly maxAgeDays old) must NOT be flagged
+    assert(!fromFrame.exists(_.endsWith("c.txt")))
+    // age_days is the floor of whole days
+    val ageByPath = audited.map(a => a._1 -> a._2).toMap
+    assert(ageByPath(dir.resolve("a.txt").toString) == 45L)
+  }
+
   test("jdbc sink option mapping (K3 contract, no live SQL Server)") {
     val cfg = ImportConfig(
       Map("importFilesFolderPath" -> "/tmp/i", "importProcessedFolderPath" -> "/tmp/p",

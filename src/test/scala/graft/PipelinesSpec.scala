@@ -36,10 +36,11 @@ class PipelinesSpec extends AnyFunSuite {
 /** Queries intentionally lacking a DuckDB oracle (hash/model-dependent). */
 object RowsOnly {
   val expected: Set[String] =
-    // mllib-MinHash-dependent (value-pinned md5 sibling:
-    // dedup_minhash_shingle; the sign-LSH family and clusters_lsh moved to
-    // md5 hyperplanes/edges in r9 and are fully oracle-backed now):
-    Set("dedup_minhash_lsh",
+    // (dedup_minhash_lsh left the registry in r10 — the xxhash64 minhash
+    // operator is public API + spec-pinned, its md5 twin
+    // dedup_minhash_shingle carries the oracle; the sign-LSH family and
+    // clusters_lsh moved to md5 hyperplanes/edges in r9):
+    Set(
       // Spark-internal HLL, not SQL-expressible (deterministic md5 HLL
       // sibling: hll_estimate, oracle-backed)
       "cardinality_sketches",

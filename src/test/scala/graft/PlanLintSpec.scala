@@ -46,6 +46,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q6_forecast_revenue", "reconcile_counts", "quoted_list_join",
     "q11_important_parts", "q22_global_sales", // 1-row scalar-cut broadcasts
     "retention_filter", // 1-row max-ts scalar broadcast
+    "retention_audit",  // 1-row now-scalar broadcast onto the listing
     "autocorr_lag",     // 7-row lag-dimension broadcast onto the daily agg
     "pca_power",        // 1-row norm/Rayleigh broadcasts onto d-sized frames
     "rrf_fusion",       // 1-row query-doc / corpus-stats / query-vector
