@@ -563,6 +563,107 @@ object DedupOps {
     * the oracle states the definitional form (DISTINCT band-collision
     * pairs) instead.
     */
+  /** Shingle-CONTAINMENT near-dup detection (r10): pairs where ≥ 85% of
+    * doc A's 5-token shingles appear in doc B — the asymmetric
+    * excerpt/quotation/superset relation Jaccard misses (a short doc
+    * embedded in a long one has high containment but low Jaccard, and a
+    * training pipeline wants the contained copy dropped, not both).
+    * C(A,B) = |S_A ∩ S_B| / |S_A|; both directions can report.
+    *
+    * Scale shape — frequency-ordered prefix filter, exact (no banding
+    * recall loss): a candidate (A,B) must share one of A's first
+    * ⌊(1−t)·|S_A|⌋+1 shingles under ANY fixed total order (pigeonhole: if
+    * B misses all of them, |A\B| already exceeds the allowed misses).
+    * Ordering the universe by ASCENDING global document frequency makes
+    * those prefix shingles the RAREST ones, so the prefix⋈posting join
+    * touches the shortest posting lists — candidate volume stays linear in
+    * posting mass instead of Σdf². Thresholds are kept in integer
+    * arithmetic (×20 vs ×17) so both engines decide boundaries
+    * identically. Verify is the exact intersect count on the candidate
+    * pairs only, rebalanced before the count like the rest of the family.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
+    import graft.functions.expressions.Md5ShingleId
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(normText(col("text")), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 5)
+      .select(col("doc_id"),
+        array_distinct(bc(Md5ShingleId(be(col("tokens")), k = 5)))
+          .as("shingles"))
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sid"))
+    val szs = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val dfreq = sh.groupBy("sid").agg(count(lit(1)).as("df"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))
+    // prefix = the (allowed misses + 1) globally-rarest shingles per doc;
+    // misses = floor(0.15·n) computed as integer (n*3) div 20
+    val pre = sh.join(dfreq, "sid")
+      .withColumn("r", row_number().over(wD))
+      .join(szs, "doc_id")
+      .filter(col("r") <= floor(col("n_sh") * 3 / 20) + 1)
+      .select(col("doc_id").as("doc_a"), col("sid"))
+    val cand = pre
+      .join(sh.select(col("doc_id").as("doc_b"), col("sid")), "sid")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      // lossless size prune: |A∩B| ≤ n_b, so containment ≥ 17/20 needs
+      // 20·n_b ≥ 17·n_a
+      .join(szs.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(szs.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .filter(col("n_b") * 20 >= col("n_a") * 17)
+      .repartition(col("doc_a"), col("doc_b"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sid")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sid")), Seq("doc_b", "sid"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_i"))
+      .filter(col("n_i") * 20 >= col("n_a") * 17)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        round(col("n_i").cast("double") / col("n_a"), 4).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupContainmentOracle: String = {
+    val norm = normTextOracle("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS tokens FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(array_to_string(tokens[i:i+4], ' ')), 1, 15))::BIGINT AS sid
+       |  FROM toks, LATERAL unnest(generate_series(1, len(tokens) - 4)) t(i)
+       |  WHERE len(tokens) >= 5),
+       |sh AS (SELECT DISTINCT doc_id, sid FROM sh0),
+       |szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |dfreq AS (SELECT sid, count(*) AS df FROM sh GROUP BY sid),
+       |ranked AS (
+       |  SELECT s.doc_id, s.sid,
+       |         row_number() OVER (PARTITION BY s.doc_id
+       |           ORDER BY d.df, s.sid) AS r
+       |  FROM sh s JOIN dfreq d USING (sid)),
+       |pre AS (
+       |  SELECT r.doc_id AS doc_a, r.sid
+       |  FROM ranked r JOIN szs z ON z.doc_id = r.doc_id
+       |  WHERE r.r <= (z.n_sh * 3) // 20 + 1),
+       |cand AS (
+       |  SELECT DISTINCT p.doc_a, s.doc_id AS doc_b
+       |  FROM pre p JOIN sh s ON s.sid = p.sid AND s.doc_id <> p.doc_a),
+       |sized AS (
+       |  SELECT c.doc_a, c.doc_b, za.n_sh AS n_a, zb.n_sh AS n_b
+       |  FROM cand c JOIN szs za ON za.doc_id = c.doc_a
+       |              JOIN szs zb ON zb.doc_id = c.doc_b
+       |  WHERE zb.n_sh * 20 >= za.n_sh * 17),
+       |inter AS (
+       |  SELECT s.doc_a, s.doc_b, s.n_a, s.n_b, count(*) AS n_i
+       |  FROM sized s JOIN sh x ON x.doc_id = s.doc_a
+       |               JOIN sh y ON y.doc_id = s.doc_b AND y.sid = x.sid
+       |  GROUP BY s.doc_a, s.doc_b, s.n_a, s.n_b)
+       |SELECT doc_a, doc_b, n_a, n_b,
+       |       round(CAST(n_i AS DOUBLE) / n_a, 4) AS containment
+       |FROM inter WHERE n_i * 20 >= n_a * 17
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val dedupMinhashShingleOracle: String = {
     import graft.functions.expressions.AffineMinHash
     val norm = normTextOracle("text")
@@ -869,6 +970,7 @@ object DedupOps {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> ((s: SparkSession, dir: String) => dedupEmbeddingLsh(s, dir)),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_shingle" -> (dedupMinhashShingle _))
 
   val oracles: Map[String, String] = Map(
@@ -880,5 +982,6 @@ object DedupOps {
     "dedup_embedding_cosine" -> dedupEmbeddingCosineOracle,
     "dedup_embedding_lsh" -> dedupEmbeddingLshOracle,
     "dedup_simhash" -> dedupSimhashOracle,
+    "dedup_containment" -> dedupContainmentOracle,
     "dedup_minhash_shingle" -> dedupMinhashShingleOracle)
 }

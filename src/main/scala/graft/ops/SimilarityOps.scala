@@ -1363,7 +1363,99 @@ object SimilarityOps {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** MMR diversity rerank (r10): the post-retrieval step the serving
+    * ladder lacked — `rrf_fusion` fuses retrieval arms, this
+    * de-redundifies the result list. Each query's brute-force-scored
+    * candidates stream into ONE [[graft.functions.MmrSelect]] keyed
+    * aggregation (bounded top-50 shortlist buffer, merge-associative),
+    * whose finish runs the greedy λ=0.7 selection of 10 picks. Scale
+    * shape: ≤ shortlist rows per (partition, query) reach the shuffle —
+    * never a k-round join chain. The oracle unrolls all 10 greedy steps
+    * as SQL CTE levels (the sssp_2step convention), so every pick AND its
+    * mmr score are value-checked.
+    */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val qVecs = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = emb.crossJoin(broadcast(qVecs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        dot(col("qv"), col("v")).as("rel"), col("v"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.MmrSelect.mmrPicks(
+        col("cand_id"), col("rel"), col("v"),
+        k = 10, lambda = 0.7, shortlist = 50).as("picks"))
+      .select(col("query_id"), explode(col("picks")).as("p"))
+      .select(col("query_id"), col("p.rank").as("rank"),
+        col("p.id").as("neighbor_id"),
+        round(col("p.score"), 4).as("mmr"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** All 10 greedy MMR steps unrolled as CTE levels over the explicit
+    * top-50 shortlist; λ and the tie order (score desc, id asc) restated
+    * verbatim.
+    */
+  val mmrRerankOracle: String = {
+    val k = 10
+    val shortCte =
+      s"""e AS (SELECT vec_id, ${normalizeOracle("embedding")} AS v
+         |      FROM embeddings),
+         |sl AS MATERIALIZED (
+         |  SELECT query_id, cand_id, rel, v FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |           list_dot_product(q.v, c.v) AS rel, c.v AS v,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS rn
+         |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $NQueries)
+         |  WHERE rn <= 50),
+         |pick1 AS MATERIALIZED (
+         |  SELECT query_id, cand_id, 0.7 * rel AS score, 1 AS rank FROM (
+         |    SELECT query_id, cand_id, rel,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY rel DESC, cand_id) AS rn
+         |    FROM sl)
+         |  WHERE rn = 1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val selUnion = (1 until i)
+        .map(j => s"SELECT query_id, cand_id FROM pick$j")
+        .mkString(" UNION ALL ")
+      s"""sel$i AS ($selUnion),
+         |pick$i AS MATERIALIZED (
+         |  SELECT query_id, cand_id, score, $i AS rank FROM (
+         |    SELECT c.query_id, c.cand_id,
+         |           0.7 * c.rel - 0.3 * mx.m AS score,
+         |           row_number() OVER (PARTITION BY c.query_id
+         |             ORDER BY 0.7 * c.rel - 0.3 * mx.m DESC, c.cand_id) AS rn
+         |    FROM sl c
+         |    JOIN (SELECT c2.query_id, c2.cand_id,
+         |                 max(list_dot_product(c2.v, sv.v)) AS m
+         |          FROM sl c2
+         |          JOIN sel$i si ON si.query_id = c2.query_id
+         |          JOIN sl sv ON sv.query_id = si.query_id
+         |                    AND sv.cand_id = si.cand_id
+         |          GROUP BY c2.query_id, c2.cand_id) mx
+         |      ON mx.query_id = c.query_id AND mx.cand_id = c.cand_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel$i s2
+         |                      WHERE s2.query_id = c.query_id
+         |                        AND s2.cand_id = c.cand_id))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val allPicks = (1 to k)
+      .map(i => s"SELECT query_id, cand_id, score, rank FROM pick$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $shortCte,
+       |$steps
+       |SELECT query_id, rank, cand_id AS neighbor_id,
+       |       round(score, 4) AS mmr
+       |FROM ($allPicks)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mmr_rerank" -> (mmrRerank _),
     "ann_hnsw_topk" -> ((s: SparkSession, dir: String) => annHnswTopk(s, dir)),
     "rrf_fusion" -> (rrfFusion _),
     "embedding_outliers" -> (embeddingOutliers _),
@@ -1384,6 +1476,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "mmr_rerank" -> mmrRerankOracle,
     "ann_hnsw_topk" -> annHnswTopkOracle,
     "rrf_fusion" -> rrfFusionOracle,
     "embedding_outliers" -> embeddingOutliersOracle,

@@ -34,6 +34,7 @@ class PlanLintSpec extends AnyFunSuite {
     "dedup_embedding_cosine", "dedup_embedding_lsh", "ann_cosine_topk",
     "ann_ivf_topk", "ann_sign_lsh", "embedding_centroids",
     "ann_hnsw_topk",   // NQueries-row query-vector broadcasts (entry scan + re-score)
+    "mmr_rerank",      // NQueries-row query-vector broadcast feeding the scorer
     "dedup_minhash_lsh", "dedup_minhash_shingle", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_exact", "text_repetition", "corpus_curation",
     "dedup_clusters", "dedup_clusters_lsh", "dedup_incremental",
