@@ -582,10 +582,16 @@ object DedupOps {
     * identically. Verify is the exact intersect count on the candidate
     * pairs only, rebalanced before the count like the rest of the family.
     */
-  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    dedupContainmentFrom(Tables(s, dir, "documents"))
+
+  /** [[dedupContainment]] over any (doc_id, text) frame — the spec feeds
+    * crafted asymmetric fixtures through the same plan.
+    */
+  def dedupContainmentFrom(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
     import graft.functions.expressions.Md5ShingleId
-    val docs = Tables(s, dir, "documents")
+    val docs = documents
       .select(col("doc_id"), split(normText(col("text")), " ").as("tokens"))
       .filter(size(col("tokens")) >= 5)
       .select(col("doc_id"),

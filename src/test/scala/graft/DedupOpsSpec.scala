@@ -104,6 +104,49 @@ class DedupOpsSpec extends AnyFunSuite {
       s"prefix-filter≠brute-force: missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
   }
 
+  test("containment prefix filtering = all-pairs brute force (set equality, recall 1.0)") {
+    // independent ground truth: Scala string 5-gram shingle sets, all pairs
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim.split(" ").toSeq))
+      .filter(_._2.length >= 5)
+      .map { case (id, toks) =>
+        (id, toks.sliding(5).map(_.mkString(" ")).toSet)
+      }
+    val expected = (for {
+      (a, sa) <- docs; (b, sb) <- docs
+      if a != b
+      ni = sa.intersect(sb).size
+      if ni * 20 >= sa.size * 17
+    } yield (a, b)).toSet
+    val got = DedupOps.dedupContainment(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"prefix-filter≠brute-force: missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
+    assert(expected.nonEmpty, "fixture has no containment pairs — vacuous")
+  }
+
+  test("containment is asymmetric: an excerpt flags against its superset, not vice versa") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    // doc 1 = a 30-token excerpt of doc 2 (60 tokens): every shingle of 1
+    // is in 2 (C(1,2) = 1.0 ≥ 0.85) but C(2,1) = 26/56 ≈ 0.46 — only the
+    // (excerpt, superset) direction may appear. doc 3 is unrelated noise.
+    val words = (0 until 60).map(i => s"w$i")
+    val excerpt = words.take(30).mkString(" ")
+    val full = words.mkString(" ")
+    val noise = (100 until 140).map(i => s"n$i").mkString(" ")
+    val docs = Seq((1L, excerpt), (2L, full), (3L, noise))
+      .toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.dedupContainmentFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)), s"got ${got.toSeq}")
+    assert(got.head._3 == 1.0)
+  }
+
   test("dedup verify stages carry no broadcast hint (shuffled path on forced-large input)") {
     // threshold −1 simulates a corpus too big to broadcast; with AQE off
     // (AdaptiveSparkPlanExec hides inner plans from collect) any remaining
