@@ -38,6 +38,7 @@ object PerfProbe {
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
     graft.ops.IncrementalDedup.seedQueryStore(spark, dir)
     graft.ops.GraphEdges.seed(spark, dir)
+    graft.ops.DedupEdges.seed(spark, dir)
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
       time(s"$n (cold)")(sink(q(spark, dir)))

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DedupEdges materialization seam's contract (the GraphOpsSpec seam
+  * test applied to the text-dedup family): seeded and unseeded paths are
+  * row-identical for the pair table AND both consumers, seeding is
+  * idempotent, and clear() reclaims the temp parquet from disk.
+  */
+class DedupEdgesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("seeded and unseeded paths are row-identical; seed idempotent; clear reclaims disk") {
+    import graft.ops.DedupEdges
+    DedupEdges.clear()
+    try {
+      val unseeded = DedupEdges.pairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val cl0 = graft.ops.ClusterOps.dedupClusters(spark, dir).collect()
+        .map(_.toSeq)
+      val cu0 = graft.ops.CurationOps.corpusCuration(spark, dir).collect()
+        .map(_.toSeq)
+      def tmpDirs(): Set[java.nio.file.Path] = {
+        val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+        val it = java.nio.file.Files.list(root).iterator()
+        var acc = Set.empty[java.nio.file.Path]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith("graft_neardup_")) acc += p
+        }
+        acc
+      }
+      val preSeed = tmpDirs()
+      DedupEdges.seed(spark, dir)
+      DedupEdges.seed(spark, dir) // idempotent — no second materialization
+      val seeded = DedupEdges.pairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(seeded == unseeded, "materialized pair list diverges from inline build")
+      assert(seeded.nonEmpty, "no near-dup pairs — seam test vacuous")
+      val cl1 = graft.ops.ClusterOps.dedupClusters(spark, dir).collect()
+        .map(_.toSeq)
+      assert(cl0.toSeq == cl1.toSeq, "dedup_clusters differs seeded vs unseeded")
+      val cu1 = graft.ops.CurationOps.corpusCuration(spark, dir).collect()
+        .map(_.toSeq)
+      assert(cu0.toSeq == cu1.toSeq, "corpus_curation differs seeded vs unseeded")
+      val created = tmpDirs() -- preSeed
+      assert(created.nonEmpty, "seed created no temp materialization dir")
+      DedupEdges.clear()
+      created.foreach { p =>
+        assert(!java.nio.file.Files.exists(p),
+          s"clear() left materialization on disk: $p")
+      }
+    } finally DedupEdges.clear()
+  }
+}
