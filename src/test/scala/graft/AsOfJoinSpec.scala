@@ -299,6 +299,73 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(fwd == Map(1L -> 32L), s"got $fwd")
   }
 
+  test("property: every direction × exactness × outer mode matches a naive per-row reference on random inputs") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // naive reference: for each left row scan ALL right rows — an
+    // independent O(n·m) restatement of the contract the merge must match
+    def reference(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)],
+        tol: Long, outer: Boolean, nearest: Boolean, forward: Boolean,
+        allowExact: Boolean): Set[(Long, Option[Long])] =
+      left.map { case (lid, lk, lt) =>
+        val cands = right.filter { case (_, rk, rt) =>
+          rk == lk && {
+            val dt = rt - lt
+            val exactOk = allowExact || dt != 0
+            val inDir =
+              if (nearest) math.abs(dt) <= tol
+              else if (forward) dt >= 0 && dt <= tol
+              else dt <= 0 && -dt < tol
+            exactOk && inDir
+          }
+        }
+        val pick =
+          if (cands.isEmpty) None
+          else if (nearest) {
+            // min |Δt|; tie → backward; same time → max rid
+            val best = cands.minBy { case (rid, _, rt) =>
+              (math.abs(rt - lt), if (rt <= lt) 0 else 1, -rid)
+            }
+            Some(best._1)
+          } else if (forward) {
+            val best = cands.minBy { case (rid, _, rt) => (rt, -rid) }
+            Some(best._1)
+          } else {
+            val best = cands.maxBy { case (rid, _, rt) => (rt, rid) }
+            Some(best._1)
+          }
+        (lid, pick)
+      }.filter(p => outer || p._2.nonEmpty).toSet
+    // small key/time domains force heavy collisions, ties, and equal-time
+    // runs — exactly the states the buffered merge must get right
+    val row = for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 30L)
+    } yield (k, t)
+    val tbl = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, row))
+    val prop = Prop.forAll(tbl, tbl, Gen.choose(1L, 12L), Gen.oneOf(0, 1, 2),
+        Gen.oneOf(true, false), Gen.oneOf(true, false)) {
+      (ls, rs, tol, dirMode, outer, allowExact) =>
+      val near = dirMode == 1; val fwd = dirMode == 2
+      val leftRows = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rightRows = rs.zipWithIndex.map { case ((k, t), i) => (1000L + i, k, t) }
+      val expected = reference(leftRows, rightRows, tol, outer, near, fwd, allowExact)
+      val out = AsOfJoinOps.asOf(
+          leftRows.toDF("lid", "k", "lt"), rightRows.toDF("rid", "rk", "rt"),
+          col("k"), col("rk"), col("lt"), col("rt"), col("rid"),
+          toleranceMicros = tol, isOuter = outer, nearest = near,
+          forward = fwd, allowExactMatches = allowExact)
+        .select(col("lid"), col("rid")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      val ok = out == expected
+      if (!ok) println(s"MISMATCH dir=$dirMode outer=$outer exact=$allowExact tol=$tol\n" +
+        s"  left=$leftRows\n  right=$rightRows\n  got=$out\n  want=$expected")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("forward/nearest buffered keys survive iterator reuse for string keys (defensive copy)") {
     import spark.implicits._
     // string keys exercise the UTF8String buffer-reuse hazard (ADVICE r9):
