@@ -186,7 +186,9 @@ object ClusterOps {
     * a missed edge can only split a cluster, never merge two.
     */
   def dedupClustersLsh(s: SparkSession, dir: String): DataFrame =
-    clustersOver(DedupOps.dedupMinhashShingle(s, dir).select("doc_a", "doc_b"))
+    // same seam as dedupClusters: the shingle-LSH edge table is the one a
+    // production pipeline materializes per snapshot (inline when unseeded)
+    clustersOver(DedupEdges.shinglePairs(s, dir).select("doc_a", "doc_b"))
 
   /** [[dedupClustersOracle]]'s recursive closure over the
     * [[DedupOps.dedupMinhashShingleOracle]] edge set.

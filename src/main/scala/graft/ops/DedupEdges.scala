@@ -33,12 +33,20 @@ object DedupEdges {
   def build(s: SparkSession, dir: String): DataFrame =
     DedupOps.dedupNgramJaccard(s, dir)
 
-  /** Materialize the pair list for `dir` once per session (idempotent). */
+  /** The shingle-LSH pair list — the exact output of
+    * [[DedupOps.dedupMinhashShingle]] (`dedup_clusters_lsh`'s edge set).
+    */
+  def buildShingle(s: SparkSession, dir: String): DataFrame =
+    DedupOps.dedupMinhashShingle(s, dir)
+
+  /** Materialize both pair lists for `dir` once per session (idempotent). */
   def seed(s: SparkSession, dir: String): Unit =
     seeded.computeIfAbsent(dir, { _ =>
       val out = java.nio.file.Files
         .createTempDirectory("graft_neardup_").toString
       build(s, dir).write.mode("overwrite").parquet(s"$out/pairs")
+      buildShingle(s, dir).write.mode("overwrite")
+        .parquet(s"$out/shingle_pairs")
       out
     })
 
@@ -66,6 +74,16 @@ object DedupEdges {
     seeded.get(dir) match {
       case null => build(s, dir)
       case path => s.read.parquet(s"$path/pairs")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
+
+  /** (doc_a, doc_b, jaccard) shingle-LSH pairs: materialized when seeded,
+    * else the inline build.
+    */
+  def shinglePairs(s: SparkSession, dir: String): DataFrame =
+    seeded.get(dir) match {
+      case null => buildShingle(s, dir)
+      case path => s.read.parquet(s"$path/shingle_pairs")
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }
 }

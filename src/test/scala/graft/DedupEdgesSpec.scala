@@ -17,7 +17,11 @@ class DedupEdgesSpec extends AnyFunSuite {
     try {
       val unseeded = DedupEdges.pairs(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val shingleUnseeded = DedupEdges.shinglePairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val cl0 = graft.ops.ClusterOps.dedupClusters(spark, dir).collect()
+        .map(_.toSeq)
+      val cll0 = graft.ops.ClusterOps.dedupClustersLsh(spark, dir).collect()
         .map(_.toSeq)
       val cu0 = graft.ops.CurationOps.corpusCuration(spark, dir).collect()
         .map(_.toSeq)
@@ -38,9 +42,16 @@ class DedupEdgesSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(seeded == unseeded, "materialized pair list diverges from inline build")
       assert(seeded.nonEmpty, "no near-dup pairs — seam test vacuous")
+      val shingleSeeded = DedupEdges.shinglePairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(shingleSeeded == shingleUnseeded,
+        "materialized shingle pair list diverges from inline build")
       val cl1 = graft.ops.ClusterOps.dedupClusters(spark, dir).collect()
         .map(_.toSeq)
       assert(cl0.toSeq == cl1.toSeq, "dedup_clusters differs seeded vs unseeded")
+      val cll1 = graft.ops.ClusterOps.dedupClustersLsh(spark, dir).collect()
+        .map(_.toSeq)
+      assert(cll0.toSeq == cll1.toSeq, "dedup_clusters_lsh differs seeded vs unseeded")
       val cu1 = graft.ops.CurationOps.corpusCuration(spark, dir).collect()
         .map(_.toSeq)
       assert(cu0.toSeq == cu1.toSeq, "corpus_curation differs seeded vs unseeded")
