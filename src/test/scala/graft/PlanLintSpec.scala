@@ -213,10 +213,30 @@ class PlanLintSpec extends AnyFunSuite {
       "label_propagation_2step" -> 1, // rounds materialize via
                                   // localCheckpoint at construction; the
                                   // planned query is one community agg
-      "bloom_semi_join" -> 4)     // bloom-build SinglePartition reduce +
+      "bloom_semi_join" -> 4,     // bloom-build SinglePartition reduce +
                                   // probe-side semi join pair (AQE
                                   // broadcasts the key side at runtime)
                                   // (+sort)
+      "dedup_containment" -> 4,   // shingle df agg, doc-keyed prefix
+                                  // window, candidate repartition,
+                                  // intersect-count agg (+sort reuses);
+                                  // attach joins are AQE broadcasts
+      "ann_hnsw_topk" -> 15,      // index BUILD + search in one plan:
+                                  // candidate distinct, neighbor window,
+                                  // checkpoint boundary, entry/hop
+                                  // attaches, visited distinct, top-k
+                                  // window (+sort) — a safe upper bound;
+                                  // at serving time the adjacency is a
+                                  // materialized table and only the
+                                  // search-side exchanges remain
+      "mmr_rerank" -> 2,          // ONE bounded-shortlist aggregate
+                                  // exchange (≤50 rows per partition per
+                                  // query) (+sort)
+      "asof_join_forward" -> 3,   // EnsureRequirements' two key-clustered
+                                  // child exchanges for the native merge
+                                  // (+sort)
+      "retention_audit" -> 2)     // 1-row now aggregate (+sort); the
+                                  // listing itself is a narrow map
     val offenders = budget.flatMap { case (name, maxEx) =>
       // count ALL shuffle exchanges — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
