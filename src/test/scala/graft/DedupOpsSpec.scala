@@ -128,6 +128,42 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture has no containment pairs — vacuous")
   }
 
+  test("property: containment prefix filter == brute force on random corpora (boundary sizes)") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny vocab + short docs force threshold-boundary shingle counts
+    // (n_sh where (n_sh*3) div 20 steps) and heavy shingle sharing
+    val word = Gen.choose(0, 7).map(i => s"w$i")
+    val doc = Gen.choose(5, 18).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpus = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, doc))
+    val prop = Prop.forAll(corpus) { texts: List[String] =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def shingles(t: String): Set[String] = {
+        val toks = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").toSeq
+        if (toks.length < 5) Set.empty
+        else toks.sliding(5).map(_.mkString(" ")).toSet
+      }
+      val sh = docs.map { case (id, t) => id -> shingles(t) }
+        .filter(_._2.nonEmpty).toMap
+      val expected = (for {
+        (a, sa) <- sh; (b, sb) <- sh
+        if a != b && sa.intersect(sb).size * 20 >= sa.size * 17
+      } yield (a, b)).toSet
+      val got = graft.ops.DedupOps
+        .dedupContainmentFrom(docs.toDF("doc_id", "text"))
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ok = got == expected
+      if (!ok) println(s"MISMATCH corpus=$docs got=$got want=$expected")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("containment is asymmetric: an excerpt flags against its superset, not vice versa") {
     import org.apache.spark.sql.SparkSession
     val s: SparkSession = spark
