@@ -574,7 +574,106 @@ object GraphOps {
       |SELECT node, round(dist, 6) AS dist
       |FROM d2 ORDER BY dist, node LIMIT 20""".stripMargin
 
+  /** Incremental maintenance of the co-purchase edge table (r10) — the
+    * [[GraphEdges]] materialization's production story made CONCRETE and
+    * PROVEN: because both endpoints of a co-purchase pair live in ONE
+    * order, a batch of new orders contributes pair counts computed from
+    * the new orders ALONE, and the maintained table is base ⊎ delta
+    * merged by a keyed sum — no base rescan, the `incremental_agg`
+    * partial-state algebra applied to the graph's edge weights. Split is
+    * deterministic (`o_orderkey % 10 == 9` plays the newly-arrived 10%).
+    *
+    * The query computes the MAINTAINED table (base pairs ⊎ delta pairs,
+    * full-outer merge) and reduces it to one audit row: edge count, total
+    * co-occurrence mass, how many edges the delta created vs grew, and an
+    * order-independent md5 checksum over (u, v, cnt). The ORACLE computes
+    * the checksum/totals from a from-scratch FULL-corpus pair count — a
+    * green row therefore proves maintenance ≡ recompute across engines,
+    * which is exactly the invariant an incrementally-maintained
+    * [[GraphEdges]] deployment relies on.
+    *
+    * Scale shape: delta pair generation touches only the delta's
+    * lineitem rows; the merge is one full-outer join co-partitioned on
+    * (u, v); the audit is one keyless aggregate. At 100 TB the base side
+    * is the stored table (scan, no recompute) — here both sides derive
+    * from the same corpus so the oracle can restate the claim exactly.
+    */
+  def incrementalEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    def pairsOf(df: DataFrame): DataFrame = {
+      val a = df.as("a"); val b = df.as("b")
+      a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val base = pairsOf(li.filter(pmod(col("l_orderkey"), lit(10)) =!= 9))
+      .select(col("u"), col("v"), col("cnt").as("base_cnt"))
+    val delta = pairsOf(li.filter(pmod(col("l_orderkey"), lit(10)) === 9))
+      .select(col("u"), col("v"), col("cnt").as("delta_cnt"))
+    val merged = base.join(delta, Seq("u", "v"), "full_outer")
+      .select(col("u"), col("v"),
+        (coalesce(col("base_cnt"), lit(0L)) +
+          coalesce(col("delta_cnt"), lit(0L))).as("cnt"),
+        col("base_cnt").isNotNull.as("has_base"),
+        col("delta_cnt").isNotNull.as("has_delta"))
+    val edgeMd5 = conv(substring(md5(concat(
+        col("u").cast("string"), lit("_"), col("v").cast("string"))),
+      1, 15), 16, 10).cast("long") % 1000000L
+    merged.agg(
+      count(lit(1)).as("n_edges"),
+      sum(col("cnt")).as("total_cnt"),
+      sum(when(col("has_delta") && !col("has_base"), 1L).otherwise(0L))
+        .as("n_new_edges"),
+      sum(when(col("has_base") && col("has_delta"), 1L).otherwise(0L))
+        .as("n_grown_edges"),
+      sum(edgeMd5 * col("cnt")).as("checksum"))
+  }
+
+  /** Totals/checksum from a from-scratch FULL pair count (the recompute),
+    * new/grown flags from the same base/delta split — equality with the
+    * query's merge-maintained numbers is the maintenance ≡ recompute
+    * proof.
+    */
+  val incrementalEdgesOracle: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |full_pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS cnt
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |base_pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS cnt
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_orderkey % 10 <> 9
+      |  GROUP BY 1, 2),
+      |delta_pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS cnt
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_orderkey % 10 = 9
+      |  GROUP BY 1, 2),
+      |flags AS (
+      |  SELECT coalesce(b.u, d.u) AS u, coalesce(b.v, d.v) AS v,
+      |         b.u IS NOT NULL AS has_base, d.u IS NOT NULL AS has_delta
+      |  FROM base_pairs b FULL JOIN delta_pairs d
+      |    ON d.u = b.u AND d.v = b.v)
+      |SELECT
+      |  (SELECT count(*) FROM full_pairs) AS n_edges,
+      |  (SELECT CAST(sum(cnt) AS BIGINT) FROM full_pairs) AS total_cnt,
+      |  (SELECT count(*) FROM flags WHERE has_delta AND NOT has_base)
+      |    AS n_new_edges,
+      |  (SELECT count(*) FROM flags WHERE has_base AND has_delta)
+      |    AS n_grown_edges,
+      |  (SELECT CAST(sum(
+      |     (('0x' || substr(md5(CAST(u AS VARCHAR) || '_'
+      |        || CAST(v AS VARCHAR)), 1, 15))::BIGINT % 1000000) * cnt)
+      |     AS BIGINT) FROM full_pairs) AS checksum""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incremental_edges" -> (incrementalEdges _),
     "bfs_2step" -> (bfs2Step _),
     "sssp_2step" -> (sssp2Step _),
     "hits_bipartite" -> (hitsBipartite _),
@@ -585,6 +684,7 @@ object GraphOps {
     "kcore_2step" -> (kcore2Step _))
 
   val oracles: Map[String, String] = Map(
+    "incremental_edges" -> incrementalEdgesOracle,
     "bfs_2step" -> bfs2StepOracle,
     "sssp_2step" -> sssp2StepOracle,
     "hits_bipartite" -> hitsBipartiteOracle,
