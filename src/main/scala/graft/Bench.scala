@@ -13,8 +13,11 @@ import org.apache.spark.sql.SparkSession
   * (r2's apparent 1.3s → 37.2s "regressions" were refuted locally). Each
   * query therefore runs once UNTIMED (JIT + codegen + file-metadata warm-up)
   * and then `REPS` timed executions; the reported number is the median —
-  * or, when the rep spread itself shows contention (max/min > 3), the MIN,
-  * with the query named in the record's `contended` list (VERDICT r9 #8).
+  * or, when the rep spread shows contention (max/min > 3) AND the min rep
+  * is corroborated by the committed per-query floor, the MIN, with the
+  * query named in the record's `contended` list (VERDICT r9 #8, r10 #1;
+  * the floor detector `above_floor` catches sustained load the spread
+  * detector cannot — see the inline note at the detectors).
   * Every execution is a fresh plan construction followed by
   * `spark.catalog.clearCache()`, so a cached subtree populated by one rep
   * can't make the next rep measure cache reads instead of the query.
@@ -86,26 +89,64 @@ object Bench {
       once() // untimed warm-up
       name -> Seq.fill(Reps)(once())
     }
-    // Shared-box contention defense (VERDICT r9 #8): a rep set like
-    // [3.17, 17.63, 12.87] — first rep at the builder's probed level, then
-    // the box degrades — is the recurring r2/r5/r6/r8/r9 noise signature
-    // that has cost an A/B probe every round it appeared. Make the record
-    // self-identifying: when max/min across reps exceeds CONTENTION_RATIO
-    // the per-query map reports the MIN (the least-contended execution —
-    // the best available estimate of the code's actual cost) and the query
-    // lands in the `contended` list; otherwise the median as before. The
-    // raw reps (from which both are derived) stay in the detail file.
+    // Shared-box contention defense, two detectors (VERDICT r9 #8, r10 #1):
+    //
+    // 1. INTRA-RUN SPREAD (`contended`): a rep set like [3.17, 17.63,
+    //    12.87] — first rep at the builder's probed level, then the box
+    //    degrades — is the recurring r2/r5/r6/r8/r9 noise signature. When
+    //    rep max/min exceeds CONTENTION_RATIO the query is flagged.
+    //    Reported value: the MIN, but ONLY when the min itself is
+    //    corroborated by the committed floor (min ≤ FloorRatio × floor) —
+    //    a corroborated min proves the spread was environmental. An
+    //    UNcorroborated spread (no floor, or min above it) reports the
+    //    median as usual: substituting the best-case rep for a genuinely
+    //    bimodal real regression (intermittent spill/GC/skew) would bias
+    //    the headline optimistically (ADVICE r10).
+    //
+    // 2. SUSTAINED LOAD (`above_floor`): the r10 driver run had an
+    //    11-query alphabetical band uniformly 2–10× slow with TIGHT rep
+    //    spreads — a load window covering a contiguous stretch of the
+    //    name-ordered run, invisible to detector 1. Each query's MIN rep
+    //    is compared against 2.5× its committed floor
+    //    (scripts/bench_floors.json — the builder's quiet-box per-query
+    //    record, reseeded each round close): min above that is either
+    //    sustained contention or a real regression, named in the record
+    //    so the reader A/Bs exactly that list and nothing else
+    //    (BASELINE.md protocol). Queries without a committed floor (new
+    //    this round) are never floor-flagged.
     val ContentionRatio = 3.0
+    val FloorRatio = 2.5
+    val floorsPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_FLOORS", "scripts/bench_floors.json")
+    val floors: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(floorsPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // floors live under "floors": flat string→number pairs; a full
+        // JSON parser is overkill for a file this code also writes
+        val body = txt.substring(txt.indexOf("\"floors\""))
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+          .findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] no floors at $floorsPath: ${e.getMessage}")
+        Map.empty
+      }
     val stats = results.map { case (k, reps) =>
-      if (reps.exists(_ < 0)) (k, -1.0, false)
+      if (reps.exists(_ < 0)) (k, -1.0, false, false)
       else {
         val mn = reps.min
-        val contended = mn > 0 && reps.max / mn > ContentionRatio
-        (k, if (contended) mn else median(reps), contended)
+        val spread = mn > 0 && reps.max / mn > ContentionRatio
+        val floorOk = floors.get(k).exists(f => mn <= FloorRatio * f)
+        val aboveFloor = floors.get(k).exists(f => mn > FloorRatio * f)
+        val reported = if (spread && floorOk) mn else median(reps)
+        (k, reported, spread, aboveFloor)
       }
     }
-    val medians = stats.map { case (k, v, _) => k -> v }
-    val contendedNames = stats.collect { case (k, _, true) => k }
+    val medians = stats.map { case (k, v, _, _) => k -> v }
+    val contendedNames = stats.collect { case (k, _, true, _) => k }
+    val aboveFloorNames = stats.collect { case (k, _, _, true) => k }
     // 3-decimal per-query values: at 90+ queries full double precision blew
     // the final line past the driver's ~2.1 KB stdout tail window and the
     // gate recorded parsed:null (VERDICT r4 #1); ms resolution is plenty
@@ -116,12 +157,17 @@ object Bench {
     // a clearly-broken negative total can't pass a regression bar quietly)
     val total =
       if (medians.exists(_._2 < 0)) -1.0 else medians.map(_._2).sum
-    // driver-facing line keeps the EXACT agreed schema; the per-rep spread
-    // (noise forensics) goes to a side file only
+    // driver-facing line: the r1-agreed schema (metric/value/unit/queries/
+    // sf) EXTENDED by `contended` (r10) and `above_floor` (r11) — additive
+    // fields only; the driver's parser is JSON (r10's line with `contended`
+    // parsed fine in BENCH_r10.json), so extra keys are tolerated. The
+    // per-rep spread (noise forensics) goes to the detail side file.
     val contendedJson =
       contendedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val aboveFloorJson =
+      aboveFloorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"contended":$contendedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"contended":$contendedJson,"above_floor":$aboveFloorJson,"sf":"$sfDir"}"""
     // the full line above still grows with the query count; this one never
     // does (~90 bytes). Printed LAST so any tail window, however small,
     // captures a complete parseable record; the full per-query map is in the

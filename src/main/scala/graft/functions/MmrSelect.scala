@@ -25,12 +25,18 @@ import org.apache.spark.sql.functions.udaf
   * score ties by min id; dot products accumulate left-to-right exactly
   * like the `dot` Column expression, so DuckDB's `list_dot_product`
   * reproduces every score bit-for-bit and the unrolled-k SQL oracle stays
-  * exact. With an empty selected set the penalty term is 0 — pick 1 is
-  * the pure-relevance argmax, the standard MMR convention.
+  * exact. The penalty weight is an EXPLICIT parameter rather than derived
+  * as `1 − λ` inside the loop (ADVICE r10): `1 − 0.7` evaluates to
+  * 0.30000000000000004 while an oracle writing the conventional literal
+  * `0.3` holds ~0.2999999999999999889 — a ~6e-17 divergence that could
+  * flip a greedy-argmax tie or a rounding boundary between engines. Both
+  * sides now use the SAME double (the caller passes the literal the
+  * oracle prints). With an empty selected set the penalty term is 0 —
+  * pick 1 is the pure-relevance argmax, the standard MMR convention.
   */
-class MmrSelect(k: Int, lambda: Double, shortlist: Int)
+class MmrSelect(k: Int, lambda: Double, penalty: Double, shortlist: Int)
     extends Aggregator[MmrSelect.In, Vector[MmrSelect.In], Seq[MmrSelect.Pick]] {
-  require(k > 0 && shortlist >= k && lambda >= 0 && lambda <= 1)
+  require(k > 0 && shortlist >= k && lambda >= 0 && lambda <= 1 && penalty >= 0)
 
   override def zero: Vector[MmrSelect.In] = Vector.empty
 
@@ -74,7 +80,7 @@ class MmrSelect(k: Int, lambda: Double, shortlist: Int)
           val d = dot(c.vec, s.vec)
           if (first || d > maxSim) { maxSim = d; first = false }
         }
-        val score = lambda * c.rel - (1 - lambda) * (if (selected.isEmpty) 0.0 else maxSim)
+        val score = lambda * c.rel - penalty * (if (selected.isEmpty) 0.0 else maxSim)
         if (bestIdx < 0 || score > bestScore ||
             (score == bestScore && c.id < bestId)) {
           bestIdx = i; bestScore = score; bestId = c.id
@@ -99,9 +105,12 @@ object MmrSelect {
   final case class In(id: Long, rel: Double, vec: Seq[Double])
   final case class Pick(rank: Int, id: Long, score: Double)
 
-  /** Column form: array of (rank, id, score) structs, rank order. */
+  /** Column form: array of (rank, id, score) structs, rank order.
+    * `penalty` is the explicit (1−λ) coefficient — pass the SAME literal
+    * the oracle SQL prints (see class doc).
+    */
   def mmrPicks(id: Column, rel: Column, vec: Column,
-      k: Int, lambda: Double, shortlist: Int): Column =
-    udaf(new MmrSelect(k, lambda, shortlist), Encoders.product[In])
+      k: Int, lambda: Double, penalty: Double, shortlist: Int): Column =
+    udaf(new MmrSelect(k, lambda, penalty, shortlist), Encoders.product[In])
       .apply(id, rel, vec)
 }

@@ -39,30 +39,40 @@ object DedupEdges {
   def buildShingle(s: SparkSession, dir: String): DataFrame =
     DedupOps.dedupMinhashShingle(s, dir)
 
-  /** Materialize both pair lists for `dir` once per session (idempotent). */
+  /** Materialize both pair lists for `dir` once per session (idempotent).
+    * A failed write deletes its temp dir before rethrowing — otherwise no
+    * map entry is recorded and neither [[clear]] nor the shutdown hook
+    * would ever reclaim the orphan (ADVICE r10).
+    */
   def seed(s: SparkSession, dir: String): Unit =
     seeded.computeIfAbsent(dir, { _ =>
       val out = java.nio.file.Files
-        .createTempDirectory("graft_neardup_").toString
-      build(s, dir).write.mode("overwrite").parquet(s"$out/pairs")
-      buildShingle(s, dir).write.mode("overwrite")
-        .parquet(s"$out/shingle_pairs")
-      out
+        .createTempDirectory("graft_neardup_")
+      try {
+        build(s, dir).write.mode("overwrite").parquet(s"$out/pairs")
+        buildShingle(s, dir).write.mode("overwrite")
+          .parquet(s"$out/shingle_pairs")
+      } catch { case e: Throwable =>
+        try deleteRecursively(out) catch { case _: Throwable => () }
+        throw e
+      }
+      out.toString
     })
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator()
+      while (walk.hasNext) java.nio.file.Files.deleteIfExists(walk.next())
+    }
 
   /** Drop all seeded materializations and delete their parquet. */
   def clear(): Unit = {
     val it = seeded.values().iterator()
     while (it.hasNext) {
-      val root = java.nio.file.Paths.get(it.next())
-      try {
-        if (java.nio.file.Files.exists(root)) {
-          val walk = java.nio.file.Files.walk(root)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator()
-          while (walk.hasNext) java.nio.file.Files.deleteIfExists(walk.next())
-        }
-      } catch { case _: Throwable => () } // best-effort teardown
+      try deleteRecursively(java.nio.file.Paths.get(it.next()))
+      catch { case _: Throwable => () } // best-effort teardown
     }
     seeded.clear()
   }

@@ -75,15 +75,24 @@ object GraphEdges {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("okey"), col("p_brand")).distinct()
 
-  /** Materialize the seam tables for `dir` once per session (idempotent). */
+  /** Materialize the seam tables for `dir` once per session (idempotent).
+    * A failed write deletes its temp dir before rethrowing — otherwise no
+    * map entry is recorded and neither [[clear]] nor the shutdown hook
+    * would ever reclaim the orphan (ADVICE r10).
+    */
   def seed(s: SparkSession, dir: String): Unit =
     seeded.computeIfAbsent(dir, { _ =>
       val out = java.nio.file.Files
-        .createTempDirectory("graft_copurchase_").toString
-      build(s, dir).write.mode("overwrite").parquet(s"$out/edges")
-      buildBrandBaskets(s, dir).write.mode("overwrite")
-        .parquet(s"$out/baskets")
-      out
+        .createTempDirectory("graft_copurchase_")
+      try {
+        build(s, dir).write.mode("overwrite").parquet(s"$out/edges")
+        buildBrandBaskets(s, dir).write.mode("overwrite")
+          .parquet(s"$out/baskets")
+      } catch { case e: Throwable =>
+        try deleteRecursively(out) catch { case _: Throwable => () }
+        throw e
+      }
+      out.toString
     })
 
   /** Drop all seeded materializations and delete their parquet from disk

@@ -1385,7 +1385,9 @@ object SimilarityOps {
     scored.groupBy(col("query_id"))
       .agg(graft.functions.MmrSelect.mmrPicks(
         col("cand_id"), col("rel"), col("v"),
-        k = 10, lambda = 0.7, shortlist = 50).as("picks"))
+        // penalty = the literal 0.3 the oracle prints, NOT 1 − 0.7
+        // (which is 0.30000000000000004 — ADVICE r10 fp-parity fix)
+        k = 10, lambda = 0.7, penalty = 0.3, shortlist = 50).as("picks"))
       .select(col("query_id"), explode(col("picks")).as("p"))
       .select(col("query_id"), col("p.rank").as("rank"),
         col("p.id").as("neighbor_id"),

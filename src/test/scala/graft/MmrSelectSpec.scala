@@ -31,7 +31,7 @@ class MmrSelectSpec extends AnyFunSuite {
     val got = rows.groupBy(col("query_id"))
       .agg(graft.functions.MmrSelect.mmrPicks(
         col("cand_id"), col("rel"), col("v"),
-        k = 3, lambda = 0.7, shortlist = 50).as("picks"))
+        k = 3, lambda = 0.7, penalty = 0.3, shortlist = 50).as("picks"))
       .select(explode(col("picks")).as("p"))
       .select(col("p.rank"), col("p.id")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -85,7 +85,7 @@ class MmrSelectSpec extends AnyFunSuite {
       val got = scored.groupBy(col("query_id"))
         .agg(graft.functions.MmrSelect.mmrPicks(
           col("cand_id"), col("rel"), col("v"),
-          k = 10, lambda = 0.7, shortlist = 50).as("picks"))
+          k = 10, lambda = 0.7, penalty = 0.3, shortlist = 50).as("picks"))
         .select(col("query_id"), explode(col("picks")).as("p"))
         .select(col("query_id"), col("p.rank"), col("p.id")).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet

@@ -280,6 +280,22 @@ class VectorExpressionsSpec extends AnyFunSuite {
         "re-derive the LSH value pins before trusting the oracle family")
   }
 
+  test("SignLshBuckets weight cache: heterogeneous lengths, ascending then re-short, stay value-identical") {
+    // VERDICT r10 #8 / ADVICE r9: the per-JVM weight matrix grows
+    // incrementally as longer vectors arrive. Pin the path explicitly:
+    // lengths arriving 4 → 16 → 40 → 4 (grow, grow, re-read small) must
+    // all equal the pure composition, i.e. growth copies digested cells
+    // and never corrupts previously-served (dim, plane) values.
+    for (n <- Seq(4, 16, 40, 4)) {
+      val df = Seq(Tuple1((1 to n).map(i => (i * 0.37) - n * 0.11))).toDF("v")
+      val diffs = df.select(
+          VectorFunctions.signLshBuckets(col("v"), 4, 5).as("native"),
+          VectorFunctions.signLshBucketsComposed(col("v"), 4, 5).as("composed"))
+        .filter(!(col("native") <=> col("composed"))).count()
+      assert(diffs == 0L, s"length $n diverged after cache growth")
+    }
+  }
+
   test("SignLshBuckets null semantics: null array → null; null element skipped") {
     // DEFINED divergence from the composed reference (which zeroes every
     // plane through null propagation): matches MinHashSignature's contract
