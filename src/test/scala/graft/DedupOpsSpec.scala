@@ -348,4 +348,29 @@ class DedupOpsSpec extends AnyFunSuite {
       assert(rs.forall(_._3 != q), "self returned as neighbor")
     }
   }
+
+  test("semdedup: k grows with corpus size (occupancy ≤ 16), gate corpus lands on the committed k=32 oracle") {
+    import graft.ops.DedupOps
+    // the SCALE.md contract (VERDICT r10 #3): per-cluster expected
+    // occupancy is pinned, so within-cluster pair work is linear in n —
+    // NOT the fixed-k quadratic the old hardcoded 32 gave
+    for (n <- Seq(1L, 16L, 500L, 2000L, 1000000L, 100000000000L)) {
+      val k = DedupOps.semDedupK(n)
+      assert(k >= 1 && n <= 16L * k, s"occupancy ${n.toDouble / k} > 16 at n=$n")
+      assert(16L * (k - 1) < n, s"k=$k overshoots at n=$n (occupancy would collapse)")
+    }
+    // monotone in n — a larger corpus never gets fewer clusters
+    val ks = Seq(1L, 100L, 500L, 2000L, 50000L).map(DedupOps.semDedupK)
+    assert(ks == ks.sorted, s"semDedupK not monotone: $ks")
+    // the sf0.01 gate corpus (500 vectors) must derive EXACTLY the k the
+    // committed DuckDB oracle hardcodes, or the green row silently pins
+    // a different query than the one shipped
+    assert(DedupOps.semDedupK(500L) == 32, "gate corpus no longer derives k=32")
+    // and the derived-k entry point equals the explicit-k call
+    val viaDefault = DedupOps.semDedup(spark, dir).collect().map(_.toSeq)
+    val viaExplicit = DedupOps.semDedup(spark, dir,
+      DedupOps.semDedupK(graft.ops.Tables(spark, dir, "embeddings").count()))
+      .collect().map(_.toSeq)
+    assert(viaDefault.sameElements(viaExplicit))
+  }
 }
