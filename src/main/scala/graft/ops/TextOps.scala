@@ -513,16 +513,48 @@ object TextOps {
     * full corpus is touched exactly once, narrowly.
     */
   def bpePairStats(s: SparkSession, dir: String): DataFrame =
+    bpePairCounts(bpeWordFreq(s, dir))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(30)
+
+  /** The distinct word-frequency table every BPE stage runs on (Zipf:
+    * orders of magnitude smaller than the token stream — the full corpus
+    * is touched exactly once, by this one keyed shuffle).
+    */
+  private[graft] def bpeWordFreq(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(explode(split(normText(col("text")), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(explode(expr(
+
+  /** Adjacent symbol-pair frequencies over a word-frequency table —
+    * the statistic each BPE round ranks to pick its merge.
+    */
+  private[graft] def bpePairCounts(wf: DataFrame): DataFrame =
+    wf.select(explode(expr(
         "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
         .as("pair"), col("f"))
       .groupBy("pair").agg(sum(col("f")).as("cnt"))
-      .orderBy(col("cnt").desc, col("pair"))
-      .limit(30)
+
+  /** Apply one learned merge (a 1-row `(pair, …)` frame broadcast into a
+    * narrow leftmost-first `replace`) and drop words collapsed to a
+    * single symbol — they can never contribute a pair again.
+    */
+  private[graft] def bpeApplyMerge(wf: DataFrame, top: DataFrame,
+      sym: String): DataFrame =
+    wf.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+      .select(expr(s"replace(w, mp, '$sym')").as("w"), col("f"))
+      .filter(length(col("w")) >= 2)
+
+  /** Reserved merge symbols: single chars absent from the normalized
+    * (lowercased) corpus, one per applied merge — 'Þ'/'ß' are the r6-era
+    * convention [[bpe2Merge]]/[[bpeEncode]] established; the rest extend
+    * it for [[bpeIterate]]. `replace` with a fresh symbol is injective on
+    * symbol-free strings, so distinct vocabulary words stay distinct and
+    * no re-aggregation is needed between rounds.
+    */
+  private[graft] val BpeMergeSyms =
+    Vector("Þ", "ß", "Æ", "Ø", "Œ", "Ð", "Ŋ", "Ħ")
 
   val bpePairStatsOracle: String =
     s"""WITH words AS (
@@ -550,24 +582,10 @@ object TextOps {
     * 1-row broadcast into the narrow merge map.
     */
   def bpe2Merge(s: SparkSession, dir: String): DataFrame = {
-    val wf = Tables(s, dir, "documents")
-      .select(explode(split(normText(col("text")), " ")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("f"))
-    val top1 = wf
-      .select(explode(expr(
-        "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
-        .as("pair"), col("f"))
-      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+    val wf = bpeWordFreq(s, dir)
+    val top1 = bpePairCounts(wf)
       .orderBy(col("cnt").desc, col("pair")).limit(1)
-      .select(col("pair").as("top_pair"))
-    wf.crossJoin(broadcast(top1))
-      .select(expr("replace(w, top_pair, 'Þ')").as("w2"), col("f"))
-      .filter(length(col("w2")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, length(w2) - 2), i -> substring(w2, i + 1, 2))"))
-        .as("pair"), col("f"))
-      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+    bpePairCounts(bpeApplyMerge(wf, top1, BpeMergeSyms.head))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(30)
   }
@@ -591,6 +609,89 @@ object TextOps {
        |  FROM m2f, LATERAL unnest(generate_series(1, len(w) - 1)) t(i))
        |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
        |FROM p2 GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
+
+  /** The N-merge BPE TRAINING DRIVER (r11 — VERDICT r10 #4): the full
+    * learn loop in the [[SimilarityOps.kmeansIterate]] mold, of which
+    * [[bpePairStats]] / [[bpe2Merge]] are the unrolled N=1/N=2 special
+    * cases (they now share this file's round kernel). Each round ranks
+    * adjacent-pair frequencies over the current vocabulary, RECORDS the
+    * winning merge (the row emitted — the output is the merge TABLE, a
+    * tokenizer's merges.txt with selection-time counts), then applies it
+    * with the round's reserved symbol ([[BpeMergeSyms]]) and recounts. A
+    * real tokenizer run is thousands of rounds; the driver takes N.
+    *
+    * Scale shape, per round: everything runs on the Zipf-small distinct
+    * word-frequency table — ONE pair-keyed count + a 1-row TakeOrdered,
+    * the merge a 1-row broadcast into a narrow `replace` map. The merged
+    * vocabulary is `localCheckpoint`ed per round (the kmeansIterate
+    * lineage discipline — round r's plan would otherwise embed TWO copies
+    * of round r−1's, 2^N blowup), as is each 1-row winner (read twice:
+    * output row + next round's broadcast). The corpus itself is touched
+    * exactly once, by the word-frequency shuffle before round 1.
+    *
+    * Engine parity: `replace` is leftmost-first non-overlapping in both
+    * engines — exactly BPE's merge application order — and ties rank
+    * (cnt DESC, pair ASC) in both, so the N-round loop transliterates to
+    * N CTE levels verbatim ([[bpeIterateOracleFor]]).
+    */
+  def bpeIterate(s: SparkSession, dir: String): DataFrame =
+    bpeIterate(s, dir, rounds = 4)
+
+  def bpeIterate(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= BpeMergeSyms.length + 1,
+      s"rounds must be in [1, ${BpeMergeSyms.length + 1}] " +
+        "(one reserved symbol per APPLIED merge; the last round only ranks)")
+    var wf = bpeWordFreq(s, dir)
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val top = bpePairCounts(wf)
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .localCheckpoint()
+      val row = top.select(lit(r).as("round"), col("pair"), col("cnt"))
+      out = if (out == null) row else out.unionByName(row)
+      if (r < rounds)
+        wf = bpeApplyMerge(wf, top, BpeMergeSyms(r - 1)).localCheckpoint()
+    }
+    out.orderBy("round")
+  }
+
+  /** N CTE levels of count→rank→replace — the [[bpeIterate]] loop
+    * restated in SQL, one `(c_r, t_r, wf_{r+1})` triple per round.
+    */
+  private[graft] def bpeIterateOracleFor(rounds: Int): String = {
+    val levels = (1 to rounds).map { r =>
+      val count =
+        s"""c$r AS (
+           |  SELECT w[i:i+1] AS pair, CAST(sum(f) AS BIGINT) AS cnt
+           |  FROM wf$r, LATERAL unnest(generate_series(1, len(w) - 1)) t(i)
+           |  GROUP BY pair),
+           |t$r AS (SELECT pair, cnt FROM c$r ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+      val next =
+        if (r < rounds)
+          s""",
+             |wf${r + 1} AS (
+             |  SELECT w, f FROM (
+             |    SELECT replace(w, (SELECT pair FROM t$r),
+             |                   '${BpeMergeSyms(r - 1)}') AS w, f
+             |    FROM wf$r)
+             |  WHERE len(w) >= 2)""".stripMargin
+        else ""
+      count + next
+    }.mkString(",\n")
+    val picks = (1 to rounds)
+      .map(r => s"SELECT $r AS round, pair, cnt FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(${normTextOracle("text")}, ' ')) AS w
+       |  FROM documents),
+       |wf1 AS (
+       |  SELECT w, count(*) AS f FROM words WHERE len(w) >= 2 GROUP BY w),
+       |$levels
+       |$picks
+       |ORDER BY round""".stripMargin
+  }
+
+  val bpeIterateOracle: String = bpeIterateOracleFor(4)
 
   /** BPE APPLY — the encode half of the learn→encode tokenizer loop
     * ([[bpePairStats]] / [[bpe2Merge]] are the learn half): the two
@@ -1168,6 +1269,7 @@ object TextOps {
     "quality_percentile_cut" -> (qualityPercentileCut _),
     "bpe_pair_stats" -> (bpePairStats _),
     "bpe_2merge" -> (bpe2Merge _),
+    "bpe_iterate" -> ((s: SparkSession, dir: String) => bpeIterate(s, dir)),
     "heavy_hitters" -> (heavyHitters _),
     "heavy_hitters_by_source" -> (heavyHittersBySource _),
     "char_entropy" -> (charEntropy _),
@@ -1195,6 +1297,7 @@ object TextOps {
     "quality_percentile_cut" -> qualityPercentileCutOracle,
     "bpe_pair_stats" -> bpePairStatsOracle,
     "bpe_2merge" -> bpe2MergeOracle,
+    "bpe_iterate" -> bpeIterateOracle,
     "heavy_hitters" -> heavyHittersOracle,
     "heavy_hitters_by_source" -> heavyHittersBySourceOracle,
     "char_entropy" -> charEntropyOracle,

@@ -276,6 +276,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("bpe_iterate: rounds 1/2 reproduce bpe_pair_stats/bpe_2merge winners; counts strictly ranked; N-monotone prefix") {
+    import graft.ops.TextOps
+    val merges = TextOps.bpeIterate(spark, dir, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(merges.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // the unrolled special cases: round 1's winner is bpe_pair_stats' top
+    // row, round 2's is bpe_2merge's (both oracle-verified queries)
+    val ps = TextOps.bpePairStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert((merges(0)._2, merges(0)._3) == ps.head,
+      s"round 1 ${merges(0)} != bpe_pair_stats top ${ps.head}")
+    val m2 = TextOps.bpe2Merge(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert((merges(1)._2, merges(1)._3) == m2.head,
+      s"round 2 ${merges(1)} != bpe_2merge top ${m2.head}")
+    // merge frequencies are non-increasing across rounds: each round
+    // removes mass from the picked pair and can only split others
+    assert(merges.map(_._3).sliding(2).forall(w => w(0) >= w(1)),
+      s"merge counts not non-increasing: ${merges.toSeq}")
+    // a shorter run is a prefix of a longer one (training determinism)
+    val m3 = TextOps.bpeIterate(spark, dir, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(m3.toSeq == merges.take(3).toSeq, "rounds=3 is not a prefix of rounds=4")
+  }
+
   test("source_mixture flattens toward small sources and spends the budget") {
     val rows = graft.ops.CurationOps.sourceMixture(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
