@@ -1215,34 +1215,51 @@ object SimilarityOps {
     *    generation is the already-audited bucket cogroup, never all
     *    pairs), ties to min id. A bounded-degree proximity graph: layer-0
     *    adjacency ≤ degree rows per node.
-    *  - SEARCH: score the query against the (1/levelMod)-sized upper
-    *    layer, keep top-`entries` entry points (the greedy upper-layer
-    *    descent collapsed to one ranked scan — exact, and at this layer
-    *    size cheaper than hop-by-hop), then expand TWO hops of layer-0
-    *    adjacency from the entries (a beam of ≤ entries·degree² candidate
-    *    nodes), exact-score the visited set, top-K. Every stage is a
-    *    keyed join + windowed top-k — no iteration state, no driver loop.
+    *  - SEARCH (r11 — VERDICT r10 #5, best-first beam replacing the fixed
+    *    two-hop frontier): score the query against the (1/levelMod)-sized
+    *    upper layer, keep top-`entries` entry points (the greedy
+    *    upper-layer descent collapsed to one ranked scan — exact, and at
+    *    this layer size cheaper than hop-by-hop). Then `rounds`
+    *    DETERMINISTIC best-first rounds over layer-0 adjacency: each
+    *    round expands the current beam's neighbors, exact-scores
+    *    beam ∪ frontier, and keeps the top-`beamWidth` by
+    *    (cos DESC, node ASC) as the next beam — Malkov & Yashunin's
+    *    ef-bounded greedy search, batched per round instead of per node.
+    *    Every expanded node joins the visited set; the answer is the
+    *    exact top-K of visited. Unlike the old fixed two-hop fan-out
+    *    (entries·degree² nodes, depth 2), the beam reaches depth `rounds`
+    *    while scoring ≤ beamWidth·(degree+1) nodes per query per round —
+    *    score-ordered pruning buys DEPTH with less work.
     *
     * Scale shape: neighbor build is the LSH-candidate pair join (banded,
     * linear in bucket occupancy) + one per-node window; at 100 TB the
     * adjacency is a materialized table (GraphEdges-style) maintained
-    * incrementally, and search is queries×(n/levelMod) broadcast scoring
-    * (ids+vecs only) + two adjacency joins bounded by entries·degree per
-    * query — no corpus-sized shuffle at query time. Deeper corpora add
-    * layers (levelMod^j) for the logarithmic descent; two suffice here.
+    * incrementally, and search touches per round only
+    * queries×beamWidth×degree adjacency rows + the same number of
+    * id-keyed vector lookups — no corpus-sized shuffle at query time.
+    * Each round's beam is `localCheckpoint`ed (≤ NQueries·beamWidth ids —
+    * the kmeansIterate lineage discipline; the beam feeds both the next
+    * frontier and the next candidate union). Deeper corpora add layers
+    * (levelMod^j) for the logarithmic descent; two suffice here.
     *
     * Determinism ⇒ the whole index transliterates to SQL: the oracle
-    * rebuilds layers, neighbor lists, entries, hops, and the final top-k
-    * verbatim. Recall vs the exact top-k is measured 0.92 at the 4×20 /
-    * degree=8 / entries=3 defaults on this corpus (pinned ≥ 0.8 in
-    * SimilaritySpec, alongside ann_sign_lsh's 0.94–0.96).
+    * rebuilds layers, neighbor lists, entries, every beam round, and the
+    * final top-k verbatim ([[annHnswOracleFor]]). Measured recall vs the
+    * exact top-k at the shipped defaults (8-bit × 10-band build banding,
+    * degree = 20, levelMod = 16, entries = 6, beamWidth = 48,
+    * rounds = 3): 0.96 at sf0.001, 1.00 at the sf0.01 gate, 0.98 at
+    * sf0.1 — above ann_sign_lsh's 0.94–0.96, vs 0.88 for the two-hop
+    * expansion this replaced (pinned in DedupOpsSpec, beam monotonicity
+    * included). The ef≈48 beam for top-5 matches production HNSW
+    * practice (ef is conventionally several × k).
     */
   def annHnswTopk(s: SparkSession, dir: String): DataFrame =
     annHnswTopk(s, dir, bitsPerBand = 8, bands = 10, degree = 20,
       levelMod = 16, entries = 6)
 
   def annHnswTopk(s: SparkSession, dir: String, bitsPerBand: Int,
-      bands: Int, degree: Int, levelMod: Int, entries: Int): DataFrame = {
+      bands: Int, degree: Int, levelMod: Int, entries: Int,
+      beamWidth: Int = 48, rounds: Int = 3): DataFrame = {
     val emb = embeddings(s, dir)
     val banded = emb.select(col("vec_id"),
         posexplode(signLshBuckets(col("v"), bitsPerBand, bands)))
@@ -1261,13 +1278,24 @@ object SimilarityOps {
     // degree·n ids) — hop1, hop2, and the visited union would otherwise
     // re-run the candidate scoring per consumer (probed 5.7 s → 1.7 s at
     // sf0.1). Production keeps it as a maintained table (GraphEdges-style).
-    val nbrs = cand
+    // per-node top-`degree` OUT selection, then SYMMETRIZED (HNSW links
+    // are bidirectional): without the reverse edges a hub's top-degree
+    // list drops its spokes while every spoke keeps the hub — best-first
+    // search could descend INTO dense regions but never back out, and
+    // measured sf0.1 recall collapsed to 0.46–0.66 vs 0.96 with the
+    // union. Effective degree ≤ 2·degree.
+    val nbrsOut = cand
       .join(emb.select(col("vec_id").as("node"), col("v").as("nv")), "node")
       .join(emb.select(col("vec_id").as("nbr"), col("v").as("bv")), "nbr")
       .select(col("node"), col("nbr"), dot(col("nv"), col("bv")).as("ncos"))
       .withColumn("rn", row_number().over(wN))
       .filter(col("rn") <= degree)
       .select(col("node"), col("nbr"))
+    // no distinct here: a (node, nbr) present in both orientations just
+    // duplicates a frontier candidate, and every round's frontier is
+    // distinct()'d anyway — one less shuffle on the widest table
+    val nbrs = nbrsOut
+      .union(nbrsOut.select(col("nbr").as("node"), col("node").as("nbr")))
       .localCheckpoint()
     // md5-deterministic upper layer (~1/levelMod of the corpus)
     val lvl = conv(substring(md5(
@@ -1282,26 +1310,46 @@ object SimilarityOps {
     // behavior, its own neighborhood is the best place to start; self is
     // excluded from the final answer below)
     val wE = Window.partitionBy(col("query_id"))
-      .orderBy(col("ecos").desc, col("node"))
-    val entry = layer1.crossJoin(broadcast(qVecs))
+      .orderBy(col("cos").desc, col("node"))
+    // the beam CARRIES its scores: scores are static (one exact dot per
+    // (query, node), unlike graph-distance searches), so the beam after
+    // round r is exactly the top-beamWidth of EVERYTHING scored through
+    // round r — frontiers are scored once on arrival, beam members never
+    // re-scored, and the final top-K reads straight off the last beam
+    // (beamWidth ≥ K + 1 covers the self row dropped below). The oracle
+    // restates the same rounds by re-scoring each candidate set — equal
+    // output, since dot(qv, v) is bit-reproducible per (query, node).
+    val entryScored = layer1.crossJoin(broadcast(qVecs))
       .select(col("query_id"), col("l1").as("node"),
-        dot(col("qv"), col("lv")).as("ecos"))
+        dot(col("qv"), col("lv")).as("cos"))
       .withColumn("rn", row_number().over(wE))
       .filter(col("rn") <= entries)
-      .select(col("query_id"), col("node"))
-    val hop1 = entry.join(nbrs, "node")
-      .select(col("query_id"), col("nbr").as("node"))
-    val hop2 = hop1.join(nbrs, "node")
-      .select(col("query_id"), col("nbr").as("node"))
-    val visited = entry.union(hop1).union(hop2)
-      .filter(col("node") =!= col("query_id")).distinct()
+      .select(col("query_id"), col("node"), col("cos"))
+    val wB = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node"))
+    var beam = entryScored
+    for (_ <- 1 to rounds) {
+      val frontier = beam.select(col("query_id"), col("node"))
+        .join(nbrs, "node")
+        .select(col("query_id"), col("nbr").as("node"))
+        .distinct()
+      val scoredFrontier = frontier
+        .join(emb.select(col("vec_id").as("node"), col("v")), "node")
+        .join(broadcast(qVecs), "query_id")
+        .select(col("query_id"), col("node"),
+          dot(col("qv"), col("v")).as("cos"))
+      // a frontier node already in the beam carries the identical double
+      // (same dot over the same vectors) — distinct() dedupes exactly
+      beam = beam.union(scoredFrontier).distinct()
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= beamWidth)
+        .select(col("query_id"), col("node"), col("cos"))
+        .localCheckpoint()
+    }
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    visited
-      .join(emb.select(col("vec_id").as("node"), col("v")), "node")
-      .join(broadcast(qVecs), "query_id")
-      .select(col("query_id"), col("node").as("neighbor_id"),
-        dot(col("qv"), col("v")).as("cos"))
+    beam.filter(col("node") =!= col("query_id"))
+      .select(col("query_id"), col("node").as("neighbor_id"), col("cos"))
       .withColumn("rank", row_number().over(wK))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -1309,17 +1357,38 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
-  /** Full transliteration of [[annHnswTopk]] (defaults): layers, neighbor
-    * lists, entries, two hops, final top-k.
+  /** Full transliteration of [[annHnswTopk]]: layers, symmetrized
+    * neighbor lists, entries, every best-first beam round as a
+    * `(f_r, c_r, s_r, b_r)` CTE quadruple, final top-k.
     */
-  val annHnswTopkOracle: String = {
-    val (degree, levelMod, entries) = (20, 16, 6)
+  private[graft] def annHnswOracleFor(degree: Int, levelMod: Int,
+      entries: Int, beamWidth: Int, rounds: Int): String = {
+    val beamLevels = (1 to rounds).map { r =>
+      s"""f$r AS (SELECT b.query_id, n.nbr AS node
+         |        FROM b${r - 1} b JOIN nbrs n ON n.node = b.node),
+         |c$r AS (SELECT DISTINCT query_id, node FROM (
+         |          SELECT query_id, node FROM b${r - 1}
+         |          UNION ALL SELECT query_id, node FROM f$r)),
+         |s$r AS (SELECT c.query_id, c.node,
+         |               list_dot_product(eq.v, en.v) AS cos
+         |        FROM c$r c JOIN e eq ON eq.vec_id = c.query_id
+         |                   JOIN e en ON en.vec_id = c.node),
+         |b$r AS (SELECT query_id, node FROM (
+         |          SELECT query_id, node,
+         |                 row_number() OVER (PARTITION BY query_id
+         |                   ORDER BY cos DESC, node) AS rn
+         |          FROM s$r)
+         |        WHERE rn <= $beamWidth)""".stripMargin
+    }.mkString(",\n")
+    val frontierUnion = (1 to rounds)
+      .map(r => s"UNION ALL SELECT query_id, node FROM f$r")
+      .mkString("\n    ")
     s"""WITH ${signLshBucketsOracleCte(8, 10)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
        |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
        |   AND b.vec_id <> a.vec_id),
-       |nbrs AS (
+       |nbrs_out AS (
        |  SELECT node, nbr FROM (
        |    SELECT c.node, c.nbr,
        |           row_number() OVER (PARTITION BY c.node
@@ -1327,12 +1396,16 @@ object SimilarityOps {
        |    FROM cand c JOIN e en ON en.vec_id = c.node
        |                JOIN e eb ON eb.vec_id = c.nbr)
        |  WHERE rn <= $degree),
+       |nbrs AS (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM nbrs_out
+       |    UNION ALL SELECT nbr AS node, node AS nbr FROM nbrs_out)),
        |l1 AS (SELECT vec_id, v FROM e
        |       WHERE (('0x' || substr(md5('lvl_' || CAST(vec_id AS VARCHAR)),
        |               1, 15))::BIGINT % $levelMod) = 0),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
        |      WHERE vec_id < $NQueries),
-       |entry AS (
+       |b0 AS (
        |  SELECT query_id, node FROM (
        |    SELECT q.query_id, l1.vec_id AS node,
        |           row_number() OVER (PARTITION BY q.query_id
@@ -1340,15 +1413,11 @@ object SimilarityOps {
        |                      l1.vec_id) AS rn
        |    FROM q, l1)
        |  WHERE rn <= $entries),
-       |hop1 AS (SELECT en.query_id, n.nbr AS node
-       |         FROM entry en JOIN nbrs n ON n.node = en.node),
-       |hop2 AS (SELECT h.query_id, n.nbr AS node
-       |         FROM hop1 h JOIN nbrs n ON n.node = h.node),
+       |$beamLevels,
        |visited AS (
        |  SELECT DISTINCT query_id, node FROM (
-       |    SELECT query_id, node FROM entry
-       |    UNION ALL SELECT query_id, node FROM hop1
-       |    UNION ALL SELECT query_id, node FROM hop2)
+       |    SELECT query_id, node FROM b0
+       |    $frontierUnion)
        |  WHERE node <> query_id),
        |scored AS (
        |  SELECT vi.query_id, vi.node AS neighbor_id,
@@ -1362,6 +1431,10 @@ object SimilarityOps {
        |  FROM scored)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
+
+  val annHnswTopkOracle: String =
+    annHnswOracleFor(degree = 20, levelMod = 16, entries = 6,
+      beamWidth = 48, rounds = 3)
 
   /** MMR diversity rerank (r10): the post-retrieval step the serving
     * ladder lacked — `rrf_fusion` fuses retrieval arms, this

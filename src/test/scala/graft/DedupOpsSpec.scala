@@ -265,22 +265,26 @@ class DedupOpsSpec extends AnyFunSuite {
       s"sign-LSH ANN recall too low: $recall (${lsh.intersect(exact).size}/${exact.size})")
   }
 
-  test("HNSW-lite ANN: measured recall ≥ 0.8 vs the exact top-k; widening the beam is monotone") {
+  test("HNSW-lite ANN: measured recall ≥ 0.9 vs the exact top-k; widening the beam is monotone") {
     val exact = SimilarityOps.annCosineTopk(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val hnsw = SimilarityOps.annHnswTopk(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = hnsw.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.8,
+    // shipped-default (beam 48 × 4 best-first rounds) measured recall:
+    // 0.96 sf0.001 / 1.00 sf0.01 / 0.98 sf0.1 — floor at 0.9 (vs the 0.8
+    // floor the r10 two-hop expansion needed)
+    assert(recall >= 0.9,
       s"HNSW ANN recall too low: $recall (${hnsw.intersect(exact).size}/${exact.size})")
-    // more entry points can only widen the visited set — recall is
-    // monotone in the beam width (the graph-ANN ef knob)
-    val wide = SimilarityOps.annHnswTopk(spark, dir,
-        bitsPerBand = 8, bands = 10, degree = 20, levelMod = 16, entries = 8)
+    // ef (beamWidth) is THE recall-for-throughput knob of graph ANN:
+    // a narrow beam must not beat the shipped wide one on this corpus
+    val narrow = SimilarityOps.annHnswTopk(spark, dir,
+        bitsPerBand = 8, bands = 10, degree = 20, levelMod = 16,
+        entries = 6, beamWidth = 12, rounds = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recallWide = wide.intersect(exact).size.toDouble / exact.size
-    assert(recallWide >= recall,
-      s"recall must be monotone in entries: base=$recall wide=$recallWide")
+    val recallNarrow = narrow.intersect(exact).size.toDouble / exact.size
+    assert(recall >= recallNarrow,
+      s"recall must be monotone in beamWidth here: beam48=$recall beam12=$recallNarrow")
   }
 
   test("IVF nprobe: recall(nprobe=2) ≥ recall(nprobe=1), strictly more candidate coverage") {
