@@ -172,4 +172,38 @@ class StreamingDedupSpec extends AnyFunSuite {
         "store with backfill partition failed to suppress re-ingest")
     } finally q4.stop()
   }
+
+  test("embedding dedup: drained stream emits exactly the batch dedup_embedding_lsh pairs, chop-independent; re-drain emits nothing") {
+    import graft.streaming.StreamingEmbeddingDedup
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.ops.DedupOps.dedupEmbeddingLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "fixture has no embedding near-dups — vacuous")
+
+    val root = Files.createTempDirectory("graft-sembdedup")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    val out = root.resolve("out").toString
+    // chop the corpus into three arbitrary arrival files — the pin below
+    // holds for ANY chop (a pair is emitted where its later endpoint
+    // arrives; exact verify makes the value endpoint-pure)
+    val emb = graft.ops.Tables(spark, dir, "embeddings")
+    val embSchema = emb.schema
+    for (pred <- Seq("vec_id % 3 = 0", "vec_id % 3 = 1", "vec_id % 3 = 2"))
+      emb.filter(pred).coalesce(1).write.mode("append").parquet(in.toString)
+    StreamingEmbeddingDedup.runAvailableNow(spark, embSchema, in.toString,
+      store, out, root.resolve("ckpt1").toString)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"drained ≠ batch: missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
+
+    // fresh checkpoint re-drain: every file re-reads, the store's identity
+    // novelty must suppress ALL of it — no pair re-emitted
+    StreamingEmbeddingDedup.runAvailableNow(spark, embSchema, in.toString,
+      store, out, root.resolve("ckpt2").toString)
+    val after = spark.read.parquet(out).count()
+    assert(after == expected.size.toLong,
+      s"re-drain re-emitted pairs: $after rows vs ${expected.size}")
+  }
 }
