@@ -470,14 +470,20 @@ object SimilarityOps {
     while (shift >= eps && r < maxRounds) {
       r += 1
       val byDim = kmeansRound(emb, cents)
-      out = if (out == null) roundSummary(byDim, r)
-        else out.unionByName(roundSummary(byDim, r))
       val next = centsOf(byDim)
       // 1-row scalar probe: max |Δcomponent| between consecutive rounds
       shift = next.select(col("cid"), posexplode(col("cv")).as(Seq("pos", "m")))
         .join(cents.select(col("cid"),
           posexplode(col("cv")).as(Seq("pos", "m0"))), Seq("cid", "pos"))
         .agg(max(abs(col("m") - col("m0")))).collect()(0).getDouble(0)
+      // the round's shift rides on its summary rows (r11): the stopping
+      // criterion is part of the OUTPUT, so the unrolled oracle re-derives
+      // it in SQL and the gate checks convergence itself, not just the
+      // trace (shift ≥ eps on every emitted round but the last, < eps on
+      // the last — readable straight off the result)
+      val summary = roundSummary(byDim, r)
+        .withColumn("shift", round(lit(shift), 6))
+      out = if (out == null) summary else out.unionByName(summary)
       cents = next
     }
     out.orderBy("iter", "cluster")
