@@ -123,12 +123,25 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(floorsPath)),
           java.nio.charset.StandardCharsets.UTF_8)
-        // floors live under "floors": flat string→number pairs; a full
-        // JSON parser is overkill for a file this code also writes
-        val body = txt.substring(txt.indexOf("\"floors\""))
-        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
-          .findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // floors are per-SF absolute seconds: applying sf0.1 floors at
+        // sf0.001 would trivially corroborate every contended min, and at
+        // sf1 would flag every query (ADVICE r11) — a floors file seeded
+        // at a different SF disables BOTH detectors for this run
+        val floorsSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (!floorsSf.contains(sfDir)) {
+          System.err.println(
+            s"[bench] floors at $floorsPath were seeded at sf=${floorsSf.getOrElse("?")}, " +
+            s"run is at $sfDir — floor detectors disabled")
+          Map.empty[String, Double]
+        } else {
+          // floors live under "floors": flat string→number pairs; a full
+          // JSON parser is overkill for a file this code also writes
+          val body = txt.substring(txt.indexOf("\"floors\""))
+          "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+            .findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] no floors at $floorsPath: ${e.getMessage}")
         Map.empty

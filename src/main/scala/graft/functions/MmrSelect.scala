@@ -37,6 +37,12 @@ import org.apache.spark.sql.functions.udaf
 class MmrSelect(k: Int, lambda: Double, penalty: Double, shortlist: Int)
     extends Aggregator[MmrSelect.In, Vector[MmrSelect.In], Seq[MmrSelect.Pick]] {
   require(k > 0 && shortlist >= k && lambda >= 0 && lambda <= 1 && penalty >= 0)
+  // penalty is passed separately from lambda ONLY so both engines evaluate
+  // the same double (1-0.7 vs the literal 0.3 differ by ~4e-17); it must
+  // still BE (1-lambda) or the score is no longer MMR — reject mistakes
+  // while admitting the intended fp-literal difference (ADVICE r11)
+  require(math.abs((1 - lambda) - penalty) < 1e-9,
+    s"penalty must equal 1-lambda up to fp-literal error: lambda=$lambda penalty=$penalty")
 
   override def zero: Vector[MmrSelect.In] = Vector.empty
 

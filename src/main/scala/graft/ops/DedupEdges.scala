@@ -61,10 +61,15 @@ object DedupEdges {
 
   private def deleteRecursively(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator()
-      while (walk.hasNext) java.nio.file.Files.deleteIfExists(walk.next())
+      // Files.walk returns a Stream backed by an open directory handle —
+      // close it or every teardown leaks one (ADVICE r11)
+      val stream = java.nio.file.Files.walk(root)
+      try {
+        val walk = stream
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (walk.hasNext) java.nio.file.Files.deleteIfExists(walk.next())
+      } finally stream.close()
     }
 
   /** Drop all seeded materializations and delete their parquet. */

@@ -40,9 +40,14 @@ object GraphEdges {
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.exists(root)) {
-      val it = Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator()
-      while (it.hasNext) Files.deleteIfExists(it.next())
+      // Files.walk holds an open directory handle until closed (ADVICE r11)
+      val stream = Files.walk(root)
+      try {
+        val it = stream
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (it.hasNext) Files.deleteIfExists(it.next())
+      } finally stream.close()
     }
   }
 

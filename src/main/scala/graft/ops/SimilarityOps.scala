@@ -476,11 +476,12 @@ object SimilarityOps {
         .join(cents.select(col("cid"),
           posexplode(col("cv")).as(Seq("pos", "m0"))), Seq("cid", "pos"))
         .agg(max(abs(col("m") - col("m0")))).collect()(0).getDouble(0)
-      // the round's shift rides on its summary rows (r11): the stopping
-      // criterion is part of the OUTPUT, so the unrolled oracle re-derives
-      // it in SQL and the gate checks convergence itself, not just the
-      // trace (shift ≥ eps on every emitted round but the last, < eps on
-      // the last — readable straight off the result)
+      // the round's shift rides on its summary rows (r11) so the stopping
+      // criterion is part of the OUTPUT. This query is in the no-oracle
+      // set (the round count is data-dependent, so no static SQL unroll
+      // can oracle it) — the criterion is verified by IterativeOpsSpec
+      // instead: shift ≥ eps on every emitted round but the last, < eps
+      // on the last (readable straight off the result)
       val summary = roundSummary(byDim, r)
         .withColumn("shift", round(lit(shift), 6))
       out = if (out == null) summary else out.unionByName(summary)

@@ -271,7 +271,7 @@ class DedupOpsSpec extends AnyFunSuite {
     val hnsw = SimilarityOps.annHnswTopk(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = hnsw.intersect(exact).size.toDouble / exact.size
-    // shipped-default (beam 48 × 4 best-first rounds) measured recall:
+    // shipped-default (beam 48 × 3 best-first rounds) measured recall:
     // 0.96 sf0.001 / 1.00 sf0.01 / 0.98 sf0.1 — floor at 0.9 (vs the 0.8
     // floor the r10 two-hop expansion needed)
     assert(recall >= 0.9,

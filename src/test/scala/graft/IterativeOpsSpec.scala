@@ -93,5 +93,22 @@ class IterativeOpsSpec extends AnyFunSuite {
       case Seq(a, b) => assert(b <= a + 1e-6, s"inertia rose: $inertia")
       case _ =>
     }
+    // the emitted stopping criterion itself (column `shift`, the max
+    // |Δcentroid component| that ENDED the round): ≥ eps on every round
+    // but the last — the loop genuinely had to continue — and < eps on
+    // the last, which is WHY it stopped (ADVICE r11: this column was
+    // previously unread by any gate; eps here matches the default 1e-2)
+    val shifts = SimilarityOps.kmeansConverged(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(4)))
+      .groupBy(_._1).map { case (it, rs) =>
+        val ss = rs.map(_._2).distinct
+        assert(ss.length == 1, s"round $it emitted differing shifts: ${ss.toSeq}")
+        it -> ss.head
+      }
+    val eps = 1e-2
+    shifts.foreach { case (it, sh) =>
+      if (it < rounds) assert(sh >= eps, s"round $it stopped early: shift=$sh")
+      else assert(sh < eps, s"last round $it did not converge: shift=$sh")
+    }
   }
 }
