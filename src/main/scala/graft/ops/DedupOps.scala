@@ -1092,8 +1092,95 @@ object DedupOps {
        |FROM base b LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  /** C4-style block-level exact dedup WITH corpus reconstruction (Raffel
+    * et al. 2020 §2.2 "we discard all but one of any three-sentence span
+    * occurring more than once", restated for this corpus's unpunctuated
+    * text as fixed 10-word blocks; reference scope: the remove-and-rewrite
+    * sibling of [[duplicateSpans]], which only REPORTS duplication). Every
+    * doc is cut into consecutive W=10-word blocks; a block survives iff it
+    * is the corpus-wide FIRST occurrence of its text (ordered by doc_id,
+    * then block index); each doc's retained text is re-assembled from its
+    * surviving blocks in order — the cleaned corpus a training pipeline
+    * actually writes back out, not just a duplication score.
+    *
+    * Scale shape: blocks are non-overlapping, so the explode is n_words/W
+    * rows per doc (vs per-position for the span reporter — the removal
+    * pass is CHEAPER than the audit pass by a factor of W). First-
+    * occurrence selection is min(struct(doc_id, blk)) per block text — a
+    * map-side-combined keyed aggregate, deliberately NOT a row_number
+    * window so a degenerate hot block (boilerplate repeated across
+    * millions of docs) combines locally instead of sorting one reducer
+    * partition; the survivor test is a semi-join back on the same key, so
+    * the two shuffles share one exchange. Reconstruction is a per-doc
+    * collect_list bounded by doc size. Cross-engine identity: first
+    * occurrence under (doc_id, blk) lexicographic order is engine-neutral;
+    * both sides re-assemble with the same single-space separator.
+    */
+  def dedupLines(s: SparkSession, dir: String): DataFrame =
+    dedupLinesFrom(Tables(s, dir, "documents"))
+
+  /** [[dedupLines]] over any (doc_id, text) frame — the spec feeds crafted
+    * repeated-block fixtures through the same plan.
+    */
+  def dedupLinesFrom(documents: DataFrame): DataFrame = {
+    val W = 10
+    val docs = documents
+      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .select(col("doc_id"),
+        ((size(col("words")) + (W - 1)) / W).cast("int").as("n_blocks"),
+        col("words"))
+    val blocks = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_blocks") - 1),
+          i => array_join(slice(col("words"), i * W + 1, lit(W)), " "))))
+      .select(col("doc_id"), col("pos").as("blk"), col("col").as("btext"))
+    val first = blocks.groupBy(col("btext"))
+      .agg(min(struct(col("doc_id"), col("blk"))).as("f"))
+      .select(col("btext"), col("f.doc_id").as("doc_id"),
+        col("f.blk").as("blk"))
+    val kept = blocks.join(first, Seq("btext", "doc_id", "blk"), "left_semi")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_blocks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("blk"), col("btext")))),
+          x => x.getField("btext"))).as("dedup_text"))
+    docs.select(col("doc_id"), col("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks").cast("long").as("n_blocks"),
+        coalesce(col("kept_blocks"), lit(0L)).as("kept_blocks"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+      .orderBy("doc_id")
+  }
+
+  val dedupLinesOracle: String = {
+    val norm = normTextOracle("text")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |nb AS (
+       |  SELECT doc_id, ws,
+       |         CAST((len(ws) + 9) // 10 AS INT) AS n_blocks FROM base),
+       |blocks AS (
+       |  SELECT doc_id, i AS blk,
+       |         array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ') AS btext
+       |  FROM nb, LATERAL unnest(generate_series(0, n_blocks - 1)) t(i)),
+       |ranked AS (
+       |  SELECT doc_id, blk, btext,
+       |         row_number() OVER (PARTITION BY btext
+       |           ORDER BY doc_id, blk) AS rk
+       |  FROM blocks),
+       |reb AS (
+       |  SELECT doc_id, count(*) AS kept_blocks,
+       |         string_agg(btext, ' ' ORDER BY blk) AS dedup_text
+       |  FROM ranked WHERE rk = 1 GROUP BY doc_id)
+       |SELECT n.doc_id, CAST(n.n_blocks AS BIGINT) AS n_blocks,
+       |       coalesce(r.kept_blocks, 0) AS kept_blocks,
+       |       coalesce(r.dedup_text, '') AS dedup_text
+       |FROM nb n LEFT JOIN reb r USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "duplicate_spans" -> (duplicateSpans _),
+    "dedup_lines" -> (dedupLines _),
     "dedup_editdistance" -> (dedupEditDistance _),
     "semdedup" -> (semDedup _),
     "dedup_exact" -> (dedupExact _),
@@ -1107,6 +1194,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "duplicate_spans" -> duplicateSpansOracle,
+    "dedup_lines" -> dedupLinesOracle,
     "dedup_editdistance" -> dedupEditDistanceOracle,
     "semdedup" -> semDedupOracle,
     "dedup_exact" -> dedupExactOracle,

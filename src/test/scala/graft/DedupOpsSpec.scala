@@ -377,4 +377,26 @@ class DedupOpsSpec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(viaDefault.sameElements(viaExplicit))
   }
+
+  test("dedup_lines: corpus-wide first occurrence survives, later block copies drop, docs re-assemble in order") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    // blocks are 10 words. doc 1 = A B (20 words); doc 2 = C A (A repeats
+    // cross-doc → dropped, C kept); doc 3 = D D' where D' repeats D's
+    // 10-word text WITHIN the doc → second copy dropped; doc 4 = B alone
+    // (cross-doc repeat of doc 1's second block → emptied entirely).
+    def blk(p: String) = (0 until 10).map(i => s"$p$i").mkString(" ")
+    val (a, b, c, d) = (blk("a"), blk("b"), blk("c"), blk("d"))
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, s"$c $a"), (3L, s"$d $d"), (4L, b))
+      .toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.dedupLinesFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, s"$a $b"), // first occurrences of A and B — intact
+      (2L, 2L, 1L, c),        // A already seen in doc 1 → only C remains
+      (3L, 2L, 1L, d),        // within-doc repeat → one copy survives
+      (4L, 1L, 0L, "")))      // whole doc was a repeat → emptied
+  }
 }
