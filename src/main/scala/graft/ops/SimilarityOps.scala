@@ -1536,7 +1536,126 @@ object SimilarityOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Incremental IVF index maintenance (the [[GraphOps.incrementalEdges]]
+    * / [[DedupOps.incrementalDedupEdges]] maintenance algebra applied to
+    * the ANN index): an IVF index is an assignment table (vector → nearest
+    * coarse centroid) plus per-bucket stats, and a production corpus grows
+    * by deltas — you do NOT re-train the quantizer per batch, you assign
+    * the delta against the FROZEN centroids and merge its bucket stats
+    * into the base index. Base = `vec_id % 10 ≠ 9` (the snapshot the
+    * quantizer was trained on: per-label centroid of base vectors only,
+    * per-dim rounded 6), delta = the rest, assignment by argmin squared
+    * distance with (d, cid) tuple tie-break. The query computes bucket
+    * stats PER ERA and merges them full-outer — the maintenance path —
+    * while the oracle recomputes everything from a single full-corpus
+    * assignment; hash equality IS the maintenance ≡ rebuild proof.
+    *
+    * Beyond the proof it emits the one signal a real IVF deployment
+    * watches: `dist_drift` — mean assigned distance of delta vs base
+    * vectors under the frozen quantizer. Drift growing across batches
+    * means the corpus distribution has left the centroids behind and the
+    * quantizer needs re-training (the IVF analog of a model-drift PSI,
+    * [[ModelOps]]).
+    *
+    * Scale shape: centroids are labels × d (broadcast by construction);
+    * each era's assignment is one narrow pass — broadcast cross join +
+    * map-side-combined argmin aggregate, NO corpus self-join and no
+    * per-vector window; bucket stats are keyed aggregates of ≤ L rows.
+    * Checksum is Σ (md5(vec_id) mod 10⁶) · (cid+1) — order-independent,
+    * assignment-sensitive.
+    */
+  def incrementalIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
+    val isDelta = pmod(col("vec_id"), lit(10)) === 9
+    val cents = emb.filter(!isDelta)
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+      .select(col("label").as("cid"), col("cv"))
+    def assign(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
+      .withColumn("d", round(squaredDistance(col("v"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cid"))).as("a"))
+      .select(col("vec_id"), col("a.cid").as("cid"), col("a.d").as("d"))
+    val vecMd5 = conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+      16, 10).cast("long") % 1000000L
+    def stats(a: DataFrame): DataFrame = a.groupBy(col("cid")).agg(
+      count(lit(1)).as("cnt"),
+      sum(vecMd5 * (col("cid") + 1)).as("ck"),
+      sum(col("d")).as("sd"))
+    val bs = stats(assign(emb.filter(!isDelta))).select(col("cid"),
+      col("cnt").as("bc"), col("ck").as("bk"), col("sd").as("bd"))
+    val ds = stats(assign(emb.filter(isDelta))).select(col("cid"),
+      col("cnt").as("dc"), col("ck").as("dk"), col("sd").as("dd"))
+    bs.join(ds, Seq("cid"), "full_outer").agg(
+      count(lit(1)).as("n_buckets"),
+      sum(coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+        .as("total_cnt"),
+      sum(when(col("dc").isNotNull && col("bc").isNull, 1L).otherwise(0L))
+        .as("n_new_buckets"),
+      sum(when(col("dc").isNotNull && col("bc").isNotNull, 1L).otherwise(0L))
+        .as("n_grown_buckets"),
+      sum(coalesce(col("bk"), lit(0L)) + coalesce(col("dk"), lit(0L)))
+        .as("checksum"),
+      round(sum(coalesce(col("bd"), lit(0.0))) /
+        sum(coalesce(col("bc"), lit(0L))), 4).as("base_avg_dist"),
+      round(sum(coalesce(col("dd"), lit(0.0))) /
+        sum(coalesce(col("dc"), lit(0L))), 4).as("delta_avg_dist"))
+      .withColumn("dist_drift",
+        round(col("delta_avg_dist") - col("base_avg_dist"), 4))
+  }
+
+  /** Single full-corpus assignment against the same frozen base-trained
+    * centroids — totals, bucket flags, checksum, and era averages all
+    * recomputed from scratch; equality with the query's merged
+    * maintenance path is the proof.
+    */
+  val incrementalIvfOracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |cents AS (
+      |  SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+      |  FROM e, LATERAL unnest(generate_series(1, len(embedding))) t(i)
+      |  WHERE vec_id % 10 <> 9
+      |  GROUP BY label, i),
+      |d AS (
+      |  SELECT e.vec_id, c.label AS cid,
+      |         round(sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.m)
+      |                 * (CAST(e.embedding[c.pos] AS DOUBLE) - c.m)), 6) AS d
+      |  FROM e, cents c
+      |  GROUP BY e.vec_id, c.label),
+      |a AS (
+      |  SELECT vec_id, cid, d,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM d),
+      |asg AS (SELECT vec_id, cid, d FROM a WHERE rn = 1),
+      |buckets AS (
+      |  SELECT cid,
+      |         count(*) FILTER (vec_id % 10 <> 9) AS bc,
+      |         count(*) FILTER (vec_id % 10 = 9) AS dc,
+      |         sum((('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+      |               % 1000000) * (cid + 1)) AS ck
+      |  FROM asg GROUP BY cid)
+      |SELECT count(*) AS n_buckets,
+      |       CAST(sum(bc + dc) AS BIGINT) AS total_cnt,
+      |       CAST(count(*) FILTER (dc > 0 AND bc = 0) AS BIGINT) AS n_new_buckets,
+      |       CAST(count(*) FILTER (dc > 0 AND bc > 0) AS BIGINT) AS n_grown_buckets,
+      |       CAST(sum(ck) AS BIGINT) AS checksum,
+      |       (SELECT round(avg(d), 4) FROM asg WHERE vec_id % 10 <> 9)
+      |         AS base_avg_dist,
+      |       (SELECT round(avg(d), 4) FROM asg WHERE vec_id % 10 = 9)
+      |         AS delta_avg_dist,
+      |       round((SELECT round(avg(d), 4) FROM asg WHERE vec_id % 10 = 9)
+      |          - (SELECT round(avg(d), 4) FROM asg WHERE vec_id % 10 <> 9), 4)
+      |         AS dist_drift
+      |FROM buckets""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incremental_ivf" -> (incrementalIvf _),
     "mmr_rerank" -> (mmrRerank _),
     "ann_hnsw_topk" -> ((s: SparkSession, dir: String) => annHnswTopk(s, dir)),
     "rrf_fusion" -> (rrfFusion _),
@@ -1558,6 +1677,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "incremental_ivf" -> incrementalIvfOracle,
     "mmr_rerank" -> mmrRerankOracle,
     "ann_hnsw_topk" -> annHnswTopkOracle,
     "rrf_fusion" -> rrfFusionOracle,

@@ -111,4 +111,21 @@ class IterativeOpsSpec extends AnyFunSuite {
       else assert(sh < eps, s"last round $it did not converge: shift=$sh")
     }
   }
+
+  test("incremental_ivf: audit row is partition-layout independent and accounts every vector") {
+    val row = SimilarityOps.incrementalIvf(spark, dir).collect()(0)
+    val n = graft.ops.Tables(spark, dir, "embeddings").count()
+    assert(row.getLong(1) == n, s"total_cnt ${row.getLong(1)} != corpus $n")
+    assert(row.getLong(2) + row.getLong(3) <= row.getLong(0),
+      "new+grown buckets exceed bucket count")
+    // the merged checksum and drift must not depend on shuffle layout —
+    // the order-independence a maintenance artifact needs to be re-runnable
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = SimilarityOps.incrementalIvf(spark, dir).collect()(0)
+      assert(again.toSeq == row.toSeq,
+        s"layout-dependent audit: ${again.toSeq} vs ${row.toSeq}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
