@@ -1178,9 +1178,172 @@ object DedupOps {
        |ORDER BY n.doc_id""".stripMargin
   }
 
+  /** Fuzzy train/test decontamination (the near-dup sibling of
+    * [[TextOps.contaminationCheck]]'s exact 5-gram containment — GPT-3
+    * App. C / PaLM-style eval hygiene, extended from exact n-gram hits to
+    * whole-document near-duplication): an eval doc is contaminated when a
+    * REWORDED or lightly-edited copy of it sits in the training split,
+    * which exact n-gram containment under-counts the moment a single
+    * token in each window drifts. Eval = `source = 'src0'`, train = the
+    * rest; candidates come from the same md5-affine banded MinHash the
+    * whole-corpus pass uses ([[dedupMinhashShingle]] — 48 hashes × 4
+    * bands), but joined CROSS-SPLIT (eval bands ⋈ train bands) so the
+    * candidate volume is |eval|-driven, not corpus²; each candidate pair
+    * is then EXACT-verified (shingle-set Jaccard) and every eval doc
+    * reports its best-matching train doc, the verified score, and the
+    * ≥ 0.8 contamination flag — the per-example audit row an eval-set
+    * release ships with.
+    *
+    * Scale shape: identical to the minhash family — banded bucket join
+    * (keyed, linear in posting mass), first-agreeing-band dedup instead
+    * of a DISTINCT exchange, skew rebalance before the exact verify, AQE
+    * picks the attach build sides. The oracle transliterates the full
+    * pipeline (same affine constants, same band hashing) with the
+    * lossless DISTINCT form of the band dedup.
+    */
+  def contaminationFuzzy(s: SparkSession, dir: String): DataFrame =
+    contaminationFuzzyFrom(Tables(s, dir, "documents"))
+
+  /** [[contaminationFuzzy]] over any (doc_id, source, text) frame — the
+    * spec feeds a crafted lightly-edited eval/train pair through the same
+    * plan to pin what exact n-gram containment misses.
+    */
+  def contaminationFuzzyFrom(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
+    import graft.functions.expressions.{AffineMinHash, Md5ShingleId}
+    val nHashes = 48; val bands = 4; val rowsPerBand = nHashes / bands
+    val raw = documents
+    val docs = raw
+      .select(col("doc_id"), (col("source") === "src0").as("is_eval"),
+        split(normText(col("text")), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 5)
+      .select(col("doc_id"), col("is_eval"),
+        array_distinct(bc(Md5ShingleId(be(col("tokens")), k = 5)))
+          .as("shingles"))
+    val sig = docs.select(col("doc_id"), col("is_eval"),
+      bc(AffineMinHash(be(col("shingles")), nHashes)).as("sig"))
+    def bandArr = array((0 until bands).map(bnd =>
+      conv(substring(md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+        col("sig")(bnd * rowsPerBand + r)): _*)), 1, 15), 16, 10)
+        .cast("long")): _*)
+    val banded = sig.select(col("doc_id"), col("is_eval"), bandArr.as("bhs"),
+        posexplode(bandArr))
+      .select(col("doc_id"), col("is_eval"), col("bhs"),
+        col("pos").as("band"), col("col").as("bsig"))
+    val e = banded.filter(col("is_eval")).as("e")
+    val t = banded.filter(!col("is_eval")).as("t")
+    val candidates = e.join(t,
+        col("e.band") === col("t.band") && col("e.bsig") === col("t.bsig") &&
+        (0 until bands - 1).map(i =>
+          col("e.band") <= i || col("e.bhs")(i) =!= col("t.bhs")(i))
+          .reduce(_ && _))
+      .select(col("e.doc_id").as("eval_id"), col("t.doc_id").as("train_id"))
+      .repartition(col("eval_id"), col("train_id"))
+    val ea = docs.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), col("shingles").as("sh_e"))
+    val ta = docs.filter(!col("is_eval"))
+      .select(col("doc_id").as("train_id"), col("shingles").as("sh_t"))
+    val verified = candidates.join(ea, "eval_id").join(ta, "train_id")
+      .select(col("eval_id"), col("train_id"),
+        size(col("sh_e")).as("n_e"), size(col("sh_t")).as("n_t"),
+        graft.functions.ArrayFunctions.intersectSize(
+          col("sh_e"), col("sh_t")).as("n_i"))
+      .select(col("eval_id"), col("train_id"),
+        round(col("n_i").cast("double") /
+          (col("n_e") + col("n_t") - col("n_i")).cast("double"), 6)
+          .as("jaccard"))
+    val best = verified.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("jaccard"), col("train_id"))).as("b"))
+    raw.filter(col("source") === "src0").select(col("doc_id"))
+      .join(best, col("doc_id") === col("eval_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("b.train_id").as("best_match"),
+        coalesce(col("b.jaccard"), lit(0.0)).as("jaccard"))
+      .withColumn("contaminated", col("jaccard") >= 0.8)
+      .orderBy("doc_id")
+  }
+
+  /** Full transliteration of [[contaminationFuzzy]] — same shingling,
+    * affine signature constants, band hashing; the DISTINCT pair form
+    * replaces the lossless first-agreeing-band dedup, zero-intersection
+    * candidates survive via the LEFT JOIN (they are still candidates,
+    * with jaccard 0).
+    */
+  val contaminationFuzzyOracle: String = {
+    import graft.functions.expressions.AffineMinHash
+    val norm = normTextOracle("text")
+    val nHashes = 48; val bands = 4; val rowsPerBand = nHashes / bands
+    val sigCols = (0 until nHashes).map(j =>
+      s"min((${AffineMinHash.A(j)} * (m % 4294967296) + " +
+        s"${AffineMinHash.B(j)}) % 4294967296) AS s$j")
+      .mkString(",\n         ")
+    val bandSelects = (0 until bands).map { bnd =>
+      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(j => s"s$j").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, " +
+        s"('0x' || substr(md5(concat_ws(',', $cols)), 1, 15))::BIGINT AS bsig " +
+        "FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split($norm, ' ') AS tokens
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(array_to_string(tokens[i:i+4], ' ')), 1, 15))::BIGINT AS m
+       |  FROM toks, LATERAL unnest(generate_series(1, len(tokens) - 4)) t(i)
+       |  WHERE len(tokens) >= 5),
+       |sh AS (SELECT DISTINCT doc_id, m FROM sh0),
+       |szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |srcs AS (SELECT doc_id, source = 'src0' AS is_eval FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id
+       |  FROM bands e
+       |  JOIN srcs se ON se.doc_id = e.doc_id AND se.is_eval
+       |  JOIN bands t ON t.band = e.band AND t.bsig = e.bsig
+       |  JOIN srcs st ON st.doc_id = t.doc_id AND NOT st.is_eval),
+       |inter AS (
+       |  SELECT p.eval_id, p.train_id, count(*) AS n_i
+       |  FROM pairs p
+       |  JOIN sh x ON x.doc_id = p.eval_id
+       |  JOIN sh y ON y.doc_id = p.train_id AND y.m = x.m
+       |  GROUP BY p.eval_id, p.train_id),
+       |ver AS (
+       |  SELECT p.eval_id, p.train_id,
+       |         round(CAST(coalesce(i.n_i, 0) AS DOUBLE) /
+       |           (ne.n_sh + nt.n_sh - coalesce(i.n_i, 0)), 6) AS jaccard
+       |  FROM pairs p
+       |  LEFT JOIN inter i ON i.eval_id = p.eval_id AND i.train_id = p.train_id
+       |  JOIN szs ne ON ne.doc_id = p.eval_id
+       |  JOIN szs nt ON nt.doc_id = p.train_id),
+       |ranked AS (
+       |  SELECT eval_id, train_id, jaccard,
+       |         count(*) OVER (PARTITION BY eval_id) AS n_candidates,
+       |         row_number() OVER (PARTITION BY eval_id
+       |           ORDER BY jaccard DESC, train_id DESC) AS rn
+       |  FROM ver)
+       |SELECT d.doc_id,
+       |       coalesce(b.n_candidates, 0) AS n_candidates,
+       |       b.train_id AS best_match,
+       |       coalesce(b.jaccard, 0.0) AS jaccard,
+       |       coalesce(b.jaccard, 0.0) >= 0.8 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+       |LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b
+       |  ON b.eval_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "duplicate_spans" -> (duplicateSpans _),
     "dedup_lines" -> (dedupLines _),
+    "contamination_fuzzy" -> (contaminationFuzzy _),
     "dedup_editdistance" -> (dedupEditDistance _),
     "semdedup" -> (semDedup _),
     "dedup_exact" -> (dedupExact _),
@@ -1195,6 +1358,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "duplicate_spans" -> duplicateSpansOracle,
     "dedup_lines" -> dedupLinesOracle,
+    "contamination_fuzzy" -> contaminationFuzzyOracle,
     "dedup_editdistance" -> dedupEditDistanceOracle,
     "semdedup" -> semDedupOracle,
     "dedup_exact" -> dedupExactOracle,

@@ -399,4 +399,27 @@ class DedupOpsSpec extends AnyFunSuite {
       (3L, 2L, 1L, d),        // within-doc repeat → one copy survives
       (4L, 1L, 0L, "")))      // whole doc was a repeat → emptied
   }
+
+  test("contamination_fuzzy: a lightly-edited train copy of an eval doc flags; unrelated docs do not") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    // train doc 2 = eval doc 1 with ONE word substituted mid-doc (100
+    // words → shingle Jaccard ≈ (96-5)/(96+5) ≈ 0.90 ≥ 0.8); doc 3 is
+    // unrelated train text. An exact full-doc hash would miss doc 2.
+    val words = (0 until 100).map(i => s"w$i")
+    val evalDoc = words.mkString(" ")
+    val edited = words.updated(50, "EDIT").mkString(" ")
+    val noise = (500 until 600).map(i => s"n$i").mkString(" ")
+    val docs = Seq(
+      (1L, "src0", evalDoc), (2L, "src1", edited), (3L, "src2", noise))
+      .toDF("doc_id", "source", "text")
+    val got = graft.ops.DedupOps.contaminationFuzzyFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+    assert(got.length == 1)
+    val (id, nCand, j, flagged) = got(0)
+    assert(id == 1L && nCand == 1L, s"expected doc 2 as sole candidate: ${got.toSeq}")
+    assert(j > 0.8 && j < 1.0, s"edited-copy jaccard out of band: $j")
+    assert(flagged)
+  }
 }
