@@ -443,7 +443,102 @@ object CurationOps {
        |LEFT JOIN n_novel v USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Water-filling token-budget allocation across sources — the mixture
+    * SOLVER that sits between [[sourceMixture]]'s descriptive weights and
+    * an actual training run: given a total token budget B (here half the
+    * corpus — a deterministic, engine-neutral target), allocate each
+    * source min(availableₛ, λ) tokens where the water level λ satisfies
+    * Σₛ min(availableₛ, λ) = B. Small sources contribute everything they
+    * have; large sources are capped at the common level — the classic
+    * max-min fair allocation (Bertsekas–Gallager water-filling), which is
+    * what "cap the over-represented web crawl, keep all of the small
+    * high-quality sources" means formally.
+    *
+    * Closed form, not iteration: with sources sorted by ascending
+    * availability, λ = candidate((B − prefix)/(remaining sources)) at the
+    * FIRST rank where the candidate dips under that source's availability
+    * (every earlier source saturates; if no rank qualifies the budget
+    * exceeds the corpus and every source allocates fully). Both engines
+    * evaluate the same integer prefix sums and one exact double division,
+    * so the level — and the boundary decisions — cannot drift.
+    *
+    * Scale shape: one map-side-combined per-source aggregate over the
+    * corpus; everything after operates on the SOURCE-LEVEL table (20
+    * rows here, thousands at worst in production) — the unpartitioned
+    * window is over that bounded table, never the corpus, the
+    * [[EventOps]]-documented bounded-input exception.
+    */
+  def tokenBudgetFill(s: SparkSession, dir: String): DataFrame =
+    waterFill(TextOps.tokenCount(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(col("ws_tokens")).cast("long").as("avail")))
+
+  /** [[tokenBudgetFill]]'s allocation core over any (source, avail) frame
+    * — the spec feeds skewed fixtures where small sources genuinely
+    * saturate (the gate corpus is near-uniform, so the boundary cases
+    * live in CurationOpsSpec).
+    */
+  private[graft] def waterFill(per: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = per.agg(sum(col("avail")).as("tt"),
+      count(lit(1)).as("k"))
+    val w = Window.orderBy(col("avail"), col("source"))
+    val cand = per.crossJoin(tot)
+      .withColumn("budget", (col("tt") / 2).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prefix", sum(col("avail")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cand",
+        (col("budget") - (col("prefix") - col("avail"))).cast("double") /
+          (col("k") - col("rn") + 1))
+    val lam = cand.filter(col("cand") <= col("avail"))
+      .agg(min(struct(col("rn"), col("cand"))).as("l"))
+      .select(col("l.cand").as("lam"))
+    val alloc = when(col("lam").isNull, col("avail").cast("double"))
+      .otherwise(least(col("avail").cast("double"), col("lam")))
+    cand.crossJoin(lam)
+      .select(col("source"), col("avail"),
+        round(alloc, 4).as("alloc_tokens"),
+        round(alloc / col("avail"), 6).as("frac"),
+        round(col("lam"), 4).as("level"))
+      .orderBy("source")
+  }
+
+  val tokenBudgetFillOracle: String = {
+    val tok = s"""SELECT source,
+                 |       len(regexp_extract_all(${DedupOps.normTextOracle("text")}, '\\S+')) AS ws_tokens
+                 |FROM documents""".stripMargin
+    s"""WITH tok AS ($tok),
+       |per AS (
+       |  SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS avail
+       |  FROM tok GROUP BY source),
+       |t AS (SELECT CAST(sum(avail) AS BIGINT) AS tt, count(*) AS k FROM per),
+       |cand AS (
+       |  SELECT source, avail, CAST(tt // 2 AS BIGINT) AS budget, k,
+       |         row_number() OVER (ORDER BY avail, source) AS rn,
+       |         sum(avail) OVER (ORDER BY avail, source
+       |           ROWS UNBOUNDED PRECEDING) AS prefix
+       |  FROM per, t),
+       |c2 AS (
+       |  SELECT *, CAST(budget - (prefix - avail) AS DOUBLE) / (k - rn + 1)
+       |           AS cand
+       |  FROM cand),
+       |lam AS (
+       |  SELECT (SELECT cand FROM c2 WHERE cand <= avail
+       |          ORDER BY rn LIMIT 1) AS lam)
+       |SELECT source, avail,
+       |       round(CASE WHEN l.lam IS NULL THEN CAST(avail AS DOUBLE)
+       |             ELSE least(CAST(avail AS DOUBLE), l.lam) END, 4)
+       |         AS alloc_tokens,
+       |       round(CASE WHEN l.lam IS NULL THEN CAST(avail AS DOUBLE)
+       |             ELSE least(CAST(avail AS DOUBLE), l.lam) END / avail, 6)
+       |         AS frac,
+       |       round(l.lam, 4) AS level
+       |FROM c2, lam l ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_budget_fill" -> (tokenBudgetFill _),
     "ngram_novelty" -> (ngramNovelty _),
     "corpus_reservoir_agg" -> (corpusReservoirAgg _),
     "corpus_reservoir" -> (corpusReservoir _),
@@ -456,6 +551,7 @@ object CurationOps {
     "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
+    "token_budget_fill" -> tokenBudgetFillOracle,
     "ngram_novelty" -> ngramNoveltyOracle,
     "corpus_reservoir_agg" -> corpusReservoirOracle,
     "corpus_reservoir" -> corpusReservoirOracle,

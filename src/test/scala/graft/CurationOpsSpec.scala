@@ -88,4 +88,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == universe,
       "Σ n_novel must equal the corpus-wide distinct-shingle count")
   }
+
+  test("token_budget_fill: small sources saturate, large ones cap at one level, allocations sum to the budget") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    // avail = [100, 200, 3000, 5000], budget = 8300/2 = 4150.
+    // level λ solves 100 + 200 + 2λ = 4150 → λ = 1925: the two small
+    // sources give everything (frac 1.0), the two big ones cap at 1925.
+    val per = Seq(("tiny", 100L), ("small", 200L), ("big", 3000L),
+      ("huge", 5000L)).toDF("source", "avail")
+    val got = CurationOps.waterFill(per).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    assert(got == List(
+      ("big", 3000L, 1925.0, 0.641667, 1925.0),
+      ("huge", 5000L, 1925.0, 0.385, 1925.0),
+      ("small", 200L, 200.0, 1.0, 1925.0),
+      ("tiny", 100L, 100.0, 1.0, 1925.0)), got.toString)
+    assert(got.map(_._3).sum == 4150.0, "allocations must exhaust the budget")
+  }
 }
