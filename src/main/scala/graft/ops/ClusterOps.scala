@@ -227,11 +227,101 @@ object ClusterOps {
        |       src = min(dst) AS keep
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** Right-to-be-forgotten propagation through the dedup-cluster artifact
+    * (the GDPR/erasure maintenance every production dedup store must
+    * support): when documents are deleted, the derived cluster table cannot
+    * be patched by re-electing a keeper among survivors — a deleted doc's
+    * edges vanish WITH it, and if it was the only path between two halves
+    * of a cluster the component SPLITS, producing several new keepers.
+    * Correct propagation is the closure over the SURVIVING subgraph (both
+    * endpoints alive), which this query runs side by side with the
+    * original closure. Deleted set: `doc_id % 13 = 3` — at the gate SF it
+    * removes 18 clustered docs including 3 keepers, so promotion and
+    * re-election are genuinely exercised.
+    *
+    * Per originally-clustered doc: the old representative, the delete
+    * verdict, the new representative (its own id when every neighbor died
+    * — an isolated survivor is its own keeper; null only for deleted
+    * docs), and `promoted` — survivors that BECAME keepers because their
+    * old representative (or the path to it) was erased.
+    *
+    * Scale shape: two runs of the same Borůvka hook–compress–contract CC
+    * ([[connectedComponents]]) — the delta-filter on the edge list is
+    * narrow, and both runs read the seam-materialized pair table
+    * ([[DedupEdges.pairs]]), so the marginal cost over `dedup_clusters` is
+    * ONE extra CC over a strictly smaller edge set, not a second edge
+    * build.
+    */
+  def deletePropagation(s: SparkSession, dir: String): DataFrame =
+    deletePropagationOver(DedupEdges.pairs(s, dir).select("doc_a", "doc_b"))
+
+  /** [[deletePropagation]] over any (doc_a, doc_b) edge frame — the spec
+    * feeds a crafted bridge topology where deletion genuinely SPLITS a
+    * cluster.
+    */
+  private[graft] def deletePropagationOver(edges: DataFrame): DataFrame = {
+    val deleted = (c: org.apache.spark.sql.Column) => pmod(c, lit(13)) === 3
+    val before = connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("rep").as("old_rep"))
+    val survivingEdges = edges.filter(
+      !deleted(col("doc_a")) && !deleted(col("doc_b")))
+    val after = connectedComponents(survivingEdges)
+      .select(col("id").as("doc_id"), col("rep").as("after_rep"))
+    before
+      .withColumn("deleted", deleted(col("doc_id")))
+      .join(after, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("old_rep"), col("deleted"),
+        when(col("deleted"), lit(null).cast("long"))
+          .otherwise(coalesce(col("after_rep"), col("doc_id")))
+          .as("new_rep"))
+      .withColumn("promoted",
+        !col("deleted") && col("new_rep") === col("doc_id") &&
+          col("old_rep") =!= col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Both closures restated recursively over the same pair subquery; the
+    * surviving closure only walks edges with two living endpoints.
+    */
+  val deletePropagationOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${DedupOps.dedupNgramJaccardOracle})),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT u AS src, u AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+       |before AS (
+       |  SELECT src AS doc_id, min(dst) AS old_rep FROM reach GROUP BY src),
+       |sedges AS (
+       |  SELECT u, v FROM edges WHERE u % 13 <> 3 AND v % 13 <> 3),
+       |sreach(src, dst) AS (
+       |  SELECT u AS src, u AS dst FROM sedges
+       |  UNION
+       |  SELECT r.src, e.v FROM sreach r JOIN sedges e ON r.dst = e.u),
+       |after AS (
+       |  SELECT src AS doc_id, min(dst) AS after_rep
+       |  FROM sreach GROUP BY src)
+       |SELECT b.doc_id, b.old_rep,
+       |       b.doc_id % 13 = 3 AS deleted,
+       |       CASE WHEN b.doc_id % 13 = 3 THEN NULL
+       |            ELSE coalesce(a.after_rep, b.doc_id) END AS new_rep,
+       |       b.doc_id % 13 <> 3
+       |         AND coalesce(a.after_rep, b.doc_id) = b.doc_id
+       |         AND b.old_rep <> b.doc_id AS promoted
+       |FROM before b LEFT JOIN after a ON a.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
-    "dedup_clusters_lsh" -> (dedupClustersLsh _))
+    "dedup_clusters_lsh" -> (dedupClustersLsh _),
+    "delete_propagation" -> (deletePropagation _))
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersOracle,
-    "dedup_clusters_lsh" -> dedupClustersLshOracle)
+    "dedup_clusters_lsh" -> dedupClustersLshOracle,
+    "delete_propagation" -> deletePropagationOracle)
 }

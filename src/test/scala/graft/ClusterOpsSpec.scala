@@ -74,4 +74,28 @@ class ClusterOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     checkAgainstUnionFind(got, edges.toSeq)
   }
+
+  test("delete_propagation: deleting a bridge splits the cluster; isolated survivors keep themselves") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    // path 1–16–20 (16 % 13 = 3 → the deleted BRIDGE): survivors 1 and 20
+    // split into two singleton clusters, 20 is promoted. Pair 30–31 is
+    // untouched. Pair 29–43 loses its keeper 29 (29 % 13 = 3), leaving 43
+    // an isolated survivor → its own promoted keeper.
+    val edges = Seq((1L, 16L), (16L, 20L), (30L, 31L), (29L, 43L))
+      .toDF("doc_a", "doc_b")
+    val got = ClusterOps.deletePropagationOver(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toList
+    assert(got == List(
+      (1L, 1L, false, 1L, false),    // kept its keeper role
+      (16L, 1L, true, -1L, false),   // the deleted bridge
+      (20L, 1L, false, 20L, true),   // split off → promoted keeper
+      (29L, 29L, true, -1L, false),  // deleted old keeper
+      (30L, 30L, false, 30L, false),
+      (31L, 30L, false, 30L, false), // cluster untouched
+      (43L, 29L, false, 43L, true)), // isolated survivor → promoted
+      got.toString)
+  }
 }
