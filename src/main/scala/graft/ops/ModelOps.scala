@@ -404,7 +404,126 @@ object ModelOps {
       |UNION ALL SELECT 2 AS iter, * FROM s2
       |ORDER BY iter""".stripMargin
 
+  /** Calibration audit of the 2-step logistic quality model
+    * ([[logreg2Step]]'s weights re-derived, the self-contained-query
+    * discipline [[modelEval]] set): reliability diagram + Expected
+    * Calibration Error — the standard check (Guo et al. 2017) before a
+    * model's SCORES (not just its rankings) drive data decisions, e.g.
+    * quality-weighted sampling where p = 0.9 must mean ~90% positive
+    * rate. Two GD steps leave the raw logits in a data-dependent sliver
+    * near zero (±0.001 at sf0.01, a different sliver at every SF — a
+    * diagram with nothing to diagnose), so the audit scores the
+    * STANDARDIZED-then-sharpened model p = σ(2·(z − μᵤ)/σᵤ) with μᵤ/σᵤ the
+    * corpus logit mean/stddev (6-rounded 1-row broadcast) — self-adapting
+    * to any corpus, and deliberately the overconfident regime a
+    * reliability diagram exists to expose (Guo et al.'s finding is exactly
+    * that modern models run over-sharpened; temperature scaling, the fix,
+    * is this same transform with T fitted the other way). Scores spread
+    * across the ten equal-width bins at every SF — bin
+    * assignment by STATIC literal comparisons on the 6-rounded p (no
+    * float×10+floor boundary games — ten codegen'd comparisons, identical
+    * literals in both engines), then per bin: occupancy, mean confidence,
+    * empirical positive rate, |gap|; ECE = Σ nᵦ·gapᵦ / N rides every row
+    * and puts one number on the overconfidence.
+    *
+    * Scale shape: train = two keyless GD aggregates (1-row broadcasts),
+    * score+bin = one narrow pass, the reliability table is ≤ 10 rows —
+    * nothing after the corpus aggregate exceeds bin count.
+    */
+  def modelCalibration(s: SparkSession, dir: String): DataFrame = {
+    val f = features(s, dir)
+      .select(col("x1"), col("x2"), (col("y") > 5.49).cast("double").as("y"))
+    def step(b: Column, w1: Column, w2: Column)(src: DataFrame): DataFrame = {
+      val z = b + w1 * col("x1") + w2 * col("x2")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val g = p - col("y")
+      src.agg(
+        round(first(b) - lit(eta) * avg(g), 6).as("b"),
+        round(first(w1) - lit(eta) * avg(g * col("x1")), 6).as("w1"),
+        round(first(w2) - lit(eta) * avg(g * col("x2")), 6).as("w2"))
+    }
+    val s1 = step(lit(0.0), lit(0.0), lit(0.0))(f)
+    val s2 = step(col("b1"), col("w11"), col("w21"))(
+      f.crossJoin(broadcast(s1.select(
+        col("b").as("b1"), col("w1").as("w11"), col("w2").as("w21")))))
+    val zs = f.crossJoin(broadcast(s2))
+      .withColumn("z",
+        col("b") + col("w1") * col("x1") + col("w2") * col("x2"))
+    val mz = zs.agg(round(avg(col("z")), 6).as("mz"),
+      round(stddev_samp(col("z")), 6).as("sz"))
+    val scored = zs.crossJoin(broadcast(mz))
+      .withColumn("p", round(lit(1.0) / (lit(1.0) +
+        exp(lit(-2.0) * (col("z") - col("mz")) / col("sz"))), 6))
+    // (i+1)/10.0 — one correctly-rounded division, bit-identical to the
+    // oracle's decimal literal (0.1+0.2-style accumulation is NOT)
+    val bin = (1 to 9).foldLeft(when(col("p") < 0.1, lit(0))) {
+      (acc, i) => acc.when(col("p") < lit((i + 1) / 10.0), lit(i))
+    }.otherwise(lit(9))
+    val bins = scored.withColumn("bin", bin)
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        round(avg(col("p")), 4).as("confidence"),
+        round(avg(col("y")), 4).as("accuracy"))
+      .withColumn("gap", round(abs(col("accuracy") - col("confidence")), 4))
+    val ece = bins.agg(
+      round(sum(col("n") * col("gap")) / sum(col("n")), 6).as("ece"))
+    bins.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("confidence"), col("accuracy"),
+        col("gap"), col("ece"))
+      .orderBy("bin")
+  }
+
+  val modelCalibrationOracle: String = {
+    val binCase = "CASE " + (0 to 8).map(i =>
+      s"WHEN p < ${(i + 1) / 10.0} THEN $i").mkString(" ") + " ELSE 9 END"
+    s"""WITH f AS (
+       |  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+       |         CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+       |         CASE WHEN CAST(n_chars AS DOUBLE)
+       |                / len(string_split(text, ' ')) > 5.49
+       |              THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+       |  FROM documents),
+       |s1 AS (
+       |  SELECT round(0.0 - 0.1 * avg(0.5 - y), 6) AS b,
+       |         round(0.0 - 0.1 * avg((0.5 - y) * x1), 6) AS w1,
+       |         round(0.0 - 0.1 * avg((0.5 - y) * x2), 6) AS w2
+       |  FROM f),
+       |s2 AS (
+       |  SELECT round(any_value(s1.b) - 0.1 * avg(
+       |           1.0 / (1.0 + exp(-(s1.b + s1.w1 * x1 + s1.w2 * x2))) - y),
+       |           6) AS b,
+       |         round(any_value(s1.w1) - 0.1 * avg(
+       |           (1.0 / (1.0 + exp(-(s1.b + s1.w1 * x1 + s1.w2 * x2))) - y)
+       |             * x1), 6) AS w1,
+       |         round(any_value(s1.w2) - 0.1 * avg(
+       |           (1.0 / (1.0 + exp(-(s1.b + s1.w1 * x1 + s1.w2 * x2))) - y)
+       |             * x2), 6) AS w2
+       |  FROM f, s1),
+       |zs AS (
+       |  SELECT s2.b + s2.w1 * x1 + s2.w2 * x2 AS z, y FROM f, s2),
+       |mz AS (
+       |  SELECT round(avg(z), 6) AS mz, round(stddev_samp(z), 6) AS sz
+       |  FROM zs),
+       |scored AS (
+       |  SELECT round(1.0 / (1.0 +
+       |           exp(-2.0 * (z - mz.mz) / mz.sz)), 6) AS p, y
+       |  FROM zs, mz),
+       |bins AS (
+       |  SELECT $binCase AS bin, count(*) AS n,
+       |         round(avg(p), 4) AS confidence,
+       |         round(avg(y), 4) AS accuracy
+       |  FROM scored GROUP BY 1),
+       |g AS (
+       |  SELECT bin, n, confidence, accuracy,
+       |         round(abs(accuracy - confidence), 4) AS gap
+       |  FROM bins),
+       |e AS (SELECT round(sum(n * gap) / sum(n), 6) AS ece FROM g)
+       |SELECT bin, n, confidence, accuracy, gap, ece
+       |FROM g, e ORDER BY bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "model_calibration" -> (modelCalibration _),
     "linreg_2step" -> (linreg2Step _),
     "logreg_2step" -> (logreg2Step _),
     "quality_model_score" -> (qualityModelScore _),
@@ -413,6 +532,7 @@ object ModelOps {
     "model_eval" -> (modelEval _))
 
   val oracles: Map[String, String] = Map(
+    "model_calibration" -> modelCalibrationOracle,
     "linreg_2step" -> linreg2StepOracle,
     "logreg_2step" -> logreg2StepOracle,
     "quality_model_score" -> qualityModelScoreOracle,

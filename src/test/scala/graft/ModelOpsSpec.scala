@@ -59,4 +59,27 @@ class ModelOpsSpec extends AnyFunSuite {
         s"${r.getString(0)}: overpredicted count out of range")
     }
   }
+
+  test("model_calibration: bins partition the corpus, ECE matches its definition, diagram is non-degenerate") {
+    val rows = graft.ops.ModelOps.modelCalibration(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val n = graft.ops.Tables(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum == n, "bins must partition the corpus")
+    // standardized sharpening must actually spread the scores — the whole
+    // point of the transform (a 1–2 bin diagram diagnoses nothing)
+    assert(rows.length >= 8, s"degenerate diagram: ${rows.length} bins")
+    val eces = rows.map(_._6).distinct
+    assert(eces.length == 1, "ECE must be one global value")
+    val definitional = BigDecimal(
+      rows.map(r => r._2 * r._5).sum / rows.map(_._2).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(eces.head - definitional) < 1e-9,
+      s"ECE ${eces.head} != Σn·gap/N $definitional")
+    rows.foreach { case (bin, _, conf, acc, gap, ece) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(conf >= 0 && conf <= 1 && acc >= 0 && acc <= 1)
+      assert(gap >= 0 && ece >= 0 && ece <= 1)
+    }
+  }
 }
