@@ -482,12 +482,16 @@ object CurationOps {
     import org.apache.spark.sql.expressions.Window
     val tot = per.agg(sum(col("avail")).as("tt"),
       count(lit(1)).as("k"))
+    // rank/prefix BEFORE the scalar attach so the (bounded, source-
+    // cardinality) window sits directly on the aggregate — the shape
+    // PlanLintSpec's whitelist verifies
     val w = Window.orderBy(col("avail"), col("source"))
-    val cand = per.crossJoin(tot)
-      .withColumn("budget", (col("tt") / 2).cast("long"))
+    val ranked = per
       .withColumn("rn", row_number().over(w))
       .withColumn("prefix", sum(col("avail")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cand = ranked.crossJoin(broadcast(tot))
+      .withColumn("budget", (col("tt") / 2).cast("long"))
       .withColumn("cand",
         (col("budget") - (col("prefix") - col("avail"))).cast("double") /
           (col("k") - col("rn") + 1))

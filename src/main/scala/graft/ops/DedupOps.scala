@@ -1340,9 +1340,169 @@ object DedupOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Exact-substring dedup WITH removal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the operation their
+    * ExactSubstr tool performs, here keep-first instead of remove-all):
+    * [[duplicateSpans]] REPORTS cross-document duplicated char ranges;
+    * this query CUTS them and re-stitches each document, completing the
+    * report ([[duplicateSpans]]) / block-remove ([[dedupLines]]) /
+    * span-remove triad. Every K=20-char window duplicated across ≥2 docs
+    * is OWNED by the smallest doc_id containing it; every other doc cuts
+    * that window. Overlapping/adjacent cut windows merge into maximal
+    * spans (the same gaps-and-islands fold), the kept text is the ordered
+    * concatenation of the complement segments. Within-doc-only repeats are
+    * deliberately NOT cut (cross-doc duplication is the training-data
+    * signal; within-doc repetition is [[TextOps.textRepetition]]'s
+    * business) — the owner doc keeps its copy intact, so every duplicated
+    * string survives EXACTLY once corpus-wide, Lee et al.'s invariant.
+    *
+    * Scale shape: the per-position explode is the honest exact-substring
+    * cost ([[duplicateSpans]]' argument verbatim); ownership is one
+    * fp-keyed min aggregate (map-side combined); the cut filter is a
+    * fp-keyed join; islands/segments are doc-keyed windows; the stitch is
+    * a per-doc collect bounded by doc size. Cross-engine identity: 64-bit
+    * rolling hashes vs literal 20-char grams modulo ~2⁻⁶⁴ collisions, the
+    * established [[TextOps.shingleFingerprint]] argument.
+    */
+  def dedupSpanRemove(s: SparkSession, dir: String): DataFrame =
+    dedupSpanRemoveFrom(Tables(s, dir, "documents"))
+
+  /** [[dedupSpanRemove]] over any (doc_id, text) frame — the spec pins the
+    * exactly-once invariant on crafted shared-run fixtures.
+    */
+  def dedupSpanRemoveFrom(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
+    val K = 20
+    val docs = documents
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"), length(col("norm")).as("n_chars"),
+        bc(graft.functions.expressions.RollingShingleHash(
+          be(transform(split(col("norm"), ""), c => xxhash64(c))), K))
+          .as("fps"))
+      .localCheckpoint() // feeds the explode AND the final stitch attach
+    val pos = docs.select(col("doc_id"),
+      posexplode(col("fps")).as(Seq("pos0", "fp")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("fp"))
+    // owner = min doc containing the gram; cut ⇔ duplicated across docs
+    // AND this doc is not the owner (min<max ⇒ owner < this doc for every
+    // non-owner, so the single condition owner < doc_id is the whole test)
+    val owners = pos.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("owner"))
+    val cut = pos.join(owners, "fp")
+      .filter(col("owner") < col("doc_id"))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = cut
+      .withColumn("brk", when(lag(col("pos"), 1).over(byDoc).isNull ||
+        col("pos") - lag(col("pos"), 1).over(byDoc) > K, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + K - 1).as("e"))
+    // complement segments: the gap before each span + the per-doc tail
+    val byS = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val gaps = spans
+      .select(col("doc_id"),
+        (coalesce(lag(col("e"), 1).over(byS), lit(0L)) + 1)
+          .cast("long").as("st"),
+        (col("s") - 1).cast("long").as("en"))
+    val tails = spans.groupBy(col("doc_id"))
+      .agg((max(col("e")) + 1).cast("long").as("st"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("doc_id"), col("st"), col("n_chars").cast("long").as("en"))
+    val segs = gaps.unionByName(tails).filter(col("en") >= col("st"))
+    val stitched = segs
+      .join(docs.select(col("doc_id"), col("norm")), "doc_id")
+      .select(col("doc_id"), col("st"),
+        expr("substring(norm, cast(st as int), cast(en - st + 1 as int))")
+          .as("seg"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("st"), col("seg")))),
+        x => x.getField("seg"))).as("kept"))
+    val audit = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cut_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("chars_removed"))
+    docs.select(col("doc_id"), col("norm"), col("n_chars"))
+      .join(audit, Seq("doc_id"), "left")
+      .join(stitched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
+        // a doc whose every char was cut stitches to '' via the empty
+        // segment set; a doc with NO cut spans never enters segs at all
+        when(col("n_cut_spans").isNull, col("norm"))
+          .otherwise(coalesce(col("kept"), lit(""))).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSpanRemoveOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${normTextOracle("text")} AS norm,
+       |         length(${normTextOracle("text")}) AS n_chars
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i AS pos, substr(norm, i, 20) AS g
+       |  FROM base, LATERAL unnest(generate_series(1, n_chars - 19)) AS t(i)),
+       |owners AS (
+       |  SELECT g, min(doc_id) AS owner FROM grams GROUP BY g),
+       |cut AS (
+       |  SELECT gr.doc_id, gr.pos FROM grams gr
+       |  JOIN owners o ON o.g = gr.g AND o.owner < gr.doc_id),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN lag(pos) OVER w IS NULL
+       |                OR pos - lag(pos) OVER w > 20 THEN 1 ELSE 0 END AS brk
+       |  FROM cut WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |islands AS (
+       |  SELECT doc_id, pos,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos) + 19 AS e
+       |  FROM islands GROUP BY doc_id, island),
+       |gaps AS (
+       |  SELECT doc_id,
+       |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+       |           AS st,
+       |         s - 1 AS en
+       |  FROM spans),
+       |tails AS (
+       |  SELECT sp.doc_id, max(sp.e) + 1 AS st,
+       |         CAST(any_value(b.n_chars) AS BIGINT) AS en
+       |  FROM spans sp JOIN base b ON b.doc_id = sp.doc_id
+       |  GROUP BY sp.doc_id),
+       |segs AS (
+       |  SELECT * FROM gaps WHERE en >= st
+       |  UNION ALL
+       |  SELECT * FROM tails WHERE en >= st),
+       |stitched AS (
+       |  SELECT sg.doc_id,
+       |         string_agg(substr(b.norm, CAST(sg.st AS INT),
+       |           CAST(sg.en - sg.st + 1 AS INT)), '' ORDER BY sg.st)
+       |           AS kept
+       |  FROM segs sg JOIN base b ON b.doc_id = sg.doc_id
+       |  GROUP BY sg.doc_id),
+       |audit AS (
+       |  SELECT doc_id, count(*) AS n_cut_spans,
+       |         CAST(sum(e - s + 1) AS BIGINT) AS chars_removed
+       |  FROM spans GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars,
+       |       coalesce(a.n_cut_spans, 0) AS n_cut_spans,
+       |       coalesce(a.chars_removed, 0) AS chars_removed,
+       |       CASE WHEN a.n_cut_spans IS NULL THEN b.norm
+       |            ELSE coalesce(st.kept, '') END AS kept_text
+       |FROM base b
+       |LEFT JOIN audit a ON a.doc_id = b.doc_id
+       |LEFT JOIN stitched st ON st.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "duplicate_spans" -> (duplicateSpans _),
     "dedup_lines" -> (dedupLines _),
+    "dedup_span_remove" -> (dedupSpanRemove _),
     "contamination_fuzzy" -> (contaminationFuzzy _),
     "dedup_editdistance" -> (dedupEditDistance _),
     "semdedup" -> (semDedup _),
@@ -1358,6 +1518,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "duplicate_spans" -> duplicateSpansOracle,
     "dedup_lines" -> dedupLinesOracle,
+    "dedup_span_remove" -> dedupSpanRemoveOracle,
     "contamination_fuzzy" -> contaminationFuzzyOracle,
     "dedup_editdistance" -> dedupEditDistanceOracle,
     "semdedup" -> semDedupOracle,

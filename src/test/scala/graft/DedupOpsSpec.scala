@@ -422,4 +422,38 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(j > 0.8 && j < 1.0, s"edited-copy jaccard out of band: $j")
     assert(flagged)
   }
+
+  test("dedup_span_remove: every cross-doc duplicated ≥20-char string survives exactly once, owner intact") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    // doc 1 owns the 40-char run; doc 2 embeds it mid-text (cut from 2,
+    // stitching its own head+tail back together); doc 3 IS the run plus
+    // nothing else (fully emptied); doc 4 is untouched noise.
+    val shared = "the quick brown fox jumps over lazy dogs" // 40 chars
+    val head = "alpha beta gamma delta one"
+    val tail = "omega psi chi phi upsilon two"
+    val docs = Seq(
+      (1L, shared),
+      (2L, s"$head $shared $tail"),
+      (3L, shared),
+      (4L, "completely unrelated filler text with no overlap at all"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.dedupSpanRemoveFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(got(1L) == (0L, 0L, shared), s"owner must keep its copy: ${got(1L)}")
+    assert(got(3L)._3 == "", s"whole-doc duplicate must empty: ${got(3L)}")
+    assert(got(4L) == (0L, 0L, got(4L)._3) && got(4L)._3.nonEmpty)
+    val (spans2, removed2, kept2) = got(2L)
+    assert(spans2 == 1L && removed2 >= shared.length,
+      s"doc 2 must cut one span covering the run: ${got(2L)}")
+    assert(!kept2.contains(shared), "the run must not survive in doc 2")
+    assert(kept2.startsWith(head.take(5)) && kept2.endsWith(tail.takeRight(5)),
+      s"doc 2 must stitch its own head+tail: $kept2")
+    // corpus-wide exactly-once: the shared run appears once across all
+    // kept texts (Lee et al.'s invariant)
+    val occurrences = got.values.map(_._3).count(_.contains(shared))
+    assert(occurrences == 1, s"run survives $occurrences times, want 1")
+  }
 }

@@ -35,6 +35,9 @@ class PlanLintSpec extends AnyFunSuite {
     "ann_ivf_topk", "ann_sign_lsh", "embedding_centroids",
     "ann_hnsw_topk",   // NQueries-row query-vector broadcasts (entry scan + re-score)
     "mmr_rerank",      // NQueries-row query-vector broadcast feeding the scorer
+    "incremental_ivf", // L-row frozen-centroid broadcast per era assignment
+    "model_calibration", // 1-row weight + 1-row μ/σ + ≤10-row ECE broadcasts
+    "token_budget_fill", // 1-row corpus-total + 1-row water-level broadcasts
     "dedup_minhash_lsh", "dedup_minhash_shingle", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_exact", "text_repetition", "corpus_curation",
     "dedup_clusters", "dedup_clusters_lsh", "dedup_incremental",
@@ -269,7 +272,8 @@ class PlanLintSpec extends AnyFunSuite {
     "zorder_stats" -> "offsets over 32 z-bucket counts",
     "monthly_growth" -> "lag over month-cardinality (≤84) aggregate",
     "pareto_frontier" -> "prefix maxima over ≤10 price-decile-bucket rows (bucket-local running max carries the price-domain work)",
-    "kaplan_meier" -> "risk-set/survival cumulatives over the duration-day aggregate (≤ the ~2,500-day TPC-H order calendar)")
+    "kaplan_meier" -> "risk-set/survival cumulatives over the duration-day aggregate (≤ the ~2,500-day TPC-H order calendar)",
+    "token_budget_fill" -> "rank/prefix over the per-source token aggregate (≤ source cardinality — 20 here, thousands at worst in production)")
 
   test("unpartitioned WindowExec only over limit-bounded or whitelisted-aggregate input") {
     import org.apache.spark.sql.execution._
