@@ -1654,7 +1654,89 @@ object SimilarityOps {
       |         AS dist_drift
       |FROM buckets""".stripMargin
 
+  /** Hubness audit (Radovanović et al. 2010, "Hubs in Space": the
+    * high-dimensional pathology where a few vectors appear in
+    * disproportionately many k-NN lists while many appear in none) — the
+    * index-quality diagnostic an ANN deployment runs BEFORE trusting
+    * top-k results, because hubs dominate retrieval and antihubs become
+    * unreachable regardless of index type. k-occurrence N_k(x) = |{q :
+    * x ∈ top-k(q)}| over the within-label exact top-K (the
+    * [[dedupEmbeddingCosine]]-style label block bounds the quadratic the
+    * way that whole family does), then per label: listed/never-listed
+    * (antihub) counts, max and dispersion of N_k, and the coefficient of
+    * variation as the hubness score — CV ≈ 0 means flat neighbor
+    * occurrence, CV ≫ 0 means hub domination.
+    *
+    * Scale shape: the label equi-join is the established exact-baseline
+    * block pattern; the only global exchanges are the per-query top-k
+    * window (qid-keyed) and two keyed aggregates whose outputs are ≤
+    * corpus and ≤ label-count rows respectively.
+    */
+  def annHubness(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val a = emb.select(col("vec_id").as("qid"), col("label"), col("v").as("qv"))
+    val b = emb.select(col("vec_id").as("nid"), col("label"), col("v").as("nv"))
+    val scored = a.join(b, Seq("label")).filter(col("qid") =!= col("nid"))
+      .select(col("label"), col("qid"), col("nid"),
+        // 6-rounded BEFORE ranking: rank membership at the top-K boundary
+        // must not hinge on a last-ulp cross-engine cosine difference;
+        // rounded ties break on nid identically in both engines
+        round(dot(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val occ = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .groupBy(col("label"), col("nid"))
+      .agg(count(lit(1)).as("n_k"))
+    val sizes = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    occ.groupBy(col("label")).agg(
+        count(lit(1)).as("n_listed"),
+        max(col("n_k")).as("max_occ"),
+        round(avg(col("n_k")), 4).as("mean_occ"),
+        round(stddev_samp(col("n_k")), 4).as("sd_occ"))
+      .join(sizes, "label")
+      .select(col("label"), col("n_vecs"),
+        col("n_listed"), (col("n_vecs") - col("n_listed")).as("n_antihubs"),
+        col("max_occ"), col("mean_occ"), col("sd_occ"),
+        round(col("sd_occ") / col("mean_occ"), 4).as("hubness_cv"))
+      .orderBy("label")
+  }
+
+  val annHubnessOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |           sqrt(list_sum(list_transform(embedding,
+       |             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.label, a.vec_id AS qid, b.vec_id AS nid,
+       |         round(list_sum(list_transform(generate_series(1, len(a.v)),
+       |           i -> a.v[i] * b.v[i])), 6) AS cos
+       |  FROM e a JOIN e b ON b.label = a.label AND b.vec_id <> a.vec_id),
+       |topk AS (
+       |  SELECT label, nid FROM (
+       |    SELECT label, nid,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, nid) AS rk
+       |    FROM scored) WHERE rk <= $K),
+       |occ AS (
+       |  SELECT label, nid, count(*) AS n_k FROM topk GROUP BY label, nid),
+       |sizes AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label),
+       |prof AS (
+       |  SELECT label, count(*) AS n_listed, max(n_k) AS max_occ,
+       |         round(avg(n_k), 4) AS mean_occ,
+       |         round(stddev_samp(n_k), 4) AS sd_occ
+       |  FROM occ GROUP BY label)
+       |SELECT p.label, s.n_vecs, p.n_listed,
+       |       s.n_vecs - p.n_listed AS n_antihubs,
+       |       p.max_occ, p.mean_occ, p.sd_occ,
+       |       round(p.sd_occ / p.mean_occ, 4) AS hubness_cv
+       |FROM prof p JOIN sizes s USING (label)
+       |ORDER BY p.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hubness" -> (annHubness _),
     "incremental_ivf" -> (incrementalIvf _),
     "mmr_rerank" -> (mmrRerank _),
     "ann_hnsw_topk" -> ((s: SparkSession, dir: String) => annHnswTopk(s, dir)),
@@ -1677,6 +1759,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "ann_hubness" -> annHubnessOracle,
     "incremental_ivf" -> incrementalIvfOracle,
     "mmr_rerank" -> mmrRerankOracle,
     "ann_hnsw_topk" -> annHnswTopkOracle,
