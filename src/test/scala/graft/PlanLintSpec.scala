@@ -238,8 +238,36 @@ class PlanLintSpec extends AnyFunSuite {
       "asof_join_forward" -> 3,   // EnsureRequirements' two key-clustered
                                   // child exchanges for the native merge
                                   // (+sort)
-      "retention_audit" -> 2)     // 1-row now aggregate (+sort); the
+      "retention_audit" -> 2,     // 1-row now aggregate (+sort); the
                                   // listing itself is a narrow map
+      "dedup_lines" -> 3,         // block-text first-occurrence agg +
+                                  // semi-join (exchange shared) + per-doc
+                                  // stitch agg (+sort)
+      "dedup_span_remove" -> 8,   // fp ownership agg, cut join, doc-keyed
+                                  // island window, span agg, segment
+                                  // window, stitch agg, audit agg (+sort);
+                                  // all doc- or fp-keyed
+      "contamination_fuzzy" -> 4, // banded cross-split join + ids-only
+                                  // rebalance + per-eval best agg (+sort)
+      "incremental_ivf" -> 9,     // 2 eras × (argmin agg + bucket agg) +
+                                  // centroid pos/label aggs + full-outer
+                                  // merge + 1-row audit agg; no sort
+                                  // (single-row result)
+      "token_budget_fill" -> 7,   // per-source token agg + the bounded
+                                  // source-table window (SinglePartition
+                                  // over ≤|sources| rows) + 1-row total
+                                  // and level aggs (+sort)
+      "delete_propagation" -> 7,  // two CC label tables (propagation jobs
+                                  // ran at construction behind
+                                  // localCheckpoints) + the audit joins
+                                  // (+sort)
+      "model_calibration" -> 14,  // a chain of keyless 1-row aggregates
+                                  // (GD steps, μ/σ, ECE) + the ≤10-row bin
+                                  // agg — every exchange carries ≤32
+                                  // partial rows (+sort)
+      "ann_hubness" -> 5)         // label-block top-K window + occurrence
+                                  // agg + per-label profile agg + size
+                                  // attach (+sort)
     val offenders = budget.flatMap { case (name, maxEx) =>
       // count ALL shuffle exchanges — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
