@@ -1340,6 +1340,81 @@ object DedupOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Frequency-threshold boilerplate removal (the RefinedWeb / CCNet
+    * line-dedup rule — Penedo et al. 2023 drop lines repeated across the
+    * crawl; Wenzek et al. 2020 hash out the most frequent paragraphs —
+    * restated for this corpus's unpunctuated text on the same 10-word
+    * blocks as [[dedupLines]]): a block whose corpus-wide occurrence
+    * count reaches the threshold (3) is navigation/footer/disclaimer
+    * boilerplate and is removed from EVERY document — including the first
+    * occurrence, which is what separates this from [[dedupLines]]'
+    * keep-first dedup (dedup preserves one copy of CONTENT; boilerplate
+    * is noise with no copy worth keeping).
+    *
+    * Scale shape: one map-side-combined count per block text (the hot
+    * boilerplate keys are exactly the ones local combining collapses
+    * best), one keyed join back, one bounded per-doc stitch — strictly
+    * cheaper than [[dedupLines]]' min-struct + semi-join because the
+    * filter needs only the count.
+    */
+  def boilerplateStrip(s: SparkSession, dir: String): DataFrame =
+    boilerplateStripFrom(Tables(s, dir, "documents"))
+
+  /** [[boilerplateStrip]] over any (doc_id, text) frame. */
+  def boilerplateStripFrom(documents: DataFrame): DataFrame = {
+    val W = 10
+    val docs = documents
+      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .select(col("doc_id"),
+        ((size(col("words")) + (W - 1)) / W).cast("int").as("n_blocks"),
+        col("words"))
+    val blocks = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_blocks") - 1),
+          i => array_join(slice(col("words"), i * W + 1, lit(W)), " "))))
+      .select(col("doc_id"), col("pos").as("blk"), col("col").as("btext"))
+    val boiler = blocks.groupBy(col("btext"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3).select(col("btext"))
+    val kept = blocks.join(boiler, Seq("btext"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_blocks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("blk"), col("btext")))),
+          x => x.getField("btext"))).as("strip_text"))
+    docs.select(col("doc_id"), col("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks").cast("long").as("n_blocks"),
+        coalesce(col("kept_blocks"), lit(0L)).as("kept_blocks"),
+        coalesce(col("strip_text"), lit("")).as("strip_text"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateStripOracle: String = {
+    val norm = normTextOracle("text")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |nb AS (
+       |  SELECT doc_id, ws,
+       |         CAST((len(ws) + 9) // 10 AS INT) AS n_blocks FROM base),
+       |blocks AS (
+       |  SELECT doc_id, i AS blk,
+       |         array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ') AS btext
+       |  FROM nb, LATERAL unnest(generate_series(0, n_blocks - 1)) t(i)),
+       |boiler AS (
+       |  SELECT btext FROM blocks GROUP BY btext HAVING count(*) >= 3),
+       |reb AS (
+       |  SELECT doc_id, count(*) AS kept_blocks,
+       |         string_agg(btext, ' ' ORDER BY blk) AS strip_text
+       |  FROM blocks b
+       |  WHERE NOT EXISTS (SELECT 1 FROM boiler x WHERE x.btext = b.btext)
+       |  GROUP BY doc_id)
+       |SELECT n.doc_id, CAST(n.n_blocks AS BIGINT) AS n_blocks,
+       |       coalesce(r.kept_blocks, 0) AS kept_blocks,
+       |       coalesce(r.strip_text, '') AS strip_text
+       |FROM nb n LEFT JOIN reb r USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   /** Exact-substring dedup WITH removal (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the operation their
     * ExactSubstr tool performs, here keep-first instead of remove-all):
@@ -1502,6 +1577,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "duplicate_spans" -> (duplicateSpans _),
     "dedup_lines" -> (dedupLines _),
+    "boilerplate_strip" -> (boilerplateStrip _),
     "dedup_span_remove" -> (dedupSpanRemove _),
     "contamination_fuzzy" -> (contaminationFuzzy _),
     "dedup_editdistance" -> (dedupEditDistance _),
@@ -1518,6 +1594,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "duplicate_spans" -> duplicateSpansOracle,
     "dedup_lines" -> dedupLinesOracle,
+    "boilerplate_strip" -> boilerplateStripOracle,
     "dedup_span_remove" -> dedupSpanRemoveOracle,
     "contamination_fuzzy" -> contaminationFuzzyOracle,
     "dedup_editdistance" -> dedupEditDistanceOracle,

@@ -456,4 +456,24 @@ class DedupOpsSpec extends AnyFunSuite {
     val occurrences = got.values.map(_._3).count(_.contains(shared))
     assert(occurrences == 1, s"run survives $occurrences times, want 1")
   }
+
+  test("boilerplate_strip: blocks at the ≥3 threshold vanish everywhere (no kept copy); twice-repeated content stays") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    def blk(p: String) = (0 until 10).map(i => s"$p$i").mkString(" ")
+    val (b, c, u1, u2, u3) = (blk("b"), blk("c"), blk("x"), blk("y"), blk("z"))
+    // B appears 3× (docs 1,2,3) → boilerplate, removed from ALL THREE;
+    // C appears 2× (docs 1,2) → below threshold, kept in both (this is
+    // dedup_lines' business, not boilerplate's); unique blocks untouched.
+    val docs = Seq(
+      (1L, s"$b $c $u1"), (2L, s"$c $b $u2"), (3L, s"$u3 $b"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.boilerplateStripFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, s"$c $u1"),
+      (2L, 3L, 2L, s"$c $u2"),
+      (3L, 2L, 1L, u3)), got.toSeq.toString)
+  }
 }
