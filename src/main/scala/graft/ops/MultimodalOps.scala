@@ -428,7 +428,95 @@ object MultimodalOps {
       |       long_side > 224 AS needs_resize
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Audio energy profiling — the voice-activity-detection (VAD) shape
+    * every speech-data pipeline runs before transcription: per fixed-size
+    * frame, RMS energy of the 8-bit-PCM-interpreted payload bytes
+    * (sample = byte − 128); per clip, the energy contour summary (mean /
+    * max frame RMS) and the silence profile — frames whose RMS falls
+    * under 0.8× the clip's own mean (ADAPTIVE threshold, the standard
+    * energy-gate VAD; an absolute threshold would be meaningless across
+    * clips with different gain). High silence_ratio marks clips to trim
+    * or drop before feature extraction.
+    *
+    * Like [[multimodalResize]] this runs as pure codegen'd Column
+    * arithmetic with NO decoder in the loop — the sandbox payload is
+    * ASCII text bytes, so the sample array is a narrow per-row transform;
+    * a real build swaps ONLY the `samples` derivation for the
+    * [[FakeDecoder]]/codec seam (mapPartitions PCM decode) and keeps the
+    * whole frame/RMS/silence pipeline identical. Scale shape: one
+    * per-frame explode (n_bytes/64 rows per clip), one doc-keyed mean,
+    * one doc-keyed rollup — no corpus-wide exchange at all beyond the
+    * doc key.
+    */
+  def multimodalAudioEnergy(s: SparkSession, dir: String): DataFrame = {
+    val frameBytes = 64
+    val audio = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 1 && length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).as("n"),
+        transform(split(col("text"), ""), c => ascii(c) - 128).as("samples"))
+    val frames = audio
+      .withColumn("n_frames",
+        ceil(col("n").cast("double") / frameBytes).cast("int"))
+      .select(col("doc_id"), col("samples"),
+        posexplode(sequence(lit(0), col("n_frames") - 1))
+          .as(Seq("pos", "frame_idx")))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"slice(samples, frame_idx * $frameBytes + 1, $frameBytes)")
+          .as("fr"))
+      // rms stays UNROUNDED: integer square sums and the /size division
+      // are exact, IEEE sqrt is correctly rounded, so both engines hold
+      // bit-identical values — rounding per frame would park averages on
+      // the .00005 lattice where HALF_UP (Spark) and HALF_EVEN (DuckDB)
+      // round() split; round only at the output columns
+      .select(col("doc_id"), col("frame_idx"),
+        sqrt(expr(
+          "aggregate(fr, 0.0D, (acc, x) -> acc + CAST(x * x AS DOUBLE))" +
+            " / size(fr)")).as("rms"))
+    val means = frames.groupBy(col("doc_id"))
+      .agg(avg(col("rms")).as("mean_rms"))
+    frames.join(means, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        round(first(col("mean_rms")), 4).as("mean_rms"),
+        round(max(col("rms")), 4).as("max_rms"),
+        sum(when(col("rms") < lit(0.8) * col("mean_rms"), 1L)
+          .otherwise(0L)).as("n_silent"))
+      .withColumn("silence_ratio",
+        round(col("n_silent") / col("n_frames"), 4))
+      .orderBy("doc_id")
+  }
+
+  val multimodalAudioEnergyOracle: String =
+    """WITH a AS (
+      |  SELECT doc_id, text, length(text) AS n
+      |  FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0),
+      |frames AS (
+      |  SELECT doc_id, f.i AS frame_idx, text, n
+      |  FROM a, LATERAL unnest(generate_series(0,
+      |    CAST(ceil(n / 64.0) AS INT) - 1)) f(i)),
+      |samples AS (
+      |  SELECT doc_id, frame_idx,
+      |         ascii(substr(text, frame_idx * 64 + s.j, 1)) - 128 AS v
+      |  FROM frames, LATERAL unnest(generate_series(1,
+      |    least(64, n - frame_idx * 64))) s(j)),
+      |fr AS (
+      |  SELECT doc_id, frame_idx,
+      |         sqrt(avg(CAST(v * v AS DOUBLE))) AS rms
+      |  FROM samples GROUP BY doc_id, frame_idx),
+      |m AS (SELECT doc_id, avg(rms) AS mean_rms FROM fr
+      |      GROUP BY doc_id)
+      |SELECT fr.doc_id, count(*) AS n_frames,
+      |       round(any_value(m.mean_rms), 4) AS mean_rms,
+      |       round(max(rms), 4) AS max_rms,
+      |       CAST(count(*) FILTER (rms < 0.8 * m.mean_rms) AS BIGINT)
+      |         AS n_silent,
+      |       round(CAST(count(*) FILTER (rms < 0.8 * m.mean_rms) AS DOUBLE)
+      |         / count(*), 4) AS silence_ratio
+      |FROM fr JOIN m ON m.doc_id = fr.doc_id
+      |GROUP BY fr.doc_id ORDER BY fr.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_audio_energy" -> (multimodalAudioEnergy _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -436,6 +524,7 @@ object MultimodalOps {
     "multimodal_phash_dedup" -> (multimodalPhashDedup _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_audio_energy" -> multimodalAudioEnergyOracle,
     "multimodal_meta" -> multimodalMetaOracle,
     "multimodal_decode" -> multimodalDecodeOracle,
     "multimodal_frames" -> multimodalFramesOracle,
