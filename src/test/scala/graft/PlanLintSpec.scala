@@ -36,6 +36,7 @@ class PlanLintSpec extends AnyFunSuite {
     "ann_hnsw_topk",   // NQueries-row query-vector broadcasts (entry scan + re-score)
     "mmr_rerank",      // NQueries-row query-vector broadcast feeding the scorer
     "incremental_ivf", // L-row frozen-centroid broadcast per era assignment
+    "ann_truncated_recall", // NQueries-row query broadcast, both rankings
     "model_calibration", // 1-row weight + 1-row μ/σ + ≤10-row ECE broadcasts
     "token_budget_fill", // 1-row corpus-total + 1-row water-level broadcasts
     "dedup_minhash_lsh", "dedup_minhash_shingle", "dedup_ngram_jaccard",
