@@ -108,4 +108,36 @@ class CurationOpsSpec extends AnyFunSuite {
       ("tiny", 100L, 100.0, 1.0, 1925.0)), got.toString)
     assert(got.map(_._3).sum == 4150.0, "allocations must exhaust the budget")
   }
+
+  test("property: water-fill == iterative greedy simulation on random availabilities") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val avails = Gen.choose(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 10000L)))
+    val prop = Prop.forAll(avails) { as: List[Long] =>
+      val per = as.zipWithIndex.map { case (a, i) => (f"s$i%02d", a) }
+      // reference: the textbook iteration — smallest source first, each
+      // takes min(avail, remaining / sources-left)
+      val budget = as.sum / 2
+      var remaining = budget.toDouble
+      val sorted = per.sortBy(p => (p._2, p._1))
+      val sim = scala.collection.mutable.Map[String, Double]()
+      sorted.zipWithIndex.foreach { case ((src, a), i) =>
+        val fair = remaining / (sorted.length - i)
+        val alloc = math.min(a.toDouble, fair)
+        sim(src) = alloc; remaining -= alloc
+      }
+      val got = CurationOps.waterFill(per.toDF("source", "avail")).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val ok = per.forall { case (src, _) =>
+        math.abs(got(src) - sim(src)) < 1e-3 // query rounds to 4 decimals
+      } && math.abs(got.values.sum - budget) < 1e-2
+      if (!ok) println(s"MISMATCH avails=$as got=$got sim=$sim")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -476,4 +476,43 @@ class DedupOpsSpec extends AnyFunSuite {
       (2L, 3L, 2L, s"$c $u2"),
       (3L, 2L, 1L, u3)), got.toSeq.toString)
   }
+
+  test("property: dedup_lines == driver-side keep-first reference on random block corpora") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // docs built from a tiny BLOCK vocabulary so cross-doc and within-doc
+    // block repeats are frequent; word counts not multiples of 10 exercise
+    // the partial tail block
+    val block = Gen.choose(0, 4).map(i => (0 until 10).map(j => s"b${i}w$j"))
+    val tailLen = Gen.choose(1, 9)
+    val doc = for {
+      nb <- Gen.choose(1, 4); bs <- Gen.listOfN(nb, block)
+      t <- tailLen; tl <- Gen.choose(0, 4).map(i => (0 until t).map(j => s"t${i}w$j"))
+    } yield (bs.flatten ++ tl).mkString(" ")
+    val corpus = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, doc))
+    val prop = Prop.forAll(corpus) { texts: List[String] =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // reference: global first-occurrence scan in (doc_id, blk) order
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = docs.map { case (id, t) =>
+        val words = t.trim.split("\\s+").toSeq
+        val blocks = words.grouped(10).map(_.mkString(" ")).toSeq
+        val kept = blocks.filter { b =>
+          if (seen(b)) false else { seen += b; true }
+        }
+        (id, blocks.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }
+      val got = graft.ops.DedupOps.dedupLinesFrom(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+      val ok = got == expected
+      if (!ok) println(s"MISMATCH corpus=$docs\n got=$got\n want=$expected")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
