@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation: the composition a real pretraining
@@ -541,7 +541,104 @@ object CurationOps {
        |FROM c2, lam l ORDER BY source""".stripMargin
   }
 
+  /** Filter-ablation table for the curation stack — the debugging view
+    * behind [[corpusCuration]]'s bottom line: per rule (Gopher-style
+    * quality, repetition, near-dup cluster drop), how many docs it flags
+    * (`n_flagged`), how many it ALONE flags (`n_exclusive` — the rule's
+    * marginal contribution: dropping the rule would admit exactly these),
+    * and the flagged token mass. `any`/`none` rows give the joint kill
+    * and survivor counts (`none.n_flagged` = [[corpusCuration]]'s
+    * survivor total — one number reconcilable across both queries). A
+    * pipeline tunes thresholds by watching n_exclusive: a rule whose
+    * marginal is ~0 is redundant with the others; one that dominates the
+    * kills deserves threshold scrutiny.
+    *
+    * Scale shape: the three flag frames are doc_id-keyed joins (the
+    * [[corpusCuration]] co-partition argument verbatim), the rollup is a
+    * 5-row aggregate via one narrow pass that evaluates every rule
+    * combination per doc.
+    */
+  def qualityAblation(s: SparkSession, dir: String): DataFrame = {
+    val tokens = TextOps.tokenCount(s, dir)
+      .select(col("doc_id"), col("ws_tokens"))
+    val flags = tokens
+      .join(TextOps.textQuality(s, dir)
+        .select(col("doc_id"), col("low_quality").as("q")), "doc_id")
+      .join(TextOps.textRepetition(s, dir)
+        .select(col("doc_id"), col("repetitive").as("r")), "doc_id")
+      .join(ClusterOps.dedupClusters(s, dir)
+        .filter(!col("keep")).select(col("doc_id"), lit(true).as("c0")),
+        Seq("doc_id"), "left")
+      .withColumn("c", coalesce(col("c0"), lit(false)))
+    def rule(name: String, flag: Column, exclusive: Column): DataFrame =
+      flags.agg(
+        sum(when(flag, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(exclusive, 1L).otherwise(0L)).as("n_exclusive"),
+        sum(when(flag, col("ws_tokens")).otherwise(0L)).cast("long")
+          .as("flagged_tokens"))
+        .select(lit(name).as("rule"), col("n_flagged"),
+          col("n_exclusive"), col("flagged_tokens"))
+    rule("low_quality", col("q"), col("q") && !col("r") && !col("c"))
+      .unionByName(rule("repetitive", col("r"),
+        col("r") && !col("q") && !col("c")))
+      .unionByName(rule("cluster_dup", col("c"),
+        col("c") && !col("q") && !col("r")))
+      .unionByName(rule("any", col("q") || col("r") || col("c"),
+        lit(false)))
+      .unionByName(rule("none", !(col("q") || col("r") || col("c")),
+        lit(false)))
+      .orderBy("rule")
+  }
+
+  val qualityAblationOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, ws_tokens, q, r,
+       |         doc_id IN (SELECT doc_id FROM
+       |           (${ClusterOps.dedupClustersOracle}) WHERE NOT keep) AS c
+       |  FROM (SELECT doc_id, ws_tokens FROM (${TextOps.tokenCountOracle}))
+       |  JOIN (SELECT doc_id, low_quality AS q
+       |        FROM (${TextOps.textQualityOracle})) USING (doc_id)
+       |  JOIN (SELECT doc_id, repetitive AS r
+       |        FROM (${TextOps.textRepetitionOracle})) USING (doc_id)),
+       |rules AS (
+       |  SELECT 'low_quality' AS rule,
+       |         CAST(count(*) FILTER (q) AS BIGINT) AS n_flagged,
+       |         CAST(count(*) FILTER (q AND NOT r AND NOT c) AS BIGINT)
+       |           AS n_exclusive,
+       |         CAST(coalesce(sum(ws_tokens) FILTER (q), 0) AS BIGINT)
+       |           AS flagged_tokens
+       |  FROM f
+       |  UNION ALL
+       |  SELECT 'repetitive',
+       |         CAST(count(*) FILTER (r) AS BIGINT),
+       |         CAST(count(*) FILTER (r AND NOT q AND NOT c) AS BIGINT),
+       |         CAST(coalesce(sum(ws_tokens) FILTER (r), 0) AS BIGINT)
+       |  FROM f
+       |  UNION ALL
+       |  SELECT 'cluster_dup',
+       |         CAST(count(*) FILTER (c) AS BIGINT),
+       |         CAST(count(*) FILTER (c AND NOT q AND NOT r) AS BIGINT),
+       |         CAST(coalesce(sum(ws_tokens) FILTER (c), 0) AS BIGINT)
+       |  FROM f
+       |  UNION ALL
+       |  SELECT 'any',
+       |         CAST(count(*) FILTER (q OR r OR c) AS BIGINT),
+       |         CAST(0 AS BIGINT),
+       |         CAST(coalesce(sum(ws_tokens) FILTER (q OR r OR c), 0)
+       |           AS BIGINT)
+       |  FROM f
+       |  UNION ALL
+       |  SELECT 'none',
+       |         CAST(count(*) FILTER (NOT (q OR r OR c)) AS BIGINT),
+       |         CAST(0 AS BIGINT),
+       |         CAST(coalesce(sum(ws_tokens) FILTER (NOT (q OR r OR c)), 0)
+       |           AS BIGINT)
+       |  FROM f)
+       |SELECT rule, n_flagged, n_exclusive, flagged_tokens
+       |FROM rules ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_ablation" -> (qualityAblation _),
     "token_budget_fill" -> (tokenBudgetFill _),
     "ngram_novelty" -> (ngramNovelty _),
     "corpus_reservoir_agg" -> (corpusReservoirAgg _),
@@ -555,6 +652,7 @@ object CurationOps {
     "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
+    "quality_ablation" -> qualityAblationOracle,
     "token_budget_fill" -> tokenBudgetFillOracle,
     "ngram_novelty" -> ngramNoveltyOracle,
     "corpus_reservoir_agg" -> corpusReservoirOracle,

@@ -140,4 +140,23 @@ class CurationOpsSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("quality_ablation reconciles with corpus_curation and partitions the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CurationOps.qualityAblation(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val survivors = CurationOps.corpusCuration(spark, dir).collect()
+      .map(_.getLong(1)).sum
+    val total = Tables(spark, dir, "documents").count()
+    // the `none` row IS corpus_curation's bottom line — one number,
+    // reconcilable across the two queries
+    assert(rows("none")._1 == survivors,
+      s"none=${rows("none")._1} vs curation survivors $survivors")
+    assert(rows("any")._1 + rows("none")._1 == total,
+      "any + none must partition the corpus")
+    // exclusives are disjoint subsets of the joint kill
+    val excl = Seq("low_quality", "repetitive", "cluster_dup")
+      .map(rows(_)._2).sum
+    assert(excl <= rows("any")._1, "Σ exclusives cannot exceed the joint kill")
+  }
 }
