@@ -570,23 +570,30 @@ object CurationOps {
         .filter(!col("keep")).select(col("doc_id"), lit(true).as("c0")),
         Seq("doc_id"), "left")
       .withColumn("c", coalesce(col("c0"), lit(false)))
-    def rule(name: String, flag: Column, exclusive: Column): DataFrame =
-      flags.agg(
-        sum(when(flag, 1L).otherwise(0L)).as("n_flagged"),
-        sum(when(exclusive, 1L).otherwise(0L)).as("n_exclusive"),
-        sum(when(flag, col("ws_tokens")).otherwise(0L)).cast("long")
-          .as("flagged_tokens"))
-        .select(lit(name).as("rule"), col("n_flagged"),
-          col("n_exclusive"), col("flagged_tokens"))
-    rule("low_quality", col("q"), col("q") && !col("r") && !col("c"))
-      .unionByName(rule("repetitive", col("r"),
-        col("r") && !col("q") && !col("c")))
-      .unionByName(rule("cluster_dup", col("c"),
-        col("c") && !col("q") && !col("r")))
-      .unionByName(rule("any", col("q") || col("r") || col("c"),
-        lit(false)))
-      .unionByName(rule("none", !(col("q") || col("r") || col("c")),
-        lit(false)))
+    // ONE aggregate pass computes all fifteen numbers (a five-way union of
+    // per-rule aggregates would re-derive the whole flag pipeline per row —
+    // 35 exchanges vs 3), then a 1-row melt emits the table
+    val rules: Seq[(String, Column, Column)] = Seq(
+      ("low_quality", col("q"), col("q") && !col("r") && !col("c")),
+      ("repetitive", col("r"), col("r") && !col("q") && !col("c")),
+      ("cluster_dup", col("c"), col("c") && !col("q") && !col("r")),
+      ("any", col("q") || col("r") || col("c"), lit(false)),
+      ("none", !(col("q") || col("r") || col("c")), lit(false)))
+    val aggCols = rules.flatMap { case (name, flag, exclusive) => Seq(
+      sum(when(flag, 1L).otherwise(0L)).as(s"${name}_f"),
+      sum(when(exclusive, 1L).otherwise(0L)).as(s"${name}_e"),
+      sum(when(flag, col("ws_tokens")).otherwise(lit(0L))).cast("long")
+        .as(s"${name}_t"))
+    }
+    flags.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(rules.map { case (name, _, _) =>
+        struct(lit(name).as("rule"),
+          col(s"${name}_f").as("n_flagged"),
+          col(s"${name}_e").as("n_exclusive"),
+          col(s"${name}_t").as("flagged_tokens"))
+      }: _*)).as("x"))
+      .select(col("x.rule"), col("x.n_flagged"), col("x.n_exclusive"),
+        col("x.flagged_tokens"))
       .orderBy("rule")
   }
 

@@ -266,9 +266,21 @@ class PlanLintSpec extends AnyFunSuite {
                                   // (GD steps, μ/σ, ECE) + the ≤10-row bin
                                   // agg — every exchange carries ≤32
                                   // partial rows (+sort)
-      "ann_hubness" -> 5)         // label-block top-K window + occurrence
+      "ann_hubness" -> 5,         // label-block top-K window + occurrence
                                   // agg + per-label profile agg + size
                                   // attach (+sort)
+      "boilerplate_strip" -> 3,   // block-count agg + anti-join (exchange
+                                  // shared) + per-doc stitch agg (+sort)
+      "multimodal_audio_energy" -> 3, // doc-keyed frame-mean agg + clip
+                                  // rollup agg (+sort); the frame explode
+                                  // is narrow
+      "ann_truncated_recall" -> 7, // two per-query top-K windows + overlap
+                                  // semi-join + per-query agg (+sort);
+                                  // both rankings ride one broadcast pass
+      "quality_ablation" -> 7)    // the corpus_curation flag joins + ONE
+                                  // 15-column aggregate melted to 5 rows
+                                  // (the five-way union form re-derived
+                                  // the pipeline per rule: 35 exchanges)
     val offenders = budget.flatMap { case (name, maxEx) =>
       // count ALL shuffle exchanges — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
