@@ -1340,6 +1340,176 @@ object DedupOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** LSH banding-parameter tuning table — "measure, don't guess" for the
+    * one knob every MinHash deployment must set: how 48 hashes are split
+    * into (bands × rows-per-band) decides the S-curve
+    * P(candidate | J) = 1 − (1 − Jʳ)ᵇ, trading candidate volume (cost)
+    * against capture (recall). This query runs the SAME md5-affine
+    * signature through three splits — (2×24) strict, (4×12) the shipped
+    * [[dedupMinhashShingle]] default, (8×6) permissive — and reports per
+    * config: banded candidate-pair count, exact-verified J ≥ 0.8 pairs
+    * among them, precision, capture vs the union of all three configs'
+    * finds, and the THEORETICAL capture at J = 0.8 and 0.95 next to the
+    * empirical numbers. The tuning read: more bands buys capture at a
+    * precision/volume price; pick the config whose measured capture
+    * clears the pipeline's recall bar at the lowest candidate volume.
+    *
+    * Scale shape: ONE signature pass feeds all three configs; per config
+    * the banded join is the family's linear bucket join; the verify
+    * attaches shingles only to candidate ids. The cross-config union for
+    * the capture denominator is candidate-sized, never corpus².
+    */
+  def dedupLshTune(s: SparkSession, dir: String): DataFrame =
+    dedupLshTuneFrom(s, Tables(s, dir, "documents"))
+
+  /** Seam for crafted-fixture specs: `docsIn` needs (doc_id, text). */
+  private[graft] def dedupLshTuneFrom(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
+    import graft.functions.expressions.{AffineMinHash, Md5ShingleId}
+    val nHashes = 48
+    val configs = Seq((2, 24), (4, 12), (8, 6))
+    val docs = docsIn
+      .select(col("doc_id"), split(normText(col("text")), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 5)
+      .select(col("doc_id"),
+        array_distinct(bc(Md5ShingleId(be(col("tokens")), k = 5)))
+          .as("shingles"))
+    val sig = docs.select(col("doc_id"),
+      bc(AffineMinHash(be(col("shingles")), nHashes)).as("sig"))
+    def pairsFor(b: Int, r: Int): DataFrame = {
+      def bandArr = array((0 until b).map(bnd =>
+        conv(substring(md5(concat_ws(",", (0 until r).map(j =>
+          col("sig")(bnd * r + j)): _*)), 1, 15), 16, 10).cast("long")): _*)
+      val banded = sig.select(col("doc_id"),
+          posexplode(bandArr).as(Seq("band", "bsig")))
+      val e = banded.as("a"); val t = banded.as("b")
+      e.join(t, col("a.band") === col("b.band") &&
+          col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("doc_a"), col("doc_b"))
+    }
+    val candidates = configs.map { case (b, r) => pairsFor(b, r) }
+      .reduce(_ unionByName _)
+    val da = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val db = docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val verified = candidates.join(da, "doc_a").join(db, "doc_b")
+      .select(col("bands"), col("rows_per_band"), col("doc_a"), col("doc_b"),
+        (graft.functions.ArrayFunctions.intersectSize(
+          col("sh_a"), col("sh_b")).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) -
+            graft.functions.ArrayFunctions.intersectSize(
+              col("sh_a"), col("sh_b"))).cast("double")).as("j"))
+    val perConfig = verified.groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("j") >= 0.8, 1L).otherwise(0L)).as("n_found"))
+    val total = verified.filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .agg(count(lit(1)).as("n_union"))
+    def theory(b: Int, r: Int, jv: Double): Double =
+      BigDecimal(1.0 - math.pow(1.0 - math.pow(jv, r), b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val theoryDf = {
+      import s.implicits._
+      configs.map { case (b, r) =>
+        (b, r, theory(b, r, 0.8), theory(b, r, 0.95))
+      }.toDF("bands", "rows_per_band", "p_theory_08", "p_theory_95")
+    }
+    perConfig.crossJoin(broadcast(total))
+      .join(broadcast(theoryDf), Seq("bands", "rows_per_band"))
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_found"),
+        round(col("n_found").cast("double") / col("n_candidates"), 4)
+          .as("precision"),
+        round(col("n_found").cast("double") / col("n_union"), 4)
+          .as("capture"),
+        col("p_theory_08"), col("p_theory_95"))
+      .orderBy("bands")
+  }
+
+  val dedupLshTuneOracle: String = {
+    import graft.functions.expressions.AffineMinHash
+    val norm = normTextOracle("text")
+    val nHashes = 48
+    val configs = Seq((2, 24), (4, 12), (8, 6))
+    val sigCols = (0 until nHashes).map(j =>
+      s"min((${AffineMinHash.A(j)} * (m % 4294967296) + " +
+        s"${AffineMinHash.B(j)}) % 4294967296) AS s$j")
+      .mkString(",\n         ")
+    def bandSelects(b: Int, r: Int): String = (0 until b).map { bnd =>
+      val cols = (bnd * r until (bnd + 1) * r).map(j => s"s$j").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, " +
+        s"('0x' || substr(md5(concat_ws(',', $cols)), 1, 15))::BIGINT AS bsig " +
+        "FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val pairBlocks = configs.map { case (b, r) =>
+      s"""p_${b}_$r AS (
+         |  SELECT DISTINCT $b AS bands, $r AS rows_per_band,
+         |         a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM (${bandSelects(b, r)}) a
+         |  JOIN (${bandSelects(b, r)}) b
+         |    ON b.band = a.band AND b.bsig = a.bsig
+         |   AND a.doc_id < b.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val pairUnion = configs.map { case (b, r) =>
+      s"SELECT * FROM p_${b}_$r" }.mkString("\n  UNION ALL\n  ")
+    def theory(b: Int, r: Int, jv: Double): String =
+      BigDecimal(1.0 - math.pow(1.0 - math.pow(jv, r), b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    val theoryRows = configs.map { case (b, r) =>
+      s"SELECT $b AS bands, $r AS rows_per_band, " +
+        s"CAST(${theory(b, r, 0.8)} AS DOUBLE) AS p_theory_08, " +
+        s"CAST(${theory(b, r, 0.95)} AS DOUBLE) AS p_theory_95"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS tokens FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(array_to_string(tokens[i:i+4], ' ')), 1, 15))::BIGINT AS m
+       |  FROM toks, LATERAL unnest(generate_series(1, len(tokens) - 4)) t(i)
+       |  WHERE len(tokens) >= 5),
+       |sh AS (SELECT DISTINCT doc_id, m FROM sh0),
+       |szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |$pairBlocks,
+       |cand AS (
+       |  $pairUnion),
+       |ver AS (
+       |  SELECT c.bands, c.rows_per_band, c.doc_a, c.doc_b,
+       |         CAST(coalesce(i.n_i, 0) AS DOUBLE) /
+       |           (na.n_sh + nb.n_sh - coalesce(i.n_i, 0)) AS j
+       |  FROM cand c
+       |  LEFT JOIN (
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_i
+       |    FROM sh x JOIN sh y ON y.m = x.m AND x.doc_id < y.doc_id
+       |    GROUP BY x.doc_id, y.doc_id) i
+       |    ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN szs na ON na.doc_id = c.doc_a
+       |  JOIN szs nb ON nb.doc_id = c.doc_b),
+       |per AS (
+       |  SELECT bands, rows_per_band, count(*) AS n_candidates,
+       |         CAST(count(*) FILTER (j >= 0.8) AS BIGINT) AS n_found
+       |  FROM ver GROUP BY bands, rows_per_band),
+       |tot AS (
+       |  SELECT count(*) AS n_union FROM (
+       |    SELECT DISTINCT doc_a, doc_b FROM ver WHERE j >= 0.8)),
+       |th AS (
+       |  $theoryRows)
+       |SELECT p.bands, p.rows_per_band, p.n_candidates, p.n_found,
+       |       round(CAST(p.n_found AS DOUBLE) / p.n_candidates, 4)
+       |         AS precision,
+       |       round(CAST(p.n_found AS DOUBLE) / t.n_union, 4) AS capture,
+       |       th.p_theory_08, th.p_theory_95
+       |FROM per p, tot t
+       |JOIN th ON th.bands = p.bands AND th.rows_per_band = p.rows_per_band
+       |ORDER BY p.bands""".stripMargin
+  }
+
   /** Frequency-threshold boilerplate removal (the RefinedWeb / CCNet
     * line-dedup rule — Penedo et al. 2023 drop lines repeated across the
     * crawl; Wenzek et al. 2020 hash out the most frequent paragraphs —
@@ -1577,6 +1747,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "duplicate_spans" -> (duplicateSpans _),
     "dedup_lines" -> (dedupLines _),
+    "dedup_lsh_tune" -> (dedupLshTune _),
     "boilerplate_strip" -> (boilerplateStrip _),
     "dedup_span_remove" -> (dedupSpanRemove _),
     "contamination_fuzzy" -> (contaminationFuzzy _),
@@ -1594,6 +1765,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "duplicate_spans" -> duplicateSpansOracle,
     "dedup_lines" -> dedupLinesOracle,
+    "dedup_lsh_tune" -> dedupLshTuneOracle,
     "boilerplate_strip" -> boilerplateStripOracle,
     "dedup_span_remove" -> dedupSpanRemoveOracle,
     "contamination_fuzzy" -> contaminationFuzzyOracle,

@@ -515,4 +515,46 @@ class DedupOpsSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("dedup_lsh_tune: nested-band containment makes counts monotone in bands; capture(8×6)=1; theory matches formula") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    // crafted corpus: an identical pair (J=1 — every config must both
+    // candidate AND find it), a moderately-similar pair (distinct md5
+    // shingle streams overlap ~50%), and a disjoint singleton
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val half = ((0 until 20).map(i => s"w$i") ++
+      (0 until 24).map(i => s"x$i")).mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, half),
+      (4L, (0 until 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = graft.ops.DedupOps.dedupLshTuneFrom(s, docs).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 4, 8), "one row per config, band-ordered")
+    val byBands = rows.map(r => r.getInt(0) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    // a (2×24) band match is md5-equality of 24 consecutive hashes, which
+    // implies its nested (4×12) and (8×6) sub-band matches — candidate
+    // sets are supersets as bands grow, so counts are monotone and the
+    // most permissive config captures the whole union by construction
+    assert(byBands(2)._1 <= byBands(4)._1 && byBands(4)._1 <= byBands(8)._1,
+      s"n_candidates not monotone in bands: $byBands")
+    assert(byBands(2)._2 <= byBands(4)._2 && byBands(4)._2 <= byBands(8)._2,
+      s"n_found not monotone in bands: $byBands")
+    assert(byBands(8)._3 == 1.0, s"capture(8x6) must be exactly 1: $byBands")
+    // the identical pair has all 48 hashes equal → candidate + J=1 find
+    // in EVERY config
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(3) >= 1L,
+        s"identical pair missed by (${r.getInt(0)}x${r.getInt(1)})")
+    }
+    // theory columns are the closed form, not data-dependent
+    rows.foreach { r =>
+      val (b, rr) = (r.getInt(0), r.getInt(1))
+      def p(j: Double) = BigDecimal(1.0 - math.pow(1.0 - math.pow(j, rr), b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(6) == p(0.8) && r.getDouble(7) == p(0.95))
+    }
+  }
 }

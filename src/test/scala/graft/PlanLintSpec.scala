@@ -37,6 +37,7 @@ class PlanLintSpec extends AnyFunSuite {
     "mmr_rerank",      // NQueries-row query-vector broadcast feeding the scorer
     "incremental_ivf", // L-row frozen-centroid broadcast per era assignment
     "ann_truncated_recall", // NQueries-row query broadcast, both rankings
+    "dedup_lsh_tune",  // 1-row capture-denominator cross join
     "model_calibration", // 1-row weight + 1-row μ/σ + ≤10-row ECE broadcasts
     "token_budget_fill", // 1-row corpus-total + 1-row water-level broadcasts
     "dedup_minhash_lsh", "dedup_minhash_shingle", "dedup_ngram_jaccard",
@@ -277,10 +278,15 @@ class PlanLintSpec extends AnyFunSuite {
       "ann_truncated_recall" -> 7, // two per-query top-K windows + overlap
                                   // semi-join + per-query agg (+sort);
                                   // both rankings ride one broadcast pass
-      "quality_ablation" -> 7)    // the corpus_curation flag joins + ONE
+      "quality_ablation" -> 7,    // the corpus_curation flag joins + ONE
                                   // 15-column aggregate melted to 5 rows
                                   // (the five-way union form re-derived
                                   // the pipeline per rule: 35 exchanges)
+      "dedup_lsh_tune" -> 14)     // 3 configs × (band join + pair
+                                  // distinct) off ONE signature pass +
+                                  // per-config agg + union-truth distinct
+                                  // + 1-row denominator (+sort) — a
+                                  // tuning-time query, not a serving path
     val offenders = budget.flatMap { case (name, maxEx) =>
       // count ALL shuffle exchanges — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
