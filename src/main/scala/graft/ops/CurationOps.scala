@@ -644,7 +644,211 @@ object CurationOps {
        |SELECT rule, n_flagged, n_exclusive, flagged_tokens
        |FROM rules ORDER BY rule""".stripMargin
 
+  /** Per-source dataset card — the summary table a corpus release ships
+    * with (Datasheets for Datasets, Gebru et al. 2021; every HF dataset
+    * card's "composition" section): for each source, volume (docs /
+    * whitespace tokens / mean chars), language profile (distinct langs,
+    * dominant lang and its share), and the curation-risk columns (share
+    * flagged low-quality, repetitive, near-dup-cluster drop). One row per
+    * source, every number derived from the SAME per-doc frames the
+    * curation queries consume — so the card provably describes the corpus
+    * the pipeline actually trains on, not a parallel re-derivation.
+    *
+    * Scale shape: all inputs are doc_id-keyed co-partitioned joins; the
+    * rollup is ONE map-side-combined groupBy(source); the dominant-lang
+    * argmax windows over the (source, lang) count table — |sources|×|langs|
+    * rows, bounded by construction, never the corpus. The cluster-drop
+    * join is a left join against only the DROPPED ids (strictly smaller
+    * than the clustered set). Like the other cluster consumers, the CC
+    * propagation jobs run at construction.
+    */
+  def dataCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val flags = docs
+      .join(TextOps.tokenCount(s, dir)
+        .select(col("doc_id"), col("ws_tokens")), "doc_id")
+      .join(TextOps.textQuality(s, dir)
+        .select(col("doc_id"), col("low_quality")), "doc_id")
+      .join(TextOps.textRepetition(s, dir)
+        .select(col("doc_id"), col("repetitive")), "doc_id")
+      .join(ClusterOps.dedupClusters(s, dir)
+        .filter(!col("keep")).select(col("doc_id"), lit(true).as("c0")),
+        Seq("doc_id"), "left")
+      .withColumn("dup", coalesce(col("c0"), lit(false)))
+    val base = flags.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("ws_tokens")).cast("long").as("ws_tokens"),
+      round(avg(col("n_chars")), 2).as("avg_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      round(avg(when(col("low_quality"), 1).otherwise(0)), 4)
+        .as("pct_low_quality"),
+      round(avg(when(col("repetitive"), 1).otherwise(0)), 4)
+        .as("pct_repetitive"),
+      round(avg(when(col("dup"), 1).otherwise(0)), 4).as("pct_cluster_dup"))
+    val langCounts = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("lang"))
+    val topLang = langCounts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("cnt").as("top_cnt"))
+    base.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("ws_tokens"),
+        col("avg_chars"), col("n_langs"), col("top_lang"),
+        round(col("top_cnt") / col("n_docs"), 4).as("top_lang_share"),
+        col("pct_low_quality"), col("pct_repetitive"),
+        col("pct_cluster_dup"))
+      .orderBy("source")
+  }
+
+  val dataCardOracle: String =
+    s"""WITH f AS (
+       |  SELECT d.doc_id, d.source, d.lang, d.n_chars, t.ws_tokens,
+       |         q.low_quality, r.repetitive,
+       |         d.doc_id IN (SELECT doc_id FROM
+       |           (${ClusterOps.dedupClustersOracle}) WHERE NOT keep) AS dup
+       |  FROM documents d
+       |  JOIN (SELECT doc_id, ws_tokens
+       |        FROM (${TextOps.tokenCountOracle})) t USING (doc_id)
+       |  JOIN (SELECT doc_id, low_quality
+       |        FROM (${TextOps.textQualityOracle})) q USING (doc_id)
+       |  JOIN (SELECT doc_id, repetitive
+       |        FROM (${TextOps.textRepetitionOracle})) r USING (doc_id)),
+       |base AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+       |         round(avg(n_chars), 2) AS avg_chars,
+       |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |         round(avg(CASE WHEN low_quality THEN 1 ELSE 0 END), 4)
+       |           AS pct_low_quality,
+       |         round(avg(CASE WHEN repetitive THEN 1 ELSE 0 END), 4)
+       |           AS pct_repetitive,
+       |         round(avg(CASE WHEN dup THEN 1 ELSE 0 END), 4)
+       |           AS pct_cluster_dup
+       |  FROM f GROUP BY source),
+       |lc AS (SELECT source, lang, count(*) AS cnt
+       |       FROM documents GROUP BY source, lang),
+       |tl AS (SELECT source, lang AS top_lang, cnt AS top_cnt FROM (
+       |  SELECT source, lang, cnt,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY cnt DESC, lang) AS rk
+       |  FROM lc) WHERE rk = 1)
+       |SELECT b.source, b.n_docs, b.ws_tokens, b.avg_chars, b.n_langs,
+       |       t.top_lang, round(t.top_cnt / b.n_docs, 4) AS top_lang_share,
+       |       b.pct_low_quality, b.pct_repetitive, b.pct_cluster_dup
+       |FROM base b JOIN tl t USING (source) ORDER BY b.source""".stripMargin
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, reduced to its
+    * one-proxy-pass core): domains whose documents score WORSE under the
+    * corpus-level reference model get up-weighted relative to their token
+    * share — the "excess loss" signal DoReMi's group-DRO inner loop
+    * estimates, here in its single-round closed form. Proxy loss is the
+    * corpus-trained add-one-smoothed bigram LM ([[TextOps.bigramLmScore]]'s
+    * algebra, full corpus instead of top-20): loss_d = −avg log P(w₂|w₁).
+    * Per source: excess = max(loss_src − loss_corpus, 0), raw weight =
+    * token_share · exp(excess) (τ = 1), normalized across sources, and a
+    * 10M-token epoch budget apportioned by the result — directly
+    * comparable to [[sourceMixture]]'s temperature flattening, which
+    * reweights by SIZE alone while this reweights by LEARNABILITY.
+    *
+    * Scale shape: the LM statistics are the bigram pipeline's two keyed
+    * aggregations (map-side combined; the (w, w2) count table is the
+    * Zipf-bounded vocabulary square, not the corpus); everything after
+    * per-doc scoring is |sources| rows, normalizers attached as broadcast
+    * 1-row aggregates — no unpartitioned window, nothing collects. Per-doc
+    * log-probs 6-rounded before the source rollup so both engines rank
+    * and average identical values.
+    */
+  def domainReweight(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(split(DedupOps.normText(col("text")), " "))
+          .as(Seq("pos", "w")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("source"), col("w"), col("w2"))
+    val bigramCounts = bigrams.groupBy(col("w"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uniCounts = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct(col("w")).as("v"))
+    val perDoc = bigrams
+      .join(bigramCounts, Seq("w", "w2"))
+      .join(uniCounts, Seq("w"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(round(-avg(log((col("c12") + lit(1.0)) / (col("c1") + col("v")))), 6)
+        .as("loss"))
+    val baseline = perDoc.agg(round(avg(col("loss")), 6).as("baseline"))
+    val perSource = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("loss")), 6).as("proxy_loss"))
+    val tokens = TextOps.tokenCount(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(col("ws_tokens")).cast("long").as("n_tokens"))
+    val totTokens = tokens.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val raw = perSource.join(tokens, "source")
+      .crossJoin(broadcast(baseline))
+      .crossJoin(broadcast(totTokens))
+      .withColumn("excess",
+        round(greatest(col("proxy_loss") - col("baseline"), lit(0.0)), 6))
+      .withColumn("rw",
+        (col("n_tokens") / col("tot_tokens")) * exp(col("excess")))
+    val rwTot = raw.agg(sum(col("rw")).as("rw_tot"))
+    raw.crossJoin(broadcast(rwTot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("proxy_loss"), col("excess"),
+        round(col("rw") / col("rw_tot"), 6).as("weight"),
+        round(lit(1e7) * col("rw") / col("rw_tot"), 0)
+          .cast("long").as("epoch_tokens"))
+      .orderBy("source")
+  }
+
+  val domainReweightOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, i AS pos, t[i] AS w
+       |  FROM (SELECT doc_id, source,
+       |               string_split(${DedupOps.normTextOracle("text")}, ' ') AS t
+       |        FROM documents),
+       |       LATERAL unnest(generate_series(1, len(t))) u(i)),
+       |bg AS (
+       |  SELECT doc_id, source, w,
+       |         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM toks),
+       |bg2 AS (SELECT doc_id, source, w, w2 FROM bg WHERE w2 IS NOT NULL),
+       |bc AS (SELECT w, w2, count(*) AS c12 FROM bg2 GROUP BY w, w2),
+       |uc AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+       |v AS (SELECT count(DISTINCT w) AS v FROM toks),
+       |perdoc AS (
+       |  SELECT doc_id, source,
+       |         round(-avg(ln((c12 + 1.0) / (c1 + v))), 6) AS loss
+       |  FROM bg2 JOIN bc USING (w, w2) JOIN uc USING (w), v
+       |  GROUP BY doc_id, source),
+       |base AS (SELECT round(avg(loss), 6) AS baseline FROM perdoc),
+       |src AS (SELECT source, count(*) AS n_docs,
+       |               round(avg(loss), 6) AS proxy_loss
+       |        FROM perdoc GROUP BY source),
+       |tok AS (SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS n_tokens
+       |        FROM (${TextOps.tokenCountOracle}) GROUP BY source),
+       |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM tok),
+       |raw AS (
+       |  SELECT s.source, s.n_docs, t.n_tokens, s.proxy_loss,
+       |         round(greatest(s.proxy_loss - b.baseline, 0.0), 6) AS excess,
+       |         (t.n_tokens / tt.tot_tokens) *
+       |           exp(round(greatest(s.proxy_loss - b.baseline, 0.0), 6)) AS rw
+       |  FROM src s JOIN tok t USING (source), base b, tt),
+       |rt AS (SELECT sum(rw) AS rw_tot FROM raw)
+       |SELECT source, n_docs, n_tokens, proxy_loss, excess,
+       |       round(rw / rt.rw_tot, 6) AS weight,
+       |       CAST(round(1e7 * rw / rt.rw_tot, 0) AS BIGINT) AS epoch_tokens
+       |FROM raw, rt ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_card" -> (dataCard _),
+    "domain_reweight" -> (domainReweight _),
     "quality_ablation" -> (qualityAblation _),
     "token_budget_fill" -> (tokenBudgetFill _),
     "ngram_novelty" -> (ngramNovelty _),
@@ -659,6 +863,8 @@ object CurationOps {
     "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
+    "data_card" -> dataCardOracle,
+    "domain_reweight" -> domainReweightOracle,
     "quality_ablation" -> qualityAblationOracle,
     "token_budget_fill" -> tokenBudgetFillOracle,
     "ngram_novelty" -> ngramNoveltyOracle,

@@ -1825,7 +1825,279 @@ object SimilarityOps {
        |FROM q LEFT JOIN ov ON ov.query_id = q.query_id
        |ORDER BY q.query_id""".stripMargin
 
+  /** Hard-negative mining for contrastive training — the step every
+    * embedding-model data pipeline runs between "collect pairs" and
+    * "train" (DPR's BM25 negatives, SimCSE's in-batch upgrade): for each
+    * query vector, the 3 most-similar vectors with a DIFFERENT label (the
+    * hardest negatives), next to the query's hardest POSITIVE (max
+    * same-label cosine). margin = pos_cos − neg_cos; a NEGATIVE margin
+    * means that negative outranks every positive — exactly the example a
+    * contrastive loss most needs to see, and the rows a curriculum would
+    * schedule first.
+    *
+    * Scale shape: one broadcast-queries × partitioned-corpus pass (the
+    * [[annCosineTopk]] skeleton); the negative top-k (per-query window)
+    * and the positive max (map-side-combined aggregate) both ride that
+    * single scored pass, so the corpus is scanned once. Cosines 6-rounded
+    * before ranking ([[annHubness]] boundary argument).
+    */
+  def hardNegativeMining(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val scored = emb.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"),
+        col("vec_id").as("neighbor_id"), col("label"),
+        round(dot(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val topNeg = scored.filter(col("label") =!= col("qlabel"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+    val bestPos = scored.filter(col("label") === col("qlabel"))
+      .groupBy(col("query_id")).agg(max(col("cos")).as("pc"))
+    topNeg.join(bestPos, "query_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("label").as("neg_label"),
+        round(col("cos"), 4).as("neg_cos"),
+        round(col("pc"), 4).as("pos_cos"),
+        round(col("pc") - col("cos"), 4).as("margin"))
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegativeMiningOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |           sqrt(list_sum(list_transform(embedding,
+       |             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
+       |      WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label,
+       |         round(list_sum(list_transform(generate_series(1, len(e.v)),
+       |           i -> q.qv[i] * e.v[i])), 6) AS cos
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |neg AS (SELECT query_id, rank, neighbor_id, label, cos FROM (
+       |  SELECT query_id, neighbor_id, label, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored WHERE label <> qlabel) WHERE rank <= 3),
+       |pos AS (SELECT query_id, max(cos) AS pc FROM scored
+       |        WHERE label = qlabel GROUP BY query_id)
+       |SELECT n.query_id, n.rank, n.neighbor_id, n.label AS neg_label,
+       |       round(n.cos, 4) AS neg_cos, round(p.pc, 4) AS pos_cos,
+       |       round(p.pc - n.cos, 4) AS margin
+       |FROM neg n JOIN pos p USING (query_id)
+       |ORDER BY n.query_id, n.rank""".stripMargin
+
+  /** Retrieval-quality metrics table — the evaluation harness that sits
+    * next to every ANN index choice: for each approximate method, macro-
+    * averaged recall@K, MRR@K and nDCG@K against the exact full-dimension
+    * cosine top-K. Methods here are the two cheap transliterable index
+    * shapes: `ivf_nprobe1` (candidates = query's own label bucket, ranked
+    * by full cosine — [[annIvfTopk]]'s shape) and `trunc32` (all
+    * candidates ranked by the re-normalized 32-dim prefix cosine —
+    * [[annTruncatedRecall]]'s shape). Binary relevance (membership in the
+    * exact top-K); nDCG uses the standard 1/log2(rank+1) gains, so it
+    * rewards putting the true neighbors EARLY, which recall alone cannot
+    * see — the reason both columns exist.
+    *
+    * Scale shape: every ranking rides the one broadcast-queries ×
+    * partitioned-corpus scored pass; the metric algebra after the top-K
+    * windows touches O(methods × queries × K) rows only. Per-query
+    * metrics 6-rounded, macro averages 4-rounded, identically in both
+    * engines.
+    */
+  def retrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        toDoubleArray(col("embedding")).as("full"))
+      .select(col("vec_id"), col("label"), normalize(col("full")).as("v"),
+        normalize(slice(col("full"), 1, 32)).as("t"))
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("t").as("qt"))
+    val scored = emb.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id").as("nid"),
+        col("label"),
+        round(dot(col("qv"), col("v")), 6).as("cf"),
+        round(dot(col("qt"), col("t")), 6).as("ct"))
+    def topk(df: DataFrame, scoreCol: String): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(scoreCol).desc, col("nid"))
+      df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("rank"), col("nid"))
+    }
+    val exact = topk(scored, "cf").select(col("query_id"), col("nid"))
+    val runs = topk(scored.filter(col("label") === col("qlabel")), "cf")
+        .withColumn("method", lit("ivf_nprobe1"))
+      .unionByName(topk(scored, "ct").withColumn("method", lit("trunc32")))
+    val judged = runs
+      .join(exact.withColumn("rel", lit(1)), Seq("query_id", "nid"), "left")
+      .na.fill(0, Seq("rel"))
+    // idcg spelled as the same 1/log2(i+1) chain the oracle uses, so both
+    // engines share any last-ulp log2 behavior instead of diverging on it
+    val idcg = (1 to K).map(i => lit(1.0) / log2(lit((i + 1).toDouble)))
+      .reduce(_ + _)
+    val perQuery = judged.groupBy(col("method"), col("query_id")).agg(
+      round(sum(col("rel")) / lit(K.toDouble), 6).as("recall"),
+      round(coalesce(max(col("rel") / col("rank")), lit(0.0)), 6).as("rr"),
+      round(sum(col("rel") / log2(col("rank") + 1)) / idcg, 6).as("ndcg"))
+    perQuery.groupBy(col("method")).agg(
+        count(lit(1)).as("n_queries"),
+        round(avg(col("recall")), 4).as("mean_recall"),
+        round(avg(col("rr")), 4).as("mean_mrr"),
+        round(avg(col("ndcg")), 4).as("mean_ndcg"))
+      .orderBy("method")
+  }
+
+  val retrievalMetricsOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |           sqrt(list_sum(list_transform(embedding,
+       |             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v,
+       |         list_transform(embedding[1:32], x -> CAST(x AS DOUBLE) /
+       |           sqrt(list_sum(list_transform(embedding[1:32],
+       |             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS t
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, t AS qt
+       |      FROM e WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.query_id, q.qlabel, e.vec_id AS nid, e.label,
+       |         round(list_sum(list_transform(generate_series(1, len(e.v)),
+       |           i -> q.qv[i] * e.v[i])), 6) AS cf,
+       |         round(list_sum(list_transform(generate_series(1, len(e.t)),
+       |           i -> q.qt[i] * e.t[i])), 6) AS ct
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |exact AS (SELECT query_id, nid FROM (
+       |  SELECT query_id, nid, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cf DESC, nid) AS rk FROM scored) WHERE rk <= $K),
+       |runs AS (
+       |  SELECT 'ivf_nprobe1' AS method, query_id, rank, nid FROM (
+       |    SELECT query_id, nid, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cf DESC, nid) AS rank
+       |    FROM scored WHERE label = qlabel) WHERE rank <= $K
+       |  UNION ALL
+       |  SELECT 'trunc32' AS method, query_id, rank, nid FROM (
+       |    SELECT query_id, nid, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ct DESC, nid) AS rank
+       |    FROM scored) WHERE rank <= $K),
+       |judged AS (
+       |  SELECT r.method, r.query_id, r.rank,
+       |         CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS rel
+       |  FROM runs r LEFT JOIN exact x
+       |    ON x.query_id = r.query_id AND x.nid = r.nid),
+       |perq AS (
+       |  SELECT method, query_id,
+       |         round(sum(rel) / ${K.toDouble}, 6) AS recall,
+       |         round(coalesce(max(rel / rank), 0.0), 6) AS rr,
+       |         round(sum(rel / log2(rank + 1)) /
+       |           (1.0/log2(2.0) + 1.0/log2(3.0) + 1.0/log2(4.0) +
+       |            1.0/log2(5.0) + 1.0/log2(6.0)), 6) AS ndcg
+       |  FROM judged GROUP BY method, query_id)
+       |SELECT method, count(*) AS n_queries,
+       |       round(avg(recall), 4) AS mean_recall,
+       |       round(avg(rr), 4) AS mean_mrr,
+       |       round(avg(ndcg), 4) AS mean_ndcg
+       |FROM perq GROUP BY method ORDER BY method""".stripMargin
+
+  /** Greedy k-center coreset selection (Gonzalez 1985's farthest-first
+    * traversal, the 2-approximation every coreset-based data-selection
+    * pipeline starts from): seed with vec_id 0, then each round add the
+    * corpus point FARTHEST (max-min cosine distance, min-vec_id
+    * tie-break) from the already-selected set. The emitted `dist` column
+    * is each center's distance to the prior set at selection time — a
+    * non-increasing sequence whose tail is the covering radius, i.e. the
+    * "how redundant is my corpus" curve a data-selection budget is read
+    * off of.
+    *
+    * Scale shape: the selected set is tiny (≤ rounds rows), so each round
+    * broadcasts it as ONE collected-struct row and the min-over-centers
+    * is a narrow `array_min(transform(...))` map over the partitioned
+    * corpus — no shuffle at all; the round reduces to a single max_by
+    * aggregate (partial-combined, ties broken by vec_id inside the
+    * comparison struct so the argmax is order-independent). R rounds = R
+    * corpus scans, the greedy algorithm's honest cost; centers are
+    * `localCheckpoint`ed per round so lineage stays flat
+    * ([[kmeansIterate]] discipline — jobs run at construction).
+    * Distances 6-rounded before comparison ([[annHubness]] boundary
+    * argument); display 4-rounded.
+    */
+  def kcenterCoreset(s: SparkSession, dir: String,
+      rounds: Int = 6): DataFrame = {
+    val emb = embeddings(s, dir).select(col("vec_id"), col("v"))
+    var centers = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        lit(1).as("round"), lit(0.0).as("dist"))
+      .localCheckpoint()
+    for (r <- 2 to rounds) {
+      val cs = centers.agg(collect_list(struct(col("cv"))).as("cs"))
+      val sel = emb.crossJoin(broadcast(cs))
+        .select(col("vec_id"), col("v"),
+          array_min(transform(col("cs"), c =>
+            round(lit(1.0) - dot(c.getField("cv"), col("v")), 6))).as("md"))
+        .agg(max_by(
+          struct(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("md").as("dist")),
+          struct(col("md"), (-col("vec_id")).as("tb"))).as("sel"))
+        .select(col("sel.c_id").as("c_id"), col("sel.cv").as("cv"),
+          lit(r).as("round"), col("sel.dist").as("dist"))
+      centers = centers.unionByName(sel).localCheckpoint()
+    }
+    centers.select(col("round"), col("c_id").as("vec_id"),
+        round(col("dist"), 4).as("dist"))
+      .orderBy("round")
+  }
+
+  /** CTE-unrolled transliteration of [[kcenterCoreset]]: round r's
+    * min-distance table joins the union of centers 1..r−1 and its argmax
+    * is `ORDER BY md DESC, vec_id LIMIT 1` — the same (md, vec_id)
+    * comparison the Spark max_by struct encodes.
+    */
+  val kcenterCoresetOracle: String = {
+    val rounds = 6
+    def dotE = "round(1.0 - list_sum(list_transform(" +
+      "generate_series(1, len(e.v)), i -> c.cv[i] * e.v[i])), 6)"
+    val ctes = new StringBuilder(
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |           sqrt(list_sum(list_transform(embedding,
+         |             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+         |  FROM embeddings),
+         |c1 AS (SELECT vec_id AS c_id, v AS cv, 1 AS round, 0.0 AS dist
+         |       FROM e WHERE vec_id = 0)""".stripMargin)
+    for (r <- 2 to rounds) {
+      val prior = (1 until r).map(i => s"SELECT c_id, cv FROM c$i")
+        .mkString(" UNION ALL ")
+      ctes.append(s""",
+         |c$r AS (
+         |  SELECT vec_id AS c_id, v AS cv, $r AS round, md AS dist FROM (
+         |    SELECT e.vec_id, e.v, min($dotE) AS md
+         |    FROM e, ($prior) c GROUP BY e.vec_id, e.v)
+         |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin)
+    }
+    val all = (1 to rounds)
+      .map(i => s"SELECT round, c_id, dist FROM c$i")
+      .mkString(" UNION ALL ")
+    ctes.append(s"""
+       |SELECT round, c_id AS vec_id, round(dist, 4) AS dist
+       |FROM ($all) ORDER BY round""".stripMargin)
+    ctes.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kcenter_coreset" -> ((s: SparkSession, dir: String) =>
+      kcenterCoreset(s, dir)),
+    "hard_negative_mining" -> (hardNegativeMining _),
+    "retrieval_metrics" -> (retrievalMetrics _),
     "ann_truncated_recall" -> (annTruncatedRecall _),
     "ann_hubness" -> (annHubness _),
     "incremental_ivf" -> (incrementalIvf _),
@@ -1850,6 +2122,9 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "kcenter_coreset" -> kcenterCoresetOracle,
+    "hard_negative_mining" -> hardNegativeMiningOracle,
+    "retrieval_metrics" -> retrievalMetricsOracle,
     "ann_truncated_recall" -> annTruncatedRecallOracle,
     "ann_hubness" -> annHubnessOracle,
     "incremental_ivf" -> incrementalIvfOracle,

@@ -159,4 +159,53 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(rows(_)._2).sum
     assert(excl <= rows("any")._1, "Σ exclusives cannot exceed the joint kill")
   }
+
+  test("domain_reweight: weights normalize, excess is floored at zero, " +
+    "and up-weighting tracks excess loss") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CurationOps.domainReweight(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_.getDouble(5)).sum
+    assert(math.abs(wSum - 1.0) < 1e-3, s"Σweight = $wSum")
+    val tokTotal = rows.map(_.getLong(2)).sum.toDouble
+    rows.foreach { r =>
+      val (src, nTokens, loss, excess, weight, epoch) =
+        (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getLong(6))
+      assert(excess >= 0.0, src)
+      assert(loss > 0.0, s"$src: neg-log-prob proxy loss must be positive")
+      // weight ∝ share·exp(excess): zero-excess sources land at or below
+      // their token share after normalization (Σ rw >= Σ share = 1), and
+      // the epoch budget is just the weight scaled to 10M
+      val share = nTokens / tokTotal
+      if (excess == 0.0) assert(weight <= share + 1e-6, src)
+      assert(math.abs(epoch - weight * 1e7) <= 1e7 * 5e-7 + 1.0, src)
+    }
+    // at least one source must carry positive excess (it is a max-vs-mean)
+    assert(rows.exists(_.getDouble(4) > 0.0))
+  }
+
+  test("data_card: volumes reconcile with the corpus and the lang profile " +
+    "is internally consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CurationOps.dataCard(spark, dir).collect()
+    val docs = Tables(spark, dir, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count(),
+      "Σ n_docs must cover the corpus")
+    val langBySource = docs.groupBy("source")
+      .agg(org.apache.spark.sql.functions.countDistinct("lang").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (src, nDocs, nLangs, share) =
+        (r.getString(0), r.getLong(1), r.getLong(4), r.getDouble(6))
+      assert(nLangs == langBySource(src))
+      // dominant-language share is bounded by [1/n_langs, 1]
+      assert(share <= 1.0 && share >= 1.0 / nLangs.toDouble - 1e-4, src)
+      Seq(7, 8, 9).foreach { i =>
+        val pct = r.getDouble(i)
+        assert(pct >= 0.0 && pct <= 1.0, s"$src col $i")
+      }
+      assert(nDocs > 0)
+    }
+  }
 }
