@@ -776,6 +776,9 @@ object CurationOps {
       .agg(count(lit(1)).as("c12"))
     val uniCounts = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val vocab = toks.agg(countDistinct(col("w")).as("v"))
+    // one row per doc — materialized once so the baseline and per-source
+    // branches don't each re-plan the whole bigram pipeline (36→~8
+    // exchanges; the [[ClusterOps]] construction-time-job discipline)
     val perDoc = bigrams
       .join(bigramCounts, Seq("w", "w2"))
       .join(uniCounts, Seq("w"))
@@ -783,6 +786,7 @@ object CurationOps {
       .groupBy(col("doc_id"), col("source"))
       .agg(round(-avg(log((col("c12") + lit(1.0)) / (col("c1") + col("v")))), 6)
         .as("loss"))
+      .localCheckpoint()
     val baseline = perDoc.agg(round(avg(col("loss")), 6).as("baseline"))
     val perSource = perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("loss")), 6).as("proxy_loss"))

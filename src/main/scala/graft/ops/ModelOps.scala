@@ -430,7 +430,11 @@ object ModelOps {
     * score+bin = one narrow pass, the reliability table is ≤ 10 rows —
     * nothing after the corpus aggregate exceeds bin count.
     */
-  def modelCalibration(s: SparkSession, dir: String): DataFrame = {
+  /** The (p, y) score frame [[modelCalibration]] audits — factored so
+    * [[modelAuc]] ranks the SAME scores the reliability diagram bins
+    * (an AUC of a different score column would audit a different model).
+    */
+  private def calibrationScores(s: SparkSession, dir: String): DataFrame = {
     val f = features(s, dir)
       .select(col("x1"), col("x2"), (col("y") > 5.49).cast("double").as("y"))
     def step(b: Column, w1: Column, w2: Column)(src: DataFrame): DataFrame = {
@@ -451,32 +455,16 @@ object ModelOps {
         col("b") + col("w1") * col("x1") + col("w2") * col("x2"))
     val mz = zs.agg(round(avg(col("z")), 6).as("mz"),
       round(stddev_samp(col("z")), 6).as("sz"))
-    val scored = zs.crossJoin(broadcast(mz))
+    zs.crossJoin(broadcast(mz))
       .withColumn("p", round(lit(1.0) / (lit(1.0) +
         exp(lit(-2.0) * (col("z") - col("mz")) / col("sz"))), 6))
-    // (i+1)/10.0 — one correctly-rounded division, bit-identical to the
-    // oracle's decimal literal (0.1+0.2-style accumulation is NOT)
-    val bin = (1 to 9).foldLeft(when(col("p") < 0.1, lit(0))) {
-      (acc, i) => acc.when(col("p") < lit((i + 1) / 10.0), lit(i))
-    }.otherwise(lit(9))
-    val bins = scored.withColumn("bin", bin)
-      .groupBy(col("bin")).agg(
-        count(lit(1)).as("n"),
-        round(avg(col("p")), 4).as("confidence"),
-        round(avg(col("y")), 4).as("accuracy"))
-      .withColumn("gap", round(abs(col("accuracy") - col("confidence")), 4))
-    val ece = bins.agg(
-      round(sum(col("n") * col("gap")) / sum(col("n")), 6).as("ece"))
-    bins.crossJoin(broadcast(ece))
-      .select(col("bin"), col("n"), col("confidence"), col("accuracy"),
-        col("gap"), col("ece"))
-      .orderBy("bin")
   }
 
-  val modelCalibrationOracle: String = {
-    val binCase = "CASE " + (0 to 8).map(i =>
-      s"WHEN p < ${(i + 1) / 10.0} THEN $i").mkString(" ") + " ELSE 9 END"
-    s"""WITH f AS (
+  /** The shared WITH-body producing `scored(p, y)` — spliced into both
+    * [[modelCalibrationOracle]] and [[modelAucOracle]].
+    */
+  private val calibrationScoredCte: String =
+    s"""f AS (
        |  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
        |         CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
        |         CASE WHEN CAST(n_chars AS DOUBLE)
@@ -507,7 +495,33 @@ object ModelOps {
        |scored AS (
        |  SELECT round(1.0 / (1.0 +
        |           exp(-2.0 * (z - mz.mz) / mz.sz)), 6) AS p, y
-       |  FROM zs, mz),
+       |  FROM zs, mz)""".stripMargin
+
+  def modelCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = calibrationScores(s, dir)
+    // (i+1)/10.0 — one correctly-rounded division, bit-identical to the
+    // oracle's decimal literal (0.1+0.2-style accumulation is NOT)
+    val bin = (1 to 9).foldLeft(when(col("p") < 0.1, lit(0))) {
+      (acc, i) => acc.when(col("p") < lit((i + 1) / 10.0), lit(i))
+    }.otherwise(lit(9))
+    val bins = scored.withColumn("bin", bin)
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        round(avg(col("p")), 4).as("confidence"),
+        round(avg(col("y")), 4).as("accuracy"))
+      .withColumn("gap", round(abs(col("accuracy") - col("confidence")), 4))
+    val ece = bins.agg(
+      round(sum(col("n") * col("gap")) / sum(col("n")), 6).as("ece"))
+    bins.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("confidence"), col("accuracy"),
+        col("gap"), col("ece"))
+      .orderBy("bin")
+  }
+
+  val modelCalibrationOracle: String = {
+    val binCase = "CASE " + (0 to 8).map(i =>
+      s"WHEN p < ${(i + 1) / 10.0} THEN $i").mkString(" ") + " ELSE 9 END"
+    s"""WITH $calibrationScoredCte,
        |bins AS (
        |  SELECT $binCase AS bin, count(*) AS n,
        |         round(avg(p), 4) AS confidence,
@@ -522,7 +536,69 @@ object ModelOps {
        |FROM g, e ORDER BY bin""".stripMargin
   }
 
+  /** Ranking-quality audit of the same quality-model scores
+    * [[modelCalibration]] bins: tie-corrected AUC (the Mann–Whitney U
+    * statistic — the probability a random positive outranks a random
+    * negative) plus its Gini rescaling. Calibration and AUC are the two
+    * orthogonal halves of "can this score drive curation": ECE says the
+    * VALUES are honest, AUC says the ORDER is useful (a percentile cut
+    * like [[TextOps.quality_percentile_cut]] only needs the order).
+    *
+    * Scale shape: no per-row ranking anywhere — scores are 6-rounded, so
+    * grouping by score value yields a histogram bounded by 10⁶+1 rows
+    * REGARDLESS of corpus size, and the cumulative-negatives window runs
+    * unpartitioned over that bounded aggregate (the
+    * [[AnalyticsOps]]/global_rank histogram-cumsum discipline,
+    * whitelisted in PlanLintSpec with this bound). U = Σ_p np·(nn_below +
+    * nn_p/2); every term is an integer or half-integer, so the double
+    * arithmetic is EXACT — no float-order sensitivity in the sum.
+    */
+  def modelAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = calibrationScores(s, dir)
+    val hist = scored.groupBy(col("p")).agg(
+      sum(col("y")).as("np"), sum(lit(1.0) - col("y")).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withCum = hist.withColumn("cum_nn",
+      coalesce(sum(col("nn")).over(w), lit(0.0)))
+    // n_pos/n_neg fold out of the histogram itself — no second pass over
+    // the scoring pipeline (it would re-plan the whole GD chain)
+    withCum
+      .agg(sum(col("np") * (col("cum_nn") + col("nn") / 2)).as("u"),
+        sum(col("np")).as("np_tot"), sum(col("nn")).as("nn_tot"),
+        count(lit(1)).as("n_scores"))
+      .select(
+        col("np_tot").cast("long").as("n_pos"),
+        col("nn_tot").cast("long").as("n_neg"),
+        col("n_scores"),
+        round(col("u") / (col("np_tot") * col("nn_tot")), 6).as("auc"),
+        round(lit(2.0) * col("u") / (col("np_tot") * col("nn_tot")) - 1.0, 6)
+          .as("gini"))
+  }
+
+  val modelAucOracle: String =
+    s"""WITH $calibrationScoredCte,
+       |hist AS (
+       |  SELECT p, sum(y) AS np, sum(1.0 - y) AS nn
+       |  FROM scored GROUP BY p),
+       |c AS (
+       |  SELECT np, nn,
+       |         coalesce(sum(nn) OVER (ORDER BY p
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           0.0) AS cum_nn
+       |  FROM hist),
+       |u AS (SELECT sum(np * (cum_nn + nn / 2)) AS u,
+       |             sum(np) AS np_tot, sum(nn) AS nn_tot,
+       |             count(*) AS n_scores FROM c)
+       |SELECT CAST(np_tot AS BIGINT) AS n_pos,
+       |       CAST(nn_tot AS BIGINT) AS n_neg,
+       |       n_scores,
+       |       round(u / (np_tot * nn_tot), 6) AS auc,
+       |       round(2.0 * u / (np_tot * nn_tot) - 1.0, 6) AS gini
+       |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "model_auc" -> (modelAuc _),
     "model_calibration" -> (modelCalibration _),
     "linreg_2step" -> (linreg2Step _),
     "logreg_2step" -> (logreg2Step _),
@@ -532,6 +608,7 @@ object ModelOps {
     "model_eval" -> (modelEval _))
 
   val oracles: Map[String, String] = Map(
+    "model_auc" -> modelAucOracle,
     "model_calibration" -> modelCalibrationOracle,
     "linreg_2step" -> linreg2StepOracle,
     "logreg_2step" -> logreg2StepOracle,

@@ -82,4 +82,50 @@ class ModelOpsSpec extends AnyFunSuite {
       assert(gap >= 0 && ece >= 0 && ece <= 1)
     }
   }
+
+  test("model_auc: histogram-cumsum AUC equals the brute-force " +
+    "tie-corrected pair count, and the score actually ranks") {
+    val row = graft.ops.ModelOps.modelAuc(spark, dir).collect().head
+    val (nPos, nNeg, auc, gini) =
+      (row.getLong(0), row.getLong(1), row.getDouble(3), row.getDouble(4))
+    // brute force: P(pos > neg) + P(tie)/2 over all pos×neg pairs, on the
+    // same (p, y) frame — rebuilt from the features so a drift in the
+    // private score frame shows up as a mismatch here
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select("n_chars", "text").collect().map { r =>
+        val chars = r.getLong(0).toDouble
+        val toks = r.getString(1).split(" ", -1).length.toDouble
+        (chars / 1000.0, toks / 100.0, if (chars / toks > 5.49) 1.0 else 0.0)
+      }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def gd(b: Double, w1: Double, w2: Double) = {
+      val gs = docs.map { case (x1, x2, y) =>
+        val p = 1.0 / (1.0 + math.exp(-(b + w1 * x1 + w2 * x2)))
+        (p - y, (p - y) * x1, (p - y) * x2)
+      }
+      val n = docs.length
+      (r6(b - 0.1 * gs.map(_._1).sum / n), r6(w1 - 0.1 * gs.map(_._2).sum / n),
+        r6(w2 - 0.1 * gs.map(_._3).sum / n))
+    }
+    val (b1, w11, w21) = gd(0.0, 0.0, 0.0)
+    val (b2, w12, w22) = gd(b1, w11, w21)
+    val zs = docs.map { case (x1, x2, y) => (b2 + w12 * x1 + w22 * x2, y) }
+    val mz = r6(zs.map(_._1).sum / zs.length)
+    val sz = r6(math.sqrt(
+      zs.map(z => math.pow(z._1 - mz, 2)).sum / (zs.length - 1)))
+    val py = zs.map { case (z, y) =>
+      (r6(1.0 / (1.0 + math.exp(-2.0 * (z - mz) / sz))), y) }
+    val pos = py.filter(_._2 == 1.0).map(_._1)
+    val neg = py.filter(_._2 == 0.0).map(_._1)
+    assert(nPos == pos.length && nNeg == neg.length)
+    val u = (for (p <- pos; q <- neg)
+      yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    val expected = r6(u / (pos.length.toDouble * neg.length))
+    assert(math.abs(auc - expected) < 2e-6, s"auc $auc vs brute $expected")
+    assert(math.abs(gini - (2 * auc - 1)) < 2e-6)
+    // the model must rank better than coin-flip on this corpus — the
+    // reason the query exists
+    assert(auc > 0.5, s"score does not rank: auc = $auc")
+  }
 }

@@ -37,6 +37,11 @@ class PlanLintSpec extends AnyFunSuite {
     "mmr_rerank",      // NQueries-row query-vector broadcast feeding the scorer
     "incremental_ivf", // L-row frozen-centroid broadcast per era assignment
     "ann_truncated_recall", // NQueries-row query broadcast, both rankings
+    "hard_negative_mining", // NQueries-row query broadcast, one scored pass
+    "retrieval_metrics",    // NQueries-row query broadcast, three rankings
+    "kcenter_coreset",      // 1-row collected-centers broadcast per round
+    "domain_reweight",      // 1-row vocab/baseline/total/Σweight broadcasts
+    "model_auc",            // 1-row positives/negatives-total cross join
     "dedup_lsh_tune",  // 1-row capture-denominator cross join
     "model_calibration", // 1-row weight + 1-row μ/σ + ≤10-row ECE broadcasts
     "token_budget_fill", // 1-row corpus-total + 1-row water-level broadcasts
@@ -282,11 +287,35 @@ class PlanLintSpec extends AnyFunSuite {
                                   // 15-column aggregate melted to 5 rows
                                   // (the five-way union form re-derived
                                   // the pipeline per rule: 35 exchanges)
-      "dedup_lsh_tune" -> 14)     // 3 configs × (band join + pair
+      "dedup_lsh_tune" -> 14,     // 3 configs × (band join + pair
                                   // distinct) off ONE signature pass +
                                   // per-config agg + union-truth distinct
                                   // + 1-row denominator (+sort) — a
                                   // tuning-time query, not a serving path
+      "hard_negative_mining" -> 3, // per-query negative top-k window +
+                                  // positive max agg off ONE broadcast
+                                  // scored pass (+sort)
+      "retrieval_metrics" -> 8,   // 3 top-K windows off one scored pass +
+                                  // rel join + per-(method,query) agg +
+                                  // per-method agg (+sort)
+      "kcenter_coreset" -> 1,     // rounds materialize via localCheckpoint
+                                  // at construction; planned tail is the
+                                  // trailing sort only — each round itself
+                                  // is shuffle-free (broadcast centers +
+                                  // narrow min + 1-row max_by)
+      "domain_reweight" -> 12,    // the bigram-LM stats (doc window, pair/
+                                  // unigram/vocab aggs → checkpointed
+                                  // per-doc loss) + token agg + the
+                                  // |sources|-row weight algebra (+sort)
+      "data_card" -> 11,          // four doc-keyed flag joins + per-source
+                                  // rollup + the bounded (source, lang)
+                                  // count + argmax window + card join
+                                  // (+sort) — a release-time audit, not a
+                                  // serving path
+      "model_auc" -> 7)           // the GD/score chain's 1-row aggregates
+                                  // + score-histogram agg + the bounded
+                                  // cumsum window + final 1-row U agg —
+                                  // single corpus scan, no sort (1 row)
     val offenders = budget.flatMap { case (name, maxEx) =>
       // count ALL shuffle exchanges — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
@@ -320,7 +349,8 @@ class PlanLintSpec extends AnyFunSuite {
     "monthly_growth" -> "lag over month-cardinality (≤84) aggregate",
     "pareto_frontier" -> "prefix maxima over ≤10 price-decile-bucket rows (bucket-local running max carries the price-domain work)",
     "kaplan_meier" -> "risk-set/survival cumulatives over the duration-day aggregate (≤ the ~2,500-day TPC-H order calendar)",
-    "token_budget_fill" -> "rank/prefix over the per-source token aggregate (≤ source cardinality — 20 here, thousands at worst in production)")
+    "token_budget_fill" -> "rank/prefix over the per-source token aggregate (≤ source cardinality — 20 here, thousands at worst in production)",
+    "model_auc" -> "cumulative-negatives over the 6-rounded score histogram (p ∈ [0,1] at 6 decimals → ≤ 10⁶+1 rows regardless of corpus size)")
 
   test("unpartitioned WindowExec only over limit-bounded or whitelisted-aggregate input") {
     import org.apache.spark.sql.execution._
