@@ -644,6 +644,88 @@ object CurationOps {
        |SELECT rule, n_flagged, n_exclusive, flagged_tokens
        |FROM rules ORDER BY rule""".stripMargin
 
+  /** Per-batch source-mix audit — the "is my training order actually
+    * shuffled?" check a trainer runs before believing its loss curves:
+    * documents are dealt into 16 batches by the SAME md5 rank rule
+    * [[corpusShuffle]] orders by (first hex nibble), and each batch
+    * reports its source-distribution Shannon entropy next to the corpus
+    * marginal entropy. mix_ratio = H(batch)/H(corpus) ≈ 1 means every
+    * batch sees the full mixture (i.i.d.-like gradients); a low-entropy
+    * batch means source-correlated gradient steps — the failure mode a
+    * sequential-by-source corpus layout produces.
+    *
+    * Scale shape: one (batch, source) keyed count — map-side combined —
+    * then everything is ≤ 16×|sources| rows; the corpus marginal
+    * re-aggregates the SAME count table (never a second corpus scan) and
+    * attaches as a 1-row broadcast. Per-batch entropy terms use exact
+    * (long/long → double) shares; entropies 6-rounded, ratios 4-rounded.
+    */
+  def batchMixAudit(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit(":20260812"))
+          .cast("binary")).as("rank"))
+      .withColumn("batch",
+        (instr(lit("0123456789abcdef"), substring(col("rank"), 1, 1)) - 1)
+          .cast("int"))
+    // ≤ 16×|sources| rows — materialized once so the batch totals, the
+    // corpus marginal, and the entropy rollup all read ONE corpus scan
+    // instead of three (the [[ClusterOps]] construction-time-job
+    // discipline)
+    val bs = ranked.groupBy(col("batch"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val bt = bs.groupBy(col("batch"))
+      .agg(sum(col("cnt")).as("n_docs"), count(lit(1)).as("n_sources"))
+    val sm = bs.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+    val tot = sm.agg(sum(col("n_s")).as("n"))
+    val hCorpus = sm.crossJoin(broadcast(tot))
+      .agg((-sum((col("n_s") / col("n")) * log(col("n_s") / col("n"))))
+        .as("h_corpus"))
+    bs.join(broadcast(bt), "batch")
+      .groupBy(col("batch"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("n_sources")).as("n_sources"),
+        (-sum((col("cnt") / col("n_docs")) * log(col("cnt") / col("n_docs"))))
+          .as("h"),
+        max(col("cnt") / col("n_docs")).as("max_share"))
+      .crossJoin(broadcast(hCorpus))
+      .select(col("batch"), col("n_docs"), col("n_sources"),
+        round(col("h"), 6).as("entropy"),
+        round(col("max_share"), 4).as("max_share"),
+        round(col("h") / col("h_corpus"), 4).as("mix_ratio"))
+      .orderBy("batch")
+  }
+
+  val batchMixAuditOracle: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |         md5(CAST(doc_id AS VARCHAR) || ':20260812') AS rank
+       |  FROM documents),
+       |b AS (SELECT CAST(strpos('0123456789abcdef', substr(rank, 1, 1)) - 1
+       |               AS INT) AS batch, source
+       |      FROM ranked),
+       |bs AS (SELECT batch, source, count(*) AS cnt
+       |       FROM b GROUP BY batch, source),
+       |bt AS (SELECT batch, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       |              count(*) AS n_sources
+       |       FROM bs GROUP BY batch),
+       |sm AS (SELECT source, sum(cnt) AS n_s FROM bs GROUP BY source),
+       |t AS (SELECT sum(n_s) AS n FROM sm),
+       |hc AS (SELECT -sum((n_s / t.n) * ln(n_s / t.n)) AS h_corpus
+       |       FROM sm, t),
+       |h AS (
+       |  SELECT bs.batch, any_value(bt.n_docs) AS n_docs,
+       |         any_value(bt.n_sources) AS n_sources,
+       |         -sum((cnt / CAST(bt.n_docs AS DOUBLE)) *
+       |              ln(cnt / CAST(bt.n_docs AS DOUBLE))) AS h,
+       |         max(cnt / CAST(bt.n_docs AS DOUBLE)) AS max_share
+       |  FROM bs JOIN bt USING (batch) GROUP BY bs.batch)
+       |SELECT batch, n_docs, n_sources, round(h, 6) AS entropy,
+       |       round(max_share, 4) AS max_share,
+       |       round(h / hc.h_corpus, 4) AS mix_ratio
+       |FROM h, hc ORDER BY batch""".stripMargin
+
   /** Per-source dataset card — the summary table a corpus release ships
     * with (Datasheets for Datasets, Gebru et al. 2021; every HF dataset
     * card's "composition" section): for each source, volume (docs /
@@ -851,6 +933,7 @@ object CurationOps {
        |FROM raw, rt ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "batch_mix_audit" -> (batchMixAudit _),
     "data_card" -> (dataCard _),
     "domain_reweight" -> (domainReweight _),
     "quality_ablation" -> (qualityAblation _),
@@ -867,6 +950,7 @@ object CurationOps {
     "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
+    "batch_mix_audit" -> batchMixAuditOracle,
     "data_card" -> dataCardOracle,
     "domain_reweight" -> domainReweightOracle,
     "quality_ablation" -> qualityAblationOracle,

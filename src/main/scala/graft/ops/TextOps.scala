@@ -1259,7 +1259,100 @@ object TextOps {
       |       round(cume_dist() OVER (PARTITION BY source ORDER BY n_chars), 6) AS q
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the corpus-composition distance matrix behind data-
+    * mixing decisions (Lin 1991; the Pile's §4 "how different are my
+    * sources" analysis): two sources with near-zero JSD are redundant in a
+    * mixture, a high-JSD pair genuinely diversifies it. Distributions are
+    * restricted to the corpus-wide top-200 words (the df-cap discipline:
+    * a bounded, broadcastable support) and renormalized within it; JSD =
+    * H((p+q)/2) − (H(p)+H(q))/2, symmetric and bounded by ln 2, with
+    * 0·ln 0 = 0. `n_shared` counts support overlap inside the top-200.
+    *
+    * Scale shape: one corpus token pass into a (source, word) count
+    * (map-side combined); the dense source×top-200 grid and everything
+    * after are bounded by |sources|²·200 — never corpus-sized. The pair
+    * join is word-keyed, so at thousands of sources it shuffles on the
+    * 200-word key, each word contributing its |sources|² block in
+    * parallel. Shares 6-rounded BEFORE the JSD terms, so both engines
+    * sum identical values.
+    */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(normText(col("text")), " ")).as("w"))
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(200)
+      .select(col("w"))
+    // ≤ |sources|×200 rows — materialized so the totals and the dense
+    // grid read one corpus scan, and the grid again so the a/b self-join
+    // doesn't re-plan it twice (construction-time jobs, ClusterOps
+    // discipline)
+    val sw = toks.join(broadcast(top), "w")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val st = sw.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+    val grid = st.crossJoin(broadcast(top))
+      .join(sw, Seq("source", "w"), "left")
+      .na.fill(0, Seq("cnt"))
+      .select(col("source"), col("w"),
+        round(col("cnt") / col("n_s"), 6).as("p"))
+      .localCheckpoint()
+    val pairs = grid.as("a").join(grid.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.p").as("p"), col("b.p").as("q"))
+    def xlnx(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c > 0, c * log(c)).otherwise(lit(0.0))
+    pairs.groupBy(col("source_a"), col("source_b"))
+      .agg(
+        sum(-xlnx((col("p") + col("q")) / 2) +
+          (xlnx(col("p")) + xlnx(col("q"))) / 2).as("jsd"),
+        sum(when(col("p") > 0 && col("q") > 0, 1).otherwise(0))
+          .as("n_shared"))
+      .select(col("source_a"), col("source_b"),
+        round(col("jsd"), 6).as("jsd_nats"),
+        round(col("jsd") / log(lit(2.0)), 4).as("jsd_norm"),
+        col("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceDivergenceOracle: String = {
+    def xlnx(e: String) = s"CASE WHEN $e > 0 THEN ($e) * ln($e) ELSE 0 END"
+    s"""WITH toks AS (
+       |  SELECT source,
+       |         unnest(string_split(${normTextOracle("text")}, ' ')) AS w
+       |  FROM documents),
+       |top AS (
+       |  SELECT w FROM (SELECT w, count(*) AS cw FROM toks GROUP BY w)
+       |  ORDER BY cw DESC, w LIMIT 200),
+       |sw AS (SELECT source, w, count(*) AS cnt
+       |       FROM toks JOIN top USING (w) GROUP BY source, w),
+       |st AS (SELECT source, sum(cnt) AS n_s FROM sw GROUP BY source),
+       |grid AS (
+       |  SELECT st.source, top.w,
+       |         round(coalesce(sw.cnt, 0) / st.n_s, 6) AS p
+       |  FROM st CROSS JOIN top
+       |  LEFT JOIN sw ON sw.source = st.source AND sw.w = top.w),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, a.p AS p,
+       |         b.p AS q
+       |  FROM grid a JOIN grid b
+       |    ON a.w = b.w AND a.source < b.source),
+       |agg AS (
+       |  SELECT source_a, source_b,
+       |         sum(-${xlnx("(p + q) / 2")} +
+       |             (${xlnx("p")} + ${xlnx("q")}) / 2) AS jsd,
+       |         CAST(sum(CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_shared
+       |  FROM pairs GROUP BY source_a, source_b)
+       |SELECT source_a, source_b, round(jsd, 6) AS jsd_nats,
+       |       round(jsd / ln(2.0), 4) AS jsd_norm, n_shared
+       |FROM agg ORDER BY source_a, source_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_divergence" -> (sourceDivergence _),
     "doc_chunk" -> (docChunk _),
     "quantile_normalize" -> (quantileNormalize _),
     "token_zipf" -> (tokenZipf _),
@@ -1288,6 +1381,7 @@ object TextOps {
     "bpe_encode" -> (bpeEncode _))
 
   val oracles: Map[String, String] = Map(
+    "source_divergence" -> sourceDivergenceOracle,
     "doc_chunk" -> docChunkOracle,
     "quantile_normalize" -> quantileNormalizeOracle,
     "token_zipf" -> tokenZipfOracle,

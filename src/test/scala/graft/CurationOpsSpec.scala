@@ -185,6 +185,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getDouble(4) > 0.0))
   }
 
+  test("batch_mix_audit: batches partition the corpus, entropy is bounded " +
+    "by ln(n_sources), and mix_ratio compares against the corpus marginal") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CurationOps.batchMixAudit(spark, dir).collect()
+    val total = Tables(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total, "batches must partition")
+    assert(rows.length <= 16)
+    rows.foreach { r =>
+      val (batch, nSources, h, maxShare, ratio) =
+        (r.getInt(0), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))
+      assert(batch >= 0 && batch <= 15)
+      assert(h >= -1e-6 && h <= math.log(nSources.toDouble) + 1e-6,
+        s"batch $batch: H=$h exceeds ln($nSources)")
+      assert(maxShare > 0 && maxShare <= 1.0)
+      // a hash-dealt batch can slightly exceed the corpus marginal
+      // entropy (fewer singleton sources), but not wildly
+      assert(ratio > 0 && ratio < 1.5, s"batch $batch ratio $ratio")
+    }
+  }
+
   test("data_card: volumes reconcile with the corpus and the lang profile " +
     "is internally consistent") {
     val dir = "/root/testdata/sf0.001"

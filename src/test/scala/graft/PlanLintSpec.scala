@@ -42,6 +42,8 @@ class PlanLintSpec extends AnyFunSuite {
     "kcenter_coreset",      // 1-row collected-centers broadcast per round
     "domain_reweight",      // 1-row vocab/baseline/total/Σweight broadcasts
     "model_auc",            // 1-row positives/negatives-total cross join
+    "batch_mix_audit",      // 1-row corpus-entropy + 16-row batch-total broadcasts
+    "source_divergence",    // 200-word top-vocab × |sources|-row grid broadcasts
     "dedup_lsh_tune",  // 1-row capture-denominator cross join
     "model_calibration", // 1-row weight + 1-row μ/σ + ≤10-row ECE broadcasts
     "token_budget_fill", // 1-row corpus-total + 1-row water-level broadcasts
@@ -312,10 +314,17 @@ class PlanLintSpec extends AnyFunSuite {
                                   // count + argmax window + card join
                                   // (+sort) — a release-time audit, not a
                                   // serving path
-      "model_auc" -> 7)           // the GD/score chain's 1-row aggregates
+      "model_auc" -> 7,           // the GD/score chain's 1-row aggregates
                                   // + score-histogram agg + the bounded
                                   // cumsum window + final 1-row U agg —
                                   // single corpus scan, no sort (1 row)
+      "batch_mix_audit" -> 7,     // ONE (batch, source) count (checkpointed)
+                                  // + the ≤16×|sources|-row totals/
+                                  // marginal/entropy aggs (+sort)
+      "source_divergence" -> 4)   // top-vocab agg + the checkpointed
+                                  // (source, word) count; pair join + JSD
+                                  // agg sit on checkpointed bounded grids
+                                  // (+sort)
     val offenders = budget.flatMap { case (name, maxEx) =>
       // count ALL shuffle exchanges — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts

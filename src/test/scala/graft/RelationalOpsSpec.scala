@@ -163,6 +163,48 @@ class RelationalOpsSpec extends AnyFunSuite {
   }
 
 
+  test("source_divergence: JSD bounds, symmetry of the pair set, and a " +
+    "brute-force recheck of one pair") {
+    val rows = graft.ops.TextOps.sourceDivergence(spark, dir).collect()
+    val nSources = graft.ops.Tables(spark, dir, "documents")
+      .select("source").distinct().count().toInt
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      "one row per unordered source pair")
+    val ln2 = math.log(2.0)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+      val jsd = r.getDouble(2)
+      assert(jsd >= -1e-6 && jsd <= ln2 + 1e-6, s"JSD out of [0, ln2]: $jsd")
+      assert(math.abs(r.getDouble(3) - jsd / ln2) < 1e-3)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 200)
+    }
+    // brute-force the first pair from raw text with the same top-200 rule
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim))
+    val allWords = docs.flatMap { case (_, t) => t.split(" ", -1) }
+    val top = allWords.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(200).map(_._1).toSet
+    def dist(src: String): Map[String, Double] = {
+      val ws = docs.filter(_._1 == src)
+        .flatMap(_._2.split(" ", -1)).filter(top)
+      val n = ws.length.toDouble
+      val raw = ws.groupBy(identity).view.mapValues(_.length / n).toMap
+      top.map(w => w -> BigDecimal(raw.getOrElse(w, 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    }
+    val first = rows.head
+    val (pa, pb) = (dist(first.getString(0)), dist(first.getString(1)))
+    def xlnx(x: Double) = if (x > 0) x * math.log(x) else 0.0
+    val jsd = top.toSeq.map { w =>
+      val (p, q) = (pa(w), pb(w))
+      -xlnx((p + q) / 2) + (xlnx(p) + xlnx(q)) / 2
+    }.sum
+    assert(math.abs(first.getDouble(2) - jsd) < 1e-4,
+      s"brute-force JSD $jsd vs ${first.getDouble(2)}")
+  }
+
   test("bpe_encode: merges only ever shorten; compression in (0, 1]") {
     graft.ops.TextOps.bpeEncode(spark, dir).collect().foreach { r =>
       val (raw, m1, m2) = (r.getLong(2), r.getLong(3), r.getLong(4))
