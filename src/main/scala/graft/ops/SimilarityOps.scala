@@ -2008,6 +2008,158 @@ object SimilarityOps {
        |       round(avg(ndcg), 4) AS mean_ndcg
        |FROM perq GROUP BY method ORDER BY method""".stripMargin
 
+  /** IVF nprobe tuning table — the [[DedupOps.dedupLshTune]] genre for the
+    * vector index: the SAME partitioned corpus and the SAME coarse
+    * quantizer (per-label centroids), read at nprobe ∈ {1, 2, 3}, each row
+    * reporting mean recall@K against the exact baseline next to the mean
+    * candidate count and scan fraction the probe level costs. This is the
+    * recall-vs-throughput curve an IVF deployment picks its operating
+    * point from; [[annIvfTopk]]/[[annIvfProbe2]] are the np=1/2 serving
+    * shapes, this is the tuning-time sweep that justifies them.
+    *
+    * Scale shape: centroid ranking touches only |labels|×d aggregates and
+    * a 10×|labels| rank table; the corpus is scanned ONCE into the scored
+    * frame (broadcast queries + broadcast probe table, all narrow),
+    * `localCheckpoint`ed, and the four top-K windows + candidate-count
+    * aggregate read the materialized frame — probe sets nest
+    * (np=1 ⊂ np=2 ⊂ np=3), so one `label_rank` column serves all three.
+    * Cosines 6-rounded before ranking ([[annHubness]] boundary argument).
+    */
+  def annIvfTune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val byDim = emb.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("m"))
+    val cNorm = byDim.groupBy(col("label"))
+      .agg(sqrt(sum(col("m") * col("m"))).as("cn"))
+    val qDim = queries
+      .select(col("query_id"), posexplode(col("qv")).as(Seq("pos", "qx")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cq").desc, col("label"))
+    val probe = qDim.join(byDim, "pos")
+      .groupBy(col("query_id"), col("label"))
+      .agg(sum(col("qx") * col("m")).as("dotqm"))
+      .join(broadcast(cNorm), "label")
+      .select(col("query_id"), col("label"),
+        round(col("dotqm") / col("cn"), 6).as("cq"))
+      .withColumn("label_rank", row_number().over(wq))
+      .filter(col("label_rank") <= 3)
+      .select(col("query_id"), col("label"), col("label_rank"))
+    val scored = emb.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("nid"), col("label"),
+        round(dot(col("qv"), col("v")), 6).as("c"))
+      .join(broadcast(probe), Seq("query_id", "label"), "left")
+      .localCheckpoint()
+    def topk(df: DataFrame) = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("nid"))
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+        .select(col("query_id"), col("nid"))
+    }
+    val exact = topk(scored)
+    val runs = (1 to 3).map { np =>
+      topk(scored.filter(col("label_rank") <= np))
+        .withColumn("nprobe", lit(np))
+    }.reduce(_ unionByName _)
+    val recalls = runs
+      .join(exact.withColumn("rel", lit(1)), Seq("query_id", "nid"), "left")
+      .na.fill(0, Seq("rel"))
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(round(sum(col("rel")) / lit(K.toDouble), 6).as("recall"))
+      .groupBy(col("nprobe"))
+      .agg(round(avg(col("recall")), 4).as("mean_recall"))
+    val perQueryCands = scored.groupBy(col("query_id"))
+      .agg(sum(when(col("label_rank") <= 1, 1).otherwise(0)).as("nc1"),
+        sum(when(col("label_rank") <= 2, 1).otherwise(0)).as("nc2"),
+        sum(when(col("label_rank") <= 3, 1).otherwise(0)).as("nc3"))
+    val cands = perQueryCands
+      .agg(avg(col("nc1")).as("mc1"), avg(col("nc2")).as("mc2"),
+        avg(col("nc3")).as("mc3"))
+      .select(explode(array((1 to 3).map(np =>
+        struct(lit(np).as("nprobe"),
+          round(col(s"mc$np"), 2).as("mean_candidates"))): _*)).as("x"))
+      .select(col("x.nprobe"), col("x.mean_candidates"))
+    val n = emb.agg(count(lit(1)).as("n_corpus"))
+    recalls.join(cands, "nprobe")
+      .crossJoin(broadcast(n))
+      .select(col("nprobe"), col("mean_recall"), col("mean_candidates"),
+        round(col("mean_candidates") / (col("n_corpus") - 1), 4)
+          .as("scan_frac"))
+      .orderBy("nprobe")
+  }
+
+  val annIvfTuneOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |           sqrt(list_sum(list_transform(embedding,
+       |             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
+       |      WHERE vec_id < $NQueries),
+       |bydim AS (
+       |  SELECT label, i AS pos, avg(v[i]) AS m
+       |  FROM e, LATERAL unnest(generate_series(1, len(v))) t(i)
+       |  GROUP BY label, i),
+       |cn AS (SELECT label, sqrt(sum(m * m)) AS cn FROM bydim
+       |       GROUP BY label),
+       |probe AS (
+       |  SELECT query_id, label, label_rank FROM (
+       |    SELECT query_id, label,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cq DESC, label) AS label_rank
+       |    FROM (
+       |      SELECT qd.query_id, bydim.label,
+       |             round(sum(qd.qx * bydim.m) / any_value(cn.cn), 6) AS cq
+       |      FROM (SELECT query_id, i AS pos, qv[i] AS qx
+       |            FROM q, LATERAL unnest(generate_series(1, len(qv))) t(i))
+       |        qd
+       |      JOIN bydim USING (pos) JOIN cn ON cn.label = bydim.label
+       |      GROUP BY qd.query_id, bydim.label))
+       |  WHERE label_rank <= 3),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS nid, e.label, p.label_rank,
+       |         round(list_sum(list_transform(generate_series(1, len(e.v)),
+       |           i -> q.qv[i] * e.v[i])), 6) AS c
+       |  FROM e JOIN q ON e.vec_id <> q.query_id
+       |  LEFT JOIN probe p
+       |    ON p.query_id = q.query_id AND p.label = e.label),
+       |exact AS (SELECT query_id, nid FROM (
+       |  SELECT query_id, nid, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c DESC, nid) AS rk FROM scored) WHERE rk <= $K),
+       |runs AS (${(1 to 3).map(np =>
+           s"""SELECT $np AS nprobe, query_id, nid FROM (
+              |    SELECT query_id, nid, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY c DESC, nid) AS rk
+              |    FROM scored WHERE label_rank <= $np) WHERE rk <= $K"""
+             .stripMargin).mkString("\n  UNION ALL\n  ")}),
+       |recalls AS (
+       |  SELECT nprobe, round(avg(recall), 4) AS mean_recall FROM (
+       |    SELECT nprobe, r.query_id,
+       |           round(sum(CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END)
+       |             / ${K.toDouble}, 6) AS recall
+       |    FROM runs r LEFT JOIN exact x
+       |      ON x.query_id = r.query_id AND x.nid = r.nid
+       |    GROUP BY nprobe, r.query_id)
+       |  GROUP BY nprobe),
+       |cands AS (
+       |  SELECT nprobe, round(avg(nc), 2) AS mean_candidates FROM (
+       |    SELECT u.nprobe, query_id,
+       |           sum(CASE WHEN label_rank <= u.nprobe THEN 1 ELSE 0 END)
+       |             AS nc
+       |    FROM scored, (SELECT unnest([1, 2, 3]) AS nprobe) u
+       |    GROUP BY u.nprobe, query_id)
+       |  GROUP BY nprobe),
+       |nn AS (SELECT count(*) AS n_corpus FROM e)
+       |SELECT r.nprobe, r.mean_recall, c.mean_candidates,
+       |       round(c.mean_candidates / (nn.n_corpus - 1), 4) AS scan_frac
+       |FROM recalls r JOIN cands c USING (nprobe), nn
+       |ORDER BY r.nprobe""".stripMargin
+
   /** Greedy k-center coreset selection (Gonzalez 1985's farthest-first
     * traversal, the 2-approximation every coreset-based data-selection
     * pipeline starts from): seed with vec_id 0, then each round add the
@@ -2094,6 +2246,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_tune" -> (annIvfTune _),
     "kcenter_coreset" -> ((s: SparkSession, dir: String) =>
       kcenterCoreset(s, dir)),
     "hard_negative_mining" -> (hardNegativeMining _),
@@ -2122,6 +2275,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "ann_ivf_tune" -> annIvfTuneOracle,
     "kcenter_coreset" -> kcenterCoresetOracle,
     "hard_negative_mining" -> hardNegativeMiningOracle,
     "retrieval_metrics" -> retrievalMetricsOracle,

@@ -40,6 +40,8 @@ class PlanLintSpec extends AnyFunSuite {
     "hard_negative_mining", // NQueries-row query broadcast, one scored pass
     "retrieval_metrics",    // NQueries-row query broadcast, three rankings
     "kcenter_coreset",      // 1-row collected-centers broadcast per round
+    "ann_ivf_tune",         // NQueries-row query + 10x|labels| probe-table
+                            // broadcasts onto the one scored pass
     "domain_reweight",      // 1-row vocab/baseline/total/Σweight broadcasts
     "model_auc",            // 1-row positives/negatives-total cross join
     "batch_mix_audit",      // 1-row corpus-entropy + 16-row batch-total broadcasts
@@ -321,10 +323,16 @@ class PlanLintSpec extends AnyFunSuite {
       "batch_mix_audit" -> 7,     // ONE (batch, source) count (checkpointed)
                                   // + the ≤16×|sources|-row totals/
                                   // marginal/entropy aggs (+sort)
-      "source_divergence" -> 4)   // top-vocab agg + the checkpointed
+      "source_divergence" -> 4,   // top-vocab agg + the checkpointed
                                   // (source, word) count; pair join + JSD
                                   // agg sit on checkpointed bounded grids
                                   // (+sort)
+      "ann_ivf_tune" -> 12)       // centroid byDim/norm aggs + probe rank
+                                  // window + 4 top-K windows and the
+                                  // candidate agg over the checkpointed
+                                  // scored frame + recall aggs (+sort) —
+                                  // a tuning-time sweep, not a serving
+                                  // path
     val offenders = budget.flatMap { case (name, maxEx) =>
       // count ALL shuffle exchanges — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts

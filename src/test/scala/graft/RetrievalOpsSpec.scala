@@ -110,6 +110,30 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_ivf_tune: recall and candidate cost are monotone in nprobe, " +
+    "and the np=1 recall is consistent with retrieval_metrics") {
+    val rows = graft.ops.SimilarityOps.annIvfTune(spark, dir).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val recalls = rows.map(_.getDouble(1))
+    val cands = rows.map(_.getDouble(2))
+    val fracs = rows.map(_.getDouble(3))
+    // nested probe sets: more buckets can only add candidates and recall
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone: ${recalls.toSeq}")
+    assert(cands.zip(cands.tail).forall { case (a, b) => a < b },
+      s"candidates must strictly grow: ${cands.toSeq}")
+    fracs.foreach(f => assert(f > 0 && f < 1))
+    recalls.foreach(r => assert(r >= 0 && r <= 1))
+    // same quantizer, same corpus at np=1 — but ann_ivf_tune ranks probe
+    // buckets by CENTROID distance while retrieval_metrics' ivf_nprobe1
+    // probes the query's OWN label; on this corpus the nearest centroid
+    // is almost always the own-label one, so the two must be close
+    val rm = metrics("ivf_nprobe1")._2
+    assert(math.abs(recalls.head - rm) < 0.2,
+      s"np=1 recall ${recalls.head} vs retrieval_metrics $rm")
+  }
+
   test("kcenter coreset: greedy invariants — distinct centers, seed is " +
     "vec_id 0, and selection distances never increase") {
     val rows = graft.ops.SimilarityOps.kcenterCoreset(spark, dir).collect()
