@@ -541,6 +541,114 @@ object CurationOps {
        |FROM c2, lam l ORDER BY source""".stripMargin
   }
 
+  /** Epoch-capped token apportionment — the data-constrained scaling plan
+    * (Muennighoff et al. 2023: past ~4 epochs, repeated tokens stop
+    * helping): an over-subscribed token budget (2× the corpus here) is
+    * apportioned by the α=0.5-flattened weights of [[sourceMixture]],
+    * subject to a hard 4-epoch cap per source; demand that would push a
+    * source past its cap spills over to the uncapped sources, still in
+    * proportion to their weights. The closed form is [[tokenBudgetFill]]'s
+    * water-fill DUAL: sort sources by cap/weight, find the unique level t
+    * with Σ min(cap_i, t·w_i) = budget via prefix sums — no iteration, no
+    * convergence question. Completes the mixing trilogy: sourceMixture
+    * (weights), token_budget_fill (under-subscribed max-min fill), this
+    * (over-subscribed epoch-capped apportionment).
+    *
+    * Scale shape: identical to [[tokenBudgetFill]] — ONE corpus token
+    * aggregate, then rank/prefix windows over the bounded per-source
+    * table (whitelisted with that bound), scalars attached as 1-row
+    * broadcasts. The sort key cap/flat is computed PER ROW (no global
+    * float sum inside the ordering), so the sorted order — and with it
+    * the prefix sums — is bit-identical across engines.
+    */
+  def epochPlan(s: SparkSession, dir: String): DataFrame =
+    epochFill(TextOps.tokenCount(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(col("ws_tokens")).cast("long").as("avail")))
+
+  /** [[epochPlan]]'s allocation core over any (source, avail) frame — the
+    * spec drives skewed fixtures where the cap genuinely binds and
+    * cross-checks a driver-side iterative reference (the gate corpus is
+    * near-uniform, so there the level serves everyone below cap).
+    */
+  private[graft] def epochFill(per: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.orderBy(col("r0"), col("source"))
+    val ranked = per
+      .withColumn("flat", sqrt(col("avail").cast("double")))
+      .withColumn("cap", col("avail").cast("double") * 4)
+      .withColumn("r0", col("cap") / col("flat"))
+      .withColumn("rn", row_number().over(win))
+      .withColumn("pcap", coalesce(sum(col("cap")).over(
+        win.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("pflat", coalesce(sum(col("flat")).over(
+        win.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+    val tot = per.agg(sum(col("avail")).as("tt"),
+      sum(sqrt(col("avail").cast("double"))).as("ftot"))
+    val cand = ranked.crossJoin(broadcast(tot))
+      .withColumn("budget", col("tt").cast("double") * 2)
+      .withColumn("cand",
+        (col("budget") - col("pcap")) / (col("ftot") - col("pflat")))
+    val lvl = cand.filter(col("cand") <= col("r0"))
+      .agg(min(struct(col("rn"), col("cand"))).as("l"))
+      .select(col("l.cand").as("t0"))
+    val alloc = when(col("t0").isNull, col("cap"))
+      .otherwise(least(col("cap"), col("t0") * col("flat")))
+    cand.crossJoin(broadcast(lvl))
+      .select(col("source"), col("avail"),
+        round(col("flat") / col("ftot"), 6).as("weight"),
+        round(alloc, 2).as("alloc_tokens"),
+        round(alloc / col("avail"), 4).as("epochs"),
+        when(col("t0").isNull, lit(true))
+          .otherwise(col("cap") < col("t0") * col("flat")).as("capped"),
+        round(col("t0"), 4).as("level"))
+      .orderBy("source")
+  }
+
+  val epochPlanOracle: String = {
+    val tok = s"""SELECT source,
+                 |       len(regexp_extract_all(${DedupOps.normTextOracle("text")}, '\\S+')) AS ws_tokens
+                 |FROM documents""".stripMargin
+    s"""WITH tok AS ($tok),
+       |per AS (
+       |  SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS avail
+       |  FROM tok GROUP BY source),
+       |ranked AS (
+       |  SELECT source, avail, sqrt(CAST(avail AS DOUBLE)) AS flat,
+       |         CAST(avail AS DOUBLE) * 4 AS cap,
+       |         CAST(avail AS DOUBLE) * 4 / sqrt(CAST(avail AS DOUBLE))
+       |           AS r0,
+       |         row_number() OVER w AS rn,
+       |         coalesce(sum(CAST(avail AS DOUBLE) * 4) OVER
+       |           (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           0.0) AS pcap,
+       |         coalesce(sum(sqrt(CAST(avail AS DOUBLE))) OVER
+       |           (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           0.0) AS pflat
+       |  FROM per
+       |  WINDOW w AS (ORDER BY CAST(avail AS DOUBLE) * 4 /
+       |    sqrt(CAST(avail AS DOUBLE)), source)),
+       |t AS (SELECT sum(avail) AS tt FROM per),
+       |ft AS (SELECT sum(sqrt(CAST(avail AS DOUBLE))) AS ftot FROM per),
+       |cand AS (
+       |  SELECT ranked.*, CAST(tt AS DOUBLE) * 2 AS budget, ftot,
+       |         (CAST(tt AS DOUBLE) * 2 - pcap) / (ftot - pflat) AS cand
+       |  FROM ranked, t, ft),
+       |lvl AS (
+       |  SELECT (SELECT cand FROM cand WHERE cand <= r0
+       |          ORDER BY rn LIMIT 1) AS t0)
+       |SELECT source, avail,
+       |       round(flat / ftot, 6) AS weight,
+       |       round(CASE WHEN l.t0 IS NULL THEN cap
+       |             ELSE least(cap, l.t0 * flat) END, 2) AS alloc_tokens,
+       |       round(CASE WHEN l.t0 IS NULL THEN cap
+       |             ELSE least(cap, l.t0 * flat) END / avail, 4) AS epochs,
+       |       CASE WHEN l.t0 IS NULL THEN true
+       |            ELSE cap < l.t0 * flat END AS capped,
+       |       round(l.t0, 4) AS level
+       |FROM cand, lvl l ORDER BY source""".stripMargin
+  }
+
   /** Filter-ablation table for the curation stack — the debugging view
     * behind [[corpusCuration]]'s bottom line: per rule (Gopher-style
     * quality, repetition, near-dup cluster drop), how many docs it flags
@@ -933,6 +1041,7 @@ object CurationOps {
        |FROM raw, rt ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "epoch_plan" -> (epochPlan _),
     "batch_mix_audit" -> (batchMixAudit _),
     "data_card" -> (dataCard _),
     "domain_reweight" -> (domainReweight _),
@@ -950,6 +1059,7 @@ object CurationOps {
     "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
+    "epoch_plan" -> epochPlanOracle,
     "batch_mix_audit" -> batchMixAuditOracle,
     "data_card" -> dataCardOracle,
     "domain_reweight" -> domainReweightOracle,

@@ -185,6 +185,49 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getDouble(4) > 0.0))
   }
 
+  test("epoch_plan core: closed-form level equals the iterative " +
+    "cap-and-redistribute reference on a skewed fixture") {
+    import spark.implicits._
+    // small sources are sqrt-up-weighted past their 4-epoch cap; the two
+    // big ones absorb the spillover
+    val fixture = Seq(("tiny_a", 100L), ("tiny_b", 100L),
+      ("mid", 10000L), ("big", 40000L))
+    val got = CurationOps.epochFill(fixture.toDF("source", "avail"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    // iterative reference: proportional give, cap, redistribute, repeat
+    val budget = 2.0 * fixture.map(_._2).sum
+    var capped = Set.empty[String]
+    var alloc = Map.empty[String, Double]
+    var stable = false
+    while (!stable) {
+      val remaining = budget - capped.toSeq
+        .map(c => 4.0 * fixture.find(_._1 == c).get._2).sum
+      val flats = fixture.filterNot(f => capped(f._1))
+        .map(f => f._1 -> math.sqrt(f._2.toDouble)).toMap
+      val t = remaining / flats.values.sum
+      val newlyCapped = fixture.filterNot(f => capped(f._1))
+        .filter(f => 4.0 * f._2 < t * math.sqrt(f._2.toDouble)).map(_._1)
+      if (newlyCapped.isEmpty) {
+        stable = true
+        alloc = fixture.map(f => f._1 ->
+          (if (capped(f._1)) 4.0 * f._2
+           else t * math.sqrt(f._2.toDouble))).toMap
+      } else capped ++= newlyCapped
+    }
+    fixture.foreach { case (src, avail) =>
+      val (gotAlloc, gotEpochs, gotCapped) = got(src)
+      assert(math.abs(gotAlloc - alloc(src)) < 0.02,
+        s"$src: $gotAlloc vs reference ${alloc(src)}")
+      assert(gotCapped == capped(src), s"$src capped flag")
+      assert(gotEpochs <= 4.0 + 1e-6, s"$src epochs $gotEpochs")
+      assert(math.abs(gotEpochs - gotAlloc / avail) < 1e-3)
+    }
+    assert(capped == Set("tiny_a", "tiny_b"), "fixture must bind the cap")
+    assert(math.abs(got.values.map(_._1).sum - budget) < 0.1,
+      "allocation must exhaust the budget")
+  }
+
   test("batch_mix_audit: batches partition the corpus, entropy is bounded " +
     "by ln(n_sources), and mix_ratio compares against the corpus marginal") {
     val dir = "/root/testdata/sf0.001"

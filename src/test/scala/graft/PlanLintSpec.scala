@@ -45,6 +45,7 @@ class PlanLintSpec extends AnyFunSuite {
     "domain_reweight",      // 1-row vocab/baseline/total/Σweight broadcasts
     "model_auc",            // 1-row positives/negatives-total cross join
     "batch_mix_audit",      // 1-row corpus-entropy + 16-row batch-total broadcasts
+    "epoch_plan",           // 1-row total/flat-sum/level broadcasts onto the source table
     "source_divergence",    // 200-word top-vocab × |sources|-row grid broadcasts
     "dedup_lsh_tune",  // 1-row capture-denominator cross join
     "model_calibration", // 1-row weight + 1-row μ/σ + ≤10-row ECE broadcasts
@@ -327,6 +328,10 @@ class PlanLintSpec extends AnyFunSuite {
                                   // (source, word) count; pair join + JSD
                                   // agg sit on checkpointed bounded grids
                                   // (+sort)
+      "epoch_plan" -> 8,          // per-source token agg + the bounded
+                                  // rank/prefix windows + 1-row total/
+                                  // flat/level aggs (+sort) — the
+                                  // token_budget_fill shape
       "ann_ivf_tune" -> 12)       // centroid byDim/norm aggs + probe rank
                                   // window + 4 top-K windows and the
                                   // candidate agg over the checkpointed
@@ -367,7 +372,8 @@ class PlanLintSpec extends AnyFunSuite {
     "pareto_frontier" -> "prefix maxima over ≤10 price-decile-bucket rows (bucket-local running max carries the price-domain work)",
     "kaplan_meier" -> "risk-set/survival cumulatives over the duration-day aggregate (≤ the ~2,500-day TPC-H order calendar)",
     "token_budget_fill" -> "rank/prefix over the per-source token aggregate (≤ source cardinality — 20 here, thousands at worst in production)",
-    "model_auc" -> "cumulative-negatives over the 6-rounded score histogram (p ∈ [0,1] at 6 decimals → ≤ 10⁶+1 rows regardless of corpus size)")
+    "model_auc" -> "cumulative-negatives over the 6-rounded score histogram (p ∈ [0,1] at 6 decimals → ≤ 10⁶+1 rows regardless of corpus size)",
+    "epoch_plan" -> "rank/prefix over the per-source token aggregate (token_budget_fill's bound — ≤ source cardinality)")
 
   test("unpartitioned WindowExec only over limit-bounded or whitelisted-aggregate input") {
     import org.apache.spark.sql.execution._
