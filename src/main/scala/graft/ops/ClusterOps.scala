@@ -315,12 +315,69 @@ object ClusterOps {
        |FROM before b LEFT JOIN after a ON a.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Cluster-size distribution of the near-dup graph — the over-merge
+    * detector every LSH dedup deployment watches: a healthy corpus shows
+    * many small clusters and a long singleton tail; ONE giant component
+    * is the classic banding-too-loose failure (boilerplate or a hot
+    * shingle chaining unrelated docs together), and it surfaces here as
+    * a single size-N row before it silently deletes half the corpus.
+    * Rows: per cluster size — cluster count, doc mass, docs the keep-
+    * min-id rule would drop; size 1 = docs with no near-dup edge at all
+    * (the closure only contains docs with ≥1 edge, so singletons are
+    * corpus − clustered).
+    *
+    * Scale shape: two keyed aggregations over the (already node-sized)
+    * cluster table + a 1-row corpus count; the histogram is bounded by
+    * the largest cluster size. Propagation jobs run at construction
+    * (the [[dedupClusters]] seam).
+    */
+  def dedupClusterStats(s: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(s, dir)
+    val sizes = cl.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("size"),
+        sum(when(!col("keep"), 1).otherwise(0)).as("dropped"))
+    val hist = sizes.groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("size")).as("n_docs"),
+        sum(col("dropped")).cast("long").as("n_dropped"))
+    val singles = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(cl.agg(count(lit(1)).as("nc"))))
+      .select(lit(1L).as("size"), (col("n") - col("nc")).as("n_clusters"),
+        (col("n") - col("nc")).as("n_docs"), lit(0L).as("n_dropped"))
+    hist.unionByName(singles).orderBy("size")
+  }
+
+  val dedupClusterStatsOracle: String =
+    s"""WITH cl AS (${dedupClustersOracle}),
+       |sizes AS (
+       |  SELECT cluster_rep, count(*) AS size,
+       |         sum(CASE WHEN keep THEN 0 ELSE 1 END) AS dropped
+       |  FROM cl GROUP BY cluster_rep),
+       |hist AS (
+       |  SELECT size, count(*) AS n_clusters,
+       |         CAST(sum(size) AS BIGINT) AS n_docs,
+       |         CAST(sum(dropped) AS BIGINT) AS n_dropped
+       |  FROM sizes GROUP BY size),
+       |singles AS (
+       |  SELECT CAST(1 AS BIGINT) AS size,
+       |         (SELECT count(*) FROM documents) - (SELECT count(*) FROM cl)
+       |           AS n_clusters,
+       |         (SELECT count(*) FROM documents) - (SELECT count(*) FROM cl)
+       |           AS n_docs,
+       |         CAST(0 AS BIGINT) AS n_dropped)
+       |SELECT size, n_clusters, n_docs, n_dropped FROM hist
+       |UNION ALL
+       |SELECT size, n_clusters, n_docs, n_dropped FROM singles
+       |ORDER BY size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_lsh" -> (dedupClustersLsh _),
     "delete_propagation" -> (deletePropagation _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_cluster_stats" -> dedupClusterStatsOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_clusters_lsh" -> dedupClustersLshOracle,
     "delete_propagation" -> deletePropagationOracle)

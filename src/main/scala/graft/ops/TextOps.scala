@@ -1259,6 +1259,46 @@ object TextOps {
       |       round(cume_dist() OVER (PARTITION BY source ORDER BY n_chars), 6) AS q
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Per-language tokenizer-fertility profile — the metric a tokenizer
+    * choice is graded on per language (Rust/BPE papers call it fertility:
+    * subword tokens per word; ~1 = vocabulary fits the language, ≫1 = the
+    * language is being spelled out): for each lang, BPE-ish tokens per
+    * whitespace word and chars per BPE-ish token (the compression ratio
+    * that sets context-window cost). A multilingual budget planner reads
+    * per-lang token costs off this table before converting document
+    * counts into training tokens.
+    *
+    * Scale shape: the token counting is [[tokenCount]]'s one narrow
+    * regexp pass; this adds a doc_id-keyed join to lang and ONE
+    * map-side-combined per-lang aggregate. Ratios computed from exact
+    * integer sums, 4-rounded identically in both engines.
+    */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    tokenCount(s, dir)
+      .join(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("ws_tokens"),
+        sum(col("bpe_ish_tokens")).cast("long").as("bpe_tokens"),
+        round(sum(col("bpe_ish_tokens")).cast("double") /
+          sum(col("ws_tokens")), 4).as("fertility"),
+        round(sum(col("n_chars")).cast("double") /
+          sum(col("bpe_ish_tokens")), 4).as("chars_per_token"))
+      .orderBy("lang")
+
+  val tokenizerFertilityOracle: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+       |       CAST(sum(bpe_ish_tokens) AS BIGINT) AS bpe_tokens,
+       |       round(CAST(sum(bpe_ish_tokens) AS DOUBLE) / sum(ws_tokens), 4)
+       |         AS fertility,
+       |       round(CAST(sum(n_chars) AS DOUBLE) / sum(bpe_ish_tokens), 4)
+       |         AS chars_per_token
+       |FROM (${tokenCountOracle})
+       |JOIN (SELECT doc_id, lang, n_chars FROM documents) USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Pairwise Jensen–Shannon divergence between source unigram
     * distributions — the corpus-composition distance matrix behind data-
     * mixing decisions (Lin 1991; the Pile's §4 "how different are my
@@ -1352,6 +1392,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tokenizer_fertility" -> (tokenizerFertility _),
     "source_divergence" -> (sourceDivergence _),
     "doc_chunk" -> (docChunk _),
     "quantile_normalize" -> (quantileNormalize _),
@@ -1381,6 +1422,7 @@ object TextOps {
     "bpe_encode" -> (bpeEncode _))
 
   val oracles: Map[String, String] = Map(
+    "tokenizer_fertility" -> tokenizerFertilityOracle,
     "source_divergence" -> sourceDivergenceOracle,
     "doc_chunk" -> docChunkOracle,
     "quantile_normalize" -> quantileNormalizeOracle,

@@ -185,6 +185,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getDouble(4) > 0.0))
   }
 
+  test("dedup_cluster_stats: histogram covers the corpus and encodes " +
+    "keep-one-per-cluster exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ops.ClusterOps.dedupClusterStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables(spark, dir, "documents").count()
+    assert(rows.map(_._3).sum == total, "Σ n_docs must cover the corpus")
+    rows.foreach { case (size, nClusters, nDocs, nDropped) =>
+      assert(size >= 1 && nClusters > 0)
+      assert(nDocs == size * nClusters, s"size $size mass")
+      // min-id keep rule: exactly one keeper per cluster
+      val expectedDropped = if (size == 1) 0L else nDocs - nClusters
+      assert(nDropped == expectedDropped, s"size $size dropped")
+    }
+    // the synthetic corpus has near-dups by construction — both a
+    // singleton tail and at least one real cluster must exist
+    assert(rows.exists(_._1 == 1) && rows.exists(_._1 >= 2))
+  }
+
+  test("tokenizer_fertility: per-lang ratios are well-formed and cover " +
+    "the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ops.TextOps.tokenizerFertility(spark, dir).collect()
+    val total = Tables(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (lang, ws, bpe, fert, cpt) = (r.getString(0), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))
+      // every whitespace word lexes to >= 1 BPE-ish token
+      assert(bpe >= ws, s"$lang: $bpe < $ws")
+      assert(fert >= 1.0, s"$lang fertility $fert")
+      assert(cpt > 0 && cpt < 100, s"$lang chars/token $cpt")
+    }
+  }
+
   test("epoch_plan core: closed-form level equals the iterative " +
     "cap-and-redistribute reference on a skewed fixture") {
     import spark.implicits._

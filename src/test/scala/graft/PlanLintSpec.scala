@@ -46,6 +46,7 @@ class PlanLintSpec extends AnyFunSuite {
     "model_auc",            // 1-row positives/negatives-total cross join
     "batch_mix_audit",      // 1-row corpus-entropy + 16-row batch-total broadcasts
     "epoch_plan",           // 1-row total/flat-sum/level broadcasts onto the source table
+    "dedup_cluster_stats",  // 1-row corpus-count x clustered-count cross join
     "source_divergence",    // 200-word top-vocab × |sources|-row grid broadcasts
     "dedup_lsh_tune",  // 1-row capture-denominator cross join
     "model_calibration", // 1-row weight + 1-row μ/σ + ≤10-row ECE broadcasts
@@ -332,6 +333,12 @@ class PlanLintSpec extends AnyFunSuite {
                                   // rank/prefix windows + 1-row total/
                                   // flat/level aggs (+sort) — the
                                   // token_budget_fill shape
+      "tokenizer_fertility" -> 2, // doc-keyed lang join + ONE per-lang agg
+                                  // (+sort)
+      "dedup_cluster_stats" -> 9, // CC label table (propagation behind
+                                  // checkpoints) + per-cluster size agg +
+                                  // histogram agg + 1-row corpus/clustered
+                                  // counts (+sort)
       "ann_ivf_tune" -> 12)       // centroid byDim/norm aggs + probe rank
                                   // window + 4 top-K windows and the
                                   // candidate agg over the checkpointed
