@@ -160,6 +160,17 @@ case class AsOfJoinExec(
         private var fwdKey: Any = null
         private var fwdTime: Long = 0L
         private var fwdRow: InternalRow = null
+        // nearest + allowExact=false only: the max-tie row of a popped
+        // == lt run. It becomes the BACKWARD candidate only once a left
+        // row with a STRICTLY later time arrives — writing it straight
+        // into bestRow corrupted the candidate for left rows at the SAME
+        // timestamp (property-test find, r12: of two equal-(key, time)
+        // left rows, the second lost its true backward match because the
+        // equal-time row had replaced it and the exact guard then
+        // rejected the replacement).
+        private var eqKey: Any = null
+        private var eqTime: Long = 0L
+        private var eqRow: InternalRow = null
         private var pending: InternalRow = null
 
         private def advanceRight(): InternalRow = {
@@ -184,6 +195,17 @@ case class AsOfJoinExec(
               if (outer) pending = proj(joined(l, nullRight))
             } else {
               val lt = ltv.asInstanceOf[Long]
+              // fold a stashed equal-time run into the backward candidate
+              // once it is strictly in this left row's past; a stash from
+              // another key is dead (left is (key, time)-sorted)
+              if (eqRow != null) {
+                val cmp = keyOrd.compare(eqKey, lk)
+                if (cmp != 0) { eqRow = null }
+                else if (eqTime < lt) {
+                  bestKey = eqKey; bestTime = eqTime; bestRow = eqRow
+                  eqRow = null
+                }
+              }
               // consume right rows with (key < lk) or (key == lk) and a
               // time strictly before lt — or AT lt when exact matches are
               // allowed and a direction that matches backward is active
@@ -215,8 +237,9 @@ case class AsOfJoinExec(
                 if (headRow == null) continue = false
               }
               // the backward candidate this left row gets to use is fixed
-              // NOW — the equal-time handling below may overwrite it with
-              // state meant only for later left rows
+              // NOW (the equal-time handling below stashes into eqRow, so
+              // bestRow is stable — the snapshot keeps that independence
+              // explicit)
               val bRow = bestRow; val bKey = bestKey; val bTime = bestTime
               // allow_exact_matches=false: the same-key == lt run can never
               // match THIS left row, but must not block the forward buffer.
@@ -232,9 +255,13 @@ case class AsOfJoinExec(
                   if (keyOrd.compare(rk, lk) == 0 &&
                       rtBound.eval(h).asInstanceOf[Long] == lt) {
                     if (!fwd) {
-                      bestKey = InternalRow.copyValue(rk)
-                      bestTime = lt
-                      bestRow = h.copy()
+                      // STASH, don't promote: this run is a valid backward
+                      // candidate only for strictly later left times; a
+                      // later left row at the SAME lt must still see the
+                      // pre-run bestRow (see eqRow declaration)
+                      eqKey = InternalRow.copyValue(rk)
+                      eqTime = lt
+                      eqRow = h.copy()
                     }
                     popRight()
                     run = headRow != null

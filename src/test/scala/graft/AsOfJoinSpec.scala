@@ -299,6 +299,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(fwd == Map(1L -> 32L), s"got $fwd")
   }
 
+  test("nearest + allowExactMatches=false: duplicate left timestamps both " +
+    "keep the true backward candidate (r12 property-test regression)") {
+    import spark.implicits._
+    // two left rows at the SAME (key, time); right has a backward row at
+    // t=4, an excluded equal-time row at t=6, and a forward row at t=9
+    // outside tol. The pre-fix merge let the popped ==lt run replace the
+    // backward buffer, so the SECOND left row lost its t=4 match and was
+    // dropped; both rows must match rid=1003.
+    val l = Seq((0L, 3L, 6L), (2L, 3L, 6L)).toDF("lid", "k", "lt")
+    val r = Seq((1003L, 3L, 4L), (1000L, 3L, 6L), (1004L, 3L, 9L))
+      .toDF("rid", "rk", "rt")
+    val got = AsOfJoinOps.asOf(l, r,
+        col("k"), col("rk"), col("lt"), col("rt"), col("rid"),
+        toleranceMicros = 2L, nearest = true, allowExactMatches = false)
+      .select(col("lid"), col("rid")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(0L -> 1003L, 2L -> 1003L), s"got $got")
+    // and the stashed equal-time run still serves STRICTLY later lefts:
+    // a third left row at t=7 must match the t=6 run's max-tie row
+    // (|7-6| = 1 beats the forward row at |9-7| = 2)
+    val l2 = Seq((0L, 3L, 6L), (2L, 3L, 6L), (5L, 3L, 7L))
+      .toDF("lid", "k", "lt")
+    val got2 = AsOfJoinOps.asOf(l2, r,
+        col("k"), col("rk"), col("lt"), col("rt"), col("rid"),
+        toleranceMicros = 2L, nearest = true, allowExactMatches = false)
+      .select(col("lid"), col("rid")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got2 == Map(0L -> 1003L, 2L -> 1003L, 5L -> 1000L), s"got $got2")
+  }
+
   test("property: every direction × exactness × outer mode matches a naive per-row reference on random inputs") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
