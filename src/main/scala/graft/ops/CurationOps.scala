@@ -752,6 +752,80 @@ object CurationOps {
        |SELECT rule, n_flagged, n_exclusive, flagged_tokens
        |FROM rules ORDER BY rule""".stripMargin
 
+  /** k-fold cross-validation split audit WITH the leakage check plain
+    * folding misses: documents are dealt into 5 folds by the content-
+    * stable md5-nibble rule ([[corpusSplit]]'s discipline, mod 5), and
+    * per fold the audit reports volume plus `n_leak_pairs` — verified
+    * near-dup pairs whose endpoints land in DIFFERENT folds. Those pairs
+    * are exactly how a fold's "held-out" score leaks (the model saw the
+    * twin at train time); the standard fix is grouped CV on the dedup
+    * cluster id, and this table is the evidence that decides whether you
+    * need it. A crossing pair is charged to BOTH its folds.
+    *
+    * Scale shape: fold assignment is a narrow md5 map; the leak check is
+    * two doc_id-keyed joins of the (already materialized-or-inline)
+    * near-dup pair table against the fold map — pair-table-sized, never
+    * corpus². Rollups are map-side-combined ≤5-row aggregates.
+    */
+  def crossvalSplit(s: SparkSession, dir: String): DataFrame = {
+    val fold = (instr(lit("0123456789abcdef"),
+      substring(md5(col("doc_id").cast("string").cast("binary")), 32, 1))
+      - 1) % 5
+    val docs = TextOps.tokenCount(s, dir)
+      .select(col("doc_id"), col("ws_tokens"))
+      .withColumn("fold", fold.cast("int"))
+    val base = docs.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("n_tokens"))
+    val crossing = DedupEdges.pairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("fold").as("fa")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("fold").as("fb")),
+        "doc_b")
+      .filter(col("fa") =!= col("fb"))
+    val leaks = crossing
+      .select(explode(array(col("fa"), col("fb"))).as("fold"))
+      .groupBy(col("fold")).agg(count(lit(1)).as("n_leak_pairs"))
+    base.join(leaks, Seq("fold"), "left")
+      .na.fill(0L, Seq("n_leak_pairs"))
+      .orderBy("fold")
+  }
+
+  val crossvalSplitOracle: String = {
+    val tok = s"""SELECT doc_id,
+                 |       len(regexp_extract_all(${DedupOps.normTextOracle("text")}, '\\S+')) AS ws_tokens
+                 |FROM documents""".stripMargin
+    s"""WITH tok AS ($tok),
+       |f AS (
+       |  SELECT doc_id, ws_tokens,
+       |         CAST((strpos('0123456789abcdef',
+       |                substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) % 5
+       |              AS INT) AS fold
+       |  FROM tok),
+       |base AS (
+       |  SELECT fold, count(*) AS n_docs,
+       |         CAST(sum(ws_tokens) AS BIGINT) AS n_tokens
+       |  FROM f GROUP BY fold),
+       |pairs AS (SELECT doc_a, doc_b
+       |          FROM (${DedupOps.dedupNgramJaccardOracle})),
+       |crossing AS (
+       |  SELECT fa.fold AS fa, fb.fold AS fb
+       |  FROM pairs p
+       |  JOIN f fa ON fa.doc_id = p.doc_a
+       |  JOIN f fb ON fb.doc_id = p.doc_b
+       |  WHERE fa.fold <> fb.fold),
+       |leaks AS (
+       |  SELECT fold, count(*) AS n_leak_pairs FROM (
+       |    SELECT fa AS fold FROM crossing
+       |    UNION ALL SELECT fb AS fold FROM crossing)
+       |  GROUP BY fold)
+       |SELECT b.fold, b.n_docs, b.n_tokens,
+       |       CAST(coalesce(l.n_leak_pairs, 0) AS BIGINT) AS n_leak_pairs
+       |FROM base b LEFT JOIN leaks l USING (fold)
+       |ORDER BY b.fold""".stripMargin
+  }
+
   /** Per-batch source-mix audit — the "is my training order actually
     * shuffled?" check a trainer runs before believing its loss curves:
     * documents are dealt into 16 batches by the SAME md5 rank rule
@@ -1041,6 +1115,7 @@ object CurationOps {
        |FROM raw, rt ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "crossval_split" -> (crossvalSplit _),
     "epoch_plan" -> (epochPlan _),
     "batch_mix_audit" -> (batchMixAudit _),
     "data_card" -> (dataCard _),
@@ -1059,6 +1134,7 @@ object CurationOps {
     "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
+    "crossval_split" -> crossvalSplitOracle,
     "epoch_plan" -> epochPlanOracle,
     "batch_mix_audit" -> batchMixAuditOracle,
     "data_card" -> dataCardOracle,

@@ -93,6 +93,77 @@ object DedupOps {
     ngramJaccardPairsFrom(tokenizedDocs(s, dir))
       .orderBy("doc_a", "doc_b")
 
+  /** Jaccard-threshold tuning table over the verified pair list — the
+    * third tuning-time sweep next to [[dedupLshTune]] (banding) and
+    * [[SimilarityOps.annIvfTune]] (nprobe): for each candidate dedup
+    * threshold at or above the pair table's own 0.9 cut, the pair count,
+    * distinct documents touched, and the hottest document's degree. The
+    * degree column is the practical signal: a max_degree that stays high
+    * as the threshold rises means a hub document (boilerplate) chains
+    * unrelated docs and the threshold alone won't save the cluster pass
+    * — the [[ClusterOps.dedupClusterStats]] giant-component story, one
+    * step earlier in the pipeline.
+    *
+    * Scale shape: ONE read of the (materialized-or-inline) pair table,
+    * checkpointed; each pair fans out to its qualifying thresholds via a
+    * 3-element explode (pair-table-sized, never corpus-sized), and both
+    * rollups are map-side-combined. Thresholds compare against the
+    * 6-rounded jaccard both engines store.
+    */
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val th = Seq(0.9, 0.93, 0.96)
+    val pairs = DedupEdges.pairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint()
+    val tagged = pairs
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(th.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val nPairs = tagged.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val deg = tagged
+      .select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("threshold"), col("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_docs"), max(col("deg")).as("max_degree"))
+    val base = tagged.sparkSession.range(th.length)
+      .select(element_at(
+        array(th.map(lit): _*), (col("id") + 1).cast("int")).as("threshold"))
+    base.join(nPairs, Seq("threshold"), "left")
+      .join(deg, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs", "max_degree"))
+      .orderBy("threshold")
+  }
+
+  // lazy: splices dedupNgramJaccardOracle, which is defined further down
+  // the object body (a strict val here would read null at init)
+  lazy val dedupThresholdSweepOracle: String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b, jaccard
+       |               FROM (${dedupNgramJaccardOracle})),
+       |th AS (SELECT CAST(unnest([0.9, 0.93, 0.96]) AS DOUBLE)
+       |              AS threshold),
+       |tagged AS (
+       |  SELECT p.doc_a, p.doc_b, t.threshold
+       |  FROM pairs p, th t WHERE p.jaccard >= t.threshold),
+       |np AS (SELECT threshold, count(*) AS n_pairs
+       |       FROM tagged GROUP BY threshold),
+       |deg AS (
+       |  SELECT threshold, count(*) AS n_docs, max(deg) AS max_degree
+       |  FROM (SELECT threshold, doc_id, count(*) AS deg FROM (
+       |          SELECT threshold, doc_a AS doc_id FROM tagged
+       |          UNION ALL SELECT threshold, doc_b AS doc_id FROM tagged)
+       |        GROUP BY threshold, doc_id)
+       |  GROUP BY threshold)
+       |SELECT t.threshold,
+       |       CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       CAST(coalesce(deg.n_docs, 0) AS BIGINT) AS n_docs,
+       |       CAST(coalesce(deg.max_degree, 0) AS BIGINT) AS max_degree
+       |FROM th t LEFT JOIN np USING (threshold)
+       |LEFT JOIN deg USING (threshold)
+       |ORDER BY t.threshold""".stripMargin
+
   /** `(doc_id, source, tokens, n_tok)` — the prepared input every
     * exact-Jaccard pair build starts from.
     */
@@ -1754,6 +1825,7 @@ object DedupOps {
     "dedup_editdistance" -> (dedupEditDistance _),
     "semdedup" -> (semDedup _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "incremental_dedup_edges" -> (incrementalDedupEdges _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -1772,6 +1844,7 @@ object DedupOps {
     "dedup_editdistance" -> dedupEditDistanceOracle,
     "semdedup" -> semDedupOracle,
     "dedup_exact" -> dedupExactOracle,
+    "dedup_threshold_sweep" -> dedupThresholdSweepOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "incremental_dedup_edges" -> incrementalDedupEdgesOracle,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineOracle,

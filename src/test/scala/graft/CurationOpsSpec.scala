@@ -185,6 +185,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getDouble(4) > 0.0))
   }
 
+  test("crossval_split: folds partition the corpus and leak counts equal " +
+    "an independent crossing-pair recount") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CurationOps.crossvalSplit(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum == total)
+    assert(rows.map(_._1).toSet.subsetOf((0 to 4).toSet))
+    // independent recount: fold each doc by the same md5 rule, count
+    // crossing pairs from the pair table, charge both folds
+    def foldOf(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ("0123456789abcdef".indexOf(md.charAt(31))) % 5
+    }
+    val pairs = graft.ops.DedupEdges.pairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = new scala.collection.mutable.HashMap[Int, Long]()
+      .withDefaultValue(0L)
+    pairs.foreach { case (a, b) =>
+      val (fa, fb) = (foldOf(a), foldOf(b))
+      if (fa != fb) { expected(fa) += 1; expected(fb) += 1 }
+    }
+    rows.foreach { case (fold, _, _, leaks) =>
+      assert(leaks == expected(fold), s"fold $fold")
+    }
+    // the synthetic near-dups mostly straddle folds — the audit must
+    // actually find leakage, or grouped-CV advice would never trigger
+    assert(rows.map(_._4).sum > 0)
+  }
+
   test("dedup_cluster_stats: histogram covers the corpus and encodes " +
     "keep-one-per-cluster exactly") {
     val dir = "/root/testdata/sf0.001"

@@ -557,4 +557,28 @@ class DedupOpsSpec extends AnyFunSuite {
       assert(r.getDouble(6) == p(0.8) && r.getDouble(7) == p(0.95))
     }
   }
+  test("dedup_threshold_sweep: all three metrics are non-increasing in " +
+    "the threshold and the 0.9 row IS the pair table") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = DedupOps.dedupThresholdSweep(spark, dir).collect()
+      .sortBy(_.getDouble(0))
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(0.9, 0.93, 0.96))
+    Seq[((Double, Long, Long, Long)) => Long](_._2, _._3, _._4).foreach { f =>
+      val vals = rows.map(f)
+      assert(vals.zip(vals.tail).forall { case (a, b) => a >= b },
+        s"not monotone: ${vals.toSeq}")
+    }
+    // the lowest threshold equals the pair table's own cut, so its row
+    // must reproduce the table's totals exactly
+    val pairs = graft.ops.DedupEdges.pairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.head._2 == pairs.length)
+    assert(rows.head._3 ==
+      (pairs.map(_._1) ++ pairs.map(_._2)).distinct.length)
+    val maxDeg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).values.map(_.length).max
+    assert(rows.head._4 == maxDeg)
+  }
 }

@@ -339,6 +339,12 @@ class PlanLintSpec extends AnyFunSuite {
                                   // checkpoints) + per-cluster size agg +
                                   // histogram agg + 1-row corpus/clustered
                                   // counts (+sort)
+      "crossval_split" -> 8,      // fold map + ≤5-row volume agg; leak =
+                                  // two doc-keyed joins of the pair table
+                                  // + ≤5-row leak agg (+sort)
+      "dedup_threshold_sweep" -> 7, // ONE checkpointed pair-table read;
+                                  // explode fan-out + pair/degree rollups
+                                  // are pair-table-sized (+sort)
       "ann_ivf_tune" -> 12)       // centroid byDim/norm aggs + probe rank
                                   // window + 4 top-K windows and the
                                   // candidate agg over the checkpointed
