@@ -2008,6 +2008,100 @@ object SimilarityOps {
        |       round(avg(ndcg), 4) AS mean_ndcg
        |FROM perq GROUP BY method ORDER BY method""".stripMargin
 
+  /** Filtered vector search audit — the pre-filter vs post-filter
+    * question every metadata-filtered ANN deployment answers (the
+    * pgvector/vector-DB "filtered search" problem): ground truth is the
+    * top-K among vectors PASSING the predicate (here: even label — a
+    * ~50%-selective metadata filter); the cheap serving path takes the
+    * UNFILTERED top-20 and keeps survivors. Per query: how many of the
+    * 20 survive the filter and what filtered recall@K that yields.
+    * Post-filter recall collapses when the predicate is selective or
+    * anti-correlated with the query neighborhood — this table is the
+    * per-query evidence for switching to pre-filtered (or bitmap-fused)
+    * candidate generation.
+    *
+    * Scale shape: ONE broadcast-queries × partitioned-corpus scored pass
+    * (checkpointed); ground truth, the top-20, and the survivor re-rank
+    * are three per-query windows over it, and the windows past the first
+    * touch ≤ 20 rows per query. Cosines 6-rounded before ranking
+    * ([[annHubness]] boundary argument).
+    */
+  def annFilteredTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = emb.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("nid"),
+        (col("label") % 2 === 0).as("pass"),
+        round(dot(col("qv"), col("v")), 6).as("c"))
+      .localCheckpoint()
+    def ranked(df: DataFrame, n: Int) = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("nid"))
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+    }
+    val truth = ranked(scored.filter(col("pass")), K)
+      .select(col("query_id"), col("nid"))
+    val top20 = ranked(scored, 20)
+    val post = ranked(top20.filter(col("pass")).drop("rk"), K)
+      .select(col("query_id"), col("nid"))
+    val survivors = top20.filter(col("pass"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_survivors"))
+    val hits = post.join(truth, Seq("query_id", "nid"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    queries.select(col("query_id"))
+      .join(survivors, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_survivors", "n_hit"))
+      .select(col("query_id"), col("n_survivors"),
+        round(col("n_hit") / lit(K.toDouble), 4).as("post_filter_recall"))
+      .orderBy("query_id")
+  }
+
+  val annFilteredTopkOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |           sqrt(list_sum(list_transform(embedding,
+       |             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS nid, e.label % 2 = 0 AS pass,
+       |         round(list_sum(list_transform(generate_series(1, len(e.v)),
+       |           i -> q.qv[i] * e.v[i])), 6) AS c
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |truth AS (SELECT query_id, nid FROM (
+       |  SELECT query_id, nid, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c DESC, nid) AS rk FROM scored WHERE pass)
+       |  WHERE rk <= $K),
+       |top20 AS (SELECT query_id, nid, pass, c FROM (
+       |  SELECT query_id, nid, pass, c,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY c DESC, nid) AS rk FROM scored)
+       |  WHERE rk <= 20),
+       |post AS (SELECT query_id, nid FROM (
+       |  SELECT query_id, nid, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c DESC, nid) AS rk FROM top20 WHERE pass)
+       |  WHERE rk <= $K),
+       |sv AS (SELECT query_id, count(*) AS n_survivors FROM top20
+       |       WHERE pass GROUP BY query_id),
+       |hits AS (
+       |  SELECT p.query_id, count(*) AS n_hit
+       |  FROM post p JOIN truth t
+       |    ON t.query_id = p.query_id AND t.nid = p.nid
+       |  GROUP BY p.query_id)
+       |SELECT q.query_id,
+       |       CAST(coalesce(sv.n_survivors, 0) AS BIGINT) AS n_survivors,
+       |       round(coalesce(hits.n_hit, 0) / ${K.toDouble}, 4)
+       |         AS post_filter_recall
+       |FROM q LEFT JOIN sv ON sv.query_id = q.query_id
+       |LEFT JOIN hits ON hits.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   /** IVF nprobe tuning table — the [[DedupOps.dedupLshTune]] genre for the
     * vector index: the SAME partitioned corpus and the SAME coarse
     * quantizer (per-label centroids), read at nprobe ∈ {1, 2, 3}, each row
@@ -2246,6 +2340,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_filtered_topk" -> (annFilteredTopk _),
     "ann_ivf_tune" -> (annIvfTune _),
     "kcenter_coreset" -> ((s: SparkSession, dir: String) =>
       kcenterCoreset(s, dir)),
@@ -2275,6 +2370,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "ann_filtered_topk" -> annFilteredTopkOracle,
     "ann_ivf_tune" -> annIvfTuneOracle,
     "kcenter_coreset" -> kcenterCoresetOracle,
     "hard_negative_mining" -> hardNegativeMiningOracle,

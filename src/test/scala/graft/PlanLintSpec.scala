@@ -42,6 +42,7 @@ class PlanLintSpec extends AnyFunSuite {
     "kcenter_coreset",      // 1-row collected-centers broadcast per round
     "ann_ivf_tune",         // NQueries-row query + 10x|labels| probe-table
                             // broadcasts onto the one scored pass
+    "ann_filtered_topk",    // NQueries-row query broadcast, one scored pass
     "domain_reweight",      // 1-row vocab/baseline/total/Σweight broadcasts
     "model_auc",            // 1-row positives/negatives-total cross join
     "batch_mix_audit",      // 1-row corpus-entropy + 16-row batch-total broadcasts
@@ -345,6 +346,10 @@ class PlanLintSpec extends AnyFunSuite {
       "dedup_threshold_sweep" -> 7, // ONE checkpointed pair-table read;
                                   // explode fan-out + pair/degree rollups
                                   // are pair-table-sized (+sort)
+      "ann_filtered_topk" -> 10,  // three per-query windows + survivor/
+                                  // hit aggs over the checkpointed scored
+                                  // frame (+sort) — windows past the first
+                                  // touch <=20 rows per query
       "ann_ivf_tune" -> 12)       // centroid byDim/norm aggs + probe rank
                                   // window + 4 top-K windows and the
                                   // candidate agg over the checkpointed

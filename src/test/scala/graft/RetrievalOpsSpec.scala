@@ -134,6 +134,39 @@ class RetrievalOpsSpec extends AnyFunSuite {
       s"np=1 recall ${recalls.head} vs retrieval_metrics $rm")
   }
 
+  test("ann_filtered_topk: survivors bounded by 20, recall in [0,1], and " +
+    "a brute-force recheck of the post-filter pipeline") {
+    import graft.functions.VectorFunctions._
+    val rows = graft.ops.SimilarityOps.annFilteredTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, sv, rec) =>
+      assert(sv >= 0 && sv <= 20)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // brute force one query end-to-end
+    val vecs = graft.ops.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        normalize(toDoubleArray(col("embedding"))).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def c6(a: Array[Double], b: Array[Double]) =
+      BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (qid, _, qv) = vecs.find(_._1 == 0L).get
+    val scored = vecs.filter(_._1 != qid)
+      .map(v => (v._1, v._2 % 2 == 0, c6(qv, v._3)))
+      .sortBy { case (nid, _, c) => (-c, nid) }
+    val truth = scored.filter(_._2).take(5).map(_._1).toSet
+    val surv = scored.take(20).filter(_._2)
+    val post = surv.take(5).map(_._1).toSet
+    val row0 = rows.find(_._1 == 0L).get
+    assert(row0._2 == surv.length, s"survivors ${row0._2} vs ${surv.length}")
+    val rec = BigDecimal((post & truth).size / 5.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row0._3 == rec, s"recall ${row0._3} vs $rec")
+  }
+
   test("kcenter coreset: greedy invariants — distinct centers, seed is " +
     "vec_id 0, and selection distances never increase") {
     val rows = graft.ops.SimilarityOps.kcenterCoreset(spark, dir).collect()
