@@ -370,13 +370,61 @@ object ClusterOps {
        |SELECT size, n_clusters, n_docs, n_dropped FROM singles
        |ORDER BY size""".stripMargin
 
+  /** Survivor-selection policy variant: CCNet-style keep-LONGEST (most
+    * whitespace tokens, min-doc_id tie-break) next to the family's
+    * default keep-min-id, per clustered document, with a `policy_differs`
+    * flag. Min-id is reproducible and cheap but content-blind; a corpus
+    * that wants to keep the richest duplicate (the usual reason: partial
+    * copies, truncated mirrors) pays one extra per-cluster argmax for
+    * it. The flag column quantifies how often the policies actually
+    * disagree — the number that decides whether the upgrade is worth a
+    * backfill.
+    *
+    * Scale shape: the cluster table is node-sized; the argmax is a
+    * window PARTITIONED by cluster (bounded by the largest cluster —
+    * [[dedupClusterStats]] is the monitor for that bound), and the token
+    * attach is a doc_id-keyed join. Propagation jobs run at
+    * construction, the family discipline.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = dedupClusters(s, dir)
+    val toks = TextOps.tokenCount(s, dir)
+      .select(col("doc_id"), col("ws_tokens"))
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("ws_tokens").desc, col("doc_id"))
+    cl.join(toks, "doc_id")
+      .withColumn("keep_longest", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_rep"), col("ws_tokens"),
+        col("keep").as("keep_minid"), col("keep_longest"),
+        (col("keep") =!= col("keep_longest")).as("policy_differs"))
+      .orderBy("doc_id")
+  }
+
+  val dedupKeepBestOracle: String =
+    s"""WITH cl AS (${dedupClustersOracle}),
+       |tok AS (SELECT doc_id, ws_tokens
+       |        FROM (${TextOps.tokenCountOracle})),
+       |ranked AS (
+       |  SELECT cl.doc_id, cl.cluster_rep, tok.ws_tokens, cl.keep,
+       |         row_number() OVER (PARTITION BY cl.cluster_rep
+       |           ORDER BY tok.ws_tokens DESC, cl.doc_id) = 1
+       |           AS keep_longest
+       |  FROM cl JOIN tok USING (doc_id))
+       |SELECT doc_id, cluster_rep, ws_tokens,
+       |       keep AS keep_minid, keep_longest,
+       |       keep <> keep_longest AS policy_differs
+       |FROM ranked ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_lsh" -> (dedupClustersLsh _),
     "delete_propagation" -> (deletePropagation _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_keep_best" -> dedupKeepBestOracle,
     "dedup_cluster_stats" -> dedupClusterStatsOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_clusters_lsh" -> dedupClustersLshOracle,

@@ -230,6 +230,93 @@ object ModelOps {
       |         / (avg(y * y) - avg(y) * avg(y)), 4) AS r2
       |FROM f, s2 WHERE NOT is_train""".stripMargin
 
+  /** Per-source holdout evaluation — slice-based model analysis (the
+    * fairness/regression-by-slice audit every deployed scorer needs:
+    * an aggregate R² can hide one source the model is useless on):
+    * the SAME train-split weights [[modelEval]] gates on, but MSE and R²
+    * reported per source against each source's OWN val mean — a slice
+    * whose R² goes negative is worse than predicting its mean, i.e. the
+    * global model actively misfits it.
+    *
+    * Scale shape: [[modelEval]]'s two keyless GD aggregates (1-row
+    * broadcasts) plus ONE map-side-combined per-source aggregate over
+    * the val split — the slice dimension adds no extra pass.
+    */
+  def modelEvalBySlice(s: SparkSession, dir: String): DataFrame = {
+    val isTrain = (instr(lit("0123456789abcdef"),
+      substring(md5(col("doc_id").cast("string").cast("binary")), 32, 1))
+      - 1) < 13
+    val f = Tables(s, dir, "documents").select(
+      col("source"), isTrain.as("is_train"),
+      (col("n_chars").cast("double") / 1000.0).as("x1"),
+      (size(split(col("text"), " ")).cast("double") / 100.0).as("x2"),
+      (col("n_chars").cast("double") /
+        size(split(col("text"), " ")).cast("double")).as("y"))
+    def step(b: Column, w1: Column, w2: Column)(src: DataFrame): DataFrame = {
+      val e = b + w1 * col("x1") + w2 * col("x2") - col("y")
+      src.agg(
+        round(first(b) - lit(2 * eta) * avg(e), 6).as("b"),
+        round(first(w1) - lit(2 * eta) * avg(e * col("x1")), 6).as("w1"),
+        round(first(w2) - lit(2 * eta) * avg(e * col("x2")), 6).as("w2"))
+    }
+    val train = f.filter(col("is_train"))
+    val s1 = step(lit(0.0), lit(0.0), lit(0.0))(train)
+    val s2 = step(col("b1"), col("w11"), col("w21"))(
+      train.crossJoin(broadcast(s1.select(
+        col("b").as("b1"), col("w1").as("w11"), col("w2").as("w21")))))
+    val err = col("b") + col("w1") * col("x1") + col("w2") * col("x2") - col("y")
+    // a slice can have zero val variance (few docs, identical y) — R²
+    // against its own mean is then undefined; NULL on both engines, not
+    // an ANSI divide-by-zero
+    val sliceVar = avg(col("y") * col("y")) - avg(col("y")) * avg(col("y"))
+    f.filter(!col("is_train"))
+      .crossJoin(broadcast(s2))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_val"),
+        round(avg(err * err), 4).as("mse"),
+        when(sliceVar === 0.0, lit(null))
+          .otherwise(round(lit(1.0) - avg(err * err) / sliceVar, 4))
+          .as("r2"))
+      .orderBy("source")
+  }
+
+  val modelEvalBySliceOracle: String =
+    """WITH f AS (
+      |  SELECT source,
+      |         (strpos('0123456789abcdef',
+      |            substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) < 13
+      |           AS is_train,
+      |         CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+      |         CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS y
+      |  FROM documents),
+      |tr AS (SELECT * FROM f WHERE is_train),
+      |s1 AS (
+      |  SELECT round(0.0 - 0.2 * avg(0.0 - y), 6) AS b,
+      |         round(0.0 - 0.2 * avg((0.0 - y) * x1), 6) AS w1,
+      |         round(0.0 - 0.2 * avg((0.0 - y) * x2), 6) AS w2
+      |  FROM tr),
+      |s2 AS (
+      |  SELECT round(any_value(s1.b)
+      |           - 0.2 * avg(s1.b + s1.w1 * x1 + s1.w2 * x2 - y), 6) AS b,
+      |         round(any_value(s1.w1)
+      |           - 0.2 * avg((s1.b + s1.w1 * x1 + s1.w2 * x2 - y) * x1), 6)
+      |           AS w1,
+      |         round(any_value(s1.w2)
+      |           - 0.2 * avg((s1.b + s1.w1 * x1 + s1.w2 * x2 - y) * x2), 6)
+      |           AS w2
+      |  FROM tr, s1)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_val,
+      |       round(avg((s2.b + s2.w1 * x1 + s2.w2 * x2 - y)
+      |         * (s2.b + s2.w1 * x1 + s2.w2 * x2 - y)), 4) AS mse,
+      |       CASE WHEN avg(y * y) - avg(y) * avg(y) = 0 THEN NULL
+      |            ELSE round(1.0 - avg((s2.b + s2.w1 * x1 + s2.w2 * x2 - y)
+      |                * (s2.b + s2.w1 * x1 + s2.w2 * x2 - y))
+      |              / (avg(y * y) - avg(y) * avg(y)), 4) END AS r2
+      |FROM f, s2 WHERE NOT is_train
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Upper-triangular Gram matrix X^T X of the 64-dim embedding corpus —
     * the normal-equation / covariance / PCA building block (one pass, then
     * eigen-work happens on the d×d result, never on the data). Plan: a
@@ -598,6 +685,7 @@ object ModelOps {
        |FROM u""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "model_eval_by_slice" -> (modelEvalBySlice _),
     "model_auc" -> (modelAuc _),
     "model_calibration" -> (modelCalibration _),
     "linreg_2step" -> (linreg2Step _),
@@ -608,6 +696,7 @@ object ModelOps {
     "model_eval" -> (modelEval _))
 
   val oracles: Map[String, String] = Map(
+    "model_eval_by_slice" -> modelEvalBySliceOracle,
     "model_auc" -> modelAucOracle,
     "model_calibration" -> modelCalibrationOracle,
     "linreg_2step" -> linreg2StepOracle,

@@ -237,6 +237,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._1 == 1) && rows.exists(_._1 >= 2))
   }
 
+  test("dedup_keep_best: exactly one keeper per cluster, keeper is the " +
+    "longest (min-id on ties), and policy_differs is consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ops.ClusterOps.dedupKeepBest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong,
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.count(_._5) == 1, s"cluster $rep keeper count")
+      assert(members.count(_._4) == 1, s"cluster $rep min-id keeper count")
+      val keeper = members.find(_._5).get
+      val best = members.maxBy(m => (m._3, -m._1))
+      assert(keeper._1 == best._1, s"cluster $rep keeper not longest")
+      // min-id keeper is the min doc_id (the rep itself)
+      assert(members.find(_._4).get._1 == members.map(_._1).min)
+    }
+    rows.foreach { r => assert(r._6 == (r._4 != r._5)) }
+  }
+
   test("tokenizer_fertility: per-lang ratios are well-formed and cover " +
     "the corpus") {
     val dir = "/root/testdata/sf0.001"

@@ -83,6 +83,24 @@ class ModelOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("model_eval_by_slice: slices reconcile with the aggregate holdout " +
+    "and per-slice R2 is bounded above by 1") {
+    val slices = graft.ops.ModelOps.modelEvalBySlice(spark, dir).collect()
+    val agg = graft.ops.ModelOps.modelEval(spark, dir).collect().head
+    assert(slices.map(_.getLong(1)).sum == agg.getLong(0),
+      "slice val counts must sum to the aggregate n_val")
+    // Σ n_i · mse_i / N == aggregate MSE (both sides rounded at 4, so
+    // allow the rounding slack)
+    val wMse = slices.map(r => r.getLong(1) * r.getDouble(2)).sum /
+      slices.map(_.getLong(1)).sum
+    assert(math.abs(wMse - agg.getDouble(1)) < 1e-3,
+      s"weighted slice MSE $wMse vs aggregate ${agg.getDouble(1)}")
+    slices.foreach { r =>
+      if (!r.isNullAt(3)) assert(r.getDouble(3) <= 1.0, r.getString(0))
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
   test("model_auc: histogram-cumsum AUC equals the brute-force " +
     "tie-corrected pair count, and the score actually ranks") {
     val row = graft.ops.ModelOps.modelAuc(spark, dir).collect().head

@@ -45,6 +45,7 @@ class PlanLintSpec extends AnyFunSuite {
     "ann_filtered_topk",    // NQueries-row query broadcast, one scored pass
     "domain_reweight",      // 1-row vocab/baseline/total/Σweight broadcasts
     "model_auc",            // 1-row positives/negatives-total cross join
+    "model_eval_by_slice",  // 1-row weight-vector broadcasts between GD steps
     "batch_mix_audit",      // 1-row corpus-entropy + 16-row batch-total broadcasts
     "epoch_plan",           // 1-row total/flat-sum/level broadcasts onto the source table
     "dedup_cluster_stats",  // 1-row corpus-count x clustered-count cross join
@@ -346,6 +347,11 @@ class PlanLintSpec extends AnyFunSuite {
       "dedup_threshold_sweep" -> 7, // ONE checkpointed pair-table read;
                                   // explode fan-out + pair/degree rollups
                                   // are pair-table-sized (+sort)
+      "model_eval_by_slice" -> 4, // two 1-row GD aggregates + ONE
+                                  // per-source val aggregate (+sort)
+      "dedup_keep_best" -> 4,     // CC label table (propagation behind
+                                  // checkpoints) + token join + per-cluster
+                                  // argmax window (+sort)
       "ann_filtered_topk" -> 10,  // three per-query windows + survivor/
                                   // hit aggs over the checkpointed scored
                                   // frame (+sort) — windows past the first
