@@ -752,6 +752,84 @@ object CurationOps {
        |SELECT rule, n_flagged, n_exclusive, flagged_tokens
        |FROM rules ORDER BY rule""".stripMargin
 
+  /** Per-document lineage passport — the subject-access-request shape a
+    * governed corpus answers (GDPR Art. 15 / the audit half of
+    * [[ClusterOps.deletePropagation]]'s erasure): for a probe set of
+    * documents, one row joining every derived artifact the pipeline
+    * holds about the doc — near-dup degree in the pair table, cluster
+    * membership and the dedup keep verdict, train/val/test split and CV
+    * fold assignment, and the quality/repetition flags. Before a
+    * deletion request is honored, THIS is the checklist of artifacts the
+    * erasure must propagate through.
+    *
+    * Scale shape: the probe set prunes first (a narrow filter), and
+    * every artifact attach is a doc_id-keyed join against tables the
+    * pipeline already materializes (pairs, clusters) or narrow maps
+    * (split/fold rules, flags) — probe-set-sized output, artifact-table-
+    * sized work, never corpus².
+    */
+  def docLineage(s: SparkSession, dir: String): DataFrame = {
+    val probes = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("source"))
+    val nibble = instr(lit("0123456789abcdef"),
+      substring(md5(col("doc_id").cast("string").cast("binary")), 32, 1)) - 1
+    val degree = DedupEdges.pairs(s, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pairs"))
+    val cl = ClusterOps.dedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_rep"), col("keep"))
+    probes
+      .join(degree, Seq("doc_id"), "left")
+      .join(cl, Seq("doc_id"), "left")
+      .join(TextOps.textQuality(s, dir)
+        .select(col("doc_id"), col("low_quality")), "doc_id")
+      .join(TextOps.textRepetition(s, dir)
+        .select(col("doc_id"), col("repetitive")), "doc_id")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_dup_pairs"),
+        col("cluster_rep"),
+        coalesce(col("keep"), lit(true)).as("kept_by_dedup"),
+        when(nibble < 13, "train").when(nibble < 15, "val")
+          .otherwise("test").as("split"),
+        (nibble % 5).cast("int").as("fold"),
+        col("low_quality"), col("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val docLineageOracle: String =
+    s"""WITH probes AS (
+       |  SELECT doc_id, source,
+       |         strpos('0123456789abcdef',
+       |           substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS nib
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |pairs AS (SELECT doc_a, doc_b
+       |          FROM (${DedupOps.dedupNgramJaccardOracle})),
+       |deg AS (
+       |  SELECT doc_id, count(*) AS n_pairs FROM (
+       |    SELECT doc_a AS doc_id FROM pairs
+       |    UNION ALL SELECT doc_b AS doc_id FROM pairs)
+       |  GROUP BY doc_id),
+       |cl AS (SELECT doc_id, cluster_rep, keep
+       |       FROM (${ClusterOps.dedupClustersOracle})),
+       |q AS (SELECT doc_id, low_quality
+       |      FROM (${TextOps.textQualityOracle})),
+       |r AS (SELECT doc_id, repetitive
+       |      FROM (${TextOps.textRepetitionOracle}))
+       |SELECT p.doc_id, p.source,
+       |       CAST(coalesce(deg.n_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       |       cl.cluster_rep,
+       |       coalesce(cl.keep, true) AS kept_by_dedup,
+       |       CASE WHEN p.nib < 13 THEN 'train'
+       |            WHEN p.nib < 15 THEN 'val' ELSE 'test' END AS split,
+       |       CAST(p.nib % 5 AS INT) AS fold,
+       |       q.low_quality, r.repetitive
+       |FROM probes p
+       |LEFT JOIN deg USING (doc_id)
+       |LEFT JOIN cl USING (doc_id)
+       |JOIN q USING (doc_id) JOIN r USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+
   /** k-fold cross-validation split audit WITH the leakage check plain
     * folding misses: documents are dealt into 5 folds by the content-
     * stable md5-nibble rule ([[corpusSplit]]'s discipline, mod 5), and
@@ -1115,6 +1193,7 @@ object CurationOps {
        |FROM raw, rt ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_lineage" -> (docLineage _),
     "crossval_split" -> (crossvalSplit _),
     "epoch_plan" -> (epochPlan _),
     "batch_mix_audit" -> (batchMixAudit _),
@@ -1134,6 +1213,7 @@ object CurationOps {
     "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
+    "doc_lineage" -> docLineageOracle,
     "crossval_split" -> crossvalSplitOracle,
     "epoch_plan" -> epochPlanOracle,
     "batch_mix_audit" -> batchMixAuditOracle,

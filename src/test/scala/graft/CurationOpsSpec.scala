@@ -237,6 +237,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._1 == 1) && rows.exists(_._1 >= 2))
   }
 
+  test("doc_lineage: passport rows reconcile with the artifact tables " +
+    "they summarize") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CurationOps.docLineage(spark, dir).collect()
+    val probeIds = Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+      .count()
+    assert(rows.length == probeIds)
+    val pairs = graft.ops.DedupEdges.pairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cl = graft.ops.ClusterOps.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val deg = pairs.count(p => p._1 == id || p._2 == id)
+      assert(r.getLong(2) == deg, s"doc $id degree")
+      cl.get(id) match {
+        case Some((rep, keep)) =>
+          assert(!r.isNullAt(3) && r.getLong(3) == rep && r.getBoolean(4) == keep)
+          assert(deg > 0, s"clustered doc $id must have a pair")
+        case None =>
+          assert(r.isNullAt(3) && r.getBoolean(4), s"unclustered doc $id")
+      }
+      assert(Set("train", "val", "test")(r.getString(5)))
+      assert(r.getInt(6) >= 0 && r.getInt(6) <= 4)
+    }
+  }
+
   test("dedup_keep_best: exactly one keeper per cluster, keeper is the " +
     "longest (min-id on ties), and policy_differs is consistent") {
     val dir = "/root/testdata/sf0.001"

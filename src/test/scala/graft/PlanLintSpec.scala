@@ -347,6 +347,11 @@ class PlanLintSpec extends AnyFunSuite {
       "dedup_threshold_sweep" -> 7, // ONE checkpointed pair-table read;
                                   // explode fan-out + pair/degree rollups
                                   // are pair-table-sized (+sort)
+      "doc_lineage" -> 16,        // probe-set joins across the artifact
+                                  // frames (pair degree, CC labels,
+                                  // quality/repetition flag pipelines) —
+                                  // a governance audit, not a serving
+                                  // path; output is probe-set-sized
       "model_eval_by_slice" -> 4, // two 1-row GD aggregates + ONE
                                   // per-source val aggregate (+sort)
       "dedup_keep_best" -> 4,     // CC label table (propagation behind
