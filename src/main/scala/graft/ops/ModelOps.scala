@@ -317,6 +317,123 @@ object ModelOps {
       |FROM f, s2 WHERE NOT is_train
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Split-conformal prediction-interval audit (Vovk's conformal
+    * prediction in its simplest deployed form — Angelopoulos & Bates
+    * 2021 §2): the train-split scorer's absolute residuals on a held-out
+    * CALIBRATION split (the val nibbles) give q̂ = the ⌈0.9·(n+1)⌉-th
+    * smallest; the interval pred ± q̂ then carries a finite-sample ≥90%
+    * coverage guarantee on exchangeable data, and the TEST split checks
+    * it empirically. This is how a regression scorer ships with honest
+    * error bars instead of a point estimate — the audit row is the
+    * guarantee's receipt.
+    *
+    * Scale shape: no corpus-sized ranking — residuals are clamped to
+    * [0, 100] and 4-rounded, so the calibration histogram is ≤ 10⁶+1
+    * rows REGARDLESS of corpus size and the order statistic is a
+    * cumulative-count window over that bounded aggregate (the
+    * [[modelAuc]] discipline, whitelisted with this bound); k attaches
+    * as a 1-row broadcast, nothing collects. Coverage on test is one
+    * keyless aggregate against the broadcast q̂.
+    */
+  def conformalInterval(s: SparkSession, dir: String): DataFrame = {
+    val nibble = instr(lit("0123456789abcdef"),
+      substring(md5(col("doc_id").cast("string").cast("binary")), 32, 1)) - 1
+    val f = Tables(s, dir, "documents").select(
+      when(nibble < 13, "train").when(nibble < 15, "cal")
+        .otherwise("test").as("part"),
+      (col("n_chars").cast("double") / 1000.0).as("x1"),
+      (size(split(col("text"), " ")).cast("double") / 100.0).as("x2"),
+      (col("n_chars").cast("double") /
+        size(split(col("text"), " ")).cast("double")).as("y"))
+    def step(b: Column, w1: Column, w2: Column)(src: DataFrame): DataFrame = {
+      val e = b + w1 * col("x1") + w2 * col("x2") - col("y")
+      src.agg(
+        round(first(b) - lit(2 * eta) * avg(e), 6).as("b"),
+        round(first(w1) - lit(2 * eta) * avg(e * col("x1")), 6).as("w1"),
+        round(first(w2) - lit(2 * eta) * avg(e * col("x2")), 6).as("w2"))
+    }
+    val train = f.filter(col("part") === "train")
+    val s1 = step(lit(0.0), lit(0.0), lit(0.0))(train)
+    val s2 = step(col("b1"), col("w11"), col("w21"))(
+      train.crossJoin(broadcast(s1.select(
+        col("b").as("b1"), col("w1").as("w11"), col("w2").as("w21")))))
+    // |residual|, clamped + 4-rounded: the bounded-histogram scale
+    val res = round(least(
+      abs(col("b") + col("w1") * col("x1") + col("w2") * col("x2")
+        - col("y")), lit(100.0)), 4)
+    val scored = f.filter(col("part") =!= "train")
+      .crossJoin(broadcast(s2)).select(col("part"), res.as("r"))
+    val calHist = scored.filter(col("part") === "cal")
+      .groupBy(col("r")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("r"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val nCal = calHist.agg(sum(col("cnt")).as("n_cal"))
+    val qhat = calHist.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(nCal))
+      .filter(col("cum") >= ceil(lit(0.9) * (col("n_cal") + 1)))
+      .agg(min(col("r")).as("q_hat"), first(col("n_cal")).as("n_cal"))
+    scored.filter(col("part") === "test")
+      .crossJoin(broadcast(qhat))
+      .agg(
+        first(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        round(first(col("q_hat")), 4).as("q_hat"),
+        round(avg(when(col("r") <= col("q_hat"), 1).otherwise(0)), 4)
+          .as("coverage"),
+        lit(0.9).as("target"))
+  }
+
+  val conformalIntervalOracle: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN nib < 13 THEN 'train'
+      |              WHEN nib < 15 THEN 'cal' ELSE 'test' END AS part,
+      |         x1, x2, y
+      |  FROM (SELECT strpos('0123456789abcdef',
+      |            substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS nib,
+      |          CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+      |          CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+      |          CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS y
+      |        FROM documents)),
+      |tr AS (SELECT * FROM f WHERE part = 'train'),
+      |s1 AS (
+      |  SELECT round(0.0 - 0.2 * avg(0.0 - y), 6) AS b,
+      |         round(0.0 - 0.2 * avg((0.0 - y) * x1), 6) AS w1,
+      |         round(0.0 - 0.2 * avg((0.0 - y) * x2), 6) AS w2
+      |  FROM tr),
+      |s2 AS (
+      |  SELECT round(any_value(s1.b)
+      |           - 0.2 * avg(s1.b + s1.w1 * x1 + s1.w2 * x2 - y), 6) AS b,
+      |         round(any_value(s1.w1)
+      |           - 0.2 * avg((s1.b + s1.w1 * x1 + s1.w2 * x2 - y) * x1), 6)
+      |           AS w1,
+      |         round(any_value(s1.w2)
+      |           - 0.2 * avg((s1.b + s1.w1 * x1 + s1.w2 * x2 - y) * x2), 6)
+      |           AS w2
+      |  FROM tr, s1),
+      |scored AS (
+      |  SELECT part,
+      |         round(least(abs(s2.b + s2.w1 * x1 + s2.w2 * x2 - y),
+      |           100.0), 4) AS r
+      |  FROM f, s2 WHERE part <> 'train'),
+      |hist AS (SELECT r, count(*) AS cnt FROM scored
+      |         WHERE part = 'cal' GROUP BY r),
+      |nc AS (SELECT sum(cnt) AS n_cal FROM hist),
+      |qh AS (
+      |  SELECT min(r) AS q_hat, any_value(n_cal) AS n_cal FROM (
+      |    SELECT r, sum(cnt) OVER (ORDER BY r
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      nc.n_cal
+      |    FROM hist, nc)
+      |  WHERE cum >= ceil(0.9 * (n_cal + 1)))
+      |SELECT CAST(qh.n_cal AS BIGINT) AS n_cal,
+      |       count(*) AS n_test,
+      |       round(qh.q_hat, 4) AS q_hat,
+      |       round(avg(CASE WHEN r <= qh.q_hat THEN 1 ELSE 0 END), 4)
+      |         AS coverage,
+      |       CAST(0.9 AS DOUBLE) AS target
+      |FROM scored, qh WHERE part = 'test'
+      |GROUP BY qh.n_cal, qh.q_hat""".stripMargin
+
   /** Upper-triangular Gram matrix X^T X of the 64-dim embedding corpus —
     * the normal-equation / covariance / PCA building block (one pass, then
     * eigen-work happens on the d×d result, never on the data). Plan: a
@@ -685,6 +802,7 @@ object ModelOps {
        |FROM u""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conformal_interval" -> (conformalInterval _),
     "model_eval_by_slice" -> (modelEvalBySlice _),
     "model_auc" -> (modelAuc _),
     "model_calibration" -> (modelCalibration _),
@@ -696,6 +814,7 @@ object ModelOps {
     "model_eval" -> (modelEval _))
 
   val oracles: Map[String, String] = Map(
+    "conformal_interval" -> conformalIntervalOracle,
     "model_eval_by_slice" -> modelEvalBySliceOracle,
     "model_auc" -> modelAucOracle,
     "model_calibration" -> modelCalibrationOracle,

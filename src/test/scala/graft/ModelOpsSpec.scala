@@ -101,6 +101,50 @@ class ModelOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("conformal_interval: q-hat is the exact order statistic and " +
+    "coverage matches a brute-force recount") {
+    val row = graft.ops.ModelOps.conformalInterval(spark, dir).collect().head
+    val (nCal, nTest, qHat, coverage) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    // brute force: same features, same 2-step GD, same clamp+round
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select("doc_id", "n_chars", "text").collect().map { r =>
+        val chars = r.getLong(1).toDouble
+        val toks = r.getString(2).split(" ", -1).length.toDouble
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getLong(0).toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val nib = "0123456789abcdef".indexOf(md.charAt(31))
+        (nib, chars / 1000.0, toks / 100.0, chars / toks)
+      }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val train = docs.filter(_._1 < 13)
+    def gd(b: Double, w1: Double, w2: Double) = {
+      val es = train.map { case (_, x1, x2, y) =>
+        val e = b + w1 * x1 + w2 * x2 - y; (e, e * x1, e * x2) }
+      val n = train.length
+      (r6(b - 0.2 * es.map(_._1).sum / n), r6(w1 - 0.2 * es.map(_._2).sum / n),
+        r6(w2 - 0.2 * es.map(_._3).sum / n))
+    }
+    val (b1, w11, w21) = gd(0.0, 0.0, 0.0)
+    val (b2, w12, w22) = gd(b1, w11, w21)
+    def res(d: (Int, Double, Double, Double)) =
+      r4(math.min(math.abs(b2 + w12 * d._2 + w22 * d._3 - d._4), 100.0))
+    val cal = docs.filter(d => d._1 >= 13 && d._1 < 15).map(res).sorted
+    val test = docs.filter(_._1 == 15).map(res)
+    assert(nCal == cal.length && nTest == test.length)
+    val k = math.ceil(0.9 * (cal.length + 1)).toInt
+    assert(qHat == cal(k - 1), s"q_hat $qHat vs ${cal(k - 1)}")
+    val cov = r4(test.count(_ <= qHat).toDouble / test.length)
+    assert(coverage == cov, s"coverage $coverage vs $cov")
+    // finite-sample guarantee holds in expectation; on one split allow
+    // binomial noise around the target
+    assert(coverage > 0.6 && coverage <= 1.0)
+  }
+
   test("model_auc: histogram-cumsum AUC equals the brute-force " +
     "tie-corrected pair count, and the score actually ranks") {
     val row = graft.ops.ModelOps.modelAuc(spark, dir).collect().head

@@ -46,6 +46,7 @@ class PlanLintSpec extends AnyFunSuite {
     "domain_reweight",      // 1-row vocab/baseline/total/Σweight broadcasts
     "model_auc",            // 1-row positives/negatives-total cross join
     "model_eval_by_slice",  // 1-row weight-vector broadcasts between GD steps
+    "conformal_interval",   // 1-row weight/n_cal/q-hat broadcasts
     "batch_mix_audit",      // 1-row corpus-entropy + 16-row batch-total broadcasts
     "epoch_plan",           // 1-row total/flat-sum/level broadcasts onto the source table
     "dedup_cluster_stats",  // 1-row corpus-count x clustered-count cross join
@@ -347,6 +348,10 @@ class PlanLintSpec extends AnyFunSuite {
       "dedup_threshold_sweep" -> 7, // ONE checkpointed pair-table read;
                                   // explode fan-out + pair/degree rollups
                                   // are pair-table-sized (+sort)
+      "conformal_interval" -> 11, // GD chain 1-row aggs + calibration
+                                  // histogram agg + bounded cumsum window
+                                  // + 1-row q-hat and coverage aggs — no
+                                  // sort (1 row)
       "doc_lineage" -> 16,        // probe-set joins across the artifact
                                   // frames (pair degree, CC labels,
                                   // quality/repetition flag pipelines) —
@@ -402,7 +407,8 @@ class PlanLintSpec extends AnyFunSuite {
     "kaplan_meier" -> "risk-set/survival cumulatives over the duration-day aggregate (≤ the ~2,500-day TPC-H order calendar)",
     "token_budget_fill" -> "rank/prefix over the per-source token aggregate (≤ source cardinality — 20 here, thousands at worst in production)",
     "model_auc" -> "cumulative-negatives over the 6-rounded score histogram (p ∈ [0,1] at 6 decimals → ≤ 10⁶+1 rows regardless of corpus size)",
-    "epoch_plan" -> "rank/prefix over the per-source token aggregate (token_budget_fill's bound — ≤ source cardinality)")
+    "epoch_plan" -> "rank/prefix over the per-source token aggregate (token_budget_fill's bound — ≤ source cardinality)",
+    "conformal_interval" -> "cumulative-count over the clamped 4-rounded residual histogram (|r| ∈ [0,100] at 4 decimals → ≤ 10⁶+1 rows regardless of corpus size)")
 
   test("unpartitioned WindowExec only over limit-bounded or whitelisted-aggregate input") {
     import org.apache.spark.sql.execution._
