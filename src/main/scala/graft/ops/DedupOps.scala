@@ -1430,6 +1430,142 @@ object DedupOps {
     * attaches shingles only to candidate ids. The cross-config union for
     * the capture denominator is candidate-sized, never corpus².
     */
+  /** MinHash estimator-calibration table — the EMPIRICAL companion to
+    * [[dedupLshTune]]'s closed-form S-curve: over the (8×6)-banded
+    * candidate pairs (the widest-capture config), the 48-hash estimate
+    * Ĵ = (matching signature positions)/48 next to the exact shingle
+    * Jaccard, bucketed by exact J. Per bucket: mean exact, mean
+    * estimate, mean |error|, and the binomial theory σ = √(J(1−J)/48)
+    * the errors should sit inside — a mean_abs_err far above ~0.8·σ
+    * means the hash family is broken, not just noisy. This is the audit
+    * that justifies trusting minhash SCORES (not just buckets) anywhere
+    * in the pipeline.
+    *
+    * Scale shape: candidates come from the banded join (linear, never
+    * all-pairs); the estimate is an exact integer zip-count over the two
+    * 48-long signatures (narrow, bit-identical cross-engine), and the
+    * bucketing uses static literal comparisons on the 6-rounded exact J
+    * (the [[ModelOps.modelCalibration]] boundary discipline).
+    */
+  def minhashEstimateError(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
+    import graft.functions.expressions.{AffineMinHash, Md5ShingleId}
+    val nHashes = 48; val bands = 8; val rowsPerBand = 6
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(normText(col("text")), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 5)
+      .select(col("doc_id"),
+        array_distinct(bc(Md5ShingleId(be(col("tokens")), k = 5)))
+          .as("shingles"))
+    val sig = docs.select(col("doc_id"),
+      bc(AffineMinHash(be(col("shingles")), nHashes)).as("sig"))
+      .localCheckpoint()
+    def bandArr = array((0 until bands).map(bnd =>
+      conv(substring(md5(concat_ws(",", (0 until rowsPerBand).map(j =>
+        col("sig")(bnd * rowsPerBand + j)): _*)), 1, 15), 16, 10)
+        .cast("long")): _*)
+    val banded = sig.select(col("doc_id"),
+      posexplode(bandArr).as(Seq("band", "bsig")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSig = pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),
+        "doc_b")
+    val ni = graft.functions.ArrayFunctions.intersectSize(
+      col("sh_a"), col("sh_b"))
+    val scored = withSig.select(
+      round(ni.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - ni).cast("double"), 6)
+        .as("j"),
+      (aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v) / lit(nHashes.toDouble)).as("est"))
+    val bucket = (1 to 9).foldLeft(when(col("j") < 0.1, lit(0))) {
+      (acc, i) => acc.when(col("j") < lit((i + 1) / 10.0), lit(i))
+    }.otherwise(lit(9))
+    scored.withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("j")), 4).as("mean_exact"),
+        round(avg(col("est")), 4).as("mean_est"),
+        round(avg(abs(col("est") - col("j"))), 4).as("mean_abs_err"),
+        round(sqrt(avg(col("j")) * (lit(1.0) - avg(col("j")))
+          / nHashes), 4).as("theory_sd"))
+      .orderBy("bucket")
+  }
+
+  lazy val minhashEstimateErrorOracle: String = {
+    import graft.functions.expressions.AffineMinHash
+    val norm = normTextOracle("text")
+    val nHashes = 48; val bands = 8; val rowsPerBand = 6
+    val sigCols = (0 until nHashes).map(j =>
+      s"min((${AffineMinHash.A(j)} * (m % 4294967296) + " +
+        s"${AffineMinHash.B(j)}) % 4294967296) AS s$j")
+      .mkString(",\n         ")
+    val bandSelects = (0 until bands).map { bnd =>
+      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(j => s"s$j").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, " +
+        s"('0x' || substr(md5(concat_ws(',', $cols)), 1, 15))::BIGINT AS bsig " +
+        "FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val eqSum = (0 until nHashes)
+      .map(j => s"CAST(sa.s$j = sb.s$j AS INT)").mkString(" + ")
+    val bucketCase = "CASE " + (0 to 8).map(i =>
+      s"WHEN j < ${(i + 1) / 10.0} THEN $i").mkString(" ") + " ELSE 9 END"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS tokens FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(array_to_string(tokens[i:i+4], ' ')), 1, 15))::BIGINT AS m
+       |  FROM toks, LATERAL unnest(generate_series(1, len(tokens) - 4)) t(i)
+       |  WHERE len(tokens) >= 5),
+       |sh AS (SELECT DISTINCT doc_id, m FROM sh0),
+       |szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS n_i
+       |  FROM pairs p
+       |  JOIN sh x ON x.doc_id = p.doc_a
+       |  JOIN sh y ON y.doc_id = p.doc_b AND y.m = x.m
+       |  GROUP BY p.doc_a, p.doc_b),
+       |scored AS (
+       |  SELECT round(CAST(coalesce(i.n_i, 0) AS DOUBLE) /
+       |           (na.n_sh + nb.n_sh - coalesce(i.n_i, 0)), 6) AS j,
+       |         ($eqSum) / ${nHashes.toDouble} AS est
+       |  FROM pairs p
+       |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |  JOIN szs na ON na.doc_id = p.doc_a
+       |  JOIN szs nb ON nb.doc_id = p.doc_b
+       |  JOIN sig sa ON sa.doc_id = p.doc_a
+       |  JOIN sig sb ON sb.doc_id = p.doc_b)
+       |SELECT $bucketCase AS bucket, count(*) AS n_pairs,
+       |       round(avg(j), 4) AS mean_exact,
+       |       round(avg(est), 4) AS mean_est,
+       |       round(avg(abs(est - j)), 4) AS mean_abs_err,
+       |       round(sqrt(avg(j) * (1.0 - avg(j)) / $nHashes), 4) AS theory_sd
+       |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   def dedupLshTune(s: SparkSession, dir: String): DataFrame =
     dedupLshTuneFrom(s, Tables(s, dir, "documents"))
 
@@ -1825,6 +1961,7 @@ object DedupOps {
     "dedup_editdistance" -> (dedupEditDistance _),
     "semdedup" -> (semDedup _),
     "dedup_exact" -> (dedupExact _),
+    "minhash_estimate_error" -> (minhashEstimateError _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "incremental_dedup_edges" -> (incrementalDedupEdges _),
@@ -1844,6 +1981,7 @@ object DedupOps {
     "dedup_editdistance" -> dedupEditDistanceOracle,
     "semdedup" -> semDedupOracle,
     "dedup_exact" -> dedupExactOracle,
+    "minhash_estimate_error" -> minhashEstimateErrorOracle,
     "dedup_threshold_sweep" -> dedupThresholdSweepOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "incremental_dedup_edges" -> incrementalDedupEdgesOracle,

