@@ -1082,7 +1082,89 @@ object EventOps {
       |       chi2, chi2 > 3.841 AS significant
       |FROM x""".stripMargin
 
+  /** DAU/MAU stickiness — the product-analytics engagement curve (how
+    * much of the monthly audience shows up each day): per day, distinct
+    * active users over the period's distinct users. The events table
+    * spans one month, so MAU is the single period denominator; on a
+    * longer stream the same plan groups the denominator by month. Day
+    * keys are formatted STRINGS (the [[eventsTumbling]] timestamp-
+    * precision discipline).
+    *
+    * Scale shape: two countDistinct aggregations (per-day and global),
+    * the global one attached as a 1-row broadcast — day cardinality
+    * output, no window.
+    */
+  def dauMau(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+    val dau = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = ev.agg(countDistinct(col("user_id")).as("mau"))
+    dau.crossJoin(broadcast(mau))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau") / col("mau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val dauMauOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |  FROM events),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+      |        FROM ev GROUP BY day),
+      |mau AS (SELECT count(DISTINCT user_id) AS mau FROM ev)
+      |SELECT day, dau, mau.mau,
+      |       round(CAST(dau AS DOUBLE) / mau.mau, 4) AS stickiness
+      |FROM dau, mau ORDER BY day""".stripMargin
+
+  /** Attribution-lag profile — how long before a purchase its attributed
+    * view happened, rolled up per purchase day: conversion count, mean
+    * and max lag in hours, and the within-24h share. Reads the
+    * [[AnalyticsOps.asofJoinAttribution]] result (the oracle-verified
+    * last-touch table), so the lag numbers provably describe the SAME
+    * attribution the as-of family serves — the number a marketing
+    * attribution window (the 7-day cap in the join) gets tuned against.
+    *
+    * Scale shape: one purchase-keyed join to attach the day + one
+    * map-side-combined per-day aggregate on top of the attribution
+    * query's own plan.
+    */
+  def conversionLag(s: SparkSession, dir: String): DataFrame = {
+    val attr = AnalyticsOps.asofJoinAttribution(s, dir)
+      .select(col("purchase_id"), col("gap_sec"))
+    val pday = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+    attr.join(pday, "purchase_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(avg(col("gap_sec") / 3600.0), 4).as("mean_lag_hours"),
+        round(max(col("gap_sec")) / 3600.0, 4).as("max_lag_hours"),
+        sum(when(col("gap_sec") <= 86400, 1L).otherwise(0L))
+          .as("n_within_24h"))
+      .orderBy("day")
+  }
+
+  val conversionLagOracle: String =
+    s"""WITH attr AS (
+       |  SELECT purchase_id, gap_sec FROM (${AnalyticsOps.asofJoinOracle})),
+       |pday AS (
+       |  SELECT event_id AS purchase_id,
+       |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT day, count(*) AS n_conversions,
+       |       round(avg(gap_sec / 3600.0), 4) AS mean_lag_hours,
+       |       round(max(gap_sec) / 3600.0, 4) AS max_lag_hours,
+       |       CAST(sum(CASE WHEN gap_sec <= 86400 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_within_24h
+       |FROM attr JOIN pday USING (purchase_id)
+       |GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dau_mau" -> (dauMau _),
+    "conversion_lag" -> (conversionLag _),
     "ab_chi_square" -> (abChiSquare _),
     "ab_test_stats" -> (abTestStats _),
     "rfm_segments" -> (rfmSegments _),
@@ -1108,6 +1190,8 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "dau_mau" -> dauMauOracle,
+    "conversion_lag" -> conversionLagOracle,
     "ab_chi_square" -> abChiSquareOracle,
     "ab_test_stats" -> abTestStatsOracle,
     "rfm_segments" -> rfmSegmentsOracle,

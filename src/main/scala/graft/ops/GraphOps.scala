@@ -672,7 +672,56 @@ object GraphOps {
       |        || CAST(v AS VARCHAR)), 1, 15))::BIGINT % 1000000) * cnt)
       |     AS BIGINT) FROM full_pairs) AS checksum""".stripMargin
 
+  /** Degree assortativity (Newman 2002, Phys. Rev. Lett. 89): the Pearson
+    * correlation of end-point degrees over every edge END (both
+    * orientations — the undirected convention). Positive r = hubs attach
+    * to hubs (social-graph-like), negative = hub-and-spoke
+    * (technological/co-purchase-like). For a dedup/co-occurrence
+    * pipeline this is the one-number structure check between
+    * [[degreeDistribution]] (how skewed) and [[triangleCount]] (how
+    * clustered) — and a sharp structural shift between corpus snapshots
+    * is a data-drift signal upstream metrics miss.
+    *
+    * Scale shape: degrees are ONE keyed aggregation over the edge ends;
+    * the per-edge attach is two node-keyed joins (edge-list-sized);
+    * `corr` is a single partial-aggregable pass (Spark's and DuckDB's
+    * shared definition — the [[AnalyticsOps]] corr_matrix precedent).
+    */
+  def degreeAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    val d = degrees(e)
+    val sym = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    sym
+      .join(d.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(d.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .agg(count(lit(1)).as("n_edge_ends"),
+        round(avg(col("du")), 4).as("mean_end_degree"),
+        round(corr(col("du").cast("double"), col("dv").cast("double")), 4)
+          .as("assortativity"))
+  }
+
+  val degreeAssortativityOracle: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      |  GROUP BY node),
+      |sym AS (
+      |  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges)
+      |SELECT count(*) AS n_edge_ends,
+      |       round(avg(du.deg), 4) AS mean_end_degree,
+      |       round(corr(CAST(du.deg AS DOUBLE), CAST(dv.deg AS DOUBLE)), 4)
+      |         AS assortativity
+      |FROM sym
+      |JOIN deg du ON du.node = sym.u
+      |JOIN deg dv ON dv.node = sym.v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "degree_assortativity" -> (degreeAssortativity _),
     "incremental_edges" -> (incrementalEdges _),
     "bfs_2step" -> (bfs2Step _),
     "sssp_2step" -> (sssp2Step _),
@@ -684,6 +733,7 @@ object GraphOps {
     "kcore_2step" -> (kcore2Step _))
 
   val oracles: Map[String, String] = Map(
+    "degree_assortativity" -> degreeAssortativityOracle,
     "incremental_edges" -> incrementalEdgesOracle,
     "bfs_2step" -> bfs2StepOracle,
     "sssp_2step" -> sssp2StepOracle,

@@ -185,4 +185,36 @@ class EventOpsSpec extends AnyFunSuite {
     assert(df >= math.min(nA, nB) - 1 && df <= nA + nB - 2, s"df $df out of bounds")
     assert(!r.getDouble(6).isNaN && !r.getDouble(6).isInfinite)
   }
+  test("dau_mau: stickiness = dau/mau, dau bounded by mau, mau is the " +
+    "period distinct-user count") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ops.EventOps.dauMau(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val mau = graft.ops.Tables(spark, dir, "events")
+      .select("user_id").distinct().count()
+    rows.foreach { case (day, dau, m, st) =>
+      assert(m == mau, s"$day mau")
+      assert(dau >= 1 && dau <= mau, s"$day dau $dau")
+      val expect = BigDecimal(dau.toDouble / mau)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(st == expect, s"$day stickiness")
+    }
+  }
+
+  test("conversion_lag: totals reconcile with the attribution table and " +
+    "lags are non-negative within the 7-day window") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ops.EventOps.conversionLag(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    val nAttr = graft.ops.AnalyticsOps.asofJoinAttribution(spark, dir).count()
+    assert(rows.map(_._2).sum == nAttr,
+      "per-day conversions must sum to the attribution rows")
+    rows.foreach { case (day, n, mean, mx, within) =>
+      assert(n > 0 && within >= 0 && within <= n, day)
+      assert(mean >= 0 && mx >= mean - 1e-9, day)
+      assert(mx <= 7 * 24.0 + 1e-9, s"$day lag beyond the 7-day window")
+    }
+  }
 }

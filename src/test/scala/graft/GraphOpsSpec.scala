@@ -227,4 +227,28 @@ class GraphOpsSpec extends AnyFunSuite {
       }
     } finally GraphEdges.clear()
   }
+  test("degree_assortativity: Pearson bounds hold and a driver-side " +
+    "recount matches") {
+    val dir = "/root/testdata/sf0.001"
+    val row = graft.ops.GraphOps.degreeAssortativity(spark, dir)
+      .collect().head
+    val (nEnds, meanDeg, r) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    val edges = graft.ops.GraphEdges.canonical(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(nEnds == 2L * edges.length)
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val xs = edges.flatMap { case (u, v) =>
+      Seq((deg(u), deg(v)), (deg(v), deg(u))) }
+    val n = xs.length
+    val (mx, my) = (xs.map(_._1).sum / n, xs.map(_._2).sum / n)
+    val cov = xs.map { case (a, b) => (a - mx) * (b - my) }.sum / (n - 1)
+    val sx = math.sqrt(xs.map(a => math.pow(a._1 - mx, 2)).sum / (n - 1))
+    val sy = math.sqrt(xs.map(a => math.pow(a._2 - my, 2)).sum / (n - 1))
+    val expect = cov / (sx * sy)
+    assert(math.abs(r - expect) < 1e-3, s"assortativity $r vs $expect")
+    assert(math.abs(meanDeg - mx) < 1e-3)
+  }
 }

@@ -52,6 +52,7 @@ class PlanLintSpec extends AnyFunSuite {
     "dedup_cluster_stats",  // 1-row corpus-count x clustered-count cross join
     "minhash_estimate_error", // banded candidate join off the checkpointed
                             // signature table; attach joins AQE-broadcast
+    "dau_mau",              // 1-row MAU-denominator cross join
     "source_divergence",    // 200-word top-vocab × |sources|-row grid broadcasts
     "dedup_lsh_tune",  // 1-row capture-denominator cross join
     "model_calibration", // 1-row weight + 1-row μ/σ + ≤10-row ECE broadcasts
@@ -350,6 +351,14 @@ class PlanLintSpec extends AnyFunSuite {
       "dedup_threshold_sweep" -> 7, // ONE checkpointed pair-table read;
                                   // explode fan-out + pair/degree rollups
                                   // are pair-table-sized (+sort)
+      "dau_mau" -> 5,             // per-day + global countDistinct (each
+                                  // an expand/partial pair) (+sort)
+      "conversion_lag" -> 3,      // the attribution window's user shuffle
+                                  // + purchase-day attach + per-day agg
+                                  // (+sort; small joins AQE-broadcast)
+      "degree_assortativity" -> 9, // edge build + degree agg + two
+                                  // node-keyed attaches + 1-row corr agg —
+                                  // no sort (1 row)
       "minhash_estimate_error" -> 8, // checkpointed signature table;
                                   // banded candidate join + distinct +
                                   // sig/shingle attaches + bucket agg
