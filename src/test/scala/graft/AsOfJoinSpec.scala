@@ -392,7 +392,7 @@ class AsOfJoinSpec extends AnyFunSuite {
         s"  left=$leftRows\n  right=$rightRows\n  got=$out\n  want=$expected")
       ok
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(80), prop)
     assert(res.passed, res.status.toString)
   }
 

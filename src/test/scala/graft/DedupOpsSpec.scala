@@ -602,4 +602,51 @@ class DedupOpsSpec extends AnyFunSuite {
       assert(math.abs(est - exact) <= 3 * sd + 0.02, s"bucket $b bias")
     }
   }
+  test("property: dedup_span_remove — no originally-duplicated 20-char " +
+    "window survives in more than one document") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocab = (0 until 16).map(i => f"w$i%02d")
+    val phrase = "shared run of text that exceeds twenty chars easily"
+    val docGen = for {
+      n <- Gen.choose(4, 14)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+      plant <- Gen.oneOf(0, 1, 2) // 0 = none, 1 = append, 2 = prepend
+    } yield plant match {
+      case 1 => (ws :+ phrase).mkString(" ")
+      case 2 => (phrase +: ws).mkString(" ")
+      case _ => ws.mkString(" ")
+    }
+    val corpus = Gen.choose(3, 8).flatMap(k => Gen.listOfN(k, docGen))
+    val W = 20
+    val prop = Prop.forAll(corpus) { texts: List[String] =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val kept = graft.ops.DedupOps.dedupSpanRemoveFrom(docs).collect()
+        .map(r => r.getLong(0) -> r.getString(4)).toMap
+      // original cross-doc duplicated windows (on the normalized text the
+      // operator works over)
+      def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ").trim
+      def windows(t: String): Set[String] =
+        if (t.length < W) Set.empty
+        else (0 to t.length - W).map(i => t.substring(i, i + W)).toSet
+      val byDoc = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> windows(norm(t)) }
+      val dupWindows = byDoc.flatMap { case (id, ws) => ws.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2).keySet
+      val ok = dupWindows.forall { w =>
+        kept.values.count(_.contains(w)) <= 1
+      }
+      if (!ok) {
+        val bad = dupWindows.filter(w => kept.values.count(_.contains(w)) > 1)
+        println(s"SURVIVING DUPS: ${bad.take(2)} in corpus $texts -> $kept")
+      }
+      ok
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
