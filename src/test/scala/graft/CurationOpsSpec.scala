@@ -343,6 +343,51 @@ class CurationOpsSpec extends AnyFunSuite {
       "allocation must exhaust the budget")
   }
 
+  test("property: epoch-fill closed form == iterative cap-and-redistribute " +
+    "on random availabilities") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val avails = Gen.choose(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 10000L)))
+    val prop = Prop.forAll(avails) { as: List[Long] =>
+      val per = as.zipWithIndex.map { case (a, i) => (f"s$i%02d", a) }
+      val budget = 2.0 * as.sum
+      // iterative reference: proportional give by sqrt weight, cap at
+      // 4 epochs, redistribute, repeat to fixpoint
+      var capped = Set.empty[String]
+      var alloc = Map.empty[String, Double]
+      var stable = false
+      while (!stable) {
+        val remaining = budget -
+          capped.toSeq.map(c => 4.0 * per.find(_._1 == c).get._2).sum
+        val flats = per.filterNot(p => capped(p._1))
+          .map(p => p._1 -> math.sqrt(p._2.toDouble)).toMap
+        val t = remaining / flats.values.sum
+        val newly = per.filterNot(p => capped(p._1))
+          .filter(p => 4.0 * p._2 < t * math.sqrt(p._2.toDouble)).map(_._1)
+        if (newly.isEmpty) {
+          stable = true
+          alloc = per.map(p => p._1 -> (if (capped(p._1)) 4.0 * p._2
+            else t * math.sqrt(p._2.toDouble))).toMap
+        } else capped ++= newly
+      }
+      val got = CurationOps.epochFill(per.toDF("source", "avail")).collect()
+        .map(r => r.getString(0) -> (r.getDouble(3), r.getBoolean(5))).toMap
+      val ok = per.forall { case (src, _) =>
+        math.abs(got(src)._1 - alloc(src)) < 0.05 &&
+          got(src)._2 == capped(src)
+      } && math.abs(got.values.map(_._1).sum - budget) < 0.1
+      if (!ok) println(s"MISMATCH avails=$as got=$got " +
+        s"ref=$alloc capped=$capped")
+      ok
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("batch_mix_audit: batches partition the corpus, entropy is bounded " +
     "by ln(n_sources), and mix_ratio compares against the corpus marginal") {
     val dir = "/root/testdata/sf0.001"
