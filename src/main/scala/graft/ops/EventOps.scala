@@ -1118,6 +1118,116 @@ object EventOps {
       |       round(CAST(dau AS DOUBLE) / mau.mau, 4) AS stickiness
       |FROM dau, mau ORDER BY day""".stripMargin
 
+  /** Rolling 7-day active users (WAU) next to DAU — the engagement pair a
+    * product dashboard actually plots ([[dauMau]]'s denominator is too
+    * coarse to see week-scale churn). Trailing distinct counts are the
+    * classic distributed-window trap (no partial aggregation for
+    * `countDistinct` over sliding frames); the scale-safe form FANS OUT:
+    * each distinct (user, day) contributes to the 7 window-END days it
+    * falls into, then WAU is a plain per-day countDistinct — a bounded
+    * ×7 fan-out instead of a corpus-sized ordered window.
+    *
+    * Scale shape: one distinct over (user, day) (map-side combined —
+    * events per user-day collapse locally), a 7-row explode, and two
+    * keyed countDistinct aggregates; output is day cardinality.
+    */
+  def wauRolling(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(s, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val days = ud.select(
+      date_format(col("d"), "yyyy-MM-dd").as("day")).distinct()
+    val contrib = ud
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("k"), col("d"))
+      .select(col("user_id"),
+        date_format(date_add(col("d").cast("date"), col("k")), "yyyy-MM-dd")
+          .as("day"))
+    val wau = contrib.join(days, "day")
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    val dau = ud
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau"), 4).as("dau_wau_ratio"))
+      .orderBy("day")
+  }
+
+  val wauRollingOracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+      |days AS (SELECT DISTINCT strftime(d, '%Y-%m-%d') AS day FROM ud),
+      |contrib AS (
+      |  SELECT user_id,
+      |         strftime(d + to_days(CAST(k AS INTEGER)), '%Y-%m-%d') AS day
+      |  FROM ud, LATERAL unnest(generate_series(0, 6)) t(k)),
+      |wau AS (
+      |  SELECT c.day, count(DISTINCT c.user_id) AS wau
+      |  FROM contrib c JOIN days USING (day) GROUP BY c.day),
+      |dau AS (
+      |  SELECT strftime(d, '%Y-%m-%d') AS day,
+      |         count(DISTINCT user_id) AS dau
+      |  FROM ud GROUP BY 1)
+      |SELECT day, dau, wau,
+      |       round(CAST(dau AS DOUBLE) / wau, 4) AS dau_wau_ratio
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
+  /** A/B sample-size planning table — the power analysis run BEFORE an
+    * experiment ([[abTestStats]] is the read-out after): from the
+    * observed metric mean and variance, the per-arm n needed to detect a
+    * relative lift δ at α = 0.05 (two-sided) with 80% power,
+    * n = 2(z₀.₀₂₅+z₀.₂)²σ²/(δμ)², for δ ∈ {1%, 2%, 5%, 10%}, with a
+    * feasibility flag against the events actually available. Moments are
+    * 4-rounded BEFORE the closed form (the [[abTestStats]] cancellation
+    * discipline), so both engines compute the formula on identical
+    * inputs and the z-constant is one shared literal.
+    *
+    * Scale shape: ONE keyless moment aggregate; the table is 4 rows.
+    */
+  def abPower(s: SparkSession, dir: String): DataFrame = {
+    val zSq = { val z = 1.959964 + 0.841621; z * z }
+    val m = Tables(s, dir, "events")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("value")).as("sx"),
+        sum(col("value") * col("value")).as("sxx"))
+      .select(col("n").cast("long").as("n_events"),
+        round(col("sx") / col("n"), 4).as("mu"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) /
+          (col("n") - 1), 4).as("var_v"))
+    m.select(col("n_events"), col("mu"), col("var_v"),
+        explode(array(Seq(0.01, 0.02, 0.05, 0.10).map(lit): _*)).as("lift"))
+      .select(col("lift"), col("mu"), col("var_v"),
+        ceil(lit(2.0) * lit(zSq) * col("var_v") /
+          ((col("lift") * col("mu")) * (col("lift") * col("mu"))))
+          .cast("long").as("n_per_arm"),
+        col("n_events"))
+      .withColumn("feasible", col("n_per_arm") * 2 <= col("n_events"))
+      .orderBy("lift")
+  }
+
+  val abPowerOracle: String = {
+    val zSq = { val z = 1.959964 + 0.841621; z * z }
+    s"""WITH m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_events,
+       |         round(sum(value) / count(*), 4) AS mu,
+       |         round((sum(value * value)
+       |             - sum(value) * sum(value) / count(*))
+       |           / (count(*) - 1), 4) AS var_v
+       |  FROM events),
+       |lifts AS (SELECT CAST(unnest([0.01, 0.02, 0.05, 0.10]) AS DOUBLE)
+       |                 AS lift)
+       |SELECT l.lift, m.mu, m.var_v,
+       |       CAST(ceil(2.0 * $zSq * m.var_v /
+       |         ((l.lift * m.mu) * (l.lift * m.mu))) AS BIGINT)
+       |         AS n_per_arm,
+       |       m.n_events,
+       |       CAST(ceil(2.0 * $zSq * m.var_v /
+       |         ((l.lift * m.mu) * (l.lift * m.mu))) AS BIGINT) * 2
+       |         <= m.n_events AS feasible
+       |FROM m, lifts l ORDER BY l.lift""".stripMargin
+  }
+
   /** Attribution-lag profile — how long before a purchase its attributed
     * view happened, rolled up per purchase day: conversion count, mean
     * and max lag in hours, and the within-24h share. Reads the
@@ -1163,6 +1273,8 @@ object EventOps {
        |GROUP BY day ORDER BY day""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wau_rolling" -> (wauRolling _),
+    "ab_power" -> (abPower _),
     "dau_mau" -> (dauMau _),
     "conversion_lag" -> (conversionLag _),
     "ab_chi_square" -> (abChiSquare _),
@@ -1190,6 +1302,8 @@ object EventOps {
     "events_topk_users" -> (eventsTopkUsers _))
 
   val oracles: Map[String, String] = Map(
+    "wau_rolling" -> wauRollingOracle,
+    "ab_power" -> abPowerOracle,
     "dau_mau" -> dauMauOracle,
     "conversion_lag" -> conversionLagOracle,
     "ab_chi_square" -> abChiSquareOracle,

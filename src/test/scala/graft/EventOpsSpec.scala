@@ -217,4 +217,46 @@ class EventOpsSpec extends AnyFunSuite {
       assert(mx <= 7 * 24.0 + 1e-9, s"$day lag beyond the 7-day window")
     }
   }
+  test("wau_rolling: WAU bounds DAU, equals the brute-force trailing-7-day " +
+    "distinct count, and the ratio is consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ops.EventOps.wauRolling(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val ud = graft.ops.Tables(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    rows.foreach { case (day, dau, wau, ratio) =>
+      assert(dau <= wau, s"$day: DAU $dau > WAU $wau")
+      val end = java.time.LocalDate.parse(day, fmt)
+      val expect = ud.filter { case (_, d) =>
+        val dd = java.time.LocalDate.parse(d, fmt)
+        !dd.isAfter(end) && dd.isAfter(end.minusDays(7))
+      }.map(_._1).distinct.length
+      assert(wau == expect, s"$day: WAU $wau vs brute $expect")
+      val r = BigDecimal(dau.toDouble / wau)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ratio == r)
+    }
+  }
+
+  test("ab_power: n_per_arm follows the closed form and scales as 1/lift^2") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ops.EventOps.abPower(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.01, 0.02, 0.05, 0.10))
+    val zSq = { val z = 1.959964 + 0.841621; z * z }
+    rows.foreach { case (lift, mu, v, n, nEvents, feasible) =>
+      val expect = math.ceil(2.0 * zSq * v / ((lift * mu) * (lift * mu))).toLong
+      assert(n == expect, s"lift $lift: $n vs $expect")
+      assert(feasible == (n * 2 <= nEvents))
+    }
+    // halving the lift quadruples the sample size (integer-ceil slack)
+    val byLift = rows.map(r => r._1 -> r._4).toMap
+    assert(math.abs(byLift(0.01).toDouble / byLift(0.02) - 4.0) < 0.01)
+  }
 }

@@ -53,6 +53,7 @@ class PlanLintSpec extends AnyFunSuite {
     "minhash_estimate_error", // banded candidate join off the checkpointed
                             // signature table; attach joins AQE-broadcast
     "dau_mau",              // 1-row MAU-denominator cross join
+    "ab_power",             // 1-row moment aggregate fanned to 4 lift rows
     "source_divergence",    // 200-word top-vocab × |sources|-row grid broadcasts
     "dedup_lsh_tune",  // 1-row capture-denominator cross join
     "model_calibration", // 1-row weight + 1-row μ/σ + ≤10-row ECE broadcasts
@@ -351,6 +352,12 @@ class PlanLintSpec extends AnyFunSuite {
       "dedup_threshold_sweep" -> 7, // ONE checkpointed pair-table read;
                                   // explode fan-out + pair/degree rollups
                                   // are pair-table-sized (+sort)
+      "wau_rolling" -> 7,         // (user, day) distinct + bounded x7
+                                  // fan-out + two per-day countDistinct
+                                  // aggregates + day join (+sort)
+      "ab_power" -> 1,            // ONE keyless moment aggregate; the
+                                  // 4-row lift table is a narrow explode
+                                  // — no sort exchange (4-row sort)
       "dau_mau" -> 5,             // per-day + global countDistinct (each
                                   // an expand/partial pair) (+sort)
       "conversion_lag" -> 3,      // the attribution window's user shuffle
