@@ -407,6 +407,28 @@ class CurationOpsSpec extends AnyFunSuite {
       // entropy (fewer singleton sources), but not wildly
       assert(ratio > 0 && ratio < 1.5, s"batch $batch ratio $ratio")
     }
+    // driver-side entropy recount: fold every doc by the same md5 rule
+    // and recompute each batch's source entropy from scratch
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def batchOf(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + ":20260812").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(md.charAt(0))
+    }
+    val expected = docs.groupBy(d => batchOf(d._1)).map { case (b, ds) =>
+      val n = ds.length.toDouble
+      val h = ds.groupBy(_._2).values
+        .map(g => { val p = g.length / n; -p * math.log(p) }).sum
+      b -> BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.foreach { r =>
+      val (batch, h) = (r.getInt(0), r.getDouble(3))
+      assert(math.abs(h - expected(batch)) < 1e-5,
+        s"batch $batch entropy $h vs recount ${expected(batch)}")
+    }
   }
 
   test("data_card: volumes reconcile with the corpus and the lang profile " +
