@@ -1119,8 +1119,9 @@ object CurationOps {
     val uniCounts = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val vocab = toks.agg(countDistinct(col("w")).as("v"))
     // one row per doc — materialized once so the baseline and per-source
-    // branches don't each re-plan the whole bigram pipeline (36→~8
-    // exchanges; the [[ClusterOps]] construction-time-job discipline)
+    // branches don't each re-plan the whole bigram pipeline (36→12
+    // exchanges, the committed PlanLint budget; the [[ClusterOps]]
+    // construction-time-job discipline)
     val perDoc = bigrams
       .join(bigramCounts, Seq("w", "w2"))
       .join(uniCounts, Seq("w"))

@@ -267,8 +267,13 @@ object ModelOps {
     val err = col("b") + col("w1") * col("x1") + col("w2") * col("x2") - col("y")
     // a slice can have zero val variance (few docs, identical y) — R²
     // against its own mean is then undefined; NULL on both engines, not
-    // an ANSI divide-by-zero
-    val sliceVar = avg(col("y") * col("y")) - avg(col("y")) * avg(col("y"))
+    // an ANSI divide-by-zero. Rounded to 6dp BEFORE the zero test and the
+    // division: Spark and DuckDB aggregate in different orders, so a
+    // degenerate slice can cancel to exactly 0.0 in one engine and ~1e-18
+    // in the other — the round makes both the branch decision and the
+    // denominator engine-identical (the abPower moments discipline)
+    val sliceVar = round(
+      avg(col("y") * col("y")) - avg(col("y")) * avg(col("y")), 6)
     f.filter(!col("is_train"))
       .crossJoin(broadcast(s2))
       .groupBy(col("source"))
@@ -310,10 +315,10 @@ object ModelOps {
       |SELECT source, CAST(count(*) AS BIGINT) AS n_val,
       |       round(avg((s2.b + s2.w1 * x1 + s2.w2 * x2 - y)
       |         * (s2.b + s2.w1 * x1 + s2.w2 * x2 - y)), 4) AS mse,
-      |       CASE WHEN avg(y * y) - avg(y) * avg(y) = 0 THEN NULL
+      |       CASE WHEN round(avg(y * y) - avg(y) * avg(y), 6) = 0 THEN NULL
       |            ELSE round(1.0 - avg((s2.b + s2.w1 * x1 + s2.w2 * x2 - y)
       |                * (s2.b + s2.w1 * x1 + s2.w2 * x2 - y))
-      |              / (avg(y * y) - avg(y) * avg(y)), 4) END AS r2
+      |              / round(avg(y * y) - avg(y) * avg(y), 6), 4) END AS r2
       |FROM f, s2 WHERE NOT is_train
       |GROUP BY source ORDER BY source""".stripMargin
 

@@ -1999,8 +1999,7 @@ object SimilarityOps {
        |         round(sum(rel) / ${K.toDouble}, 6) AS recall,
        |         round(coalesce(max(rel / rank), 0.0), 6) AS rr,
        |         round(sum(rel / log2(rank + 1)) /
-       |           (1.0/log2(2.0) + 1.0/log2(3.0) + 1.0/log2(4.0) +
-       |            1.0/log2(5.0) + 1.0/log2(6.0)), 6) AS ndcg
+       |           (${(1 to K).map(i => s"1.0/log2(${i + 1}.0)").mkString(" + ")}), 6) AS ndcg
        |  FROM judged GROUP BY method, query_id)
        |SELECT method, count(*) AS n_queries,
        |       round(avg(recall), 4) AS mean_recall,

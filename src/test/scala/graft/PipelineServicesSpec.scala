@@ -291,4 +291,33 @@ class PipelineServicesSpec extends AnyFunSuite {
     assert(opts("batchsize").toInt >= 1000)    // batched vs per-row reference
     assert(opts("url").contains("srv") && opts("url").contains("db"))
   }
+
+  test("K2/F-S6 lock-fallback: blocked target falls back to dated sibling, original untouched") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = Seq(("INV-1", "Y"), ("INV-2", "N")).toDF("InvoiceNumber", "Found")
+
+    // Happy path first: unblocked target is written in place and returned.
+    val free = dir.resolve("found.csv")
+    val wrote = CsvTable.writeWithLockFallback(df, free)
+    assert(wrote == free && Files.exists(free))
+    assert(Files.readString(free).startsWith("InvoiceNumber,Found"))
+
+    // Blocked path: the reference's motivating case is the CSV held open in
+    // Excel (InvoiceFileSearchFromSQL.ps1:143-151). The portable analog of an
+    // un-replaceable target is a non-empty directory at the target path —
+    // Files.move onto it throws DirectoryNotEmptyException (an IOException),
+    // the same failure class the locked-file move raises.
+    val blocked = dir.resolve("results.csv")
+    Files.createDirectories(blocked.resolve("held-open"))
+    val now = java.time.ZonedDateTime.of(2026, 8, 15, 10, 0, 0, 0, java.time.ZoneOffset.UTC)
+    val fb = CsvTable.writeWithLockFallback(df, blocked, now)
+    // F-S6: `.csv$` suffix replaced with the dated `_yyyyMMdd.csv` sibling.
+    assert(fb == dir.resolve("results_20260815.csv"))
+    assert(Files.exists(fb))
+    assert(Files.readString(fb).startsWith("InvoiceNumber,Found"))
+    assert(Files.readString(fb).contains("INV-2"))
+    // Original target untouched: still the directory, contents intact.
+    assert(Files.isDirectory(blocked) && Files.exists(blocked.resolve("held-open")))
+  }
 }
