@@ -1267,6 +1267,28 @@ object SimilarityOps {
   def annHnswTopk(s: SparkSession, dir: String, bitsPerBand: Int,
       bands: Int, degree: Int, levelMod: Int, entries: Int,
       beamWidth: Int = 48, rounds: Int = 3): DataFrame = {
+    val beam = annHnswBeam(s, dir, bitsPerBand, bands, degree, levelMod,
+      entries, beamWidth, rounds)
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    beam.filter(col("node") =!= col("query_id"))
+      .select(col("query_id"), col("node").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The HNSW search's final beam — per query the exact-scored
+    * top-`beamWidth` of every node visited through `rounds` best-first
+    * rounds, as `(query_id, node, cos)`. [[annHnswTopk]] takes its top-K
+    * off it; [[mmrRerankAnn]] feeds it to the MMR rerank as the ANN
+    * shortlist (the production retrieval composition).
+    */
+  private[graft] def annHnswBeam(s: SparkSession, dir: String,
+      bitsPerBand: Int, bands: Int, degree: Int, levelMod: Int,
+      entries: Int, beamWidth: Int, rounds: Int): DataFrame = {
     val emb = embeddings(s, dir)
     val banded = emb.select(col("vec_id"),
         posexplode(signLshBuckets(col("v"), bitsPerBand, bands)))
@@ -1353,15 +1375,7 @@ object SimilarityOps {
         .select(col("query_id"), col("node"), col("cos"))
         .localCheckpoint()
     }
-    val wK = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    beam.filter(col("node") =!= col("query_id"))
-      .select(col("query_id"), col("node").as("neighbor_id"), col("cos"))
-      .withColumn("rank", row_number().over(wK))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
-      .orderBy("query_id", "rank")
+    beam
   }
 
   /** Full transliteration of [[annHnswTopk]]: layers, symmetrized
@@ -1369,6 +1383,34 @@ object SimilarityOps {
     * `(f_r, c_r, s_r, b_r)` CTE quadruple, final top-k.
     */
   private[graft] def annHnswOracleFor(degree: Int, levelMod: Int,
+      entries: Int, beamWidth: Int, rounds: Int): String = {
+    val frontierUnion = (1 to rounds)
+      .map(r => s"UNION ALL SELECT query_id, node FROM f$r")
+      .mkString("\n    ")
+    s"""WITH ${annHnswBeamCtes(degree, levelMod, entries, beamWidth, rounds)},
+       |visited AS (
+       |  SELECT DISTINCT query_id, node FROM (
+       |    SELECT query_id, node FROM b0
+       |    $frontierUnion)
+       |  WHERE node <> query_id),
+       |scored AS (
+       |  SELECT vi.query_id, vi.node AS neighbor_id,
+       |         list_dot_product(eq.v, en.v) AS cos
+       |  FROM visited vi JOIN e eq ON eq.vec_id = vi.query_id
+       |                  JOIN e en ON en.vec_id = vi.node)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The HNSW transliteration's CTE chain through the last beam
+    * `b$rounds` (no WITH keyword) — shared by [[annHnswOracleFor]] and
+    * the [[mmrRerankAnnOracle]] shortlist so the two restate ONE index.
+    */
+  private def annHnswBeamCtes(degree: Int, levelMod: Int,
       entries: Int, beamWidth: Int, rounds: Int): String = {
     val beamLevels = (1 to rounds).map { r =>
       s"""f$r AS (SELECT b.query_id, n.nbr AS node
@@ -1387,10 +1429,7 @@ object SimilarityOps {
          |          FROM s$r)
          |        WHERE rn <= $beamWidth)""".stripMargin
     }.mkString(",\n")
-    val frontierUnion = (1 to rounds)
-      .map(r => s"UNION ALL SELECT query_id, node FROM f$r")
-      .mkString("\n    ")
-    s"""WITH ${signLshBucketsOracleCte(8, 10)},
+    s"""${signLshBucketsOracleCte(8, 10)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
        |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
@@ -1420,23 +1459,7 @@ object SimilarityOps {
        |                      l1.vec_id) AS rn
        |    FROM q, l1)
        |  WHERE rn <= $entries),
-       |$beamLevels,
-       |visited AS (
-       |  SELECT DISTINCT query_id, node FROM (
-       |    SELECT query_id, node FROM b0
-       |    $frontierUnion)
-       |  WHERE node <> query_id),
-       |scored AS (
-       |  SELECT vi.query_id, vi.node AS neighbor_id,
-       |         list_dot_product(eq.v, en.v) AS cos
-       |  FROM visited vi JOIN e eq ON eq.vec_id = vi.query_id
-       |                  JOIN e en ON en.vec_id = vi.node)
-       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
-       |  SELECT query_id, neighbor_id, cos,
-       |         row_number() OVER (PARTITION BY query_id
-       |           ORDER BY cos DESC, neighbor_id) AS rank
-       |  FROM scored)
-       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+       |$beamLevels""".stripMargin
   }
 
   val annHnswTopkOracle: String =
@@ -1480,7 +1503,6 @@ object SimilarityOps {
     * verbatim.
     */
   val mmrRerankOracle: String = {
-    val k = 10
     val shortCte =
       s"""e AS (SELECT vec_id, ${normalizeOracle("embedding")} AS v
          |      FROM embeddings),
@@ -1492,8 +1514,20 @@ object SimilarityOps {
          |             ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS rn
          |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
          |    WHERE q.vec_id < $NQueries)
-         |  WHERE rn <= 50),
-         |pick1 AS MATERIALIZED (
+         |  WHERE rn <= 50)""".stripMargin
+    s"""WITH $shortCte,
+       |${mmrGreedyOracleTail(10)}""".stripMargin
+  }
+
+  /** The 10 unrolled greedy MMR CTE levels + final select, over ANY
+    * already-defined `sl(query_id, cand_id, rel, v)` shortlist CTE —
+    * shared by [[mmrRerankOracle]] (exact shortlist) and
+    * [[mmrRerankAnnOracle]] (HNSW-beam shortlist), so both compositions
+    * restate ONE greedy selection.
+    */
+  private def mmrGreedyOracleTail(k: Int): String = {
+    val pick1 =
+      s"""pick1 AS MATERIALIZED (
          |  SELECT query_id, cand_id, 0.7 * rel AS score, 1 AS rank FROM (
          |    SELECT query_id, cand_id, rel,
          |           row_number() OVER (PARTITION BY query_id
@@ -1528,13 +1562,60 @@ object SimilarityOps {
     val allPicks = (1 to k)
       .map(i => s"SELECT query_id, cand_id, score, rank FROM pick$i")
       .mkString(" UNION ALL ")
-    s"""WITH $shortCte,
+    s"""$pick1,
        |$steps
        |SELECT query_id, rank, cand_id AS neighbor_id,
        |       round(score, 4) AS mmr
        |FROM ($allPicks)
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Index-fed MMR — the production retrieval composition (VERDICT r12
+    * #3): the HNSW beam ([[annHnswBeam]], ≤ beamWidth exact-scored
+    * candidates per query) replaces [[mmrRerank]]'s exact full-corpus
+    * shortlist as the input to the SAME greedy λ=0.7 [[graft.functions.MmrSelect]]
+    * selection. This is the 100×-safe serving path: candidate generation
+    * touches per query only beam-sized id-keyed lookups against the
+    * materialized adjacency, never a corpus crossJoin — the exact
+    * [[mmrRerank]] stays as the oracle-driven ground-truth form.
+    * Shortlist-source parity (ANN vs exact pick overlap ≥ the HNSW
+    * recall gate) is pinned in MmrSelectSpec.
+    */
+  def mmrRerankAnn(s: SparkSession, dir: String): DataFrame = {
+    val beam = annHnswBeam(s, dir, bitsPerBand = 8, bands = 10,
+        degree = 20, levelMod = 16, entries = 6, beamWidth = 48, rounds = 3)
+      .filter(col("node") =!= col("query_id"))
+    val emb = embeddings(s, dir)
+    // the beam already carries the exact cos — only the candidate VECTOR
+    // (for the diversity penalty) needs the id-keyed lookup
+    beam.join(emb.select(col("vec_id").as("node"), col("v")), "node")
+      .select(col("query_id"), col("node").as("cand_id"),
+        col("cos").as("rel"), col("v"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.MmrSelect.mmrPicks(
+        col("cand_id"), col("rel"), col("v"),
+        k = 10, lambda = 0.7, penalty = 0.3, shortlist = 50).as("picks"))
+      .select(col("query_id"), explode(col("picks")).as("p"))
+      .select(col("query_id"), col("p.rank").as("rank"),
+        col("p.id").as("neighbor_id"),
+        round(col("p.score"), 4).as("mmr"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The HNSW-beam CTE chain feeding the SAME unrolled greedy MMR levels
+    * as [[mmrRerankOracle]] — the last beam `b3` (top-48 of everything
+    * the best-first search scored) IS the shortlist, self excluded.
+    */
+  val mmrRerankAnnOracle: String =
+    s"""WITH ${annHnswBeamCtes(degree = 20, levelMod = 16, entries = 6,
+      beamWidth = 48, rounds = 3)},
+       |sl AS MATERIALIZED (
+       |  SELECT b.query_id, b.node AS cand_id,
+       |         list_dot_product(eq.v, en.v) AS rel, en.v AS v
+       |  FROM b3 b JOIN e eq ON eq.vec_id = b.query_id
+       |            JOIN e en ON en.vec_id = b.node
+       |  WHERE b.node <> b.query_id),
+       |${mmrGreedyOracleTail(10)}""".stripMargin
 
   /** Incremental IVF index maintenance (the [[GraphOps.incrementalEdges]]
     * / [[DedupOps.incrementalDedupEdges]] maintenance algebra applied to
@@ -2349,6 +2430,7 @@ object SimilarityOps {
     "ann_hubness" -> (annHubness _),
     "incremental_ivf" -> (incrementalIvf _),
     "mmr_rerank" -> (mmrRerank _),
+    "mmr_rerank_ann" -> (mmrRerankAnn _),
     "ann_hnsw_topk" -> ((s: SparkSession, dir: String) => annHnswTopk(s, dir)),
     "rrf_fusion" -> (rrfFusion _),
     "embedding_outliers" -> (embeddingOutliers _),
@@ -2378,6 +2460,7 @@ object SimilarityOps {
     "ann_hubness" -> annHubnessOracle,
     "incremental_ivf" -> incrementalIvfOracle,
     "mmr_rerank" -> mmrRerankOracle,
+    "mmr_rerank_ann" -> mmrRerankAnnOracle,
     "ann_hnsw_topk" -> annHnswTopkOracle,
     "rrf_fusion" -> rrfFusionOracle,
     "embedding_outliers" -> embeddingOutliersOracle,
