@@ -67,6 +67,7 @@ object Bench {
     // never invalidate it
     graft.ops.GraphEdges.seed(spark, sfDir)
     graft.ops.DedupEdges.seed(spark, sfDir)
+    graft.ops.SparseIndex.seed(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failing query must NOT report its elapsed-to-exception time — a
       // broken query would read as a perf improvement; -1 marks failure

@@ -680,18 +680,10 @@ object AnalyticsOps {
     */
   def sparseCosinePairs(s: SparkSession, dir: String): DataFrame = {
     val dfCap = 50
-    val shK = 5
-    val toks = split(DedupOps.normText(col("text")), " ")
-    val sh = Tables(s, dir, "documents")
-      .select(col("doc_id"), toks.as("t"))
-      .withColumn("n", greatest(size(col("t")) - (shK - 1), lit(0)))
-      .filter(col("n") >= 1)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), col("n")),
-          i => concat_ws(" ", slice(col("t"), i, lit(shK))))).as("s"))
-    // tf feeds df/total/weights subtrees; pay the scan + aggregate once
-    val tf = sh.groupBy(col("doc_id"), col("s"))
-      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    // tf feeds df/total/weights subtrees; the SparseIndex seam serves the
+    // materialized table when seeded, the localCheckpointed inline build
+    // otherwise (r13 — shared inverted-index base with bm25_search)
+    val tf = SparseIndex.shingleTf(s, dir)
     val dfT = tf.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     val weights = tf.join(dfT.filter(col("df") <= dfCap), "s")
@@ -779,20 +771,12 @@ object AnalyticsOps {
     * 4 before the cut (cross-engine ranking determinism).
     */
   def bm25Search(s: SparkSession, dir: String): DataFrame = {
-    val dfCap = 50; val shK = 5; val k1 = 1.2; val b = 0.75
-    val toks = split(DedupOps.normText(col("text")), " ")
-    val sh = Tables(s, dir, "documents")
-      .select(col("doc_id"), toks.as("t"))
-      .withColumn("n", greatest(size(col("t")) - (shK - 1), lit(0)))
-      .filter(col("n") >= 1)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), col("n")),
-          i => concat_ws(" ", slice(col("t"), i, lit(shK))))).as("s"))
+    val dfCap = 50; val k1 = 1.2; val b = 0.75
     // tf feeds SIX subtrees (df, stats, corpus, qsel, qterms, scoring);
-    // localCheckpoint pays the corpus scan + shingle aggregate ONCE
-    // instead of once per consumer (ClusterOps lineage discipline)
-    val tf = sh.groupBy(col("doc_id"), col("s"))
-      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    // the SparseIndex seam serves the materialized table when seeded and
+    // the localCheckpointed inline build otherwise (r13 — the shared
+    // inverted-index base with sparse_cosine_pairs)
+    val tf = SparseIndex.shingleTf(s, dir)
     val dfT = tf.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val stats = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val corpus = stats.agg(countDistinct(col("doc_id")).as("n_docs"),

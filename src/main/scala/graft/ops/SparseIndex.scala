@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session-scoped materialization seam for the 5-token-shingle term
+  * frequency table (r13 — VERDICT r12 #4, the [[DedupEdges]] pattern
+  * applied to sparse retrieval): `bm25_search` and `sparse_cosine_pairs`
+  * each rebuilt the IDENTICAL `(doc_id, s, tf)` inverted-index base per
+  * execution (corpus scan + shingle explode + keyed aggregate,
+  * localCheckpointed per run to amortize its 5-6 same-plan consumers).
+  * At 100 TB a production search stack materializes the inverted index
+  * ONCE per corpus snapshot and every ranking query reads it; the
+  * session analog is a one-time parquet materialization, seeded OUTSIDE
+  * query construction (builders stay pure), temp storage reclaimed by
+  * [[clear]] / the JVM shutdown hook.
+  *
+  * `rrf_fusion`'s sparse arm is word-level tf (shingle lists are
+  * near-singleton on this corpus — its scaladoc) — a different table
+  * with ONE consumer, so it stays inline by design.
+  *
+  * Unseeded sessions (Verify, tests, library callers) build inline, so
+  * the correctness gate pins both paths' semantics (SparseIndexSpec:
+  * seeded ≡ unseeded row identity for the tf table and both consumers).
+  */
+object SparseIndex {
+
+  /** Shingle width shared by both consumers (5-token — the
+    * discriminative term unit on boilerplate-heavy corpora, see
+    * [[AnalyticsOps.sparseCosinePairs]]).
+    */
+  val ShingleK = 5
+
+  private val seeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  sys.addShutdownHook(clear())
+
+  /** The inline `(doc_id, s, tf)` build: one corpus scan, the shingle
+    * generator hashed once per row (map-side combined — the WinnowOps
+    * lesson), localCheckpointed because its consumers walk it 5-6× per
+    * query execution.
+    */
+  def build(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(DedupOps.normText(col("text")), " ")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n", greatest(size(col("t")) - (ShingleK - 1), lit(0)))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), col("n")),
+          i => concat_ws(" ", slice(col("t"), i, lit(ShingleK))))).as("s"))
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+  }
+
+  /** Materialize the tf table for `dir` once per session (idempotent).
+    * A failed write deletes its temp dir before rethrowing (the
+    * [[DedupEdges.seed]] orphan-reclamation discipline).
+    */
+  def seed(s: SparkSession, dir: String): Unit =
+    seeded.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_sparsetf_")
+      try build(s, dir).write.mode("overwrite").parquet(s"$out/tf")
+      catch { case e: Throwable =>
+        try deleteRecursively(out) catch { case _: Throwable => () }
+        throw e
+      }
+      out.toString
+    })
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val stream = java.nio.file.Files.walk(root)
+      try {
+        val walk = stream
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (walk.hasNext) java.nio.file.Files.deleteIfExists(walk.next())
+      } finally stream.close()
+    }
+
+  /** Drop all seeded materializations and delete their parquet. */
+  def clear(): Unit = {
+    val it = seeded.values().iterator()
+    while (it.hasNext) {
+      try deleteRecursively(java.nio.file.Paths.get(it.next()))
+      catch { case _: Throwable => () } // best-effort teardown
+    }
+    seeded.clear()
+  }
+
+  /** `(doc_id, s, tf)`: the materialized table when seeded, else the
+    * inline build (integer counts — parquet round-trip exact).
+    */
+  def shingleTf(s: SparkSession, dir: String): DataFrame =
+    seeded.get(dir) match {
+      case null => build(s, dir)
+      case path => s.read.parquet(s"$path/tf")
+        .select(col("doc_id"), col("s"), col("tf"))
+    }
+}

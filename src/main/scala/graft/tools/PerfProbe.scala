@@ -39,6 +39,7 @@ object PerfProbe {
     graft.ops.IncrementalDedup.seedQueryStore(spark, dir)
     graft.ops.GraphEdges.seed(spark, dir)
     graft.ops.DedupEdges.seed(spark, dir)
+    graft.ops.SparseIndex.seed(spark, dir)
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
       time(s"$n (cold)")(sink(q(spark, dir)))
