@@ -1513,7 +1513,7 @@ object AnalyticsOps {
       .groupBy(col("x.event_type").as("type_a"),
         col("y.event_type").as("type_b"))
       .agg(count(lit(1)).as("exact_overlap"))
-    a.crossJoin(b).filter(col("type_a") < col("type_b"))
+    a.crossJoin(broadcast(b)).filter(col("type_a") < col("type_b"))
       .withColumn("u",
         slice(array_sort(array_distinct(concat(col("ha"), col("hb")))), 1, K))
       .withColumn("mk", size(col("u")))

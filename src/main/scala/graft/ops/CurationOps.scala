@@ -113,7 +113,7 @@ object CurationOps {
       .agg(sum(col("ws_tokens")).as("n_tokens"))
       .withColumn("flat", sqrt(col("n_tokens").cast("double")))
     val total = perSource.agg(sum(col("flat")).as("flat_total"))
-    perSource.crossJoin(total)
+    perSource.crossJoin(broadcast(total))
       .select(col("source"), col("n_tokens"),
         round(col("flat") / col("flat_total"), 6).as("weight"),
         round(lit(1e7) * col("flat") / col("flat_total"), 0)
@@ -500,7 +500,7 @@ object CurationOps {
       .select(col("l.cand").as("lam"))
     val alloc = when(col("lam").isNull, col("avail").cast("double"))
       .otherwise(least(col("avail").cast("double"), col("lam")))
-    cand.crossJoin(lam)
+    cand.crossJoin(broadcast(lam))
       .select(col("source"), col("avail"),
         round(alloc, 4).as("alloc_tokens"),
         round(alloc / col("avail"), 6).as("frac"),

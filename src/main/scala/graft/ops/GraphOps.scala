@@ -70,9 +70,9 @@ object GraphOps {
         .intersectSize(col("nx"), col("ny")).as("c"))
       .agg(sum(col("c")).cast("long").as("n_triangles"))
     val stats = edges.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
-        sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges")))
-    stats.crossJoin(triangles)
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))))
+    stats.crossJoin(broadcast(triangles))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
@@ -231,7 +231,7 @@ object GraphOps {
     degAfter.agg(
         count(lit(1)).as("n_nodes"),
         coalesce(min(col("deg")), lit(0L)).as("min_degree"))
-      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
       .select(lit(n0).as("nodes_before"), lit(e0).as("edges_before"),
         lit(k).as("k"), col("n_nodes"), col("n_edges"), col("min_degree"))
   }

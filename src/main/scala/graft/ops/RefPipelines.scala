@@ -111,7 +111,7 @@ object RefPipelines {
       count(lit(1)).as("n_files_found"),
       countDistinct(col("o_custkey")).as("n_invoices_found"))
     val keysAgg = keys.agg(count(lit(1)).as("n_keys"))
-    keysAgg.crossJoin(foundAgg)
+    keysAgg.crossJoin(broadcast(foundAgg))
       .select(
         col("n_keys"), col("n_files_found"), col("n_invoices_found"),
         (col("n_keys") - col("n_invoices_found")).as("n_missing"))

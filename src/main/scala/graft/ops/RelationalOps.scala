@@ -707,7 +707,7 @@ object RelationalOps {
       val unreferenced = parent.select(col(pk))
         .join(child.select(col(ck)), col(pk) === col(ck), "left_anti")
         .agg(count(lit(1)).as("n_unreferenced"))
-      orphans.crossJoin(unreferenced)
+      orphans.crossJoin(broadcast(unreferenced))
         .select(lit(name).as("fk"), col("n_orphans"), col("n_unreferenced"))
     }
     val li = Tables(s, dir, "lineitem")

@@ -1160,7 +1160,8 @@ object TextOps {
     val hs = srcM.crossJoin(broadcast(total))
       .agg((-sum((col("n_s") / col("n")) * log(col("n_s") / col("n"))))
         .as("h_source"))
-    total.crossJoin(mi).crossJoin(hl).crossJoin(hs)
+    total.crossJoin(broadcast(mi)).crossJoin(broadcast(hl))
+      .crossJoin(broadcast(hs))
       .select(col("n").as("n_docs"), col("n_cells"),
         round(col("mi"), 6).as("mi_nats"),
         round(col("h_lang"), 6).as("h_lang_nats"),

@@ -95,16 +95,22 @@ class PlanLintSpec extends AnyFunSuite {
     "model_eval",       // 1-row weight-vector broadcasts between GD steps
     "drift_psi")        // 1-row cutpoint + total-count broadcasts
 
-  private lazy val planTrees: Map[String, Either[String, org.apache.spark.sql.execution.SparkPlan]] = {
+  private lazy val queryExecs: Map[String, Either[String, org.apache.spark.sql.execution.QueryExecution]] = {
     // lint the SAME optimizer configuration Verify/Bench run (and make the
     // lint order-independent under GraftOptimizationsSpec's install)
     GraftOptimizations.install(spark)
     graft.ops.IncrementalDedup.seedQueryStore(spark, dir)
     SparkEntry.queries.map { case (name, fn) =>
-      name -> (try Right(fn(spark, dir).queryExecution.executedPlan)
-        catch { case e: Exception => Left(s"PLAN FAILED: ${e.getMessage}") })
+      name -> (try {
+        val qe = fn(spark, dir).queryExecution
+        qe.executedPlan // force planning so failures surface here
+        Right(qe)
+      } catch { case e: Exception => Left(s"PLAN FAILED: ${e.getMessage}") })
     }
   }
+
+  private lazy val planTrees: Map[String, Either[String, org.apache.spark.sql.execution.SparkPlan]] =
+    queryExecs.map { case (n, qe) => n -> qe.map(_.executedPlan) }
 
   private lazy val plans: Map[String, String] =
     planTrees.map { case (n, p) => n -> p.fold(identity, _.toString) }
@@ -117,6 +123,34 @@ class PlanLintSpec extends AnyFunSuite {
   test("no CartesianProduct anywhere") {
     val offenders = plans.filter(_._2.contains("CartesianProduct")).keys
     assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+
+  test("logical Cross joins carry an explicit broadcast hint (r13 — the unpartitioned-window rule's join analog)") {
+    // The physical rule above only sees what JoinSelection picked at THIS
+    // SF: an unhinted crossJoin whose small side happens to fit
+    // autoBroadcastJoinThreshold plans as BNLJ at sf0.001 and silently
+    // becomes a CartesianProduct when that side outgrows the threshold at
+    // scale. The logical rule closes the class: every condition-less join
+    // in a registry query must pin its bounded side with broadcast().
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    def all(p: LogicalPlan): Seq[LogicalPlan] =
+      p +: (p.children.flatMap(all) ++ p.subqueries.flatMap(all))
+    val offenders = queryExecs.toSeq.flatMap {
+      case (name, Right(qe)) =>
+        all(qe.optimizedPlan).collect {
+          case j: Join
+              if (j.joinType == Cross ||
+                (j.joinType == Inner && j.condition.isEmpty)) &&
+                !j.hint.leftHint.exists(_.strategy.isDefined) &&
+                !j.hint.rightHint.exists(_.strategy.isDefined) =>
+            s"$name (${j.joinType} join, no side hinted)"
+        }
+      case _ => Nil
+    }
+    assert(offenders.isEmpty,
+      s"unhinted cross join in: ${offenders.distinct.mkString(", ")} — " +
+        "broadcast() the provably-bounded side (or re-shape the join)")
   }
 
   test("BroadcastNestedLoopJoin only where the build side is provably bounded") {
