@@ -112,6 +112,57 @@ class IterativeOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans_converged: emitted shift sequence equals an independent driver-side recount") {
+    // the batch_mix_audit precedent (r12): the stopping-criterion COLUMN
+    // was gate-checked against eps but its VALUES only against the
+    // query's own kernel — recompute the whole per-round shift sequence
+    // from scratch in pure Scala (same seeding, same 6-dp rounding
+    // discipline, same (dist, cid) assignment tie-break) and require the
+    // emitted trace to match round-for-round
+    import org.apache.spark.sql.functions._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = graft.ops.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val k = 8; val eps = 1e-2; val maxRounds = 15
+    var cents: Map[Long, Array[Double]] =
+      emb.filter(_._1 < k).map(t => t._1 -> t._2).toMap
+    var shifts = Vector.empty[Double]
+    var shift = Double.MaxValue
+    var r = 0
+    while (shift >= eps && r < maxRounds) {
+      r += 1
+      val assigned = emb.map { case (_, v) =>
+        val (_, cid) = cents.toSeq.map { case (cid, cv) =>
+          (r6(v.zip(cv).map(t => (t._1 - t._2) * (t._1 - t._2)).sum), cid)
+        }.min
+        (cid, v)
+      }
+      val next = assigned.groupBy(_._1).map { case (cid, rows) =>
+        val dims = rows.head._2.length
+        cid -> Array.tabulate(dims)(i =>
+          r6(rows.map(_._2(i)).sum / rows.length))
+      }
+      shift = next.map { case (cid, cv) =>
+        cv.zip(cents(cid)).map(t => math.abs(t._1 - t._2)).max
+      }.max
+      shifts :+= r6(shift)
+      cents = next
+    }
+    val emitted = SimilarityOps.kmeansConverged(spark, dir).collect()
+      .map(row => (row.getInt(0), row.getDouble(4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).head).toMap
+    assert(emitted.size == shifts.size,
+      s"round count: emitted ${emitted.size}, recount ${shifts.size}")
+    shifts.zipWithIndex.foreach { case (sh, i) =>
+      assert(math.abs(emitted(i + 1) - sh) <= 1e-6,
+        s"round ${i + 1}: emitted shift ${emitted(i + 1)} vs recount $sh")
+    }
+  }
+
   test("incremental_ivf: audit row is partition-layout independent and accounts every vector") {
     val row = SimilarityOps.incrementalIvf(spark, dir).collect()(0)
     val n = graft.ops.Tables(spark, dir, "embeddings").count()
