@@ -1282,21 +1282,25 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
-  /** The HNSW search's final beam — per query the exact-scored
-    * top-`beamWidth` of every node visited through `rounds` best-first
-    * rounds, as `(query_id, node, cos)`. [[annHnswTopk]] takes its top-K
-    * off it; [[mmrRerankAnn]] feeds it to the MMR rerank as the ANN
-    * shortlist (the production retrieval composition).
+  /** The HNSW layer-0 adjacency, built inline: bounded-degree neighbor
+    * lists from LSH bucket candidates (directed: the self-join emits both
+    * orientations of every cohabiting pair), per-node top-`degree` OUT
+    * selection, then SYMMETRIZED (HNSW links are bidirectional): without
+    * the reverse edges a hub's top-degree list drops its spokes while
+    * every spoke keeps the hub — best-first search could descend INTO
+    * dense regions but never back out, and measured sf0.1 recall
+    * collapsed to 0.46–0.66 vs 0.96 with the union. Effective degree
+    * ≤ 2·degree. localCheckpointed (node-sized, ≤ 2·degree·n ids): every
+    * search round re-reads it — probed 5.7 s → 1.7 s at sf0.1 when the
+    * materialization landed (r11); the [[HnswIndex]] seam is the
+    * session-lifetime form of the same decision.
     */
-  private[graft] def annHnswBeam(s: SparkSession, dir: String,
-      bitsPerBand: Int, bands: Int, degree: Int, levelMod: Int,
-      entries: Int, beamWidth: Int, rounds: Int): DataFrame = {
+  private[graft] def hnswAdjacencyInline(s: SparkSession, dir: String,
+      bitsPerBand: Int, bands: Int, degree: Int): DataFrame = {
     val emb = embeddings(s, dir)
     val banded = emb.select(col("vec_id"),
         posexplode(signLshBuckets(col("v"), bitsPerBand, bands)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
-    // bounded-degree neighbor lists from LSH bucket candidates (directed:
-    // the self-join emits both orientations of every cohabiting pair)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -1305,16 +1309,6 @@ object SimilarityOps {
       .distinct()
     val wN = Window.partitionBy(col("node"))
       .orderBy(col("ncos").desc, col("nbr"))
-    // the adjacency IS the index: materialize it once (node-sized, ≤
-    // degree·n ids) — hop1, hop2, and the visited union would otherwise
-    // re-run the candidate scoring per consumer (probed 5.7 s → 1.7 s at
-    // sf0.1). Production keeps it as a maintained table (GraphEdges-style).
-    // per-node top-`degree` OUT selection, then SYMMETRIZED (HNSW links
-    // are bidirectional): without the reverse edges a hub's top-degree
-    // list drops its spokes while every spoke keeps the hub — best-first
-    // search could descend INTO dense regions but never back out, and
-    // measured sf0.1 recall collapsed to 0.46–0.66 vs 0.96 with the
-    // union. Effective degree ≤ 2·degree.
     val nbrsOut = cand
       .join(emb.select(col("vec_id").as("node"), col("v").as("nv")), "node")
       .join(emb.select(col("vec_id").as("nbr"), col("v").as("bv")), "nbr")
@@ -1325,9 +1319,28 @@ object SimilarityOps {
     // no distinct here: a (node, nbr) present in both orientations just
     // duplicates a frontier candidate, and every round's frontier is
     // distinct()'d anyway — one less shuffle on the widest table
-    val nbrs = nbrsOut
+    nbrsOut
       .union(nbrsOut.select(col("nbr").as("node"), col("node").as("nbr")))
       .localCheckpoint()
+  }
+
+  /** The HNSW search's final beam — per query the exact-scored
+    * top-`beamWidth` of every node visited through `rounds` best-first
+    * rounds, as `(query_id, node, cos)`. [[annHnswTopk]] takes its top-K
+    * off it; [[mmrRerankAnn]] feeds it to the MMR rerank as the ANN
+    * shortlist (the production retrieval composition).
+    */
+  private[graft] def annHnswBeam(s: SparkSession, dir: String,
+      bitsPerBand: Int, bands: Int, degree: Int, levelMod: Int,
+      entries: Int, beamWidth: Int, rounds: Int): DataFrame = {
+    val emb = embeddings(s, dir)
+    // the adjacency IS the index — served by the HnswIndex seam at the
+    // shipped build config (materialized once per session), built inline
+    // for experimental configs (HnswProbe's parameter sweeps)
+    val nbrs =
+      if (bitsPerBand == HnswIndex.BitsPerBand && bands == HnswIndex.Bands &&
+          degree == HnswIndex.Degree) HnswIndex.adjacency(s, dir)
+      else hnswAdjacencyInline(s, dir, bitsPerBand, bands, degree)
     // md5-deterministic upper layer (~1/levelMod of the corpus)
     val lvl = conv(substring(md5(
         concat(lit("lvl_"), col("vec_id").cast("string"))), 1, 15), 16, 10)

@@ -40,6 +40,7 @@ object PerfProbe {
     graft.ops.GraphEdges.seed(spark, dir)
     graft.ops.DedupEdges.seed(spark, dir)
     graft.ops.SparseIndex.seed(spark, dir)
+    graft.ops.HnswIndex.seed(spark, dir)
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
       time(s"$n (cold)")(sink(q(spark, dir)))
