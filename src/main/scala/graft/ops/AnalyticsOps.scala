@@ -2029,9 +2029,11 @@ object AnalyticsOps {
   def skewStats(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables(s, dir, "lineitem")
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
-      // r13 ckpt audit: REMOVED — A/B at sf0.1 warm read 0.32 s with /
-      // 0.28 s without (a wash); the key-sized re-aggregate is one scan,
-      // and dropping the materialization sheds executor state at scale
+      // r13 ckpt audit: A/B at sf0.1 warm read 0.32 s with / 0.28 s
+      // without — a local wash, but WITHOUT it both consumers re-pay the
+      // corpus-wide groupBy shuffle (PlanLint budget caught 3→6
+      // exchanges), which is the wrong 100× shape — keep
+      .localCheckpoint()
     val summary = counts.agg(
       count(lit(1)).as("n_keys"),
       sum(col("cnt")).as("n_rows"),

@@ -720,7 +720,112 @@ object GraphOps {
       |JOIN deg du ON du.node = sym.u
       |JOIN deg dv ON dv.node = sym.v""".stripMargin
 
+  /** Deterministic random-walk corpus generation — the sampling pass of
+    * DeepWalk/node2vec (Perozzi et al. KDD'14; Grover & Leskovec KDD'16):
+    * graph-embedding training data IS a corpus of short walks, and at
+    * 100 TB the walk generator is a first-class pipeline operator (the
+    * walks feed the same skip-gram machinery as text). Walks start at the
+    * top-`walks` hub nodes (degree desc, min-id ties) and take `steps`
+    * uniform steps; each step's neighbor choice is DERANDOMIZED the
+    * repo's usual way (md5 of walk/step/node mod degree over the
+    * v-ordered adjacency index), so both engines replay the identical
+    * walks and every emitted step is value-oracle-backed — the
+    * [[SimilarityOps.annHnswTopk]] determinism convention applied to
+    * walk sampling.
+    *
+    * Scale shape: each step broadcast-semi-joins the edge list on the
+    * frontier FIRST and indexes only that slice (Σ deg(frontier) rows
+    * through the step window — never an edge-wide adjacency window per
+    * step), and the per-step frontier localCheckpoints (walk-count rows,
+    * the [[bfsFrom]] lineage discipline). Production runs millions of
+    * walks with the SAME plan — the frontier join flips from broadcast
+    * to shuffled when the walk count outgrows the threshold, and a
+    * standing walk workload would materialize the indexed adjacency once
+    * ([[HnswIndex]]-style) instead of slicing per step.
+    */
+  def randomWalks(s: SparkSession, dir: String, walks: Int = 10,
+      steps: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = GraphEdges.canonicalCheckpointed(s, dir)
+    val und = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // walk_id = the start node id (no synthetic numbering — keeps the
+    // starts window-free)
+    val starts = deg.orderBy(col("deg").desc, col("u")).limit(walks)
+      .select(col("u").as("walk_id"), col("u").as("node"))
+    var cur = starts
+    var out = starts.withColumn("step", lit(0))
+    for (t <- 1 to steps) {
+      // index ONLY the frontier's neighbor lists: semi-join the edge
+      // list on the ≤`walks` current nodes FIRST, then window the slice
+      // (Σ deg(frontier) rows) — never an edge-wide adjacency index per
+      // step (the first cut paid that window 3× and probed 5.9–7.0 s;
+      // this shape probes 1.59 s warm at sf0.1). The per-partition
+      // count(*) IS the node's full degree, since the slice keeps every
+      // neighbor of the node.
+      val wSlice = Window.partitionBy(col("walk_id"), col("u"))
+      val slice = und
+        .join(broadcast(cur.select(col("node").as("u"), col("walk_id"))), "u")
+        .withColumn("idx",
+          row_number().over(wSlice.orderBy(col("v"))) - 1)
+        .withColumn("deg", count(lit(1)).over(wSlice))
+      cur = slice
+        .filter(col("idx") ===
+          conv(substring(md5(concat_ws("_", lit("walk"), col("walk_id"),
+            lit(t), col("u")).cast("binary")), 1, 15), 16, 10)
+            .cast("long") % col("deg"))
+        .select(col("walk_id"), col("v").as("node"))
+        .localCheckpoint()
+      out = out.unionByName(cur.withColumn("step", lit(t)))
+    }
+    out.select(col("walk_id"), col("step"), col("node"))
+      .orderBy("walk_id", "step")
+  }
+
+  /** Every beam step restated: the same adjacency index, degree table,
+    * hub starts, and the three md5-mod step selections as CTE levels
+    * (the [[bfs2StepOracle]] unroll convention).
+    */
+  val randomWalksOracle: String = {
+    val steps = 3
+    val stepCtes = (1 to steps).map { t =>
+      val prev = if (t == 1) "starts" else s"s${t - 1}"
+      s"""s$t AS (
+         |  SELECT p.walk_id, a.v AS node
+         |  FROM $prev p
+         |  JOIN deg d ON d.u = p.node
+         |  JOIN adj a ON a.u = p.node
+         |   AND a.idx = ('0x' || substr(md5('walk_' || p.walk_id ||
+         |         '_' || $t || '_' || p.node), 1, 15))::BIGINT % d.deg)"""
+        .stripMargin
+    }.mkString(",\n")
+    val levels = (1 to steps)
+      .map(t => s"UNION ALL SELECT walk_id, $t AS step, node FROM s$t")
+      .mkString("\n  ")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |und AS (
+       |  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+       |adj AS (
+       |  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1
+       |           AS idx
+       |  FROM und),
+       |deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+       |starts AS (
+       |  SELECT u AS walk_id, u AS node FROM deg
+       |  ORDER BY deg DESC, u LIMIT 10),
+       |$stepCtes
+       |SELECT walk_id, step, node FROM (
+       |  SELECT walk_id, 0 AS step, node FROM starts
+       |  $levels)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "random_walks" -> ((s: SparkSession, dir: String) => randomWalks(s, dir)),
     "degree_assortativity" -> (degreeAssortativity _),
     "incremental_edges" -> (incrementalEdges _),
     "bfs_2step" -> (bfs2Step _),
@@ -733,6 +838,7 @@ object GraphOps {
     "kcore_2step" -> (kcore2Step _))
 
   val oracles: Map[String, String] = Map(
+    "random_walks" -> randomWalksOracle,
     "degree_assortativity" -> degreeAssortativityOracle,
     "incremental_edges" -> incrementalEdgesOracle,
     "bfs_2step" -> bfs2StepOracle,

@@ -251,4 +251,38 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(r - expect) < 1e-3, s"assortativity $r vs $expect")
     assert(math.abs(meanDeg - mx) < 1e-3)
   }
+
+  test("random_walks: complete walks, every step a real edge, hub starts, md5-replayable") {
+    val rows = graft.ops.GraphOps.randomWalks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byWalk = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byWalk.size == 10, s"expected 10 walks, got ${byWalk.size}")
+    assert(byWalk.values.forall(_.length == 4),
+      "every walk must emit steps 0..3 (no dead-ends on this graph)")
+    // starts are the degree-desc/min-id top-10 hubs, and walk_id = start
+    val edges = graft.ops.GraphEdges.canonical(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val und = (edges ++ edges.map(_.swap)).toSet
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val hubs = deg.toSeq.sortBy { case (n, d) => (-d, n) }.take(10)
+      .map(_._1).toSet
+    assert(byWalk.keySet == hubs, "walk starts are not the top-10 hubs")
+    byWalk.foreach { case (w, path) =>
+      assert(path.head == w, s"walk $w does not start at its id")
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(und.contains((a, b)), s"walk $w took a non-edge $a->$b")
+      }
+    }
+    // replay one step driver-side: the md5-mod rule is the contract
+    val w0 = byWalk.keys.min
+    val nbrs = und.filter(_._1 == w0).map(_._2).toSeq.sorted
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"walk_${w0}_1_$w0".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val sel = (java.lang.Long.parseLong(h.take(15), 16) % nbrs.length).toInt
+    assert(byWalk(w0)(1) == nbrs(sel),
+      s"step 1 of walk $w0: emitted ${byWalk(w0)(1)}, replay ${nbrs(sel)}")
+  }
 }
