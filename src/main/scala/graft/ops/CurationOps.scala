@@ -1193,7 +1193,63 @@ object CurationOps {
        |       CAST(round(1e7 * rw / rt.rw_tot, 0) AS BIGINT) AS epoch_tokens
        |FROM raw, rt ORDER BY source""".stripMargin
 
+  /** k-anonymity release audit (Sweeney, IJUFKS 2002 — the privacy gate
+    * a dataset release runs BEFORE the DP noise of
+    * [[SketchOps.dpCounts]]): every document falls into an equivalence
+    * class on the quasi-identifier tuple (source, lang, 100-char length
+    * bucket); a class smaller than k re-identifies its members by
+    * attribute combination alone. The audit row reports class counts,
+    * the below-k class/row counts, and the suppression rate — the
+    * fraction of the corpus a k-anonymous release would have to drop (or
+    * generalize) before publication.
+    *
+    * Scale shape: ONE map-side-combined keyed aggregate over the corpus
+    * to the class table (bounded by the QI-grid cardinality), then a
+    * 1-row rollup — no window, no join. The length bucket uses
+    * floor(n_chars/100.0) — engine-identical for the non-negative
+    * domain.
+    */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val classes = Tables(s, dir, "documents")
+      .groupBy(col("source"), col("lang"),
+        floor(col("n_chars") / lit(100.0)).cast("long").as("size_bucket"))
+      .agg(count(lit(1)).as("n"))
+    classes.agg(
+      lit(k).as("k"),
+      count(lit(1)).as("n_classes"),
+      sum(col("n")).as("n_rows"),
+      sum(when(col("n") < k, 1L).otherwise(0L)).as("classes_below_k"),
+      sum(when(col("n") < k, col("n")).otherwise(lit(0L))).as("rows_below_k"),
+      min(col("n")).as("min_class"),
+      max(col("n")).as("max_class"))
+      .select(col("k"), col("n_classes"), col("n_rows"),
+        col("classes_below_k"), col("rows_below_k"),
+        col("min_class"), col("max_class"),
+        round(col("rows_below_k").cast("double") / col("n_rows"), 6)
+          .as("suppression_rate"))
+  }
+
+  val kAnonymityOracle: String =
+    """WITH classes AS (
+      |  SELECT source, lang,
+      |         CAST(floor(n_chars / 100.0) AS BIGINT) AS size_bucket,
+      |         count(*) AS n
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT 5 AS k,
+      |       count(*) AS n_classes,
+      |       CAST(sum(n) AS BIGINT) AS n_rows,
+      |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS classes_below_k,
+      |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |         AS rows_below_k,
+      |       min(n) AS min_class,
+      |       max(n) AS max_class,
+      |       round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+      |         / sum(n), 6) AS suppression_rate
+      |FROM classes""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_anonymity" -> ((s: SparkSession, dir: String) => kAnonymity(s, dir)),
     "doc_lineage" -> (docLineage _),
     "crossval_split" -> (crossvalSplit _),
     "epoch_plan" -> (epochPlan _),
@@ -1214,6 +1270,7 @@ object CurationOps {
     "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
+    "k_anonymity" -> kAnonymityOracle,
     "doc_lineage" -> docLineageOracle,
     "crossval_split" -> crossvalSplitOracle,
     "epoch_plan" -> epochPlanOracle,

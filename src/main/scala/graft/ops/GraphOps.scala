@@ -787,8 +787,16 @@ object GraphOps {
     * hub starts, and the three md5-mod step selections as CTE levels
     * (the [[bfs2StepOracle]] unroll convention).
     */
-  val randomWalksOracle: String = {
-    val steps = 3
+  val randomWalksOracle: String =
+    s"""WITH ${randomWalksCtes()}
+       |SELECT walk_id, step, node FROM walk_rows
+       |ORDER BY walk_id, step""".stripMargin
+
+  /** The walk transliteration's CTE chain through `walk_rows(walk_id,
+    * step, node)` (no WITH keyword) — shared by [[randomWalksOracle]] and
+    * the [[walkSkipgramPairsOracle]] so both restate ONE walk corpus.
+    */
+  private[graft] def randomWalksCtes(steps: Int = 3): String = {
     val stepCtes = (1 to steps).map { t =>
       val prev = if (t == 1) "starts" else s"s${t - 1}"
       s"""s$t AS (
@@ -803,7 +811,7 @@ object GraphOps {
     val levels = (1 to steps)
       .map(t => s"UNION ALL SELECT walk_id, $t AS step, node FROM s$t")
       .mkString("\n  ")
-    s"""WITH edges AS (
+    s"""edges AS (
        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -817,15 +825,52 @@ object GraphOps {
        |starts AS (
        |  SELECT u AS walk_id, u AS node FROM deg
        |  ORDER BY deg DESC, u LIMIT 10),
-       |$stepCtes
-       |SELECT walk_id, step, node FROM (
+       |$stepCtes,
+       |walk_rows AS (
        |  SELECT walk_id, 0 AS step, node FROM starts
-       |  $levels)
-       |ORDER BY walk_id, step""".stripMargin
+       |  $levels)""".stripMargin
   }
+
+  /** Skip-gram pair extraction over the walk corpus — the stage between
+    * [[randomWalks]] and the embedding trainer (DeepWalk §4.2: walks are
+    * sentences, nodes are words, and training examples are (center,
+    * context) pairs within a window): every ordered pair of nodes
+    * co-occurring within `window` steps on the same walk, aggregated to
+    * pair counts. At production walk volume this table IS the
+    * graph-embedding training set (and its marginals drive the negative-
+    * sampling distribution).
+    *
+    * Scale shape: one walk_id-keyed self-join bounded by the step-window
+    * predicate (≤ window·L pairs per walk — never walk-length²) over the
+    * walk frame, then one pair-keyed count. The walk build cost is
+    * [[randomWalks]]'s; production materializes the walk corpus once and
+    * runs extraction incrementally per walk batch.
+    */
+  def walkSkipgramPairs(s: SparkSession, dir: String,
+      window: Int = 2): DataFrame = {
+    val walks = randomWalks(s, dir)
+    walks.as("a")
+      .join(walks.as("b"),
+        col("a.walk_id") === col("b.walk_id") &&
+          col("a.step") =!= col("b.step") &&
+          abs(col("a.step") - col("b.step")) <= window)
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("center"), col("context"))
+  }
+
+  val walkSkipgramPairsOracle: String =
+    s"""WITH ${randomWalksCtes()}
+       |SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+       |FROM walk_rows a JOIN walk_rows b
+       |  ON a.walk_id = b.walk_id AND a.step <> b.step
+       | AND abs(a.step - b.step) <= 2
+       |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "random_walks" -> ((s: SparkSession, dir: String) => randomWalks(s, dir)),
+    "walk_skipgram_pairs" -> ((s: SparkSession, dir: String) =>
+      walkSkipgramPairs(s, dir)),
     "degree_assortativity" -> (degreeAssortativity _),
     "incremental_edges" -> (incrementalEdges _),
     "bfs_2step" -> (bfs2Step _),
@@ -839,6 +884,7 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "random_walks" -> randomWalksOracle,
+    "walk_skipgram_pairs" -> walkSkipgramPairsOracle,
     "degree_assortativity" -> degreeAssortativityOracle,
     "incremental_edges" -> incrementalEdgesOracle,
     "bfs_2step" -> bfs2StepOracle,

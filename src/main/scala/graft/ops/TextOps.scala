@@ -1392,7 +1392,79 @@ object TextOps {
        |FROM agg ORDER BY source_a, source_b""".stripMargin
   }
 
+  /** Pointwise mutual information over token pairs within a 2-token
+    * forward window (Church & Hanks, CL 1990 — the association measure
+    * under every co-occurrence embedding and collocation extractor):
+    * pmi(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))) with pair probability
+    * from the skip-window stream and marginals from the unigram stream.
+    * High-PMI pairs are collocations (tokens that co-occur far above
+    * chance) — the lexical structure a tokenizer/phrase-merge pass feeds
+    * on. Top-20 by rounded PMI with c12 ≥ 5 (the standard sparse-count
+    * guard: a 1-count pair of two rare words maxes the raw score).
+    *
+    * Scale shape: ONE doc-keyed window shuffle produces both forward
+    * leads (the [[graft.ops.CurationOps]] bigram discipline); pair and
+    * unigram counts are vocabulary-bounded keyed aggregates; the two
+    * 1-row totals attach as broadcast cross joins; the top-20 cut is
+    * TakeOrderedAndProject on the bounded vocab² (really: observed-pair)
+    * table. PMI rounds to 4 BEFORE the ranking (cross-engine order).
+    */
+  def tokenPmi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(normText(col("text")), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("n1", lead(col("w"), 1).over(byDoc))
+      .withColumn("n2", lead(col("w"), 2).over(byDoc))
+      .select(col("w"), explode(array(col("n1"), col("n2"))).as("w2"))
+      .filter(col("w2").isNotNull)
+    val c12 = pairs.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val tot = toks.agg(count(lit(1)).as("nt"))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("np"))))
+    c12.join(uni, "w")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .filter(col("c12") >= 5)
+      .select(col("w").as("w1"), col("w2"), col("c12"),
+        round(log(col("c12") * col("nt").cast("double") * col("nt") /
+          (col("np") * col("c1") * col("c2"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val tokenPmiOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, t[i] AS w
+       |  FROM (SELECT doc_id, string_split(${normTextOracle("text")}, ' ')
+       |          AS t FROM documents),
+       |       LATERAL unnest(generate_series(1, len(t))) u(i)
+       |  WHERE len(t[i]) > 0),
+       |leads AS (
+       |  SELECT w,
+       |         lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+       |         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+       |  FROM toks),
+       |pairs AS (
+       |  SELECT w, n1 AS w2 FROM leads WHERE n1 IS NOT NULL
+       |  UNION ALL SELECT w, n2 FROM leads WHERE n2 IS NOT NULL),
+       |c12 AS (SELECT w, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+       |uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+       |tot AS (SELECT (SELECT count(*) FROM toks) AS nt,
+       |               (SELECT count(*) FROM pairs) AS np)
+       |SELECT c.w AS w1, c.w2, c.c12,
+       |       round(ln(c.c12 * CAST(t.nt AS DOUBLE) * t.nt /
+       |         (t.np * u1.c1 * u2.c1)), 4) AS pmi
+       |FROM c12 c JOIN uni u1 ON u1.w = c.w
+       |JOIN uni u2 ON u2.w = c.w2, tot t
+       |WHERE c.c12 >= 5
+       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_pmi" -> (tokenPmi _),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "source_divergence" -> (sourceDivergence _),
     "doc_chunk" -> (docChunk _),
@@ -1423,6 +1495,7 @@ object TextOps {
     "bpe_encode" -> (bpeEncode _))
 
   val oracles: Map[String, String] = Map(
+    "token_pmi" -> tokenPmiOracle,
     "tokenizer_fertility" -> tokenizerFertilityOracle,
     "source_divergence" -> sourceDivergenceOracle,
     "doc_chunk" -> docChunkOracle,

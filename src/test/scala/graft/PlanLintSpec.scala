@@ -27,6 +27,8 @@ class PlanLintSpec extends AnyFunSuite {
     "bm25_search",         // 1-row qdoc/avgdl scalar broadcasts
     "embedding_outliers",  // 1-row p95-cutoff broadcast
     "mutual_information",  // 1-row total-count broadcasts onto L×S cells
+    "token_pmi",           // 1-row token/pair-total broadcasts onto the
+                           // bounded observed-pair table
     "embedding_quantize", "merge_upsert",
     "q14_promo_revenue", "q19_disjunctive", "brand_affinity",
     "cardinality_sketches", "kmv_overlap", // sketch×sketch: T-row sides
