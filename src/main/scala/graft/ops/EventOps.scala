@@ -120,6 +120,93 @@ object EventOps {
     * oracle encodes session_window's `>=` rule precisely at µs
     * resolution). One user-keyed shuffle, state merges map-side.
     */
+  /** Session-gap tuning table — the `dedup_threshold_sweep` genre
+    * applied to sessionization: the 30-minute gap every analytics stack
+    * hardcodes is a tunable, and this is the table it's tuned FROM. For
+    * each candidate gap (5 min / 15 min / 30 min / 60 min): session
+    * count, mean events and mean duration per session, and the share of
+    * single-event sessions (the "gap too small" symptom; "gap too
+    * large" shows as mean duration exploding).
+    *
+    * The trick that keeps it ONE pass: candidate gaps are nested, so
+    * every per-gap number derives from the per-event gap column alone —
+    * a session boundary at gap g is `prev_gap IS NULL OR prev_gap > g`
+    * (count = session count), intra-session gap mass Σ(gap ≤ g) is the
+    * total session duration, and a single-event session is a boundary
+    * whose FOLLOWING gap also breaks (lead column). No per-threshold
+    * re-sessionization, no per-threshold window.
+    *
+    * Scale shape: ONE user-keyed window (lag + lead ride the same sort),
+    * then a 4× candidate fan-out into a map-side-combined keyed
+    * aggregate (the `wau_rolling` bounded-fan-out convention). Means
+    * round before emission.
+    */
+  def sessionGapSweep(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapped = Tables(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+      .withColumn("next_gap", lead(col("gap"), 1).over(byUser))
+      .select(col("gap"), col("next_gap"))
+    val isBreak = (g: org.apache.spark.sql.Column) =>
+      col("gap").isNull || (col("gap") > g)
+    val nextBreaks = (g: org.apache.spark.sql.Column) =>
+      col("next_gap").isNull || (col("next_gap") > g)
+    gapped
+      .crossJoin(broadcast(s.range(0, 1)
+        .select(explode(array(lit(300), lit(900), lit(1800), lit(3600)))
+          .as("gap_sec"))))
+      .groupBy(col("gap_sec"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(isBreak(col("gap_sec")), 1L).otherwise(0L)).as("n_sessions"),
+        sum(when(!isBreak(col("gap_sec")), col("gap")).otherwise(lit(0L)))
+          .as("total_duration_sec"),
+        sum(when(isBreak(col("gap_sec")) && nextBreaks(col("gap_sec")), 1L)
+          .otherwise(0L)).as("n_single"))
+      .select(col("gap_sec"), col("n_events"), col("n_sessions"),
+        round(col("n_events").cast("double") / col("n_sessions"), 4)
+          .as("mean_events"),
+        round(col("total_duration_sec").cast("double") / col("n_sessions"), 4)
+          .as("mean_duration_sec"),
+        round(col("n_single").cast("double") / col("n_sessions"), 6)
+          .as("single_event_share"))
+      .orderBy("gap_sec")
+  }
+
+  val sessionGapSweepOracle: String =
+    """WITH g1 AS (
+      |  SELECT user_id, ts, event_id,
+      |         floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS gap
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |gapped AS (
+      |  SELECT gap, lead(gap, 1) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS next_gap
+      |  FROM g1),
+      |cands AS (SELECT unnest([300, 900, 1800, 3600]) AS gap_sec),
+      |agg AS (
+      |  SELECT c.gap_sec,
+      |         count(*) AS n_events,
+      |         CAST(sum(CASE WHEN gap IS NULL OR gap > c.gap_sec
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |         CAST(sum(CASE WHEN NOT (gap IS NULL OR gap > c.gap_sec)
+      |                       THEN gap ELSE 0 END) AS BIGINT)
+      |           AS total_duration_sec,
+      |         CAST(sum(CASE WHEN (gap IS NULL OR gap > c.gap_sec)
+      |                        AND (next_gap IS NULL OR next_gap > c.gap_sec)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_single
+      |  FROM gapped, cands c GROUP BY c.gap_sec)
+      |SELECT gap_sec, n_events, n_sessions,
+      |       round(CAST(n_events AS DOUBLE) / n_sessions, 4) AS mean_events,
+      |       round(CAST(total_duration_sec AS DOUBLE) / n_sessions, 4)
+      |         AS mean_duration_sec,
+      |       round(CAST(n_single AS DOUBLE) / n_sessions, 6)
+      |         AS single_event_share
+      |FROM agg ORDER BY gap_sec""".stripMargin
+
   def eventsSessionWindow(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .groupBy(col("user_id"),
@@ -1295,6 +1382,7 @@ object EventOps {
     "events_anomaly" -> (eventsAnomaly _),
     "events_tumbling" -> (eventsTumbling _),
     "events_sessionize" -> (eventsSessionize _),
+    "session_gap_sweep" -> (sessionGapSweep _),
     "events_json" -> (eventsJson _),
     "events_variant" -> (eventsVariant _),
     "events_session_window" -> (eventsSessionWindow _),
@@ -1324,6 +1412,7 @@ object EventOps {
     "events_anomaly" -> eventsAnomalyOracle,
     "events_tumbling" -> eventsTumblingOracle,
     "events_sessionize" -> eventsSessionizeOracle,
+    "session_gap_sweep" -> sessionGapSweepOracle,
     "events_json" -> eventsJsonOracle,
     "events_variant" -> eventsVariantOracle,
     "events_session_window" -> eventsSessionWindowOracle,

@@ -259,4 +259,33 @@ class EventOpsSpec extends AnyFunSuite {
     val byLift = rows.map(r => r._1 -> r._4).toMap
     assert(math.abs(byLift(0.01).toDouble / byLift(0.02) - 4.0) < 0.01)
   }
+
+  test("session_gap_sweep: monotone in the gap, and the 1800s row equals events_sessionize") {
+    val rows = graft.ops.EventOps.sessionGapSweep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(300, 900, 1800, 3600))
+    assert(rows.map(_._2).distinct.size == 1, "n_events must not vary with gap")
+    // widening the gap can only MERGE sessions
+    rows.map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, s"n_sessions rose with gap: ${rows.toSeq}")
+      case _ =>
+    }
+    rows.map(_._4).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a, s"mean_events fell with gap: ${rows.toSeq}")
+      case _ =>
+    }
+    // the sweep's 1800s row must agree with the shipped sessionizer —
+    // same boundary rule, independently computed (per-session grouping
+    // there, pure gap-column algebra here)
+    val sessions = graft.ops.EventOps.eventsSessionize(spark, dir).collect()
+    val n1800 = rows.find(_._1 == 1800).get
+    assert(n1800._3 == sessions.length,
+      s"sweep says ${n1800._3} sessions at 1800s, sessionize emits ${sessions.length}")
+    val singles = sessions.count(_.getLong(2) == 1L)
+    val share = graft.ops.EventOps.sessionGapSweep(spark, dir).collect()
+      .find(_.getInt(0) == 1800).get.getDouble(5)
+    assert(math.abs(share - singles.toDouble / sessions.length) < 1e-5,
+      s"single-event share $share vs recount ${singles.toDouble / sessions.length}")
+  }
 }
