@@ -807,6 +807,7 @@ object ModelOps {
        |FROM u""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nb_source_classify" -> (nbSourceClassify _),
     "conformal_interval" -> (conformalInterval _),
     "model_eval_by_slice" -> (modelEvalBySlice _),
     "model_auc" -> (modelAuc _),
@@ -818,7 +819,139 @@ object ModelOps {
     "pca_power" -> (pcaPower _),
     "model_eval" -> (modelEval _))
 
+  /** Naive Bayes source classifier with holdout accuracy — the generative
+    * twin to [[qualityModelScore]]'s discriminative logreg, and the
+    * fastText-style domain/source tagger every web-corpus curation stack
+    * runs (CCNet's lang/quality classifiers; domain routing for mixture
+    * weights). Multinomial NB over whitespace tokens, Laplace-smoothed:
+    *
+    *   score(d, c) = ln p(c) − |d|·ln(n_c + V) + Σ_{w∈d∩vocab_c} cnt_w·ln(c_wc + 1)
+    *
+    * — the ln((c+1)/(n_c+V)) likelihood DECOMPOSED so out-of-class-vocab
+    * tokens need no dense grid: the join against the observed (class,
+    * token) counts covers the third term and the −|d|·ln(n_c+V) bulk
+    * term is a per-class scalar times document length. Train/holdout by
+    * the content-stable md5 nibble rule ([[modelEval]]); output is
+    * per-source holdout accuracy.
+    *
+    * Scale shape: class-token counts are (|classes|·vocab)-bounded keyed
+    * aggregates; the holdout scoring is ONE token-keyed join + one
+    * (doc, class) aggregate; the dense (doc × class) frame exists only
+    * at the |classes|-bounded broadcast cross join, and the argmax
+    * window partitions by doc over |classes| rows. Scores 6-rounded
+    * before the argmax (cross-engine ranking).
+    */
+  def nbSourceClassify(s: SparkSession, dir: String): DataFrame =
+    nbPredictions(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cls") === col("source"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("source"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 6)
+          .as("accuracy"))
+      .orderBy("source")
+
+  /** Per-holdout-doc NB argmax `(doc_id, source, cls, score)` —
+    * [[nbSourceClassify]]'s accuracy rollup reads it; ModelOpsSpec
+    * recounts a doc's full score vector against it.
+    */
+  private[graft] def nbPredictions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isTrain = (instr(lit("0123456789abcdef"),
+      substring(md5(col("doc_id").cast("string").cast("binary")), 32, 1))
+      - 1) < 13
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), isTrain.as("is_train"),
+        explode(split(DedupOps.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val docTok = toks
+      .groupBy(col("doc_id"), col("source"), col("is_train"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val train = docTok.filter(col("is_train"))
+    val classTok = train.groupBy(col("source").as("cls"), col("w"))
+      .agg(sum(col("cnt")).as("c"))
+    val classStats = train.groupBy(col("source").as("cls"))
+      .agg(sum(col("cnt")).as("n_c"), countDistinct(col("doc_id")).as("d_c"))
+    val globals = train.agg(countDistinct(col("w")).as("v"),
+      countDistinct(col("doc_id")).as("n_train"))
+    val classes = classStats.crossJoin(broadcast(globals))
+      .select(col("cls"),
+        log(col("d_c").cast("double") / col("n_train")).as("lp"),
+        log((col("n_c") + col("v")).cast("double")).as("lden"))
+    val hold = docTok.filter(!col("is_train"))
+    val docLen = hold.groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("len"))
+    val matched = hold.join(classTok, "w")
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("cnt") * log(col("c") + lit(1.0))).as("m"))
+    val scored = docLen.crossJoin(broadcast(classes))
+      .join(matched, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("source"), col("cls"),
+        round(col("lp") - col("len") * col("lden") +
+          coalesce(col("m"), lit(0.0)), 6).as("score"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    scored.withColumn("rk", row_number().over(wDoc)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("source"), col("cls"), col("score"))
+  }
+
+  val nbSourceClassifyOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         (strpos('0123456789abcdef',
+       |            substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) < 13
+       |           AS is_train,
+       |         unnest(string_split(${DedupOps.normTextOracle("text")}, ' '))
+       |           AS w
+       |  FROM documents),
+       |doctok AS (
+       |  SELECT doc_id, source, is_train, w, count(*) AS cnt
+       |  FROM toks WHERE len(w) > 0 GROUP BY 1, 2, 3, 4),
+       |train AS (SELECT * FROM doctok WHERE is_train),
+       |classtok AS (
+       |  SELECT source AS cls, w, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM train GROUP BY 1, 2),
+       |classstats AS (
+       |  SELECT source AS cls, CAST(sum(cnt) AS BIGINT) AS n_c,
+       |         count(DISTINCT doc_id) AS d_c
+       |  FROM train GROUP BY 1),
+       |globals AS (
+       |  SELECT count(DISTINCT w) AS v, count(DISTINCT doc_id) AS n_train
+       |  FROM train),
+       |classes AS (
+       |  SELECT cls, ln(CAST(d_c AS DOUBLE) / n_train) AS lp,
+       |         ln(CAST(n_c + v AS DOUBLE)) AS lden
+       |  FROM classstats, globals),
+       |hold AS (SELECT * FROM doctok WHERE NOT is_train),
+       |doclen AS (
+       |  SELECT doc_id, source, CAST(sum(cnt) AS BIGINT) AS len
+       |  FROM hold GROUP BY 1, 2),
+       |matched AS (
+       |  SELECT h.doc_id, ct.cls, sum(h.cnt * ln(c + 1.0)) AS m
+       |  FROM hold h JOIN classtok ct USING (w) GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.doc_id, d.source, c.cls,
+       |         round(c.lp - d.len * c.lden + coalesce(m.m, 0.0), 6)
+       |           AS score
+       |  FROM doclen d CROSS JOIN classes c
+       |  LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.cls = c.cls),
+       |pred AS (
+       |  SELECT doc_id, source, cls FROM (
+       |    SELECT doc_id, source, cls,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY score DESC, cls) AS rk
+       |    FROM scored)
+       |  WHERE rk = 1)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN cls = source THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_correct,
+       |       round(CAST(sum(CASE WHEN cls = source THEN 1 ELSE 0 END)
+       |         AS DOUBLE) / count(*), 6) AS accuracy
+       |FROM pred GROUP BY source ORDER BY source""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "nb_source_classify" -> nbSourceClassifyOracle,
     "conformal_interval" -> conformalIntervalOracle,
     "model_eval_by_slice" -> modelEvalBySliceOracle,
     "model_auc" -> modelAucOracle,

@@ -190,4 +190,64 @@ class ModelOpsSpec extends AnyFunSuite {
     // reason the query exists
     assert(auc > 0.5, s"score does not rank: auc = $auc")
   }
+
+  test("nb_source_classify: rows partition the holdout; one doc's score vector recounted driver-side") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.ModelOps.nbSourceClassify(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, c, acc) =>
+      assert(c <= n && acc >= 0.0 && acc <= 1.0, s"$src: $c/$n acc=$acc")
+      assert(math.abs(acc - c.toDouble / n) < 1e-6)
+    }
+    // the per-source rows partition the holdout doc set exactly
+    def nib(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(h.charAt(31))
+    }
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.ops.DedupOps.normText(col("text")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val holdout = docs.filter(d => nib(d._1) >= 13)
+    assert(rows.map(_._2).sum == holdout.length,
+      "per-source rows must partition the holdout docs")
+    // full NB score vector for the min-id holdout doc, recomputed from
+    // scratch (train counts, smoothing, decomposed likelihood), must
+    // reproduce the argmax the query committed to
+    val train = docs.filter(d => nib(d._1) < 13)
+    val tokensOf = (t: String) => t.split(" ").filter(_.nonEmpty)
+    val classTok = train.groupBy(_._2).view.mapValues(ds =>
+      ds.flatMap(d => tokensOf(d._3)).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap).toMap
+    val vocab = train.flatMap(d => tokensOf(d._3)).distinct.length
+    val dDoc = holdout.minBy(_._1)
+    val cnts = tokensOf(dDoc._3).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val len = cnts.values.sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scoresByClass = classTok.map { case (cls, tok) =>
+      val nC = tok.values.sum
+      val dC = train.count(_._2 == cls)
+      val lp = math.log(dC.toDouble / train.length)
+      val lden = math.log((nC + vocab).toDouble)
+      val m = cnts.map { case (w, cw) =>
+        tok.get(w).map(c => cw * math.log(c + 1.0)).getOrElse(0.0) }.sum
+      cls -> r6(lp - len * lden + m)
+    }
+    val expectPred = scoresByClass.toSeq.minBy { case (cls, sc) => (-sc, cls) }._1
+    assert(scoresByClass.size == train.map(_._2).distinct.length)
+    assert(scoresByClass.values.forall(v => !v.isNaN && !v.isInfinite))
+    // the query's committed per-doc argmax (and its 6-rounded score)
+    // must equal the from-scratch recount's
+    val pred = graft.ops.ModelOps.nbPredictions(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+      .find(_._1 == dDoc._1).get
+    assert(pred._2 == expectPred,
+      s"doc ${dDoc._1}: query predicts ${pred._2}, recount $expectPred")
+    assert(math.abs(pred._3 - scoresByClass(expectPred)) < 2e-6,
+      s"doc ${dDoc._1}: score ${pred._3} vs recount ${scoresByClass(expectPred)}")
+  }
 }

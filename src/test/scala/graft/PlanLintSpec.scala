@@ -29,6 +29,8 @@ class PlanLintSpec extends AnyFunSuite {
     "mutual_information",  // 1-row total-count broadcasts onto L×S cells
     "token_pmi",           // 1-row token/pair-total broadcasts onto the
                            // bounded observed-pair table
+    "nb_source_classify",  // |classes|-row model table broadcast onto the
+                           // holdout doc-length frame
     "embedding_quantize", "merge_upsert",
     "q14_promo_revenue", "q19_disjunctive", "brand_affinity",
     "cardinality_sketches", "kmv_overlap", // sketch×sketch: T-row sides
