@@ -870,6 +870,97 @@ object CurationOps {
       .orderBy("fold")
   }
 
+  /** Group-aware cross-validation folds — the FIX for the leak
+    * [[crossvalSplit]] measures (its `n_leak_pairs > 0` is the grouped-CV
+    * trigger; this is the grouped CV): the fold unit is the near-dup
+    * CLUSTER, not the document — every doc folds by the md5 nibble of its
+    * cluster REPRESENTATIVE (its own id when unclustered), so near-dup
+    * pairs can never straddle folds and a held-out score can't be
+    * memorized through a training-set twin (scikit-learn's GroupKFold,
+    * with content-derived groups). The leak count still RUNS — the zero
+    * column is the measured proof, not an assumption.
+    *
+    * Scale shape: one left join against the CC label table (seam-fed
+    * pair list → Borůvka labels, both already-audited plans), one keyed
+    * fold aggregate, and the same pair-crossing check crossvalSplit pays.
+    */
+  def groupedCrossval(s: SparkSession, dir: String): DataFrame = {
+    val labels = ClusterOps.dedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_rep"))
+    val docs = TextOps.tokenCount(s, dir)
+      .select(col("doc_id"), col("ws_tokens"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("fold", ((instr(lit("0123456789abcdef"),
+        substring(md5(col("grp").cast("string").cast("binary")), 32, 1))
+        - 1) % 5).cast("int"))
+    val base = docs.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(col("ws_tokens")).cast("long").as("n_tokens"))
+    val crossing = DedupEdges.pairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("fold").as("fa")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("fold").as("fb")),
+        "doc_b")
+      .filter(col("fa") =!= col("fb"))
+    val leaks = crossing
+      .select(explode(array(col("fa"), col("fb"))).as("fold"))
+      .groupBy(col("fold")).agg(count(lit(1)).as("n_leak_pairs"))
+    base.join(leaks, Seq("fold"), "left")
+      .na.fill(0L, Seq("n_leak_pairs"))
+      .orderBy("fold")
+  }
+
+  val groupedCrossvalOracle: String = {
+    val tok = s"""SELECT doc_id,
+                 |       len(regexp_extract_all(${DedupOps.normTextOracle("text")}, '\\S+')) AS ws_tokens
+                 |FROM documents""".stripMargin
+    s"""WITH RECURSIVE tok AS ($tok),
+       |pairs AS (SELECT doc_a, doc_b
+       |          FROM (${DedupOps.dedupNgramJaccardOracle})),
+       |e2 AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT u AS src, u AS dst FROM e2
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN e2 e ON r.dst = e.u),
+       |labels AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_rep
+       |  FROM reach GROUP BY src),
+       |f AS (
+       |  SELECT t.doc_id, t.ws_tokens,
+       |         coalesce(l.cluster_rep, t.doc_id) AS grp,
+       |         CAST((strpos('0123456789abcdef',
+       |                substr(md5(CAST(coalesce(l.cluster_rep, t.doc_id)
+       |                  AS VARCHAR)), 32, 1)) - 1) % 5 AS INT) AS fold
+       |  FROM tok t LEFT JOIN labels l USING (doc_id)),
+       |base AS (
+       |  SELECT fold, count(*) AS n_docs,
+       |         count(DISTINCT grp) AS n_groups,
+       |         CAST(sum(ws_tokens) AS BIGINT) AS n_tokens
+       |  FROM f GROUP BY fold),
+       |crossing AS (
+       |  SELECT fa.fold AS fold FROM pairs p
+       |  JOIN f fa ON fa.doc_id = p.doc_a
+       |  JOIN f fb ON fb.doc_id = p.doc_b
+       |  WHERE fa.fold <> fb.fold
+       |  UNION ALL
+       |  SELECT fb.fold FROM pairs p
+       |  JOIN f fa ON fa.doc_id = p.doc_a
+       |  JOIN f fb ON fb.doc_id = p.doc_b
+       |  WHERE fa.fold <> fb.fold),
+       |leaks AS (
+       |  SELECT fold, count(*) AS n_leak_pairs FROM crossing GROUP BY fold)
+       |SELECT b.fold, b.n_docs, b.n_groups, b.n_tokens,
+       |       coalesce(l.n_leak_pairs, 0) AS n_leak_pairs
+       |FROM base b LEFT JOIN leaks l USING (fold)
+       |ORDER BY b.fold""".stripMargin
+  }
+
   val crossvalSplitOracle: String = {
     val tok = s"""SELECT doc_id,
                  |       len(regexp_extract_all(${DedupOps.normTextOracle("text")}, '\\S+')) AS ws_tokens
@@ -1252,6 +1343,7 @@ object CurationOps {
     "k_anonymity" -> ((s: SparkSession, dir: String) => kAnonymity(s, dir)),
     "doc_lineage" -> (docLineage _),
     "crossval_split" -> (crossvalSplit _),
+    "grouped_crossval" -> (groupedCrossval _),
     "epoch_plan" -> (epochPlan _),
     "batch_mix_audit" -> (batchMixAudit _),
     "data_card" -> (dataCard _),
@@ -1273,6 +1365,7 @@ object CurationOps {
     "k_anonymity" -> kAnonymityOracle,
     "doc_lineage" -> docLineageOracle,
     "crossval_split" -> crossvalSplitOracle,
+    "grouped_crossval" -> groupedCrossvalOracle,
     "epoch_plan" -> epochPlanOracle,
     "batch_mix_audit" -> batchMixAuditOracle,
     "data_card" -> dataCardOracle,

@@ -454,4 +454,28 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(nDocs > 0)
     }
   }
+
+  test("grouped_crossval: leaks provably zero, totals reconcile with the per-doc split, clusters never straddle") {
+    val grouped = graft.ops.CurationOps.groupedCrossval(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(grouped.map(_._1).toSet == Set(0, 1, 2, 3, 4))
+    // the POINT: group-aware folding zeroes the leak the per-doc split
+    // measures — and the count is computed, not assumed
+    grouped.foreach { case (f, _, _, _, leaks) =>
+      assert(leaks == 0L, s"fold $f leaks $leaks near-dup pairs")
+    }
+    val perDoc = graft.ops.CurationOps.crossvalSplit(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // same corpus, different fold rule: doc and token totals must agree,
+    // and the per-doc split genuinely leaks on this corpus (else the
+    // grouped variant proves nothing here)
+    assert(grouped.map(_._2).sum == perDoc.map(_._1).sum)
+    assert(grouped.map(_._4).sum == perDoc.map(_._2).sum)
+    assert(perDoc.map(_._3).sum > 0,
+      "per-doc split shows no leak at this SF — grouped test is vacuous")
+    // (cluster-never-straddles follows from leaks == 0: every near-dup
+    // edge is same-fold and edges connect each component, so all members
+    // share the representative's fold)
+  }
 }
