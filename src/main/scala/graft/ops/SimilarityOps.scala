@@ -1426,24 +1426,41 @@ object SimilarityOps {
     * the [[mmrRerankAnnOracle]] shortlist so the two restate ONE index.
     */
   private def annHnswBeamCtes(degree: Int, levelMod: Int,
-      entries: Int, beamWidth: Int, rounds: Int): String = {
-    val beamLevels = (1 to rounds).map { r =>
-      s"""f$r AS (SELECT b.query_id, n.nbr AS node
-         |        FROM b${r - 1} b JOIN nbrs n ON n.node = b.node),
-         |c$r AS (SELECT DISTINCT query_id, node FROM (
-         |          SELECT query_id, node FROM b${r - 1}
-         |          UNION ALL SELECT query_id, node FROM f$r)),
-         |s$r AS (SELECT c.query_id, c.node,
+      entries: Int, beamWidth: Int, rounds: Int): String =
+    s"""${annHnswSharedCtes(degree, levelMod, entries)},
+       |${annHnswBeamLevelCtes(beamWidth, rounds, prefix = "")}""".stripMargin
+
+  /** The per-round best-first beam CTE quadruples alone, name-prefixed so
+    * several beam widths can ride ONE shared index chain
+    * ([[annBeamSweepOracle]]); the unprefixed form is the
+    * [[annHnswBeamCtes]] default. Requires `e`, `nbrs`, `b0` in scope.
+    */
+  private def annHnswBeamLevelCtes(beamWidth: Int, rounds: Int,
+      prefix: String): String =
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) "b0" else s"${prefix}b${r - 1}"
+      s"""${prefix}f$r AS (SELECT b.query_id, n.nbr AS node
+         |        FROM $prev b JOIN nbrs n ON n.node = b.node),
+         |${prefix}c$r AS (SELECT DISTINCT query_id, node FROM (
+         |          SELECT query_id, node FROM $prev
+         |          UNION ALL SELECT query_id, node FROM ${prefix}f$r)),
+         |${prefix}s$r AS (SELECT c.query_id, c.node,
          |               list_dot_product(eq.v, en.v) AS cos
-         |        FROM c$r c JOIN e eq ON eq.vec_id = c.query_id
+         |        FROM ${prefix}c$r c JOIN e eq ON eq.vec_id = c.query_id
          |                   JOIN e en ON en.vec_id = c.node),
-         |b$r AS (SELECT query_id, node FROM (
+         |${prefix}b$r AS (SELECT query_id, node FROM (
          |          SELECT query_id, node,
          |                 row_number() OVER (PARTITION BY query_id
          |                   ORDER BY cos DESC, node) AS rn
-         |          FROM s$r)
+         |          FROM ${prefix}s$r)
          |        WHERE rn <= $beamWidth)""".stripMargin
     }.mkString(",\n")
+
+  /** The beam-width-independent index chain: LSH buckets, adjacency,
+    * upper layer, queries, entry beam `b0`.
+    */
+  private def annHnswSharedCtes(degree: Int, levelMod: Int,
+      entries: Int): String =
     s"""${signLshBucketsOracleCte(8, 10)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
@@ -1473,13 +1490,126 @@ object SimilarityOps {
        |             ORDER BY list_dot_product(q.qv, l1.v) DESC,
        |                      l1.vec_id) AS rn
        |    FROM q, l1)
-       |  WHERE rn <= $entries),
-       |$beamLevels""".stripMargin
-  }
+       |  WHERE rn <= $entries)""".stripMargin
 
   val annHnswTopkOracle: String =
     annHnswOracleFor(degree = 20, levelMod = 16, entries = 6,
       beamWidth = 48, rounds = 3)
+
+  /** HNSW ef-sweep — the [[annIvfTune]] genre applied to the graph
+    * index: recall@K of the best-first search at beam widths 12/24/48
+    * against the exact top-K. ef (the beam) is THE recall-for-throughput
+    * knob of deployed graph ANN (hnswlib's `ef_search`); per-query work
+    * scales as beamWidth·(degree+1)·rounds, so this table IS the
+    * recall-vs-cost curve an operator sets ef from. Recall monotonicity
+    * in the beam is pinned in DedupOpsSpec (here as data, there as the
+    * two-point assertion).
+    *
+    * Scale shape: three searches over the ONE [[HnswIndex]] seam
+    * adjacency (no per-beam index rebuild); each search is the audited
+    * frontier-bounded beam; the recall join touches K rows per query per
+    * beam. The oracle rides one shared index CTE chain with
+    * name-prefixed beam levels per width — three beams, one index.
+    */
+  def annBeamSweep(s: SparkSession, dir: String): DataFrame = {
+    val beams = Seq(12, 24, 48)
+    // ONE search pass for all three widths: the beam table carries `bw`
+    // as a key and the truncation filters rn <= bw, so each (bw, query)
+    // slice evolves exactly as its independent search would while the
+    // sweep pays 3 round-jobs instead of 9 (three sequential searches
+    // probed 8.1 s warm; this shape 3.7 s)
+    val emb = embeddings(s, dir)
+    val nbrs = HnswIndex.adjacency(s, dir)
+    val lvl = conv(substring(md5(
+        concat(lit("lvl_"), col("vec_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 16
+    val layer1 = emb.filter(lvl === 0)
+      .select(col("vec_id").as("l1"), col("v").as("lv"))
+    val qVecs = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node"))
+    val entryScored = layer1.crossJoin(broadcast(qVecs))
+      .select(col("query_id"), col("l1").as("node"),
+        dot(col("qv"), col("lv")).as("cos"))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= 6)
+      .select(col("query_id"), col("node"), col("cos"))
+    val bwDim = s.range(0, 1)
+      .select(explode(array(beams.map(lit): _*)).as("bw"))
+    val wB = Window.partitionBy(col("bw"), col("query_id"))
+      .orderBy(col("cos").desc, col("node"))
+    var beam = entryScored.crossJoin(broadcast(bwDim))
+      .select(col("bw"), col("query_id"), col("node"), col("cos"))
+    for (_ <- 1 to 3) {
+      val frontier = beam.select(col("bw"), col("query_id"), col("node"))
+        .join(nbrs, "node")
+        .select(col("bw"), col("query_id"), col("nbr").as("node"))
+        .distinct()
+      val scoredFrontier = frontier
+        .join(emb.select(col("vec_id").as("node"), col("v")), "node")
+        .join(broadcast(qVecs), "query_id")
+        .select(col("bw"), col("query_id"), col("node"),
+          dot(col("qv"), col("v")).as("cos"))
+      beam = beam.union(scoredFrontier).distinct()
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= col("bw"))
+        .select(col("bw"), col("query_id"), col("node"), col("cos"))
+        .localCheckpoint()
+    }
+    val topk = beam.filter(col("node") =!= col("query_id"))
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= K)
+      .select(col("bw"), col("query_id"), col("node").as("neighbor_id"))
+    val exact = annCosineTopk(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = topk
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("bw"), col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("query_id")).distinct()
+      .crossJoin(broadcast(bwDim))
+      .join(hits, Seq("bw", "query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .groupBy(col("bw"))
+      .agg(round(avg(col("hits").cast("double") / K), 4).as("mean_recall"))
+      .select(col("bw").as("beam_width"), col("mean_recall"))
+      .orderBy("beam_width")
+  }
+
+  val annBeamSweepOracle: String = {
+    val levels = Seq(12, 24, 48).map(bw =>
+      annHnswBeamLevelCtes(bw, rounds = 3, prefix = s"w${bw}_"))
+      .mkString(",\n")
+    val perBeam = Seq(12, 24, 48).map { bw =>
+      s"""rec$bw AS (
+         |  SELECT $bw AS beam_width, round(avg(hits / 5.0), 4)
+         |           AS mean_recall
+         |  FROM (
+         |    SELECT q.query_id, CAST(count(hit.node) AS DOUBLE) AS hits
+         |    FROM q LEFT JOIN (
+         |      SELECT t.query_id, t.node FROM (
+         |        SELECT s.query_id, s.node,
+         |               row_number() OVER (PARTITION BY s.query_id
+         |                 ORDER BY s.cos DESC, s.node) AS rk
+         |        FROM w${bw}_s3 s
+         |        JOIN w${bw}_b3 b ON b.query_id = s.query_id
+         |                        AND b.node = s.node
+         |        WHERE s.node <> s.query_id) t
+         |      JOIN exact x ON x.query_id = t.query_id
+         |                  AND x.neighbor_id = t.node
+         |      WHERE t.rk <= $K) hit ON hit.query_id = q.query_id
+         |    GROUP BY q.query_id))""".stripMargin
+    }.mkString(",\n")
+    val union = Seq(12, 24, 48)
+      .map(bw => s"SELECT beam_width, mean_recall FROM rec$bw")
+      .mkString(" UNION ALL ")
+    s"""WITH ${annHnswSharedCtes(degree = 20, levelMod = 16, entries = 6)},
+       |$levels,
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM ($annCosineTopkOracle)),
+       |$perBeam
+       |$union ORDER BY beam_width""".stripMargin
+  }
 
   /** MMR diversity rerank (r10): the post-retrieval step the serving
     * ladder lacked — `rrf_fusion` fuses retrieval arms, this
@@ -2452,6 +2582,7 @@ object SimilarityOps {
     "mmr_rerank" -> (mmrRerank _),
     "mmr_rerank_ann" -> (mmrRerankAnn _),
     "ann_hnsw_topk" -> ((s: SparkSession, dir: String) => annHnswTopk(s, dir)),
+    "ann_beam_sweep" -> (annBeamSweep _),
     "rrf_fusion" -> (rrfFusion _),
     "embedding_outliers" -> (embeddingOutliers _),
     "ann_ivf_pq" -> (annIvfPq _),
@@ -2482,6 +2613,7 @@ object SimilarityOps {
     "mmr_rerank" -> mmrRerankOracle,
     "mmr_rerank_ann" -> mmrRerankAnnOracle,
     "ann_hnsw_topk" -> annHnswTopkOracle,
+    "ann_beam_sweep" -> annBeamSweepOracle,
     "rrf_fusion" -> rrfFusionOracle,
     "embedding_outliers" -> embeddingOutliersOracle,
     "ann_ivf_pq" -> annIvfPqOracle,

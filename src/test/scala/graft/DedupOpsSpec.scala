@@ -285,6 +285,21 @@ class DedupOpsSpec extends AnyFunSuite {
     val recallNarrow = narrow.intersect(exact).size.toDouble / exact.size
     assert(recall >= recallNarrow,
       s"recall must be monotone in beamWidth here: beam48=$recall beam12=$recallNarrow")
+    // the one-pass sweep (bw carried as a key, rn <= bw truncation) must
+    // agree with the independent searches it replaces: its 12/48 recalls
+    // bracket monotonically and the 48 row equals the shipped search's
+    // measured recall
+    val sweep = SimilarityOps.annBeamSweep(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(sweep.keySet == Set(12, 24, 48))
+    assert(sweep(12) <= sweep(24) + 1e-9 && sweep(24) <= sweep(48) + 1e-9,
+      s"sweep not monotone: $sweep")
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(sweep(48) == r4(recall),
+      s"sweep beam-48 recall ${sweep(48)} != independent search ${r4(recall)}")
+    assert(sweep(12) == r4(recallNarrow),
+      s"sweep beam-12 recall ${sweep(12)} != independent search ${r4(recallNarrow)}")
   }
 
   test("IVF nprobe: recall(nprobe=2) ≥ recall(nprobe=1), strictly more candidate coverage") {
