@@ -31,6 +31,10 @@ class PlanLintSpec extends AnyFunSuite {
                            // bounded observed-pair table
     "nb_source_classify",  // |classes|-row model table broadcast onto the
                            // holdout doc-length frame
+    "ann_beam_sweep",      // NQueries-row query-vector + 3-row beam-width
+                           // dimension broadcasts
+    "session_gap_sweep",   // 4-row candidate-gap dimension broadcast onto
+                           // the per-event gap frame
     "embedding_quantize", "merge_upsert",
     "q14_promo_revenue", "q19_disjunctive", "brand_affinity",
     "cardinality_sketches", "kmv_overlap", // sketch×sketch: T-row sides
