@@ -1463,7 +1463,68 @@ object TextOps {
        |WHERE c.c12 >= 5
        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** Vocabulary coverage curve — the tokenizer-budget planning table
+    * (how big must the vocab be before OOV stops hurting): for top-N
+    * type budgets N ∈ {10, 100, 1000}, the share of corpus token
+    * OCCURRENCES covered by the N most frequent types. The complement of
+    * [[tokenZipf]] (which fits the frequency law; this integrates it)
+    * and the number a BPE vocab size is sanity-checked against.
+    *
+    * Scale shape: one keyed type-frequency aggregate, ONE top-1000
+    * TakeOrderedAndProject cut, and the rank window sits on that
+    * 1000-row bounded result serving all three budgets; the corpus
+    * total attaches as a 1-row broadcast. No vocabulary-sized window.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = Tables(s, dir, "documents")
+      .select(explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val total = freqs.agg(sum(col("freq")).as("total"),
+      count(lit(1)).as("n_types"))
+    val ranked = freqs.orderBy(col("freq").desc, col("tok")).limit(1000)
+      .withColumn("rank", row_number().over(
+        // input is the 1000-row limit result — bounded, deliberate
+        Window.orderBy(col("freq").desc, col("tok"))))
+    val budgets = s.range(0, 1)
+      .select(explode(array(lit(10), lit(100), lit(1000))).as("vocab_size"))
+    ranked.crossJoin(broadcast(budgets))
+      .filter(col("rank") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(sum(col("freq")).as("covered_tokens"),
+        count(lit(1)).as("n_types_used"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("n_types_used"), col("n_types"),
+        col("covered_tokens"), col("total"),
+        round(col("covered_tokens").cast("double") / col("total"), 6)
+          .as("coverage"))
+      .orderBy("vocab_size")
+  }
+
+  val vocabCoverageOracle: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(${normTextOracle("text")}, ' ')) AS tok
+       |  FROM documents),
+       |freqs AS (
+       |  SELECT tok, count(*) AS freq FROM toks
+       |  WHERE len(tok) > 0 GROUP BY tok),
+       |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total,
+       |               count(*) AS n_types FROM freqs),
+       |ranked AS (
+       |  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+       |  FROM freqs QUALIFY rank <= 1000),
+       |budgets AS (SELECT unnest([10, 100, 1000]) AS vocab_size)
+       |SELECT b.vocab_size,
+       |       count(*) AS n_types_used, t.n_types,
+       |       CAST(sum(r.freq) AS BIGINT) AS covered_tokens, t.total,
+       |       round(CAST(sum(r.freq) AS DOUBLE) / t.total, 6) AS coverage
+       |FROM ranked r JOIN budgets b ON r.rank <= b.vocab_size, tot t
+       |GROUP BY b.vocab_size, t.n_types, t.total
+       |ORDER BY b.vocab_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_coverage" -> (vocabCoverage _),
     "token_pmi" -> (tokenPmi _),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "source_divergence" -> (sourceDivergence _),
@@ -1495,6 +1556,7 @@ object TextOps {
     "bpe_encode" -> (bpeEncode _))
 
   val oracles: Map[String, String] = Map(
+    "vocab_coverage" -> vocabCoverageOracle,
     "token_pmi" -> tokenPmiOracle,
     "tokenizer_fertility" -> tokenizerFertilityOracle,
     "source_divergence" -> sourceDivergenceOracle,
