@@ -207,6 +207,92 @@ object EventOps {
       |         AS single_event_share
       |FROM agg ORDER BY gap_sec""".stripMargin
 
+  /** Watermark-delay capacity planning — the Structured-Streaming sizing
+    * table ([[sessionGapSweep]]'s genre for the OTHER streaming knob):
+    * how many events would a `withWatermark(delay)` drop at candidate
+    * delays 1/5/15 min? The corpus carries no processing-time column, so
+    * arrival is simulated with an md5-deterministic per-event delay
+    * (0–30 min, the repo's derandomization convention) — an event is
+    * dropped iff its event time is older than (max event time among
+    * earlier ARRIVALS) − delay, Spark's watermark rule verbatim.
+    *
+    * Scale shape: the definitional form is a GLOBAL running max over
+    * arrival order — one task at 100 TB. Sharded instead (the
+    * [[AnalyticsOps.globalRank]] technique on the time axis): an
+    * arrival-DAY-keyed running max carries the corpus-sized work, and
+    * the cross-day carry is a prefix max over the ≤|days| per-day
+    * aggregate (bounded unpartitioned window, whitelisted); the
+    * per-event watermark basis is greatest(intra-day, prior-day carry).
+    * Delays fan out 3× into one keyed aggregate. The oracle states the
+    * single definitional window — same values, different plan, which is
+    * the point (the global_rank convention).
+    */
+  def watermarkDropAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(col("event_id"),
+        unix_timestamp(col("ts")).as("es"))
+      .withColumn("arr", col("es") +
+        conv(substring(md5(concat(lit("arr_"),
+          col("event_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+          .cast("long") % 1800)
+      .withColumn("day", floor(col("arr") / 86400L).cast("long"))
+    val wIntra = Window.partitionBy(col("day"))
+      .orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = e.withColumn("intra_max", max(col("es")).over(wIntra))
+    val dayMax = e.groupBy(col("day")).agg(max(col("es")).as("dmax"))
+      .withColumn("prior_max", max(col("dmax")).over(
+        // ≤ |days in the corpus| rows (30 here), on an aggregate —
+        // the global_rank bounded-carry shape
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("day"), col("prior_max"))
+    val based = intra.join(broadcast(dayMax), "day")
+      .withColumn("wmb", greatest(col("intra_max"), col("prior_max")))
+    val delays = s.range(0, 1)
+      .select(explode(array(lit(60), lit(300), lit(900))).as("delay_sec"))
+    based.crossJoin(broadcast(delays))
+      .groupBy(col("delay_sec"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("wmb").isNotNull &&
+          col("es") < col("wmb") - col("delay_sec"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        round(avg(when(col("wmb") > col("es"),
+          (col("wmb") - col("es")).cast("double"))), 4)
+          .as("mean_lateness_sec"))
+      .select(col("delay_sec"), col("n_events"), col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("n_events"), 6)
+          .as("drop_share"),
+        col("mean_lateness_sec"))
+      .orderBy("delay_sec")
+  }
+
+  val watermarkDropAuditOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |         CAST(floor(epoch(ts)) AS BIGINT)
+      |           + ('0x' || substr(md5('arr_' || CAST(event_id AS VARCHAR)),
+      |               1, 15))::BIGINT % 1800 AS arr
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, es,
+      |         max(es) OVER (ORDER BY arr, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wmb
+      |  FROM e),
+      |d AS (SELECT unnest([60, 300, 900]) AS delay_sec)
+      |SELECT d.delay_sec, count(*) AS n_events,
+      |       CAST(sum(CASE WHEN w.wmb IS NOT NULL
+      |                      AND w.es < w.wmb - d.delay_sec
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |       round(CAST(sum(CASE WHEN w.wmb IS NOT NULL
+      |                            AND w.es < w.wmb - d.delay_sec
+      |                           THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*), 6) AS drop_share,
+      |       round(avg(CASE WHEN w.wmb > w.es
+      |                      THEN CAST(w.wmb - w.es AS DOUBLE) END), 4)
+      |         AS mean_lateness_sec
+      |FROM w, d GROUP BY d.delay_sec ORDER BY d.delay_sec""".stripMargin
+
   def eventsSessionWindow(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .groupBy(col("user_id"),
@@ -1383,6 +1469,7 @@ object EventOps {
     "events_tumbling" -> (eventsTumbling _),
     "events_sessionize" -> (eventsSessionize _),
     "session_gap_sweep" -> (sessionGapSweep _),
+    "watermark_drop_audit" -> (watermarkDropAudit _),
     "events_json" -> (eventsJson _),
     "events_variant" -> (eventsVariant _),
     "events_session_window" -> (eventsSessionWindow _),
@@ -1413,6 +1500,7 @@ object EventOps {
     "events_tumbling" -> eventsTumblingOracle,
     "events_sessionize" -> eventsSessionizeOracle,
     "session_gap_sweep" -> sessionGapSweepOracle,
+    "watermark_drop_audit" -> watermarkDropAuditOracle,
     "events_json" -> eventsJsonOracle,
     "events_variant" -> eventsVariantOracle,
     "events_session_window" -> eventsSessionWindowOracle,

@@ -275,6 +275,35 @@ class EventOpsSpec extends AnyFunSuite {
       case Seq(a, b) => assert(b >= a, s"mean_events fell with gap: ${rows.toSeq}")
       case _ =>
     }
+    // watermark_drop_audit: a longer delay can only ADMIT more events,
+    // and the sharded (day-keyed + bounded-carry) watermark basis must
+    // reproduce a driver-side single-scan running max exactly
+    val wm = graft.ops.EventOps.watermarkDropAudit(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1)
+    assert(wm.map(_._1).toSeq == Seq(60, 300, 900))
+    wm.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, s"drops rose with delay: ${wm.toSeq}")
+      case _ =>
+    }
+    val ev = graft.ops.Tables(spark, dir, "events")
+      .select(col("event_id"), unix_timestamp(col("ts")).as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def arrOf(id: Long, es: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arr_$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      es + java.lang.Long.parseLong(h.take(15), 16) % 1800
+    }
+    val byArrival = ev.map { case (id, es) => (id, es, arrOf(id, es)) }
+      .sortBy(t => (t._3, t._1))
+    var runMax = Long.MinValue
+    var drops60 = 0L
+    byArrival.foreach { case (_, es, _) =>
+      if (runMax != Long.MinValue && es < runMax - 60L) drops60 += 1
+      if (es > runMax) runMax = es
+    }
+    assert(wm.find(_._1 == 60).get._2 == drops60,
+      s"sharded watermark drops ${wm.find(_._1 == 60).get._2} != scan $drops60")
+
     // the sweep's 1800s row must agree with the shipped sessionizer —
     // same boundary rule, independently computed (per-session grouping
     // there, pure gap-column algebra here)

@@ -472,7 +472,8 @@ class PlanLintSpec extends AnyFunSuite {
     "token_budget_fill" -> "rank/prefix over the per-source token aggregate (≤ source cardinality — 20 here, thousands at worst in production)",
     "model_auc" -> "cumulative-negatives over the 6-rounded score histogram (p ∈ [0,1] at 6 decimals → ≤ 10⁶+1 rows regardless of corpus size)",
     "epoch_plan" -> "rank/prefix over the per-source token aggregate (token_budget_fill's bound — ≤ source cardinality)",
-    "conformal_interval" -> "cumulative-count over the clamped 4-rounded residual histogram (|r| ∈ [0,100] at 4 decimals → ≤ 10⁶+1 rows regardless of corpus size)")
+    "conformal_interval" -> "cumulative-count over the clamped 4-rounded residual histogram (|r| ∈ [0,100] at 4 decimals → ≤ 10⁶+1 rows regardless of corpus size)",
+    "watermark_drop_audit" -> "prefix max over the per-arrival-day max aggregate (≤ |days| rows — 31 here; the day-keyed window carries the corpus-sized work)")
 
   test("unpartitioned WindowExec only over limit-bounded or whitelisted-aggregate input") {
     import org.apache.spark.sql.execution._
