@@ -226,7 +226,95 @@ object AsOfJoinOps {
       |WHERE p.event_type = 'purchase'
       |ORDER BY purchase_id""".stripMargin
 
+  /** SCD2 point-in-time join — the canonical warehouse read of a
+    * slowly-changing dimension (Kimball type 2: the fact row joins the
+    * dimension version IN EFFECT at fact time), run through the native
+    * as-of operator: a PIT join IS an as-of join on (key, valid_from ≤
+    * fact_time, latest wins), which is why the operator earns a second,
+    * structurally different gate query. The dimension here is the
+    * customer table with per-key version boundaries that the DATA
+    * decides (v2 — a 10% acctbal revision — becomes effective at each
+    * customer's MEDIAN order date; v1 from epoch), so roughly half of
+    * every customer's orders resolve to each version and the as-of
+    * search genuinely varies per key — no constant-date degenerate CASE.
+    *
+    * Scale shape: the dimension build is one customer-keyed window
+    * (median pick) + two narrow projections; the PIT join is the
+    * operator's one O(n+m) merge pass per (key-clustered, time-sorted)
+    * partition — EnsureRequirements owns the exchanges. Output is the
+    * (version × segment) revenue rollup.
+    */
+  def scd2PitJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val wC = Window.partitionBy(col("o_custkey"))
+    val med = ord
+      .withColumn("rn", row_number().over(
+        wC.orderBy(col("o_orderdate"), col("o_orderkey"))))
+      .withColumn("cnt", count(lit(1)).over(wC))
+      .filter(col("rn") ===
+        floor((col("cnt") + lit(1)) / lit(2.0)).cast("int"))
+      .select(col("o_custkey").as("key"), col("o_orderdate").as("eff_date"))
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val v1 = cust.select(col("c_custkey").as("key"),
+      lit(0L).as("valid_from"), lit(1).as("version"),
+      col("c_mktsegment").as("segment"))
+    val v2 = cust.join(med, col("c_custkey") === col("key"))
+      .select(col("key"),
+        unix_micros(to_timestamp(col("eff_date"))).as("valid_from"),
+        lit(2).as("version"), col("c_mktsegment").as("segment"))
+    val dim = v1.unionByName(v2)
+    val fact = ord.select(col("o_orderkey"), col("o_custkey"),
+      unix_micros(to_timestamp(col("o_orderdate"))).as("o_micros"),
+      col("o_totalprice"))
+    // backward as-of, exact matches allowed (valid_from ≤ order date,
+    // latest version wins — inclusive-start PIT semantics); tolerance
+    // far past the epoch so v1 always qualifies
+    asOf(fact, dim,
+      leftKey = col("o_custkey"), rightKey = col("key"),
+      leftTime = col("o_micros"), rightTime = col("valid_from"),
+      rightTieBreak = col("version"),
+      toleranceMicros = 4000000000000000L)
+      .groupBy(col("version"), col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("version", "segment")
+  }
+
+  val scd2PitJoinOracle: String =
+    """WITH med AS (
+      |  SELECT o_custkey AS key, o_orderdate AS eff_date FROM (
+      |    SELECT o_custkey, o_orderdate,
+      |           row_number() OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey) AS rn,
+      |           count(*) OVER (PARTITION BY o_custkey) AS cnt
+      |    FROM orders)
+      |  WHERE rn = (cnt + 1) // 2),
+      |dim AS (
+      |  SELECT c_custkey AS key, 0 AS valid_from, 1 AS version,
+      |         c_mktsegment AS segment
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT m.key, epoch_us(CAST(m.eff_date AS TIMESTAMP)) AS valid_from,
+      |         2 AS version, c.c_mktsegment AS segment
+      |  FROM customer c JOIN med m ON m.key = c.c_custkey),
+      |pit AS (
+      |  SELECT o.o_orderkey, o.o_totalprice, d.version, d.segment,
+      |         row_number() OVER (PARTITION BY o.o_orderkey
+      |           ORDER BY d.valid_from DESC, d.version DESC) AS rk
+      |  FROM orders o JOIN dim d
+      |    ON d.key = o.o_custkey
+      |   AND d.valid_from <= epoch_us(CAST(o.o_orderdate AS TIMESTAMP)))
+      |SELECT version, segment, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM pit WHERE rk = 1
+      |GROUP BY version, segment ORDER BY version, segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_pit_join" -> (scd2PitJoin _),
     "asof_join_native" -> (asofJoinNative _),
     "asof_join_outer" -> (asofJoinOuter _),
     "asof_join_nearest" -> (asofJoinNearest _),
@@ -236,6 +324,7 @@ object AsOfJoinOps {
     * definitional SQL checking both the composed and the native plan.
     */
   val oracles: Map[String, String] = Map(
+    "scd2_pit_join" -> scd2PitJoinOracle,
     "asof_join_native" -> graft.ops.AnalyticsOps.asofJoinOracle,
     "asof_join_outer" -> asofJoinOuterOracle,
     "asof_join_nearest" -> asofJoinNearestOracle,
