@@ -35,6 +35,10 @@ class PlanLintSpec extends AnyFunSuite {
                            // dimension broadcasts
     "session_gap_sweep",   // 4-row candidate-gap dimension broadcast onto
                            // the per-event gap frame
+    "watermark_drop_audit", // 3-row candidate-delay dimension broadcast
+                           // onto the per-event watermark-basis frame
+    "vocab_coverage",      // 3-row budget dimension + 1-row corpus-total
+                           // broadcasts onto the 1000-row ranked head
     "embedding_quantize", "merge_upsert",
     "q14_promo_revenue", "q19_disjunctive", "brand_affinity",
     "cardinality_sketches", "kmv_overlap", // sketch×sketch: T-row sides
