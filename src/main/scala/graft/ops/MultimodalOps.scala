@@ -177,6 +177,77 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** ViT patch-grid extraction (Dosovitskiy et al. ICLR'21 — an image is
+    * a grid of patch tokens): each decoded image splits into a 4×4 patch
+    * grid by integer coordinate bucketing (pixel x lands in patch column
+    * ⌊x·4/width⌋), and each patch emits its pixel count and mean red
+    * intensity — the embedding-model STUB feature riding REAL plumbing:
+    * real PNG decode (`javax.imageio`), per-partition batch iteration
+    * (the mapInPandas shape), typed patch-token schema, and a
+    * value-level oracle that recomputes every patch sum from the
+    * closed-form pixel formula without any codec. Swapping the mean for
+    * a learned patch embedding changes one function, not the pipeline.
+    *
+    * Scale shape: narrow mapPartitions (decode is per-row CPU work that
+    * parallelizes like any media ingest); output is images × 16 rows; no
+    * shuffle until the deterministic orderBy.
+    */
+  def multimodalPatches(s: SparkSession, dir: String, grid: Int = 4): DataFrame = {
+    import s.implicits._
+    syntheticImages(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, png) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          val sums = Array.ofDim[Long](grid, grid)
+          val cnts = Array.ofDim[Long](grid, grid)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val pc = (x * grid) / w; val pr = (y * grid) / h
+              sums(pr)(pc) += (img.getRGB(x, y) >> 16) & 0xff
+              cnts(pr)(pc) += 1
+              x += 1
+            }
+            y += 1
+          }
+          for (pr <- 0 until grid; pc <- 0 until grid if cnts(pr)(pc) > 0)
+            yield (id, pr, pc, cnts(pr)(pc), sums(pr)(pc))
+        }
+      }
+      .toDF("doc_id", "patch_row", "patch_col", "n_px", "sum_r")
+      .withColumn("mean_r",
+        round(col("sum_r").cast("double") / col("n_px"), 4))
+      .orderBy("doc_id", "patch_row", "patch_col")
+  }
+
+  val multimodalPatchesOracle: String =
+    """WITH imgs AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 9 AS INT) AS width,
+      |         CAST(8 + (doc_id * 3) % 7 AS INT) AS height
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT i.doc_id, i.width, i.height, gx.x, gy.y
+      |  FROM imgs i
+      |  JOIN (SELECT unnest(generate_series(0, 15)) AS x) gx ON gx.x < i.width
+      |  JOIN (SELECT unnest(generate_series(0, 13)) AS y) gy ON gy.y < i.height)
+      |SELECT doc_id,
+      |       CAST((y * 4) // height AS INT) AS patch_row,
+      |       CAST((x * 4) // width AS INT) AS patch_col,
+      |       count(*) AS n_px,
+      |       CAST(sum((doc_id * 7 + x * 13 + y * 31) % 256) AS BIGINT)
+      |         AS sum_r,
+      |       round(CAST(sum((doc_id * 7 + x * 13 + y * 31) % 256) AS DOUBLE)
+      |         / count(*), 4) AS mean_r
+      |FROM px
+      |GROUP BY doc_id, patch_row, patch_col
+      |ORDER BY doc_id, patch_row, patch_col""".stripMargin
+
   /** Closed-form transliteration of [[graft.functions.ImageCodec.synthRgb]]
     * + [[graft.functions.ImageCodec.synthDims]] — no codec on the oracle
     * side, which is the point: two independent routes to the same pixels.
@@ -519,6 +590,8 @@ object MultimodalOps {
     "multimodal_audio_energy" -> (multimodalAudioEnergy _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_patches" -> ((s: SparkSession, dir: String) =>
+      multimodalPatches(s, dir)),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_phash_dedup" -> (multimodalPhashDedup _))
@@ -527,6 +600,7 @@ object MultimodalOps {
     "multimodal_audio_energy" -> multimodalAudioEnergyOracle,
     "multimodal_meta" -> multimodalMetaOracle,
     "multimodal_decode" -> multimodalDecodeOracle,
+    "multimodal_patches" -> multimodalPatchesOracle,
     "multimodal_frames" -> multimodalFramesOracle,
     "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_phash_dedup" -> multimodalPhashDedupOracle)
