@@ -868,6 +868,10 @@ object ModelOps {
     val docTok = toks
       .groupBy(col("doc_id"), col("source"), col("is_train"), col("w"))
       .agg(count(lit(1)).as("cnt"))
+      // r13 ckpt audit: docTok feeds FIVE subtrees (class counts, class
+      // stats, globals, doc lengths, matched sums) — A/B at sf0.1 warm:
+      // 1.58 s with / 2.21 s without — keep
+      .localCheckpoint()
     val train = docTok.filter(col("is_train"))
     val classTok = train.groupBy(col("source").as("cls"), col("w"))
       .agg(sum(col("cnt")).as("c"))
