@@ -152,7 +152,7 @@ object ClusterOps {
   /** Shared output contract: (doc_id, cluster_rep, keep) over an edge
     * frame, `keep` iff the doc IS its component's min-id representative.
     */
-  private def clustersOver(edges: DataFrame): DataFrame =
+  private[ops] def clustersOver(edges: DataFrame): DataFrame =
     connectedComponents(edges)
       .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
         (col("id") === col("rep")).as("keep"))

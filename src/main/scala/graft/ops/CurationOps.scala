@@ -26,7 +26,7 @@ object CurationOps {
       .select(col("doc_id"), col("low_quality"))
     val repetition = TextOps.textRepetition(s, dir)
       .select(col("doc_id"), col("repetitive"))
-    val droppedDocs = ClusterOps.dedupClusters(s, dir)
+    val droppedDocs = DedupEdges.clusterLabels(s, dir)
       .filter(!col("keep")).select(col("doc_id"))
     tokens
       .join(quality, "doc_id")
@@ -674,7 +674,7 @@ object CurationOps {
         .select(col("doc_id"), col("low_quality").as("q")), "doc_id")
       .join(TextOps.textRepetition(s, dir)
         .select(col("doc_id"), col("repetitive").as("r")), "doc_id")
-      .join(ClusterOps.dedupClusters(s, dir)
+      .join(DedupEdges.clusterLabels(s, dir)
         .filter(!col("keep")).select(col("doc_id"), lit(true).as("c0")),
         Seq("doc_id"), "left")
       .withColumn("c", coalesce(col("c0"), lit(false)))
@@ -777,7 +777,7 @@ object CurationOps {
     val degree = DedupEdges.pairs(s, dir)
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pairs"))
-    val cl = ClusterOps.dedupClusters(s, dir)
+    val cl = DedupEdges.clusterLabels(s, dir)
       .select(col("doc_id"), col("cluster_rep"), col("keep"))
     probes
       .join(degree, Seq("doc_id"), "left")
@@ -885,7 +885,7 @@ object CurationOps {
     * fold aggregate, and the same pair-crossing check crossvalSplit pays.
     */
   def groupedCrossval(s: SparkSession, dir: String): DataFrame = {
-    val labels = ClusterOps.dedupClusters(s, dir)
+    val labels = DedupEdges.clusterLabels(s, dir)
       .select(col("doc_id"), col("cluster_rep"))
     val docs = TextOps.tokenCount(s, dir)
       .select(col("doc_id"), col("ws_tokens"))
@@ -1105,7 +1105,7 @@ object CurationOps {
         .select(col("doc_id"), col("low_quality")), "doc_id")
       .join(TextOps.textRepetition(s, dir)
         .select(col("doc_id"), col("repetitive")), "doc_id")
-      .join(ClusterOps.dedupClusters(s, dir)
+      .join(DedupEdges.clusterLabels(s, dir)
         .filter(!col("keep")).select(col("doc_id"), lit(true).as("c0")),
         Seq("doc_id"), "left")
       .withColumn("dup", coalesce(col("c0"), lit(false)))

@@ -46,6 +46,16 @@ class DedupEdgesSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(shingleSeeded == shingleUnseeded,
         "materialized shingle pair list diverges from inline build")
+      // r13: the CC label artifact rides the same seam — materialized
+      // labels must equal the inline Borůvka closure row for row
+      val labelsSeeded = DedupEdges.clusterLabels(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val labelsInline = graft.ops.ClusterOps.dedupClusters(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(labelsSeeded == labelsInline,
+        "materialized cluster labels diverge from the inline closure")
+      assert(labelsSeeded.nonEmpty, "no cluster labels — seam test vacuous")
       val cl1 = graft.ops.ClusterOps.dedupClusters(spark, dir).collect()
         .map(_.toSeq)
       assert(cl0.toSeq == cl1.toSeq, "dedup_clusters differs seeded vs unseeded")
