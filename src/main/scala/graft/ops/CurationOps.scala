@@ -870,6 +870,48 @@ object CurationOps {
       .orderBy("fold")
   }
 
+  /** Cross-source near-dup matrix — WHERE the duplication lives (the
+    * direction map [[sourceOverlap]]'s token-level view can't give):
+    * every verified near-dup pair attributed to its (source_a, source_b)
+    * cell with the pair's mean Jaccard — an off-diagonal hotspot means
+    * one feed republishes another (dedup BETWEEN those two first; at
+    * licensing time it's the provenance question), a hot diagonal means
+    * a feed re-crawls itself. Source pair canonicalized by name order so
+    * each undirected cell appears once.
+    *
+    * Scale shape: two doc_id-keyed attach joins from the seam pair table
+    * onto the narrow (doc_id, source) projection + one
+    * |sources|²-bounded aggregate.
+    */
+  def sourcePairMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    DedupEdges.pairs(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("mean_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourcePairMatrixOracle: String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b, jaccard
+       |               FROM (${DedupOps.dedupNgramJaccardOracle})),
+       |att AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |         greatest(da.source, db.source) AS source_b, p.jaccard
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b)
+       |SELECT source_a, source_b, count(*) AS n_pairs,
+       |       round(avg(jaccard), 4) AS mean_jaccard
+       |FROM att GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** Group-aware cross-validation folds — the FIX for the leak
     * [[crossvalSplit]] measures (its `n_leak_pairs > 0` is the grouped-CV
     * trigger; this is the grouped CV): the fold unit is the near-dup
@@ -1344,6 +1386,7 @@ object CurationOps {
     "doc_lineage" -> (docLineage _),
     "crossval_split" -> (crossvalSplit _),
     "grouped_crossval" -> (groupedCrossval _),
+    "source_pair_matrix" -> (sourcePairMatrix _),
     "epoch_plan" -> (epochPlan _),
     "batch_mix_audit" -> (batchMixAudit _),
     "data_card" -> (dataCard _),
@@ -1366,6 +1409,7 @@ object CurationOps {
     "doc_lineage" -> docLineageOracle,
     "crossval_split" -> crossvalSplitOracle,
     "grouped_crossval" -> groupedCrossvalOracle,
+    "source_pair_matrix" -> sourcePairMatrixOracle,
     "epoch_plan" -> epochPlanOracle,
     "batch_mix_audit" -> batchMixAuditOracle,
     "data_card" -> dataCardOracle,
