@@ -2569,7 +2569,65 @@ object SimilarityOps {
     ctes.toString
   }
 
+  /** Per-dimension variance profile of the embedding space — the
+    * screening table behind every truncation decision
+    * ([[annTruncatedRecall]]'s 32-dim prefix, Matryoshka-style serving,
+    * PQ subspace splits): variance per coordinate, its share of total
+    * variance, and the cumulative share in variance-descending order —
+    * "how much of the space do the top-k dims carry" read straight off
+    * the `cum_share` column. A flat profile (this corpus: near-isotropic)
+    * says truncation costs recall roughly linearly; a steep one licenses
+    * aggressive cuts.
+    *
+    * Scale shape: ONE (dim)-keyed moment aggregate over the exploded
+    * coordinates (map-side combined, d-bounded output); rank and the
+    * cumulative ride d-row bounded windows ON the aggregate (whitelisted
+    * class), and the total attaches as a 1-row broadcast. The cumulative
+    * sums 6-rounded variances in a deterministic order, so both engines
+    * chain identical doubles.
+    */
+  def embeddingDimVariance(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables(s, dir, "embeddings")
+      .select(posexplode(toDoubleArray(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(round(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")), 6)
+        .as("variance"))
+    val tot = dims.agg(sum(col("variance")).as("tv"))
+    val wOrd = Window.orderBy(col("variance").desc, col("dim"))
+    dims
+      .withColumn("rank", row_number().over(wOrd))
+      .withColumn("cum_var", sum(col("variance")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("dim"), col("variance"),
+        round(col("variance") / col("tv"), 6).as("share"),
+        round(col("cum_var") / col("tv"), 6).as("cum_share"))
+      .orderBy("rank")
+  }
+
+  val embeddingDimVarianceOracle: String =
+    """WITH x AS (
+      |  SELECT CAST(i - 1 AS INT) AS dim,
+      |         CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |       LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+      |d AS (
+      |  SELECT dim, round(avg(x * x) - avg(x) * avg(x), 6) AS variance
+      |  FROM x GROUP BY dim),
+      |t AS (SELECT sum(variance) AS tv FROM d),
+      |r AS (
+      |  SELECT dim, variance,
+      |         CAST(row_number() OVER w AS INT) AS rank,
+      |         sum(variance) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND CURRENT ROW) AS cum_var
+      |  FROM d WINDOW w AS (ORDER BY variance DESC, dim))
+      |SELECT rank, dim, variance,
+      |       round(variance / t.tv, 6) AS share,
+      |       round(cum_var / t.tv, 6) AS cum_share
+      |FROM r, t ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_dim_variance" -> (embeddingDimVariance _),
     "ann_filtered_topk" -> (annFilteredTopk _),
     "ann_ivf_tune" -> (annIvfTune _),
     "kcenter_coreset" -> ((s: SparkSession, dir: String) =>
@@ -2602,6 +2660,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "embedding_dim_variance" -> embeddingDimVarianceOracle,
     "ann_filtered_topk" -> annFilteredTopkOracle,
     "ann_ivf_tune" -> annIvfTuneOracle,
     "kcenter_coreset" -> kcenterCoresetOracle,

@@ -39,6 +39,8 @@ class PlanLintSpec extends AnyFunSuite {
                            // onto the per-event watermark-basis frame
     "vocab_coverage",      // 3-row budget dimension + 1-row corpus-total
                            // broadcasts onto the 1000-row ranked head
+    "embedding_dim_variance", // 1-row total-variance broadcast onto the
+                           // d-row ranked variance table
     "embedding_quantize", "merge_upsert",
     "q14_promo_revenue", "q19_disjunctive", "brand_affinity",
     "cardinality_sketches", "kmv_overlap", // sketch×sketch: T-row sides
@@ -477,7 +479,8 @@ class PlanLintSpec extends AnyFunSuite {
     "model_auc" -> "cumulative-negatives over the 6-rounded score histogram (p ∈ [0,1] at 6 decimals → ≤ 10⁶+1 rows regardless of corpus size)",
     "epoch_plan" -> "rank/prefix over the per-source token aggregate (token_budget_fill's bound — ≤ source cardinality)",
     "conformal_interval" -> "cumulative-count over the clamped 4-rounded residual histogram (|r| ∈ [0,100] at 4 decimals → ≤ 10⁶+1 rows regardless of corpus size)",
-    "watermark_drop_audit" -> "prefix max over the per-arrival-day max aggregate (≤ |days| rows — 31 here; the day-keyed window carries the corpus-sized work)")
+    "watermark_drop_audit" -> "prefix max over the per-arrival-day max aggregate (≤ |days| rows — 31 here; the day-keyed window carries the corpus-sized work)",
+    "embedding_dim_variance" -> "rank/cumulative over the per-DIMENSION moment aggregate (≤ d rows — 64 here; the corpus-sized work is the keyed aggregate)")
 
   test("unpartitioned WindowExec only over limit-bounded or whitelisted-aggregate input") {
     import org.apache.spark.sql.execution._
