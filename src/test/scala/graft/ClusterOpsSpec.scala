@@ -98,4 +98,22 @@ class ClusterOpsSpec extends AnyFunSuite {
       (43L, 29L, false, 43L, true)), // isolated survivor → promoted
       got.toString)
   }
+
+  test("incremental_labels: star-contracted maintenance ≡ the full rebuild, row for row") {
+    // the oracle already pins maintained == rebuild against DuckDB; this
+    // pins it INSIDE Spark too (both forms on the same engine, same run)
+    val maintained = graft.ops.ClusterOps.incrementalLabels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val rebuild = graft.ops.ClusterOps.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(maintained == rebuild,
+      s"maintained ≠ rebuild: missing ${(rebuild -- maintained).take(3)}, " +
+        s"extra ${(maintained -- rebuild).take(3)}")
+    assert(maintained.nonEmpty)
+    // and the delta actually contributes: some cluster contains a delta
+    // doc (doc_id % 10 == 9) — otherwise the star ∪ delta closure never
+    // exercised a merge at this SF and the test is vacuous
+    assert(maintained.exists(_._1 % 10 == 9),
+      "no delta doc in any cluster — maintenance test is vacuous")
+  }
 }
