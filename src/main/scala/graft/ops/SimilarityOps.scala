@@ -1263,12 +1263,14 @@ object SimilarityOps {
     * practice (ef is conventionally several × k).
     */
   def annHnswTopk(s: SparkSession, dir: String): DataFrame =
-    annHnswTopk(s, dir, bitsPerBand = 8, bands = 10, degree = 20,
-      levelMod = 16, entries = 6)
+    annHnswTopk(s, dir, bitsPerBand = HnswIndex.BitsPerBand,
+      bands = HnswIndex.Bands, degree = HnswIndex.Degree,
+      levelMod = HnswIndex.LevelMod, entries = HnswIndex.Entries)
 
   def annHnswTopk(s: SparkSession, dir: String, bitsPerBand: Int,
       bands: Int, degree: Int, levelMod: Int, entries: Int,
-      beamWidth: Int = 48, rounds: Int = 3): DataFrame = {
+      beamWidth: Int = HnswIndex.BeamWidth,
+      rounds: Int = HnswIndex.Rounds): DataFrame = {
     val beam = annHnswBeam(s, dir, bitsPerBand, bands, degree, levelMod,
       entries, beamWidth, rounds)
     val wK = Window.partitionBy(col("query_id"))
@@ -1297,24 +1299,7 @@ object SimilarityOps {
     */
   private[graft] def hnswAdjacencyInline(s: SparkSession, dir: String,
       bitsPerBand: Int, bands: Int, degree: Int): DataFrame = {
-    val emb = embeddings(s, dir)
-    val banded = emb.select(col("vec_id"),
-        posexplode(signLshBuckets(col("v"), bitsPerBand, bands)))
-      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("node"), col("b.vec_id").as("nbr"))
-      .distinct()
-    val wN = Window.partitionBy(col("node"))
-      .orderBy(col("ncos").desc, col("nbr"))
-    val nbrsOut = cand
-      .join(emb.select(col("vec_id").as("node"), col("v").as("nv")), "node")
-      .join(emb.select(col("vec_id").as("nbr"), col("v").as("bv")), "nbr")
-      .select(col("node"), col("nbr"), dot(col("nv"), col("bv")).as("ncos"))
-      .withColumn("rn", row_number().over(wN))
-      .filter(col("rn") <= degree)
+    val nbrsOut = hnswOutInline(s, dir, bitsPerBand, bands, degree)
       .select(col("node"), col("nbr"))
     // no distinct here: a (node, nbr) present in both orientations just
     // duplicates a frontier candidate, and every round's frontier is
@@ -1322,6 +1307,61 @@ object SimilarityOps {
     nbrsOut
       .union(nbrsOut.select(col("nbr").as("node"), col("node").as("nbr")))
       .localCheckpoint()
+  }
+
+  /** `(vec_id, band, bucket)` sign-LSH banding of an embedding frame —
+    * the candidate-generation key of the HNSW build and its incremental
+    * maintenance.
+    */
+  private[graft] def hnswBanded(emb: DataFrame, bitsPerBand: Int,
+      bands: Int): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(signLshBuckets(col("v"), bitsPerBand, bands)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+
+  /** Distinct directed cohabiting pairs `(node, nbr)` between two banded
+    * frames: node from `a`, nbr from `b`, same (band, bucket), self
+    * excluded — the bucket cogroup that keeps every HNSW build linear in
+    * bucket occupancy, never all-pairs.
+    */
+  private[graft] def hnswCohabit(a: DataFrame, b: DataFrame): DataFrame =
+    a.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("node"), col("b.vec_id").as("nbr"))
+      .distinct()
+
+  /** Exact-score a distinct candidate pair set by two id-keyed vector
+    * lookups: `(node, nbr, ncos)` — one deterministic dot per pair, so
+    * the same pair scores bit-identically wherever it is generated (the
+    * property [[incrementalHnsw]]'s maintenance ≡ rebuild proof rides on).
+    */
+  private[graft] def hnswScore(cand: DataFrame, emb: DataFrame): DataFrame =
+    cand
+      .join(emb.select(col("vec_id").as("node"), col("v").as("nv")), "node")
+      .join(emb.select(col("vec_id").as("nbr"), col("v").as("bv")), "nbr")
+      .select(col("node"), col("nbr"), dot(col("nv"), col("bv")).as("ncos"))
+
+  /** Per-node top-`degree` by (ncos DESC, nbr) over a scored candidate
+    * set — the bounded-degree OUT selection, score carried for
+    * maintenance re-ranking ([[HnswIndex.insert]]).
+    */
+  private[graft] def hnswTopOut(scored: DataFrame, degree: Int): DataFrame = {
+    val wN = Window.partitionBy(col("node"))
+      .orderBy(col("ncos").desc, col("nbr"))
+    scored.withColumn("rn", row_number().over(wN))
+      .filter(col("rn") <= degree)
+      .select(col("node"), col("nbr"), col("ncos"))
+  }
+
+  /** The directed score-carrying out-adjacency build (full corpus):
+    * banding → bucket cogroup → exact scoring → per-node top-`degree`.
+    */
+  private[graft] def hnswOutInline(s: SparkSession, dir: String,
+      bitsPerBand: Int, bands: Int, degree: Int): DataFrame = {
+    val emb = embeddings(s, dir)
+    val banded = hnswBanded(emb, bitsPerBand, bands)
+    hnswTopOut(hnswScore(hnswCohabit(banded, banded), emb), degree)
   }
 
   /** The HNSW search's final beam — per query the exact-scored
@@ -1456,12 +1496,14 @@ object SimilarityOps {
          |        WHERE rn <= $beamWidth)""".stripMargin
     }.mkString(",\n")
 
-  /** The beam-width-independent index chain: LSH buckets, adjacency,
-    * upper layer, queries, entry beam `b0`.
+  /** The full-rebuild index CTE chain alone (LSH buckets → cohabiting
+    * candidates → top-`degree` out lists → symmetrized `nbrs`) — shared
+    * by the search oracles ([[annHnswSharedCtes]]) and the maintenance
+    * proof ([[incrementalHnswOracle]]) so both restate ONE index build.
     */
-  private def annHnswSharedCtes(degree: Int, levelMod: Int,
-      entries: Int): String =
-    s"""${signLshBucketsOracleCte(8, 10)},
+  private def hnswNbrsCtes(bitsPerBand: Int, bands: Int,
+      degree: Int): String =
+    s"""${signLshBucketsOracleCte(bitsPerBand, bands)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
        |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
@@ -1477,7 +1519,14 @@ object SimilarityOps {
        |nbrs AS (
        |  SELECT DISTINCT node, nbr FROM (
        |    SELECT node, nbr FROM nbrs_out
-       |    UNION ALL SELECT nbr AS node, node AS nbr FROM nbrs_out)),
+       |    UNION ALL SELECT nbr AS node, node AS nbr FROM nbrs_out))""".stripMargin
+
+  /** The beam-width-independent index chain: LSH buckets, adjacency,
+    * upper layer, queries, entry beam `b0`.
+    */
+  private def annHnswSharedCtes(degree: Int, levelMod: Int,
+      entries: Int): String =
+    s"""${hnswNbrsCtes(HnswIndex.BitsPerBand, HnswIndex.Bands, degree)},
        |l1 AS (SELECT vec_id, v FROM e
        |       WHERE (('0x' || substr(md5('lvl_' || CAST(vec_id AS VARCHAR)),
        |               1, 15))::BIGINT % $levelMod) = 0),
@@ -1493,8 +1542,9 @@ object SimilarityOps {
        |  WHERE rn <= $entries)""".stripMargin
 
   val annHnswTopkOracle: String =
-    annHnswOracleFor(degree = 20, levelMod = 16, entries = 6,
-      beamWidth = 48, rounds = 3)
+    annHnswOracleFor(degree = HnswIndex.Degree,
+      levelMod = HnswIndex.LevelMod, entries = HnswIndex.Entries,
+      beamWidth = HnswIndex.BeamWidth, rounds = HnswIndex.Rounds)
 
   /** HNSW ef-sweep — the [[annIvfTune]] genre applied to the graph
     * index: recall@K of the best-first search at beam widths 12/24/48
@@ -1522,7 +1572,7 @@ object SimilarityOps {
     val nbrs = HnswIndex.adjacency(s, dir)
     val lvl = conv(substring(md5(
         concat(lit("lvl_"), col("vec_id").cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 16
+      .cast("long") % HnswIndex.LevelMod
     val layer1 = emb.filter(lvl === 0)
       .select(col("vec_id").as("l1"), col("v").as("lv"))
     val qVecs = emb.filter(col("vec_id") < NQueries)
@@ -1533,7 +1583,7 @@ object SimilarityOps {
       .select(col("query_id"), col("l1").as("node"),
         dot(col("qv"), col("lv")).as("cos"))
       .withColumn("rn", row_number().over(wE))
-      .filter(col("rn") <= 6)
+      .filter(col("rn") <= HnswIndex.Entries)
       .select(col("query_id"), col("node"), col("cos"))
     val bwDim = s.range(0, 1)
       .select(explode(array(beams.map(lit): _*)).as("bw"))
@@ -1541,7 +1591,7 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("node"))
     var beam = entryScored.crossJoin(broadcast(bwDim))
       .select(col("bw"), col("query_id"), col("node"), col("cos"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to HnswIndex.Rounds) {
       val frontier = beam.select(col("bw"), col("query_id"), col("node"))
         .join(nbrs, "node")
         .select(col("bw"), col("query_id"), col("nbr").as("node"))
@@ -1578,7 +1628,7 @@ object SimilarityOps {
 
   val annBeamSweepOracle: String = {
     val levels = Seq(12, 24, 48).map(bw =>
-      annHnswBeamLevelCtes(bw, rounds = 3, prefix = s"w${bw}_"))
+      annHnswBeamLevelCtes(bw, rounds = HnswIndex.Rounds, prefix = s"w${bw}_"))
       .mkString(",\n")
     val perBeam = Seq(12, 24, 48).map { bw =>
       s"""rec$bw AS (
@@ -1591,8 +1641,8 @@ object SimilarityOps {
          |        SELECT s.query_id, s.node,
          |               row_number() OVER (PARTITION BY s.query_id
          |                 ORDER BY s.cos DESC, s.node) AS rk
-         |        FROM w${bw}_s3 s
-         |        JOIN w${bw}_b3 b ON b.query_id = s.query_id
+         |        FROM w${bw}_s${HnswIndex.Rounds} s
+         |        JOIN w${bw}_b${HnswIndex.Rounds} b ON b.query_id = s.query_id
          |                        AND b.node = s.node
          |        WHERE s.node <> s.query_id) t
          |      JOIN exact x ON x.query_id = t.query_id
@@ -1603,7 +1653,8 @@ object SimilarityOps {
     val union = Seq(12, 24, 48)
       .map(bw => s"SELECT beam_width, mean_recall FROM rec$bw")
       .mkString(" UNION ALL ")
-    s"""WITH ${annHnswSharedCtes(degree = 20, levelMod = 16, entries = 6)},
+    s"""WITH ${annHnswSharedCtes(degree = HnswIndex.Degree,
+      levelMod = HnswIndex.LevelMod, entries = HnswIndex.Entries)},
        |$levels,
        |exact AS (
        |  SELECT query_id, neighbor_id FROM ($annCosineTopkOracle)),
@@ -1727,8 +1778,10 @@ object SimilarityOps {
     * recall gate) is pinned in MmrSelectSpec.
     */
   def mmrRerankAnn(s: SparkSession, dir: String): DataFrame = {
-    val beam = annHnswBeam(s, dir, bitsPerBand = 8, bands = 10,
-        degree = 20, levelMod = 16, entries = 6, beamWidth = 48, rounds = 3)
+    val beam = annHnswBeam(s, dir, bitsPerBand = HnswIndex.BitsPerBand,
+        bands = HnswIndex.Bands, degree = HnswIndex.Degree,
+        levelMod = HnswIndex.LevelMod, entries = HnswIndex.Entries,
+        beamWidth = HnswIndex.BeamWidth, rounds = HnswIndex.Rounds)
       .filter(col("node") =!= col("query_id"))
     val emb = embeddings(s, dir)
     // the beam already carries the exact cos — only the candidate VECTOR
@@ -1752,12 +1805,13 @@ object SimilarityOps {
     * the best-first search scored) IS the shortlist, self excluded.
     */
   val mmrRerankAnnOracle: String =
-    s"""WITH ${annHnswBeamCtes(degree = 20, levelMod = 16, entries = 6,
-      beamWidth = 48, rounds = 3)},
+    s"""WITH ${annHnswBeamCtes(degree = HnswIndex.Degree,
+      levelMod = HnswIndex.LevelMod, entries = HnswIndex.Entries,
+      beamWidth = HnswIndex.BeamWidth, rounds = HnswIndex.Rounds)},
        |sl AS MATERIALIZED (
        |  SELECT b.query_id, b.node AS cand_id,
        |         list_dot_product(eq.v, en.v) AS rel, en.v AS v
-       |  FROM b3 b JOIN e eq ON eq.vec_id = b.query_id
+       |  FROM b${HnswIndex.Rounds} b JOIN e eq ON eq.vec_id = b.query_id
        |            JOIN e en ON en.vec_id = b.node
        |  WHERE b.node <> b.query_id),
        |${mmrGreedyOracleTail(10)}""".stripMargin
@@ -1879,6 +1933,75 @@ object SimilarityOps {
       |          - (SELECT round(avg(d), 4) FROM asg WHERE vec_id % 10 <> 9), 4)
       |         AS dist_drift
       |FROM buckets""".stripMargin
+
+  /** Incremental HNSW index maintenance (r14 — VERDICT r13 #2, the
+    * [[incrementalIvf]] / [[ClusterOps.incrementalLabels]] maintenance ≡
+    * rebuild convention applied to the graph-ANN artifact): a production
+    * HNSW deployment persists the adjacency ([[HnswIndex.saveOut]]) and
+    * INSERTS arriving vectors; it never rebuilds the graph per batch.
+    * Base = `vec_id % 10 ≠ 9` (the persisted snapshot: top-`Degree`
+    * score-carrying out-lists over base-only bucket cohabitants), delta =
+    * the rest. Maintenance generates ONLY the delta-involving candidate
+    * pairs (delta banding joined against the full banding, both
+    * orientations — |delta| × bucket occupancy work, not a corpus
+    * self-join), exact-scores them, and re-ranks each node's top-`Degree`
+    * over (kept base edges ∪ delta candidates) via [[HnswIndex.insert]] —
+    * correct by pigeonhole: a rebuild's pick is either delta-involving
+    * (all present) or a base-base edge that outranked all but < Degree
+    * base candidates (so it survived the base artifact's own cut).
+    *
+    * The output is the per-node digest of the SERVED symmetrized
+    * adjacency (degree + neighbor-id sum/min/max — assignment-sensitive,
+    * order-free), while the oracle digests a single full-corpus rebuild:
+    * hash equality IS the maintenance ≡ rebuild proof, edge set for edge
+    * set. HnswIndexSpec pins the same equality frame-level (insert vs
+    * [[HnswIndex.buildOut]]) plus the save/load round trip.
+    *
+    * Scale shape: both eras are narrow filters of ONE banding pass; the
+    * base build is the audited bucket cogroup over the base era; the
+    * maintenance join is delta-banding-sized on one side; scoring is two
+    * id-keyed lookups per candidate; the re-rank window is bounded by
+    * degree + per-node delta candidates. No corpus×corpus anywhere.
+    */
+  def incrementalHnsw(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val isDelta = pmod(col("vec_id"), lit(10)) === 9
+    val banded = hnswBanded(emb, HnswIndex.BitsPerBand, HnswIndex.Bands)
+      .localCheckpoint() // 3 consumers (base×2 via self-join, delta×2);
+                         // one narrow banding pass instead of three
+    val bandedBase = banded.filter(!isDelta)
+    val bandedDelta = banded.filter(isDelta)
+    // the persisted artifact, built here from the base era (production
+    // loads it via HnswIndex.loadOut — parquet round-trip exact)
+    val baseOut = hnswTopOut(
+      hnswScore(hnswCohabit(bandedBase, bandedBase), emb), HnswIndex.Degree)
+    // delta-involving candidates only: (delta → any) ∪ (any → delta)
+    val deltaCand = hnswCohabit(bandedDelta, banded)
+      .unionByName(hnswCohabit(banded, bandedDelta))
+      .distinct()
+    val maintained = HnswIndex.insert(baseOut, hnswScore(deltaCand, emb))
+    val sym = maintained.select(col("node"), col("nbr"))
+      .unionByName(maintained.select(col("nbr").as("node"),
+        col("node").as("nbr")))
+      .distinct()
+    sym.groupBy(col("node")).agg(
+        count(lit(1)).as("deg"),
+        sum(col("nbr")).as("nbr_sum"),
+        min(col("nbr")).as("nbr_min"),
+        max(col("nbr")).as("nbr_max"))
+      .orderBy("node")
+  }
+
+  /** Single full-corpus rebuild of the shipped adjacency (the
+    * [[hnswNbrsCtes]] chain the search oracles ride), digested per node —
+    * equality with the query's maintained artifact is the proof.
+    */
+  val incrementalHnswOracle: String =
+    s"""WITH ${hnswNbrsCtes(HnswIndex.BitsPerBand, HnswIndex.Bands,
+      HnswIndex.Degree)}
+       |SELECT node, count(*) AS deg, CAST(sum(nbr) AS BIGINT) AS nbr_sum,
+       |       min(nbr) AS nbr_min, max(nbr) AS nbr_max
+       |FROM nbrs GROUP BY node ORDER BY node""".stripMargin
 
   /** Hubness audit (Radovanović et al. 2010, "Hubs in Space": the
     * high-dimensional pathology where a few vectors appear in
@@ -2637,6 +2760,7 @@ object SimilarityOps {
     "ann_truncated_recall" -> (annTruncatedRecall _),
     "ann_hubness" -> (annHubness _),
     "incremental_ivf" -> (incrementalIvf _),
+    "incremental_hnsw" -> (incrementalHnsw _),
     "mmr_rerank" -> (mmrRerank _),
     "mmr_rerank_ann" -> (mmrRerankAnn _),
     "ann_hnsw_topk" -> ((s: SparkSession, dir: String) => annHnswTopk(s, dir)),
@@ -2669,6 +2793,7 @@ object SimilarityOps {
     "ann_truncated_recall" -> annTruncatedRecallOracle,
     "ann_hubness" -> annHubnessOracle,
     "incremental_ivf" -> incrementalIvfOracle,
+    "incremental_hnsw" -> incrementalHnswOracle,
     "mmr_rerank" -> mmrRerankOracle,
     "mmr_rerank_ann" -> mmrRerankAnnOracle,
     "ann_hnsw_topk" -> annHnswTopkOracle,

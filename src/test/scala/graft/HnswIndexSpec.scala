@@ -56,4 +56,57 @@ class HnswIndexSpec extends AnyFunSuite {
       }
     } finally HnswIndex.clear()
   }
+
+  test("saveOut/loadOut round-trips the artifact; insert over a persisted base equals the full rebuild") {
+    import graft.ops.{HnswIndex, SimilarityOps}
+    import org.apache.spark.sql.functions._
+    def bag(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    // save/load round trip: longs + the deterministic per-pair dot are
+    // parquet-exact, so the loaded artifact is the built one
+    val full = SimilarityOps.hnswOutInline(spark, dir,
+      HnswIndex.BitsPerBand, HnswIndex.Bands, HnswIndex.Degree)
+    val out = java.nio.file.Files.createTempDirectory("graft_hnsw_spec_")
+    try {
+      HnswIndex.saveOut(full, s"$out/idx")
+      assert(bag(HnswIndex.loadOut(spark, s"$out/idx")) == bag(full),
+        "loadOut(saveOut(x)) diverges from x")
+
+      // insert ≡ rebuild, frame-level (the incremental_hnsw oracle proof
+      // restated on the API): base era = vec_id % 10 != 9, maintained =
+      // insert(delta candidates) over the PERSISTED base artifact
+      val emb = graft.ops.Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          graft.functions.VectorFunctions.normalize(
+            graft.functions.VectorFunctions.toDoubleArray(col("embedding")))
+            .as("v"))
+      val isDelta = pmod(col("vec_id"), lit(10)) === 9
+      val banded = SimilarityOps.hnswBanded(emb,
+        HnswIndex.BitsPerBand, HnswIndex.Bands)
+      val baseOut = SimilarityOps.hnswTopOut(
+        SimilarityOps.hnswScore(
+          SimilarityOps.hnswCohabit(banded.filter(!isDelta),
+            banded.filter(!isDelta)), emb), HnswIndex.Degree)
+      HnswIndex.saveOut(baseOut, s"$out/base")
+      val deltaCand = SimilarityOps.hnswCohabit(banded.filter(isDelta), banded)
+        .unionByName(SimilarityOps.hnswCohabit(banded, banded.filter(isDelta)))
+        .distinct()
+      val maintained = HnswIndex.insert(
+        HnswIndex.loadOut(spark, s"$out/base"),
+        SimilarityOps.hnswScore(deltaCand, emb))
+      val m = bag(maintained)
+      assert(m.nonEmpty, "maintained adjacency empty — test vacuous")
+      assert(m == bag(full),
+        "insert over persisted base diverges from the full rebuild")
+    } finally {
+      val stream = java.nio.file.Files.walk(out)
+      try {
+        val it = stream
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+      } finally stream.close()
+    }
+  }
 }
