@@ -664,4 +664,32 @@ class DedupOpsSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("knn_join: corpus-wide top-k recall ≥ 0.8 vs the exact all-pairs baseline; covers every candidate-bearing node") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{normalize, toDoubleArray, dot}
+    val emb = graft.ops.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), normalize(toDoubleArray(col("embedding"))).as("v"))
+    // small-N brute-force ground truth (test-only — the query itself is
+    // the LSH-bucketed scale path, never all-pairs)
+    val w = Window.partitionBy(col("na")).orderBy(col("cos").desc, col("nb"))
+    val exact = emb.select(col("vec_id").as("na"), col("v").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("nb"), col("v").as("vb")))
+      .filter(col("na") =!= col("nb"))
+      .select(col("na"), col("nb"), dot(col("va"), col("vb")).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("na", "nb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val rows = SimilarityOps.knnJoin(spark, dir).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"knn_join recall too low: $recall (${got.intersect(exact).size}/${exact.size})")
+    // every node that shares any band bucket appears with ≤ K ranked rows
+    val perNode = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perNode.values.forall(_ <= 5))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self pair leaked")
+  }
 }
