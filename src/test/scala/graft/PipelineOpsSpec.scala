@@ -299,6 +299,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     val m3 = TextOps.bpeIterate(spark, dir, rounds = 3).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     assert(m3.toSeq == merges.take(3).toSeq, "rounds=3 is not a prefix of rounds=4")
+    // bpe_train (the gate-depth N=8 run) extends the same merge table:
+    // its first 4 rows ARE bpe_iterate's — merge-order determinism
+    // across depths — and its counts stay non-increasing through round 8
+    val m8 = TextOps.bpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(m8.map(_._1).toSeq == (1 to 8),
+      s"bpe_train rounds: ${m8.map(_._1).toSeq}")
+    assert(m8.take(4).toSeq == merges.toSeq,
+      "bpe_iterate (N=4) is not a prefix of bpe_train (N=8)")
+    assert(m8.map(_._3).sliding(2).forall(w => w(0) >= w(1)),
+      s"bpe_train merge counts not non-increasing: ${m8.toSeq}")
   }
 
   test("source_mixture flattens toward small sources and spends the budget") {
