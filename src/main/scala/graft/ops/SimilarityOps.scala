@@ -1904,11 +1904,14 @@ object SimilarityOps {
     * Checksum is Σ (md5(vec_id) mod 10⁶) · (cid+1) — order-independent,
     * assignment-sensitive.
     */
-  def incrementalIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
-    val isDelta = pmod(col("vec_id"), lit(10)) === 9
-    val cents = emb.filter(!isDelta)
+  /** Train the frozen coarse quantizer of the IVF maintenance family:
+    * per-label centroid of the given (base-era) vectors, per-dim rounded
+    * 6 — shared verbatim by [[incrementalIvf]] and the streaming
+    * maintainer ([[graft.streaming.StreamingIvf]]), so stream and batch
+    * assign against ONE quantizer definition.
+    */
+  private[graft] def ivfCentroids(baseEmb: DataFrame): DataFrame =
+    baseEmb
       .select(col("label"), posexplode(col("v")))
       .groupBy(col("label"), col("pos"))
       .agg(round(avg(col("col")), 6).as("m"))
@@ -1917,11 +1920,24 @@ object SimilarityOps {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("cv"))
       .select(col("label").as("cid"), col("cv"))
-    def assign(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
+
+  /** Assign vectors against a FROZEN centroid table: argmin squared
+    * distance (rounded 6) with (d, cid) tuple tie-break — one narrow
+    * broadcast cross join + a map-side-combined argmin aggregate.
+    */
+  private[graft] def ivfAssign(df: DataFrame, cents: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cents))
       .withColumn("d", round(squaredDistance(col("v"), col("cv")), 6))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d"), col("cid"))).as("a"))
       .select(col("vec_id"), col("a.cid").as("cid"), col("a.d").as("d"))
+
+  def incrementalIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
+    val isDelta = pmod(col("vec_id"), lit(10)) === 9
+    val cents = ivfCentroids(emb.filter(!isDelta))
+    def assign(df: DataFrame): DataFrame = ivfAssign(df, cents)
     val vecMd5 = conv(substring(md5(col("vec_id").cast("string")), 1, 15),
       16, 10).cast("long") % 1000000L
     def stats(a: DataFrame): DataFrame = a.groupBy(col("cid")).agg(

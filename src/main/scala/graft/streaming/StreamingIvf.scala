@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.functions.VectorFunctions.toDoubleArray
+
+/** Streaming IVF index maintenance (r14 — VERDICT r13 #5): the always-on
+  * form of the batch `incremental_ivf` maintenance algebra. Vectors
+  * arriving as files in a monitored folder are assigned against a FROZEN
+  * persisted coarse quantizer (per-label centroids trained on the base
+  * snapshot — [[graft.ops.SimilarityOps.ivfCentroids]], the identical
+  * kernel the batch query runs) and appended to a persisted ASSIGNMENT
+  * store — which IS the IVF index: `(vec_id, cid, d)` is the posting
+  * list membership every nprobe search reads, and the per-bucket stats
+  * (`counts`) are one keyed aggregate over it.
+  *
+  * Stream ≡ batch: assignment is a pure per-vector function of the frozen
+  * centroids (argmin rounded squared distance, (d, cid) tie-break), so
+  * the drained store equals the one-shot batch assignment of the same
+  * vectors REGARDLESS of how arrivals were chopped into micro-batches —
+  * StreamingIvfSpec pins exact row equality, the StreamingCdc /
+  * StreamingDedup convention.
+  *
+  * Exactly-once under foreachBatch's at-least-once: per-batch partition
+  * overwrite under a (lineage, batchId) tag, the store read excluding the
+  * batch's own tag (a retried half-write can't hide rows from its
+  * retry) — the [[StreamingEmbeddingDedup]] discipline. Identity novelty:
+  * a vec_id already in the store is a re-ingest and is skipped (a
+  * fresh-checkpoint re-drain of old files grows nothing — the
+  * IncrementalDedup.novel discipline); without it every replay would
+  * double-count bucket stats.
+  *
+  * Scale: the quantizer is labels × d (broadcast by construction); each
+  * micro-batch does one narrow broadcast-assign pass + an id-keyed
+  * anti-join against the store's id column; no stateful operator — the
+  * index lives in the store, per-trigger memory is O(batch).
+  */
+object StreamingIvf {
+
+  /** Train and persist the frozen quantizer from a base-era embeddings
+    * frame (`vec_id, label, embedding`) — run once per index lifetime;
+    * maintenance never retrains (drift is watched via `incremental_ivf`'s
+    * dist_drift signal and answered by a rebuild, not a silent retrain).
+    */
+  def trainQuantizer(base: DataFrame, centroidsPath: String): Unit =
+    graft.ops.SimilarityOps.ivfCentroids(
+        base.select(col("vec_id"), col("label"),
+          toDoubleArray(col("embedding")).as("v")))
+      .write.mode(SaveMode.Overwrite).parquet(centroidsPath)
+
+  private def lineageId(spark: SparkSession, checkpointDir: String): String = {
+    val f = new HPath(checkpointDir, "graft-ivf-lineage")
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing =
+      if (!fs.exists(f)) ""
+      else {
+        val in = fs.open(f)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      }
+    if (existing.nonEmpty) existing
+    else {
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new HPath(checkpointDir, s"graft-ivf-lineage.tmp-$id")
+      val out = fs.create(tmp, true)
+      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.rename(tmp, f)) id
+      else { fs.delete(tmp, false); lineageId(spark, checkpointDir) }
+    }
+  }
+
+  private def storeSchema: StructType = StructType.fromDDL(
+    "vec_id BIGINT, cid INT, d DOUBLE, batch STRING")
+
+  private def readStore(spark: SparkSession, path: String): DataFrame = {
+    val hPath = new HPath(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hPath)) spark.read.schema(storeSchema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], storeSchema)
+  }
+
+  private def writeBatch(centroidsPath: String, storePath: String,
+      lineage: String)(batch: DataFrame, batchId: Long): Unit = {
+    val tag = s"$lineage-$batchId"
+    val spark = batch.sparkSession
+    val seen = readStore(spark, storePath)
+      .filter(!(col("batch") <=> lit(tag))) // own partition = failed attempt
+      .select(col("vec_id").as("seen_id")).distinct()
+    val novel = batch
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .join(seen, col("vec_id") === col("seen_id"), "left_anti")
+    val cents = spark.read.parquet(centroidsPath)
+      .select(col("cid"), col("cv"))
+    val assigned = graft.ops.SimilarityOps.ivfAssign(novel, cents)
+    if (!assigned.isEmpty)
+      assigned.write.mode(SaveMode.Overwrite)
+        .parquet(s"$storePath/batch=$tag")
+  }
+
+  /** The maintained index: every assignment made so far. */
+  def assignments(spark: SparkSession, storePath: String): DataFrame =
+    readStore(spark, storePath).select(col("vec_id"), col("cid"), col("d"))
+
+  /** Per-bucket serving stats over the maintained index. */
+  def counts(spark: SparkSession, storePath: String): DataFrame =
+    assignments(spark, storePath)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("d")), 4).as("sum_d"))
+
+  /** Drain-and-stop shape: assign everything currently in the folder
+    * against the persisted quantizer, then stop. `schema` must contain
+    * `vec_id` and `embedding`.
+    */
+  def start(spark: SparkSession, schema: StructType, inputDir: String,
+      centroidsPath: String, storePath: String,
+      checkpointDir: String): StreamingQuery = {
+    val lineage = lineageId(spark, checkpointDir)
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .queryName("ivf-maintain")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(writeBatch(centroidsPath, storePath, lineage) _)
+      .start()
+  }
+
+  /** Drain everything currently in the folder and stop. */
+  def runAvailableNow(spark: SparkSession, schema: StructType,
+      inputDir: String, centroidsPath: String, storePath: String,
+      checkpointDir: String): Unit =
+    start(spark, schema, inputDir, centroidsPath, storePath, checkpointDir)
+      .awaitTermination()
+}
