@@ -436,12 +436,61 @@ class PlanLintSpec extends AnyFunSuite {
                                   // hit aggs over the checkpointed scored
                                   // frame (+sort) — windows past the first
                                   // touch <=20 rows per query
-      "ann_ivf_tune" -> 12)       // centroid byDim/norm aggs + probe rank
+      "ann_ivf_tune" -> 12,       // centroid byDim/norm aggs + probe rank
                                   // window + 4 top-K windows and the
                                   // candidate agg over the checkpointed
                                   // scored frame + recall aggs (+sort) —
                                   // a tuning-time sweep, not a serving
                                   // path
+      // r14 — VERDICT r13 #6: the remaining top-of-floor-table queries,
+      // budgets measured via PlanCount so a rewrite can't silently
+      // double a heavy query's shuffle count
+      "dedup_ngram_jaccard" -> 6, // shingle df agg, doc prefix window,
+                                  // candidate repartition, verify
+                                  // intersect agg (+sort) — the inline
+                                  // edge-build claim
+      "knn_join" -> 3,            // banded cohabit distinct + per-node
+                                  // top-K window (+sort); vector attaches
+                                  // are AQE broadcasts
+      "cardinality_sketches" -> 3, // HLL sketch agg + the deliberate
+                                  // exact-distinct audit baseline (+sort)
+      "ann_beam_sweep" -> 9,      // 3 bw-keyed beam rounds over the ONE
+                                  // seam adjacency + recall join/aggs
+                                  // (+sort) — checkpointed beams bound
+                                  // each round's input
+      "incremental_dedup_edges" -> 11, // BOTH eras' banded builds + the
+                                  // endpoint-bounded delta join + the
+                                  // union recount — the recompute-vs-
+                                  // maintain demonstration IS the query
+      "mmr_rerank_ann" -> 2,      // beam feeds ONE bounded per-query MMR
+                                  // aggregate (+sort); adjacency reads
+                                  // ride the HnswIndex seam
+      "incremental_labels" -> 3,  // star contraction + maintained closure
+                                  // over seam-filtered eras (propagation
+                                  // behind checkpoints) (+sort)
+      "dedup_minhash_shingle" -> 2, // signature agg + banded pair
+                                  // distinct (+sort); verify attaches
+                                  // broadcast
+      "winnow_fingerprint" -> 2,  // doc-partitioned window-min over the
+                                  // posexploded shingle hashes + fp
+                                  // rollup (+sort)
+      "ppr_2step" -> 0,           // rounds materialize via localCheckpoint
+                                  // at construction; planned tail is
+                                  // TakeOrdered only
+      "incremental_edges" -> 3,   // base partial + delta partial + merge
+                                  // agg — the maintenance algebra's
+                                  // original (+sort reuses)
+      "bpe_train" -> 1,           // 8 rounds ride per-round checkpoints
+                                  // (Zipf-small word table); planned tail
+                                  // is one pair-count agg (+TakeOrdered)
+      "incremental_hnsw" -> 13,   // base out-build (cohabit distinct +
+                                  // top-degree window) + delta cohabits +
+                                  // maintained re-rank window + sym
+                                  // distinct + digest agg (+sort) — the
+                                  // rebuild-vs-maintain proof runs both
+      "incremental_sparse" -> 3)  // 2 era term-stat aggs off the seam tf
+                                  // + the full-outer merge; 1-row digest,
+                                  // no sort
     val offenders = budget.flatMap { case (name, maxEx) =>
       // count ALL shuffle exchanges — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
