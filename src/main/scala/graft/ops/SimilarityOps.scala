@@ -2783,7 +2783,11 @@ object SimilarityOps {
     * cumulative ride d-row bounded windows ON the aggregate (whitelisted
     * class), and the total attaches as a 1-row broadcast. The cumulative
     * sums 6-rounded variances in a deterministic order, so both engines
-    * chain identical doubles.
+    * chain identical doubles; the total-variance denominator is a
+    * d-term unordered sum of the same 6-rounded inputs, rounded to 6
+    * BEFORE the divisions (r14 — ADVICE r13: the abPower moments
+    * discipline, so the share/cum_share ratios are pinned rather than
+    * accumulation-order-lucky).
     */
   def embeddingDimVariance(s: SparkSession, dir: String): DataFrame = {
     val dims = Tables(s, dir, "embeddings")
@@ -2791,7 +2795,7 @@ object SimilarityOps {
       .groupBy(col("dim"))
       .agg(round(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")), 6)
         .as("variance"))
-    val tot = dims.agg(sum(col("variance")).as("tv"))
+    val tot = dims.agg(round(sum(col("variance")), 6).as("tv"))
     val wOrd = Window.orderBy(col("variance").desc, col("dim"))
     dims
       .withColumn("rank", row_number().over(wOrd))
@@ -2813,7 +2817,7 @@ object SimilarityOps {
       |d AS (
       |  SELECT dim, round(avg(x * x) - avg(x) * avg(x), 6) AS variance
       |  FROM x GROUP BY dim),
-      |t AS (SELECT sum(variance) AS tv FROM d),
+      |t AS (SELECT round(sum(variance), 6) AS tv FROM d),
       |r AS (
       |  SELECT dim, variance,
       |         CAST(row_number() OVER w AS INT) AS rank,
