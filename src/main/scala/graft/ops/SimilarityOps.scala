@@ -2043,8 +2043,8 @@ object SimilarityOps {
     val emb = embeddings(s, dir)
     val isDelta = pmod(col("vec_id"), lit(10)) === 9
     val banded = hnswBanded(emb, HnswIndex.BitsPerBand, HnswIndex.Bands)
-      .localCheckpoint() // 3 consumers (base×2 via self-join, delta×2);
-                         // one narrow banding pass instead of three
+      .localCheckpoint() // 4 consumers (base self-join ×2, delta joins ×2);
+                         // measured sf0.1 warm: 1.63 s with / 1.88 without
     val bandedBase = banded.filter(!isDelta)
     val bandedDelta = banded.filter(isDelta)
     // the persisted artifact, built here from the base era (production
