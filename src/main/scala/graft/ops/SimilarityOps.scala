@@ -323,6 +323,88 @@ object SimilarityOps {
        |  FROM scored)
        |WHERE rank <= $K ORDER BY vec_id, rank""".stripMargin
 
+  /** Delete maintenance for the kNN artifact (r14 — the
+    * [[ClusterOps.deletePropagation]] question asked of the similarity
+    * surface): when a delete batch lands (`vec_id % 10 = 3` — disjoint
+    * from the insert family's `% 10 = 9` convention), a production
+    * deployment does NOT rebuild the corpus-wide [[knnJoin]] lists — it
+    * (a) drops the deleted nodes' own lists, (b) keeps every surviving
+    * node whose top-K contains no deleted neighbor, and (c) REPAIRS only
+    * the damaged nodes by re-probing THEIR buckets against survivors.
+    * Repair ≡ rebuild exactly, by dominance: an undamaged node's top-K
+    * over (candidates − deleted) is its original top-K (nothing it kept
+    * was removed, and everything below stays below); a damaged node's
+    * re-probe candidate set IS the rebuild's candidate set (banding is
+    * per-vector). The oracle rebuilds the lists over survivors from
+    * scratch; hash equality is the maintenance ≡ rebuild proof. Both the
+    * artifact build and the repair run in this one query by design (the
+    * `delete_propagation` / `incremental_dedup_edges`
+    * recompute-vs-maintain demonstration convention).
+    *
+    * Scale shape: the artifact build is [[knnJoin]]'s audited bucket
+    * cogroup; damage detection is a semi-join of the n×K list table
+    * against the delete ids; repair re-probes ONLY damaged nodes' bands
+    * against surviving bands — |damaged banding| × bucket occupancy, not
+    * a second corpus pass; the lists table is localCheckpointed (n×K
+    * rows) because keep/damage/union all read it.
+    */
+  def knnDeleteRepair(s: SparkSession, dir: String): DataFrame = {
+    val kk = K
+    val emb = embeddings(s, dir)
+    val isDel = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 3
+    val banded = hnswBanded(emb, 4, 20)
+      .localCheckpoint() // artifact self-join ×2 + repair probe ×2;
+                         // measured sf0.1 warm: 6.38 s with / 7.34 without
+    val scored = hnswScore(hnswCohabit(banded, banded), emb)
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("ncos").desc, col("nbr"))
+    // the persisted artifact: every node's top-K lists (knn_join's build)
+    val lists = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kk)
+      .localCheckpoint() // n×K rows; keep, damage, and union all read it
+    val surviving = lists.filter(!isDel(col("node")))
+    val damaged = surviving.filter(isDel(col("nbr")))
+      .select(col("node")).distinct()
+    val kept = surviving
+      .join(damaged.select(col("node")), Seq("node"), "left_anti")
+    // bounded repair: re-probe ONLY damaged nodes' buckets vs survivors
+    val bandedDamaged = banded
+      .join(damaged.select(col("node").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+    val bandedSurvivors = banded.filter(!isDel(col("vec_id")))
+    val repaired = hnswScore(
+        hnswCohabit(bandedDamaged, bandedSurvivors), emb)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kk)
+    kept.unionByName(repaired)
+      .select(col("node").as("vec_id"), col("rank"),
+        col("nbr").as("neighbor_id"), round(col("ncos"), 4).as("cos"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** The lists rebuilt over survivors from scratch — banding is
+    * per-vector, so filtering the shared bucket CTE afterwards is the
+    * survivor-only build; equality with the tombstone+repair path is the
+    * proof.
+    */
+  val knnDeleteRepairOracle: String =
+    s"""WITH ${signLshBucketsOracleCte(4, 20)},
+       |bs AS (SELECT vec_id, band, bucket FROM bb WHERE vec_id % 10 <> 3),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
+       |  FROM bs a JOIN bs b ON b.band = a.band AND b.bucket = a.bucket
+       |   AND b.vec_id <> a.vec_id),
+       |scored AS (
+       |  SELECT c.node, c.nbr, list_dot_product(en.v, eb.v) AS cos
+       |  FROM cand c JOIN e en ON en.vec_id = c.node
+       |              JOIN e eb ON eb.vec_id = c.nbr)
+       |SELECT vec_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT node AS vec_id, nbr AS neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY node
+       |           ORDER BY cos DESC, nbr) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K ORDER BY vec_id, rank""".stripMargin
+
   /** Per-label embedding centroids — the coarse-quantizer training step an
     * IVF index needs ([[annIvfTopk]] consumes exactly these buckets), and
     * the per-cluster drift monitor of an embedding pipeline. Emits per
@@ -2842,6 +2924,7 @@ object SimilarityOps {
     "incremental_ivf" -> (incrementalIvf _),
     "incremental_hnsw" -> (incrementalHnsw _),
     "knn_join" -> ((s: SparkSession, dir: String) => knnJoin(s, dir)),
+    "knn_delete_repair" -> (knnDeleteRepair _),
     "mmr_rerank" -> (mmrRerank _),
     "mmr_rerank_ann" -> (mmrRerankAnn _),
     "ann_hnsw_topk" -> ((s: SparkSession, dir: String) => annHnswTopk(s, dir)),
@@ -2876,6 +2959,7 @@ object SimilarityOps {
     "incremental_ivf" -> incrementalIvfOracle,
     "incremental_hnsw" -> incrementalHnswOracle,
     "knn_join" -> knnJoinOracle,
+    "knn_delete_repair" -> knnDeleteRepairOracle,
     "mmr_rerank" -> mmrRerankOracle,
     "mmr_rerank_ann" -> mmrRerankAnnOracle,
     "ann_hnsw_topk" -> annHnswTopkOracle,

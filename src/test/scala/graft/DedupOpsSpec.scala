@@ -692,4 +692,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(perNode.values.forall(_ <= 5))
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self pair leaked")
   }
+
+  test("knn_delete_repair: no deleted id survives anywhere; undamaged lists ride through unchanged") {
+    val full = SimilarityOps.knnJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val repaired = SimilarityOps.knnDeleteRepair(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(repaired.nonEmpty)
+    def del(id: Long) = id % 10 == 3
+    assert(repaired.forall(r => !del(r._1) && !del(r._3)),
+      "a deleted id survived tombstoning")
+    // dominance: a surviving node whose FULL-corpus list has no deleted
+    // neighbor must keep that list row-for-row after the delete batch
+    val undamaged = full.groupBy(_._1)
+      .filter { case (n, rs) => !del(n) && rs.forall(r => !del(r._3)) }
+    assert(undamaged.nonEmpty, "no undamaged node — test vacuous")
+    val byNode = repaired.groupBy(_._1)
+    undamaged.foreach { case (n, rs) =>
+      assert(byNode.get(n).map(_.sortBy(_._2).toSeq)
+          .contains(rs.sortBy(_._2).toSeq),
+        s"undamaged node $n list changed")
+    }
+  }
 }

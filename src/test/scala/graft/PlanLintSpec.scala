@@ -488,9 +488,14 @@ class PlanLintSpec extends AnyFunSuite {
                                   // maintained re-rank window + sym
                                   // distinct + digest agg (+sort) — the
                                   // rebuild-vs-maintain proof runs both
-      "incremental_sparse" -> 3)  // 2 era term-stat aggs off the seam tf
+      "incremental_sparse" -> 3,  // 2 era term-stat aggs off the seam tf
                                   // + the full-outer merge; 1-row digest,
                                   // no sort
+      "knn_delete_repair" -> 9)   // the artifact build (cohabit distinct +
+                                  // top-K window, checkpoint boundary) +
+                                  // the bounded damaged re-probe (cohabit
+                                  // distinct + window) + union (+sort) —
+                                  // build AND repair run by design
     val offenders = budget.flatMap { case (name, maxEx) =>
       // count ALL shuffle exchanges — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
