@@ -405,6 +405,104 @@ object SimilarityOps {
        |  FROM scored)
        |WHERE rank <= $K ORDER BY vec_id, rank""".stripMargin
 
+  /** Tombstoned-serving recall audit for the graph index (r14 — the
+    * SERVING side of the delete story [[knnDeleteRepair]] answers for
+    * the kNN artifact): real HNSW deployments (hnswlib, FAISS) handle
+    * deletes by TOMBSTONING — deleted nodes stay in the graph as
+    * traversal waypoints but are filtered from results — and compact
+    * only when degradation warrants the rebuild. This query measures
+    * exactly that degradation: the shipped best-first beam runs over the
+    * INTACT graph, deleted nodes (`vec_id % 10 = 3`, the delete-family
+    * convention) are dropped from the final beam, and the surviving
+    * top-K is scored against the exact top-K over survivors — per
+    * surviving query, `hits` and `recall`. Read against
+    * [[annHnswTopk]]'s intact-graph 0.96–1.0 recall, the gap IS the
+    * compaction trigger a deployment alarms on.
+    *
+    * Scale shape: one audited beam search (per-round work bounded by
+    * beamWidth·degree per query) + the exact baseline's broadcast-
+    * queries × survivor-corpus pass (the [[annCosineTopk]] shape — the
+    * ground truth is the audit's deliberate cost, queries are a bounded
+    * broadcast); the recall join touches K rows per query. The oracle
+    * restates the same beam via the shared CTE chain and filters the
+    * SAME final beam — both engines rank the identical candidate set.
+    */
+  def hnswTombstoneRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val isDel = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 3
+    val beam = annHnswBeam(s, dir, bitsPerBand = HnswIndex.BitsPerBand,
+      bands = HnswIndex.Bands, degree = HnswIndex.Degree,
+      levelMod = HnswIndex.LevelMod, entries = HnswIndex.Entries,
+      beamWidth = HnswIndex.BeamWidth, rounds = HnswIndex.Rounds)
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node"))
+    val ttop = beam
+      .filter(col("node") =!= col("query_id") &&
+        !isDel(col("node")) && !isDel(col("query_id")))
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("node"))
+    val qs = emb.filter(col("vec_id") < NQueries && !isDel(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = emb.filter(!isDel(col("vec_id")))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("node"),
+        dot(col("qv"), col("v")).as("cos"))
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("node"))
+    val hits = ttop.join(exact, Seq("query_id", "node"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    qs.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("query_id"), col("hits"),
+        round(col("hits").cast("double") / K, 4).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** The same final beam filtered the same way, against the same exact
+    * survivor baseline — per-query hit counts value-checked.
+    */
+  val hnswTombstoneRecallOracle: String = {
+    val r = HnswIndex.Rounds
+    s"""WITH ${annHnswBeamCtes(degree = HnswIndex.Degree,
+      levelMod = HnswIndex.LevelMod, entries = HnswIndex.Entries,
+      beamWidth = HnswIndex.BeamWidth, rounds = r)},
+       |ttop AS (
+       |  SELECT query_id, node FROM (
+       |    SELECT s.query_id, s.node,
+       |           row_number() OVER (PARTITION BY s.query_id
+       |             ORDER BY s.cos DESC, s.node) AS rk
+       |    FROM s$r s JOIN b$r b ON b.query_id = s.query_id
+       |                         AND b.node = s.node
+       |    WHERE s.node <> s.query_id AND s.node % 10 <> 3
+       |      AND s.query_id % 10 <> 3)
+       |  WHERE rk <= $K),
+       |qs AS (SELECT query_id FROM q WHERE query_id % 10 <> 3),
+       |exact AS (
+       |  SELECT query_id, node FROM (
+       |    SELECT q.query_id, c.vec_id AS node,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY list_dot_product(q.qv, c.v) DESC,
+       |                      c.vec_id) AS rk
+       |    FROM q JOIN e c ON c.vec_id <> q.query_id
+       |                   AND c.vec_id % 10 <> 3
+       |    WHERE q.query_id % 10 <> 3)
+       |  WHERE rk <= $K),
+       |hits AS (
+       |  SELECT t.query_id, count(*) AS hits
+       |  FROM ttop t JOIN exact x ON x.query_id = t.query_id
+       |                          AND x.node = t.node
+       |  GROUP BY t.query_id)
+       |SELECT qs.query_id,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |       round(coalesce(h.hits, 0) / CAST($K AS DOUBLE), 4) AS recall
+       |FROM qs LEFT JOIN hits h ON h.query_id = qs.query_id
+       |ORDER BY qs.query_id""".stripMargin
+  }
+
   /** Per-label embedding centroids — the coarse-quantizer training step an
     * IVF index needs ([[annIvfTopk]] consumes exactly these buckets), and
     * the per-cluster drift monitor of an embedding pipeline. Emits per
@@ -2925,6 +3023,7 @@ object SimilarityOps {
     "incremental_hnsw" -> (incrementalHnsw _),
     "knn_join" -> ((s: SparkSession, dir: String) => knnJoin(s, dir)),
     "knn_delete_repair" -> (knnDeleteRepair _),
+    "hnsw_tombstone_recall" -> (hnswTombstoneRecall _),
     "mmr_rerank" -> (mmrRerank _),
     "mmr_rerank_ann" -> (mmrRerankAnn _),
     "ann_hnsw_topk" -> ((s: SparkSession, dir: String) => annHnswTopk(s, dir)),
@@ -2960,6 +3059,7 @@ object SimilarityOps {
     "incremental_hnsw" -> incrementalHnswOracle,
     "knn_join" -> knnJoinOracle,
     "knn_delete_repair" -> knnDeleteRepairOracle,
+    "hnsw_tombstone_recall" -> hnswTombstoneRecallOracle,
     "mmr_rerank" -> mmrRerankOracle,
     "mmr_rerank_ann" -> mmrRerankAnnOracle,
     "ann_hnsw_topk" -> annHnswTopkOracle,

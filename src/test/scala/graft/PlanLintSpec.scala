@@ -491,11 +491,17 @@ class PlanLintSpec extends AnyFunSuite {
       "incremental_sparse" -> 3,  // 2 era term-stat aggs off the seam tf
                                   // + the full-outer merge; 1-row digest,
                                   // no sort
-      "knn_delete_repair" -> 9)   // the artifact build (cohabit distinct +
+      "knn_delete_repair" -> 9,   // the artifact build (cohabit distinct +
                                   // top-K window, checkpoint boundary) +
                                   // the bounded damaged re-probe (cohabit
                                   // distinct + window) + union (+sort) —
                                   // build AND repair run by design
+      "hnsw_tombstone_recall" -> 8) // the seam-fed beam's per-round
+                                  // frontier distincts + the filtered
+                                  // top-K window + the exact-survivor
+                                  // baseline window + hit agg (+sort) —
+                                  // the exact baseline is the audit's
+                                  // deliberate cost
     val offenders = budget.flatMap { case (name, maxEx) =>
       // count ALL shuffle exchanges — anchored so the match can't land
       // inside "BroadcastExchange"/"ReusedExchange" node names (broadcasts
