@@ -89,7 +89,7 @@ object StreamingIvf {
       lineage: String)(batch: DataFrame, batchId: Long): Unit = {
     val tag = s"$lineage-$batchId"
     val spark = batch.sparkSession
-    val seen = readStore(spark, storePath)
+    val seen = readStore(spark, s"$storePath/assign")
       .filter(!(col("batch") <=> lit(tag))) // own partition = failed attempt
       .select(col("vec_id").as("seen_id")).distinct()
     val novel = batch
@@ -100,12 +100,40 @@ object StreamingIvf {
     val assigned = graft.ops.SimilarityOps.ivfAssign(novel, cents)
     if (!assigned.isEmpty)
       assigned.write.mode(SaveMode.Overwrite)
-        .parquet(s"$storePath/batch=$tag")
+        .parquet(s"$storePath/assign/batch=$tag")
   }
 
-  /** The maintained index: every assignment made so far. */
+  private val tombSchema = StructType.fromDDL("vec_id BIGINT")
+
+  /** Record a delete batch: ids land as tombstones and every serving
+    * read excludes them — deletes never rewrite the assignment
+    * partitions (the hnsw_tombstone_recall / knn_delete_repair delete
+    * discipline; for IVF the tombstone IS exact maintenance, because
+    * bucket stats are additive over disjoint vectors). Re-applying a
+    * delete is a no-op (anti-join semantics), so the call is idempotent
+    * under retries.
+    */
+  def applyDeletes(spark: SparkSession, storePath: String,
+      ids: DataFrame): Unit =
+    ids.select(col("vec_id")).distinct()
+      .write.mode(SaveMode.Append).parquet(s"$storePath/tombstones")
+
+  private def tombstones(spark: SparkSession, storePath: String): DataFrame = {
+    val hPath = new HPath(s"$storePath/tombstones")
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hPath))
+      spark.read.schema(tombSchema).parquet(s"$storePath/tombstones")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tombSchema)
+  }
+
+  /** The maintained index: every live assignment (tombstoned ids
+    * excluded).
+    */
   def assignments(spark: SparkSession, storePath: String): DataFrame =
-    readStore(spark, storePath).select(col("vec_id"), col("cid"), col("d"))
+    readStore(spark, s"$storePath/assign").select(col("vec_id"), col("cid"), col("d"))
+      .join(tombstones(spark, storePath)
+          .select(col("vec_id").as("dead_id")).distinct(),
+        col("vec_id") === col("dead_id"), "left_anti")
 
   /** Per-bucket serving stats over the maintained index. */
   def counts(spark: SparkSession, storePath: String): DataFrame =

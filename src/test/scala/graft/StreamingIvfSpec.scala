@@ -59,5 +59,21 @@ class StreamingIvfSpec extends AnyFunSuite {
       store, root.resolve("ckpt2").toString)
     assert(StreamingIvf.assignments(spark, store).count() ==
       expected.size.toLong, "re-drain double-counted assignments")
+
+    // delete batch: tombstones ARE exact IVF maintenance (bucket stats
+    // are additive over disjoint vectors) — live assignments must equal
+    // the survivor subset, and re-applying the deletes is a no-op
+    val delIds = emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+      .select(col("vec_id"))
+    StreamingIvf.applyDeletes(spark, store, delIds)
+    val live = StreamingIvf.assignments(spark, store).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val survivors = expected.filter(_._1 % 10 != 3)
+    assert(live == survivors,
+      s"post-delete assignments diverge: missing=${survivors.diff(live).take(3)} " +
+        s"extra=${live.diff(survivors).take(3)}")
+    StreamingIvf.applyDeletes(spark, store, delIds) // idempotent
+    assert(StreamingIvf.assignments(spark, store).count() ==
+      survivors.size.toLong, "re-applied delete changed the index")
   }
 }
