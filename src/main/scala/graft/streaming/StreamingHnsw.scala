@@ -76,6 +76,82 @@ object StreamingHnsw {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
+  private val tombSchema = StructType.fromDDL("vec_id BIGINT")
+
+  private def tombstones(spark: SparkSession, storePath: String): DataFrame = {
+    val hPath = new HPath(s"$storePath/tombstones")
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hPath))
+      spark.read.schema(tombSchema).parquet(s"$storePath/tombstones")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tombSchema)
+  }
+
+  /** Exclude tombstoned ids from a frame keyed by `vec_id`. */
+  private def live(df: DataFrame, spark: SparkSession,
+      storePath: String): DataFrame =
+    df.join(tombstones(spark, storePath)
+        .select(col("vec_id").as("dead_id")).distinct(),
+      col("vec_id") === col("dead_id"), "left_anti")
+
+  /** Record a delete batch (idempotent tombstone append — the
+    * [[StreamingIvf.applyDeletes]] discipline). The ARTIFACT keeps its
+    * edges until [[compact]]: tombstone-period serving filters deleted
+    * nodes from results (the `hnsw_tombstone_recall` semantics, measured
+    * there); a tombstoned id can never re-enter via insert, and deleting
+    * a never-indexed id pre-deletes it.
+    */
+  def applyDeletes(spark: SparkSession, storePath: String,
+      ids: DataFrame): Unit =
+    ids.select(col("vec_id")).distinct()
+      .write.mode(SaveMode.Append).parquet(s"$storePath/tombstones")
+
+  /** Compaction — the [[graft.ops.SimilarityOps.knnDeleteRepair]]
+    * dominance algebra applied to the artifact: drop deleted nodes'
+    * lists, keep every undamaged list (nothing kept was removed,
+    * everything below stays below), re-probe ONLY damaged nodes' buckets
+    * against survivors (the banded store makes the re-probe bounded).
+    * The compacted artifact equals a full rebuild over the live ids —
+    * StreamingHnswSpec pins it — and subsequent inserts stay
+    * pigeonhole-exact on top of it. Tombstones are retained (they also
+    * gate future re-ingest); a production deployment gives them a TTL
+    * once the ids can no longer arrive.
+    */
+  def compact(spark: SparkSession, storePath: String): Unit = {
+    val dead = tombstones(spark, storePath)
+      .select(col("vec_id").as("dead_id")).distinct()
+    val outStore = readStore(spark, s"$storePath/out", outSchema)
+    val prevSeq = outStore.agg(coalesce(max(col("seq")), lit(0L)))
+      .collect()(0).getLong(0)
+    val prevOut = outStore.filter(col("seq") === prevSeq)
+      .select(col("node"), col("nbr"), col("ncos"))
+      .localCheckpoint() // survivors/damaged/kept all read it
+    val surviving = prevOut
+      .join(dead, col("node") === col("dead_id"), "left_anti")
+    val damaged = surviving
+      .join(dead, col("nbr") === col("dead_id"), "left_semi")
+      .select(col("node")).distinct()
+    val kept = surviving
+      .join(damaged.select(col("node")), Seq("node"), "left_anti")
+    val bandedSurv = live(
+      readStore(spark, s"$storePath/banded", bandedSchema)
+        .select(col("vec_id"), col("band"), col("bucket")),
+      spark, storePath)
+    val bandedDamaged = bandedSurv
+      .join(damaged.select(col("node").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+    val vecsLive = live(
+      readStore(spark, s"$storePath/vecs", vecsSchema)
+        .select(col("vec_id"), col("v")), spark, storePath)
+    val repaired = SimilarityOps.hnswTopOut(
+      SimilarityOps.hnswScore(
+        SimilarityOps.hnswCohabit(bandedDamaged, bandedSurv), vecsLive),
+      HnswIndex.Degree)
+    kept.unionByName(repaired)
+      .withColumn("seq", lit(prevSeq + 1L))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$storePath/out/batch=compact-${prevSeq + 1L}")
+  }
+
   private def writeBatch(storePath: String, lineage: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val tag = s"$lineage-$batchId"
@@ -84,20 +160,23 @@ object StreamingHnsw {
       df.filter(!(col("batch") <=> lit(tag)))
     val vecsStore = notOwn(readStore(spark, s"$storePath/vecs", vecsSchema))
       .select(col("vec_id"), col("v"))
-    // identity novelty: a vec_id already indexed is a re-ingest; inserting
-    // it again would self-pair and double candidate edges
-    val novel = batch
+    // identity novelty: a vec_id already indexed is a re-ingest (and a
+    // tombstoned one stays dead); inserting either would corrupt the
+    // candidate algebra
+    val novel = live(batch
       .select(col("vec_id"),
         normalize(toDoubleArray(col("embedding"))).as("v"))
       .join(vecsStore.select(col("vec_id").as("seen_id")).distinct(),
-        col("vec_id") === col("seen_id"), "left_anti")
+        col("vec_id") === col("seen_id"), "left_anti"), spark, storePath)
       .localCheckpoint() // read 4× below (banding, union, empty-probe, write)
     if (!novel.isEmpty) {
       val bandedDelta = SimilarityOps.hnswBanded(novel,
         HnswIndex.BitsPerBand, HnswIndex.Bands).localCheckpoint()
-      val bandedAll = notOwn(
+      // candidates come from LIVE ids only — a tombstoned waypoint must
+      // not gain new edges (post-compact inserts stay rebuild-exact)
+      val bandedAll = live(notOwn(
           readStore(spark, s"$storePath/banded", bandedSchema))
-        .select(col("vec_id"), col("band"), col("bucket"))
+        .select(col("vec_id"), col("band"), col("bucket")), spark, storePath)
         .unionByName(bandedDelta)
       val deltaCand = SimilarityOps.hnswCohabit(bandedDelta, bandedAll)
         .unionByName(SimilarityOps.hnswCohabit(bandedAll, bandedDelta))
