@@ -51,6 +51,8 @@ class PlanLintSpec extends AnyFunSuite {
     "mmr_rerank",      // NQueries-row query-vector broadcast feeding the scorer
     "incremental_ivf", // L-row frozen-centroid broadcast per era assignment
     "ann_truncated_recall", // NQueries-row query broadcast, both rankings
+    "hnsw_tombstone_recall", // NQueries-row surviving-query broadcast —
+                            // the exact survivor baseline's scorer pass
     "hard_negative_mining", // NQueries-row query broadcast, one scored pass
     "retrieval_metrics",    // NQueries-row query broadcast, three rankings
     "kcenter_coreset",      // 1-row collected-centers broadcast per round
