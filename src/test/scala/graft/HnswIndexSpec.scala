@@ -109,4 +109,54 @@ class HnswIndexSpec extends AnyFunSuite {
       } finally stream.close()
     }
   }
+
+  test("property: insert ≡ rebuild on random corpora and random era splits (ties, empty eras, degree boundaries)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions._
+    import graft.ops.{HnswIndex, SimilarityOps}
+    val sparkRef = spark
+    import sparkRef.implicits._
+    // tiny integer-grid vectors make cosine TIES likely (the re-rank's
+    // (ncos DESC, nbr) tie-break is exactly what the pigeonhole argument
+    // leans on), dims 2-3 make bucket collisions dense, degree 1-3 makes
+    // the top-degree cut bite
+    val corpus = for {
+      d <- Gen.choose(2, 3)
+      n <- Gen.choose(4, 14)
+      vs <- Gen.listOfN(n, Gen.listOfN(d, Gen.choose(-2, 2).map(_.toDouble))
+        .suchThat(_.exists(_ != 0.0)))
+    } yield vs
+    val prop = Prop.forAll(corpus, Gen.choose(1, 3),
+        Gen.choose(0, 100)) { (vs, degree, seed) =>
+      val emb = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "raw")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.normalize(col("raw")).as("v"))
+        .localCheckpoint()
+      val banded = SimilarityOps.hnswBanded(emb, 4, 6).localCheckpoint()
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP))).toSeq.sorted
+      val full = SimilarityOps.hnswTopOut(
+        SimilarityOps.hnswScore(
+          SimilarityOps.hnswCohabit(banded, banded), emb), degree)
+      // random era split — including all-delta and all-base corners
+      val isDelta = pmod(col("vec_id") + seed, lit(3)) === 0
+      val bandedBase = banded.filter(!isDelta)
+      val bandedDelta = banded.filter(isDelta)
+      val baseOut = SimilarityOps.hnswTopOut(
+        SimilarityOps.hnswScore(
+          SimilarityOps.hnswCohabit(bandedBase, bandedBase), emb), degree)
+      val deltaCand = SimilarityOps.hnswCohabit(bandedDelta, banded)
+        .unionByName(SimilarityOps.hnswCohabit(banded, bandedDelta))
+        .distinct()
+      val maintained = HnswIndex.insert(baseOut,
+        SimilarityOps.hnswScore(deltaCand, emb), degree)
+      bag(maintained) == bag(full)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
