@@ -405,6 +405,66 @@ object SimilarityOps {
        |  FROM scored)
        |WHERE rank <= $K ORDER BY vec_id, rank""".stripMargin
 
+  /** SemDeDup-proper cluster formation over the kNN artifact (r14 —
+    * Abbas et al. 2023's actual pipeline shape: build the semantic
+    * neighbor graph, threshold it, take connected components, keep one
+    * representative per component): [[knnJoin]]'s corpus-wide top-K
+    * lists filtered at cosine ≥ 0.35 (the [[DedupOps.semDedup]] family
+    * threshold) become the edge set, and the audited Borůvka
+    * hook-compress-contract closure ([[ClusterOps]]) labels every
+    * clustered vector with its min-id representative and the keep/drop
+    * verdict. Complements [[DedupOps.semDedup]] (cluster-seeded GREEDY
+    * min-id drop — cheap, transitive-closure-free) with the exact
+    * component semantics a dedup audit wants: A~B~C all land in ONE
+    * cluster even when cos(A,C) < τ.
+    *
+    * Scale shape: the edge set is the knn artifact (bucket-cogrouped,
+    * never all-pairs; K-bounded per node, so |edges| ≤ K·n), and the
+    * closure is the node-sized CC machinery every dedup_clusters query
+    * already runs — joins-only, O(log diameter) levels, propagation
+    * behind localCheckpoints. The oracle composes the knn
+    * transliteration with the recursive-CTE closure verbatim.
+    */
+  def semdedupKnn(s: SparkSession, dir: String): DataFrame =
+    ClusterOps.clustersOver(
+        knnJoin(s, dir)
+          .filter(col("cos") >= 0.35)
+          .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"), col("keep"))
+      .orderBy("vec_id")
+
+  val semdedupKnnOracle: String =
+    s"""WITH RECURSIVE ${signLshBucketsOracleCte(4, 20)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
+       |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
+       |   AND b.vec_id <> a.vec_id),
+       |scored AS (
+       |  SELECT c.node, c.nbr, list_dot_product(en.v, eb.v) AS cos
+       |  FROM cand c JOIN e en ON en.vec_id = c.node
+       |              JOIN e eb ON eb.vec_id = c.nbr),
+       |lists AS (
+       |  SELECT node, nbr, cos FROM (
+       |    SELECT node, nbr, cos,
+       |           row_number() OVER (PARTITION BY node
+       |             ORDER BY cos DESC, nbr) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $K),
+       |pairs AS (
+       |  SELECT node AS doc_a, nbr AS doc_b FROM lists
+       |  WHERE round(cos, 4) >= 0.35),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT u AS src, u AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+       |SELECT src AS vec_id, min(dst) AS cluster_rep,
+       |       src = min(dst) AS keep
+       |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
+
   /** Tombstoned-serving recall audit for the graph index (r14 — the
     * SERVING side of the delete story [[knnDeleteRepair]] answers for
     * the kNN artifact): real HNSW deployments (hnswlib, FAISS) handle
@@ -3024,6 +3084,7 @@ object SimilarityOps {
     "knn_join" -> ((s: SparkSession, dir: String) => knnJoin(s, dir)),
     "knn_delete_repair" -> (knnDeleteRepair _),
     "hnsw_tombstone_recall" -> (hnswTombstoneRecall _),
+    "semdedup_knn" -> (semdedupKnn _),
     "mmr_rerank" -> (mmrRerank _),
     "mmr_rerank_ann" -> (mmrRerankAnn _),
     "ann_hnsw_topk" -> ((s: SparkSession, dir: String) => annHnswTopk(s, dir)),
@@ -3060,6 +3121,7 @@ object SimilarityOps {
     "knn_join" -> knnJoinOracle,
     "knn_delete_repair" -> knnDeleteRepairOracle,
     "hnsw_tombstone_recall" -> hnswTombstoneRecallOracle,
+    "semdedup_knn" -> semdedupKnnOracle,
     "mmr_rerank" -> mmrRerankOracle,
     "mmr_rerank_ann" -> mmrRerankAnnOracle,
     "ann_hnsw_topk" -> annHnswTopkOracle,

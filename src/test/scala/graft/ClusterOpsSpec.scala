@@ -75,6 +75,18 @@ class ClusterOpsSpec extends AnyFunSuite {
     checkAgainstUnionFind(got, edges.toSeq)
   }
 
+  test("semdedup_knn matches union-find over the thresholded kNN edges") {
+    import org.apache.spark.sql.functions.col
+    val edges = graft.ops.SimilarityOps.knnJoin(spark, dir)
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "no kNN edges at cos >= 0.35 at sf0.001")
+    val got = graft.ops.SimilarityOps.semdedupKnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    checkAgainstUnionFind(got, edges.toSeq)
+  }
+
   test("delete_propagation: deleting a bridge splits the cluster; isolated survivors keep themselves") {
     import org.apache.spark.sql.SparkSession
     val s: SparkSession = spark

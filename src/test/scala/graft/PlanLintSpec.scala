@@ -498,6 +498,10 @@ class PlanLintSpec extends AnyFunSuite {
                                   // the bounded damaged re-probe (cohabit
                                   // distinct + window) + union (+sort) —
                                   // build AND repair run by design
+      "semdedup_knn" -> 5,        // the knn artifact build (cohabit
+                                  // distinct + top-K window) + the CC
+                                  // closure's planned tail (propagation
+                                  // behind checkpoints) (+sort)
       "hnsw_tombstone_recall" -> 8) // the seam-fed beam's per-round
                                   // frontier distincts + the filtered
                                   // top-K window + the exact-survivor
