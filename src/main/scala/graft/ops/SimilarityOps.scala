@@ -277,7 +277,7 @@ object SimilarityOps {
     *
     * Scale shape: NEVER all-pairs — candidates are the banded bucket
     * cogroup ([[hnswCohabit]], linear in bucket occupancy; occupancy is
-    * the [[dedupLshTune]]-audited knob), scoring is two id-keyed vector
+    * the [[annLshOccupancy]]-audited knob), scoring is two id-keyed vector
     * lookups per candidate, and the only corpus-wide shuffle is the
     * per-node top-K window (bounded by per-node candidate counts). At
     * 100 TB this is exactly the shape a full-corpus kNN materialization
@@ -404,6 +404,50 @@ object SimilarityOps {
        |           ORDER BY cos DESC, nbr) AS rank
        |  FROM scored)
        |WHERE rank <= $K ORDER BY vec_id, rank""".stripMargin
+
+  /** Sign-LSH bucket-occupancy audit (r14 — the `dedup_lsh_tune` genre
+    * for the VECTOR banding): every sign-LSH consumer's cost is linear
+    * in bucket occupancy — candidate volume is Σ c·(c−1) over bucket
+    * sizes c — so this per-band table (bucket count, max/mean occupancy,
+    * exact directed candidate-pair mass) is the number that PREDICTS
+    * [[knnJoin]] / [[hnswOutInline]] / [[annSignLsh]] work before
+    * running it, and the knob an operator re-tunes `bitsPerBand` against
+    * when a corpus grows or drifts denser. At the search banding (4×20)
+    * a band has ≤ 16 buckets; a `max_occ` approaching n says that band
+    * contributes near-quadratic candidates and the banding needs more
+    * bits.
+    *
+    * Scale shape: ONE narrow banding pass + one (band, bucket)-keyed
+    * count + one band-keyed rollup — no joins at all; the audit costs
+    * less than any consumer it predicts.
+    */
+  def annLshOccupancy(s: SparkSession, dir: String): DataFrame =
+    annLshOccupancy(s, dir, bitsPerBand = 4, bands = 20)
+
+  def annLshOccupancy(s: SparkSession, dir: String, bitsPerBand: Int,
+      bands: Int): DataFrame = {
+    val emb = embeddings(s, dir)
+    hnswBanded(emb, bitsPerBand, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_occ"),
+        round(avg(col("c")), 4).as("mean_occ"),
+        sum(col("c") * (col("c") - 1)).as("cand_pairs"))
+      .orderBy("band")
+  }
+
+  val annLshOccupancyOracle: String =
+    s"""WITH ${signLshBucketsOracleCte(4, 20)},
+       |occ AS (
+       |  SELECT band, bucket, count(*) AS c
+       |  FROM bb GROUP BY band, bucket)
+       |SELECT CAST(band AS INT) AS band, count(*) AS n_buckets,
+       |       CAST(max(c) AS BIGINT) AS max_occ,
+       |       round(avg(c), 4) AS mean_occ,
+       |       CAST(sum(c * (c - 1)) AS BIGINT) AS cand_pairs
+       |FROM occ GROUP BY band ORDER BY band""".stripMargin
 
   /** SemDeDup-proper cluster formation over the kNN artifact (r14 —
     * Abbas et al. 2023's actual pipeline shape: build the semantic
@@ -3085,6 +3129,8 @@ object SimilarityOps {
     "knn_delete_repair" -> (knnDeleteRepair _),
     "hnsw_tombstone_recall" -> (hnswTombstoneRecall _),
     "semdedup_knn" -> (semdedupKnn _),
+    "ann_lsh_occupancy" -> ((s: SparkSession, dir: String) =>
+      annLshOccupancy(s, dir)),
     "mmr_rerank" -> (mmrRerank _),
     "mmr_rerank_ann" -> (mmrRerankAnn _),
     "ann_hnsw_topk" -> ((s: SparkSession, dir: String) => annHnswTopk(s, dir)),
@@ -3122,6 +3168,7 @@ object SimilarityOps {
     "knn_delete_repair" -> knnDeleteRepairOracle,
     "hnsw_tombstone_recall" -> hnswTombstoneRecallOracle,
     "semdedup_knn" -> semdedupKnnOracle,
+    "ann_lsh_occupancy" -> annLshOccupancyOracle,
     "mmr_rerank" -> mmrRerankOracle,
     "mmr_rerank_ann" -> mmrRerankAnnOracle,
     "ann_hnsw_topk" -> annHnswTopkOracle,

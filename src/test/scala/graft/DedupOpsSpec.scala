@@ -715,6 +715,33 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_lsh_occupancy: ≤2^bits buckets per band, occupancy mass = corpus, candidate mass brackets the distinct cohabit pairs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.{normalize, toDoubleArray}
+    val rows = SimilarityOps.annLshOccupancy(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.length == 20)
+    assert(rows.forall(_._2 <= 16), "more than 2^4 buckets in a band")
+    val n = graft.ops.Tables(spark, dir, "embeddings").count()
+    rows.foreach { case (band, nb, _, mean, _) =>
+      assert(math.abs(mean * nb - n) < 1e-6 * n + 1e-6,
+        s"band $band occupancy mass ${mean * nb} != corpus $n")
+    }
+    // the OR-construction: distinct directed cohabit pairs are bounded
+    // above by the summed per-band mass (multi-band collisions dedup)
+    // and below by any single band's mass
+    val emb = graft.ops.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), normalize(toDoubleArray(col("embedding"))).as("v"))
+    val banded = SimilarityOps.hnswBanded(emb, 4, 20)
+    val distinctPairs =
+      SimilarityOps.hnswCohabit(banded, banded).count()
+    assert(distinctPairs <= rows.map(_._5).sum,
+      "distinct pairs exceed the union bound")
+    assert(distinctPairs >= rows.map(_._5).max,
+      "distinct pairs below a single band's mass")
+  }
+
   test("hnsw_tombstone_recall: one row per surviving query; tombstoned serving holds recall ≥ 0.8 at 10% deletion here") {
     val rows = SimilarityOps.hnswTombstoneRecall(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
