@@ -40,9 +40,17 @@ object SparseIndex {
     * lesson), localCheckpointed because its consumers walk it 5-6× per
     * query execution.
     */
-  def build(s: SparkSession, dir: String): DataFrame = {
+  def build(s: SparkSession, dir: String): DataFrame =
+    buildFor(Tables(s, dir, "documents")).localCheckpoint()
+
+  /** The same postings build over ANY `(doc_id, text)` frame — per-doc
+    * rows are a pure function of the doc, which is what makes the
+    * streaming maintainer ([[graft.streaming.StreamingSparse]])
+    * chop-independent.
+    */
+  def buildFor(docs: DataFrame): DataFrame = {
     val toks = split(DedupOps.normText(col("text")), " ")
-    Tables(s, dir, "documents")
+    docs
       .select(col("doc_id"), toks.as("t"))
       .withColumn("n", greatest(size(col("t")) - (ShingleK - 1), lit(0)))
       .filter(col("n") >= 1)
@@ -51,7 +59,6 @@ object SparseIndex {
           i => concat_ws(" ", slice(col("t"), i, lit(ShingleK))))).as("s"))
       .groupBy(col("doc_id"), col("s"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
   }
 
   /** Materialize the tf table for `dir` once per session (idempotent).

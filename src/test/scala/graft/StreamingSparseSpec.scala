@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.SparseIndex
+import graft.streaming.StreamingSparse
+
+/** Stream/batch parity for inverted-index maintenance: the drained
+  * postings store must equal the one-shot batch build — chop-independent
+  * because a doc's postings are a pure function of the doc and eras are
+  * doc-disjoint (SparseIndex.insert's union algebra under foreachBatch).
+  * Deletes are doc tombstones (exact — postings are doc-keyed); a
+  * fresh-checkpoint re-drain grows nothing and cannot resurrect deleted
+  * docs.
+  */
+class StreamingSparseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("drained postings equal the batch build; term stats agree; delete + re-drain leaves survivors only") {
+    def bag(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+    val docs = graft.ops.Tables(spark, dir, "documents")
+    val full = bag(SparseIndex.build(spark, dir))
+    assert(full.nonEmpty)
+
+    val root = Files.createTempDirectory("graft-ssparse")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    for (pred <- Seq("doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"))
+      docs.filter(pred).coalesce(1).write.mode("append").parquet(in.toString)
+    StreamingSparse.runAvailableNow(spark, docs.schema, in.toString, store,
+      root.resolve("ckpt1").toString)
+    assert(bag(StreamingSparse.postings(spark, store)) == full,
+      "drained postings ≠ batch build")
+    def stats(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      SparseIndex.termStats(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(stats(StreamingSparse.postings(spark, store)) ==
+      stats(SparseIndex.build(spark, dir)), "term stats diverge")
+
+    // delete + fresh-checkpoint re-drain: survivors only, no resurrection
+    StreamingSparse.applyDeletes(spark, store,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id")))
+    val survivors = full.filter(_._1 % 10 != 3)
+    assert(bag(StreamingSparse.postings(spark, store)) == survivors,
+      "post-delete postings ≠ survivor subset")
+    StreamingSparse.runAvailableNow(spark, docs.schema, in.toString, store,
+      root.resolve("ckpt2").toString)
+    assert(bag(StreamingSparse.postings(spark, store)) == survivors,
+      "re-drain resurrected or duplicated postings")
+  }
+}
