@@ -1905,8 +1905,17 @@ object SimilarityOps {
     * beam. The oracle rides one shared index CTE chain with
     * name-prefixed beam levels per width — three beams, one index.
     */
+  /** The sweep's beam widths, DERIVED from the shipped ef so a config
+    * change re-centers the recall-vs-cost curve on the new operating
+    * point instead of silently measuring a stale one (r14 code-review —
+    * the same de-alignment the HnswIndex constant hoist fixed for the
+    * search parameters).
+    */
+  private[graft] val BeamSweepWidths =
+    Seq(HnswIndex.BeamWidth / 4, HnswIndex.BeamWidth / 2, HnswIndex.BeamWidth)
+
   def annBeamSweep(s: SparkSession, dir: String): DataFrame = {
-    val beams = Seq(12, 24, 48)
+    val beams = BeamSweepWidths
     // ONE search pass for all three widths: the beam table carries `bw`
     // as a key and the truncation filters rn <= bw, so each (bw, query)
     // slice evolves exactly as its independent search would while the
@@ -1971,10 +1980,10 @@ object SimilarityOps {
   }
 
   val annBeamSweepOracle: String = {
-    val levels = Seq(12, 24, 48).map(bw =>
+    val levels = BeamSweepWidths.map(bw =>
       annHnswBeamLevelCtes(bw, rounds = HnswIndex.Rounds, prefix = s"w${bw}_"))
       .mkString(",\n")
-    val perBeam = Seq(12, 24, 48).map { bw =>
+    val perBeam = BeamSweepWidths.map { bw =>
       s"""rec$bw AS (
          |  SELECT $bw AS beam_width, round(avg(hits / 5.0), 4)
          |           AS mean_recall
@@ -1994,7 +2003,7 @@ object SimilarityOps {
          |      WHERE t.rk <= $K) hit ON hit.query_id = q.query_id
          |    GROUP BY q.query_id))""".stripMargin
     }.mkString(",\n")
-    val union = Seq(12, 24, 48)
+    val union = BeamSweepWidths
       .map(bw => s"SELECT beam_width, mean_recall FROM rec$bw")
       .mkString(" UNION ALL ")
     s"""WITH ${annHnswSharedCtes(degree = HnswIndex.Degree,

@@ -42,32 +42,8 @@ object StreamingDedup {
   private val storeSchema = StructType(Seq(
     StructField("fingerprint", StringType), StructField("batch", StringType)))
 
-  private def lineageId(spark: SparkSession, checkpointDir: String): String = {
-    val f = new HPath(checkpointDir, "graft-dedup-lineage")
-    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
-    val existing =
-      if (!fs.exists(f)) ""
-      else {
-        val in = fs.open(f)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      }
-    // empty == absent: a crash between create and write must not pin the
-    // lineage to "" forever (colliding "-<batchId>" tags across checkpoints
-    // sharing a store would overwrite each other's partitions)
-    if (existing.nonEmpty) existing
-    else {
-      val id = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = new HPath(checkpointDir, s"graft-dedup-lineage.tmp-$id")
-      val out = fs.create(tmp, true)
-      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      // rename is the atomicity point; if it loses a race, adopt the winner
-      if (fs.rename(tmp, f)) id
-      else { fs.delete(tmp, false); lineageId(spark, checkpointDir) }
-    }
-  }
+  private def lineageId(spark: SparkSession, checkpointDir: String): String =
+    StoreUtil.lineageId(spark, checkpointDir, "graft-dedup-lineage")
 
   /** The store-guarded per-batch write shared by both deployment shapes. */
   private def writeBatch(storePath: String, outDir: String, lineage: String)(

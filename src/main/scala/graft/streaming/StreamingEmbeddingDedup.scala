@@ -58,28 +58,8 @@ object StreamingEmbeddingDedup {
       .select(col("vec_id"), col("label"), col("pos").as("band"),
         col("col").as("bucket"), col("v"))
 
-  private def lineageId(spark: SparkSession, checkpointDir: String): String = {
-    val f = new HPath(checkpointDir, "graft-embdedup-lineage")
-    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
-    val existing =
-      if (!fs.exists(f)) ""
-      else {
-        val in = fs.open(f)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      }
-    if (existing.nonEmpty) existing
-    else {
-      val id = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = new HPath(checkpointDir, s"graft-embdedup-lineage.tmp-$id")
-      val out = fs.create(tmp, true)
-      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (fs.rename(tmp, f)) id
-      else { fs.delete(tmp, false); lineageId(spark, checkpointDir) }
-    }
-  }
+  private def lineageId(spark: SparkSession, checkpointDir: String): String =
+    StoreUtil.lineageId(spark, checkpointDir, "graft-embdedup-lineage")
 
   private def storeSchema: StructType = StructType.fromDDL(
     "vec_id BIGINT, label INT, band INT, bucket BIGINT, " +

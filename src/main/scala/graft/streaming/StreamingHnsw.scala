@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -38,28 +37,8 @@ import graft.ops.{HnswIndex, SimilarityOps}
   */
 object StreamingHnsw {
 
-  private def lineageId(spark: SparkSession, checkpointDir: String): String = {
-    val f = new HPath(checkpointDir, "graft-shnsw-lineage")
-    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
-    val existing =
-      if (!fs.exists(f)) ""
-      else {
-        val in = fs.open(f)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      }
-    if (existing.nonEmpty) existing
-    else {
-      val id = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = new HPath(checkpointDir, s"graft-shnsw-lineage.tmp-$id")
-      val out = fs.create(tmp, true)
-      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (fs.rename(tmp, f)) id
-      else { fs.delete(tmp, false); lineageId(spark, checkpointDir) }
-    }
-  }
+  private def lineageId(spark: SparkSession, checkpointDir: String): String =
+    StoreUtil.lineageId(spark, checkpointDir, "graft-shnsw-lineage")
 
   private val vecsSchema = StructType.fromDDL(
     "vec_id BIGINT, v ARRAY<DOUBLE>, batch STRING")
@@ -69,22 +48,23 @@ object StreamingHnsw {
     "node BIGINT, nbr BIGINT, ncos DOUBLE, seq BIGINT, batch STRING")
 
   private def readStore(spark: SparkSession, path: String,
-      schema: StructType): DataFrame = {
-    val hPath = new HPath(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(hPath)) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-  }
+      schema: StructType): DataFrame =
+    StoreUtil.readOrEmpty(spark, path, schema)
+
+  /** The out store read by its GLOBAL max(seq) property — committed
+    * partitions only, so a crashed half-written top-seq version can
+    * never be served, compacted on, or inserted on (r14 code-review;
+    * the vecs/banded stores keep the plain read: their consumers are
+    * per-batch tag-excluding reads, which the retry overwrite protects).
+    */
+  private def readOutCommitted(spark: SparkSession,
+      storePath: String): DataFrame =
+    StoreUtil.readCommitted(spark, s"$storePath/out", outSchema)
 
   private val tombSchema = StructType.fromDDL("vec_id BIGINT")
 
-  private def tombstones(spark: SparkSession, storePath: String): DataFrame = {
-    val hPath = new HPath(s"$storePath/tombstones")
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(hPath))
-      spark.read.schema(tombSchema).parquet(s"$storePath/tombstones")
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tombSchema)
-  }
+  private def tombstones(spark: SparkSession, storePath: String): DataFrame =
+    StoreUtil.readOrEmpty(spark, s"$storePath/tombstones", tombSchema)
 
   /** Exclude tombstoned ids from a frame keyed by `vec_id`. */
   private def live(df: DataFrame, spark: SparkSession,
@@ -119,7 +99,7 @@ object StreamingHnsw {
   def compact(spark: SparkSession, storePath: String): Unit = {
     val dead = tombstones(spark, storePath)
       .select(col("vec_id").as("dead_id")).distinct()
-    val outStore = readStore(spark, s"$storePath/out", outSchema)
+    val outStore = readOutCommitted(spark, storePath)
     val prevSeq = outStore.agg(coalesce(max(col("seq")), lit(0L)))
       .collect()(0).getLong(0)
     val prevOut = outStore.filter(col("seq") === prevSeq)
@@ -163,9 +143,13 @@ object StreamingHnsw {
     // identity novelty: a vec_id already indexed is a re-ingest (and a
     // tombstoned one stays dead); inserting either would corrupt the
     // candidate algebra
+    // dropDuplicates: two copies of an id in ONE micro-batch both pass
+    // the seen anti-join and would fan out duplicate scored rows that
+    // consume top-Degree slots (r14 code-review)
     val novel = live(batch
       .select(col("vec_id"),
         normalize(toDoubleArray(col("embedding"))).as("v"))
+      .dropDuplicates("vec_id")
       .join(vecsStore.select(col("vec_id").as("seen_id")).distinct(),
         col("vec_id") === col("seen_id"), "left_anti"), spark, storePath)
       .localCheckpoint() // read 4× below (banding, union, empty-probe, write)
@@ -182,7 +166,7 @@ object StreamingHnsw {
         .unionByName(SimilarityOps.hnswCohabit(bandedAll, bandedDelta))
         .distinct()
       val embAll = vecsStore.unionByName(novel)
-      val outStore = notOwn(readStore(spark, s"$storePath/out", outSchema))
+      val outStore = notOwn(readOutCommitted(spark, storePath))
       val prevSeq = outStore.agg(coalesce(max(col("seq")), lit(0L)))
         .collect()(0).getLong(0)
       val prevOut = outStore.filter(col("seq") === prevSeq)
@@ -203,7 +187,7 @@ object StreamingHnsw {
     * (`node, nbr, ncos` — [[HnswIndex.loadOut]]'s shape).
     */
   def outAdjacency(spark: SparkSession, storePath: String): DataFrame = {
-    val store = readStore(spark, s"$storePath/out", outSchema)
+    val store = readOutCommitted(spark, storePath)
     val latest = store.agg(coalesce(max(col("seq")), lit(0L)))
       .collect()(0).getLong(0)
     store.filter(col("seq") === latest)

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -51,39 +50,14 @@ object StreamingIvf {
           toDoubleArray(col("embedding")).as("v")))
       .write.mode(SaveMode.Overwrite).parquet(centroidsPath)
 
-  private def lineageId(spark: SparkSession, checkpointDir: String): String = {
-    val f = new HPath(checkpointDir, "graft-ivf-lineage")
-    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
-    val existing =
-      if (!fs.exists(f)) ""
-      else {
-        val in = fs.open(f)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      }
-    if (existing.nonEmpty) existing
-    else {
-      val id = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = new HPath(checkpointDir, s"graft-ivf-lineage.tmp-$id")
-      val out = fs.create(tmp, true)
-      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (fs.rename(tmp, f)) id
-      else { fs.delete(tmp, false); lineageId(spark, checkpointDir) }
-    }
-  }
+  private def lineageId(spark: SparkSession, checkpointDir: String): String =
+    StoreUtil.lineageId(spark, checkpointDir, "graft-ivf-lineage")
 
   private def storeSchema: StructType = StructType.fromDDL(
     "vec_id BIGINT, cid INT, d DOUBLE, batch STRING")
 
-  private def readStore(spark: SparkSession, path: String): DataFrame = {
-    val hPath = new HPath(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(hPath)) spark.read.schema(storeSchema).parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], storeSchema)
-  }
+  private def readStore(spark: SparkSession, path: String): DataFrame =
+    StoreUtil.readOrEmpty(spark, path, storeSchema)
 
   private def writeBatch(centroidsPath: String, storePath: String,
       lineage: String)(batch: DataFrame, batchId: Long): Unit = {
@@ -92,12 +66,23 @@ object StreamingIvf {
     val seen = readStore(spark, s"$storePath/assign")
       .filter(!(col("batch") <=> lit(tag))) // own partition = failed attempt
       .select(col("vec_id").as("seen_id")).distinct()
+    // dropDuplicates: two copies of an id in ONE micro-batch both pass
+    // the seen anti-join (r14 code-review); tombstone anti-join: a
+    // pre-deleted id arriving later must never enter the store (the
+    // StreamingHnsw/StreamingSparse family invariant)
     val novel = batch
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .dropDuplicates("vec_id")
       .join(seen, col("vec_id") === col("seen_id"), "left_anti")
+      .join(tombstones(spark, storePath)
+          .select(col("vec_id").as("dead_id")).distinct(),
+        col("vec_id") === col("dead_id"), "left_anti")
     val cents = spark.read.parquet(centroidsPath)
       .select(col("cid"), col("cv"))
+    // localCheckpoint: the isEmpty probe and the write would otherwise
+    // each re-run the assignment AND re-scan the store for the anti-joins
     val assigned = graft.ops.SimilarityOps.ivfAssign(novel, cents)
+      .localCheckpoint()
     if (!assigned.isEmpty)
       assigned.write.mode(SaveMode.Overwrite)
         .parquet(s"$storePath/assign/batch=$tag")
@@ -118,13 +103,8 @@ object StreamingIvf {
     ids.select(col("vec_id")).distinct()
       .write.mode(SaveMode.Append).parquet(s"$storePath/tombstones")
 
-  private def tombstones(spark: SparkSession, storePath: String): DataFrame = {
-    val hPath = new HPath(s"$storePath/tombstones")
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(hPath))
-      spark.read.schema(tombSchema).parquet(s"$storePath/tombstones")
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tombSchema)
-  }
+  private def tombstones(spark: SparkSession, storePath: String): DataFrame =
+    StoreUtil.readOrEmpty(spark, s"$storePath/tombstones", tombSchema)
 
   /** The maintained index: every live assignment (tombstoned ids
     * excluded).

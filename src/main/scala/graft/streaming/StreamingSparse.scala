@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -34,40 +33,16 @@ import graft.ops.SparseIndex
   */
 object StreamingSparse {
 
-  private def lineageId(spark: SparkSession, checkpointDir: String): String = {
-    val f = new HPath(checkpointDir, "graft-ssparse-lineage")
-    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
-    val existing =
-      if (!fs.exists(f)) ""
-      else {
-        val in = fs.open(f)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      }
-    if (existing.nonEmpty) existing
-    else {
-      val id = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = new HPath(checkpointDir, s"graft-ssparse-lineage.tmp-$id")
-      val out = fs.create(tmp, true)
-      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (fs.rename(tmp, f)) id
-      else { fs.delete(tmp, false); lineageId(spark, checkpointDir) }
-    }
-  }
+  private def lineageId(spark: SparkSession, checkpointDir: String): String =
+    StoreUtil.lineageId(spark, checkpointDir, "graft-ssparse-lineage")
 
   private val storeSchema = StructType.fromDDL(
     "doc_id BIGINT, s STRING, tf BIGINT, batch STRING")
   private val tombSchema = StructType.fromDDL("doc_id BIGINT")
 
   private def readParquet(spark: SparkSession, path: String,
-      schema: StructType): DataFrame = {
-    val hPath = new HPath(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(hPath)) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-  }
+      schema: StructType): DataFrame =
+    StoreUtil.readOrEmpty(spark, path, schema)
 
   private def tombstones(spark: SparkSession, storePath: String): DataFrame =
     readParquet(spark, s"$storePath/tombstones", tombSchema)
@@ -89,12 +64,18 @@ object StreamingSparse {
     val seen = readParquet(spark, s"$storePath/postings", storeSchema)
       .filter(!(col("batch") <=> lit(tag))) // own partition = failed attempt
       .select(col("doc_id").as("seen_id")).distinct()
+    // dropDuplicates: two copies of a doc in ONE micro-batch both pass
+    // the seen anti-join and buildFor would sum their shingles, doubling
+    // tf permanently (r14 code-review)
     val novel = batch.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
       .join(seen, col("doc_id") === col("seen_id"), "left_anti")
       .join(tombstones(spark, storePath)
           .select(col("doc_id").as("dead_id")).distinct(),
         col("doc_id") === col("dead_id"), "left_anti")
-    val postings = SparseIndex.buildFor(novel)
+    // localCheckpoint: the isEmpty probe and the write would otherwise
+    // each re-run the shingle build AND re-scan the store anti-joins
+    val postings = SparseIndex.buildFor(novel).localCheckpoint()
     if (!postings.isEmpty)
       postings.write.mode(SaveMode.Overwrite)
         .parquet(s"$storePath/postings/batch=$tag")

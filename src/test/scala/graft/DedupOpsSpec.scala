@@ -291,7 +291,9 @@ class DedupOpsSpec extends AnyFunSuite {
     // measured recall
     val sweep = SimilarityOps.annBeamSweep(spark, dir).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    assert(sweep.keySet == Set(12, 24, 48))
+    assert(sweep.keySet == SimilarityOps.BeamSweepWidths.toSet)
+    assert(sweep.keySet.max == graft.ops.HnswIndex.BeamWidth,
+      "sweep must include the shipped operating point")
     assert(sweep(12) <= sweep(24) + 1e-9 && sweep(24) <= sweep(48) + 1e-9,
       s"sweep not monotone: $sweep")
     def r4(x: Double) =

@@ -80,4 +80,24 @@ class StreamingHnswSpec extends AnyFunSuite {
     assert(bag(StreamingHnsw.outAdjacency(spark, store)) == phase3,
       "re-drain disturbed the artifact")
   }
+
+  test("duplicate rows inside one micro-batch do not distort the artifact") {
+    def bag(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    val emb = graft.ops.Tables(spark, dir, "embeddings")
+    val full = bag(SimilarityOps.hnswOutInline(spark, dir,
+      HnswIndex.BitsPerBand, HnswIndex.Bands, HnswIndex.Degree))
+    val root = Files.createTempDirectory("graft-shnsw-dup")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    // every vector TWICE in one arrival file: without the intra-batch
+    // dedup the duplicate scored rows would consume top-Degree slots
+    emb.unionByName(emb).coalesce(1).write.mode("append")
+      .parquet(in.toString)
+    StreamingHnsw.runAvailableNow(spark, emb.schema, in.toString, store,
+      root.resolve("ckpt").toString)
+    assert(bag(StreamingHnsw.outAdjacency(spark, store)) == full,
+      "intra-batch duplicate distorted the artifact")
+  }
 }

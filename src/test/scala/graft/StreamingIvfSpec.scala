@@ -76,4 +76,31 @@ class StreamingIvfSpec extends AnyFunSuite {
     assert(StreamingIvf.assignments(spark, store).count() ==
       survivors.size.toLong, "re-applied delete changed the index")
   }
+
+  test("pre-deleted and intra-batch-duplicated ids never enter the persisted store") {
+    val emb = graft.ops.Tables(spark, dir, "embeddings")
+    val root = Files.createTempDirectory("graft-sivf-pre")
+    val cents = root.resolve("cents").toString
+    val store = root.resolve("store").toString
+    val in = root.resolve("in"); Files.createDirectories(in)
+    StreamingIvf.trainQuantizer(
+      emb.filter(pmod(col("vec_id"), lit(10)) =!= 9), cents)
+    // delete BEFORE arrival (pre-delete) + every row duplicated in the
+    // one arrival file (intra-batch duplicates)
+    StreamingIvf.applyDeletes(spark, store,
+      emb.filter(pmod(col("vec_id"), lit(10)) === 3).select(col("vec_id")))
+    emb.unionByName(emb).coalesce(1).write.mode("append")
+      .parquet(in.toString)
+    StreamingIvf.runAvailableNow(spark, emb.schema, in.toString, cents,
+      store, root.resolve("ckpt").toString)
+    // the PERSISTED store (not just the filtered serving view) must hold
+    // exactly one live assignment per surviving id — dead ids never
+    // landed, duplicates collapsed
+    val raw = spark.read.parquet(s"$store/assign")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(raw.length == raw.distinct.length, "duplicate rows in the store")
+    assert(raw.forall(_ % 10 != 3), "pre-deleted id entered the store")
+    val nLive = emb.filter(pmod(col("vec_id"), lit(10)) =!= 3).count()
+    assert(raw.length.toLong == nLive)
+  }
 }

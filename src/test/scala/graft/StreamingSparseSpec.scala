@@ -53,4 +53,23 @@ class StreamingSparseSpec extends AnyFunSuite {
     assert(bag(StreamingSparse.postings(spark, store)) == survivors,
       "re-drain resurrected or duplicated postings")
   }
+
+  test("duplicate rows inside one micro-batch do not double tf") {
+    def bag(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+    val docs = graft.ops.Tables(spark, dir, "documents")
+    val full = bag(SparseIndex.build(spark, dir))
+    val root = Files.createTempDirectory("graft-ssparse-dup")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    // every doc TWICE in the same arrival file — one micro-batch sees
+    // both copies, so prior-batch novelty alone cannot catch it
+    docs.unionByName(docs).coalesce(1).write.mode("append")
+      .parquet(in.toString)
+    StreamingSparse.runAvailableNow(spark, docs.schema, in.toString, store,
+      root.resolve("ckpt").toString)
+    assert(bag(StreamingSparse.postings(spark, store)) == full,
+      "intra-batch duplicate doubled tf")
+  }
 }
