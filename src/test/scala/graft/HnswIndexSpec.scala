@@ -159,4 +159,65 @@ class HnswIndexSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: delete-repair (tombstone + damaged-only re-probe) ≡ survivor rebuild on random corpora and delete sets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions._
+    import graft.ops.SimilarityOps
+    val sparkRef = spark
+    import sparkRef.implicits._
+    // the knn_delete_repair / StreamingHnsw.compact dominance algebra,
+    // randomized: same tie-heavy integer-grid corpora as the insert
+    // property, with a random delete subset (including empty and
+    // nearly-everything corners)
+    val corpus = for {
+      d <- Gen.choose(2, 3)
+      n <- Gen.choose(4, 14)
+      vs <- Gen.listOfN(n, Gen.listOfN(d, Gen.choose(-2, 2).map(_.toDouble))
+        .suchThat(_.exists(_ != 0.0)))
+    } yield vs
+    val prop = Prop.forAll(corpus, Gen.choose(1, 3),
+        Gen.choose(1, 10)) { (vs, degree, mod) =>
+      val emb = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "raw")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.normalize(col("raw")).as("v"))
+        .localCheckpoint()
+      val banded = SimilarityOps.hnswBanded(emb, 4, 6).localCheckpoint()
+      val dead = (c: org.apache.spark.sql.Column) =>
+        pmod(c, lit(10)) === (mod % 10)
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP))).toSeq.sorted
+      // maintained: keep undamaged survivor lists, re-probe damaged only
+      val full = SimilarityOps.hnswTopOut(
+        SimilarityOps.hnswScore(
+          SimilarityOps.hnswCohabit(banded, banded), emb), degree)
+        .localCheckpoint()
+      val surviving = full.filter(!dead(col("node")))
+      val deadIds = emb.filter(dead(col("vec_id")))
+        .select(col("vec_id").as("dead_id"))
+      val damaged = surviving
+        .join(deadIds, col("nbr") === col("dead_id"), "left_semi")
+        .select(col("node")).distinct()
+      val kept = surviving.join(damaged, Seq("node"), "left_anti")
+      val bandedSurv = banded.filter(!dead(col("vec_id")))
+      val bandedDamaged = bandedSurv
+        .join(damaged.select(col("node").as("vec_id")), Seq("vec_id"),
+          "left_semi")
+      val repaired = SimilarityOps.hnswTopOut(
+        SimilarityOps.hnswScore(
+          SimilarityOps.hnswCohabit(bandedDamaged, bandedSurv), emb), degree)
+      val maintained = bag(kept.unionByName(repaired))
+      // rebuild over survivors from scratch
+      val rebuilt = bag(SimilarityOps.hnswTopOut(
+        SimilarityOps.hnswScore(
+          SimilarityOps.hnswCohabit(bandedSurv, bandedSurv), emb), degree))
+      maintained == rebuilt
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
