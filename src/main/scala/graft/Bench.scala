@@ -109,15 +109,22 @@ object Bench {
     //    11-query alphabetical band uniformly 2–10× slow with TIGHT rep
     //    spreads — a load window covering a contiguous stretch of the
     //    name-ordered run, invisible to detector 1. Each query's MIN rep
-    //    is compared against 2.5× its committed floor
+    //    is compared against max(2.5× floor, floor + 0.75 s) — the ratio
+    //    term catches real regressions on multi-second queries; the
+    //    absolute-slack term (r15 — VERDICT r14 #1) stops sub-second
+    //    floors from flagging on driver-box noise ALONE: a 0.22 s floor
+    //    read at 0.6 s is a 2.7× "regression" that is 0.4 s of scheduler
+    //    jitter, and every such flag cost a PerfProbe A/B ritual that
+    //    returned "noise" four rounds running
     //    (scripts/bench_floors.json — the builder's quiet-box per-query
-    //    record, reseeded each round close): min above that is either
+    //    record, reseeded each round close): min above the bar is either
     //    sustained contention or a real regression, named in the record
     //    so the reader A/Bs exactly that list and nothing else
     //    (BASELINE.md protocol). Queries without a committed floor (new
     //    this round) are never floor-flagged.
     val ContentionRatio = 3.0
     val FloorRatio = 2.5
+    val FloorSlackSec = 0.75
     val floorsPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_FLOORS", "scripts/bench_floors.json")
     val floors: Map[String, Double] =
@@ -153,8 +160,12 @@ object Bench {
       else {
         val mn = reps.min
         val spread = mn > 0 && reps.max / mn > ContentionRatio
-        val floorOk = floors.get(k).exists(f => mn <= FloorRatio * f)
-        val aboveFloor = floors.get(k).exists(f => mn > FloorRatio * f)
+        // one bar for both uses: the corroboration test (detector 1's
+        // min-substitution) and the flag are complements, so a min just
+        // inside the slack is corroborated noise, never flagged
+        def bar(f: Double): Double = math.max(FloorRatio * f, f + FloorSlackSec)
+        val floorOk = floors.get(k).exists(f => mn <= bar(f))
+        val aboveFloor = floors.get(k).exists(f => mn > bar(f))
         val reported = if (spread && floorOk) mn else median(reps)
         (k, reported, spread, aboveFloor)
       }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -61,10 +62,46 @@ object StreamingHnsw {
       storePath: String): DataFrame =
     StoreUtil.readCommitted(spark, s"$storePath/out", outSchema)
 
-  private val tombSchema = StructType.fromDDL("vec_id BIGINT")
+  /** Tombstones carry the artifact seq current when the delete landed —
+    * the age coordinate [[purgeTombstones]]' TTL counts in (versions,
+    * not wall-clock: deterministic, and "old enough" is exactly "the
+    * artifact has moved N versions past the delete").
+    */
+  private val tombSchema = StructType.fromDDL("vec_id BIGINT, seq BIGINT")
 
   private def tombstones(spark: SparkSession, storePath: String): DataFrame =
     StoreUtil.readOrEmpty(spark, s"$storePath/tombstones", tombSchema)
+
+  /** The (seq, batch) pair a max-seq reader serves: max seq, ties broken
+    * by max batch tag. Two committed versions CAN share a seq — a
+    * [[compact]] racing an in-flight micro-batch both compute from
+    * prevSeq = N and write N+1 — and a bare `seq === max(seq)` filter
+    * would then serve the UNION of two complete artifacts (duplicate
+    * rows, degree > Degree). Each complete version is a correct artifact
+    * for its input set, so the deterministic tie-break guarantees ONE is
+    * served whole (ADVICE r14); [[compact]]'s quiesce contract makes the
+    * collision not arise in the first place.
+    */
+  private def winningVersion(store: DataFrame): Option[(Long, String)] = {
+    val r = store.agg(max(struct(col("seq"), col("batch"))).as("w"))
+      .collect()(0)
+    if (r.isNullAt(0)) None
+    else {
+      val w = r.getStruct(0)
+      Some((w.getLong(0), w.getString(1)))
+    }
+  }
+
+  /** The rows of the winning committed version (empty if none). */
+  private def servedVersion(spark: SparkSession,
+      storePath: String): DataFrame = {
+    val store = readOutCommitted(spark, storePath)
+    winningVersion(store) match {
+      case None => store.filter(lit(false))
+      case Some((s, b)) =>
+        store.filter(col("seq") === s && col("batch") === b)
+    }
+  }
 
   /** Exclude tombstoned ids from a frame keyed by `vec_id`. */
   private def live(df: DataFrame, spark: SparkSession,
@@ -74,16 +111,21 @@ object StreamingHnsw {
       col("vec_id") === col("dead_id"), "left_anti")
 
   /** Record a delete batch (idempotent tombstone append — the
-    * [[StreamingIvf.applyDeletes]] discipline). The ARTIFACT keeps its
-    * edges until [[compact]]: tombstone-period serving filters deleted
-    * nodes from results (the `hnsw_tombstone_recall` semantics, measured
-    * there); a tombstoned id can never re-enter via insert, and deleting
-    * a never-indexed id pre-deletes it.
+    * [[StreamingIvf.applyDeletes]] discipline), stamped with the artifact
+    * seq current at delete time (the TTL age coordinate). The ARTIFACT
+    * keeps its edges until [[compact]]: tombstone-period serving filters
+    * deleted nodes from results (the `hnsw_tombstone_recall` semantics,
+    * measured there); a tombstoned id can never re-enter via insert, and
+    * deleting a never-indexed id pre-deletes it.
     */
   def applyDeletes(spark: SparkSession, storePath: String,
-      ids: DataFrame): Unit =
+      ids: DataFrame): Unit = {
+    val atSeq = winningVersion(readOutCommitted(spark, storePath))
+      .map(_._1).getOrElse(0L)
     ids.select(col("vec_id")).distinct()
+      .withColumn("seq", lit(atSeq))
       .write.mode(SaveMode.Append).parquet(s"$storePath/tombstones")
+  }
 
   /** Compaction — the [[graft.ops.SimilarityOps.knnDeleteRepair]]
     * dominance algebra applied to the artifact: drop deleted nodes'
@@ -93,16 +135,25 @@ object StreamingHnsw {
     * The compacted artifact equals a full rebuild over the live ids —
     * StreamingHnswSpec pins it — and subsequent inserts stay
     * pigeonhole-exact on top of it. Tombstones are retained (they also
-    * gate future re-ingest); a production deployment gives them a TTL
-    * once the ids can no longer arrive.
+    * gate future re-ingest); [[purgeTombstones]] gives them the version
+    * TTL, [[maybeCompact]] wires measure → compact → purge → vacuum into
+    * the serving policy.
+    *
+    * QUIESCE CONTRACT: run compact only with the maintenance stream
+    * stopped or drained (ADVICE r14). A compact racing an in-flight
+    * micro-batch can commit two versions at the same seq (both computed
+    * from prevSeq = N); serving stays correct — [[winningVersion]]'s
+    * (seq, batch) tie-break picks ONE complete version — but whichever
+    * loses the tie-break is silently superseded, so the race wastes
+    * either the batch's insert (it must re-arrive) or the compact (it
+    * must re-run).
     */
   def compact(spark: SparkSession, storePath: String): Unit = {
     val dead = tombstones(spark, storePath)
       .select(col("vec_id").as("dead_id")).distinct()
-    val outStore = readOutCommitted(spark, storePath)
-    val prevSeq = outStore.agg(coalesce(max(col("seq")), lit(0L)))
-      .collect()(0).getLong(0)
-    val prevOut = outStore.filter(col("seq") === prevSeq)
+    val prevSeq = winningVersion(readOutCommitted(spark, storePath))
+      .map(_._1).getOrElse(0L)
+    val prevOut = servedVersion(spark, storePath)
       .select(col("node"), col("nbr"), col("ncos"))
       .localCheckpoint() // survivors/damaged/kept all read it
     val surviving = prevOut
@@ -130,6 +181,163 @@ object StreamingHnsw {
       .withColumn("seq", lit(prevSeq + 1L))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$storePath/out/batch=compact-${prevSeq + 1L}")
+  }
+
+  /** Garbage-collect superseded artifact versions (ADVICE r14): every
+    * COMMITTED out partition except the winning one is dropped — each
+    * micro-batch/compact writes a complete version, so without pruning
+    * the store grows O(n_batches × corpus × Degree). Uncommitted
+    * partitions (a crashed write awaiting its streaming retry) are left
+    * alone — the retry overwrites its own tag regardless. The winner
+    * stays, so serving is unaffected; run under [[compact]]'s quiesce
+    * contract (an in-flight batch's prevOut read could otherwise lose
+    * its version mid-plan).
+    */
+  def vacuum(spark: SparkSession, storePath: String): Unit = {
+    val outPath = new HPath(s"$storePath/out")
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(outPath)) return
+    winningVersion(readOutCommitted(spark, storePath)).foreach {
+      case (_, winTag) =>
+        fs.listStatus(outPath).toSeq
+          .filter(st => st.isDirectory &&
+            fs.exists(new HPath(st.getPath, "_SUCCESS")) &&
+            st.getPath.getName != s"batch=$winTag")
+          .foreach(st => fs.delete(st.getPath, true))
+    }
+  }
+
+  /** Retire tombstones the artifact has moved `ttlVersions` versions
+    * past (stamped seq ≤ served seq − ttl) — the TTL the r14 scaladoc
+    * deferred. A tombstone can only be dropped together with every trace
+    * of its id: if the id's rows stayed in the vecs/banded candidate
+    * stores, the `seen` anti-join would suppress its legitimate
+    * re-ingest AND `live()` would resurrect it as a candidate neighbor
+    * for future inserts — an edge to a node the artifact doesn't hold,
+    * breaking maintained ≡ rebuild. So the purge scrubs expired ids from
+    * vecs and banded FIRST and drops the tombstones LAST: a crash at any
+    * point leaves the expired ids still tombstoned (consistent, just
+    * unpurged) and the next call heals the half-swapped store and
+    * finishes. This also bounds the candidate stores themselves — with
+    * [[vacuum]] every store the maintainer owns is now O(live corpus),
+    * not O(history).
+    *
+    * Only meaningful AFTER a compact (the served artifact then contains
+    * no tombstoned node), and once purged an id CAN re-enter via insert:
+    * calling this is the deployment's statement that purged ids can no
+    * longer arrive — bounded storage traded for the re-ingest gate. Run
+    * under [[compact]]'s quiesce contract.
+    */
+  def purgeTombstones(spark: SparkSession, storePath: String,
+      ttlVersions: Long): Unit = {
+    val fs = new HPath(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // heal a previous purge that crashed mid-swap: a complete rewrite
+    // left at .tmp with the live store retired is promoted; stray
+    // .retired stores are dropped
+    def heal(name: String): Unit = {
+      val cur = new HPath(s"$storePath/$name")
+      val tmp = new HPath(s"$storePath/$name.tmp")
+      val old = new HPath(s"$storePath/$name.retired")
+      if (!fs.exists(cur) && fs.exists(tmp)) fs.rename(tmp, cur)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+    def swap(name: String): Unit = {
+      val cur = new HPath(s"$storePath/$name")
+      val tmp = new HPath(s"$storePath/$name.tmp")
+      val old = new HPath(s"$storePath/$name.retired")
+      fs.rename(cur, old)
+      fs.rename(tmp, cur)
+      fs.delete(old, true)
+    }
+    Seq("vecs", "banded", "tombstones").foreach(heal)
+    if (!fs.exists(new HPath(s"$storePath/tombstones"))) return
+    val servedSeq = winningVersion(readOutCommitted(spark, storePath))
+      .map(_._1).getOrElse(0L)
+    val cutoff = servedSeq - ttlVersions
+    val tombs = tombstones(spark, storePath).localCheckpoint()
+    val expired = tombs
+      .filter(coalesce(col("seq"), lit(0L)) <= cutoff)
+      .select(col("vec_id").as("dead_id")).distinct()
+      .localCheckpoint() // two scrub anti-joins + the emptiness probe
+    if (expired.isEmpty) return
+    def scrub(name: String, schema: StructType): Unit = {
+      val cur = s"$storePath/$name"
+      if (!fs.exists(new HPath(cur))) return
+      readStore(spark, cur, schema)
+        .join(expired, col("vec_id") === col("dead_id"), "left_anti")
+        .write.partitionBy("batch").mode(SaveMode.Overwrite)
+        .parquet(s"$cur.tmp")
+      swap(name)
+    }
+    scrub("vecs", vecsSchema)
+    scrub("banded", bandedSchema)
+    tombs.join(expired, col("vec_id") === col("dead_id"), "left_anti")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$storePath/tombstones.tmp")
+    swap("tombstones")
+  }
+
+  /** Serving-health numbers the compaction policy reads: `tombFrac` —
+    * the fraction of the served artifact's nodes that are tombstoned
+    * (dead lists still occupying the store) — and `recallProxy` — 1
+    * minus the fraction of LIVE nodes' edges pointing at a tombstoned
+    * neighbor. Dead neighbors are exactly the beam slots the tombstone
+    * filter discards at serving time, which is the degradation
+    * `hnsw_tombstone_recall` measures end-to-end (0.956 vs an
+    * intact-graph 0.96–1.0 at 10% deletion) — edge damage is its cheap
+    * always-on proxy: no query set, no exact baseline, two keyed
+    * aggregates over the served version.
+    */
+  def compactionStats(spark: SparkSession,
+      storePath: String): (Double, Double) = {
+    val edges = servedVersion(spark, storePath)
+      .select(col("node"), col("nbr"))
+      .localCheckpoint() // node stats + edge stats both read it
+    val dead = tombstones(spark, storePath)
+      .select(col("vec_id").as("dead_id")).distinct()
+    val n = edges.select(col("node")).distinct()
+      .join(dead, col("node") === col("dead_id"), "left")
+      .agg(count(lit(1)).as("n"), count(col("dead_id")).as("nd"))
+      .collect()(0)
+    val tombFrac =
+      if (n.getLong(0) == 0L) 0.0
+      else n.getLong(1).toDouble / n.getLong(0)
+    val e = edges
+      .join(dead, col("node") === col("dead_id"), "left_anti")
+      .join(dead, col("nbr") === col("dead_id"), "left")
+      .agg(count(lit(1)).as("m"), count(col("dead_id")).as("md"))
+      .collect()(0)
+    val recallProxy =
+      if (e.getLong(0) == 0L) 1.0
+      else 1.0 - e.getLong(1).toDouble / e.getLong(0)
+    (tombFrac, recallProxy)
+  }
+
+  /** The compaction policy (r15 — VERDICT r14 #3, wiring
+    * `hnsw_tombstone_recall`'s measured degradation to [[compact]] as a
+    * tested trigger): compact iff the recall proxy has fallen below
+    * `minRecallProxy` OR the tombstoned-node fraction exceeds
+    * `maxTombFrac`; when it fires, the compact is followed by the
+    * tombstone TTL purge and the version vacuum — the full store
+    * hygiene pass. Defaults calibrate to the measured audit: 10%
+    * deletion read 0.956 end-to-end recall, the level a deployment
+    * alarms on. Returns true iff compaction ran; the no-op path leaves
+    * every store untouched (StreamingHnswSpec pins both paths). Caller
+    * must honor [[compact]]'s quiesce contract.
+    */
+  def maybeCompact(spark: SparkSession, storePath: String,
+      maxTombFrac: Double = 0.10, minRecallProxy: Double = 0.97,
+      tombstoneTtl: Long = 2L): Boolean = {
+    val (tombFrac, recallProxy) = compactionStats(spark, storePath)
+    val due = tombFrac > maxTombFrac || recallProxy < minRecallProxy
+    if (due) {
+      compact(spark, storePath)
+      purgeTombstones(spark, storePath, tombstoneTtl)
+      vacuum(spark, storePath)
+    }
+    due
   }
 
   private def writeBatch(storePath: String, lineage: String)(
@@ -167,32 +375,39 @@ object StreamingHnsw {
         .distinct()
       val embAll = vecsStore.unionByName(novel)
       val outStore = notOwn(readOutCommitted(spark, storePath))
-      val prevSeq = outStore.agg(coalesce(max(col("seq")), lit(0L)))
-        .collect()(0).getLong(0)
-      val prevOut = outStore.filter(col("seq") === prevSeq)
-        .select(col("node"), col("nbr"), col("ncos"))
+      val win = winningVersion(outStore)
+      val prevSeq = win.map(_._1).getOrElse(0L)
+      val prevOut = win match {
+        case None => outStore.select(col("node"), col("nbr"), col("ncos"))
+        case Some((s, b)) => outStore
+          .filter(col("seq") === s && col("batch") === b)
+          .select(col("node"), col("nbr"), col("ncos"))
+      }
       val maintained = HnswIndex.insert(prevOut,
         SimilarityOps.hnswScore(deltaCand, embAll))
-      maintained.withColumn("seq", lit(prevSeq + 1L))
-        .write.mode(SaveMode.Overwrite).parquet(s"$storePath/out/batch=$tag")
+      // write order is load-bearing (ADVICE r14): the out artifact
+      // commits LAST, so a committed top-seq version always implies its
+      // supporting vecs/banded rows are complete — a compact() between a
+      // crash here and the streaming retry re-probes against a FULL
+      // candidate view. The own-tag-excluding reads above keep the
+      // retry itself exact whatever subset of the three writes landed.
+      novel.write.mode(SaveMode.Overwrite)
+        .parquet(s"$storePath/vecs/batch=$tag")
       bandedDelta
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$storePath/banded/batch=$tag")
-      novel.write.mode(SaveMode.Overwrite)
-        .parquet(s"$storePath/vecs/batch=$tag")
+      maintained.withColumn("seq", lit(prevSeq + 1L))
+        .write.mode(SaveMode.Overwrite).parquet(s"$storePath/out/batch=$tag")
     }
   }
 
-  /** The maintained out-adjacency artifact: the latest complete version
-    * (`node, nbr, ncos` — [[HnswIndex.loadOut]]'s shape).
+  /** The maintained out-adjacency artifact: the winning complete version
+    * (`node, nbr, ncos` — [[HnswIndex.loadOut]]'s shape; see
+    * [[winningVersion]] for the same-seq tie-break).
     */
-  def outAdjacency(spark: SparkSession, storePath: String): DataFrame = {
-    val store = readOutCommitted(spark, storePath)
-    val latest = store.agg(coalesce(max(col("seq")), lit(0L)))
-      .collect()(0).getLong(0)
-    store.filter(col("seq") === latest)
+  def outAdjacency(spark: SparkSession, storePath: String): DataFrame =
+    servedVersion(spark, storePath)
       .select(col("node"), col("nbr"), col("ncos"))
-  }
 
   /** Drain-and-stop shape: insert everything currently in the folder,
     * then stop. `schema` must contain `vec_id` and `embedding`.

@@ -277,31 +277,36 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9,
       s"HNSW ANN recall too low: $recall (${hnsw.intersect(exact).size}/${exact.size})")
     // ef (beamWidth) is THE recall-for-throughput knob of graph ANN:
-    // a narrow beam must not beat the shipped wide one on this corpus
+    // a narrow beam must not beat the shipped wide one on this corpus.
+    // Widths come from the derived sweep set, never literals — retuning
+    // HnswIndex.BeamWidth must retune this test with it (ADVICE r14)
+    val Seq(wNarrow, wMid, wShipped) = SimilarityOps.BeamSweepWidths
     val narrow = SimilarityOps.annHnswTopk(spark, dir,
         bitsPerBand = 8, bands = 10, degree = 20, levelMod = 16,
-        entries = 6, beamWidth = 12, rounds = 3)
+        entries = 6, beamWidth = wNarrow, rounds = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recallNarrow = narrow.intersect(exact).size.toDouble / exact.size
     assert(recall >= recallNarrow,
-      s"recall must be monotone in beamWidth here: beam48=$recall beam12=$recallNarrow")
+      s"recall must be monotone in beamWidth here: " +
+        s"beam$wShipped=$recall beam$wNarrow=$recallNarrow")
     // the one-pass sweep (bw carried as a key, rn <= bw truncation) must
-    // agree with the independent searches it replaces: its 12/48 recalls
-    // bracket monotonically and the 48 row equals the shipped search's
-    // measured recall
+    // agree with the independent searches it replaces: its recalls
+    // bracket monotonically and the shipped-width row equals the shipped
+    // search's measured recall
     val sweep = SimilarityOps.annBeamSweep(spark, dir).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(sweep.keySet == SimilarityOps.BeamSweepWidths.toSet)
     assert(sweep.keySet.max == graft.ops.HnswIndex.BeamWidth,
       "sweep must include the shipped operating point")
-    assert(sweep(12) <= sweep(24) + 1e-9 && sweep(24) <= sweep(48) + 1e-9,
+    assert(sweep(wNarrow) <= sweep(wMid) + 1e-9 &&
+        sweep(wMid) <= sweep(wShipped) + 1e-9,
       s"sweep not monotone: $sweep")
     def r4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(sweep(48) == r4(recall),
-      s"sweep beam-48 recall ${sweep(48)} != independent search ${r4(recall)}")
-    assert(sweep(12) == r4(recallNarrow),
-      s"sweep beam-12 recall ${sweep(12)} != independent search ${r4(recallNarrow)}")
+    assert(sweep(wShipped) == r4(recall),
+      s"sweep beam-$wShipped recall ${sweep(wShipped)} != independent search ${r4(recall)}")
+    assert(sweep(wNarrow) == r4(recallNarrow),
+      s"sweep beam-$wNarrow recall ${sweep(wNarrow)} != independent search ${r4(recallNarrow)}")
   }
 
   test("IVF nprobe: recall(nprobe=2) ≥ recall(nprobe=1), strictly more candidate coverage") {
