@@ -405,6 +405,75 @@ object SimilarityOps {
        |  FROM scored)
        |WHERE rank <= $K ORDER BY vec_id, rank""".stripMargin
 
+  /** Insert maintenance for the kNN lists artifact (r15 — VERDICT r14
+    * #2, the dual of [[knnDeleteRepair]] and the op a production
+    * SemDeDup ingest actually runs per batch): when an insert batch
+    * lands (`vec_id % 10 = 9` — the insert-family convention,
+    * disjoint from the delete family's `% 10 = 3`), the corpus-wide
+    * [[knnJoin]] lists are NOT rebuilt — (a) each new vector gets its
+    * own top-K list from its bucket probes against the whole banded
+    * corpus, and (b) surviving nodes get a BOUNDED list update: only
+    * delta-involving pairs (a survivor cohabiting a bucket with a new
+    * vector) enter the re-rank, against the survivor's already-kept
+    * top-K. Maintained ≡ rebuild exactly, by the [[HnswIndex.insert]]
+    * pigeonhole read at k=K: a rebuild's top-K pick for a survivor is
+    * either delta-involving (all present in the delta-scored set) or
+    * base-base — and a base-base pair that outranks all but < K base
+    * candidates was already inside the base artifact's kept top-K; a
+    * new node's candidates are ALL delta-involving. Tie order
+    * (cos DESC, neighbor) and the per-pair dot are the build's own, so
+    * the selection is bit-identical — the oracle rebuilds the lists
+    * over the UNION corpus from scratch and hash equality is the proof.
+    * Both the base-artifact build and the maintenance run in this one
+    * query by design (the `delete_propagation` /
+    * `incremental_dedup_edges` recompute-vs-maintain convention).
+    *
+    * Scale shape: both eras are narrow filters of ONE banding pass
+    * (checkpointed — base self-join ×2 + delta probes ×3 read it); the
+    * base build is [[knnJoin]]'s audited bucket cogroup over the base
+    * era; maintenance candidates are delta-banding-sized on one side —
+    * |delta banding| × bucket occupancy, never a second corpus pass;
+    * the re-rank window is bounded by K + per-node delta candidates.
+    * With [[knnDeleteRepair]] this completes the artifact lifecycle:
+    * the n×K lists table now has a build, an insert path, and a
+    * delete+repair path, each proven hash-equal to the rebuild.
+    */
+  def incrementalKnn(s: SparkSession, dir: String): DataFrame = {
+    val kk = K
+    val emb = embeddings(s, dir)
+    val isIns = pmod(col("vec_id"), lit(10)) === 9
+    val banded = hnswBanded(emb, 4, 20)
+      .localCheckpoint() // base self-join ×2 + delta probes ×3 read it
+    val bandedBase = banded.filter(!isIns)
+    val bandedDelta = banded.filter(isIns)
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("ncos").desc, col("nbr"))
+    // the persisted artifact: the base era's top-K lists (knn_join's
+    // build over the pre-arrival corpus; production loads it)
+    val baseLists = hnswScore(hnswCohabit(bandedBase, bandedBase), emb)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kk)
+      .select(col("node"), col("nbr"), col("ncos"))
+    // delta-involving candidates only: (delta → any) ∪ (base → delta);
+    // the orientations are disjoint by construction (a delta node never
+    // appears on the left of the second cogroup)
+    val deltaScored = hnswScore(
+      hnswCohabit(bandedDelta, banded)
+        .unionByName(hnswCohabit(bandedBase, bandedDelta)), emb)
+    baseLists.unionByName(deltaScored)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kk)
+      .select(col("node").as("vec_id"), col("rank"),
+        col("nbr").as("neighbor_id"), round(col("ncos"), 4).as("cos"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** The lists rebuilt over the UNION corpus from scratch — exactly
+    * [[knnJoinOracle]]: the maintained artifact must be
+    * indistinguishable from never having maintained at all.
+    */
+  val incrementalKnnOracle: String = knnJoinOracle
+
   /** Sign-LSH bucket-occupancy audit (r14 — the `dedup_lsh_tune` genre
     * for the VECTOR banding): every sign-LSH consumer's cost is linear
     * in bucket occupancy — candidate volume is Σ c·(c−1) over bucket
@@ -3135,6 +3204,7 @@ object SimilarityOps {
     "incremental_ivf" -> (incrementalIvf _),
     "incremental_hnsw" -> (incrementalHnsw _),
     "knn_join" -> ((s: SparkSession, dir: String) => knnJoin(s, dir)),
+    "incremental_knn" -> (incrementalKnn _),
     "knn_delete_repair" -> (knnDeleteRepair _),
     "hnsw_tombstone_recall" -> (hnswTombstoneRecall _),
     "semdedup_knn" -> (semdedupKnn _),
@@ -3174,6 +3244,7 @@ object SimilarityOps {
     "incremental_ivf" -> incrementalIvfOracle,
     "incremental_hnsw" -> incrementalHnswOracle,
     "knn_join" -> knnJoinOracle,
+    "incremental_knn" -> incrementalKnnOracle,
     "knn_delete_repair" -> knnDeleteRepairOracle,
     "hnsw_tombstone_recall" -> hnswTombstoneRecallOracle,
     "semdedup_knn" -> semdedupKnnOracle,

@@ -160,6 +160,86 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: lists lifecycle chain (insert → delete+repair → insert) ≡ rebuild over live ids at every stage") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions._
+    import graft.ops.SimilarityOps
+    val sparkRef = spark
+    import sparkRef.implicits._
+    // the incremental_knn / knn_delete_repair algebra CHAINED (VERDICT
+    // r14 #2's lifecycle spec): a lists artifact built over era 0, a
+    // batch inserted, a delete repaired, a post-delete batch inserted —
+    // after every stage the maintained lists must equal the from-scratch
+    // build over exactly the ids alive at that point. Same tie-heavy
+    // integer grids as the single-step properties: the chain is where a
+    // wrong tie-break or a leaked dead candidate COMPOUNDS
+    val corpus = for {
+      d <- Gen.choose(2, 3)
+      n <- Gen.choose(6, 14)
+      vs <- Gen.listOfN(n, Gen.listOfN(d, Gen.choose(-2, 2).map(_.toDouble))
+        .suchThat(_.exists(_ != 0.0)))
+    } yield vs
+    val prop = Prop.forAll(corpus, Gen.choose(1, 3), Gen.choose(0, 100),
+        Gen.choose(0, 9)) { (vs, k, seed, mod) =>
+      val emb = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "raw")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.normalize(col("raw")).as("v"))
+        .localCheckpoint()
+      val banded = SimilarityOps.hnswBanded(emb, 4, 6).localCheckpoint()
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP))).toSeq.sorted
+      def build(pred: org.apache.spark.sql.Column) = {
+        val b = banded.filter(pred)
+        SimilarityOps.hnswTopOut(
+          SimilarityOps.hnswScore(SimilarityOps.hnswCohabit(b, b), emb), k)
+      }
+      def insert(lists: org.apache.spark.sql.DataFrame,
+          basePred: org.apache.spark.sql.Column,
+          deltaPred: org.apache.spark.sql.Column) = {
+        val bBase = banded.filter(basePred)
+        val bDelta = banded.filter(deltaPred)
+        val deltaScored = SimilarityOps.hnswScore(
+          SimilarityOps.hnswCohabit(bDelta, bBase.unionByName(bDelta))
+            .unionByName(SimilarityOps.hnswCohabit(bBase, bDelta)), emb)
+        SimilarityOps.hnswTopOut(lists.unionByName(deltaScored), k)
+      }
+      def deleteRepair(lists: org.apache.spark.sql.DataFrame,
+          corpusPred: org.apache.spark.sql.Column,
+          dead: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+        val surviving = lists.filter(!dead(col("node")))
+        val damaged = surviving.filter(dead(col("nbr")))
+          .select(col("node")).distinct()
+        val kept = surviving.join(damaged, Seq("node"), "left_anti")
+        val bandedSurv = banded.filter(corpusPred && !dead(col("vec_id")))
+        val bandedDamaged = bandedSurv
+          .join(damaged.select(col("node").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+        kept.unionByName(SimilarityOps.hnswTopOut(
+          SimilarityOps.hnswScore(
+            SimilarityOps.hnswCohabit(bandedDamaged, bandedSurv), emb), k))
+      }
+      // eras: (id + seed) % 3 — 0 is the base build, 1 the first insert,
+      // 2 the post-delete insert; deletes: id % 10 == mod (pre-deleted
+      // era-2 members never arrive — the tombstone gate)
+      def era(r: Int) = pmod(col("vec_id") + seed, lit(3)) === r
+      val dead = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === mod
+      val l1 = insert(build(era(0)), era(0), era(1)).localCheckpoint()
+      val ok1 = bag(l1) == bag(build(era(0) || era(1)))
+      val l2 = deleteRepair(l1, era(0) || era(1), dead).localCheckpoint()
+      val live01 = (era(0) || era(1)) && !dead(col("vec_id"))
+      val ok2 = bag(l2) == bag(build(live01))
+      val l3 = insert(l2, live01, era(2) && !dead(col("vec_id")))
+      val ok3 = bag(l3) == bag(build(!dead(col("vec_id"))))
+      ok1 && ok2 && ok3
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: delete-repair (tombstone + damaged-only re-probe) ≡ survivor rebuild on random corpora and delete sets") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.apache.spark.sql.functions._

@@ -493,6 +493,11 @@ class PlanLintSpec extends AnyFunSuite {
       "incremental_sparse" -> 3,  // 2 era term-stat aggs off the seam tf
                                   // + the full-outer merge; 1-row digest,
                                   // no sort
+      "incremental_knn" -> 6,     // the base lists build (cohabit distinct
+                                  // + top-K window, checkpoint boundary) +
+                                  // the delta cohabit distinct + the
+                                  // maintained re-rank window (+sort) —
+                                  // build AND maintenance run by design
       "knn_delete_repair" -> 9,   // the artifact build (cohabit distinct +
                                   // top-K window, checkpoint boundary) +
                                   // the bounded damaged re-probe (cohabit
