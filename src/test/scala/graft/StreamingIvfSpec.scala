@@ -77,6 +77,72 @@ class StreamingIvfSpec extends AnyFunSuite {
       survivors.size.toLong, "re-applied delete changed the index")
   }
 
+  test("property: lifecycle chain (insert → delete → insert) ≡ batch assignment over live arrivals on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sparkRef = spark
+    import sparkRef.implicits._
+    // the StreamingHnswSpec chain run through the IVF maintainer on
+    // random corpora (VERDICT r14 #6): drain two arrival chops, delete a
+    // random family (including pre-deletes of not-yet-arrived ids),
+    // drain a third chop — after every delete/drain the served
+    // assignments must equal the one-shot batch assignment of exactly
+    // the live arrived ids against the same frozen quantizer. Random
+    // integer-grid vectors make argmin DISTANCE TIES likely (the (d,
+    // cid) tie-break is part of the assignment definition)
+    val corpus = for {
+      d <- Gen.choose(2, 3)
+      n <- Gen.choose(6, 14)
+      vs <- Gen.listOfN(n, Gen.listOfN(d, Gen.choose(-2, 2).map(_.toDouble)))
+      ls <- Gen.listOfN(n, Gen.choose(0, 2))
+    } yield vs.zip(ls)
+    val prop = Prop.forAll(corpus, Gen.choose(0, 100),
+        Gen.choose(0, 9)) { (rows, seed, mod) =>
+      val emb = rows.zipWithIndex
+        .map { case ((v, l), i) => (i.toLong, l, v) }
+        .toDF("vec_id", "label", "embedding")
+      val root = Files.createTempDirectory("graft-sivf-prop")
+      val cents = root.resolve("cents").toString
+      val store = root.resolve("store").toString
+      val in = root.resolve("in"); Files.createDirectories(in)
+      def era(r: Int) = pmod(col("vec_id") + seed, lit(3)) === r
+      val dead = pmod(col("vec_id"), lit(10)) === mod
+      StreamingIvf.trainQuantizer(emb.filter(era(0)), cents)
+      def expect(pred: org.apache.spark.sql.Column): Set[(Long, Int, Double)] =
+        graft.ops.SimilarityOps.ivfAssign(
+            emb.filter(pred)
+              .select(col("vec_id"), toDoubleArray(col("embedding")).as("v")),
+            spark.read.parquet(cents).select(col("cid"), col("cv")))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+          .toSet
+      def got(): Set[(Long, Int, Double)] =
+        StreamingIvf.assignments(spark, store).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      // stage 1 — two arrival chops drained
+      for (r <- Seq(0, 1) if emb.filter(era(r)).count() > 0)
+        emb.filter(era(r)).coalesce(1).write.mode("append")
+          .parquet(in.toString)
+      StreamingIvf.runAvailableNow(spark, emb.schema, in.toString, cents,
+        store, root.resolve("ckpt").toString)
+      val ok1 = got() == expect(era(0) || era(1))
+      // stage 2 — delete a family (pre-deleting its era-2 members)
+      StreamingIvf.applyDeletes(spark, store,
+        emb.filter(dead).select(col("vec_id")))
+      val ok2 = got() == expect((era(0) || era(1)) && !dead)
+      // stage 3 — post-delete arrivals; dead members must stay out
+      if (emb.filter(era(2)).count() > 0) {
+        emb.filter(era(2)).coalesce(1).write.mode("append")
+          .parquet(in.toString)
+        StreamingIvf.runAvailableNow(spark, emb.schema, in.toString, cents,
+          store, root.resolve("ckpt").toString)
+      }
+      val ok3 = got() == expect(!dead)
+      ok1 && ok2 && ok3
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("pre-deleted and intra-batch-duplicated ids never enter the persisted store") {
     val emb = graft.ops.Tables(spark, dir, "embeddings")
     val root = Files.createTempDirectory("graft-sivf-pre")

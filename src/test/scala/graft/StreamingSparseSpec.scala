@@ -72,4 +72,60 @@ class StreamingSparseSpec extends AnyFunSuite {
     assert(bag(StreamingSparse.postings(spark, store)) == full,
       "intra-batch duplicate doubled tf")
   }
+
+  test("property: lifecycle chain (insert → delete → insert) ≡ batch build over live arrivals on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sparkRef = spark
+    import sparkRef.implicits._
+    // the StreamingHnswSpec chain run through the sparse maintainer on
+    // random corpora (VERDICT r14 #6): drain two arrival chops, delete a
+    // random doc family (including pre-deletes of not-yet-arrived docs),
+    // drain a third chop — after every stage the served postings must
+    // equal the one-shot build over exactly the live arrived docs.
+    // Tiny-vocab random texts make shingle COLLISIONS across docs dense,
+    // and lengths below the shingle width exercise the no-postings edge
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val corpus = for {
+      n <- Gen.choose(6, 14)
+      texts <- Gen.listOfN(n,
+        Gen.choose(0, 12).flatMap(len =>
+          Gen.listOfN(len, word).map(_.mkString(" "))))
+    } yield texts
+    val prop = Prop.forAll(corpus, Gen.choose(0, 100),
+        Gen.choose(0, 9)) { (texts, seed, mod) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val root = Files.createTempDirectory("graft-ssparse-prop")
+      val in = root.resolve("in"); Files.createDirectories(in)
+      val store = root.resolve("store").toString
+      def era(r: Int) = pmod(col("doc_id") + seed, lit(3)) === r
+      val dead = pmod(col("doc_id"), lit(10)) === mod
+      def expect(pred: org.apache.spark.sql.Column): Set[(Long, String, Long)] =
+        SparseIndex.buildFor(docs.filter(pred)).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      def got(): Set[(Long, String, Long)] =
+        StreamingSparse.postings(spark, store).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      for (r <- Seq(0, 1) if docs.filter(era(r)).count() > 0)
+        docs.filter(era(r)).coalesce(1).write.mode("append")
+          .parquet(in.toString)
+      StreamingSparse.runAvailableNow(spark, docs.schema, in.toString,
+        store, root.resolve("ckpt").toString)
+      val ok1 = got() == expect(era(0) || era(1))
+      StreamingSparse.applyDeletes(spark, store,
+        docs.filter(dead).select(col("doc_id")))
+      val ok2 = got() == expect((era(0) || era(1)) && !dead)
+      if (docs.filter(era(2)).count() > 0) {
+        docs.filter(era(2)).coalesce(1).write.mode("append")
+          .parquet(in.toString)
+        StreamingSparse.runAvailableNow(spark, docs.schema, in.toString,
+          store, root.resolve("ckpt").toString)
+      }
+      val ok3 = got() == expect(!dead)
+      ok1 && ok2 && ok3
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
