@@ -554,7 +554,14 @@ object TextOps {
     * no re-aggregation is needed between rounds.
     */
   private[graft] val BpeMergeSyms =
-    Vector("Þ", "ß", "Æ", "Ø", "Œ", "Ð", "Ŋ", "Ħ")
+    // first 8 unchanged — the gate oracles (bpe_iterate/bpe_train CTE
+    // unrolls, bpe_encode/bpe_2merge) embed them verbatim; the Cyrillic
+    // block extends the budget to 64 applied merges for the depth-scaling
+    // run (r15 — VERDICT r14 #4), same absent-from-the-normalized-corpus
+    // contract. All 64 are distinct BMP chars (PipelineOpsSpec asserts),
+    // so string comparisons rank identically in UTF-8 and UTF-16 orders
+    Vector("Þ", "ß", "Æ", "Ø", "Œ", "Ð", "Ŋ", "Ħ") ++
+      (0x0410 until 0x0448).map(_.toChar.toString)
 
   val bpePairStatsOracle: String =
     s"""WITH words AS (

@@ -312,6 +312,58 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"bpe_train merge counts not non-increasing: ${m8.toSeq}")
   }
 
+  test("bpe depth scaling: 32-merge training is prefix-stable over the gate run and equals a pure-Scala recount round-for-round") {
+    import graft.ops.TextOps
+    // the 64-symbol budget is the contract the depth run leans on: all
+    // distinct single BMP code points (so UTF-8 and UTF-16 pair orderings
+    // agree and replace() stays injective on symbol-free words)
+    assert(TextOps.BpeMergeSyms.size >= 64)
+    assert(TextOps.BpeMergeSyms.distinct.size == TextOps.BpeMergeSyms.size)
+    assert(TextOps.BpeMergeSyms.forall(s =>
+      s.codePointCount(0, s.length) == 1 && !s.exists(_.isSurrogate)))
+    val depth = 32
+    val deep = graft.ops.TextOps.bpeIterate(spark, dir, rounds = depth)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(deep.map(_._1).toSeq == (1 to depth))
+    // the oracle-gated 8-merge run (bpe_train) is a prefix — training
+    // determinism holds at 4× the gate depth
+    val gate = TextOps.bpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(deep.take(8).toSeq == gate.toSeq,
+      "bpe_train (N=8) is not a prefix of the 32-merge run")
+    assert(deep.map(_._3).sliding(2).forall(w => w(0) >= w(1)),
+      s"deep merge counts not non-increasing: ${deep.toSeq}")
+    // independent pure-Scala recount of the WHOLE 32-round loop from the
+    // collected word-frequency table — code-point pairing, (cnt DESC,
+    // pair) tie-break, leftmost non-overlapping replace, drop-collapsed
+    // words: the same primitives Spark and DuckDB define identically.
+    // The gate oracle stops at 8 (CTE-unroll-bounded); this is the
+    // depth-32 correctness evidence
+    var wf = TextOps.bpeWordFreq(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val recount = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (r <- 1 to depth) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      wf.foreach { case (w, f) =>
+        val cps = w.codePoints().toArray
+        (0 until cps.length - 1).foreach { i =>
+          val p = new String(cps, i, 2)
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val (pair, cnt) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      recount += ((r, pair, cnt))
+      if (r < depth)
+        wf = wf
+          .map { case (w, f) =>
+            (w.replace(pair, TextOps.BpeMergeSyms(r - 1)), f)
+          }
+          .filter { case (w, _) => w.codePointCount(0, w.length) >= 2 }
+    }
+    assert(deep.toSeq == recount.toSeq,
+      "32-merge training diverges from the pure-Scala recount")
+  }
+
   test("source_mixture flattens toward small sources and spends the budget") {
     val rows = graft.ops.CurationOps.sourceMixture(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
