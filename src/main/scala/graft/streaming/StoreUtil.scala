@@ -49,6 +49,42 @@ private[streaming] object StoreUtil {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
+  /** Heal a store that a crashed [[rewriteInPlace]] left half-swapped: a
+    * complete rewrite stranded at `.tmp` with the live store retired is
+    * promoted; stray `.tmp`/`.retired` leftovers are dropped. Idempotent;
+    * call before reading a store that maintenance rewrites.
+    */
+  def healRewrite(spark: SparkSession, root: String, name: String): Unit = {
+    val cur = new HPath(s"$root/$name")
+    val tmp = new HPath(s"$root/$name.tmp")
+    val old = new HPath(s"$root/$name.retired")
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(cur) && fs.exists(tmp)) fs.rename(tmp, cur)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Rewrite a store in place: write the new contents to `.tmp`
+    * (the old store stays the read source for the whole job), then
+    * two-rename swap. A crash at any point is healed by
+    * [[healRewrite]] — either the old or the new store survives whole,
+    * never a mix. Run under the owning maintainer's quiesce contract.
+    */
+  def rewriteInPlace(spark: SparkSession, root: String, name: String,
+      df: org.apache.spark.sql.DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val cur = new HPath(s"$root/$name")
+    val tmp = new HPath(s"$root/$name.tmp")
+    val old = new HPath(s"$root/$name.retired")
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    val w = df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    fs.rename(cur, old)
+    fs.rename(tmp, cur)
+    fs.delete(old, true)
+  }
+
   /** Read a tag-partitioned store keeping ONLY fully-committed partitions
     * (those whose directory carries the parquet committer's `_SUCCESS`
     * marker) — for readers that select by a GLOBAL property of the store

@@ -232,26 +232,8 @@ object StreamingHnsw {
       ttlVersions: Long): Unit = {
     val fs = new HPath(storePath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // heal a previous purge that crashed mid-swap: a complete rewrite
-    // left at .tmp with the live store retired is promoted; stray
-    // .retired stores are dropped
-    def heal(name: String): Unit = {
-      val cur = new HPath(s"$storePath/$name")
-      val tmp = new HPath(s"$storePath/$name.tmp")
-      val old = new HPath(s"$storePath/$name.retired")
-      if (!fs.exists(cur) && fs.exists(tmp)) fs.rename(tmp, cur)
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      if (fs.exists(old)) fs.delete(old, true)
-    }
-    def swap(name: String): Unit = {
-      val cur = new HPath(s"$storePath/$name")
-      val tmp = new HPath(s"$storePath/$name.tmp")
-      val old = new HPath(s"$storePath/$name.retired")
-      fs.rename(cur, old)
-      fs.rename(tmp, cur)
-      fs.delete(old, true)
-    }
-    Seq("vecs", "banded", "tombstones").foreach(heal)
+    Seq("vecs", "banded", "tombstones")
+      .foreach(StoreUtil.healRewrite(spark, storePath, _))
     if (!fs.exists(new HPath(s"$storePath/tombstones"))) return
     val servedSeq = winningVersion(readOutCommitted(spark, storePath))
       .map(_._1).getOrElse(0L)
@@ -262,21 +244,16 @@ object StreamingHnsw {
       .select(col("vec_id").as("dead_id")).distinct()
       .localCheckpoint() // two scrub anti-joins + the emptiness probe
     if (expired.isEmpty) return
-    def scrub(name: String, schema: StructType): Unit = {
-      val cur = s"$storePath/$name"
-      if (!fs.exists(new HPath(cur))) return
-      readStore(spark, cur, schema)
-        .join(expired, col("vec_id") === col("dead_id"), "left_anti")
-        .write.partitionBy("batch").mode(SaveMode.Overwrite)
-        .parquet(s"$cur.tmp")
-      swap(name)
-    }
+    def scrub(name: String, schema: StructType): Unit =
+      if (fs.exists(new HPath(s"$storePath/$name")))
+        StoreUtil.rewriteInPlace(spark, storePath, name,
+          readStore(spark, s"$storePath/$name", schema)
+            .join(expired, col("vec_id") === col("dead_id"), "left_anti"),
+          Seq("batch"))
     scrub("vecs", vecsSchema)
     scrub("banded", bandedSchema)
-    tombs.join(expired, col("vec_id") === col("dead_id"), "left_anti")
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$storePath/tombstones.tmp")
-    swap("tombstones")
+    StoreUtil.rewriteInPlace(spark, storePath, "tombstones",
+      tombs.join(expired, col("vec_id") === col("dead_id"), "left_anti"))
   }
 
   /** Serving-health numbers the compaction policy reads: `tombFrac` —

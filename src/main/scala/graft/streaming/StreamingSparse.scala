@@ -57,6 +57,35 @@ object StreamingSparse {
     ids.select(col("doc_id")).distinct()
       .write.mode(SaveMode.Append).parquet(s"$storePath/tombstones")
 
+  /** Physical reclamation (r15 — the [[StreamingIvf.compact]] symmetry
+    * for the sparse family): postings are doc-keyed, so the tombstone IS
+    * exact serving maintenance and compaction is storage hygiene —
+    * rewrite the postings store without dead docs, then drop the
+    * tombstones. Scrub first, drop last (a crash leaves dead docs still
+    * tombstoned; the next call heals and finishes). Once compacted, a
+    * purged doc CAN re-enter via insert — the caller asserts the ids can
+    * no longer arrive. Run quiesced.
+    */
+  def compact(spark: SparkSession, storePath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("postings", "tombstones")
+      .foreach(StoreUtil.healRewrite(spark, storePath, _))
+    val tombPath = new org.apache.hadoop.fs.Path(s"$storePath/tombstones")
+    if (!fs.exists(tombPath)) return
+    val dead = tombstones(spark, storePath)
+      .select(col("doc_id").as("dead_id")).distinct()
+      .localCheckpoint() // the scrub anti-join + the emptiness probe
+    if (!dead.isEmpty) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/postings")))
+        StoreUtil.rewriteInPlace(spark, storePath, "postings",
+          readParquet(spark, s"$storePath/postings", storeSchema)
+            .join(dead, col("doc_id") === col("dead_id"), "left_anti"),
+          Seq("batch"))
+    }
+    fs.delete(tombPath, true)
+  }
+
   private def writeBatch(storePath: String, lineage: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val tag = s"$lineage-$batchId"

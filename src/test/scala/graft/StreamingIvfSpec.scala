@@ -128,15 +128,33 @@ class StreamingIvfSpec extends AnyFunSuite {
       StreamingIvf.applyDeletes(spark, store,
         emb.filter(dead).select(col("vec_id")))
       val ok2 = got() == expect((era(0) || era(1)) && !dead)
-      // stage 3 — post-delete arrivals; dead members must stay out
+      // stage 2b — compact: serving unchanged, but the PERSISTED store
+      // now holds survivors only and the tombstones are gone
+      StreamingIvf.compact(spark, store)
+      val ok2b = got() == expect((era(0) || era(1)) && !dead)
+      val assignDir = root.resolve("store").resolve("assign")
+      val okRaw = !Files.exists(assignDir) || {
+        // explicit schema: a fully-scrubbed store is a valid empty dir
+        // that schema inference cannot read
+        val raw = spark.read.schema(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "vec_id BIGINT, cid INT, d DOUBLE, batch STRING"))
+          .parquet(assignDir.toString)
+          .select(col("vec_id")).collect().map(_.getLong(0))
+        raw.length == raw.distinct.length &&
+          raw.toSet == got().map(_._1)
+      }
+      val okTomb = !Files.exists(root.resolve("store").resolve("tombstones"))
+      // stage 3 — post-compact arrivals: the purge traded the re-ingest
+      // gate away, so era-2 members of the deleted family DO re-enter
       if (emb.filter(era(2)).count() > 0) {
         emb.filter(era(2)).coalesce(1).write.mode("append")
           .parquet(in.toString)
         StreamingIvf.runAvailableNow(spark, emb.schema, in.toString, cents,
           store, root.resolve("ckpt").toString)
       }
-      val ok3 = got() == expect(!dead)
-      ok1 && ok2 && ok3
+      val ok3 = got() == expect(((era(0) || era(1)) && !dead) || era(2))
+      ok1 && ok2 && ok2b && okRaw && okTomb && ok3
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(6), prop)

@@ -115,14 +115,32 @@ class StreamingSparseSpec extends AnyFunSuite {
       StreamingSparse.applyDeletes(spark, store,
         docs.filter(dead).select(col("doc_id")))
       val ok2 = got() == expect((era(0) || era(1)) && !dead)
+      // compact: serving unchanged, persisted postings scrubbed, no
+      // tombstones left
+      StreamingSparse.compact(spark, store)
+      val ok2b = got() == expect((era(0) || era(1)) && !dead)
+      val postDir = root.resolve("store").resolve("postings")
+      val okRaw = !Files.exists(postDir) || {
+        // explicit schema: a fully-scrubbed store is a valid empty dir
+        // that schema inference cannot read
+        val raw = spark.read.schema(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, s STRING, tf BIGINT, batch STRING"))
+          .parquet(postDir.toString)
+          .select(col("doc_id")).collect().map(_.getLong(0))
+        raw.toSet == got().map(_._1)
+      }
+      val okTomb = !Files.exists(root.resolve("store").resolve("tombstones"))
+      // post-compact arrivals: the purge traded the re-ingest gate away,
+      // so era-2 members of the deleted family DO re-enter
       if (docs.filter(era(2)).count() > 0) {
         docs.filter(era(2)).coalesce(1).write.mode("append")
           .parquet(in.toString)
         StreamingSparse.runAvailableNow(spark, docs.schema, in.toString,
           store, root.resolve("ckpt").toString)
       }
-      val ok3 = got() == expect(!dead)
-      ok1 && ok2 && ok3
+      val ok3 = got() == expect(((era(0) || era(1)) && !dead) || era(2))
+      ok1 && ok2 && ok2b && okRaw && okTomb && ok3
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
