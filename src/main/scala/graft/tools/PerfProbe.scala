@@ -41,6 +41,7 @@ object PerfProbe {
     graft.ops.DedupEdges.seed(spark, dir)
     graft.ops.SparseIndex.seed(spark, dir)
     graft.ops.HnswIndex.seed(spark, dir)
+    graft.ops.KnnLists.seed(spark, dir)
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
       time(s"$n (cold)")(sink(q(spark, dir)))
