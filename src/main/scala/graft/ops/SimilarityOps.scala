@@ -478,6 +478,90 @@ object SimilarityOps {
     */
   val incrementalKnnOracle: String = knnJoinOracle
 
+  /** Tombstone-damage audit of the kNN lists artifact (r15 — the numbers
+    * [[graft.streaming.StreamingHnsw.maybeCompact]]'s policy reads, made
+    * oracle-visible on the batch artifact): under the `% 10 = 3` delete
+    * family, one row with the tombstoned fraction of the artifact's
+    * nodes (dead lists still occupying the store), the live-edge damage
+    * (edges whose neighbor is tombstoned — beam slots the tombstone
+    * filter discards at serving time), and the resulting recall proxy.
+    * Read against [[hnswTombstoneRecall]]'s measured end-to-end recall,
+    * this is the cheap always-on alarm a deployment compacts on: it
+    * costs one lists build + two aggregates — no query set, no exact
+    * baseline.
+    *
+    * Scale shape: the lists build is [[knnJoin]]'s audited bucket
+    * cogroup (checkpointed — the node audit and the edge audit both
+    * read it); the audits are ONE keyed distinct + two 1-row aggregates;
+    * the final row is a broadcast scalar cross.
+    */
+  def knnDamageStats(s: SparkSession, dir: String): DataFrame = {
+    val kk = K
+    val emb = embeddings(s, dir)
+    val isDel = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 3
+    val banded = hnswBanded(emb, 4, 20)
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("ncos").desc, col("nbr"))
+    val lists = hnswScore(hnswCohabit(banded, banded), emb)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kk)
+      .select(col("node"), col("nbr"))
+      .localCheckpoint() // node audit + edge audit both read it
+    val nodeAgg = lists.select(col("node")).distinct()
+      .agg(count(lit(1)).as("n_nodes"),
+        count(when(isDel(col("node")), lit(1))).as("n_dead"))
+    val edgeAgg = lists.filter(!isDel(col("node")))
+      .agg(count(lit(1)).as("n_live_edges"),
+        sum(when(isDel(col("nbr")), lit(1L)).otherwise(lit(0L)))
+          .as("n_damaged_edges"))
+    nodeAgg.crossJoin(broadcast(edgeAgg))
+      .select(col("n_nodes"), col("n_dead"),
+        round(col("n_dead") / col("n_nodes"), 6).as("tomb_frac"),
+        col("n_live_edges"), col("n_damaged_edges"),
+        round(col("n_damaged_edges") / col("n_live_edges"), 6)
+          .as("damage_frac"),
+        round(lit(1.0) - col("n_damaged_edges") / col("n_live_edges"), 6)
+          .as("recall_proxy"))
+  }
+
+  /** The same lists, the same two audits, restated over the shared
+    * bucket CTE chain.
+    */
+  val knnDamageStatsOracle: String =
+    s"""WITH ${signLshBucketsOracleCte(4, 20)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
+       |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
+       |   AND b.vec_id <> a.vec_id),
+       |scored AS (
+       |  SELECT c.node, c.nbr, list_dot_product(en.v, eb.v) AS cos
+       |  FROM cand c JOIN e en ON en.vec_id = c.node
+       |              JOIN e eb ON eb.vec_id = c.nbr),
+       |lists AS (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr,
+       |           row_number() OVER (PARTITION BY node
+       |             ORDER BY cos DESC, nbr) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $K),
+       |nodes AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(count(CASE WHEN node % 10 = 3 THEN 1 END) AS BIGINT)
+       |           AS n_dead
+       |  FROM (SELECT DISTINCT node FROM lists)),
+       |edges AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_live_edges,
+       |         CAST(sum(CASE WHEN nbr % 10 = 3 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_damaged_edges
+       |  FROM lists WHERE node % 10 <> 3)
+       |SELECT n_nodes, n_dead,
+       |       round(n_dead / n_nodes, 6) AS tomb_frac,
+       |       n_live_edges, n_damaged_edges,
+       |       round(n_damaged_edges / n_live_edges, 6) AS damage_frac,
+       |       round(1.0 - n_damaged_edges / n_live_edges, 6)
+       |         AS recall_proxy
+       |FROM nodes, edges""".stripMargin
+
   /** Sign-LSH bucket-occupancy audit (r14 — the `dedup_lsh_tune` genre
     * for the VECTOR banding): every sign-LSH consumer's cost is linear
     * in bucket occupancy — candidate volume is Σ c·(c−1) over bucket
@@ -3209,6 +3293,7 @@ object SimilarityOps {
     "incremental_hnsw" -> (incrementalHnsw _),
     "knn_join" -> ((s: SparkSession, dir: String) => KnnLists.lists(s, dir)),
     "incremental_knn" -> (incrementalKnn _),
+    "knn_damage_stats" -> (knnDamageStats _),
     "knn_delete_repair" -> (knnDeleteRepair _),
     "hnsw_tombstone_recall" -> (hnswTombstoneRecall _),
     "semdedup_knn" -> (semdedupKnn _),
@@ -3249,6 +3334,7 @@ object SimilarityOps {
     "incremental_hnsw" -> incrementalHnswOracle,
     "knn_join" -> knnJoinOracle,
     "incremental_knn" -> incrementalKnnOracle,
+    "knn_damage_stats" -> knnDamageStatsOracle,
     "knn_delete_repair" -> knnDeleteRepairOracle,
     "hnsw_tombstone_recall" -> hnswTombstoneRecallOracle,
     "semdedup_knn" -> semdedupKnnOracle,

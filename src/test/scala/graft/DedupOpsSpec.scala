@@ -722,6 +722,32 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn_damage_stats: the audit row equals fractions recomputed from the knn_join artifact itself") {
+    // the DuckDB oracle pins the values cross-engine; this pins the
+    // audit's SEMANTICS against the artifact it claims to describe — the
+    // same fractions recomputed driver-side from knn_join's own output
+    val lists = SimilarityOps.knnJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    def del(id: Long) = id % 10 == 3
+    val nodes = lists.map(_._1).distinct
+    val live = lists.filter(p => !del(p._1))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = SimilarityOps.knnDamageStats(spark, dir).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getLong(0) == nodes.length && r.getLong(1) == nodes.count(del))
+    assert(r.getDouble(2) == r6(nodes.count(del).toDouble / nodes.length))
+    assert(r.getLong(3) == live.length &&
+      r.getLong(4) == live.count(p => del(p._2)))
+    val damage = live.count(p => del(p._2)).toDouble / live.length
+    assert(r.getDouble(5) == r6(damage))
+    assert(r.getDouble(6) == r6(1.0 - damage))
+    // the audit must actually see damage at this delete family — the
+    // trigger calibration is not vacuous
+    assert(r.getDouble(2) > 0.0 && r.getDouble(5) > 0.0)
+  }
+
   test("ann_lsh_occupancy: ≤2^bits buckets per band, occupancy mass = corpus, candidate mass brackets the distinct cohabit pairs") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.{normalize, toDoubleArray}

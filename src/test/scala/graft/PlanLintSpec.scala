@@ -55,6 +55,8 @@ class PlanLintSpec extends AnyFunSuite {
                             // the exact survivor baseline's scorer pass
     "hard_negative_mining", // NQueries-row query broadcast, one scored pass
     "retrieval_metrics",    // NQueries-row query broadcast, three rankings
+    "knn_damage_stats",     // 1-row node-audit × 1-row edge-audit scalar
+                            // cross for the single output row
     "kcenter_coreset",      // 1-row collected-centers broadcast per round
     "ann_ivf_tune",         // NQueries-row query + 10x|labels| probe-table
                             // broadcasts onto the one scored pass
@@ -493,6 +495,10 @@ class PlanLintSpec extends AnyFunSuite {
       "incremental_sparse" -> 3,  // 2 era term-stat aggs off the seam tf
                                   // + the full-outer merge; 1-row digest,
                                   // no sort
+      "knn_damage_stats" -> 3,    // the lists build (cohabit distinct +
+                                  // top-K window, checkpoint boundary) +
+                                  // the node-distinct audit; the two
+                                  // 1-row audits agg behind it, no sort
       "incremental_knn" -> 6,     // the base lists build (cohabit distinct
                                   // + top-K window, checkpoint boundary) +
                                   // the delta cohabit distinct + the
