@@ -447,7 +447,8 @@ object SimilarityOps {
     val emb = embeddings(s, dir)
     val isIns = pmod(col("vec_id"), lit(10)) === 9
     val banded = hnswBanded(emb, 4, 20)
-      .localCheckpoint() // base self-join ×2 + delta probes ×3 read it
+      .localCheckpoint() // base self-join ×2 + delta probes ×3 read it;
+                         // measured sf0.1 warm: 3.81 s with / 3.88 without
     val bandedBase = banded.filter(!isIns)
     val bandedDelta = banded.filter(isIns)
     val w = Window.partitionBy(col("node"))
@@ -506,7 +507,8 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kk)
       .select(col("node"), col("nbr"))
-      .localCheckpoint() // node audit + edge audit both read it
+      .localCheckpoint() // node audit + edge audit both read it;
+                         // measured sf0.1 warm: 3.58 s with / 3.99 without
     val nodeAgg = lists.select(col("node")).distinct()
       .agg(count(lit(1)).as("n_nodes"),
         count(when(isDel(col("node")), lit(1))).as("n_dead"))
