@@ -41,9 +41,7 @@ object HnswIndex {
   val BeamWidth = 48
   val Rounds = 3
 
-  private val seeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  sys.addShutdownHook(clear())
+  private val seam = new SessionSeam("graft_hnsw_", "nbrs")
 
   /** The inline adjacency build at the shipped config. */
   def build(s: SparkSession, dir: String): DataFrame =
@@ -97,50 +95,23 @@ object HnswIndex {
       .select(col("node"), col("nbr"), col("ncos"))
   }
 
-  /** Materialize the adjacency for `dir` once per session (idempotent).
-    * A failed write deletes its temp dir before rethrowing (the
-    * [[DedupEdges.seed]] orphan-reclamation discipline).
+  /** Materialize the adjacency for `dir` once per session (idempotent,
+    * orphan-reclaiming — [[SessionSeam]]).
     */
   def seed(s: SparkSession, dir: String): Unit =
-    seeded.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_hnsw_")
-      try build(s, dir).write.mode("overwrite").parquet(s"$out/nbrs")
-      catch { case e: Throwable =>
-        try deleteRecursively(out) catch { case _: Throwable => () }
-        throw e
-      }
-      out.toString
-    })
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(root)) {
-      val stream = java.nio.file.Files.walk(root)
-      try {
-        val walk = stream
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator()
-        while (walk.hasNext) java.nio.file.Files.deleteIfExists(walk.next())
-      } finally stream.close()
-    }
+    seam.seed(dir)(build(s, dir))
 
   /** Drop all seeded materializations and delete their parquet. */
-  def clear(): Unit = {
-    val it = seeded.values().iterator()
-    while (it.hasNext) {
-      try deleteRecursively(java.nio.file.Paths.get(it.next()))
-      catch { case _: Throwable => () } // best-effort teardown
-    }
-    seeded.clear()
-  }
+  def clear(): Unit = seam.clear()
 
   /** `(node, nbr)` symmetrized layer-0 adjacency at the shipped config:
     * the materialized table when seeded, else the inline build (long ids
     * — parquet round-trip exact).
     */
   def adjacency(s: SparkSession, dir: String): DataFrame =
-    seeded.get(dir) match {
-      case null => build(s, dir)
-      case path => s.read.parquet(s"$path/nbrs")
+    seam.lookup(dir) match {
+      case None => build(s, dir)
+      case Some(path) => s.read.parquet(path)
         .select(col("node"), col("nbr"))
     }
 }

@@ -31,9 +31,7 @@ object SparseIndex {
     */
   val ShingleK = 5
 
-  private val seeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  sys.addShutdownHook(clear())
+  private val seam = new SessionSeam("graft_sparsetf_", "tf")
 
   /** The inline `(doc_id, s, tf)` build: one corpus scan, the shingle
     * generator hashed once per row (map-side combined — the WinnowOps
@@ -61,49 +59,22 @@ object SparseIndex {
       .agg(count(lit(1)).as("tf"))
   }
 
-  /** Materialize the tf table for `dir` once per session (idempotent).
-    * A failed write deletes its temp dir before rethrowing (the
-    * [[DedupEdges.seed]] orphan-reclamation discipline).
+  /** Materialize the tf table for `dir` once per session (idempotent,
+    * orphan-reclaiming — [[SessionSeam]]).
     */
   def seed(s: SparkSession, dir: String): Unit =
-    seeded.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_sparsetf_")
-      try build(s, dir).write.mode("overwrite").parquet(s"$out/tf")
-      catch { case e: Throwable =>
-        try deleteRecursively(out) catch { case _: Throwable => () }
-        throw e
-      }
-      out.toString
-    })
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(root)) {
-      val stream = java.nio.file.Files.walk(root)
-      try {
-        val walk = stream
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator()
-        while (walk.hasNext) java.nio.file.Files.deleteIfExists(walk.next())
-      } finally stream.close()
-    }
+    seam.seed(dir)(build(s, dir))
 
   /** Drop all seeded materializations and delete their parquet. */
-  def clear(): Unit = {
-    val it = seeded.values().iterator()
-    while (it.hasNext) {
-      try deleteRecursively(java.nio.file.Paths.get(it.next()))
-      catch { case _: Throwable => () } // best-effort teardown
-    }
-    seeded.clear()
-  }
+  def clear(): Unit = seam.clear()
 
   /** `(doc_id, s, tf)`: the materialized table when seeded, else the
     * inline build (integer counts — parquet round-trip exact).
     */
   def shingleTf(s: SparkSession, dir: String): DataFrame =
-    seeded.get(dir) match {
-      case null => build(s, dir)
-      case path => s.read.parquet(s"$path/tf")
+    seam.lookup(dir) match {
+      case None => build(s, dir)
+      case Some(path) => s.read.parquet(path)
         .select(col("doc_id"), col("s"), col("tf"))
     }
 

@@ -40,35 +40,85 @@ private[streaming] object StoreUtil {
     }
   }
 
-  /** Read a parquet store that may not exist yet (first batch). */
+  /** Read a parquet store that may not exist yet (first batch). A store
+    * a crashed rewrite left half-swapped is promoted first — a reader
+    * must never mistake a mid-swap store for an empty one.
+    */
   def readOrEmpty(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
     val hPath = new HPath(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    promoteHalfSwapped(fs, path)
     if (fs.exists(hPath)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
-  /** Heal a store that a crashed [[rewriteInPlace]] left half-swapped: a
-    * complete rewrite stranded at `.tmp` with the live store retired is
-    * promoted; stray `.tmp`/`.retired` leftovers are dropped. Idempotent;
-    * call before reading a store that maintenance rewrites.
+  private def complete(fs: org.apache.hadoop.fs.FileSystem,
+      p: HPath): Boolean =
+    fs.exists(p) && fs.exists(new HPath(p, "_SUCCESS"))
+
+  /** Heal a store that a crashed [[rewriteInPlace]] left half-swapped.
+    * The protocol writes `.tmp` fully (parquet committer `_SUCCESS`),
+    * renames the live store to `.retired`, promotes `.tmp`, then drops
+    * `.retired` — so every crash state is distinguishable and exactly
+    * one whole copy is promoted; NOTHING is ever deleted while it could
+    * be the only complete copy (r15 code-review: the first draft
+    * unconditionally dropped `.tmp`/`.retired` and could destroy a
+    * crashed rewrite's only data). The one ambiguous state — live store
+    * AND `.retired` AND `.tmp` all present, which only a quiesce
+    * violation (a writer recreating the store mid-swap) can produce —
+    * refuses with an exception instead of guessing which copy to drop.
+    * Rename failures throw rather than fall through to deletion.
     */
   def healRewrite(spark: SparkSession, root: String, name: String): Unit = {
     val cur = new HPath(s"$root/$name")
     val tmp = new HPath(s"$root/$name.tmp")
     val old = new HPath(s"$root/$name.retired")
     val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(cur) && fs.exists(tmp)) fs.rename(tmp, cur)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(old)) fs.delete(old, true)
+    def mv(src: HPath, dst: HPath): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"heal: rename $src -> $dst failed")
+    if (!fs.exists(cur)) {
+      if (complete(fs, tmp)) { mv(tmp, cur) // crash between the renames
+        if (fs.exists(old)) fs.delete(old, true)
+      } else if (fs.exists(old)) { mv(old, cur) // tmp never completed
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+      } else if (fs.exists(tmp)) fs.delete(tmp, true) // no store ever
+    } else if (fs.exists(old)) {
+      if (fs.exists(tmp))
+        throw new IllegalStateException(
+          s"$cur, $old and $tmp all exist — the store was recreated " +
+            "while a rewrite was mid-swap (quiesce violation); refusing " +
+            "to guess which copy to drop, reconcile manually")
+      fs.delete(old, true) // swap completed, crash before the cleanup
+    } else if (fs.exists(tmp)) {
+      fs.delete(tmp, true) // pre-swap attempt; the live store is whole
+    }
+  }
+
+  /** Promote a half-swapped store on the READ path (r15 code-review:
+    * a crash between [[rewriteInPlace]]'s renames left the store path
+    * absent, and serving/novelty reads silently saw an empty store until
+    * the next maintenance call healed it — an empty `seen` set re-ingests
+    * the whole corpus). Never deletes anything: the missing-store cases
+    * are unambiguous, the rest is left for [[healRewrite]].
+    */
+  private def promoteHalfSwapped(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val cur = new HPath(path)
+    if (fs.exists(cur)) return
+    val tmp = new HPath(s"$path.tmp")
+    val old = new HPath(s"$path.retired")
+    if (complete(fs, tmp)) fs.rename(tmp, cur)
+    else if (fs.exists(old)) fs.rename(old, cur)
   }
 
   /** Rewrite a store in place: write the new contents to `.tmp`
     * (the old store stays the read source for the whole job), then
     * two-rename swap. A crash at any point is healed by
-    * [[healRewrite]] — either the old or the new store survives whole,
-    * never a mix. Run under the owning maintainer's quiesce contract.
+    * [[healRewrite]] / the read-side promote — either the old or the
+    * new store survives whole, never a mix. Run under the owning
+    * maintainer's quiesce contract.
     */
   def rewriteInPlace(spark: SparkSession, root: String, name: String,
       df: org.apache.spark.sql.DataFrame,
@@ -77,12 +127,50 @@ private[streaming] object StoreUtil {
     val tmp = new HPath(s"$root/$name.tmp")
     val old = new HPath(s"$root/$name.retired")
     val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    def mv(src: HPath, dst: HPath): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rewrite: rename $src -> $dst failed")
     val w = df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
-    fs.rename(cur, old)
-    fs.rename(tmp, cur)
+    mv(cur, old)
+    mv(tmp, cur)
     fs.delete(old, true)
+  }
+
+  /** Shared physical-reclamation kernel for the tombstone-is-exact-
+    * maintenance families (StreamingIvf / StreamingSparse — r15
+    * code-review: the two compact() bodies were line-for-line copies):
+    * heal any half-swapped store, snapshot the tombstoned keys, rewrite
+    * the data store without them, then drop EXACTLY the snapshot from
+    * the tombstone store — an anti-join rewrite against the LIVE
+    * tombstone table, so a delete appended while the scrub job ran is
+    * retained, not silently discarded with a blanket directory delete
+    * (the tombstone-loss race). Scrub first, drop last: a crash at any
+    * point leaves the snapshot ids still tombstoned. Run quiesced —
+    * which covers applyDeletes too; the anti-join rewrite merely bounds
+    * the damage of a violation.
+    */
+  def compactStore(spark: SparkSession, storePath: String,
+      storeName: String, storeSchema: StructType, keyCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    Seq(storeName, "tombstones").foreach(healRewrite(spark, storePath, _))
+    val fs = new HPath(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new HPath(s"$storePath/tombstones"))) return
+    val tombSchema = StructType.fromDDL(s"$keyCol BIGINT")
+    val dead = readOrEmpty(spark, s"$storePath/tombstones", tombSchema)
+      .select(col(keyCol).as("dead_id")).distinct()
+      .localCheckpoint() // scrub anti-join + tombstone drop + emptiness
+    if (dead.isEmpty) return
+    if (fs.exists(new HPath(s"$storePath/$storeName")))
+      rewriteInPlace(spark, storePath, storeName,
+        readOrEmpty(spark, s"$storePath/$storeName", storeSchema)
+          .join(dead, col(keyCol) === col("dead_id"), "left_anti"),
+        Seq("batch"))
+    rewriteInPlace(spark, storePath, "tombstones",
+      readOrEmpty(spark, s"$storePath/tombstones", tombSchema)
+        .join(dead, col(keyCol) === col("dead_id"), "left_anti"))
   }
 
   /** Read a tag-partitioned store keeping ONLY fully-committed partitions
@@ -99,6 +187,7 @@ private[streaming] object StoreUtil {
       schema: StructType): DataFrame = {
     val hPath = new HPath(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    promoteHalfSwapped(fs, path)
     if (!fs.exists(hPath))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val committed = fs.listStatus(hPath).toSeq

@@ -119,13 +119,21 @@ object StreamingHnsw {
     * deleting a never-indexed id pre-deletes it.
     */
   def applyDeletes(spark: SparkSession, storePath: String,
-      ids: DataFrame): Unit = {
-    val atSeq = winningVersion(readOutCommitted(spark, storePath))
-      .map(_._1).getOrElse(0L)
+      ids: DataFrame): Unit =
+    applyDeletes(spark, storePath, ids,
+      winningVersion(readOutCommitted(spark, storePath))
+        .map(_._1).getOrElse(0L))
+
+  /** As above with the stamp seq supplied by the caller — the default
+    * overload derives it with a committed-store listing + max scan per
+    * call, which a high-frequency delete feed that already tracks the
+    * served seq shouldn't re-pay (r15 code-review).
+    */
+  def applyDeletes(spark: SparkSession, storePath: String,
+      ids: DataFrame, atSeq: Long): Unit =
     ids.select(col("vec_id")).distinct()
       .withColumn("seq", lit(atSeq))
       .write.mode(SaveMode.Append).parquet(s"$storePath/tombstones")
-  }
 
   /** Compaction — the [[graft.ops.SimilarityOps.knnDeleteRepair]]
     * dominance algebra applied to the artifact: drop deleted nodes'
@@ -140,13 +148,16 @@ object StreamingHnsw {
     * the serving policy.
     *
     * QUIESCE CONTRACT: run compact only with the maintenance stream
-    * stopped or drained (ADVICE r14). A compact racing an in-flight
-    * micro-batch can commit two versions at the same seq (both computed
-    * from prevSeq = N); serving stays correct — [[winningVersion]]'s
-    * (seq, batch) tie-break picks ONE complete version — but whichever
-    * loses the tie-break is silently superseded, so the race wastes
-    * either the batch's insert (it must re-arrive) or the compact (it
-    * must re-run).
+    * stopped or drained, and no concurrent [[applyDeletes]] (ADVICE
+    * r14). A compact racing an in-flight micro-batch can commit two
+    * versions at the same seq (both computed from prevSeq = N); serving
+    * stays correct — [[winningVersion]]'s (seq, batch) tie-break picks
+    * ONE complete version — but the tie-break protects SERVING, not the
+    * loser's data: a losing micro-batch's novel ids keep their
+    * vecs/banded rows, so the seen anti-join suppresses their
+    * re-arrival forever while they remain candidate NEIGHBORS — they
+    * never get their own lists, and no later compact repairs that
+    * (r15 code-review). The contract is mandatory, not advisory.
     */
   def compact(spark: SparkSession, storePath: String): Unit = {
     val dead = tombstones(spark, storePath)
@@ -238,11 +249,14 @@ object StreamingHnsw {
     val servedSeq = winningVersion(readOutCommitted(spark, storePath))
       .map(_._1).getOrElse(0L)
     val cutoff = servedSeq - ttlVersions
-    val tombs = tombstones(spark, storePath).localCheckpoint()
-    val expired = tombs
-      .filter(coalesce(col("seq"), lit(0L)) <= cutoff)
+    // a null stamp (a tombstone predating the seq column) has UNKNOWN
+    // age — conservatively retained forever rather than expired at once
+    // (r15 code-review: coalesce-to-0 expired every legacy tombstone on
+    // the first purge, defeating the re-ingest gate the TTL protects)
+    val expired = tombstones(spark, storePath)
+      .filter(col("seq").isNotNull && col("seq") <= cutoff)
       .select(col("vec_id").as("dead_id")).distinct()
-      .localCheckpoint() // two scrub anti-joins + the emptiness probe
+      .localCheckpoint() // three anti-joins + the emptiness probe
     if (expired.isEmpty) return
     def scrub(name: String, schema: StructType): Unit =
       if (fs.exists(new HPath(s"$storePath/$name")))
@@ -252,8 +266,12 @@ object StreamingHnsw {
           Seq("batch"))
     scrub("vecs", vecsSchema)
     scrub("banded", bandedSchema)
+    // anti-join against the LIVE tombstone store, not a pre-scrub
+    // snapshot — a delete appended while the scrubs ran is retained
+    // (r15 code-review: the tombstone-loss race)
     StoreUtil.rewriteInPlace(spark, storePath, "tombstones",
-      tombs.join(expired, col("vec_id") === col("dead_id"), "left_anti"))
+      tombstones(spark, storePath)
+        .join(expired, col("vec_id") === col("dead_id"), "left_anti"))
   }
 
   /** Serving-health numbers the compaction policy reads: `tombFrac` —

@@ -109,35 +109,16 @@ object StreamingIvf {
   /** Physical reclamation (r15 — the [[StreamingHnsw.purgeTombstones]]
     * symmetry for the IVF family): tombstones ARE exact serving
     * maintenance here, so "compaction" is purely storage hygiene —
-    * rewrite the assignment store without the dead rows, then drop the
-    * tombstones. Dead rows are scrubbed FIRST and tombstones dropped
-    * LAST: a crash at any point leaves the dead ids still tombstoned
-    * (consistent, just unreclaimed) and the next call heals the
-    * half-swapped store and finishes. Once compacted, a purged id CAN
-    * re-enter via insert — calling this is the deployment's statement
-    * that the ids can no longer arrive (bounded storage traded for the
-    * re-ingest gate). Run quiesced (an in-flight batch's store read
-    * could lose files mid-plan).
+    * rewrite the assignment store without the dead rows, then drop
+    * exactly those ids' tombstones ([[StoreUtil.compactStore]]: scrub
+    * first, drop last, anti-join rewrite so a delete landing mid-scrub
+    * is retained). Once compacted, a purged id CAN re-enter via insert —
+    * calling this is the deployment's statement that the ids can no
+    * longer arrive (bounded storage traded for the re-ingest gate). Run
+    * quiesced, with no concurrent [[applyDeletes]].
     */
-  def compact(spark: SparkSession, storePath: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("assign", "tombstones")
-      .foreach(StoreUtil.healRewrite(spark, storePath, _))
-    val tombPath = new org.apache.hadoop.fs.Path(s"$storePath/tombstones")
-    if (!fs.exists(tombPath)) return
-    val dead = tombstones(spark, storePath)
-      .select(col("vec_id").as("dead_id")).distinct()
-      .localCheckpoint() // the scrub anti-join + the emptiness probe
-    if (!dead.isEmpty) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/assign")))
-        StoreUtil.rewriteInPlace(spark, storePath, "assign",
-          readStore(spark, s"$storePath/assign")
-            .join(dead, col("vec_id") === col("dead_id"), "left_anti"),
-          Seq("batch"))
-    }
-    fs.delete(tombPath, true)
-  }
+  def compact(spark: SparkSession, storePath: String): Unit =
+    StoreUtil.compactStore(spark, storePath, "assign", storeSchema, "vec_id")
 
   /** The maintained index: every live assignment (tombstoned ids
     * excluded).

@@ -60,31 +60,16 @@ object StreamingSparse {
   /** Physical reclamation (r15 — the [[StreamingIvf.compact]] symmetry
     * for the sparse family): postings are doc-keyed, so the tombstone IS
     * exact serving maintenance and compaction is storage hygiene —
-    * rewrite the postings store without dead docs, then drop the
-    * tombstones. Scrub first, drop last (a crash leaves dead docs still
-    * tombstoned; the next call heals and finishes). Once compacted, a
-    * purged doc CAN re-enter via insert — the caller asserts the ids can
-    * no longer arrive. Run quiesced.
+    * rewrite the postings store without dead docs, then drop exactly
+    * those docs' tombstones ([[StoreUtil.compactStore]]: scrub first,
+    * drop last, anti-join rewrite so a delete landing mid-scrub is
+    * retained). Once compacted, a purged doc CAN re-enter via insert —
+    * the caller asserts the ids can no longer arrive. Run quiesced, with
+    * no concurrent [[applyDeletes]].
     */
-  def compact(spark: SparkSession, storePath: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("postings", "tombstones")
-      .foreach(StoreUtil.healRewrite(spark, storePath, _))
-    val tombPath = new org.apache.hadoop.fs.Path(s"$storePath/tombstones")
-    if (!fs.exists(tombPath)) return
-    val dead = tombstones(spark, storePath)
-      .select(col("doc_id").as("dead_id")).distinct()
-      .localCheckpoint() // the scrub anti-join + the emptiness probe
-    if (!dead.isEmpty) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/postings")))
-        StoreUtil.rewriteInPlace(spark, storePath, "postings",
-          readParquet(spark, s"$storePath/postings", storeSchema)
-            .join(dead, col("doc_id") === col("dead_id"), "left_anti"),
-          Seq("batch"))
-    }
-    fs.delete(tombPath, true)
-  }
+  def compact(spark: SparkSession, storePath: String): Unit =
+    StoreUtil.compactStore(spark, storePath, "postings", storeSchema,
+      "doc_id")
 
   private def writeBatch(storePath: String, lineage: String)(
       batch: DataFrame, batchId: Long): Unit = {

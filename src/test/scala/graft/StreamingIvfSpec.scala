@@ -144,7 +144,13 @@ class StreamingIvfSpec extends AnyFunSuite {
         raw.length == raw.distinct.length &&
           raw.toSet == got().map(_._1)
       }
-      val okTomb = !Files.exists(root.resolve("store").resolve("tombstones"))
+      // the tombstone store is rewritten (not blanket-deleted — a delete
+      // landing mid-scrub must survive), so "gone" means empty
+      val tombDir = root.resolve("store").resolve("tombstones")
+      val okTomb = !Files.exists(tombDir) ||
+        spark.read.schema(
+            org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT"))
+          .parquet(tombDir.toString).count() == 0L
       // stage 3 — post-compact arrivals: the purge traded the re-ingest
       // gate away, so era-2 members of the deleted family DO re-enter
       if (emb.filter(era(2)).count() > 0) {

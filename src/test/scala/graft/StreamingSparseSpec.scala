@@ -130,7 +130,13 @@ class StreamingSparseSpec extends AnyFunSuite {
           .select(col("doc_id")).collect().map(_.getLong(0))
         raw.toSet == got().map(_._1)
       }
-      val okTomb = !Files.exists(root.resolve("store").resolve("tombstones"))
+      // the tombstone store is rewritten (not blanket-deleted — a delete
+      // landing mid-scrub must survive), so "gone" means empty
+      val tombDir = root.resolve("store").resolve("tombstones")
+      val okTomb = !Files.exists(tombDir) ||
+        spark.read.schema(
+            org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
+          .parquet(tombDir.toString).count() == 0L
       // post-compact arrivals: the purge traded the re-ingest gate away,
       // so era-2 members of the deleted family DO re-enter
       if (docs.filter(era(2)).count() > 0) {
