@@ -564,6 +564,81 @@ object SimilarityOps {
        |         AS recall_proxy
        |FROM nodes, edges""".stripMargin
 
+  /** Mutual-kNN graph with shared-neighbor strength (r15 — the SNN
+    * primitive: Jarvis–Patrick / SNN-DBSCAN build exactly this from the
+    * kNN lists, and SemDeDup variants symmetrize to mutual edges to cut
+    * hub-induced false merges): a pair is MUTUAL iff each is in the
+    * other's top-K, and its SNN strength is |top-K(a) ∩ top-K(b)| —
+    * hubness-robust where raw cosine is not (a hub cohabits everyone's
+    * list; a genuine near-pair SHARES neighbors). Emits each mutual pair
+    * once (a < b) with its cosine and shared-neighbor count.
+    *
+    * Scale shape: the FIRST pure artifact consumer — every input is the
+    * n×K [[KnnLists]] table (seeded sessions never touch the corpus or
+    * banding at all): mutuality is one id-keyed semi-join of the lists
+    * against their reversal, the SNN count one keyed join-join-aggregate
+    * over K-bounded lists. At 100 TB this runs entirely on the
+    * materialized kNN artifact — the production shape for every
+    * lists-derived graph analytic.
+    */
+  def knnMutual(s: SparkSession, dir: String): DataFrame = {
+    val lists = KnnLists.lists(s, dir)
+      .select(col("vec_id").as("node"), col("neighbor_id").as("nbr"),
+        col("cos"))
+      .localCheckpoint() // 4 consumers (mutual semi ×2, SNN join ×2):
+                         // seeded it's a wash (sf0.1 warm 0.51 with /
+                         // 0.45 without — 4 reads of a tiny artifact)
+                         // but UNSEEDED the 4 consumers would each
+                         // re-run the full lists build — the skew_stats
+                         // local-wash-isn't-scale-safe lesson
+    val rev = lists.select(col("nbr").as("node"), col("node").as("nbr"))
+    val mut = lists.filter(col("node") < col("nbr"))
+      .join(rev, Seq("node", "nbr"), "left_semi")
+      .select(col("node").as("va"), col("nbr").as("vb"), col("cos"))
+    val shared = mut.select(col("va"), col("vb"))
+      .join(lists.select(col("node").as("va"), col("nbr").as("x")), "va")
+      .join(lists.select(col("node").as("vb"), col("nbr").as("x")),
+        Seq("vb", "x"))
+      .groupBy(col("va"), col("vb")).agg(count(lit(1)).as("shared_k"))
+    mut.join(shared, Seq("va", "vb"), "left")
+      .na.fill(0L, Seq("shared_k"))
+      .select(col("va").as("vec_id_a"), col("vb").as("vec_id_b"),
+        col("cos"), col("shared_k"))
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+
+  /** The same mutuality and SNN count restated over the lists CTE. */
+  val knnMutualOracle: String =
+    s"""WITH ${signLshBucketsOracleCte(4, 20)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
+       |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
+       |   AND b.vec_id <> a.vec_id),
+       |scored AS (
+       |  SELECT c.node, c.nbr, list_dot_product(en.v, eb.v) AS cos
+       |  FROM cand c JOIN e en ON en.vec_id = c.node
+       |              JOIN e eb ON eb.vec_id = c.nbr),
+       |lists AS (
+       |  SELECT node, nbr, round(cos, 4) AS cos FROM (
+       |    SELECT node, nbr, cos,
+       |           row_number() OVER (PARTITION BY node
+       |             ORDER BY cos DESC, nbr) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $K),
+       |mut AS (
+       |  SELECT a.node AS va, a.nbr AS vb, a.cos
+       |  FROM lists a JOIN lists b ON b.node = a.nbr AND b.nbr = a.node
+       |  WHERE a.node < a.nbr),
+       |shared AS (
+       |  SELECT m.va, m.vb, count(*) AS shared_k
+       |  FROM mut m JOIN lists x ON x.node = m.va
+       |             JOIN lists y ON y.node = m.vb AND y.nbr = x.nbr
+       |  GROUP BY m.va, m.vb)
+       |SELECT m.va AS vec_id_a, m.vb AS vec_id_b, m.cos,
+       |       CAST(coalesce(s.shared_k, 0) AS BIGINT) AS shared_k
+       |FROM mut m LEFT JOIN shared s ON s.va = m.va AND s.vb = m.vb
+       |ORDER BY vec_id_a, vec_id_b""".stripMargin
+
   /** Sign-LSH bucket-occupancy audit (r14 — the `dedup_lsh_tune` genre
     * for the VECTOR banding): every sign-LSH consumer's cost is linear
     * in bucket occupancy — candidate volume is Σ c·(c−1) over bucket
@@ -3296,6 +3371,7 @@ object SimilarityOps {
     "knn_join" -> ((s: SparkSession, dir: String) => KnnLists.lists(s, dir)),
     "incremental_knn" -> (incrementalKnn _),
     "knn_damage_stats" -> (knnDamageStats _),
+    "knn_mutual" -> (knnMutual _),
     "knn_delete_repair" -> (knnDeleteRepair _),
     "hnsw_tombstone_recall" -> (hnswTombstoneRecall _),
     "semdedup_knn" -> (semdedupKnn _),
@@ -3337,6 +3413,7 @@ object SimilarityOps {
     "knn_join" -> knnJoinOracle,
     "incremental_knn" -> incrementalKnnOracle,
     "knn_damage_stats" -> knnDamageStatsOracle,
+    "knn_mutual" -> knnMutualOracle,
     "knn_delete_repair" -> knnDeleteRepairOracle,
     "hnsw_tombstone_recall" -> hnswTombstoneRecallOracle,
     "semdedup_knn" -> semdedupKnnOracle,

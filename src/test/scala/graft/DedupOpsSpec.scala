@@ -748,6 +748,29 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(r.getDouble(2) > 0.0 && r.getDouble(5) > 0.0)
   }
 
+  test("knn_mutual: pairs and SNN strengths equal a driver-side recompute from the knn_join artifact") {
+    val lists = SimilarityOps.knnJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val edge = lists.map(p => (p._1, p._2)).toSet
+    val byNode = lists.groupBy(_._1)
+      .map { case (n, rs) => n -> rs.map(_._2).toSet }
+    val cosOf = lists.map(p => (p._1, p._2) -> p._3).toMap
+    val expected = edge.toSeq
+      .filter { case (a, b) => a < b && edge.contains((b, a)) }
+      .map { case (a, b) =>
+        (a, b, cosOf((a, b)), byNode(a).intersect(byNode(b)).size.toLong)
+      }.sorted
+    val got = SimilarityOps.knnMutual(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty, "no mutual pairs — test vacuous")
+    assert(got == expected)
+    // mutuality is strictly rarer than directed membership — the
+    // symmetrization actually cuts something on this corpus
+    assert(got.length.toLong < edge.size,
+      "every directed edge was mutual — symmetrization vacuous")
+  }
+
   test("ann_lsh_occupancy: ≤2^bits buckets per band, occupancy mass = corpus, candidate mass brackets the distinct cohabit pairs") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.{normalize, toDoubleArray}

@@ -495,6 +495,12 @@ class PlanLintSpec extends AnyFunSuite {
       "incremental_sparse" -> 3,  // 2 era term-stat aggs off the seam tf
                                   // + the full-outer merge; 1-row digest,
                                   // no sort
+      "knn_mutual" -> 10,         // unseeded: the lists build (cohabit
+                                  // distinct + top-K window, checkpoint
+                                  // boundary) + the mutual semi-join +
+                                  // two SNN joins + pair agg + left
+                                  // attach (+sort); seeded sessions skip
+                                  // the build — artifact-only consumer
       "knn_damage_stats" -> 3,    // the lists build (cohabit distinct +
                                   // top-K window, checkpoint boundary) +
                                   // the node-distinct audit; the two
