@@ -639,6 +639,72 @@ object SimilarityOps {
        |FROM mut m LEFT JOIN shared s ON s.va = m.va AND s.vb = m.vb
        |ORDER BY vec_id_a, vec_id_b""".stripMargin
 
+  /** Jarvis–Patrick SNN clustering (r15 — the classic shared-nearest-
+    * neighbor algorithm run on the [[knnMutual]] graph): two vectors
+    * cluster together iff they are MUTUAL k-neighbors sharing at least
+    * `SnnMinShared` of their top-K lists, components closed
+    * transitively — the density-from-shared-context definition that
+    * survives hubness and varying local density where a raw cosine
+    * threshold ([[semdedupKnn]]) does not. Emits each clustered vector
+    * with its min-id representative and the keep/drop verdict.
+    *
+    * Scale shape: the edge set is [[knnMutual]] (artifact-only, K-
+    * bounded per node) filtered by a scalar; the closure is the audited
+    * Borůvka hook-compress-contract ([[ClusterOps]]) — joins-only,
+    * O(log diameter) levels. The oracle composes the mutual/SNN CTEs
+    * with the recursive closure verbatim. The threshold is calibrated
+    * to this corpus's measured shared_k distribution (max 2 at both
+    * gate SFs — 64-dim near-uniform vectors shard the lists).
+    */
+  private[graft] val SnnMinShared = 2
+
+  def snnClusters(s: SparkSession, dir: String): DataFrame =
+    ClusterOps.clustersOver(
+        knnMutual(s, dir)
+          .filter(col("shared_k") >= SnnMinShared)
+          .select(col("vec_id_a").as("doc_a"), col("vec_id_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"), col("keep"))
+      .orderBy("vec_id")
+
+  val snnClustersOracle: String =
+    s"""WITH RECURSIVE ${signLshBucketsOracleCte(4, 20)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
+       |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
+       |   AND b.vec_id <> a.vec_id),
+       |scored AS (
+       |  SELECT c.node, c.nbr, list_dot_product(en.v, eb.v) AS cos
+       |  FROM cand c JOIN e en ON en.vec_id = c.node
+       |              JOIN e eb ON eb.vec_id = c.nbr),
+       |lists AS (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr,
+       |           row_number() OVER (PARTITION BY node
+       |             ORDER BY cos DESC, nbr) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $K),
+       |mut AS (
+       |  SELECT a.node AS va, a.nbr AS vb
+       |  FROM lists a JOIN lists b ON b.node = a.nbr AND b.nbr = a.node
+       |  WHERE a.node < a.nbr),
+       |pairs AS (
+       |  SELECT m.va AS doc_a, m.vb AS doc_b
+       |  FROM mut m JOIN lists x ON x.node = m.va
+       |             JOIN lists y ON y.node = m.vb AND y.nbr = x.nbr
+       |  GROUP BY m.va, m.vb
+       |  HAVING count(*) >= $SnnMinShared),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT u AS src, u AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+       |SELECT src AS vec_id, min(dst) AS cluster_rep,
+       |       src = min(dst) AS keep
+       |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
+
   /** Sign-LSH bucket-occupancy audit (r14 — the `dedup_lsh_tune` genre
     * for the VECTOR banding): every sign-LSH consumer's cost is linear
     * in bucket occupancy — candidate volume is Σ c·(c−1) over bucket
@@ -3372,6 +3438,7 @@ object SimilarityOps {
     "incremental_knn" -> (incrementalKnn _),
     "knn_damage_stats" -> (knnDamageStats _),
     "knn_mutual" -> (knnMutual _),
+    "snn_clusters" -> (snnClusters _),
     "knn_delete_repair" -> (knnDeleteRepair _),
     "hnsw_tombstone_recall" -> (hnswTombstoneRecall _),
     "semdedup_knn" -> (semdedupKnn _),
@@ -3414,6 +3481,7 @@ object SimilarityOps {
     "incremental_knn" -> incrementalKnnOracle,
     "knn_damage_stats" -> knnDamageStatsOracle,
     "knn_mutual" -> knnMutualOracle,
+    "snn_clusters" -> snnClustersOracle,
     "knn_delete_repair" -> knnDeleteRepairOracle,
     "hnsw_tombstone_recall" -> hnswTombstoneRecallOracle,
     "semdedup_knn" -> semdedupKnnOracle,

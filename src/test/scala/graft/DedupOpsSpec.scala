@@ -771,6 +771,29 @@ class DedupOpsSpec extends AnyFunSuite {
       "every directed edge was mutual — symmetrization vacuous")
   }
 
+  test("snn_clusters: components agree with a driver-side union-find over the same thresholded mutual pairs") {
+    val pairs = SimilarityOps.knnMutual(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("shared_k") >=
+        SimilarityOps.SnnMinShared)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no SNN edges at the calibrated threshold — vacuous")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = members.map(m => (m, find(m))).sorted
+      .map { case (m, rep) => (m, rep, m == rep) }
+    val got = SimilarityOps.snnClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == expected.toSeq)
+  }
+
   test("ann_lsh_occupancy: ≤2^bits buckets per band, occupancy mass = corpus, candidate mass brackets the distinct cohabit pairs") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.{normalize, toDoubleArray}

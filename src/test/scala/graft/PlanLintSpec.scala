@@ -501,6 +501,10 @@ class PlanLintSpec extends AnyFunSuite {
                                   // two SNN joins + pair agg + left
                                   // attach (+sort); seeded sessions skip
                                   // the build — artifact-only consumer
+      "snn_clusters" -> 1,        // lists + closure propagation ride
+                                  // checkpoints (knnMutual boundary +
+                                  // ClusterOps levels); planned tail is
+                                  // the label rollup (+sort)
       "knn_damage_stats" -> 3,    // the lists build (cohabit distinct +
                                   // top-K window, checkpoint boundary) +
                                   // the node-distinct audit; the two
