@@ -19,8 +19,17 @@ import graft.functions.VectorFunctions._
   */
 object SimilarityOps {
 
-  private val K = 5
+  private[graft] val K = 5
   private val NQueries = 10
+
+  /** The kNN lists artifact's banding config (r15 — named so the
+    * streaming maintainer [[graft.streaming.StreamingKnn]] and the batch
+    * build can never silently de-align, the HnswIndex constant-hoist
+    * lesson): the `ann_sign_lsh` 4×20 OR-construction every knn-family
+    * query documents.
+    */
+  private[graft] val KnnBitsPerBand = 4
+  private[graft] val KnnBands = 20
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -291,7 +300,7 @@ object SimilarityOps {
     * [[incrementalKnn]] / [[knnDeleteRepair]], which rebuild by design.
     */
   def knnJoin(s: SparkSession, dir: String): DataFrame =
-    knnJoin(s, dir, bitsPerBand = 4, bands = 20, k = K)
+    knnJoin(s, dir, bitsPerBand = KnnBitsPerBand, bands = KnnBands, k = K)
 
   def knnJoin(s: SparkSession, dir: String, bitsPerBand: Int,
       bands: Int, k: Int): DataFrame = {

@@ -8,38 +8,50 @@ import org.apache.spark.sql.types.StructType
 import graft.functions.VectorFunctions.{normalize, toDoubleArray}
 import graft.ops.{HnswIndex, SimilarityOps}
 
-/** Streaming HNSW index maintenance (r14 — VERDICT r13 #5's second half,
-  * wired once `incremental_hnsw` landed): vectors arriving as files in a
-  * monitored folder are INSERTED into the persisted bounded-degree
-  * out-adjacency via [[HnswIndex.insert]] — the graph is never rebuilt.
-  * Each micro-batch bands its novel vectors, cogroups them against the
-  * banded store (delta × (base ∪ delta), never base × base — the
-  * [[StreamingEmbeddingDedup]] candidate class), exact-scores the
-  * delta-involving pairs, and re-ranks per-node top-`Degree` over (prior
-  * artifact ∪ delta candidates). The pigeonhole argument that makes one
-  * insert equal a rebuild composes inductively across batches: after any
-  * drain the artifact equals [[SimilarityOps.hnswOutInline]] over
+/** The shared always-on maintainer of a banded-top-K vector artifact —
+  * the kernel behind [[StreamingHnsw]] (the HNSW out-adjacency at the
+  * 8×10/degree-20 build config) and [[StreamingKnn]] (the corpus-wide
+  * kNN lists at the 4×20/top-K search config). The two artifacts are
+  * the SAME algebra at different constants — per-node top-`degree` by
+  * (ncos DESC, nbr) over banded-cogroup candidates — so they share one
+  * implementation instead of two drifting copies (the r15 review's
+  * SessionSeam/compactStore lesson applied preemptively; every
+  * durability property hardened on the HNSW form — write ordering,
+  * committed-only max-seq reads, (seq, batch) tie-break, TTL purge with
+  * candidate-store scrub, vacuum — holds for both instantiations by
+  * construction, and each has its own lifecycle spec).
+  *
+  * Vectors arriving as files in a monitored folder are INSERTED into
+  * the persisted artifact via the [[HnswIndex.insert]] pigeonhole
+  * re-rank — never a rebuild. Each micro-batch bands its novel vectors,
+  * cogroups them against the banded store (delta × (base ∪ delta),
+  * never base × base), exact-scores the delta-involving pairs, and
+  * re-ranks per-node top-`degree` over (prior artifact ∪ delta
+  * candidates). The pigeonhole argument composes inductively across
+  * batches: after any drain the artifact equals the one-shot build over
   * everything seen, REGARDLESS of how arrivals were chopped —
-  * StreamingHnswSpec pins exact row equality.
+  * StreamingHnswSpec / StreamingKnnSpec pin exact row equality.
   *
   * Stores under `storePath` (all tag-partitioned for the at-least-once
   * discipline: reads exclude the batch's own tag, writes overwrite it):
   * `vecs/` (normalized vectors — identity novelty + scoring lookups),
   * `banded/` (the candidate-generation key table, append-only), and
   * `out/` — each batch writes a COMPLETE new artifact version stamped
-  * with a monotone `seq` (maintenance can evict a base edge, so versions,
-  * not deltas); [[outAdjacency]] serves the max-seq version.
+  * with a monotone `seq` (maintenance can evict a base edge, so
+  * versions, not deltas); [[outAdjacency]] serves the winning version.
   *
   * Scale: per batch the work is |delta banding| × bucket occupancy
   * candidates + id-keyed vector lookups + the artifact re-rank (node-
-  * bounded window) — no corpus self-join, no stateful operator; the index
-  * lives in the store exactly as a production serving deployment keeps
-  * it.
+  * bounded window) — no corpus self-join, no stateful operator; the
+  * index lives in the store exactly as a production serving deployment
+  * keeps it.
   */
-object StreamingHnsw {
+private[streaming] final class BandedTopKMaintainer(
+    bitsPerBand: Int, bands: Int, degree: Int,
+    lineageMarker: String, queryName: String) {
 
   private def lineageId(spark: SparkSession, checkpointDir: String): String =
-    StoreUtil.lineageId(spark, checkpointDir, "graft-shnsw-lineage")
+    StoreUtil.lineageId(spark, checkpointDir, lineageMarker)
 
   private val vecsSchema = StructType.fromDDL(
     "vec_id BIGINT, v ARRAY<DOUBLE>, batch STRING")
@@ -77,10 +89,10 @@ object StreamingHnsw {
     * [[compact]] racing an in-flight micro-batch both compute from
     * prevSeq = N and write N+1 — and a bare `seq === max(seq)` filter
     * would then serve the UNION of two complete artifacts (duplicate
-    * rows, degree > Degree). Each complete version is a correct artifact
-    * for its input set, so the deterministic tie-break guarantees ONE is
-    * served whole (ADVICE r14); [[compact]]'s quiesce contract makes the
-    * collision not arise in the first place.
+    * rows, degree > the bound). Each complete version is a correct
+    * artifact for its input set, so the deterministic tie-break
+    * guarantees ONE is served whole (ADVICE r14); [[compact]]'s quiesce
+    * contract makes the collision not arise in the first place.
     */
   private def winningVersion(store: DataFrame): Option[(Long, String)] = {
     val r = store.agg(max(struct(col("seq"), col("batch"))).as("w"))
@@ -141,7 +153,7 @@ object StreamingHnsw {
     * everything below stays below), re-probe ONLY damaged nodes' buckets
     * against survivors (the banded store makes the re-probe bounded).
     * The compacted artifact equals a full rebuild over the live ids —
-    * StreamingHnswSpec pins it — and subsequent inserts stay
+    * the lifecycle specs pin it — and subsequent inserts stay
     * pigeonhole-exact on top of it. Tombstones are retained (they also
     * gate future re-ingest); [[purgeTombstones]] gives them the version
     * TTL, [[maybeCompact]] wires measure → compact → purge → vacuum into
@@ -187,7 +199,7 @@ object StreamingHnsw {
     val repaired = SimilarityOps.hnswTopOut(
       SimilarityOps.hnswScore(
         SimilarityOps.hnswCohabit(bandedDamaged, bandedSurv), vecsLive),
-      HnswIndex.Degree)
+      degree)
     kept.unionByName(repaired)
       .withColumn("seq", lit(prevSeq + 1L))
       .write.mode(SaveMode.Overwrite)
@@ -197,7 +209,7 @@ object StreamingHnsw {
   /** Garbage-collect superseded artifact versions (ADVICE r14): every
     * COMMITTED out partition except the winning one is dropped — each
     * micro-batch/compact writes a complete version, so without pruning
-    * the store grows O(n_batches × corpus × Degree). Uncommitted
+    * the store grows O(n_batches × corpus × degree). Uncommitted
     * partitions (a crashed write awaiting its streaming retry) are left
     * alone — the retry overwrites its own tag regardless. The winner
     * stays, so serving is unaffected; run under [[compact]]'s quiesce
@@ -278,7 +290,7 @@ object StreamingHnsw {
     * the fraction of the served artifact's nodes that are tombstoned
     * (dead lists still occupying the store) — and `recallProxy` — 1
     * minus the fraction of LIVE nodes' edges pointing at a tombstoned
-    * neighbor. Dead neighbors are exactly the beam slots the tombstone
+    * neighbor. Dead neighbors are exactly the result slots the tombstone
     * filter discards at serving time, which is the degradation
     * `hnsw_tombstone_recall` measures end-to-end (0.956 vs an
     * intact-graph 0.96–1.0 at 10% deletion) — edge damage is its cheap
@@ -323,8 +335,8 @@ object StreamingHnsw {
     * must honor [[compact]]'s quiesce contract.
     */
   def maybeCompact(spark: SparkSession, storePath: String,
-      maxTombFrac: Double = 0.10, minRecallProxy: Double = 0.97,
-      tombstoneTtl: Long = 2L): Boolean = {
+      maxTombFrac: Double, minRecallProxy: Double,
+      tombstoneTtl: Long): Boolean = {
     val (tombFrac, recallProxy) = compactionStats(spark, storePath)
     val due = tombFrac > maxTombFrac || recallProxy < minRecallProxy
     if (due) {
@@ -348,7 +360,7 @@ object StreamingHnsw {
     // candidate algebra
     // dropDuplicates: two copies of an id in ONE micro-batch both pass
     // the seen anti-join and would fan out duplicate scored rows that
-    // consume top-Degree slots (r14 code-review)
+    // consume top-degree slots (r14 code-review)
     val novel = live(batch
       .select(col("vec_id"),
         normalize(toDoubleArray(col("embedding"))).as("v"))
@@ -358,7 +370,7 @@ object StreamingHnsw {
       .localCheckpoint() // read 4× below (banding, union, empty-probe, write)
     if (!novel.isEmpty) {
       val bandedDelta = SimilarityOps.hnswBanded(novel,
-        HnswIndex.BitsPerBand, HnswIndex.Bands).localCheckpoint()
+        bitsPerBand, bands).localCheckpoint()
       // candidates come from LIVE ids only — a tombstoned waypoint must
       // not gain new edges (post-compact inserts stay rebuild-exact)
       val bandedAll = live(notOwn(
@@ -379,7 +391,7 @@ object StreamingHnsw {
           .select(col("node"), col("nbr"), col("ncos"))
       }
       val maintained = HnswIndex.insert(prevOut,
-        SimilarityOps.hnswScore(deltaCand, embAll))
+        SimilarityOps.hnswScore(deltaCand, embAll), degree)
       // write order is load-bearing (ADVICE r14): the out artifact
       // commits LAST, so a committed top-seq version always implies its
       // supporting vecs/banded rows are complete — a compact() between a
@@ -396,9 +408,9 @@ object StreamingHnsw {
     }
   }
 
-  /** The maintained out-adjacency artifact: the winning complete version
-    * (`node, nbr, ncos` — [[HnswIndex.loadOut]]'s shape; see
-    * [[winningVersion]] for the same-seq tie-break).
+  /** The maintained artifact: the winning complete version
+    * (`node, nbr, ncos`; see [[winningVersion]] for the same-seq
+    * tie-break).
     */
   def outAdjacency(spark: SparkSession, storePath: String): DataFrame =
     servedVersion(spark, storePath)
@@ -412,7 +424,7 @@ object StreamingHnsw {
     val lineage = lineageId(spark, checkpointDir)
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
-      .queryName("hnsw-maintain")
+      .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(writeBatch(storePath, lineage) _)
@@ -424,4 +436,116 @@ object StreamingHnsw {
       inputDir: String, storePath: String, checkpointDir: String): Unit =
     start(spark, schema, inputDir, storePath, checkpointDir)
       .awaitTermination()
+}
+
+/** Streaming HNSW index maintenance (r14 — VERDICT r13 #5's second
+  * half): the [[BandedTopKMaintainer]] at the shipped HNSW build config
+  * ([[HnswIndex.BitsPerBand]]×[[HnswIndex.Bands]], top-
+  * [[HnswIndex.Degree]]) — after any drain the artifact equals
+  * [[SimilarityOps.hnswOutInline]] over everything seen (StreamingHnswSpec).
+  */
+object StreamingHnsw {
+
+  private val m = new BandedTopKMaintainer(
+    HnswIndex.BitsPerBand, HnswIndex.Bands, HnswIndex.Degree,
+    "graft-shnsw-lineage", "hnsw-maintain")
+
+  def applyDeletes(spark: SparkSession, storePath: String,
+      ids: DataFrame): Unit = m.applyDeletes(spark, storePath, ids)
+
+  def applyDeletes(spark: SparkSession, storePath: String,
+      ids: DataFrame, atSeq: Long): Unit =
+    m.applyDeletes(spark, storePath, ids, atSeq)
+
+  def compact(spark: SparkSession, storePath: String): Unit =
+    m.compact(spark, storePath)
+
+  def vacuum(spark: SparkSession, storePath: String): Unit =
+    m.vacuum(spark, storePath)
+
+  def purgeTombstones(spark: SparkSession, storePath: String,
+      ttlVersions: Long): Unit =
+    m.purgeTombstones(spark, storePath, ttlVersions)
+
+  def compactionStats(spark: SparkSession,
+      storePath: String): (Double, Double) =
+    m.compactionStats(spark, storePath)
+
+  def maybeCompact(spark: SparkSession, storePath: String,
+      maxTombFrac: Double = 0.10, minRecallProxy: Double = 0.97,
+      tombstoneTtl: Long = 2L): Boolean =
+    m.maybeCompact(spark, storePath, maxTombFrac, minRecallProxy,
+      tombstoneTtl)
+
+  def outAdjacency(spark: SparkSession, storePath: String): DataFrame =
+    m.outAdjacency(spark, storePath)
+
+  def start(spark: SparkSession, schema: StructType, inputDir: String,
+      storePath: String, checkpointDir: String): StreamingQuery =
+    m.start(spark, schema, inputDir, storePath, checkpointDir)
+
+  def runAvailableNow(spark: SparkSession, schema: StructType,
+      inputDir: String, storePath: String, checkpointDir: String): Unit =
+    m.runAvailableNow(spark, schema, inputDir, storePath, checkpointDir)
+}
+
+/** Streaming maintenance of the corpus-wide kNN LISTS artifact (r15 —
+  * the always-on form of [[SimilarityOps.incrementalKnn]], completing
+  * the family symmetry: the lists table now has batch insert, batch
+  * delete+repair, AND a streaming maintainer like the other three
+  * index families): the [[BandedTopKMaintainer]] at the `knn_join`
+  * search config ([[SimilarityOps.KnnBitsPerBand]]×
+  * [[SimilarityOps.KnnBands]], top-[[SimilarityOps.K]]) — after any
+  * drain [[lists]] equals the one-shot `knn_join` build over everything
+  * seen, chop-independently (StreamingKnnSpec), and the whole
+  * delete/compact/TTL/vacuum policy surface comes with the kernel.
+  * This is the maintainer a production SemDeDup ingest actually runs
+  * per arrival batch.
+  */
+object StreamingKnn {
+
+  private val m = new BandedTopKMaintainer(
+    SimilarityOps.KnnBitsPerBand, SimilarityOps.KnnBands, SimilarityOps.K,
+    "graft-sknn-lineage", "knn-maintain")
+
+  def applyDeletes(spark: SparkSession, storePath: String,
+      ids: DataFrame): Unit = m.applyDeletes(spark, storePath, ids)
+
+  def applyDeletes(spark: SparkSession, storePath: String,
+      ids: DataFrame, atSeq: Long): Unit =
+    m.applyDeletes(spark, storePath, ids, atSeq)
+
+  def compact(spark: SparkSession, storePath: String): Unit =
+    m.compact(spark, storePath)
+
+  def vacuum(spark: SparkSession, storePath: String): Unit =
+    m.vacuum(spark, storePath)
+
+  def purgeTombstones(spark: SparkSession, storePath: String,
+      ttlVersions: Long): Unit =
+    m.purgeTombstones(spark, storePath, ttlVersions)
+
+  def compactionStats(spark: SparkSession,
+      storePath: String): (Double, Double) =
+    m.compactionStats(spark, storePath)
+
+  def maybeCompact(spark: SparkSession, storePath: String,
+      maxTombFrac: Double = 0.10, minRecallProxy: Double = 0.97,
+      tombstoneTtl: Long = 2L): Boolean =
+    m.maybeCompact(spark, storePath, maxTombFrac, minRecallProxy,
+      tombstoneTtl)
+
+  /** The maintained lists artifact (`node, nbr, ncos` — `knn_join`'s
+    * rows before ranking/rounding; the winning complete version).
+    */
+  def lists(spark: SparkSession, storePath: String): DataFrame =
+    m.outAdjacency(spark, storePath)
+
+  def start(spark: SparkSession, schema: StructType, inputDir: String,
+      storePath: String, checkpointDir: String): StreamingQuery =
+    m.start(spark, schema, inputDir, storePath, checkpointDir)
+
+  def runAvailableNow(spark: SparkSession, schema: StructType,
+      inputDir: String, storePath: String, checkpointDir: String): Unit =
+    m.runAvailableNow(spark, schema, inputDir, storePath, checkpointDir)
 }
