@@ -23,9 +23,7 @@ import org.apache.spark.sql.functions.col
   */
 object DedupEdges {
 
-  private val seeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  sys.addShutdownHook(clear())
+  private val seam = new SessionSeam("graft_neardup_")
 
   /** The verified pair list (doc_a, doc_b, jaccard), built inline — the
     * exact output of [[DedupOps.dedupNgramJaccard]].
@@ -39,65 +37,35 @@ object DedupEdges {
   def buildShingle(s: SparkSession, dir: String): DataFrame =
     DedupOps.dedupMinhashShingle(s, dir)
 
-  /** Materialize both pair lists for `dir` once per session (idempotent).
-    * A failed write deletes its temp dir before rethrowing — otherwise no
-    * map entry is recorded and neither [[clear]] nor the shutdown hook
-    * would ever reclaim the orphan (ADVICE r10).
+  /** Materialize both pair lists + the CC label table for `dir` once per
+    * session (idempotent, orphan-reclaiming — [[SessionSeam]]).
     */
   def seed(s: SparkSession, dir: String): Unit =
-    seeded.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_neardup_")
-      try {
-        build(s, dir).write.mode("overwrite").parquet(s"$out/pairs")
-        buildShingle(s, dir).write.mode("overwrite")
-          .parquet(s"$out/shingle_pairs")
-        // the CC label table is the second derived artifact the session
-        // materializes (r13 — five curation/lineage queries re-ran the
-        // Borůvka closure per execution): derive it from the parquet
-        // just written, NOT via pairs() — the seam registers `dir` only
-        // after this lambda returns, so pairs() here would rebuild the
-        // whole edge list inline
-        ClusterOps.clustersOver(
-            s.read.parquet(s"$out/pairs").select(col("doc_a"), col("doc_b")))
-          .write.mode("overwrite").parquet(s"$out/labels")
-      } catch { case e: Throwable =>
-        try deleteRecursively(out) catch { case _: Throwable => () }
-        throw e
-      }
-      out.toString
-    })
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(root)) {
-      // Files.walk returns a Stream backed by an open directory handle —
-      // close it or every teardown leaks one (ADVICE r11)
-      val stream = java.nio.file.Files.walk(root)
-      try {
-        val walk = stream
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator()
-        while (walk.hasNext) java.nio.file.Files.deleteIfExists(walk.next())
-      } finally stream.close()
+    seam.seed(dir) { root =>
+      build(s, dir).write.mode("overwrite").parquet(s"$root/pairs")
+      buildShingle(s, dir).write.mode("overwrite")
+        .parquet(s"$root/shingle_pairs")
+      // the CC label table is the second derived artifact the session
+      // materializes (r13 — five curation/lineage queries re-ran the
+      // Borůvka closure per execution): derive it from the parquet
+      // just written, NOT via pairs() — the seam registers `dir` only
+      // after this lambda returns, so pairs() here would rebuild the
+      // whole edge list inline
+      ClusterOps.clustersOver(
+          s.read.parquet(s"$root/pairs").select(col("doc_a"), col("doc_b")))
+        .write.mode("overwrite").parquet(s"$root/labels")
     }
 
   /** Drop all seeded materializations and delete their parquet. */
-  def clear(): Unit = {
-    val it = seeded.values().iterator()
-    while (it.hasNext) {
-      try deleteRecursively(java.nio.file.Paths.get(it.next()))
-      catch { case _: Throwable => () } // best-effort teardown
-    }
-    seeded.clear()
-  }
+  def clear(): Unit = seam.clear()
 
   /** (doc_a, doc_b, jaccard) pairs: the materialized table when seeded,
     * else the inline build.
     */
   def pairs(s: SparkSession, dir: String): DataFrame =
-    seeded.get(dir) match {
-      case null => build(s, dir)
-      case path => s.read.parquet(s"$path/pairs")
+    seam.lookup(dir) match {
+      case None => build(s, dir)
+      case Some(root) => s.read.parquet(s"$root/pairs")
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }
 
@@ -105,9 +73,9 @@ object DedupEdges {
     * else the inline build.
     */
   def shinglePairs(s: SparkSession, dir: String): DataFrame =
-    seeded.get(dir) match {
-      case null => buildShingle(s, dir)
-      case path => s.read.parquet(s"$path/shingle_pairs")
+    seam.lookup(dir) match {
+      case None => buildShingle(s, dir)
+      case Some(root) => s.read.parquet(s"$root/shingle_pairs")
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }
 
@@ -119,9 +87,9 @@ object DedupEdges {
     * only need the labels.
     */
   def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    seeded.get(dir) match {
-      case null => ClusterOps.dedupClusters(s, dir)
-      case path => s.read.parquet(s"$path/labels")
+    seam.lookup(dir) match {
+      case None => ClusterOps.dedupClusters(s, dir)
+      case Some(root) => s.read.parquet(s"$root/labels")
         .select(col("doc_id"), col("cluster_rep"), col("keep"))
     }
 }

@@ -30,26 +30,7 @@ import org.apache.spark.sql.functions._
 object GraphEdges {
 
   /** dir → materialization root containing `edges/` and `baskets/`. */
-  private val seeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  // seeded materializations live in temp directories; reclaim them at JVM
-  // exit so repeated test/bench sessions don't accumulate in /tmp
-  // (ADVICE r9). clear() deletes eagerly for the in-session case.
-  sys.addShutdownHook(clear())
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(root)) {
-      // Files.walk holds an open directory handle until closed (ADVICE r11)
-      val stream = Files.walk(root)
-      try {
-        val it = stream
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator()
-        while (it.hasNext) Files.deleteIfExists(it.next())
-      } finally stream.close()
-    }
-  }
+  private val seam = new SessionSeam("graft_copurchase_")
 
   /** Canonical (u < v) co-purchase edges WITH their order co-occurrence
     * count, built inline: parts sharing an order are neighbors; fanout
@@ -80,37 +61,20 @@ object GraphEdges {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("okey"), col("p_brand")).distinct()
 
-  /** Materialize the seam tables for `dir` once per session (idempotent).
-    * A failed write deletes its temp dir before rethrowing — otherwise no
-    * map entry is recorded and neither [[clear]] nor the shutdown hook
-    * would ever reclaim the orphan (ADVICE r10).
+  /** Materialize the seam tables for `dir` once per session (idempotent,
+    * orphan-reclaiming — [[SessionSeam]]).
     */
   def seed(s: SparkSession, dir: String): Unit =
-    seeded.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_copurchase_")
-      try {
-        build(s, dir).write.mode("overwrite").parquet(s"$out/edges")
-        buildBrandBaskets(s, dir).write.mode("overwrite")
-          .parquet(s"$out/baskets")
-      } catch { case e: Throwable =>
-        try deleteRecursively(out) catch { case _: Throwable => () }
-        throw e
-      }
-      out.toString
-    })
+    seam.seed(dir) { root =>
+      build(s, dir).write.mode("overwrite").parquet(s"$root/edges")
+      buildBrandBaskets(s, dir).write.mode("overwrite")
+        .parquet(s"$root/baskets")
+    }
 
   /** Drop all seeded materializations and delete their parquet from disk
     * (tests; also the JVM shutdown hook).
     */
-  def clear(): Unit = {
-    val it = seeded.values().iterator()
-    while (it.hasNext) {
-      try deleteRecursively(java.nio.file.Paths.get(it.next()))
-      catch { case _: Throwable => () } // best-effort: never fail a test teardown
-    }
-    seeded.clear()
-  }
+  def clear(): Unit = seam.clear()
 
   /** Canonical (u, v) edges: the materialized table when seeded, else the
     * inline build. Callers that iterate should use
@@ -121,9 +85,9 @@ object GraphEdges {
 
   /** Canonical (u, v, cnt) edges with the co-occurrence count column. */
   def canonicalWeighted(s: SparkSession, dir: String): DataFrame =
-    seeded.get(dir) match {
-      case null => build(s, dir)
-      case path => s.read.parquet(s"$path/edges")
+    seam.lookup(dir) match {
+      case None => build(s, dir)
+      case Some(root) => s.read.parquet(s"$root/edges")
     }
 
   /** [[canonical]] with the iterative-consumer contract: a stable,
@@ -132,24 +96,25 @@ object GraphEdges {
     * manager); unseeded → one localCheckpoint.
     */
   def canonicalCheckpointed(s: SparkSession, dir: String): DataFrame =
-    seeded.get(dir) match {
-      case null => build(s, dir).select(col("u"), col("v")).localCheckpoint()
-      case path => s.read.parquet(s"$path/edges").select(col("u"), col("v"))
+    seam.lookup(dir) match {
+      case None => build(s, dir).select(col("u"), col("v")).localCheckpoint()
+      case Some(root) => s.read.parquet(s"$root/edges")
+        .select(col("u"), col("v"))
     }
 
   /** [[canonicalWeighted]] under the iterative-consumer contract. */
   def canonicalWeightedCheckpointed(s: SparkSession, dir: String): DataFrame =
-    seeded.get(dir) match {
-      case null => build(s, dir).localCheckpoint()
-      case path => s.read.parquet(s"$path/edges")
+    seam.lookup(dir) match {
+      case None => build(s, dir).localCheckpoint()
+      case Some(root) => s.read.parquet(s"$root/edges")
     }
 
   /** Distinct (okey, p_brand) baskets: materialized when seeded, else the
     * inline build.
     */
   def brandBaskets(s: SparkSession, dir: String): DataFrame =
-    seeded.get(dir) match {
-      case null => buildBrandBaskets(s, dir)
-      case path => s.read.parquet(s"$path/baskets")
+    seam.lookup(dir) match {
+      case None => buildBrandBaskets(s, dir)
+      case Some(root) => s.read.parquet(s"$root/baskets")
     }
 }

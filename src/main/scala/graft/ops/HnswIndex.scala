@@ -41,7 +41,7 @@ object HnswIndex {
   val BeamWidth = 48
   val Rounds = 3
 
-  private val seam = new SessionSeam("graft_hnsw_", "nbrs")
+  private val seam = new SessionSeam("graft_hnsw_")
 
   /** The inline adjacency build at the shipped config. */
   def build(s: SparkSession, dir: String): DataFrame =
@@ -99,7 +99,8 @@ object HnswIndex {
     * orphan-reclaiming — [[SessionSeam]]).
     */
   def seed(s: SparkSession, dir: String): Unit =
-    seam.seed(dir)(build(s, dir))
+    seam.seed(dir)(root =>
+      build(s, dir).write.mode("overwrite").parquet(s"$root/nbrs"))
 
   /** Drop all seeded materializations and delete their parquet. */
   def clear(): Unit = seam.clear()
@@ -111,7 +112,7 @@ object HnswIndex {
   def adjacency(s: SparkSession, dir: String): DataFrame =
     seam.lookup(dir) match {
       case None => build(s, dir)
-      case Some(path) => s.read.parquet(path)
+      case Some(root) => s.read.parquet(s"$root/nbrs")
         .select(col("node"), col("nbr"))
     }
 }

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions.col
   */
 object KnnLists {
 
-  private val seam = new SessionSeam("graft_knn_", "lists")
+  private val seam = new SessionSeam("graft_knn_")
 
   /** The inline lists build at the shipped config. */
   def build(s: SparkSession, dir: String): DataFrame =
@@ -34,7 +34,8 @@ object KnnLists {
 
   /** Materialize the lists for `dir` once per session (idempotent). */
   def seed(s: SparkSession, dir: String): Unit =
-    seam.seed(dir)(build(s, dir))
+    seam.seed(dir)(root =>
+      build(s, dir).write.mode("overwrite").parquet(s"$root/lists"))
 
   /** Drop all seeded materializations and delete their parquet. */
   def clear(): Unit = seam.clear()
@@ -48,7 +49,7 @@ object KnnLists {
   def lists(s: SparkSession, dir: String): DataFrame =
     seam.lookup(dir) match {
       case None => build(s, dir)
-      case Some(path) => s.read.parquet(path)
+      case Some(root) => s.read.parquet(s"$root/lists")
         .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos"))
         .orderBy("vec_id", "rank")
     }

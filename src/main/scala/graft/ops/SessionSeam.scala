@@ -1,29 +1,34 @@
 package graft.ops
 
 /** Shared temp-dir lifecycle of the session-scoped materialization seams
-  * ([[HnswIndex]] / [[SparseIndex]] / [[KnnLists]] — r15 code-review:
-  * the seed/clear/delete machinery existed in near-verbatim copies, the
-  * same drift the r14 lineageId consolidation fixed in the streaming
-  * maintainers): one dir → materialization map, idempotent seed with
-  * orphan reclamation on a failed write, clear() + JVM-shutdown-hook
-  * teardown. Holders keep their own build definitions and serving
-  * methods; the seam owns only the lifecycle.
+  * ([[GraphEdges]] / [[DedupEdges]] / [[HnswIndex]] / [[SparseIndex]] /
+  * [[KnnLists]] — r15 code-review, widened by the second pass: the
+  * seed/clear/delete machinery existed in near-verbatim copies, the same
+  * drift the r14 lineageId consolidation fixed in the streaming
+  * maintainers): one dir → materialization-root map, idempotent seed
+  * with orphan reclamation on a failed write, clear() + JVM-shutdown-
+  * hook teardown. The seed body receives the materialization ROOT and
+  * writes whatever artifact set the seam owns (one parquet dir or
+  * several) — holders keep their build definitions and serving methods;
+  * the seam owns only the lifecycle.
   */
-private[ops] final class SessionSeam(tmpPrefix: String, sub: String) {
+private[ops] final class SessionSeam(tmpPrefix: String) {
 
   private val seeded =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   sys.addShutdownHook(clear())
 
-  /** Materialize `build` for `dir` once (idempotent). A failed write
-    * deletes its temp dir before rethrowing (the orphan-reclamation
-    * discipline).
+  /** Materialize for `dir` once (idempotent): `write` receives the fresh
+    * temp root and persists the seam's artifacts under it. A failed
+    * write deletes its temp dir before rethrowing — otherwise no map
+    * entry is recorded and neither [[clear]] nor the shutdown hook would
+    * ever reclaim the orphan (ADVICE r10).
     */
-  def seed(dir: String)(build: => org.apache.spark.sql.DataFrame): Unit =
+  def seed(dir: String)(write: String => Unit): Unit =
     seeded.computeIfAbsent(dir, { _ =>
       val out = java.nio.file.Files.createTempDirectory(tmpPrefix)
-      try build.write.mode("overwrite").parquet(s"$out/$sub")
+      try write(out.toString)
       catch { case e: Throwable =>
         try deleteRecursively(out) catch { case _: Throwable => () }
         throw e
@@ -31,12 +36,12 @@ private[ops] final class SessionSeam(tmpPrefix: String, sub: String) {
       out.toString
     })
 
-  /** The materialized parquet path for `dir`, if seeded. */
-  def lookup(dir: String): Option[String] =
-    Option(seeded.get(dir)).map(p => s"$p/$sub")
+  /** The materialization root for `dir`, if seeded. */
+  def lookup(dir: String): Option[String] = Option(seeded.get(dir))
 
   private def deleteRecursively(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {
+      // Files.walk holds an open directory handle until closed (ADVICE r11)
       val stream = java.nio.file.Files.walk(root)
       try {
         val walk = stream

@@ -22,11 +22,13 @@ object SimilarityOps {
   private[graft] val K = 5
   private val NQueries = 10
 
-  /** The kNN lists artifact's banding config (r15 — named so the
-    * streaming maintainer [[graft.streaming.StreamingKnn]] and the batch
-    * build can never silently de-align, the HnswIndex constant-hoist
-    * lesson): the `ann_sign_lsh` 4×20 OR-construction every knn-family
-    * query documents.
+  /** The 4×20 search-banding config (r15 — named so the streaming
+    * maintainer [[graft.streaming.StreamingKnn]], the batch builds, AND
+    * every oracle SQL string can never silently de-align, the HnswIndex
+    * constant-hoist lesson): the `ann_sign_lsh` OR-construction the
+    * whole knn family rides — every consumer (Spark side and
+    * `signLshBucketsOracleCte` interpolation alike) references these
+    * two names, so a retune moves all of them together.
     */
   private[graft] val KnnBitsPerBand = 4
   private[graft] val KnnBands = 20
@@ -218,7 +220,7 @@ object SimilarityOps {
     * volume tunes with (bitsPerBand, bands) per corpus similarity profile.
     */
   def annSignLsh(s: SparkSession, dir: String): DataFrame =
-    annSignLsh(s, dir, bitsPerBand = 4, bands = 20)
+    annSignLsh(s, dir, bitsPerBand = KnnBitsPerBand, bands = KnnBands)
 
   def annSignLsh(s: SparkSession, dir: String,
       bitsPerBand: Int, bands: Int): DataFrame = {
@@ -256,7 +258,7 @@ object SimilarityOps {
     * cosine re-score, top-k.
     */
   val annSignLshOracle: String =
-    s"""WITH ${signLshBucketsOracleCte(4, 20)},
+    s"""WITH ${signLshBucketsOracleCte(KnnBitsPerBand, KnnBands)},
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
        |  FROM bb q JOIN bb n ON n.band = q.band AND n.bucket = q.bucket
@@ -320,7 +322,7 @@ object SimilarityOps {
     * candidate pairs, exact re-score, per-node top-K.
     */
   val knnJoinOracle: String =
-    s"""WITH ${signLshBucketsOracleCte(4, 20)},
+    s"""WITH ${signLshBucketsOracleCte(KnnBitsPerBand, KnnBands)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
        |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
@@ -365,7 +367,7 @@ object SimilarityOps {
     val kk = K
     val emb = embeddings(s, dir)
     val isDel = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 3
-    val banded = hnswBanded(emb, 4, 20)
+    val banded = hnswBanded(emb, KnnBitsPerBand, KnnBands)
       .localCheckpoint() // artifact self-join ×2 + repair probe ×2;
                          // measured sf0.1 warm: 6.38 s with / 7.34 without
     val scored = hnswScore(hnswCohabit(banded, banded), emb)
@@ -401,7 +403,7 @@ object SimilarityOps {
     * proof.
     */
   val knnDeleteRepairOracle: String =
-    s"""WITH ${signLshBucketsOracleCte(4, 20)},
+    s"""WITH ${signLshBucketsOracleCte(KnnBitsPerBand, KnnBands)},
        |bs AS (SELECT vec_id, band, bucket FROM bb WHERE vec_id % 10 <> 3),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
@@ -455,7 +457,7 @@ object SimilarityOps {
     val kk = K
     val emb = embeddings(s, dir)
     val isIns = pmod(col("vec_id"), lit(10)) === 9
-    val banded = hnswBanded(emb, 4, 20)
+    val banded = hnswBanded(emb, KnnBitsPerBand, KnnBands)
       .localCheckpoint() // base self-join ×2 + delta probes ×3 read it;
                          // measured sf0.1 warm: 3.81 s with / 3.88 without
     val bandedBase = banded.filter(!isIns)
@@ -509,7 +511,7 @@ object SimilarityOps {
     val kk = K
     val emb = embeddings(s, dir)
     val isDel = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 3
-    val banded = hnswBanded(emb, 4, 20)
+    val banded = hnswBanded(emb, KnnBitsPerBand, KnnBands)
     val w = Window.partitionBy(col("node"))
       .orderBy(col("ncos").desc, col("nbr"))
     val lists = hnswScore(hnswCohabit(banded, banded), emb)
@@ -539,7 +541,7 @@ object SimilarityOps {
     * bucket CTE chain.
     */
   val knnDamageStatsOracle: String =
-    s"""WITH ${signLshBucketsOracleCte(4, 20)},
+    s"""WITH ${signLshBucketsOracleCte(KnnBitsPerBand, KnnBands)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
        |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
@@ -618,7 +620,7 @@ object SimilarityOps {
 
   /** The same mutuality and SNN count restated over the lists CTE. */
   val knnMutualOracle: String =
-    s"""WITH ${signLshBucketsOracleCte(4, 20)},
+    s"""WITH ${signLshBucketsOracleCte(KnnBitsPerBand, KnnBands)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
        |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
@@ -676,7 +678,7 @@ object SimilarityOps {
       .orderBy("vec_id")
 
   val snnClustersOracle: String =
-    s"""WITH RECURSIVE ${signLshBucketsOracleCte(4, 20)},
+    s"""WITH RECURSIVE ${signLshBucketsOracleCte(KnnBitsPerBand, KnnBands)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
        |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
@@ -731,7 +733,7 @@ object SimilarityOps {
     * less than any consumer it predicts.
     */
   def annLshOccupancy(s: SparkSession, dir: String): DataFrame =
-    annLshOccupancy(s, dir, bitsPerBand = 4, bands = 20)
+    annLshOccupancy(s, dir, bitsPerBand = KnnBitsPerBand, bands = KnnBands)
 
   def annLshOccupancy(s: SparkSession, dir: String, bitsPerBand: Int,
       bands: Int): DataFrame = {
@@ -748,7 +750,7 @@ object SimilarityOps {
   }
 
   val annLshOccupancyOracle: String =
-    s"""WITH ${signLshBucketsOracleCte(4, 20)},
+    s"""WITH ${signLshBucketsOracleCte(KnnBitsPerBand, KnnBands)},
        |occ AS (
        |  SELECT band, bucket, count(*) AS c
        |  FROM bb GROUP BY band, bucket)
@@ -787,7 +789,7 @@ object SimilarityOps {
       .orderBy("vec_id")
 
   val semdedupKnnOracle: String =
-    s"""WITH RECURSIVE ${signLshBucketsOracleCte(4, 20)},
+    s"""WITH RECURSIVE ${signLshBucketsOracleCte(KnnBitsPerBand, KnnBands)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
        |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket

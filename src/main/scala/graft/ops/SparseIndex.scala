@@ -31,7 +31,7 @@ object SparseIndex {
     */
   val ShingleK = 5
 
-  private val seam = new SessionSeam("graft_sparsetf_", "tf")
+  private val seam = new SessionSeam("graft_sparsetf_")
 
   /** The inline `(doc_id, s, tf)` build: one corpus scan, the shingle
     * generator hashed once per row (map-side combined — the WinnowOps
@@ -63,7 +63,8 @@ object SparseIndex {
     * orphan-reclaiming — [[SessionSeam]]).
     */
   def seed(s: SparkSession, dir: String): Unit =
-    seam.seed(dir)(build(s, dir))
+    seam.seed(dir)(root =>
+      build(s, dir).write.mode("overwrite").parquet(s"$root/tf"))
 
   /** Drop all seeded materializations and delete their parquet. */
   def clear(): Unit = seam.clear()
@@ -74,7 +75,7 @@ object SparseIndex {
   def shingleTf(s: SparkSession, dir: String): DataFrame =
     seam.lookup(dir) match {
       case None => build(s, dir)
-      case Some(path) => s.read.parquet(path)
+      case Some(root) => s.read.parquet(s"$root/tf")
         .select(col("doc_id"), col("s"), col("tf"))
     }
 

@@ -100,17 +100,33 @@ private[streaming] object StoreUtil {
     * a crash between [[rewriteInPlace]]'s renames left the store path
     * absent, and serving/novelty reads silently saw an empty store until
     * the next maintenance call healed it — an empty `seen` set re-ingests
-    * the whole corpus). Never deletes anything: the missing-store cases
-    * are unambiguous, the rest is left for [[healRewrite]].
+    * the whole corpus). Never deletes anything, and — the r15 SECOND
+    * review — never races a sibling: promotion is serialized through a
+    * JVM-wide lock and re-checked inside it, and ONLY a complete `.tmp`
+    * is promoted. The `.retired` original is never restored here:
+    * [[rewriteInPlace]] retires the live store only after `.tmp` is
+    * complete, so "store absent + tmp incomplete + retired present"
+    * cannot arise from the protocol — and restoring it on a read could
+    * race a sibling's tmp-promotion and rename the STALE copy into the
+    * just-promoted live store (Hadoop rename nests src inside an
+    * existing dst dir on some filesystems). A lost rename is tolerated
+    * iff the store now exists (the sibling won); cross-JVM readers
+    * during a crash-recovery window fall under the maintenance quiesce
+    * contract like every other store mutation.
     */
+  private val promoteLock = new Object
+
   private def promoteHalfSwapped(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Unit = {
     val cur = new HPath(path)
-    if (fs.exists(cur)) return
-    val tmp = new HPath(s"$path.tmp")
-    val old = new HPath(s"$path.retired")
-    if (complete(fs, tmp)) fs.rename(tmp, cur)
-    else if (fs.exists(old)) fs.rename(old, cur)
+    if (fs.exists(cur)) return // fast path — no lock on the common read
+    promoteLock.synchronized {
+      if (fs.exists(cur)) return
+      val tmp = new HPath(s"$path.tmp")
+      if (complete(fs, tmp) && !fs.rename(tmp, cur) && !fs.exists(cur))
+        throw new java.io.IOException(
+          s"promote: rename $tmp -> $cur failed and $cur still absent")
+    }
   }
 
   /** Rewrite a store in place: write the new contents to `.tmp`

@@ -438,17 +438,14 @@ private[streaming] final class BandedTopKMaintainer(
       .awaitTermination()
 }
 
-/** Streaming HNSW index maintenance (r14 — VERDICT r13 #5's second
-  * half): the [[BandedTopKMaintainer]] at the shipped HNSW build config
-  * ([[HnswIndex.BitsPerBand]]×[[HnswIndex.Bands]], top-
-  * [[HnswIndex.Degree]]) — after any drain the artifact equals
-  * [[SimilarityOps.hnswOutInline]] over everything seen (StreamingHnswSpec).
+/** Shared delegation surface of the maintainer facades — the policy
+  * defaults and the method list live HERE exactly once (r15 second
+  * review: the first cut repeated nine delegating methods per facade,
+  * including triplicated maybeCompact defaults — the drift-copy mode
+  * the [[BandedTopKMaintainer]] kernel itself was built to prevent).
   */
-object StreamingHnsw {
-
-  private val m = new BandedTopKMaintainer(
-    HnswIndex.BitsPerBand, HnswIndex.Bands, HnswIndex.Degree,
-    "graft-shnsw-lineage", "hnsw-maintain")
+private[streaming] abstract class MaintainerFacade(
+    m: BandedTopKMaintainer) {
 
   def applyDeletes(spark: SparkSession, storePath: String,
       ids: DataFrame): Unit = m.applyDeletes(spark, storePath, ids)
@@ -489,6 +486,16 @@ object StreamingHnsw {
     m.runAvailableNow(spark, schema, inputDir, storePath, checkpointDir)
 }
 
+/** Streaming HNSW index maintenance (r14 — VERDICT r13 #5's second
+  * half): the [[BandedTopKMaintainer]] at the shipped HNSW build config
+  * ([[HnswIndex.BitsPerBand]]×[[HnswIndex.Bands]], top-
+  * [[HnswIndex.Degree]]) — after any drain the artifact equals
+  * [[SimilarityOps.hnswOutInline]] over everything seen (StreamingHnswSpec).
+  */
+object StreamingHnsw extends MaintainerFacade(new BandedTopKMaintainer(
+  HnswIndex.BitsPerBand, HnswIndex.Bands, HnswIndex.Degree,
+  "graft-shnsw-lineage", "hnsw-maintain"))
+
 /** Streaming maintenance of the corpus-wide kNN LISTS artifact (r15 —
   * the always-on form of [[SimilarityOps.incrementalKnn]], completing
   * the family symmetry: the lists table now has batch insert, batch
@@ -502,50 +509,13 @@ object StreamingHnsw {
   * This is the maintainer a production SemDeDup ingest actually runs
   * per arrival batch.
   */
-object StreamingKnn {
-
-  private val m = new BandedTopKMaintainer(
-    SimilarityOps.KnnBitsPerBand, SimilarityOps.KnnBands, SimilarityOps.K,
-    "graft-sknn-lineage", "knn-maintain")
-
-  def applyDeletes(spark: SparkSession, storePath: String,
-      ids: DataFrame): Unit = m.applyDeletes(spark, storePath, ids)
-
-  def applyDeletes(spark: SparkSession, storePath: String,
-      ids: DataFrame, atSeq: Long): Unit =
-    m.applyDeletes(spark, storePath, ids, atSeq)
-
-  def compact(spark: SparkSession, storePath: String): Unit =
-    m.compact(spark, storePath)
-
-  def vacuum(spark: SparkSession, storePath: String): Unit =
-    m.vacuum(spark, storePath)
-
-  def purgeTombstones(spark: SparkSession, storePath: String,
-      ttlVersions: Long): Unit =
-    m.purgeTombstones(spark, storePath, ttlVersions)
-
-  def compactionStats(spark: SparkSession,
-      storePath: String): (Double, Double) =
-    m.compactionStats(spark, storePath)
-
-  def maybeCompact(spark: SparkSession, storePath: String,
-      maxTombFrac: Double = 0.10, minRecallProxy: Double = 0.97,
-      tombstoneTtl: Long = 2L): Boolean =
-    m.maybeCompact(spark, storePath, maxTombFrac, minRecallProxy,
-      tombstoneTtl)
+object StreamingKnn extends MaintainerFacade(new BandedTopKMaintainer(
+  SimilarityOps.KnnBitsPerBand, SimilarityOps.KnnBands, SimilarityOps.K,
+  "graft-sknn-lineage", "knn-maintain")) {
 
   /** The maintained lists artifact (`node, nbr, ncos` — `knn_join`'s
     * rows before ranking/rounding; the winning complete version).
     */
   def lists(spark: SparkSession, storePath: String): DataFrame =
-    m.outAdjacency(spark, storePath)
-
-  def start(spark: SparkSession, schema: StructType, inputDir: String,
-      storePath: String, checkpointDir: String): StreamingQuery =
-    m.start(spark, schema, inputDir, storePath, checkpointDir)
-
-  def runAvailableNow(spark: SparkSession, schema: StructType,
-      inputDir: String, storePath: String, checkpointDir: String): Unit =
-    m.runAvailableNow(spark, schema, inputDir, storePath, checkpointDir)
+    outAdjacency(spark, storePath)
 }
