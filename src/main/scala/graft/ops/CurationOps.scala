@@ -60,6 +60,126 @@ object CurationOps {
        |    WHERE NOT keep)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Stage-wise attrition funnel (r15) — the report every production
+    * curation pipeline publishes next to its data card: one row per
+    * CUMULATIVE pipeline stage (all → language filter → quality filter →
+    * repetition filter → near-dup cluster drop) with the documents and
+    * whitespace tokens surviving through that stage and both retention
+    * ratios against the raw corpus. [[corpusCuration]] reports the
+    * terminal per-source budget; this is the orthogonal view — WHERE the
+    * corpus is lost, stage by stage, the number a curation review reads
+    * first when a budget comes in low (the monolingual `lang = 'en'`
+    * stage is the classic pipeline head; per-language funnels are this
+    * query re-run per partition).
+    *
+    * Scale shape: one doc_id-co-partitioned join pass assembles the flag
+    * frame (the [[dataCard]] joins); each doc then fans out to its
+    * qualifying stages via a 5-element literal explode (corpus-sized ×
+    * 5, map-side only — the [[DedupOps.dedupThresholdSweep]] sweep
+    * pattern), and the rollup is a 5-group map-side-combined aggregate.
+    * The static stage spine keeps the row count fixed at 5 even when a
+    * stage empties, and the raw-corpus baseline rides as a 1-row
+    * broadcast — nothing here is corpus-wide beyond the flag pass the
+    * card query already runs.
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val flags = docs
+      .join(TextOps.tokenCount(s, dir)
+        .select(col("doc_id"), col("ws_tokens")), "doc_id")
+      .join(TextOps.textQuality(s, dir)
+        .select(col("doc_id"), col("low_quality")), "doc_id")
+      .join(TextOps.textRepetition(s, dir)
+        .select(col("doc_id"), col("repetitive")), "doc_id")
+      .join(DedupEdges.clusterLabels(s, dir)
+        .filter(!col("keep")).select(col("doc_id"), lit(true).as("c0")),
+        Seq("doc_id"), "left")
+      .withColumn("dup", coalesce(col("c0"), lit(false)))
+    val stages: Seq[(String, Column)] = {
+      val lang = col("lang") === "en"
+      val qual = lang && !col("low_quality")
+      val nrep = qual && !col("repetitive")
+      Seq("all" -> lit(true), "lang_en" -> lang, "quality" -> qual,
+        "nonrepetitive" -> nrep, "dedup" -> (nrep && !col("dup")))
+    }
+    val tagged = flags.select(col("ws_tokens"),
+        explode(array(stages.zipWithIndex.map { case ((n, c), i) =>
+          struct(lit(i).as("stage_idx"), lit(n).as("stage"),
+            c.as("pass")) }: _*)).as("st"))
+      .filter(col("st.pass"))
+    val counted = tagged
+      .groupBy(col("st.stage_idx").as("stage_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("ws_tokens"))
+    // static stage spine: the funnel has exactly 5 rows even if a stage
+    // empties on some corpus (the threshold-sweep base-join convention)
+    val spine = s.range(stages.length)
+      .select(col("id").cast("int").as("stage_idx"),
+        element_at(array(stages.map(p => lit(p._1)): _*),
+          (col("id") + 1).cast("int")).as("stage"))
+    val staged = spine.join(counted, Seq("stage_idx"), "left")
+      .na.fill(0L, Seq("n_docs", "ws_tokens"))
+      .localCheckpoint() // 5 rows; the baseline row and the output read it
+    val base = staged.filter(col("stage_idx") === 0)
+      .select(col("n_docs").as("d0"), col("ws_tokens").as("t0"))
+    staged.crossJoin(broadcast(base))
+      .select(col("stage_idx"), col("stage"), col("n_docs"),
+        col("ws_tokens"),
+        round(col("n_docs") / greatest(col("d0"), lit(1L)), 6)
+          .as("doc_retention"),
+        round(col("ws_tokens") / greatest(col("t0"), lit(1L)), 6)
+          .as("token_retention"))
+      .orderBy("stage_idx")
+  }
+
+  /** The same five cumulative stages as UNION ALL aggregates over one
+    * flag CTE assembled from the already-oracle-checked TextOps /
+    * ClusterOps fragments (the [[corpusCurationOracle]] composition
+    * convention).
+    */
+  val curationFunnelOracle: String =
+    s"""WITH flags AS (
+       |  SELECT d.doc_id, d.lang, t.ws_tokens, q.low_quality, r.repetitive,
+       |         d.doc_id IN (
+       |           SELECT doc_id FROM (${ClusterOps.dedupClustersOracle})
+       |           WHERE NOT keep) AS dup
+       |  FROM documents d
+       |  JOIN (SELECT doc_id, ws_tokens
+       |        FROM (${TextOps.tokenCountOracle})) t USING (doc_id)
+       |  JOIN (SELECT doc_id, low_quality
+       |        FROM (${TextOps.textQualityOracle})) q USING (doc_id)
+       |  JOIN (SELECT doc_id, repetitive
+       |        FROM (${TextOps.textRepetitionOracle})) r USING (doc_id)),
+       |staged AS (
+       |  SELECT 0 AS stage_idx, 'all' AS stage, count(*) AS n_docs,
+       |         CAST(coalesce(sum(ws_tokens), 0) AS BIGINT) AS ws_tokens
+       |  FROM flags
+       |  UNION ALL
+       |  SELECT 1, 'lang_en', count(*),
+       |         CAST(coalesce(sum(ws_tokens), 0) AS BIGINT)
+       |  FROM flags WHERE lang = 'en'
+       |  UNION ALL
+       |  SELECT 2, 'quality', count(*),
+       |         CAST(coalesce(sum(ws_tokens), 0) AS BIGINT)
+       |  FROM flags WHERE lang = 'en' AND NOT low_quality
+       |  UNION ALL
+       |  SELECT 3, 'nonrepetitive', count(*),
+       |         CAST(coalesce(sum(ws_tokens), 0) AS BIGINT)
+       |  FROM flags WHERE lang = 'en' AND NOT low_quality
+       |    AND NOT repetitive
+       |  UNION ALL
+       |  SELECT 4, 'dedup', count(*),
+       |         CAST(coalesce(sum(ws_tokens), 0) AS BIGINT)
+       |  FROM flags WHERE lang = 'en' AND NOT low_quality
+       |    AND NOT repetitive AND NOT dup),
+       |base AS (SELECT n_docs AS d0, ws_tokens AS t0 FROM staged
+       |         WHERE stage_idx = 0)
+       |SELECT stage_idx, stage, n_docs, ws_tokens,
+       |       round(n_docs / greatest(d0, 1), 6) AS doc_retention,
+       |       round(ws_tokens / greatest(t0, 1), 6) AS token_retention
+       |FROM staged, base ORDER BY stage_idx""".stripMargin
+
   /** Deterministic stratified sampling for training-data mixes: keep a doc
     * iff the first 8 hex chars of its content fingerprint sort below the
     * stratum's rate threshold (lowercase-hex string order IS numeric order,
@@ -1399,6 +1519,7 @@ object CurationOps {
     "corpus_split" -> (corpusSplit _),
     "source_overlap" -> (sourceOverlap _),
     "corpus_curation" -> (corpusCuration _),
+    "curation_funnel" -> (curationFunnel _),
     "corpus_sample" -> (corpusSample _),
     "corpus_weighted_sample" -> (corpusWeightedSample _),
     "corpus_shuffle" -> (corpusShuffle _),
@@ -1422,6 +1543,7 @@ object CurationOps {
     "corpus_split" -> corpusSplitOracle,
     "source_overlap" -> sourceOverlapOracle,
     "corpus_curation" -> corpusCurationOracle,
+    "curation_funnel" -> curationFunnelOracle,
     "corpus_sample" -> corpusSampleOracle,
     "corpus_weighted_sample" -> corpusWeightedSampleOracle,
     "corpus_shuffle" -> corpusShuffleOracle,

@@ -340,6 +340,100 @@ object DedupOps {
        |    ON a.source = b.source AND a.doc_id < b.doc_id)
        |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Lexical-vs-semantic dedup agreement audit (r15) — the calibration a
+    * pipeline running BOTH dedup families needs before trusting either:
+    * the semantic-dedup edge set ([[SimilarityOps.knnJoin]]'s lists
+    * thresholded at the SemDeDup cos ≥ 0.35, via the [[KnnLists]] seam —
+    * vec_id ≡ doc_id, the `rrf_fusion` convention) binned by cosine
+    * band, with the fraction of each band's pairs that the LEXICAL
+    * near-dup pair table ([[DedupEdges.pairs]], exact Jaccard ≥ 0.9)
+    * also caught. The catch-rate-vs-cosine curve is the threshold
+    * evidence: a high catch rate at cos ≥ 0.8 with a cliff below says
+    * the lexical pass already removes verbatim copies and SemDeDup's
+    * marginal value is the low bands (paraphrase); two rider columns
+    * carry the reverse miss — lexical pairs the K-bounded semantic graph
+    * never surfaced (beyond top-K or an LSH band miss), the number that
+    * says whether semantic-only dedup may REPLACE the lexical pass.
+    *
+    * Scale shape: the semantic side is the K-bounded artifact (≤ K·n
+    * rows, bucket-cogrouped — never all-pairs), the lexical side the
+    * prefix-filtered verified pair table; both ride their session seams
+    * when seeded. Agreement is one pair-keyed left join + a 4-bin
+    * map-side-combined rollup; the reverse-miss riders are one
+    * pair-keyed anti-join reduced to a 1-row broadcast.
+    */
+  def dedupAgreement(s: SparkSession, dir: String): DataFrame = {
+    val binEdges = Seq(0.35, 0.5, 0.65, 0.8)
+    val sem = KnnLists.lists(s, dir)
+      .filter(col("cos") >= 0.35)
+      .select(least(col("vec_id"), col("neighbor_id")).as("u"),
+        greatest(col("vec_id"), col("neighbor_id")).as("v"), col("cos"))
+      .groupBy(col("u"), col("v")).agg(max(col("cos")).as("cos"))
+      .localCheckpoint() // binned rollup + reverse-miss anti-join read it
+    val lex = DedupEdges.pairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // hit join + both rider aggregates read it
+    val perBin = sem
+      .withColumn("cos_bin",
+        when(col("cos") >= 0.8, 0.8).when(col("cos") >= 0.65, 0.65)
+          .when(col("cos") >= 0.5, 0.5).otherwise(0.35))
+      .join(lex.withColumn("hit", lit(1)),
+        col("u") === col("doc_a") && col("v") === col("doc_b"), "left")
+      .groupBy(col("cos_bin"))
+      .agg(count(lit(1)).as("n_sem_pairs"), count(col("hit")).as("n_lex_hits"))
+    // static bin spine: 4 rows always, even when a band is empty
+    val spine = s.range(binEdges.length)
+      .select(element_at(array(binEdges.map(lit): _*),
+        (col("id") + 1).cast("int")).as("cos_bin"))
+    val riders = lex.agg(count(lit(1)).as("n_lex_pairs"))
+      .crossJoin(lex
+        .join(sem, col("doc_a") === col("u") && col("doc_b") === col("v"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_lex_uncaught")))
+    spine.join(perBin, Seq("cos_bin"), "left")
+      .na.fill(0L, Seq("n_sem_pairs", "n_lex_hits"))
+      .crossJoin(broadcast(riders))
+      .select(col("cos_bin"), col("n_sem_pairs"), col("n_lex_hits"),
+        round(col("n_lex_hits") / greatest(col("n_sem_pairs"), lit(1L)), 6)
+          .as("catch_rate"),
+        col("n_lex_pairs"), col("n_lex_uncaught"))
+      .orderBy("cos_bin")
+  }
+
+  /** Composed verbatim from the two already-oracle-checked artifacts:
+    * [[SimilarityOps.knnJoinOracle]] (the lists) and
+    * [[dedupNgramJaccardOracle]] (the pair table).
+    */
+  val dedupAgreementOracle: String =
+    s"""WITH sem AS (
+       |  SELECT least(vec_id, neighbor_id) AS u,
+       |         greatest(vec_id, neighbor_id) AS v, max(cos) AS cos
+       |  FROM (${SimilarityOps.knnJoinOracle})
+       |  WHERE cos >= CAST(0.35 AS DOUBLE) GROUP BY 1, 2),
+       |lex AS (SELECT doc_a, doc_b FROM (${dedupNgramJaccardOracle})),
+       |perbin AS (
+       |  SELECT CASE WHEN cos >= CAST(0.8 AS DOUBLE) THEN CAST(0.8 AS DOUBLE)
+       |              WHEN cos >= CAST(0.65 AS DOUBLE) THEN CAST(0.65 AS DOUBLE)
+       |              WHEN cos >= CAST(0.5 AS DOUBLE) THEN CAST(0.5 AS DOUBLE)
+       |              ELSE CAST(0.35 AS DOUBLE) END AS cos_bin,
+       |         count(*) AS n_sem_pairs, count(l.doc_a) AS n_lex_hits
+       |  FROM sem s LEFT JOIN lex l ON l.doc_a = s.u AND l.doc_b = s.v
+       |  GROUP BY 1),
+       |riders AS (
+       |  SELECT (SELECT count(*) FROM lex) AS n_lex_pairs,
+       |         (SELECT count(*) FROM lex l WHERE NOT EXISTS (
+       |            SELECT 1 FROM sem s
+       |            WHERE s.u = l.doc_a AND s.v = l.doc_b)) AS n_lex_uncaught),
+       |spine(cos_bin) AS (VALUES (CAST(0.35 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+       |                          (CAST(0.65 AS DOUBLE)), (CAST(0.8 AS DOUBLE)))
+       |SELECT sp.cos_bin, coalesce(n_sem_pairs, 0) AS n_sem_pairs,
+       |       coalesce(n_lex_hits, 0) AS n_lex_hits,
+       |       round(coalesce(n_lex_hits, 0)
+       |             / greatest(coalesce(n_sem_pairs, 0), 1), 6) AS catch_rate,
+       |       n_lex_pairs, n_lex_uncaught
+       |FROM spine sp LEFT JOIN perbin p ON p.cos_bin = sp.cos_bin
+       |CROSS JOIN riders ORDER BY sp.cos_bin""".stripMargin
+
   /** Embedding-cosine near-dup within the `label` blocking key (labels are
     * the cluster assignment — the IVF-style candidate restriction).
     *
@@ -1964,6 +2058,7 @@ object DedupOps {
     "minhash_estimate_error" -> (minhashEstimateError _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_agreement" -> (dedupAgreement _),
     "incremental_dedup_edges" -> (incrementalDedupEdges _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> ((s: SparkSession, dir: String) => dedupEmbeddingLsh(s, dir)),
@@ -1984,6 +2079,7 @@ object DedupOps {
     "minhash_estimate_error" -> minhashEstimateErrorOracle,
     "dedup_threshold_sweep" -> dedupThresholdSweepOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "dedup_agreement" -> dedupAgreementOracle,
     "incremental_dedup_edges" -> incrementalDedupEdgesOracle,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineOracle,
     "dedup_embedding_lsh" -> dedupEmbeddingLshOracle,

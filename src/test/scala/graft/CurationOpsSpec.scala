@@ -478,4 +478,34 @@ class CurationOpsSpec extends AnyFunSuite {
     // edge is same-fold and edges connect each component, so all members
     // share the representative's fold)
   }
+
+  test("curation_funnel: five fixed stages, monotone attrition, stage 0 is the corpus, retention definitional") {
+    val rows = CurationOps.curationFunnel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((0, "all"), (1, "lang_en"), (2, "quality"),
+        (3, "nonrepetitive"), (4, "dedup")))
+    // stage 0 is the raw corpus; stage 1 is the plain lang filter
+    val docs = Tables(spark, dir, "documents")
+    assert(rows(0)._3 == docs.count())
+    assert(rows(1)._3 == docs
+      .filter(org.apache.spark.sql.functions.col("lang") === "en").count())
+    // cumulative stages can only shed documents and tokens
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"stage ${b._2} gained docs")
+      assert(b._4 <= a._4, s"stage ${b._2} gained tokens")
+    }
+    assert(rows.last._3 > 0, "terminal stage empty — funnel test vacuous")
+    // retention is definitional against stage 0
+    val (d0, t0) = (rows(0)._3, rows(0)._4)
+    rows.foreach { case (_, stage, n, t, dr, tr) =>
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(dr - r6(n.toDouble / math.max(d0, 1L))) < 1e-9,
+        s"$stage doc_retention")
+      assert(math.abs(tr - r6(t.toDouble / math.max(t0, 1L))) < 1e-9,
+        s"$stage token_retention")
+    }
+  }
 }

@@ -25,6 +25,10 @@ class DedupEdgesSpec extends AnyFunSuite {
         .map(_.toSeq)
       val cu0 = graft.ops.CurationOps.corpusCuration(spark, dir).collect()
         .map(_.toSeq)
+      val ag0 = graft.ops.DedupOps.dedupAgreement(spark, dir).collect()
+        .map(_.toSeq)
+      val fu0 = graft.ops.CurationOps.curationFunnel(spark, dir).collect()
+        .map(_.toSeq)
       def tmpDirs(): Set[java.nio.file.Path] = {
         val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
         val it = java.nio.file.Files.list(root).iterator()
@@ -65,6 +69,12 @@ class DedupEdgesSpec extends AnyFunSuite {
       val cu1 = graft.ops.CurationOps.corpusCuration(spark, dir).collect()
         .map(_.toSeq)
       assert(cu0.toSeq == cu1.toSeq, "corpus_curation differs seeded vs unseeded")
+      val ag1 = graft.ops.DedupOps.dedupAgreement(spark, dir).collect()
+        .map(_.toSeq)
+      assert(ag0.toSeq == ag1.toSeq, "dedup_agreement differs seeded vs unseeded")
+      val fu1 = graft.ops.CurationOps.curationFunnel(spark, dir).collect()
+        .map(_.toSeq)
+      assert(fu0.toSeq == fu1.toSeq, "curation_funnel differs seeded vs unseeded")
       val created = tmpDirs() -- preSeed
       assert(created.nonEmpty, "seed created no temp materialization dir")
       DedupEdges.clear()

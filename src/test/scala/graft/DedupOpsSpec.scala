@@ -833,4 +833,38 @@ class DedupOpsSpec extends AnyFunSuite {
     // sf0.001 / 1.0 sf0.01) — alarm floor mirrors the intact-graph pin
     assert(mean >= 0.8, s"tombstoned serving recall collapsed: $mean")
   }
+
+  test("dedup_agreement: riders reconcile with both pair tables, bins partition the edge set, catch_rate definitional") {
+    val rows = DedupOps.dedupAgreement(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(0.35, 0.5, 0.65, 0.8),
+      "bin spine must be the four static edges in order")
+    // riders constant across rows
+    assert(rows.map(_._5).distinct.length == 1)
+    assert(rows.map(_._6).distinct.length == 1)
+    val (nLex, nUncaught) = (rows.head._5, rows.head._6)
+    // every lexical pair is either caught by some semantic bin or uncaught
+    assert(rows.map(_._3).sum + nUncaught == nLex,
+      "hits + uncaught must partition the lexical pair table")
+    // lexical side reconciles with the pair table itself
+    val lexCount = graft.ops.DedupEdges.pairs(spark, dir).count()
+    assert(nLex == lexCount)
+    // semantic side reconciles with an independent recount of the
+    // thresholded unordered edge set from the lists artifact
+    val semCount = graft.ops.KnnLists.lists(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("cos") >= 0.35)
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(2)),
+        math.max(r.getLong(0), r.getLong(2))))
+      .toSet.size
+    assert(rows.map(_._2).sum == semCount,
+      "bins must partition the thresholded semantic edge set")
+    rows.foreach { case (_, n, hits, rate, _, _) =>
+      assert(hits <= n, "a bin cannot catch more pairs than it holds")
+      val expect = BigDecimal(hits.toDouble / math.max(n, 1L))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rate - expect) < 1e-9, s"catch_rate $rate != $expect")
+    }
+  }
 }

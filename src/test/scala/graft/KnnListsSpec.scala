@@ -4,8 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The KnnLists materialization seam's contract (the HnswIndexSpec /
   * SparseIndexSpec test applied to the kNN lists artifact): seeded and
-  * unseeded paths are row-identical for the lists AND both consumers
-  * (knn_join's served output, semdedup_knn), seeding is idempotent, and
+  * unseeded paths are row-identical for the lists AND the consumers
+  * (knn_join's served output, semdedup_knn, dedup_agreement), seeding is
+  * idempotent, and
   * clear() reclaims the temp parquet from disk. The maintenance queries
   * (incremental_knn, knn_delete_repair) never touch the seam — rebuild
   * is their demonstrated claim.
@@ -23,6 +24,7 @@ class KnnListsSpec extends AnyFunSuite {
       val unseeded = rows(KnnLists.lists(spark, dir))
       assert(unseeded.nonEmpty, "empty lists — seam test vacuous")
       val sd0 = rows(SimilarityOps.semdedupKnn(spark, dir))
+      val ag0 = rows(graft.ops.DedupOps.dedupAgreement(spark, dir))
       def tmpDirs(): Set[java.nio.file.Path] = {
         val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
         val it = java.nio.file.Files.list(root).iterator()
@@ -41,6 +43,8 @@ class KnnListsSpec extends AnyFunSuite {
         "materialized lists diverge from inline build")
       val sd1 = rows(SimilarityOps.semdedupKnn(spark, dir))
       assert(sd0 == sd1, "semdedup_knn differs seeded vs unseeded")
+      val ag1 = rows(graft.ops.DedupOps.dedupAgreement(spark, dir))
+      assert(ag0 == ag1, "dedup_agreement differs seeded vs unseeded")
       val created = tmpDirs() -- preSeed
       assert(created.nonEmpty, "seed created no temp materialization dir")
       KnnLists.clear()
