@@ -386,10 +386,10 @@ object DedupOps {
       .select(element_at(array(binEdges.map(lit): _*),
         (col("id") + 1).cast("int")).as("cos_bin"))
     val riders = lex.agg(count(lit(1)).as("n_lex_pairs"))
-      .crossJoin(lex
+      .crossJoin(broadcast(lex
         .join(sem, col("doc_a") === col("u") && col("doc_b") === col("v"),
           "left_anti")
-        .agg(count(lit(1)).as("n_lex_uncaught")))
+        .agg(count(lit(1)).as("n_lex_uncaught"))))
     spine.join(perBin, Seq("cos_bin"), "left")
       .na.fill(0L, Seq("n_sem_pairs", "n_lex_hits"))
       .crossJoin(broadcast(riders))

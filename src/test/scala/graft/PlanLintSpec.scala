@@ -111,7 +111,11 @@ class PlanLintSpec extends AnyFunSuite {
     "global_rank",      // 1-row cutpoint-array broadcast (equidepth shape)
     "pareto_frontier",  // 1-row price-cutpoint-array broadcast (same shape)
     "model_eval",       // 1-row weight-vector broadcasts between GD steps
-    "drift_psi")        // 1-row cutpoint + total-count broadcasts
+    "drift_psi",        // 1-row cutpoint + total-count broadcasts
+    "curation_funnel",  // 1-row raw-corpus baseline broadcast onto the
+                        // 5-row stage table
+    "dedup_agreement")  // 1-row rider cross (lex total × uncaught) +
+                        // its broadcast onto the 4-row bin table
 
   private lazy val queryExecs: Map[String, Either[String, org.apache.spark.sql.execution.QueryExecution]] = {
     // lint the SAME optimizer configuration Verify/Bench run (and make the
