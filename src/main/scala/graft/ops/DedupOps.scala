@@ -340,43 +340,62 @@ object DedupOps {
        |    ON a.source = b.source AND a.doc_id < b.doc_id)
        |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The agreement audit's cosine band edges (ascending; shared by the
+    * Spark bin chain, the output spine, and the oracle CASE — all three
+    * are derived from this one list).
+    */
+  private[graft] val AgreementBinEdges = Seq(0.35, 0.5, 0.65, 0.8)
+
   /** Lexical-vs-semantic dedup agreement audit (r15) — the calibration a
     * pipeline running BOTH dedup families needs before trusting either:
     * the semantic-dedup edge set ([[SimilarityOps.knnJoin]]'s lists
-    * thresholded at the SemDeDup cos ≥ 0.35, via the [[KnnLists]] seam —
-    * vec_id ≡ doc_id, the `rrf_fusion` convention) binned by cosine
-    * band, with the fraction of each band's pairs that the LEXICAL
-    * near-dup pair table ([[DedupEdges.pairs]], exact Jaccard ≥ 0.9)
-    * also caught. The catch-rate-vs-cosine curve is the threshold
-    * evidence: a high catch rate at cos ≥ 0.8 with a cliff below says
-    * the lexical pass already removes verbatim copies and SemDeDup's
-    * marginal value is the low bands (paraphrase); two rider columns
-    * carry the reverse miss — lexical pairs the K-bounded semantic graph
-    * never surfaced (beyond top-K or an LSH band miss), the number that
-    * says whether semantic-only dedup may REPLACE the lexical pass.
+    * thresholded at the shared [[SimilarityOps.SemDedupCos]] constant —
+    * exactly `semdedup_knn`'s edges, via the [[KnnLists]] seam; vec_id ≡
+    * doc_id, the `rrf_fusion` convention) binned by cosine band, with
+    * the fraction of each band's pairs that the LEXICAL near-dup pair
+    * table also caught. The lexical side is [[DedupEdges.shinglePairs]]
+    * (the shingle-MinHash-LSH artifact, exact-verified J ≥ 0.8) on
+    * purpose: it is CORPUS-WIDE like the kNN edge set, so both sides
+    * share one comparison universe — the source-blocked exact-Jaccard
+    * table would conflate "the lexical pass missed it" with "the
+    * blocking key never compared it" on any cross-source duplicate
+    * (r15 same-session review). The catch-rate-vs-cosine curve is the
+    * threshold evidence: a high catch rate at the top band with a cliff
+    * below says the lexical pass already removes verbatim copies and
+    * SemDeDup's marginal value is the low bands (paraphrase); two rider
+    * columns carry the reverse miss — lexical pairs absent from the
+    * thresholded edge set (beyond top-K, an LSH band miss, or a cosine
+    * below the [[SimilarityOps.SemDedupCos]] cut — the rider bakes the
+    * threshold in, so tuning IT is the first knob when the number is
+    * high), which says whether semantic-only dedup may replace the
+    * lexical pass.
     *
     * Scale shape: the semantic side is the K-bounded artifact (≤ K·n
     * rows, bucket-cogrouped — never all-pairs), the lexical side the
-    * prefix-filtered verified pair table; both ride their session seams
+    * banded-LSH verified pair table; both ride their session seams
     * when seeded. Agreement is one pair-keyed left join + a 4-bin
     * map-side-combined rollup; the reverse-miss riders are one
     * pair-keyed anti-join reduced to a 1-row broadcast.
     */
   def dedupAgreement(s: SparkSession, dir: String): DataFrame = {
-    val binEdges = Seq(0.35, 0.5, 0.65, 0.8)
+    val binEdges = AgreementBinEdges
     val sem = KnnLists.lists(s, dir)
-      .filter(col("cos") >= 0.35)
+      .filter(col("cos") >= SimilarityOps.SemDedupCos)
       .select(least(col("vec_id"), col("neighbor_id")).as("u"),
         greatest(col("vec_id"), col("neighbor_id")).as("v"), col("cos"))
       .groupBy(col("u"), col("v")).agg(max(col("cos")).as("cos"))
       .localCheckpoint() // binned rollup + reverse-miss anti-join read it
-    val lex = DedupEdges.pairs(s, dir)
+    val lex = DedupEdges.shinglePairs(s, dir)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint() // hit join + both rider aggregates read it
+    // bin chain DERIVED from the edge list, so spine and binning cannot
+    // de-align under a retune (r15 same-session review)
+    val binCol = binEdges.drop(1).reverse.tail
+      .foldLeft(when(col("cos") >= binEdges.last, lit(binEdges.last))) {
+        (acc, e) => acc.when(col("cos") >= e, lit(e))
+      }.otherwise(lit(binEdges.head))
     val perBin = sem
-      .withColumn("cos_bin",
-        when(col("cos") >= 0.8, 0.8).when(col("cos") >= 0.65, 0.65)
-          .when(col("cos") >= 0.5, 0.5).otherwise(0.35))
+      .withColumn("cos_bin", binCol)
       .join(lex.withColumn("hit", lit(1)),
         col("u") === col("doc_a") && col("v") === col("doc_b"), "left")
       .groupBy(col("cos_bin"))
@@ -402,20 +421,28 @@ object DedupOps {
 
   /** Composed verbatim from the two already-oracle-checked artifacts:
     * [[SimilarityOps.knnJoinOracle]] (the lists) and
-    * [[dedupNgramJaccardOracle]] (the pair table).
+    * [[dedupMinhashShingleOracle]] (the corpus-wide LSH pair table); the
+    * CASE chain and spine interpolate [[AgreementBinEdges]] so a bin
+    * retune moves Spark side and oracle together.
+    * (lazy: splices [[dedupMinhashShingleOracle]], defined further down —
+    * the [[dedupThresholdSweepOracle]] initialization-order convention.)
     */
-  val dedupAgreementOracle: String =
+  lazy val dedupAgreementOracle: String = {
+    val caseChain = AgreementBinEdges.reverse.init.map(e =>
+      s"WHEN cos >= CAST($e AS DOUBLE) THEN CAST($e AS DOUBLE)")
+      .mkString("CASE ", "\n       |              ", "") +
+      s"\n       |              ELSE CAST(${AgreementBinEdges.head} AS DOUBLE) END"
+    val spineRows = AgreementBinEdges
+      .map(e => s"(CAST($e AS DOUBLE))").mkString(", ")
     s"""WITH sem AS (
        |  SELECT least(vec_id, neighbor_id) AS u,
        |         greatest(vec_id, neighbor_id) AS v, max(cos) AS cos
        |  FROM (${SimilarityOps.knnJoinOracle})
-       |  WHERE cos >= CAST(0.35 AS DOUBLE) GROUP BY 1, 2),
-       |lex AS (SELECT doc_a, doc_b FROM (${dedupNgramJaccardOracle})),
+       |  WHERE cos >= CAST(${SimilarityOps.SemDedupCos} AS DOUBLE)
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT doc_a, doc_b FROM (${dedupMinhashShingleOracle})),
        |perbin AS (
-       |  SELECT CASE WHEN cos >= CAST(0.8 AS DOUBLE) THEN CAST(0.8 AS DOUBLE)
-       |              WHEN cos >= CAST(0.65 AS DOUBLE) THEN CAST(0.65 AS DOUBLE)
-       |              WHEN cos >= CAST(0.5 AS DOUBLE) THEN CAST(0.5 AS DOUBLE)
-       |              ELSE CAST(0.35 AS DOUBLE) END AS cos_bin,
+       |  SELECT $caseChain AS cos_bin,
        |         count(*) AS n_sem_pairs, count(l.doc_a) AS n_lex_hits
        |  FROM sem s LEFT JOIN lex l ON l.doc_a = s.u AND l.doc_b = s.v
        |  GROUP BY 1),
@@ -424,8 +451,7 @@ object DedupOps {
        |         (SELECT count(*) FROM lex l WHERE NOT EXISTS (
        |            SELECT 1 FROM sem s
        |            WHERE s.u = l.doc_a AND s.v = l.doc_b)) AS n_lex_uncaught),
-       |spine(cos_bin) AS (VALUES (CAST(0.35 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
-       |                          (CAST(0.65 AS DOUBLE)), (CAST(0.8 AS DOUBLE)))
+       |spine(cos_bin) AS (VALUES $spineRows)
        |SELECT sp.cos_bin, coalesce(n_sem_pairs, 0) AS n_sem_pairs,
        |       coalesce(n_lex_hits, 0) AS n_lex_hits,
        |       round(coalesce(n_lex_hits, 0)
@@ -433,6 +459,7 @@ object DedupOps {
        |       n_lex_pairs, n_lex_uncaught
        |FROM spine sp LEFT JOIN perbin p ON p.cos_bin = sp.cos_bin
        |CROSS JOIN riders ORDER BY sp.cos_bin""".stripMargin
+  }
 
   /** Embedding-cosine near-dup within the `label` blocking key (labels are
     * the cluster assignment — the IVF-style candidate restriction).

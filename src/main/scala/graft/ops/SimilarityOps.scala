@@ -33,6 +33,15 @@ object SimilarityOps {
   private[graft] val KnnBitsPerBand = 4
   private[graft] val KnnBands = 20
 
+  /** The SemDeDup edge threshold (r15 — named for the same reason as the
+    * banding constants above: [[semdedupKnn]], its oracle, AND the
+    * [[DedupOps.dedupAgreement]] calibration audit all threshold the kNN
+    * lists at this value, so a retune moves the dedup and its audit
+    * together instead of leaving the audit describing an edge set the
+    * dedup no longer uses).
+    */
+  private[graft] val SemDedupCos = 0.35
+
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -783,7 +792,7 @@ object SimilarityOps {
   def semdedupKnn(s: SparkSession, dir: String): DataFrame =
     ClusterOps.clustersOver(
         KnnLists.lists(s, dir) // the materialized artifact when seeded
-          .filter(col("cos") >= 0.35)
+          .filter(col("cos") >= SemDedupCos)
           .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_rep"), col("keep"))
       .orderBy("vec_id")
@@ -807,7 +816,7 @@ object SimilarityOps {
        |  WHERE rank <= $K),
        |pairs AS (
        |  SELECT node AS doc_a, nbr AS doc_b FROM lists
-       |  WHERE round(cos, 4) >= 0.35),
+       |  WHERE round(cos, 4) >= $SemDedupCos),
        |edges AS (
        |  SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION

@@ -847,13 +847,14 @@ class DedupOpsSpec extends AnyFunSuite {
     // every lexical pair is either caught by some semantic bin or uncaught
     assert(rows.map(_._3).sum + nUncaught == nLex,
       "hits + uncaught must partition the lexical pair table")
-    // lexical side reconciles with the pair table itself
-    val lexCount = graft.ops.DedupEdges.pairs(spark, dir).count()
+    // lexical side reconciles with the corpus-wide LSH pair table itself
+    val lexCount = graft.ops.DedupEdges.shinglePairs(spark, dir).count()
     assert(nLex == lexCount)
     // semantic side reconciles with an independent recount of the
     // thresholded unordered edge set from the lists artifact
     val semCount = graft.ops.KnnLists.lists(spark, dir)
-      .filter(org.apache.spark.sql.functions.col("cos") >= 0.35)
+      .filter(org.apache.spark.sql.functions.col("cos")
+        >= SimilarityOps.SemDedupCos)
       .collect()
       .map(r => (math.min(r.getLong(0), r.getLong(2)),
         math.max(r.getLong(0), r.getLong(2))))
