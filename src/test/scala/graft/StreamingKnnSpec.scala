@@ -82,4 +82,56 @@ class StreamingKnnSpec extends AnyFunSuite {
     assert(bag(StreamingKnn.lists(spark, store)) == phase3,
       "re-drain disturbed the lists")
   }
+
+  test("compaction policy at the lists config: holds under thresholds, fires on damage, vacuum prunes, TTL purge re-enters exactly") {
+    import scala.jdk.CollectionConverters._
+    def outVersionDirs(store: String): Set[String] =
+      Files.list(java.nio.file.Paths.get(store, "out")).iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+
+    val root = Files.createTempDirectory("graft-sknn-policy")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    emb.coalesce(1).write.mode("append").parquet(in.toString)
+    StreamingKnn.runAvailableNow(spark, emb.schema, in.toString, store,
+      root.resolve("ckpt1").toString)
+    val intact = rebuild(lit(true))
+    assert(bag(StreamingKnn.lists(spark, store)) == intact)
+
+    // trigger-holds: one dead node is far under both thresholds — the
+    // policy must decline and leave every store untouched
+    val oneId = emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+      .agg(min(col("vec_id"))).collect()(0).getLong(0)
+    StreamingKnn.applyDeletes(spark, store,
+      spark.range(oneId, oneId + 1).select(col("id").as("vec_id")))
+    val dirsBefore = outVersionDirs(store)
+    assert(!StreamingKnn.maybeCompact(spark, store),
+      "policy fired under thresholds")
+    assert(bag(StreamingKnn.lists(spark, store)) == intact,
+      "no-op policy path disturbed the lists")
+    assert(outVersionDirs(store) == dirsBefore,
+      "no-op policy path touched the out store")
+
+    // trigger-fires: the full %10=3 family (10% of the corpus) — the
+    // policy compacts, the artifact equals the survivor rebuild, and
+    // the vacuum leaves exactly the compact's own version
+    StreamingKnn.applyDeletes(spark, store,
+      emb.filter(pmod(col("vec_id"), lit(10)) === 3).select(col("vec_id")))
+    assert(StreamingKnn.maybeCompact(spark, store),
+      "policy held above thresholds")
+    val survivors = rebuild(pmod(col("vec_id"), lit(10)) =!= 3)
+    assert(bag(StreamingKnn.lists(spark, store)) == survivors,
+      "post-policy lists ≠ survivor rebuild")
+    assert(outVersionDirs(store).size == 1,
+      s"vacuum left superseded versions: ${outVersionDirs(store)}")
+
+    // TTL 0 expires everything (scrubbing vecs/banded with it): a
+    // fresh-checkpoint re-drain re-enters the purged ids through the
+    // insert path and lands back at the intact build exactly
+    StreamingKnn.purgeTombstones(spark, store, 0L)
+    StreamingKnn.runAvailableNow(spark, emb.schema, in.toString, store,
+      root.resolve("ckpt2").toString)
+    assert(bag(StreamingKnn.lists(spark, store)) == intact,
+      "TTL-purged ids failed to re-enter exactly")
+  }
 }
