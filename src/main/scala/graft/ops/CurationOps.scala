@@ -180,6 +180,108 @@ object CurationOps {
        |       round(ws_tokens / greatest(t0, 1), 6) AS token_retention
        |FROM staged, base ORDER BY stage_idx""".stripMargin
 
+  /** Ingest-batch review card (r15 s2) — the table a curation owner reads
+    * BEFORE admitting an arrival batch into the corpus: per source, the
+    * base era vs the delta era (`doc_id % 10 = 9`, the insert-family
+    * convention every incremental op shares) in documents, whitespace
+    * tokens, low-quality rate (with the delta-vs-base `quality_shift` —
+    * "is the new batch worse than what we have?"), and the corpus token
+    * share before vs after admission (`share_shift` — "does this batch
+    * tilt the mixture?"). [[dataCard]] describes ONE corpus snapshot;
+    * this is the two-era diff of its volume/quality axes, the sign-off
+    * artifact of an incremental ingest — the review dual of
+    * [[RelationalOps.incrementalAgg]]'s maintenance algebra.
+    *
+    * Scale shape: ONE doc_id-co-partitioned join pass assembles the flag
+    * frame, then a single per-source aggregate with conditional
+    * (era-filtered) partials — map-side combined, no second corpus scan
+    * for the second era; corpus totals ride as a 1-row broadcast onto
+    * the source-sized card. Rates and shares divide raw (unrounded)
+    * ratios and round once at 6, identically in the oracle.
+    */
+  def ingestDeltaCard(s: SparkSession, dir: String): DataFrame = {
+    val flags = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(TextOps.tokenCount(s, dir)
+        .select(col("doc_id"), col("ws_tokens")), "doc_id")
+      .join(TextOps.textQuality(s, dir)
+        .select(col("doc_id"), col("low_quality")), "doc_id")
+      .withColumn("is_delta", pmod(col("doc_id"), lit(10)) === 9)
+    val per = flags.groupBy(col("source")).agg(
+        count(when(!col("is_delta"), 1)).as("base_docs"),
+        count(when(col("is_delta"), 1)).as("delta_docs"),
+        coalesce(sum(when(!col("is_delta"), col("ws_tokens"))), lit(0L))
+          .cast("long").as("base_tokens"),
+        coalesce(sum(when(col("is_delta"), col("ws_tokens"))), lit(0L))
+          .cast("long").as("delta_tokens"),
+        count(when(!col("is_delta") && col("low_quality"), 1)).as("base_lowq"),
+        count(when(col("is_delta") && col("low_quality"), 1)).as("delta_lowq"))
+      .localCheckpoint() // the totals row and the card both read it
+    val tot = per.agg(
+      sum(col("base_tokens")).as("t_base"),
+      sum(col("base_tokens") + col("delta_tokens")).as("t_union"))
+    val baseRate = col("base_lowq") / greatest(col("base_docs"), lit(1L))
+    val deltaRate = col("delta_lowq") / greatest(col("delta_docs"), lit(1L))
+    val shareBase = col("base_tokens") / greatest(col("t_base"), lit(1L))
+    val shareUnion = (col("base_tokens") + col("delta_tokens")) /
+      greatest(col("t_union"), lit(1L))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("base_docs"), col("delta_docs"),
+        col("base_tokens"), col("delta_tokens"),
+        round(baseRate, 6).as("base_lowq_rate"),
+        round(deltaRate, 6).as("delta_lowq_rate"),
+        round(deltaRate - baseRate, 6).as("quality_shift"),
+        round(shareBase, 6).as("token_share_base"),
+        round(shareUnion, 6).as("token_share_union"),
+        round(shareUnion - shareBase, 6).as("share_shift"))
+      .orderBy("source")
+  }
+
+  /** One pass over the shared flag CTE with FILTER-clause partials —
+    * the era split stated once, every ratio divided raw then rounded,
+    * exactly as the Spark side.
+    */
+  val ingestDeltaCardOracle: String =
+    s"""WITH flags AS (
+       |  SELECT d.doc_id, d.source, t.ws_tokens, q.low_quality,
+       |         d.doc_id % 10 = 9 AS is_delta
+       |  FROM documents d
+       |  JOIN (SELECT doc_id, ws_tokens
+       |        FROM (${TextOps.tokenCountOracle})) t USING (doc_id)
+       |  JOIN (SELECT doc_id, low_quality
+       |        FROM (${TextOps.textQualityOracle})) q USING (doc_id)),
+       |per AS (
+       |  SELECT source,
+       |         count(*) FILTER (WHERE NOT is_delta) AS base_docs,
+       |         count(*) FILTER (WHERE is_delta) AS delta_docs,
+       |         CAST(coalesce(sum(ws_tokens) FILTER (WHERE NOT is_delta), 0)
+       |              AS BIGINT) AS base_tokens,
+       |         CAST(coalesce(sum(ws_tokens) FILTER (WHERE is_delta), 0)
+       |              AS BIGINT) AS delta_tokens,
+       |         count(*) FILTER (WHERE NOT is_delta AND low_quality)
+       |           AS base_lowq,
+       |         count(*) FILTER (WHERE is_delta AND low_quality)
+       |           AS delta_lowq
+       |  FROM flags GROUP BY source),
+       |tot AS (SELECT CAST(sum(base_tokens) AS BIGINT) AS t_base,
+       |               CAST(sum(base_tokens + delta_tokens) AS BIGINT)
+       |                 AS t_union FROM per)
+       |SELECT source, base_docs, delta_docs, base_tokens, delta_tokens,
+       |       round(base_lowq / greatest(base_docs, 1), 6)
+       |         AS base_lowq_rate,
+       |       round(delta_lowq / greatest(delta_docs, 1), 6)
+       |         AS delta_lowq_rate,
+       |       round(delta_lowq / greatest(delta_docs, 1)
+       |             - base_lowq / greatest(base_docs, 1), 6)
+       |         AS quality_shift,
+       |       round(base_tokens / greatest(t_base, 1), 6)
+       |         AS token_share_base,
+       |       round((base_tokens + delta_tokens) / greatest(t_union, 1), 6)
+       |         AS token_share_union,
+       |       round((base_tokens + delta_tokens) / greatest(t_union, 1)
+       |             - base_tokens / greatest(t_base, 1), 6) AS share_shift
+       |FROM per, tot ORDER BY source""".stripMargin
+
   /** Deterministic stratified sampling for training-data mixes: keep a doc
     * iff the first 8 hex chars of its content fingerprint sort below the
     * stratum's rate threshold (lowercase-hex string order IS numeric order,
@@ -1520,6 +1622,7 @@ object CurationOps {
     "source_overlap" -> (sourceOverlap _),
     "corpus_curation" -> (corpusCuration _),
     "curation_funnel" -> (curationFunnel _),
+    "ingest_delta_card" -> (ingestDeltaCard _),
     "corpus_sample" -> (corpusSample _),
     "corpus_weighted_sample" -> (corpusWeightedSample _),
     "corpus_shuffle" -> (corpusShuffle _),
@@ -1544,6 +1647,7 @@ object CurationOps {
     "source_overlap" -> sourceOverlapOracle,
     "corpus_curation" -> corpusCurationOracle,
     "curation_funnel" -> curationFunnelOracle,
+    "ingest_delta_card" -> ingestDeltaCardOracle,
     "corpus_sample" -> corpusSampleOracle,
     "corpus_weighted_sample" -> corpusWeightedSampleOracle,
     "corpus_shuffle" -> corpusShuffleOracle,

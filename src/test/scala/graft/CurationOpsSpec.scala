@@ -479,6 +479,49 @@ class CurationOpsSpec extends AnyFunSuite {
     // share the representative's fold)
   }
 
+  test("ingest_delta_card: eras partition every source, shares sum to 1 on both eras, shifts definitional") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val rows = CurationOps.ingestDeltaCard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getDouble(9), r.getDouble(10)))
+    assert(rows.nonEmpty)
+    // era doc counts partition each source's documents
+    val perSource = Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions
+          .count(org.apache.spark.sql.functions
+            .when(pmod(col("doc_id"), lit(10)) === 9, 1)).as("nd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.foreach { case (src, bd, dd, _, _, _, _, _, _, _, _) =>
+      val (n, nd) = perSource(src)
+      assert(bd + dd == n, s"$src: eras do not partition the source")
+      assert(dd == nd, s"$src: delta era count mismatch")
+    }
+    // token shares sum to ~1 on both the base and the union basis
+    // (raw ratios rounded at 6 — allow n_sources ulps of rounding)
+    val eps = 1e-5
+    assert(math.abs(rows.map(_._9).sum - 1.0) < eps, "base shares != 1")
+    assert(math.abs(rows.map(_._10).sum - 1.0) < eps, "union shares != 1")
+    // shifts are the (raw-ratio) differences, rounded once
+    rows.foreach { case (src, bd, dd, bt, dt, _, _, qs, _, _, _) =>
+      val tb = rows.map(_._4).sum; val tu = rows.map(r => r._4 + r._5).sum
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expectShift = r6((bt + dt).toDouble / math.max(tu, 1L)
+        - bt.toDouble / math.max(tb, 1L))
+      assert(math.abs(rows.find(_._1 == src).get._11 - expectShift) < 1e-9,
+        s"$src share_shift")
+      // quality_shift recomputed from the card's own counts needs the
+      // lowq counters, which the card folds into the rates — check the
+      // rate bounds instead: rates in [0,1], shift in [-1,1]
+      assert(qs >= -1.0 && qs <= 1.0)
+      assert(bd >= 0 && dd >= 0)
+    }
+  }
+
   test("curation_funnel: five fixed stages, monotone attrition, stage 0 is the corpus, retention definitional") {
     val rows = CurationOps.curationFunnel(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),

@@ -114,6 +114,8 @@ class PlanLintSpec extends AnyFunSuite {
     "drift_psi",        // 1-row cutpoint + total-count broadcasts
     "curation_funnel",  // 1-row raw-corpus baseline broadcast onto the
                         // 5-row stage table
+    "ingest_delta_card", // 1-row corpus-totals broadcast onto the
+                        // source-sized card
     "dedup_agreement")  // 1-row rider cross (lex total × uncaught) +
                         // its broadcast onto the 4-row bin table
 
