@@ -347,7 +347,9 @@ private[streaming] final class BandedTopKMaintainer(
     due
   }
 
-  private def writeBatch(storePath: String, lineage: String)(
+  // private[streaming] so MaintainerCrashSpec can drive the exact
+  // crash-then-retry interleaving the streaming engine produces
+  private[streaming] def writeBatch(storePath: String, lineage: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val tag = s"$lineage-$batchId"
     val spark = batch.sparkSession
@@ -390,8 +392,22 @@ private[streaming] final class BandedTopKMaintainer(
           .filter(col("seq") === s && col("batch") === b)
           .select(col("node"), col("nbr"), col("ncos"))
       }
-      val maintained = HnswIndex.insert(prevOut,
-        SimilarityOps.hnswScore(deltaCand, embAll), degree)
+      val deltaScored = SimilarityOps.hnswScore(deltaCand, embAll)
+        .localCheckpoint() // supersede anti-join + insert both read it
+      // supersede the artifact's copy of any pair the delta re-scores
+      // (identical ncos — the score is a pure function of the immutable
+      // vectors). In normal operation the sets are disjoint (a novel id
+      // can't already be an artifact neighbor) and this matches nothing;
+      // in the blessed crash window — candidate stores committed, out
+      // absent, a compact() ran before the retry — the compact's repair
+      // holds edges to the crashed batch's ids, and WITHOUT this the
+      // retry's union counts those pairs twice, two top-K slots for one
+      // neighbor, evicting a legitimate one (MaintainerCrashSpec pins
+      // the interleaving; the r15 s2 review found it).
+      val prevSuperseded = prevOut.join(
+        deltaScored.select(col("node"), col("nbr")), Seq("node", "nbr"),
+        "left_anti")
+      val maintained = HnswIndex.insert(prevSuperseded, deltaScored, degree)
       // write order is load-bearing (ADVICE r14): the out artifact
       // commits LAST, so a committed top-seq version always implies its
       // supporting vecs/banded rows are complete — a compact() between a
