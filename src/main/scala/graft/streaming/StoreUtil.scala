@@ -80,6 +80,7 @@ private[streaming] object StoreUtil {
         throw new java.io.IOException(s"heal: rename $src -> $dst failed")
     if (!fs.exists(cur)) {
       if (complete(fs, tmp)) { mv(tmp, cur) // crash between the renames
+        stampPartitionMarkers(fs, cur) // crash mid-stamp pre-swap
         if (fs.exists(old)) fs.delete(old, true)
       } else if (fs.exists(old)) { mv(old, cur) // tmp never completed
         if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -123,18 +124,43 @@ private[streaming] object StoreUtil {
     promoteLock.synchronized {
       if (fs.exists(cur)) return
       val tmp = new HPath(s"$path.tmp")
-      if (complete(fs, tmp) && !fs.rename(tmp, cur) && !fs.exists(cur))
-        throw new java.io.IOException(
-          s"promote: rename $tmp -> $cur failed and $cur still absent")
+      if (complete(fs, tmp)) {
+        if (!fs.rename(tmp, cur) && !fs.exists(cur))
+          throw new java.io.IOException(
+            s"promote: rename $tmp -> $cur failed and $cur still absent")
+        stampPartitionMarkers(fs, cur) // crash mid-stamp pre-swap
+      }
     }
   }
+
+  /** Stamp a per-partition `_SUCCESS` into every child directory of a
+    * store whose ROOT carries the committer's `_SUCCESS` (r15 s2 — the
+    * committed-read bridge): a `partitionBy` job commits ONE root marker,
+    * but [[readCommitted]] decides per partition directory, so a
+    * rewritten store would otherwise read as empty. The root marker
+    * proves every child was written by one committed job, so stamping
+    * each child is sound; idempotent, and a no-op on non-partitioned or
+    * uncommitted dirs.
+    */
+  private def stampPartitionMarkers(
+      fs: org.apache.hadoop.fs.FileSystem, dir: HPath): Unit =
+    if (fs.exists(new HPath(dir, "_SUCCESS")))
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) {
+          val m = new HPath(st.getPath, "_SUCCESS")
+          if (!fs.exists(m)) fs.create(m, true).close()
+        }
+      }
 
   /** Rewrite a store in place: write the new contents to `.tmp`
     * (the old store stays the read source for the whole job), then
     * two-rename swap. A crash at any point is healed by
     * [[healRewrite]] / the read-side promote — either the old or the
     * new store survives whole, never a mix. Run under the owning
-    * maintainer's quiesce contract.
+    * maintainer's quiesce contract. Partition markers are stamped on
+    * `.tmp` BEFORE the swap, so a promoted store always arrives fully
+    * stamped; the heal/promote paths re-stamp after promotion to cover
+    * a crash mid-stamping.
     */
   def rewriteInPlace(spark: SparkSession, root: String, name: String,
       df: org.apache.spark.sql.DataFrame,
@@ -149,6 +175,7 @@ private[streaming] object StoreUtil {
     val w = df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
+    if (partitionCols.nonEmpty) stampPartitionMarkers(fs, tmp)
     mv(cur, old)
     mv(tmp, cur)
     fs.delete(old, true)
@@ -166,6 +193,12 @@ private[streaming] object StoreUtil {
     * point leaves the snapshot ids still tombstoned. Run quiesced —
     * which covers applyDeletes too; the anti-join rewrite merely bounds
     * the damage of a violation.
+    *
+    * The data store is read COMMITTED-ONLY (r15 s2), so the rewrite also
+    * physically drops any crashed half-written tag partition — under the
+    * quiesce contract an uncommitted partition is a dead remnant whose
+    * retry (if it ever comes) recomputes from its input, never from the
+    * store, so dropping it loses nothing.
     */
   def compactStore(spark: SparkSession, storePath: String,
       storeName: String, storeSchema: StructType, keyCol: String): Unit = {
@@ -181,7 +214,7 @@ private[streaming] object StoreUtil {
     if (dead.isEmpty) return
     if (fs.exists(new HPath(s"$storePath/$storeName")))
       rewriteInPlace(spark, storePath, storeName,
-        readOrEmpty(spark, s"$storePath/$storeName", storeSchema)
+        readCommitted(spark, s"$storePath/$storeName", storeSchema)
           .join(dead, col(keyCol) === col("dead_id"), "left_anti"),
         Seq("batch"))
     rewriteInPlace(spark, storePath, "tombstones",

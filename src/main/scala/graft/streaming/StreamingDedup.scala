@@ -45,12 +45,19 @@ object StreamingDedup {
   private def lineageId(spark: SparkSession, checkpointDir: String): String =
     StoreUtil.lineageId(spark, checkpointDir, "graft-dedup-lineage")
 
+  // committed-only (r15 s2, the family-wide read model): a crashed
+  // half-written tag must not mark its fingerprints "seen" — under a
+  // fresh lineage those docs would be suppressed forever while their
+  // output partition stayed partial
+  private def readStoreCommitted(spark: SparkSession,
+      storePath: String): DataFrame =
+    StoreUtil.readCommitted(spark, storePath, storeSchema)
+
   /** The store-guarded per-batch write shared by both deployment shapes. */
   private def writeBatch(storePath: String, outDir: String, lineage: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val tag = s"$lineage-$batchId"
-    val store = IncrementalDedup
-      .readStore(batch.sparkSession, storePath, storeSchema)
+    val store = readStoreCommitted(batch.sparkSession, storePath)
       // null-SAFE: rows whose batch tag failed to parse must count as
       // store content, not be silently dropped with the own-tag partition
       .filter(!(col("batch") <=> lit(tag))) // own partition = failed attempt
@@ -156,7 +163,7 @@ object StreamingDedup {
   def backfill(spark: SparkSession, docs: DataFrame,
       storePath: String, outDir: String): Unit = {
     val tag = s"backfill-${java.util.UUID.randomUUID().toString.take(8)}"
-    val store = IncrementalDedup.readStore(spark, storePath, storeSchema)
+    val store = readStoreCommitted(spark, storePath)
     val novel = IncrementalDedup
       .novel(IncrementalDedup.withFingerprint(docs)
         .dropDuplicates("fingerprint"), store)
@@ -193,7 +200,9 @@ object StreamingDedup {
     val compactTag = s"compacted-${java.util.UUID.randomUUID().toString.take(8)}"
     val staging = new HPath(root.getParent, root.getName + ".compacting")
     if (fs.exists(staging)) fs.delete(staging, true)
-    IncrementalDedup.readStore(spark, storePath, storeSchema)
+    // committed-only fold: a crashed remnant partition contributes
+    // nothing and is deleted with the other old partitions below
+    readStoreCommitted(spark, storePath)
       .select("fingerprint").distinct()
       .write.mode(SaveMode.Overwrite)
       .parquet(new HPath(staging, s"batch=$compactTag").toString)

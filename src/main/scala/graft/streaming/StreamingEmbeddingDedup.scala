@@ -65,13 +65,11 @@ object StreamingEmbeddingDedup {
     "vec_id BIGINT, label INT, band INT, bucket BIGINT, " +
       "v ARRAY<DOUBLE>, batch STRING")
 
-  private def readStore(spark: SparkSession, path: String): DataFrame = {
-    val hPath = new HPath(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(hPath)) spark.read.schema(storeSchema).parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], storeSchema)
-  }
+  // committed-only (r15 s2, the family-wide read model): a crashed
+  // half-written tag must not mark its vec_ids "seen" (their pairs were
+  // never fully emitted) nor contribute partial candidate rows
+  private def readStore(spark: SparkSession, path: String): DataFrame =
+    StoreUtil.readCommitted(spark, path, storeSchema)
 
   /** The delta × (base ∪ delta) pair emission shared by both shapes. */
   private def writeBatch(storePath: String, outDir: String, lineage: String,

@@ -60,9 +60,18 @@ private[streaming] final class BandedTopKMaintainer(
   private val outSchema = StructType.fromDDL(
     "node BIGINT, nbr BIGINT, ncos DOUBLE, seq BIGINT, batch STRING")
 
+  /** The candidate stores are read COMMITTED-ONLY too (r15 s2 — not just
+    * the artifact's max-seq read): a crashed half-written vecs/banded tag
+    * must not leak partial rows into novelty ("seen" but never fully
+    * indexed — permanent suppression under a fresh lineage), compaction
+    * candidates, or a purge rewrite. The retry path is unaffected (it
+    * recomputes its batch from input and overwrites its whole tag), and
+    * the committed-only purge/compact rewrites drop dead remnants
+    * physically.
+    */
   private def readStore(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
-    StoreUtil.readOrEmpty(spark, path, schema)
+    StoreUtil.readCommitted(spark, path, schema)
 
   /** The out store read by its GLOBAL max(seq) property — committed
     * partitions only, so a crashed half-written top-seq version can

@@ -56,8 +56,10 @@ object StreamingIvf {
   private def storeSchema: StructType = StructType.fromDDL(
     "vec_id BIGINT, cid INT, d DOUBLE, batch STRING")
 
+  // committed-only (r15 s2): a crashed half-written tag must not serve
+  // partial assignments nor mark its ids "seen" under a fresh lineage
   private def readStore(spark: SparkSession, path: String): DataFrame =
-    StoreUtil.readOrEmpty(spark, path, storeSchema)
+    StoreUtil.readCommitted(spark, path, storeSchema)
 
   private def writeBatch(centroidsPath: String, storePath: String,
       lineage: String)(batch: DataFrame, batchId: Long): Unit = {

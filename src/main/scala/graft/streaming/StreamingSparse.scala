@@ -40,12 +40,15 @@ object StreamingSparse {
     "doc_id BIGINT, s STRING, tf BIGINT, batch STRING")
   private val tombSchema = StructType.fromDDL("doc_id BIGINT")
 
-  private def readParquet(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
-    StoreUtil.readOrEmpty(spark, path, schema)
+  // committed-only (r15 s2): a crashed half-written tag must not serve
+  // partial tf rows nor mark its docs "seen" under a fresh lineage; the
+  // tombstone store is a root-file append store (no tag partitions), so
+  // it keeps the plain read
+  private def readPostings(spark: SparkSession, path: String): DataFrame =
+    StoreUtil.readCommitted(spark, path, storeSchema)
 
   private def tombstones(spark: SparkSession, storePath: String): DataFrame =
-    readParquet(spark, s"$storePath/tombstones", tombSchema)
+    StoreUtil.readOrEmpty(spark, s"$storePath/tombstones", tombSchema)
 
   /** Record a delete batch (idempotent tombstone append); postings are
     * doc-keyed, so filtering tombstoned docs from serving reads IS exact
@@ -75,7 +78,7 @@ object StreamingSparse {
       batch: DataFrame, batchId: Long): Unit = {
     val tag = s"$lineage-$batchId"
     val spark = batch.sparkSession
-    val seen = readParquet(spark, s"$storePath/postings", storeSchema)
+    val seen = readPostings(spark, s"$storePath/postings")
       .filter(!(col("batch") <=> lit(tag))) // own partition = failed attempt
       .select(col("doc_id").as("seen_id")).distinct()
     // dropDuplicates: two copies of a doc in ONE micro-batch both pass
@@ -97,7 +100,7 @@ object StreamingSparse {
 
   /** The maintained postings: every live `(doc_id, s, tf)` row. */
   def postings(spark: SparkSession, storePath: String): DataFrame =
-    readParquet(spark, s"$storePath/postings", storeSchema)
+    readPostings(spark, s"$storePath/postings")
       .select(col("doc_id"), col("s"), col("tf"))
       .join(tombstones(spark, storePath)
           .select(col("doc_id").as("dead_id")).distinct(),

@@ -84,4 +84,47 @@ class MaintainerCrashSpec extends AnyFunSuite {
     assert(got == expected,
       "post-retry artifact diverged from the rebuild over live ids")
   }
+
+  test("sparse: a crashed half-written tag is never served, a fresh drain re-ingests it, compact drops the remnant") {
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-crash-sparse")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    val fs = new HPath(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    docs.coalesce(1).write.mode("append").parquet(in.toString)
+    StreamingSparse.runAvailableNow(spark, docs.schema, in.toString, store,
+      root.resolve("ckpt1").toString)
+    def served(): Set[(Long, String, Long)] =
+      StreamingSparse.postings(spark, store).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val full = served()
+    assert(full.nonEmpty)
+
+    // simulate the crash: the drained tag loses its committer marker —
+    // on a real crash the partition is half-written; committed-only
+    // serving must treat either the same way
+    val tagDir = fs.listStatus(new HPath(s"$store/postings")).toSeq
+      .filter(_.isDirectory).map(_.getPath).head
+    assert(fs.delete(new HPath(tagDir, "_SUCCESS"), false))
+    assert(served().isEmpty,
+      "uncommitted tag partition leaked into serving")
+
+    // a fresh-lineage drain must NOT see the remnant's docs as seen —
+    // it re-ingests everything and serving is whole again (the old
+    // readOrEmpty model suppressed these docs forever)
+    StreamingSparse.runAvailableNow(spark, docs.schema, in.toString, store,
+      root.resolve("ckpt2").toString)
+    assert(served() == full,
+      "fresh drain failed to re-ingest the crashed tag's docs")
+
+    // compact physically drops the dead remnant (committed-only rewrite)
+    StreamingSparse.applyDeletes(spark, store,
+      spark.sql("SELECT CAST(-1 AS BIGINT) AS doc_id")) // no live match
+    StreamingSparse.compact(spark, store)
+    assert(!fs.exists(tagDir), "compact left the uncommitted remnant")
+    assert(served() == full, "compact disturbed the served postings")
+  }
 }

@@ -142,25 +142,54 @@ class StoreUtilSpec extends AnyFunSuite {
     assert(exists(s"$root/s.tmp")) // promote never deletes; heal owns that
   }
 
-  test("readCommitted: promotes a half-swap, then serves only _SUCCESS partitions") {
-    val root = newRoot()
-    val outSchema = StructType.fromDDL("k BIGINT, batch STRING")
-    def part(tag: String, ks: Seq[Long], committed: Boolean): Unit = {
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            ks.map(k => org.apache.spark.sql.Row(k, tag)), 1), outSchema)
-        .select(col("k"))
-        .write.mode("overwrite").parquet(s"$root/s.tmp/batch=$tag")
-      if (!committed) dropSuccess(s"$root/s.tmp/batch=$tag")
-    }
-    part("a", Seq(1L, 2L), committed = true)
-    part("b", Seq(3L), committed = false)
-    // the store root itself is a crashed mid-swap: only `.tmp` exists
-    fs(root).create(new HPath(s"$root/s.tmp/_SUCCESS"), true).close()
-    val got = StoreUtil.readCommitted(spark, s"$root/s", outSchema)
+  private val taggedSchema = StructType.fromDDL("k BIGINT, batch STRING")
+
+  private def writePart(store: String, tag: String, ks: Seq[Long],
+      committed: Boolean): Unit = {
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          ks.map(k => org.apache.spark.sql.Row(k, tag)), 1), taggedSchema)
+      .select(col("k"))
+      .write.mode("overwrite").parquet(s"$store/batch=$tag")
+    if (!committed) dropSuccess(s"$store/batch=$tag")
+  }
+
+  private def readTagged(path: String): Set[(Long, String)] =
+    StoreUtil.readCommitted(spark, path, taggedSchema)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(got == Set((1L, "a"), (2L, "a")))
+
+  test("readCommitted: a crashed half-written tag partition is not served") {
+    val root = newRoot()
+    writePart(s"$root/s", "a", Seq(1L, 2L), committed = true)
+    writePart(s"$root/s", "b", Seq(3L), committed = false)
+    assert(readTagged(s"$root/s") == Set((1L, "a"), (2L, "a")))
+  }
+
+  test("readCommitted: a promoted rewrite serves ALL its partitions (root marker stamps the children)") {
+    val root = newRoot()
+    // a rewrite's .tmp: one partitionBy-style job — root _SUCCESS, no
+    // per-partition markers yet (the crash-mid-stamp state)
+    writePart(s"$root/s.tmp", "a", Seq(1L), committed = false)
+    writePart(s"$root/s.tmp", "b", Seq(2L), committed = false)
+    fs(root).create(new HPath(s"$root/s.tmp/_SUCCESS"), true).close()
+    val got = readTagged(s"$root/s") // read-path promote + stamp
+    assert(got == Set((1L, "a"), (2L, "b")))
     assert(exists(s"$root/s") && !exists(s"$root/s.tmp"))
+    // and the children are now individually stamped
+    assert(exists(s"$root/s/batch=a/_SUCCESS") &&
+      exists(s"$root/s/batch=b/_SUCCESS"))
+  }
+
+  test("rewriteInPlace (partitioned): result is fully committed-readable and crashed remnants are dropped") {
+    val root = newRoot()
+    writePart(s"$root/s", "a", Seq(1L, 2L), committed = true)
+    writePart(s"$root/s", "b", Seq(3L), committed = false) // dead remnant
+    StoreUtil.rewriteInPlace(spark, root, "s",
+      StoreUtil.readCommitted(spark, s"$root/s", taggedSchema)
+        .filter(col("k") =!= 2L),
+      Seq("batch"))
+    assert(readTagged(s"$root/s") == Set((1L, "a")))
+    assert(!exists(s"$root/s/batch=b"), "remnant partition survived rewrite")
   }
 
   test("rewriteInPlace: replaces contents atomically and leaves no side copies") {
@@ -176,12 +205,19 @@ class StoreUtilSpec extends AnyFunSuite {
   test("compactStore: scrubs exactly the tombstoned keys from store and tombstones") {
     val root = newRoot()
     val storeSchema = StructType.fromDDL("vec_id BIGINT, x DOUBLE, batch STRING")
+    // per-tag batch writes, exactly as the maintainers produce the store
+    // (each partition dir carries its own committer marker)
     spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(
-          org.apache.spark.sql.Row(1L, 1.0, "t0"),
-          org.apache.spark.sql.Row(2L, 2.0, "t0"),
-          org.apache.spark.sql.Row(3L, 3.0, "t1")), 1), storeSchema)
-      .write.partitionBy("batch").mode("overwrite").parquet(s"$root/data")
+          org.apache.spark.sql.Row(1L, 1.0),
+          org.apache.spark.sql.Row(2L, 2.0)), 1),
+        StructType.fromDDL("vec_id BIGINT, x DOUBLE"))
+      .write.mode("overwrite").parquet(s"$root/data/batch=t0")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(3L, 3.0)), 1),
+        StructType.fromDDL("vec_id BIGINT, x DOUBLE"))
+      .write.mode("overwrite").parquet(s"$root/data/batch=t1")
     spark.sql("SELECT CAST(2 AS BIGINT) AS vec_id")
       .write.mode("overwrite").parquet(s"$root/tombstones")
     StoreUtil.compactStore(spark, root, "data", storeSchema, "vec_id")
