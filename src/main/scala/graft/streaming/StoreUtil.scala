@@ -80,7 +80,7 @@ private[streaming] object StoreUtil {
         throw new java.io.IOException(s"heal: rename $src -> $dst failed")
     if (!fs.exists(cur)) {
       if (complete(fs, tmp)) { mv(tmp, cur) // crash between the renames
-        stampPartitionMarkers(fs, cur) // crash mid-stamp pre-swap
+        adoptRootCommitted(fs, cur) // crash mid-stamp pre-swap
         if (fs.exists(old)) fs.delete(old, true)
       } else if (fs.exists(old)) { mv(old, cur) // tmp never completed
         if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -128,7 +128,7 @@ private[streaming] object StoreUtil {
         if (!fs.rename(tmp, cur) && !fs.exists(cur))
           throw new java.io.IOException(
             s"promote: rename $tmp -> $cur failed and $cur still absent")
-        stampPartitionMarkers(fs, cur) // crash mid-stamp pre-swap
+        adoptRootCommitted(fs, cur) // crash mid-stamp pre-swap
       }
     }
   }
@@ -151,6 +151,27 @@ private[streaming] object StoreUtil {
           if (!fs.exists(m)) fs.create(m, true).close()
         }
       }
+
+  /** Stamp-and-CONSUME a live store's root marker (r15 s2 review #1):
+    * a store rewritten by the pre-stamping `rewriteInPlace` carries a
+    * root `_SUCCESS` and NO per-partition markers — under committed-only
+    * reads it would serve empty, and the next compact would rewrite the
+    * store from that empty view, deleting its data. The root marker
+    * proves every partition the rewrite job wrote is committed, so they
+    * are stamped — and the root marker is then DELETED: left in place it
+    * would be stale evidence, wrongly blessing a LATER crashed batch
+    * partition on the next adoption pass. Idempotent; a no-op (one
+    * exists probe) on stores that never carried a root marker, i.e.
+    * every batch-written store and every post-upgrade rewrite output.
+    */
+  private def adoptRootCommitted(
+      fs: org.apache.hadoop.fs.FileSystem, dir: HPath): Unit = {
+    val rootMarker = new HPath(dir, "_SUCCESS")
+    if (fs.exists(rootMarker)) {
+      stampPartitionMarkers(fs, dir)
+      fs.delete(rootMarker, false)
+    }
+  }
 
   /** Rewrite a store in place: write the new contents to `.tmp`
     * (the old store stays the read source for the whole job), then
@@ -178,6 +199,10 @@ private[streaming] object StoreUtil {
     if (partitionCols.nonEmpty) stampPartitionMarkers(fs, tmp)
     mv(cur, old)
     mv(tmp, cur)
+    // consume the root marker (stale evidence otherwise — see
+    // adoptRootCommitted); a crash before this line is healed by the
+    // read-path adoption
+    adoptRootCommitted(fs, cur)
     fs.delete(old, true)
   }
 
@@ -239,6 +264,9 @@ private[streaming] object StoreUtil {
     promoteHalfSwapped(fs, path)
     if (!fs.exists(hPath))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    // adopt a pre-stamping-era rewrite output (or a rewrite that crashed
+    // before consuming its root marker) so its partitions stay readable
+    adoptRootCommitted(fs, hPath)
     val committed = fs.listStatus(hPath).toSeq
       .filter(st => st.isDirectory &&
         fs.exists(new HPath(st.getPath, "_SUCCESS")))

@@ -362,6 +362,13 @@ private[streaming] final class BandedTopKMaintainer(
       batch: DataFrame, batchId: Long): Unit = {
     val tag = s"$lineage-$batchId"
     val spark = batch.sparkSession
+    // a prior attempt of THIS batch left candidate-store rows → this is
+    // the crash-retry path, the only interleaving where the supersede
+    // anti-join below can match (probe before our own writes re-create
+    // the partition)
+    val retriedAttempt = new HPath(s"$storePath/vecs/batch=$tag")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(new HPath(s"$storePath/vecs/batch=$tag"))
     def notOwn(df: DataFrame): DataFrame =
       df.filter(!(col("batch") <=> lit(tag)))
     val vecsStore = notOwn(readStore(spark, s"$storePath/vecs", vecsSchema))
@@ -401,22 +408,27 @@ private[streaming] final class BandedTopKMaintainer(
           .filter(col("seq") === s && col("batch") === b)
           .select(col("node"), col("nbr"), col("ncos"))
       }
-      val deltaScored = SimilarityOps.hnswScore(deltaCand, embAll)
-        .localCheckpoint() // supersede anti-join + insert both read it
       // supersede the artifact's copy of any pair the delta re-scores
       // (identical ncos — the score is a pure function of the immutable
-      // vectors). In normal operation the sets are disjoint (a novel id
-      // can't already be an artifact neighbor) and this matches nothing;
-      // in the blessed crash window — candidate stores committed, out
-      // absent, a compact() ran before the retry — the compact's repair
-      // holds edges to the crashed batch's ids, and WITHOUT this the
-      // retry's union counts those pairs twice, two top-K slots for one
-      // neighbor, evicting a legitimate one (MaintainerCrashSpec pins
-      // the interleaving; the r15 s2 review found it).
-      val prevSuperseded = prevOut.join(
-        deltaScored.select(col("node"), col("nbr")), Seq("node", "nbr"),
-        "left_anti")
-      val maintained = HnswIndex.insert(prevSuperseded, deltaScored, degree)
+      // vectors): in the blessed crash window — a prior attempt's
+      // candidate stores committed, its out version absent, a compact()
+      // ran before this retry — the compact's repair holds edges to the
+      // crashed batch's ids, and WITHOUT this the union counts those
+      // pairs twice, two top-K slots for one neighbor, evicting a
+      // legitimate one (MaintainerCrashSpec pins the interleaving; the
+      // r15 s2 review found it). GATED on the retry signal: in normal
+      // operation the sets are provably disjoint (a novel id can't
+      // already be an artifact neighbor), so first attempts skip the
+      // artifact-sized anti-join shuffle entirely (review #3).
+      val deltaScored0 = SimilarityOps.hnswScore(deltaCand, embAll)
+      val deltaScored = if (retriedAttempt)
+        deltaScored0.localCheckpoint() // anti-join + insert both read it
+      else deltaScored0
+      val prevBase = if (retriedAttempt)
+        prevOut.join(deltaScored.select(col("node"), col("nbr")),
+          Seq("node", "nbr"), "left_anti")
+      else prevOut
+      val maintained = HnswIndex.insert(prevBase, deltaScored, degree)
       // write order is load-bearing (ADVICE r14): the out artifact
       // commits LAST, so a committed top-seq version always implies its
       // supporting vecs/banded rows are complete — a compact() between a

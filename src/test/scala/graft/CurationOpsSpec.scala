@@ -505,20 +505,33 @@ class CurationOpsSpec extends AnyFunSuite {
     val eps = 1e-5
     assert(math.abs(rows.map(_._9).sum - 1.0) < eps, "base shares != 1")
     assert(math.abs(rows.map(_._10).sum - 1.0) < eps, "union shares != 1")
+    // lowq counts recomputed independently from the flag frame the card
+    // consumes, so the rates AND the shift are pinned definitionally
+    // (a sign flip or era swap cannot pass — r15 s2 review #4)
+    val lowq = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(graft.ops.TextOps.textQuality(spark, dir)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.col("low_quality")), "doc_id")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0) % 10 == 9, r.getBoolean(2)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // shifts are the (raw-ratio) differences, rounded once
-    rows.foreach { case (src, bd, dd, bt, dt, _, _, qs, _, _, _) =>
+    rows.foreach { case (src, bd, dd, bt, dt, bq, dq, qs, _, _, _) =>
       val tb = rows.map(_._4).sum; val tu = rows.map(r => r._4 + r._5).sum
-      def r6(x: Double) = BigDecimal(x)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val expectShift = r6((bt + dt).toDouble / math.max(tu, 1L)
         - bt.toDouble / math.max(tb, 1L))
       assert(math.abs(rows.find(_._1 == src).get._11 - expectShift) < 1e-9,
         s"$src share_shift")
-      // quality_shift recomputed from the card's own counts needs the
-      // lowq counters, which the card folds into the rates — check the
-      // rate bounds instead: rates in [0,1], shift in [-1,1]
-      assert(qs >= -1.0 && qs <= 1.0)
-      assert(bd >= 0 && dd >= 0)
+      val baseLowq = lowq.count(t => t._1 == src && !t._2 && t._3)
+      val deltaLowq = lowq.count(t => t._1 == src && t._2 && t._3)
+      val baseRate = baseLowq.toDouble / math.max(bd, 1L)
+      val deltaRate = deltaLowq.toDouble / math.max(dd, 1L)
+      assert(math.abs(bq - r6(baseRate)) < 1e-9, s"$src base_lowq_rate")
+      assert(math.abs(dq - r6(deltaRate)) < 1e-9, s"$src delta_lowq_rate")
+      assert(math.abs(qs - r6(deltaRate - baseRate)) < 1e-9,
+        s"$src quality_shift")
     }
   }
 
