@@ -1603,6 +1603,147 @@ object CurationOps {
       |         / sum(n), 6) AS suppression_rate
       |FROM classes""".stripMargin
 
+  /** Hashed-feature bucket count for [[dsirWeights]]. 64 keeps the
+    * DuckDB oracle a 64-row CTE; a production run uses 10k buckets —
+    * the bucket table stays a broadcast at any B that fits one executor.
+    */
+  val DsirBuckets = 64
+
+  /** The target domain for [[dsirWeights]] — docs whose `lang` matches
+    * play the role of DSIR's high-quality target sample (classically
+    * Wikipedia+books vs Common Crawl raw).
+    */
+  val DsirTargetLang = "en"
+
+  /** Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023), the hashed-n-gram instantiation: estimate target and raw
+    * unigram distributions over [[DsirBuckets]] md5-hashed word buckets
+    * (add-1 smoothing), score every document with its importance
+    * log-ratio Σ_b n_d[b]·(ln p̂_target[b] − ln p̂_raw[b]), and flag the
+    * docs a resampling pass would favor (positive log-ratio = more
+    * likely under the target than under the raw distribution). The
+    * target sample here is the [[DsirTargetLang]] slice of the corpus
+    * itself — self-contained and deterministic, like [[TextOps.langId]]'s
+    * marker heuristic.
+    *
+    * Scale shape: tokenize is a narrow per-row map; doc×bucket counts
+    * are ONE map-side-combined keyed aggregate; both distributions come
+    * from one B-row re-aggregate of that table (target mass as a
+    * conditional partial — no second corpus pass), totals attach as a
+    * 1-row broadcast and the per-bucket log-ratios as a B-row broadcast;
+    * the per-doc score is a second keyed aggregate. Two linear shuffles
+    * total, nothing collected. The md5 bucket hash keeps the whole
+    * pipeline value-oracle-backed (the xxhash64-for-speed twin is the
+    * [[DedupOps]] convention; DSIR's quality depends only on the hash
+    * being uniform, not which one).
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val bD = lit(DsirBuckets.toDouble)
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(DedupOps.normText(col("text")), " ")).as("w"))
+    val docBucket = toks
+      .groupBy(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+          % DsirBuckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val dist = docBucket.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("raw_cnt"),
+        sum(when(col("lang") === DsirTargetLang, col("cnt"))
+          .otherwise(lit(0L))).as("tgt_cnt"))
+    val tot = dist.agg(sum(col("raw_cnt")).as("traw"),
+      sum(col("tgt_cnt")).as("ttgt"))
+    val lr = dist.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((col("tgt_cnt") + lit(1.0)) / (col("ttgt") + bD)) -
+          log((col("raw_cnt") + lit(1.0)) / (col("traw") + bD)))
+          .as("logratio"))
+    docBucket.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_toks"),
+        round(sum(col("cnt") * col("logratio")), 4).as("dsir_logratio"))
+      .withColumn("selected", col("dsir_logratio") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** The same estimate → score chain as one statement; the `selected`
+    * cut reads the ROUNDED score on both sides (engine determinism).
+    */
+  val dsirWeightsOracle: String = {
+    val b = DsirBuckets
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |         unnest(string_split(${DedupOps.normTextOracle("text")}, ' ')) AS w
+       |  FROM documents),
+       |db AS (
+       |  SELECT doc_id, lang,
+       |         ('0x' || substr(md5(w), 1, 15))::BIGINT % $b AS bucket,
+       |         count(*) AS cnt
+       |  FROM toks GROUP BY 1, 2, 3),
+       |dist AS (
+       |  SELECT bucket, sum(cnt) AS raw_cnt,
+       |         sum(CASE WHEN lang = '$DsirTargetLang' THEN cnt ELSE 0 END) AS tgt_cnt
+       |  FROM db GROUP BY bucket),
+       |tot AS (SELECT sum(raw_cnt) AS traw, sum(tgt_cnt) AS ttgt FROM dist),
+       |lr AS (
+       |  SELECT bucket,
+       |         ln((tgt_cnt + 1.0) / (ttgt + $b.0)) -
+       |           ln((raw_cnt + 1.0) / (traw + $b.0)) AS logratio
+       |  FROM dist, tot)
+       |SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS n_toks,
+       |       round(sum(cnt * logratio), 4) AS dsir_logratio,
+       |       round(sum(cnt * logratio), 4) > 0 AS selected
+       |FROM db JOIN lr USING (bucket)
+       |GROUP BY doc_id, lang
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Resampled-corpus budget for [[dsirResample]] — a fixed document
+    * budget, the "select k docs for the training mix" framing.
+    */
+  val DsirSampleK = 100
+
+  /** The R in DSIR — importance RESAMPLING, not top-k filtering (Xie et
+    * al. 2023 §3: resampling preserves target-distribution coverage
+    * where a hard weight cut collapses onto the mode): sample
+    * [[DsirSampleK]] docs without replacement with probability
+    * proportional to exp(importance weight), via the Gumbel-top-k
+    * equivalence (Vieira 2014): key_d = w_d + Gumbel(u_d) and the k
+    * largest keys ARE such a sample. The uniforms come from the same
+    * md5 convention as [[corpusSample]] — u_d = (h(doc_id)+0.5)/2^60 —
+    * so the "draw" is deterministic, retry-idempotent, and
+    * oracle-checkable, exactly like every other sampler here.
+    *
+    * Scale shape: [[dsirWeights]]' two linear shuffles, then a
+    * per-row key map and ORDER BY+LIMIT k — Spark plans
+    * TakeOrderedAndProject (per-partition top-k heads merged on the
+    * driver, k-bounded), never a global sort. The key orders on the
+    * ROUNDED weight and noise (engine determinism; ties broken by
+    * doc_id).
+    */
+  def dsirResample(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("double") + lit(0.5)) / lit(1152921504606846976.0)
+    dsirWeights(s, dir)
+      .select(col("doc_id"), col("lang"), col("dsir_logratio"))
+      .withColumn("gumbel_key",
+        round(col("dsir_logratio") - log(-log(u)), 4))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(DsirSampleK)
+  }
+
+  val dsirResampleOracle: String =
+    s"""WITH wts AS (SELECT doc_id, lang, dsir_logratio
+       |  FROM ($dsirWeightsOracle)),
+       |keyed AS (
+       |  SELECT doc_id, lang, dsir_logratio,
+       |         round(dsir_logratio - ln(-ln(
+       |           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+       |             / 1152921504606846976.0)), 4) AS gumbel_key
+       |  FROM wts)
+       |SELECT * FROM keyed
+       |ORDER BY gumbel_key DESC, doc_id LIMIT $DsirSampleK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> ((s: SparkSession, dir: String) => kAnonymity(s, dir)),
     "doc_lineage" -> (docLineage _),
@@ -1626,7 +1767,9 @@ object CurationOps {
     "corpus_sample" -> (corpusSample _),
     "corpus_weighted_sample" -> (corpusWeightedSample _),
     "corpus_shuffle" -> (corpusShuffle _),
-    "source_mixture" -> (sourceMixture _))
+    "source_mixture" -> (sourceMixture _),
+    "dsir_weights" -> (dsirWeights _),
+    "dsir_resample" -> (dsirResample _))
 
   val oracles: Map[String, String] = Map(
     "k_anonymity" -> kAnonymityOracle,
@@ -1651,5 +1794,7 @@ object CurationOps {
     "corpus_sample" -> corpusSampleOracle,
     "corpus_weighted_sample" -> corpusWeightedSampleOracle,
     "corpus_shuffle" -> corpusShuffleOracle,
-    "source_mixture" -> sourceMixtureOracle)
+    "source_mixture" -> sourceMixtureOracle,
+    "dsir_weights" -> dsirWeightsOracle,
+    "dsir_resample" -> dsirResampleOracle)
 }

@@ -564,4 +564,130 @@ class CurationOpsSpec extends AnyFunSuite {
         s"$stage token_retention")
     }
   }
+
+  test("dsir_weights: per-doc log-ratio equals an independent pure-Scala " +
+      "recompute of the full estimate-and-score chain") {
+    import org.apache.spark.sql.functions.col
+    val b = CurationOps.DsirBuckets
+    def bucket(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % b
+    }
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.replaceAll("\\s+", " ").trim))
+    // doc -> bucket bag; the two smoothed distributions; per-doc score
+    val docBuckets: Map[Long, Map[Long, Long]] = docs.map { case (id, _, t) =>
+      id -> t.split(" ").toSeq.groupBy(bucket).map { case (k, v) => k -> v.size.toLong }
+    }.toMap
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    def mass(p: Long => Boolean): Map[Long, Long] =
+      docBuckets.filter { case (id, _) => p(id) }.values
+        .flatten.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val raw = mass(_ => true)
+    val tgt = mass(id => langOf(id) == CurationOps.DsirTargetLang)
+    val (traw, ttgt) = (raw.values.sum.toDouble, tgt.values.sum.toDouble)
+    def lrOf(k: Long): Double =
+      math.log((tgt.getOrElse(k, 0L) + 1.0) / (ttgt + b)) -
+        math.log((raw.getOrElse(k, 0L) + 1.0) / (traw + b))
+    val got = CurationOps.dsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.length == docs.length)
+    got.foreach { case (id, lang, nToks, logratio, selected) =>
+      assert(lang == langOf(id))
+      val bag = docBuckets(id)
+      assert(nToks == bag.values.sum, s"doc $id token count")
+      val mine = bag.map { case (k, c) => c * lrOf(k) }.sum
+      // the op rounds to 4; the recompute's raw sum must sit within the
+      // rounding half-width of the reported value (float-order slack)
+      assert(math.abs(mine - logratio) <= 5.1e-5,
+        s"doc $id: recomputed $mine vs reported $logratio")
+      assert(selected == (logratio > 0), s"doc $id selected flag")
+    }
+    // the direction DSIR promises: the target-language slice scores
+    // higher on average than the rest (it IS the target sample)
+    val (en, rest) = got.partition(_._2 == CurationOps.DsirTargetLang)
+    val enMean = en.map(_._4).sum / en.length
+    val restMean = rest.map(_._4).sum / rest.length
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(enMean > restMean,
+      s"target slice should score higher: en=$enMean rest=$restMean")
+  }
+
+  test("gopher_rules: measured stats match a driver-side recount, flags " +
+      "are definitional, the stop-rule degeneracy is the documented one") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim))
+      .toMap
+    val got = graft.ops.TextOps.gopherRules(spark, dir).collect()
+    assert(got.length == docs.size)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var anyStopHit = false
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val words = docs(id).split(" ").toSeq
+      val nWords = r.getInt(1)
+      assert(nWords == words.length, s"doc $id n_words")
+      assert(r.getDouble(2) == r4(words.map(_.length).sum.toDouble / words.length),
+        s"doc $id mean_word_len")
+      val alphaWords = words.count(_.exists(c => c >= 'a' && c <= 'z'))
+      assert(r.getDouble(4) == r4(alphaWords.toDouble / words.length),
+        s"doc $id alpha_word_frac")
+      val stopHits = graft.ops.TextOps.GopherStopWords
+        .count(w => words.contains(w))
+      assert(r.getInt(5) == stopHits, s"doc $id stop_hits")
+      if (stopHits > 0) anyStopHit = true
+      // every flag definitional against its measured column
+      assert(r.getBoolean(6) == (nWords >= 50 && nWords <= 100000))
+      assert(r.getBoolean(7) == (r.getDouble(2) >= 3.0 && r.getDouble(2) <= 10.0))
+      assert(r.getBoolean(8) == (r.getDouble(3) <= 0.1))
+      assert(r.getBoolean(9) == (r.getDouble(4) >= 0.8))
+      assert(r.getBoolean(10) ==
+        (stopHits >= graft.ops.TextOps.GopherMinStopHits))
+      val flags = (6 to 10).map(r.getBoolean)
+      assert(r.getInt(11) == flags.count(!_), s"doc $id n_rules_failed")
+      assert(r.getBoolean(12) == flags.forall(identity), s"doc $id keep")
+    }
+    // the scaladoc's documented corpus fact: the stopword REGEX works
+    // (some doc contains "the") but the >= 2 rule never fires here — if
+    // the fixture vocabulary ever gains a second listed stopword this
+    // reminds us the keep column stops being vacuous
+    assert(anyStopHit, "no stopword hit at all — the \\b regex is broken")
+    assert(got.forall(!_.getBoolean(12)),
+      "keep fired — update the scaladoc note about the synthetic corpus")
+  }
+
+  test("dsir_resample: the Gumbel-top-k draw equals a driver-side recompute " +
+      "from the weights table, and resampling tilts toward high weights") {
+    val k = CurationOps.DsirSampleK
+    def h(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16).toDouble
+    }
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wts = CurationOps.dsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    val expected = wts.map { case (id, w) =>
+      (id, r4(w - math.log(-math.log((h(id) + 0.5) / 1152921504606846976.0))))
+    }.sortBy { case (id, key) => (-key, id) }.take(k).map(_._1).toSeq
+    val got = CurationOps.dsirResample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length == k)
+    assert(got.map(_._1).toSeq == expected, "resampled set or order differs")
+    // E[w | resampled] > E[w]: the draw is importance-TILTED, not uniform
+    val selMean = got.map(_._2).sum / got.length
+    val allMean = wts.map(_._2).sum / wts.length
+    assert(selMean > allMean,
+      s"resample not tilted toward high weights: sel=$selMean all=$allMean")
+  }
 }

@@ -116,8 +116,11 @@ class PlanLintSpec extends AnyFunSuite {
                         // 5-row stage table
     "ingest_delta_card", // 1-row corpus-totals broadcast onto the
                         // source-sized card
-    "dedup_agreement")  // 1-row rider cross (lex total × uncaught) +
+    "dedup_agreement",  // 1-row rider cross (lex total × uncaught) +
                         // its broadcast onto the 4-row bin table
+    "dsir_weights",     // 1-row distribution-totals broadcast onto the
+                        // B-row bucket table
+    "dsir_resample")    // same — rides the dsir_weights chain
 
   private lazy val queryExecs: Map[String, Either[String, org.apache.spark.sql.execution.QueryExecution]] = {
     // lint the SAME optimizer configuration Verify/Bench run (and make the
