@@ -3442,8 +3442,74 @@ object SimilarityOps {
       |       round(cum_var / t.tv, 6) AS cum_share
       |FROM r, t ORDER BY rank""".stripMargin
 
+  /** Prune-the-easy quantile for [[sslPrototypes]]: per cluster, the
+    * top (1 − this) prototypicality slice is marked pruned.
+    */
+  private[graft] val ProtoPruneRank = 0.75
+
+  /** SSL-prototypes data pruning (Sorscher et al., NeurIPS 2022 "Beyond
+    * neural scaling laws"; the second stage of D4, Tirumala et al.
+    * 2023): score every embedding by its cosine to its own cluster
+    * centroid — its PROTOTYPICALITY — and mark the most prototypical
+    * [[ProtoPruneRank]]-and-above slice per cluster for pruning. On
+    * abundant data the easy/redundant examples near a prototype carry
+    * the least marginal signal, so they are dropped first (the inverse
+    * of a quality cut — complement to [[graft.ops.CurationOps.dsirWeights]],
+    * which keeps what RESEMBLES a target; this drops what the corpus
+    * already has too much of). Clusters here are the embedding table's
+    * `label` (the same role they play for the IVF family); a production
+    * run would take them from [[kmeansConverged]].
+    *
+    * Scale shape: the centroid table is [[ivfCentroids]] over the
+    * NORMALIZED vectors — a (labels × dims)-bounded aggregate broadcast
+    * back; scoring is one narrow codegen'd dot per row; the rank window
+    * partitions by label, so no global sort exists (the
+    * qualityPercentileCut discipline — ties impossible, vec_id breaks
+    * them).
+    */
+  def sslPrototypes(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val cents = ivfCentroids(emb)
+    val scored = emb.join(broadcast(cents), col("label") === col("cid"))
+      .select(col("vec_id"), col("label"),
+        round(cosineSim(col("v"), col("cv")), 6).as("proto"))
+    val byLabel = Window.partitionBy(col("label"))
+      .orderBy(col("proto"), col("vec_id"))
+    scored
+      .withColumn("pr", round(percent_rank().over(byLabel), 6))
+      .withColumn("pruned", col("pr") >= ProtoPruneRank)
+      .orderBy("vec_id")
+  }
+
+  val sslPrototypesOracle: String = {
+    import graft.functions.VectorFunctions.normalizeOracle
+    s"""WITH e AS (
+       |  SELECT vec_id, label, ${normalizeOracle("embedding")} AS v
+       |  FROM embeddings),
+       |byd AS (
+       |  SELECT label, i AS pos, round(avg(v[i]), 6) AS m
+       |  FROM e, LATERAL unnest(generate_series(1, len(v))) t(i)
+       |  GROUP BY label, i),
+       |c AS (
+       |  SELECT label AS cid, list(m ORDER BY pos) AS cv
+       |  FROM byd GROUP BY label),
+       |scored AS (
+       |  SELECT vec_id, label,
+       |         round(list_dot_product(v, cv) /
+       |           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))),
+       |           6) AS proto
+       |  FROM e JOIN c ON label = cid)
+       |SELECT vec_id, label, proto,
+       |       round(percent_rank() OVER (PARTITION BY label
+       |         ORDER BY proto, vec_id), 6) AS pr,
+       |       round(percent_rank() OVER (PARTITION BY label
+       |         ORDER BY proto, vec_id), 6) >= $ProtoPruneRank AS pruned
+       |FROM scored ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_dim_variance" -> (embeddingDimVariance _),
+    "ssl_prototypes" -> (sslPrototypes _),
     "ann_filtered_topk" -> (annFilteredTopk _),
     "ann_ivf_tune" -> (annIvfTune _),
     "kcenter_coreset" -> ((s: SparkSession, dir: String) =>
@@ -3521,6 +3587,7 @@ object SimilarityOps {
     "kmeans_step" -> kmeansStepOracle,
     "kmeans_2step" -> kmeans2StepOracle,
     "ann_cosine_topk" -> annCosineTopkOracle,
+    "ssl_prototypes" -> sslPrototypesOracle,
     "ann_ivf_topk" -> annIvfTopkOracle,
     "ann_ivf_probe2" -> annIvfProbe2Oracle,
     "ann_sign_lsh" -> annSignLshOracle,

@@ -690,4 +690,65 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(selMean > allMean,
       s"resample not tilted toward high weights: sel=$selMean all=$allMean")
   }
+
+  test("ssl_prototypes: prototypicality, rank, and prune flags equal an " +
+      "independent driver-side recompute over normalized embeddings") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val normed = raw.map { case (id, l, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (id, l, v.map(_ / n))
+    }
+    val centroids: Map[Int, Array[Double]] = normed.groupBy(_._2).map {
+      case (l, vs) =>
+        val d = vs.head._3.length
+        l -> Array.tabulate(d)(i => r6(vs.map(_._3(i)).sum / vs.length))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dotAb = a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val na = math.sqrt(a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * a(i)))
+      val nb = math.sqrt(b.indices.foldLeft(0.0)((acc, i) => acc + b(i) * b(i)))
+      dotAb / (na * nb)
+    }
+    val protos = normed.map { case (id, l, v) => (id, l, r6(cos(v, centroids(l)))) }
+    val expected: Map[Long, (Int, Double, Double, Boolean)] =
+      protos.groupBy(_._2).iterator.flatMap { case (_, vs) =>
+        val ordered = vs.sortBy { case (id, _, p) => (p, id) }
+        ordered.zipWithIndex.map { case ((id, l, p), i) =>
+          val pr = r6(if (ordered.length == 1) 0.0
+            else i.toDouble / (ordered.length - 1))
+          id -> ((l, p, pr, pr >= 0.75))
+        }
+      }.toMap
+    val got = graft.ops.SimilarityOps.sslPrototypes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.length == expected.size)
+    got.foreach { case (id, l, p, pr, pruned) =>
+      val (el, ep, epr, epruned) = expected(id)
+      assert(l == el, s"vec $id label")
+      // proto is rounded at 6 on a float whose accumulation order differs;
+      // allow the rounding half-width
+      assert(math.abs(p - ep) <= 1.1e-6, s"vec $id proto $p vs $ep")
+      if (p == ep) {
+        assert(pr == epr, s"vec $id pr")
+        assert(pruned == epruned, s"vec $id pruned")
+      }
+    }
+    // each label prunes roughly its top quarter (exact count depends on
+    // rank ties at the boundary, which vec_id breaks — so exact here)
+    val byLabel = got.groupBy(_._2)
+    byLabel.foreach { case (l, vs) =>
+      val n = vs.length
+      val pruned = vs.count(_._5)
+      val expectedPruned = vs.count { v =>
+        expected(v._1)._3 >= 0.75 }
+      assert(pruned == expectedPruned, s"label $l pruned count")
+      assert(pruned > 0 && pruned < n, s"label $l prune fraction degenerate")
+    }
+  }
 }
