@@ -3507,9 +3507,70 @@ object SimilarityOps {
        |FROM scored ORDER BY vec_id""".stripMargin
   }
 
+  /** Semantic decontamination (the third leg of the contamination
+    * trio: [[graft.ops.TextOps.contaminationCheck]] is lexical-exact
+    * n-gram containment, [[graft.ops.DedupOps.contaminationFuzzy]] is
+    * lexical-fuzzy MinHash — this is the EMBEDDING leg, the check that
+    * catches a paraphrased or translated eval item neither lexical pass
+    * can see): for every held-out eval vector (the `% 10 = 7` family),
+    * the maximum cosine against any training vector, the training
+    * vector that attains it, and the contaminated flag at the corpus'
+    * measured near-dup threshold [[SemDedupCos]]. Eval items whose
+    * buckets meet no training vector report a NULL match (clean by
+    * construction — nothing semantically close exists).
+    *
+    * Scale shape: the [[knnJoin]] machinery with the eval family as the
+    * probe side — banding both sides, ONE eval×train bucket cogroup
+    * (never eval×train all-pairs, never train×train anything), exact
+    * verify on candidates only, per-eval top-1 window; the final left
+    * join keys on the eval family. Exactly the shape a production
+    * decontamination pass runs per benchmark release.
+    */
+  def contaminationSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val isEval = pmod(col("vec_id"), lit(10)) === 7
+    val bandedE = hnswBanded(emb.filter(isEval), KnnBitsPerBand, KnnBands)
+    val bandedT = hnswBanded(emb.filter(!isEval), KnnBitsPerBand, KnnBands)
+    val top1 = hnswTopOut(
+      hnswScore(hnswCohabit(bandedE, bandedT), emb), 1)
+    emb.filter(isEval).select(col("vec_id").as("eval_id"))
+      .join(top1, col("eval_id") === col("node"), "left")
+      .select(col("eval_id"), col("nbr").as("train_id"),
+        round(col("ncos"), 6).as("max_cos"))
+      .withColumn("contaminated",
+        coalesce(col("max_cos") >= SemDedupCos, lit(false)))
+      .orderBy("eval_id")
+  }
+
+  val contaminationSemanticOracle: String =
+    s"""WITH ${signLshBucketsOracleCte(KnnBitsPerBand, KnnBands)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
+       |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
+       |   AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id % 10 = 7 AND b.vec_id % 10 <> 7),
+       |scored AS (
+       |  SELECT c.node, c.nbr, list_dot_product(en.v, eb.v) AS cos
+       |  FROM cand c JOIN e en ON en.vec_id = c.node
+       |              JOIN e eb ON eb.vec_id = c.nbr),
+       |top1 AS (
+       |  SELECT node, nbr, cos FROM (
+       |    SELECT node, nbr, cos,
+       |           row_number() OVER (PARTITION BY node
+       |             ORDER BY cos DESC, nbr) AS rank
+       |    FROM scored)
+       |  WHERE rank = 1)
+       |SELECT ev.vec_id AS eval_id, t.nbr AS train_id,
+       |       round(t.cos, 6) AS max_cos,
+       |       coalesce(round(t.cos, 6) >= $SemDedupCos, false) AS contaminated
+       |FROM (SELECT vec_id FROM e WHERE vec_id % 10 = 7) ev
+       |LEFT JOIN top1 t ON t.node = ev.vec_id
+       |ORDER BY eval_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_dim_variance" -> (embeddingDimVariance _),
     "ssl_prototypes" -> (sslPrototypes _),
+    "contamination_semantic" -> (contaminationSemantic _),
     "ann_filtered_topk" -> (annFilteredTopk _),
     "ann_ivf_tune" -> (annIvfTune _),
     "kcenter_coreset" -> ((s: SparkSession, dir: String) =>
@@ -3588,6 +3649,7 @@ object SimilarityOps {
     "kmeans_2step" -> kmeans2StepOracle,
     "ann_cosine_topk" -> annCosineTopkOracle,
     "ssl_prototypes" -> sslPrototypesOracle,
+    "contamination_semantic" -> contaminationSemanticOracle,
     "ann_ivf_topk" -> annIvfTopkOracle,
     "ann_ivf_probe2" -> annIvfProbe2Oracle,
     "ann_sign_lsh" -> annSignLshOracle,

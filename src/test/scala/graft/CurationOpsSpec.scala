@@ -751,4 +751,47 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(pruned > 0 && pruned < n, s"label $l prune fraction degenerate")
     }
   }
+
+  test("contamination_semantic: reported max never exceeds the exact " +
+      "brute-force max, attains it for most evals, flags definitional") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        r.getLong(0) -> v.map(_ / n)
+      }.toMap
+    val evals = vecs.keys.filter(_ % 10 == 7).toSeq.sorted
+    val train = vecs.keys.filterNot(_ % 10 == 7).toSeq
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val exactMax: Map[Long, Double] = evals.map { e =>
+      e -> train.map(t => dot(vecs(e), vecs(t))).max
+    }.toMap
+    val got = graft.ops.SimilarityOps.contaminationSemantic(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getBoolean(3)))
+    assert(got.map(_._1).toSeq == evals, "one row per eval id, ordered")
+    var attained = 0
+    got.foreach { case (id, cosOpt, contaminated) =>
+      cosOpt match {
+        case Some(c) =>
+          assert(c <= r6(exactMax(id)) + 1e-9,
+            s"eval $id reports $c above the exact max ${exactMax(id)}")
+          if (math.abs(c - r6(exactMax(id))) <= 1.1e-6) attained += 1
+          assert(contaminated ==
+            (c >= graft.ops.SimilarityOps.SemDedupCos), s"eval $id flag")
+        case None =>
+          assert(!contaminated, s"eval $id contaminated without a match")
+      }
+    }
+    // the 4x20 OR-construction's measured recall bound (the knn_join pin)
+    assert(attained >= (evals.size * 0.8).toInt,
+      s"top-1 attained the exact max for only $attained/${evals.size}")
+  }
 }
