@@ -721,7 +721,8 @@ class CurationOpsSpec extends AnyFunSuite {
         ordered.zipWithIndex.map { case ((id, l, p), i) =>
           val pr = r6(if (ordered.length == 1) 0.0
             else i.toDouble / (ordered.length - 1))
-          id -> ((l, p, pr, pr >= 0.75))
+          id -> ((l, p, pr,
+            pr >= graft.ops.SimilarityOps.ProtoPruneRank))
         }
       }.toMap
     val got = graft.ops.SimilarityOps.sslPrototypes(spark, dir).collect()
@@ -746,7 +747,7 @@ class CurationOpsSpec extends AnyFunSuite {
       val n = vs.length
       val pruned = vs.count(_._5)
       val expectedPruned = vs.count { v =>
-        expected(v._1)._3 >= 0.75 }
+        expected(v._1)._3 >= graft.ops.SimilarityOps.ProtoPruneRank }
       assert(pruned == expectedPruned, s"label $l pruned count")
       assert(pruned > 0 && pruned < n, s"label $l prune fraction degenerate")
     }
