@@ -1637,16 +1637,23 @@ object CurationOps {
     * [[DedupOps]] convention; DSIR's quality depends only on the hash
     * being uniform, not which one).
     */
-  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val bD = lit(DsirBuckets.toDouble)
-    val toks = Tables(s, dir, "documents")
+  /** The (doc_id, lang, bucket, cnt) hashed-feature bag behind the DSIR
+    * family — one keyed aggregate over the token stream, shared by
+    * [[dsirWeights]] (and through it [[dsirResample]]) and
+    * [[dsirDrift]].
+    */
+  private def dsirDocBucket(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(DedupOps.normText(col("text")), " ")).as("w"))
-    val docBucket = toks
       .groupBy(col("doc_id"), col("lang"),
         (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
           % DsirBuckets).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val bD = lit(DsirBuckets.toDouble)
+    val docBucket = dsirDocBucket(s, dir)
     val dist = docBucket.groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("raw_cnt"),
         sum(when(col("lang") === DsirTargetLang, col("cnt"))
@@ -1698,6 +1705,93 @@ object CurationOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Feature-distribution drift audit for the DSIR family under an
+    * arrival batch (the `% 10 = 9` convention) — the check a production
+    * DSIR pipeline runs at ingest: the bucket distributions maintain
+    * ADDITIVELY (base mass + delta mass; the oracle recomputes both
+    * eras from the full corpus, so row equality IS the additivity
+    * proof), and `lr_shift` — |log-ratio after admission − before| per
+    * bucket — is the re-scoring trigger: weights are global, so any
+    * distribution shift stales EVERY stored score, but when the max
+    * shift is below tolerance the expensive corpus re-score can be
+    * skipped (the same measure-then-act shape as
+    * [[graft.streaming.StreamingHnsw.maybeCompact]], applied to the
+    * selection artifact; [[ingestDeltaCard]] is the per-SOURCE twin of
+    * this per-FEATURE table).
+    *
+    * Scale shape: ONE era-conditional keyed aggregate over the shared
+    * doc×bucket table — no second corpus pass — then B-row arithmetic
+    * under two 1-row broadcast total sets.
+    */
+  def dsirDrift(s: SparkSession, dir: String): DataFrame = {
+    val bD = lit(DsirBuckets.toDouble)
+    val isDelta = pmod(col("doc_id"), lit(10)) === 9
+    val isTgt = col("lang") === DsirTargetLang
+    val dist = dsirDocBucket(s, dir)
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(!isDelta, col("cnt")).otherwise(lit(0L))).as("raw_base"),
+        sum(when(isDelta, col("cnt")).otherwise(lit(0L))).as("raw_delta"),
+        sum(when(!isDelta && isTgt, col("cnt")).otherwise(lit(0L)))
+          .as("tgt_base"),
+        sum(when(isDelta && isTgt, col("cnt")).otherwise(lit(0L)))
+          .as("tgt_delta"))
+    val tot = dist.agg(
+      sum(col("raw_base")).as("trb"), sum(col("raw_delta")).as("trd"),
+      sum(col("tgt_base")).as("ttb"), sum(col("tgt_delta")).as("ttd"))
+    def lr(tgt: Column, tgtTot: Column, raw: Column, rawTot: Column): Column =
+      log((tgt + lit(1.0)) / (tgtTot + bD)) -
+        log((raw + lit(1.0)) / (rawTot + bD))
+    dist.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("raw_base"), col("raw_delta"),
+        col("tgt_base"), col("tgt_delta"),
+        round(lr(col("tgt_base"), col("ttb"),
+          col("raw_base"), col("trb")), 6).as("logratio_base"),
+        round(lr(col("tgt_base") + col("tgt_delta"), col("ttb") + col("ttd"),
+          col("raw_base") + col("raw_delta"), col("trb") + col("trd")), 6)
+          .as("logratio_full"))
+      .withColumn("lr_shift",
+        round(abs(col("logratio_full") - col("logratio_base")), 6))
+      .orderBy("bucket")
+  }
+
+  val dsirDriftOracle: String = {
+    val b = DsirBuckets
+    def lr(tgt: String, tgtTot: String, raw: String, rawTot: String) =
+      s"ln(($tgt + 1.0) / ($tgtTot + $b.0)) - ln(($raw + 1.0) / ($rawTot + $b.0))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |         unnest(string_split(${DedupOps.normTextOracle("text")}, ' ')) AS w
+       |  FROM documents),
+       |db AS (
+       |  SELECT doc_id, lang,
+       |         ('0x' || substr(md5(w), 1, 15))::BIGINT % $b AS bucket,
+       |         count(*) AS cnt
+       |  FROM toks GROUP BY 1, 2, 3),
+       |dist AS (
+       |  SELECT bucket,
+       |         CAST(sum(CASE WHEN doc_id % 10 <> 9 THEN cnt ELSE 0 END) AS BIGINT) AS raw_base,
+       |         CAST(sum(CASE WHEN doc_id % 10 = 9 THEN cnt ELSE 0 END) AS BIGINT) AS raw_delta,
+       |         CAST(sum(CASE WHEN doc_id % 10 <> 9 AND lang = '$DsirTargetLang'
+       |                  THEN cnt ELSE 0 END) AS BIGINT) AS tgt_base,
+       |         CAST(sum(CASE WHEN doc_id % 10 = 9 AND lang = '$DsirTargetLang'
+       |                  THEN cnt ELSE 0 END) AS BIGINT) AS tgt_delta
+       |  FROM db GROUP BY bucket),
+       |tot AS (
+       |  SELECT sum(raw_base) AS trb, sum(raw_delta) AS trd,
+       |         sum(tgt_base) AS ttb, sum(tgt_delta) AS ttd
+       |  FROM dist),
+       |lrt AS (
+       |  SELECT bucket, raw_base, raw_delta, tgt_base, tgt_delta,
+       |         round(${lr("tgt_base", "ttb", "raw_base", "trb")}, 6)
+       |           AS logratio_base,
+       |         round(${lr("tgt_base + tgt_delta", "ttb + ttd",
+      "raw_base + raw_delta", "trb + trd")}, 6) AS logratio_full
+       |  FROM dist, tot)
+       |SELECT *, round(abs(logratio_full - logratio_base), 6) AS lr_shift
+       |FROM lrt ORDER BY bucket""".stripMargin
+  }
+
   /** Resampled-corpus budget for [[dsirResample]] — a fixed document
     * budget, the "select k docs for the training mix" framing.
     */
@@ -1744,6 +1838,127 @@ object CurationOps {
        |SELECT * FROM keyed
        |ORDER BY gumbel_key DESC, doc_id LIMIT $DsirSampleK""".stripMargin
 
+  /** Soft deduplication — down-WEIGHT duplicates instead of dropping
+    * them (the SoftDedup reweighting family, e.g. He et al. 2024: a
+    * hard drop loses the surface-form diversity of a near-dup cluster;
+    * sampling each member at weight 1/|cluster| keeps every variant
+    * reachable while the cluster's EXPECTED token mass equals one
+    * member's — the spec pins Σ eff_tokens ≈ the cluster's mean member
+    * length, and unclustered docs keep weight 1 exactly). Clusters are
+    * the audited near-dup components ([[DedupEdges.clusterLabels]] —
+    * the same artifact `dedup_keep_best`'s hard drop reads, so the two
+    * policies are directly comparable row for row).
+    *
+    * Scale shape: labels ride the DedupEdges seam when materialized;
+    * cluster sizes are a keyed count over the label table (bounded by
+    * the clustered subset, far smaller than the corpus); both joins key
+    * on doc_id/cluster and the weight map is narrow. The only corpus-
+    * sized input is the per-doc token count.
+    */
+  def softDedup(s: SparkSession, dir: String): DataFrame = {
+    val labels = DedupEdges.clusterLabels(s, dir)
+      .select(col("doc_id"), col("cluster_rep"))
+    val sizes = labels.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    TextOps.tokenCount(s, dir)
+      .select(col("doc_id"), col("source"), col("ws_tokens"))
+      .join(labels, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_rep"), "left")
+      .select(col("doc_id"), col("source"), col("ws_tokens"),
+        coalesce(col("cluster_size"), lit(1L)).as("n_members"))
+      .withColumn("weight",
+        round(lit(1.0) / col("n_members"), 6))
+      .withColumn("eff_tokens",
+        round(col("ws_tokens") * col("weight"), 4))
+      .orderBy("doc_id")
+  }
+
+  val softDedupOracle: String =
+    s"""WITH labels AS (
+       |  SELECT doc_id, cluster_rep FROM (${ClusterOps.dedupClustersOracle})),
+       |sizes AS (
+       |  SELECT cluster_rep, count(*) AS cluster_size
+       |  FROM labels GROUP BY cluster_rep),
+       |tok AS (
+       |  SELECT doc_id, source, ws_tokens FROM (${TextOps.tokenCountOracle}))
+       |SELECT doc_id, source, ws_tokens,
+       |       CAST(coalesce(cluster_size, 1) AS BIGINT) AS n_members,
+       |       round(1.0 / CAST(coalesce(cluster_size, 1) AS BIGINT), 6) AS weight,
+       |       round(ws_tokens *
+       |         round(1.0 / CAST(coalesce(cluster_size, 1) AS BIGINT), 6), 4)
+       |         AS eff_tokens
+       |FROM tok LEFT JOIN labels USING (doc_id)
+       |LEFT JOIN sizes USING (cluster_rep)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Pipeline-stage calibration audit — the [[dedupAgreement]] genre
+    * applied to the whole curation stack: every (quality-rule fail,
+    * dedup drop, DSIR-selected) cell with its doc count, token mass,
+    * and corpus share. The three verdicts are the three INDEPENDENT
+    * stages a pretraining pipeline composes — `rule_fail` is the Gopher
+    * word-count rule ([[TextOps.gopherRules]]' r_word_count, the one
+    * rule that discriminates on this corpus), `dedup_drop` is the
+    * near-dup keep-best verdict, `selected` the distribution matcher —
+    * and the question is whether they are redundant (agreeing cells
+    * dominate) or orthogonal (mass in disagreement cells: each stage
+    * catches what the others pass). rule_fail ∧ selected is the review
+    * queue where DSIR would admit what the rules reject; dedup_drop ∧
+    * selected is selection pressure wasted on docs dedup removes —
+    * the argument for running dedup FIRST.
+    *
+    * Scale shape: three already-audited per-doc verdicts joined on
+    * doc_id (co-partitioned), ONE ≤8-cell aggregate, totals as a 1-row
+    * broadcast. The DSIR chain is the only multi-aggregate input; the
+    * dedup labels ride the DedupEdges seam.
+    */
+  def filterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokenCount(s, dir)
+      .select(col("doc_id"), col("ws_tokens"))
+    val ruleFail = TextOps.gopherRules(s, dir)
+      .select(col("doc_id"), (!col("r_word_count")).as("rule_fail"))
+    val dropped = DedupEdges.clusterLabels(s, dir)
+      .filter(!col("keep")).select(col("doc_id"))
+    val cells = ruleFail
+      .join(dropped.withColumn("dedup_drop", lit(true)), Seq("doc_id"), "left")
+      .withColumn("dedup_drop", coalesce(col("dedup_drop"), lit(false)))
+      .join(dsirWeights(s, dir).select(col("doc_id"), col("selected")),
+        "doc_id")
+      .join(toks, "doc_id")
+      .groupBy(col("rule_fail"), col("dedup_drop"), col("selected"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("n_tokens"))
+    val tot = cells.agg(sum(col("n_docs")).as("total_docs"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("rule_fail"), col("dedup_drop"), col("selected"),
+        col("n_docs"), col("n_tokens"),
+        round(col("n_docs") / col("total_docs"), 6).as("share"))
+      .orderBy("rule_fail", "dedup_drop", "selected")
+  }
+
+  val filterAgreementOracle: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, NOT r_word_count AS rule_fail
+       |  FROM (${TextOps.gopherRulesOracle})),
+       |drops AS (
+       |  SELECT doc_id FROM (${ClusterOps.dedupClustersOracle})
+       |  WHERE NOT keep),
+       |d AS (
+       |  SELECT doc_id, selected FROM ($dsirWeightsOracle)),
+       |tok AS (
+       |  SELECT doc_id, ws_tokens FROM (${TextOps.tokenCountOracle})),
+       |cells AS (
+       |  SELECT rule_fail,
+       |         (g.doc_id IN (SELECT doc_id FROM drops)) AS dedup_drop,
+       |         selected,
+       |         count(*) AS n_docs,
+       |         CAST(sum(ws_tokens) AS BIGINT) AS n_tokens
+       |  FROM g JOIN d USING (doc_id) JOIN tok USING (doc_id)
+       |  GROUP BY 1, 2, 3),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM cells)
+       |SELECT rule_fail, dedup_drop, selected, n_docs, n_tokens,
+       |       round(n_docs / CAST(total_docs AS DOUBLE), 6) AS share
+       |FROM cells, tot
+       |ORDER BY rule_fail, dedup_drop, selected""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> ((s: SparkSession, dir: String) => kAnonymity(s, dir)),
     "doc_lineage" -> (docLineage _),
@@ -1769,7 +1984,10 @@ object CurationOps {
     "corpus_shuffle" -> (corpusShuffle _),
     "source_mixture" -> (sourceMixture _),
     "dsir_weights" -> (dsirWeights _),
-    "dsir_resample" -> (dsirResample _))
+    "dsir_resample" -> (dsirResample _),
+    "soft_dedup" -> (softDedup _),
+    "dsir_drift" -> (dsirDrift _),
+    "filter_agreement" -> (filterAgreement _))
 
   val oracles: Map[String, String] = Map(
     "k_anonymity" -> kAnonymityOracle,
@@ -1796,5 +2014,8 @@ object CurationOps {
     "corpus_shuffle" -> corpusShuffleOracle,
     "source_mixture" -> sourceMixtureOracle,
     "dsir_weights" -> dsirWeightsOracle,
-    "dsir_resample" -> dsirResampleOracle)
+    "dsir_resample" -> dsirResampleOracle,
+    "soft_dedup" -> softDedupOracle,
+    "dsir_drift" -> dsirDriftOracle,
+    "filter_agreement" -> filterAgreementOracle)
 }

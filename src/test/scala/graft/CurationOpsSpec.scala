@@ -795,4 +795,107 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(attained >= (evals.size * 0.8).toInt,
       s"top-1 attained the exact max for only $attained/${evals.size}")
   }
+
+  test("soft_dedup: weights definitional, clusters share sizes, expected " +
+      "cluster mass is one member, corpus partition reconciles") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val labels = graft.ops.DedupEdges.clusterLabels(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusterSize = labels.values.groupBy(identity).map {
+      case (c, xs) => c -> xs.size.toLong }
+    val got = CurationOps.softDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5)))
+    val corpus = Tables(spark, dir, "documents").count()
+    assert(got.length == corpus, "one row per corpus doc")
+    got.foreach { case (id, ws, n, w, eff) =>
+      val expectedN = labels.get(id).map(clusterSize).getOrElse(1L)
+      assert(n == expectedN, s"doc $id n_members")
+      assert(w == r6(1.0 / n), s"doc $id weight")
+      assert(eff == r4(ws * w), s"doc $id eff_tokens")
+    }
+    // a cluster's total sampling weight is 1 (up to the 1e-6 rounding on
+    // each of its n members), so its EXPECTED doc mass is one member
+    got.groupBy(r => labels.get(r._1)).foreach {
+      case (Some(c), members) =>
+        assert(math.abs(members.map(_._4).sum - 1.0) <=
+          members.length * 1e-6, s"cluster $c weight mass")
+      case (None, singles) =>
+        singles.foreach { m => assert(m._4 == 1.0, s"doc ${m._1} weight 1") }
+    }
+  }
+
+  test("dsir_drift: era masses match a driver recount, additivity and " +
+      "shift definitional against recomputed log-ratios") {
+    val b = CurationOps.DsirBuckets
+    def bucket(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16) % b
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.replaceAll("\\s+", " ").trim))
+    case class M(var rb: Long = 0, var rd: Long = 0, var tb: Long = 0,
+      var td: Long = 0)
+    val m = scala.collection.mutable.Map.empty[Long, M]
+    docs.foreach { case (id, lang, t) =>
+      val delta = id % 10 == 9
+      val tgt = lang == CurationOps.DsirTargetLang
+      t.split(" ").foreach { w =>
+        val e = m.getOrElseUpdate(bucket(w), M())
+        if (delta) { e.rd += 1; if (tgt) e.td += 1 }
+        else { e.rb += 1; if (tgt) e.tb += 1 }
+      }
+    }
+    val (trb, trd) = (m.values.map(_.rb).sum.toDouble, m.values.map(_.rd).sum.toDouble)
+    val (ttb, ttd) = (m.values.map(_.tb).sum.toDouble, m.values.map(_.td).sum.toDouble)
+    def lr(tgt: Double, tgtTot: Double, raw: Double, rawTot: Double) =
+      math.log((tgt + 1.0) / (tgtTot + b)) - math.log((raw + 1.0) / (rawTot + b))
+    val got = CurationOps.dsirDrift(spark, dir).collect()
+    assert(got.length == m.size, "one row per occupied bucket")
+    got.foreach { r =>
+      val e = m(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((e.rb, e.rd, e.tb, e.td)), s"bucket ${r.getLong(0)} masses")
+      val lb = lr(e.tb, ttb, e.rb, trb)
+      val lf = lr(e.tb + e.td, ttb + ttd, e.rb + e.rd, trb + trd)
+      assert(math.abs(r.getDouble(5) - lb) <= 1.1e-6, "logratio_base")
+      assert(math.abs(r.getDouble(6) - lf) <= 1.1e-6, "logratio_full")
+      assert(r.getDouble(7) ==
+        r6(math.abs(r.getDouble(6) - r.getDouble(5))), "lr_shift")
+    }
+  }
+
+  test("filter_agreement: cells partition the corpus and every marginal " +
+      "reconciles with its source verdict") {
+    val got = CurationOps.filterAgreement(spark, dir).collect()
+      .map(r => ((r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val corpus = Tables(spark, dir, "documents").count()
+    assert(got.map(_._2).sum == corpus, "cells partition the corpus")
+    assert(math.abs(got.map(_._4).sum - 1.0) <= got.length * 1e-6,
+      "shares sum to 1")
+    val ruleFail = graft.ops.TextOps.gopherRules(spark, dir)
+      .filter(!org.apache.spark.sql.functions.col("r_word_count")).count()
+    assert(got.filter(_._1._1).map(_._2).sum == ruleFail, "rule_fail marginal")
+    val dropped = graft.ops.DedupEdges.clusterLabels(spark, dir)
+      .filter(!org.apache.spark.sql.functions.col("keep")).count()
+    assert(got.filter(_._1._2).map(_._2).sum == dropped, "dedup_drop marginal")
+    val selected = CurationOps.dsirWeights(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("selected")).count()
+    assert(got.filter(_._1._3).map(_._2).sum == selected, "selected marginal")
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val totalTok = graft.ops.TextOps.tokenCount(spark, dir)
+      .agg(fsum(col("ws_tokens"))).collect()(0).getLong(0)
+    assert(got.map(_._3).sum == totalTok, "token mass reconciles")
+    assert(got.count(_._2 > 0) >= 6, "agreement table degenerate")
+  }
 }

@@ -120,7 +120,11 @@ class PlanLintSpec extends AnyFunSuite {
                         // its broadcast onto the 4-row bin table
     "dsir_weights",     // 1-row distribution-totals broadcast onto the
                         // B-row bucket table
-    "dsir_resample")    // same — rides the dsir_weights chain
+    "dsir_resample",    // same — rides the dsir_weights chain
+    "dsir_drift",       // same 1-row era-totals broadcast onto the
+                        // B-row drift table
+    "filter_agreement") // 1-row doc-total broadcast onto the 8-cell
+                        // agreement table (+ the dsir chain's own)
 
   private lazy val queryExecs: Map[String, Either[String, org.apache.spark.sql.execution.QueryExecution]] = {
     // lint the SAME optimizer configuration Verify/Bench run (and make the
