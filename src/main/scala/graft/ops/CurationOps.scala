@@ -1638,12 +1638,14 @@ object CurationOps {
     * being uniform, not which one).
     */
   /** The (doc_id, lang, bucket, cnt) hashed-feature bag behind the DSIR
-    * family — one keyed aggregate over the token stream, shared by
-    * [[dsirWeights]] (and through it [[dsirResample]]) and
-    * [[dsirDrift]].
+    * family, over any (doc_id, lang, text) frame — one keyed aggregate
+    * over the token stream. A doc's bag is a pure function of the doc,
+    * so eras are doc-disjoint and the store a streaming maintainer
+    * appends per batch ([[graft.streaming.StreamingDsir]]) composes to
+    * exactly this table.
     */
-  private def dsirDocBucket(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  private[graft] def dsirBucketsFor(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         explode(split(DedupOps.normText(col("text")), " ")).as("w"))
       .groupBy(col("doc_id"), col("lang"),
@@ -1651,9 +1653,16 @@ object CurationOps {
           % DsirBuckets).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
-  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+  private def dsirDocBucket(s: SparkSession, dir: String): DataFrame =
+    dsirBucketsFor(
+      Tables(s, dir, "documents").select("doc_id", "lang", "text"))
+
+  /** The estimate → score chain over any doc×bucket bag table — shared
+    * by the gate query and the streaming maintainer's serving read, so
+    * the store and the query cannot drift.
+    */
+  private[graft] def dsirWeightsFrom(docBucket: DataFrame): DataFrame = {
     val bD = lit(DsirBuckets.toDouble)
-    val docBucket = dsirDocBucket(s, dir)
     val dist = docBucket.groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("raw_cnt"),
         sum(when(col("lang") === DsirTargetLang, col("cnt"))
@@ -1672,6 +1681,9 @@ object CurationOps {
       .withColumn("selected", col("dsir_logratio") > 0)
       .orderBy("doc_id")
   }
+
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsFrom(dsirDocBucket(s, dir))
 
   /** The same estimate → score chain as one statement; the `selected`
     * cut reads the ROUNDED score on both sides (engine determinism).

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.CurationOps
+import graft.streaming.StreamingDsir
+
+/** Stream/batch parity for the DSIR selection artifact: weights served
+  * off the drained feature-bag store must equal the one-shot batch
+  * query — chop-independent because a doc's bag is a pure function of
+  * the doc and eras are doc-disjoint. Deletes are doc tombstones
+  * (exact — bags are doc-keyed, distributions re-derive from live rows
+  * at read time); a fresh-checkpoint re-drain grows nothing and cannot
+  * resurrect deleted docs; compaction leaves serving unchanged.
+  */
+class StreamingDsirSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+      .toSeq.sortBy(_._1)
+
+  test("drained weights equal the batch query; delete + re-drain serves " +
+      "the survivor rebuild; compact changes nothing") {
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text")
+    val full = rows(CurationOps.dsirWeights(spark, dir))
+    assert(full.nonEmpty)
+
+    val root = Files.createTempDirectory("graft-sdsir")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    for (pred <- Seq("doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"))
+      docs.filter(pred).coalesce(1).write.mode("append").parquet(in.toString)
+    StreamingDsir.runAvailableNow(spark, docs.schema, in.toString, store,
+      root.resolve("ckpt1").toString)
+    assert(rows(StreamingDsir.weights(spark, store)) == full,
+      "drained weights ≠ batch query")
+
+    // delete a family: the served weights must equal the chain re-run
+    // over the survivor docs — the global-weights subtlety made exact
+    // by deriving scores from live bags at read time
+    StreamingDsir.applyDeletes(spark, store,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id")))
+    val survivorWeights = rows(CurationOps.dsirWeightsFrom(
+      CurationOps.dsirBucketsFor(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 3))))
+    assert(survivorWeights != full,
+      "delete family empty — survivor test vacuous")
+    assert(rows(StreamingDsir.weights(spark, store)) == survivorWeights,
+      "post-delete weights ≠ survivor rebuild")
+
+    // fresh-checkpoint re-drain: no resurrection, no duplication
+    StreamingDsir.runAvailableNow(spark, docs.schema, in.toString, store,
+      root.resolve("ckpt2").toString)
+    assert(rows(StreamingDsir.weights(spark, store)) == survivorWeights,
+      "re-drain resurrected or duplicated bags")
+
+    // physical compaction: serving identical, dead rows physically gone
+    StreamingDsir.compact(spark, store)
+    assert(rows(StreamingDsir.weights(spark, store)) == survivorWeights,
+      "compaction changed served weights")
+    val raw = spark.read.parquet(s"$store/bags")
+    assert(raw.filter(pmod(col("doc_id"), lit(10)) === 3).count() == 0,
+      "compaction left dead bag rows on disk")
+  }
+
+  test("duplicate rows inside one micro-batch do not double a bag") {
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text")
+    val full = rows(CurationOps.dsirWeights(spark, dir))
+    val root = Files.createTempDirectory("graft-sdsir-dup")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    // every doc TWICE in the same arrival file — one micro-batch sees
+    // both copies, so prior-batch novelty alone cannot catch it
+    docs.unionByName(docs).coalesce(1).write.mode("append")
+      .parquet(in.toString)
+    StreamingDsir.runAvailableNow(spark, docs.schema, in.toString, store,
+      root.resolve("ckpt").toString)
+    assert(rows(StreamingDsir.weights(spark, store)) == full,
+      "intra-batch duplicate doubled a bag (weights diverge)")
+  }
+}
