@@ -1615,28 +1615,6 @@ object CurationOps {
     */
   val DsirTargetLang = "en"
 
-  /** Data Selection via Importance Resampling (Xie et al., NeurIPS
-    * 2023), the hashed-n-gram instantiation: estimate target and raw
-    * unigram distributions over [[DsirBuckets]] md5-hashed word buckets
-    * (add-1 smoothing), score every document with its importance
-    * log-ratio Σ_b n_d[b]·(ln p̂_target[b] − ln p̂_raw[b]), and flag the
-    * docs a resampling pass would favor (positive log-ratio = more
-    * likely under the target than under the raw distribution). The
-    * target sample here is the [[DsirTargetLang]] slice of the corpus
-    * itself — self-contained and deterministic, like [[TextOps.langId]]'s
-    * marker heuristic.
-    *
-    * Scale shape: tokenize is a narrow per-row map; doc×bucket counts
-    * are ONE map-side-combined keyed aggregate; both distributions come
-    * from one B-row re-aggregate of that table (target mass as a
-    * conditional partial — no second corpus pass), totals attach as a
-    * 1-row broadcast and the per-bucket log-ratios as a B-row broadcast;
-    * the per-doc score is a second keyed aggregate. Two linear shuffles
-    * total, nothing collected. The md5 bucket hash keeps the whole
-    * pipeline value-oracle-backed (the xxhash64-for-speed twin is the
-    * [[DedupOps]] convention; DSIR's quality depends only on the hash
-    * being uniform, not which one).
-    */
   /** The (doc_id, lang, bucket, cnt) hashed-feature bag behind the DSIR
     * family, over any (doc_id, lang, text) frame — one keyed aggregate
     * over the token stream. A doc's bag is a pure function of the doc,
@@ -1682,6 +1660,28 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023), the hashed-n-gram instantiation: estimate target and raw
+    * unigram distributions over [[DsirBuckets]] md5-hashed word buckets
+    * (add-1 smoothing), score every document with its importance
+    * log-ratio Σ_b n_d[b]·(ln p̂_target[b] − ln p̂_raw[b]), and flag the
+    * docs a resampling pass would favor (positive log-ratio = more
+    * likely under the target than under the raw distribution). The
+    * target sample here is the [[DsirTargetLang]] slice of the corpus
+    * itself — self-contained and deterministic, like [[TextOps.langId]]'s
+    * marker heuristic.
+    *
+    * Scale shape: tokenize is a narrow per-row map; doc×bucket counts
+    * are ONE map-side-combined keyed aggregate; both distributions come
+    * from one B-row re-aggregate of that table (target mass as a
+    * conditional partial — no second corpus pass), totals attach as a
+    * 1-row broadcast and the per-bucket log-ratios as a B-row broadcast;
+    * the per-doc score is a second keyed aggregate. Two linear shuffles
+    * total, nothing collected. The md5 bucket hash keeps the whole
+    * pipeline value-oracle-backed (the xxhash64-for-speed twin is the
+    * [[DedupOps]] convention; DSIR's quality depends only on the hash
+    * being uniform, not which one).
+    */
   def dsirWeights(s: SparkSession, dir: String): DataFrame =
     dsirWeightsFrom(dsirDocBucket(s, dir))
 
@@ -1924,10 +1924,12 @@ object CurationOps {
     * dedup labels ride the DedupEdges seam.
     */
   def filterAgreement(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokenCount(s, dir)
-      .select(col("doc_id"), col("ws_tokens"))
+    // gopherRules' n_words IS the whitespace token count (one shared
+    // regexp over normText) — reading it here instead of joining a
+    // second tokenCount pass saves a whole corpus scan (r15 s3 review)
     val ruleFail = TextOps.gopherRules(s, dir)
-      .select(col("doc_id"), (!col("r_word_count")).as("rule_fail"))
+      .select(col("doc_id"), (!col("r_word_count")).as("rule_fail"),
+        col("n_words").cast("long").as("ws_tokens"))
     val dropped = DedupEdges.clusterLabels(s, dir)
       .filter(!col("keep")).select(col("doc_id"))
     val cells = ruleFail
@@ -1935,7 +1937,6 @@ object CurationOps {
       .withColumn("dedup_drop", coalesce(col("dedup_drop"), lit(false)))
       .join(dsirWeights(s, dir).select(col("doc_id"), col("selected")),
         "doc_id")
-      .join(toks, "doc_id")
       .groupBy(col("rule_fail"), col("dedup_drop"), col("selected"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("n_tokens"))
     val tot = cells.agg(sum(col("n_docs")).as("total_docs"))
@@ -1948,22 +1949,21 @@ object CurationOps {
 
   val filterAgreementOracle: String =
     s"""WITH g AS (
-       |  SELECT doc_id, NOT r_word_count AS rule_fail
+       |  SELECT doc_id, NOT r_word_count AS rule_fail,
+       |         CAST(n_words AS BIGINT) AS ws_tokens
        |  FROM (${TextOps.gopherRulesOracle})),
        |drops AS (
        |  SELECT doc_id FROM (${ClusterOps.dedupClustersOracle})
        |  WHERE NOT keep),
        |d AS (
        |  SELECT doc_id, selected FROM ($dsirWeightsOracle)),
-       |tok AS (
-       |  SELECT doc_id, ws_tokens FROM (${TextOps.tokenCountOracle})),
        |cells AS (
        |  SELECT rule_fail,
        |         (g.doc_id IN (SELECT doc_id FROM drops)) AS dedup_drop,
        |         selected,
        |         count(*) AS n_docs,
        |         CAST(sum(ws_tokens) AS BIGINT) AS n_tokens
-       |  FROM g JOIN d USING (doc_id) JOIN tok USING (doc_id)
+       |  FROM g JOIN d USING (doc_id)
        |  GROUP BY 1, 2, 3),
        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM cells)
        |SELECT rule_fail, dedup_drop, selected, n_docs, n_tokens,

@@ -29,6 +29,10 @@ class DedupEdgesSpec extends AnyFunSuite {
         .map(_.toSeq)
       val fu0 = graft.ops.CurationOps.curationFunnel(spark, dir).collect()
         .map(_.toSeq)
+      val sd0 = graft.ops.CurationOps.softDedup(spark, dir).collect()
+        .map(_.toSeq)
+      val fa0 = graft.ops.CurationOps.filterAgreement(spark, dir).collect()
+        .map(_.toSeq)
       def tmpDirs(): Set[java.nio.file.Path] = {
         val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
         val it = java.nio.file.Files.list(root).iterator()
@@ -75,6 +79,14 @@ class DedupEdgesSpec extends AnyFunSuite {
       val fu1 = graft.ops.CurationOps.curationFunnel(spark, dir).collect()
         .map(_.toSeq)
       assert(fu0.toSeq == fu1.toSeq, "curation_funnel differs seeded vs unseeded")
+      // r15 s3: the two selection-wave consumers of the label artifact
+      val sd1 = graft.ops.CurationOps.softDedup(spark, dir).collect()
+        .map(_.toSeq)
+      assert(sd0.toSeq == sd1.toSeq, "soft_dedup differs seeded vs unseeded")
+      val fa1 = graft.ops.CurationOps.filterAgreement(spark, dir).collect()
+        .map(_.toSeq)
+      assert(fa0.toSeq == fa1.toSeq,
+        "filter_agreement differs seeded vs unseeded")
       val created = tmpDirs() -- preSeed
       assert(created.nonEmpty, "seed created no temp materialization dir")
       DedupEdges.clear()

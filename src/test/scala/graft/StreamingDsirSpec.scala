@@ -25,6 +25,26 @@ class StreamingDsirSpec extends AnyFunSuite {
         r.getDouble(3), r.getBoolean(4)))
       .toSeq.sortBy(_._1)
 
+  /** Equality up to the 4-dp rounding half-width on the score column:
+    * the two sides aggregate sum(cnt·logratio) under different physical
+    * partitionings, so a doc whose true score sits within an ulp of a
+    * .00005 boundary may round apart (r15 s3 review — exact == would
+    * flake); ids/langs/counts compare exactly, and each side's selected
+    * flag is definitional against its own rounded score.
+    */
+  private def assertSameWeights(
+      got: Seq[(Long, String, Long, Double, Boolean)],
+      want: Seq[(Long, String, Long, Double, Boolean)],
+      clue: String): Unit = {
+    assert(got.length == want.length, clue)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$clue: $g vs $w")
+      assert(math.abs(g._4 - w._4) <= 1.01e-4, s"$clue: score $g vs $w")
+      assert(g._5 == (g._4 > 0) && w._5 == (w._4 > 0),
+        s"$clue: selected not definitional")
+    }
+  }
+
   test("drained weights equal the batch query; delete + re-drain serves " +
       "the survivor rebuild; compact changes nothing") {
     val docs = graft.ops.Tables(spark, dir, "documents")
@@ -39,7 +59,7 @@ class StreamingDsirSpec extends AnyFunSuite {
       docs.filter(pred).coalesce(1).write.mode("append").parquet(in.toString)
     StreamingDsir.runAvailableNow(spark, docs.schema, in.toString, store,
       root.resolve("ckpt1").toString)
-    assert(rows(StreamingDsir.weights(spark, store)) == full,
+    assertSameWeights(rows(StreamingDsir.weights(spark, store)), full,
       "drained weights ≠ batch query")
 
     // delete a family: the served weights must equal the chain re-run
@@ -50,21 +70,21 @@ class StreamingDsirSpec extends AnyFunSuite {
     val survivorWeights = rows(CurationOps.dsirWeightsFrom(
       CurationOps.dsirBucketsFor(
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 3))))
-    assert(survivorWeights != full,
+    assert(survivorWeights.length != full.length,
       "delete family empty — survivor test vacuous")
-    assert(rows(StreamingDsir.weights(spark, store)) == survivorWeights,
-      "post-delete weights ≠ survivor rebuild")
+    assertSameWeights(rows(StreamingDsir.weights(spark, store)),
+      survivorWeights, "post-delete weights ≠ survivor rebuild")
 
     // fresh-checkpoint re-drain: no resurrection, no duplication
     StreamingDsir.runAvailableNow(spark, docs.schema, in.toString, store,
       root.resolve("ckpt2").toString)
-    assert(rows(StreamingDsir.weights(spark, store)) == survivorWeights,
-      "re-drain resurrected or duplicated bags")
+    assertSameWeights(rows(StreamingDsir.weights(spark, store)),
+      survivorWeights, "re-drain resurrected or duplicated bags")
 
     // physical compaction: serving identical, dead rows physically gone
     StreamingDsir.compact(spark, store)
-    assert(rows(StreamingDsir.weights(spark, store)) == survivorWeights,
-      "compaction changed served weights")
+    assertSameWeights(rows(StreamingDsir.weights(spark, store)),
+      survivorWeights, "compaction changed served weights")
     val raw = spark.read.parquet(s"$store/bags")
     assert(raw.filter(pmod(col("doc_id"), lit(10)) === 3).count() == 0,
       "compaction left dead bag rows on disk")
@@ -83,7 +103,7 @@ class StreamingDsirSpec extends AnyFunSuite {
       .parquet(in.toString)
     StreamingDsir.runAvailableNow(spark, docs.schema, in.toString, store,
       root.resolve("ckpt").toString)
-    assert(rows(StreamingDsir.weights(spark, store)) == full,
+    assertSameWeights(rows(StreamingDsir.weights(spark, store)), full,
       "intra-batch duplicate doubled a bag (weights diverge)")
   }
 }
