@@ -536,6 +536,27 @@ class PlanLintSpec extends AnyFunSuite {
                                   // distinct + top-K window) + the CC
                                   // closure's planned tail (propagation
                                   // behind checkpoints) (+sort)
+      "dsir_weights" -> 8,        // doc×bucket agg + B-row dist agg +
+                                  // 1-row totals + per-doc score agg
+                                  // (+sort); the bag agg plans per
+                                  // consumer pre-AQE, reuse collapses it
+      "dsir_resample" -> 7,       // the weights chain; orderBy+limit is
+                                  // TakeOrderedAndProject (no range
+                                  // exchange)
+      "dsir_drift" -> 6,          // ONE era-conditional bucket agg +
+                                  // 1-row totals (+sort)
+      "gopher_rules" -> 1,        // narrow per-row map (+sort only)
+      "ssl_prototypes" -> 4,      // centroid (label,dim)+label aggs +
+                                  // per-label rank window (+sort)
+      "contamination_semantic" -> 4, // banded cogroup + top-1 window +
+                                  // eval left join (+sort)
+      "soft_dedup" -> 9,          // cluster-size agg + doc joins (+sort)
+                                  // over the label artifact's planned
+                                  // tail (unseeded; seam removes it)
+      "filter_agreement" -> 28,   // gopher + dsir chains + the label
+                                  // artifact's inline closure tail
+                                  // (unseeded plan-time bound; the seam
+                                  // serves labels from parquet in bench)
       "hnsw_tombstone_recall" -> 8) // the seam-fed beam's per-round
                                   // frontier distincts + the filtered
                                   // top-K window + the exact-survivor
