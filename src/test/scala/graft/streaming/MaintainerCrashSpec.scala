@@ -127,4 +127,45 @@ class MaintainerCrashSpec extends AnyFunSuite {
     assert(!fs.exists(tagDir), "compact left the uncommitted remnant")
     assert(served() == full, "compact disturbed the served postings")
   }
+
+  test("dsir: a crashed half-written tag is never served, a fresh drain re-ingests it, compact drops the remnant") {
+    // the same interleaving as the sparse test, on the OTHER
+    // DocKeyedStoreMaintainer instantiation — the kernel consolidation
+    // (r15 s3 review) is only safe if every store-discipline property
+    // holds for both configs by construction, so both are pinned
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val root = Files.createTempDirectory("graft-crash-dsir")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    val fs = new HPath(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    docs.coalesce(1).write.mode("append").parquet(in.toString)
+    StreamingDsir.runAvailableNow(spark, docs.schema, in.toString, store,
+      root.resolve("ckpt1").toString)
+    def served(): Set[(Long, String, Long, Long)] =
+      StreamingDsir.bags(spark, store).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val full = served()
+    assert(full.nonEmpty)
+
+    val tagDir = fs.listStatus(new HPath(s"$store/bags")).toSeq
+      .filter(_.isDirectory).map(_.getPath).head
+    assert(fs.delete(new HPath(tagDir, "_SUCCESS"), false))
+    assert(served().isEmpty,
+      "uncommitted tag partition leaked into serving")
+
+    StreamingDsir.runAvailableNow(spark, docs.schema, in.toString, store,
+      root.resolve("ckpt2").toString)
+    assert(served() == full,
+      "fresh drain failed to re-ingest the crashed tag's docs")
+
+    StreamingDsir.applyDeletes(spark, store,
+      spark.sql("SELECT CAST(-1 AS BIGINT) AS doc_id")) // no live match
+    StreamingDsir.compact(spark, store)
+    assert(!fs.exists(tagDir), "compact left the uncommitted remnant")
+    assert(served() == full, "compact disturbed the served bags")
+  }
 }
