@@ -1971,6 +1971,109 @@ object CurationOps {
        |FROM cells, tot
        |ORDER BY rule_fail, dedup_drop, selected""".stripMargin
 
+  /** Per-cluster sample budget for [[clusterQuotaSample]]. */
+  val ClusterQuota = 10
+
+  /** Cluster-balanced diversity sampling — the BALANCE step of a
+    * cluster-then-select curation recipe (the D4 shape: SemDeDup-style
+    * clustering, then per-cluster budgets so no dense region dominates
+    * the mix): at most [[ClusterQuota]] vectors per cluster, chosen by
+    * the md5-uniform order (the [[corpusSample]] determinism
+    * convention — unbiased within a cluster, retry-idempotent, and
+    * oracle-checkable, where rand() would be none of the three).
+    * Clusters are the embedding table's `label`, as for
+    * [[SimilarityOps.sslPrototypes]] — compose the two and you have
+    * D4's select stage: drop the over-prototypical, then cap each
+    * cluster's share.
+    *
+    * Scale shape: one rank window PARTITIONED by cluster (no global
+    * sort) over a narrow (vec_id, label) projection; output bounded by
+    * clusters × quota.
+    */
+  def clusterQuotaSample(s: SparkSession, dir: String): DataFrame = {
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .withColumn("rank", row_number().over(byCluster))
+      .filter(col("rank") <= ClusterQuota)
+      .orderBy("label", "rank")
+  }
+
+  val clusterQuotaSampleOracle: String =
+    s"""SELECT vec_id, label, rank FROM (
+       |  SELECT vec_id, label,
+       |         CAST(row_number() OVER (PARTITION BY label
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT)
+       |           AS rank
+       |  FROM embeddings)
+       |WHERE rank <= $ClusterQuota
+       |ORDER BY label, rank""".stripMargin
+
+  /** Number of curriculum phases for [[curriculumPhases]]. */
+  val CurriculumPhases = 4
+
+  /** Length-ordered training curriculum (Bengio et al., ICML 2009 —
+    * shortest-first is the classic schedule, and a warm-up on short
+    * sequences is still how LLM runs ramp context): the corpus cut
+    * into [[CurriculumPhases]] equidepth phases by whitespace token
+    * count, with each phase's doc count, token mass, length range, and
+    * share of the total token budget — the table a training loop turns
+    * into its sampling schedule.
+    *
+    * Scale shape: the [[AnalyticsOps.equidepthHistogram]] mechanism —
+    * one exact-percentile aggregate broadcast as the cutpoint array
+    * (at 100 TB: approx_percentile, same plan shape), one narrow
+    * bucket map, one phase-keyed aggregate, totals as a 1-row
+    * broadcast.
+    */
+  def curriculumPhases(s: SparkSession, dir: String): DataFrame = {
+    val ps = (1 until CurriculumPhases).map(_.toDouble / CurriculumPhases)
+    val toks = TextOps.tokenCount(s, dir)
+      .select(col("doc_id"), col("ws_tokens"))
+    val cuts = toks.agg(percentile(col("ws_tokens"),
+      array(ps.map(lit): _*)).as("cuts"))
+    val phase = (1 until CurriculumPhases).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("ws_tokens") > element_at(col("cuts"), i), 1)
+        .otherwise(0)
+    }
+    val phases = toks.crossJoin(broadcast(cuts))
+      .select(phase.as("phase"), col("ws_tokens"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("n_tokens"),
+        min(col("ws_tokens")).as("shortest"),
+        max(col("ws_tokens")).as("longest"))
+    val tot = phases.agg(sum(col("n_tokens")).as("total_tokens"))
+    phases.crossJoin(broadcast(tot))
+      .select(col("phase"), col("n_docs"), col("n_tokens"),
+        col("shortest"), col("longest"),
+        round(col("n_tokens") / col("total_tokens"), 6).as("token_share"))
+      .orderBy("phase")
+  }
+
+  val curriculumPhasesOracle: String = {
+    val n = CurriculumPhases
+    val ps = (1 until n).map(i => i.toDouble / n).mkString(", ")
+    val terms = (1 until n).map { i =>
+      s"(CASE WHEN ws_tokens > cuts[$i] THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ws_tokens FROM (${TextOps.tokenCountOracle})),
+       |c AS (SELECT quantile_cont(ws_tokens, [$ps]) AS cuts FROM tok),
+       |phases AS (
+       |  SELECT phase, count(*) AS n_docs,
+       |         CAST(sum(ws_tokens) AS BIGINT) AS n_tokens,
+       |         min(ws_tokens) AS shortest, max(ws_tokens) AS longest
+       |  FROM (SELECT 1 + $terms AS phase, ws_tokens FROM tok, c)
+       |  GROUP BY phase),
+       |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM phases)
+       |SELECT phase, n_docs, n_tokens, shortest, longest,
+       |       round(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share
+       |FROM phases, t ORDER BY phase""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> ((s: SparkSession, dir: String) => kAnonymity(s, dir)),
     "doc_lineage" -> (docLineage _),
@@ -1999,7 +2102,9 @@ object CurationOps {
     "dsir_resample" -> (dsirResample _),
     "soft_dedup" -> (softDedup _),
     "dsir_drift" -> (dsirDrift _),
-    "filter_agreement" -> (filterAgreement _))
+    "filter_agreement" -> (filterAgreement _),
+    "cluster_quota_sample" -> (clusterQuotaSample _),
+    "curriculum_phases" -> (curriculumPhases _))
 
   val oracles: Map[String, String] = Map(
     "k_anonymity" -> kAnonymityOracle,
@@ -2029,5 +2134,7 @@ object CurationOps {
     "dsir_resample" -> dsirResampleOracle,
     "soft_dedup" -> softDedupOracle,
     "dsir_drift" -> dsirDriftOracle,
-    "filter_agreement" -> filterAgreementOracle)
+    "filter_agreement" -> filterAgreementOracle,
+    "cluster_quota_sample" -> clusterQuotaSampleOracle,
+    "curriculum_phases" -> curriculumPhasesOracle)
 }

@@ -898,4 +898,56 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.map(_._3).sum == totalTok, "token mass reconciles")
     assert(got.count(_._2 > 0) >= 6, "agreement table degenerate")
   }
+
+  test("cluster_quota_sample: per-cluster counts capped at the quota, " +
+      "order matches the md5 draw, deterministic across constructions") {
+    def md5hex(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val all = Tables(spark, dir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val expected: Set[(Long, Int, Int)] =
+      all.groupBy(_._2).iterator.flatMap { case (l, vs) =>
+        vs.map(_._1).sortBy(id => (md5hex(id), id))
+          .take(CurationOps.ClusterQuota)
+          .zipWithIndex.map { case (id, i) => (id, l, i + 1) }
+      }.toSet
+    val got = CurationOps.clusterQuotaSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSet == expected, "sampled set/order differs from the draw")
+    got.groupBy(_._2).foreach { case (l, vs) =>
+      val clusterSize = all.count(_._2 == l)
+      assert(vs.length == math.min(clusterSize, CurationOps.ClusterQuota),
+        s"label $l quota")
+    }
+    val again = CurationOps.clusterQuotaSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == again.toSeq, "draw not deterministic")
+  }
+
+  test("curriculum_phases: phases partition the corpus into equidepth, " +
+      "non-inverting length bands whose shares sum to 1") {
+    val got = CurationOps.curriculumPhases(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5)))
+    assert(got.map(_._1).toSeq == (1 to CurationOps.CurriculumPhases),
+      "phase ids")
+    val corpus = Tables(spark, dir, "documents").count()
+    assert(got.map(_._2).sum == corpus, "phases do not partition the corpus")
+    assert(math.abs(got.map(_._6).sum - 1.0) <= got.length * 1e-6,
+      "token shares do not sum to 1")
+    // equidepth up to cutpoint ties: no phase more than 2x another
+    assert(got.map(_._2).max <= 2 * got.map(_._2).min,
+      s"phases far from equidepth: ${got.map(_._2).toSeq}")
+    // shortest-first: length bands must not invert across phases
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._4, s"phase ${b._1} overlaps phase ${a._1}")
+    }
+    // token mass must grow with phase (longer docs later)
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted,
+      "token mass not increasing across phases")
+  }
 }

@@ -123,8 +123,10 @@ class PlanLintSpec extends AnyFunSuite {
     "dsir_resample",    // same — rides the dsir_weights chain
     "dsir_drift",       // same 1-row era-totals broadcast onto the
                         // B-row drift table
-    "filter_agreement") // 1-row doc-total broadcast onto the 8-cell
+    "filter_agreement", // 1-row doc-total broadcast onto the 8-cell
                         // agreement table (+ the dsir chain's own)
+    "curriculum_phases") // 1-row cutpoint-array + token-total broadcasts
+                        // (the equidepth_histogram shape)
 
   private lazy val queryExecs: Map[String, Either[String, org.apache.spark.sql.execution.QueryExecution]] = {
     // lint the SAME optimizer configuration Verify/Bench run (and make the
@@ -553,6 +555,10 @@ class PlanLintSpec extends AnyFunSuite {
       "soft_dedup" -> 9,          // cluster-size agg + doc joins (+sort)
                                   // over the label artifact's planned
                                   // tail (unseeded; seam removes it)
+      "cluster_quota_sample" -> 2, // ONE label-partitioned rank window
+                                  // (+sort)
+      "curriculum_phases" -> 8,   // cutpoint agg + phase agg + 1-row
+                                  // total (+sort); partials pre-AQE
       "filter_agreement" -> 28,   // gopher + dsir chains + the label
                                   // artifact's inline closure tail
                                   // (unseeded plan-time bound; the seam
