@@ -1810,15 +1810,32 @@ object AnalyticsOps {
     * oracle SQL — no interpreted HOF, no global-window ntile over the
     * corpus), and one keyed aggregate for the per-bucket stats.
     */
+  /** The equidepth bucket id `1 + Σ (v > cuts[i])` over an
+    * (n−1)-cutpoint array — ONE definition of the boundary semantics
+    * (strict `>`: a value equal to a cutpoint stays in the lower
+    * bucket), shared by [[equidepthHistogram]] and
+    * [[CurationOps.curriculumPhases]] so the two instantiations cannot
+    * diverge (r15 s3 review).
+    */
+  private[graft] def equidepthBucket(v: org.apache.spark.sql.Column,
+      cuts: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    (1 until n).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(v > element_at(cuts, i), 1).otherwise(0)
+    }
+
+  /** The same bucket id as a DuckDB expression (1-based list index). */
+  private[graft] def equidepthBucketOracle(v: String, cuts: String,
+      n: Int): String =
+    "1 + " + (1 until n)
+      .map(i => s"(CASE WHEN $v > $cuts[$i] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
   def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
     val ps = (1 to 9).map(_ / 10.0)
     val cuts = Tables(s, dir, "orders")
       .agg(percentile(col("o_totalprice"),
         array(ps.map(lit): _*)).as("cuts"))
-    val bucket = (1 to 9).foldLeft(lit(1)) { (acc, i) =>
-      acc + when(col("o_totalprice") > element_at(col("cuts"), i), 1)
-        .otherwise(0)
-    }
+    val bucket = equidepthBucket(col("o_totalprice"), col("cuts"), 10)
     Tables(s, dir, "orders").select(col("o_totalprice"))
       .crossJoin(broadcast(cuts))
       .select(bucket.as("bucket"), col("o_totalprice"))
@@ -1830,9 +1847,7 @@ object AnalyticsOps {
   }
 
   val equidepthHistogramOracle: String = {
-    val terms = (1 to 9).map { i =>
-      s"(CASE WHEN o_totalprice > cuts[$i] THEN 1 ELSE 0 END)"
-    }.mkString(" + ")
+    val bucket = equidepthBucketOracle("o_totalprice", "cuts", 10)
     s"""WITH c AS (
        |  SELECT quantile_cont(o_totalprice,
        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
@@ -1840,7 +1855,7 @@ object AnalyticsOps {
        |SELECT bucket, count(*) AS n_orders,
        |       round(min(o_totalprice), 2) AS lo,
        |       round(max(o_totalprice), 2) AS hi
-       |FROM (SELECT 1 + $terms AS bucket, o_totalprice FROM orders, c)
+       |FROM (SELECT $bucket AS bucket, o_totalprice FROM orders, c)
        |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 

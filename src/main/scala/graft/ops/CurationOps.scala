@@ -2034,10 +2034,8 @@ object CurationOps {
       .select(col("doc_id"), col("ws_tokens"))
     val cuts = toks.agg(percentile(col("ws_tokens"),
       array(ps.map(lit): _*)).as("cuts"))
-    val phase = (1 until CurriculumPhases).foldLeft(lit(1)) { (acc, i) =>
-      acc + when(col("ws_tokens") > element_at(col("cuts"), i), 1)
-        .otherwise(0)
-    }
+    val phase = AnalyticsOps.equidepthBucket(col("ws_tokens"), col("cuts"),
+      CurriculumPhases)
     val phases = toks.crossJoin(broadcast(cuts))
       .select(phase.as("phase"), col("ws_tokens"))
       .groupBy(col("phase"))
@@ -2056,9 +2054,7 @@ object CurationOps {
   val curriculumPhasesOracle: String = {
     val n = CurriculumPhases
     val ps = (1 until n).map(i => i.toDouble / n).mkString(", ")
-    val terms = (1 until n).map { i =>
-      s"(CASE WHEN ws_tokens > cuts[$i] THEN 1 ELSE 0 END)"
-    }.mkString(" + ")
+    val phase = AnalyticsOps.equidepthBucketOracle("ws_tokens", "cuts", n)
     s"""WITH tok AS (
        |  SELECT doc_id, ws_tokens FROM (${TextOps.tokenCountOracle})),
        |c AS (SELECT quantile_cont(ws_tokens, [$ps]) AS cuts FROM tok),
@@ -2066,7 +2062,7 @@ object CurationOps {
        |  SELECT phase, count(*) AS n_docs,
        |         CAST(sum(ws_tokens) AS BIGINT) AS n_tokens,
        |         min(ws_tokens) AS shortest, max(ws_tokens) AS longest
-       |  FROM (SELECT 1 + $terms AS phase, ws_tokens FROM tok, c)
+       |  FROM (SELECT $phase AS phase, ws_tokens FROM tok, c)
        |  GROUP BY phase),
        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM phases)
        |SELECT phase, n_docs, n_tokens, shortest, longest,

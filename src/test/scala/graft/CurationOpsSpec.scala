@@ -946,8 +946,11 @@ class CurationOpsSpec extends AnyFunSuite {
     got.sliding(2).foreach { case Array(a, b) =>
       assert(a._5 <= b._4, s"phase ${b._1} overlaps phase ${a._1}")
     }
-    // token mass must grow with phase (longer docs later)
-    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted,
-      "token mass not increasing across phases")
+    // non-inverting bands make every phase-(k+1) doc at least as long
+    // as every phase-k doc, so MEAN length is monotone — token MASS is
+    // not guaranteed (a tie-shrunk later phase can carry less total)
+    val means = got.map(r => r._3.toDouble / r._2)
+    assert(means.toSeq == means.toSeq.sorted,
+      "mean length not non-decreasing across phases")
   }
 }
