@@ -106,4 +106,43 @@ class StreamingDsirSpec extends AnyFunSuite {
     assertSameWeights(rows(StreamingDsir.weights(spark, store)), full,
       "intra-batch duplicate doubled a bag (weights diverge)")
   }
+
+  test("chained lifecycle: insert -> delete -> insert serves the rebuild " +
+      "over live arrivals (pre-deleted ids blocked at ingest)") {
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text")
+    val root = Files.createTempDirectory("graft-sdsir-chain")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    // era 1 arrives and drains
+    docs.filter("doc_id % 3 < 2").coalesce(1).write.mode("append")
+      .parquet(in.toString)
+    StreamingDsir.runAvailableNow(spark, docs.schema, in.toString, store,
+      ckpt)
+    // the delete lands BETWEEN eras and names ids from BOTH: already-
+    // ingested ones (tombstone filters serving) and not-yet-arrived ones
+    // (the tombstone must block their later ingest)
+    StreamingDsir.applyDeletes(spark, store,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id")))
+    // era 2 arrives and drains on the SAME checkpoint (only the new file
+    // is processed)
+    docs.filter("doc_id % 3 = 2").coalesce(1).write.mode("append")
+      .parquet(in.toString)
+    StreamingDsir.runAvailableNow(spark, docs.schema, in.toString, store,
+      ckpt)
+
+    val expected = rows(CurationOps.dsirWeightsFrom(
+      CurationOps.dsirBucketsFor(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 3))))
+    assertSameWeights(rows(StreamingDsir.weights(spark, store)), expected,
+      "chained lifecycle diverges from the live-arrival rebuild")
+    // the blocked ids truly never entered the store (not just filtered)
+    val raw = spark.read.parquet(s"$store/bags")
+    val era2Dead = raw.filter(
+      pmod(col("doc_id"), lit(10)) === 3 && pmod(col("doc_id"), lit(3)) === 2)
+    assert(era2Dead.count() == 0,
+      "a pre-deleted id was ingested by the later era")
+  }
 }
