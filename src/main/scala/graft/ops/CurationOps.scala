@@ -1626,6 +1626,9 @@ object CurationOps {
     docs
       .select(col("doc_id"), col("lang"),
         explode(split(DedupOps.normText(col("text")), " ")).as("w"))
+      // split('') yields [''] — without this an empty/whitespace-only
+      // doc gets one phantom md5('') bucket token (r15 ADVICE)
+      .filter(length(col("w")) > 0)
       .groupBy(col("doc_id"), col("lang"),
         (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
           % DsirBuckets).as("bucket"))
@@ -1698,7 +1701,7 @@ object CurationOps {
        |  SELECT doc_id, lang,
        |         ('0x' || substr(md5(w), 1, 15))::BIGINT % $b AS bucket,
        |         count(*) AS cnt
-       |  FROM toks GROUP BY 1, 2, 3),
+       |  FROM toks WHERE len(w) > 0 GROUP BY 1, 2, 3),
        |dist AS (
        |  SELECT bucket, sum(cnt) AS raw_cnt,
        |         sum(CASE WHEN lang = '$DsirTargetLang' THEN cnt ELSE 0 END) AS tgt_cnt
@@ -1779,7 +1782,7 @@ object CurationOps {
        |  SELECT doc_id, lang,
        |         ('0x' || substr(md5(w), 1, 15))::BIGINT % $b AS bucket,
        |         count(*) AS cnt
-       |  FROM toks GROUP BY 1, 2, 3),
+       |  FROM toks WHERE len(w) > 0 GROUP BY 1, 2, 3),
        |dist AS (
        |  SELECT bucket,
        |         CAST(sum(CASE WHEN doc_id % 10 <> 9 THEN cnt ELSE 0 END) AS BIGINT) AS raw_base,

@@ -3516,8 +3516,12 @@ object SimilarityOps {
     * the maximum cosine against any training vector, the training
     * vector that attains it, and the contaminated flag at the corpus'
     * measured near-dup threshold [[SemDedupCos]]. Eval items whose
-    * buckets meet no training vector report a NULL match (clean by
-    * construction — nothing semantically close exists).
+    * buckets meet no training vector report a NULL match — a
+    * NO-CANDIDATE result, not a proof of cleanliness: the OR-banding is
+    * probabilistic (the spec pins ≥80% top-1 attainment, the same
+    * recall framing as [[knnJoin]]), so a close training vector can
+    * share no bucket; a production pass tunes bands/bits until the
+    * measured recall at [[SemDedupCos]] meets its audit bar.
     *
     * Scale shape: the [[knnJoin]] machinery with the eval family as the
     * probe side — banding both sides, ONE eval×train bucket cogroup

@@ -124,26 +124,31 @@ object TextOps {
     val stopHits = GopherStopWords
       .map(w => when(col("t").rlike(s"\\b$w\\b"), 1).otherwise(0))
       .reduce(_ + _)
+    // nullif denominator: an empty doc has n_words = 0, and x/0 is NaN
+    // in Spark but ±Inf in DuckDB (and the two engines ORDER NaN
+    // differently) — NULL ratios + coalesce(flag, false) below keep
+    // empty docs deterministic and engine-identical (r15 ADVICE)
+    val denom = nullif(regexp_count(col("t"), lit("\\S+")), lit(0))
+      .cast("double")
     val measured = Tables(s, dir, "documents")
       .select(col("doc_id"), normText(col("text")).as("t"))
       .select(
         col("doc_id"),
         regexp_count(col("t"), lit("\\S+")).as("n_words"),
         round(length(regexp_replace(col("t"), " ", "")).cast("double") /
-          regexp_count(col("t"), lit("\\S+")).cast("double"), 4)
-          .as("mean_word_len"),
+          denom, 4).as("mean_word_len"),
         round(regexp_count(col("t"), lit("#|\\.\\.\\.")).cast("double") /
-          regexp_count(col("t"), lit("\\S+")).cast("double"), 4)
-          .as("symbol_to_word"),
+          denom, 4).as("symbol_to_word"),
         round(regexp_count(col("t"), lit("(^| )[^ ]*[a-z]")).cast("double") /
-          regexp_count(col("t"), lit("\\S+")).cast("double"), 4)
-          .as("alpha_word_frac"),
+          denom, 4).as("alpha_word_frac"),
         stopHits.as("stop_hits"))
     val rules = Seq(
       "r_word_count" -> (col("n_words") >= 50 && col("n_words") <= 100000),
-      "r_word_len" -> (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0),
-      "r_symbol" -> (col("symbol_to_word") <= 0.1),
-      "r_alpha" -> (col("alpha_word_frac") >= 0.8),
+      "r_word_len" -> coalesce(
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0,
+        lit(false)),
+      "r_symbol" -> coalesce(col("symbol_to_word") <= 0.1, lit(false)),
+      "r_alpha" -> coalesce(col("alpha_word_frac") >= 0.8, lit(false)),
       "r_stop" -> (col("stop_hits") >= GopherMinStopHits))
     rules.foldLeft(measured) { case (df, (name, c)) => df.withColumn(name, c) }
       .withColumn("n_rules_failed",
@@ -160,9 +165,10 @@ object TextOps {
       .mkString(" + ")
     val rules = Seq(
       "r_word_count" -> "(n_words >= 50 AND n_words <= 100000)",
-      "r_word_len" -> "(mean_word_len >= 3.0 AND mean_word_len <= 10.0)",
-      "r_symbol" -> "(symbol_to_word <= 0.1)",
-      "r_alpha" -> "(alpha_word_frac >= 0.8)",
+      "r_word_len" ->
+        "COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)",
+      "r_symbol" -> "COALESCE(symbol_to_word <= 0.1, FALSE)",
+      "r_alpha" -> "COALESCE(alpha_word_frac >= 0.8, FALSE)",
       "r_stop" -> s"(stop_hits >= $GopherMinStopHits)")
     val flagCols = rules.map { case (n, e) => s"$e AS $n" }.mkString(",\n       ")
     val failed = rules.map { case (_, e) => s"CASE WHEN $e THEN 0 ELSE 1 END" }
@@ -177,11 +183,11 @@ object TextOps {
        |  SELECT doc_id,
        |         len(regexp_extract_all(t, '\\S+')) AS n_words,
        |         round(CAST(length(replace(t, ' ', '')) AS DOUBLE) /
-       |               len(regexp_extract_all(t, '\\S+')), 4) AS mean_word_len,
+       |               nullif(len(regexp_extract_all(t, '\\S+')), 0), 4) AS mean_word_len,
        |         round(CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS DOUBLE) /
-       |               len(regexp_extract_all(t, '\\S+')), 4) AS symbol_to_word,
+       |               nullif(len(regexp_extract_all(t, '\\S+')), 0), 4) AS symbol_to_word,
        |         round(CAST(len(regexp_extract_all(t, '(^| )[^ ]*[a-z]')) AS DOUBLE) /
-       |               len(regexp_extract_all(t, '\\S+')), 4) AS alpha_word_frac,
+       |               nullif(len(regexp_extract_all(t, '\\S+')), 0), 4) AS alpha_word_frac,
        |         $hits AS stop_hits
        |  FROM (SELECT doc_id, ${normTextOracle("text")} AS t FROM documents))
        |ORDER BY doc_id""".stripMargin

@@ -80,11 +80,19 @@ private[streaming] final class DocKeyedStoreMaintainer(
     val seen = readStore(spark, s"$storePath/$storeName")
       .filter(!(col("batch") <=> lit(tag))) // own partition = failed attempt
       .select(col("doc_id").as("seen_id")).distinct()
-    // dropDuplicates: two copies of a doc in ONE micro-batch both pass
-    // the seen anti-join and buildFor would sum both, doubling its rows
-    // permanently (r14 code-review)
+    // intra-batch dedup: two copies of a doc in ONE micro-batch both
+    // pass the seen anti-join and buildFor would sum both, doubling its
+    // rows permanently (r14 code-review). max_by on the payload hash —
+    // not dropDuplicates, whose pick is partition-order-dependent — so
+    // CONFLICTING same-id rows in one batch resolve identically on
+    // every replay (r15 ADVICE); ties only between identical payloads.
     val novel = batch.select(inputCols.map(col): _*)
-      .dropDuplicates("doc_id")
+      .groupBy(col("doc_id"))
+      .agg(max_by(
+        struct(inputCols.filterNot(_ == "doc_id").map(col): _*),
+        md5(to_json(struct(inputCols.map(col): _*)))).as("_row"))
+      .select(col("doc_id") +:
+        inputCols.filterNot(_ == "doc_id").map(c => col(s"_row.$c")): _*)
       .join(seen, col("doc_id") === col("seen_id"), "left_anti")
       .join(tombstones(spark, storePath)
           .select(col("doc_id").as("dead_id")).distinct(),

@@ -107,6 +107,48 @@ class StreamingDsirSpec extends AnyFunSuite {
       "intra-batch duplicate doubled a bag (weights diverge)")
   }
 
+  test("conflicting same-id rows inside one micro-batch resolve " +
+      "deterministically across arrival orders") {
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text").limit(40)
+    // same doc_id, DIFFERENT payload — the max_by(payload-hash) pick
+    // must choose the same winner no matter how the file is laid out
+    // (dropDuplicates picked whichever partition arrived first; r15
+    // ADVICE)
+    val twin = docs.withColumn("text", concat(col("text"), lit(" zq")))
+    def drain(arrivals: org.apache.spark.sql.DataFrame, tag: String) = {
+      val root = Files.createTempDirectory(s"graft-sdsir-$tag")
+      val in = root.resolve("in"); Files.createDirectories(in)
+      val store = root.resolve("store").toString
+      arrivals.coalesce(1).write.mode("append").parquet(in.toString)
+      StreamingDsir.runAvailableNow(spark, docs.schema, in.toString,
+        store, root.resolve("ckpt").toString)
+      spark.read.parquet(s"$store/bags")
+        .select("doc_id", "bucket", "cnt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    }
+    val bagsA = drain(docs.unionByName(twin), "a")
+    val bagsB = drain(twin.unionByName(docs).repartition(7), "b")
+    assert(bagsA.nonEmpty, "conflict drain produced no bags")
+    assert(bagsA == bagsB,
+      "conflicting intra-batch rows picked different winners per order")
+    // and the winner is a REAL one of the two payloads, not a merge:
+    // each doc's persisted token mass equals exactly one candidate's
+    val massByDoc = bagsA.groupBy(_._1).view
+      .mapValues(_.toSeq.map(_._3).sum).toMap
+    val origMass = CurationOps.dsirBucketsFor(docs)
+      .groupBy("doc_id").agg(sum("cnt").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twinMass = CurationOps.dsirBucketsFor(twin)
+      .groupBy("doc_id").agg(sum("cnt").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    massByDoc.foreach { case (id, m) =>
+      assert(m == origMass(id) || m == twinMass(id),
+        s"doc $id bag is neither candidate's (mass $m)")
+    }
+  }
+
   test("chained lifecycle: insert -> delete -> insert serves the rebuild " +
       "over live arrivals (pre-deleted ids blocked at ingest)") {
     val docs = graft.ops.Tables(spark, dir, "documents")
