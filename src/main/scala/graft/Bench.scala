@@ -30,6 +30,91 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  // 3. CROSS-ROUND DRIFT (`vs_prev_round`, VERDICT r15 #7): the floor
+  //    detector compares to ALL-TIME mins, so a query can creep 2-3×
+  //    across rounds without ever flagging (r15's quality_* cluster
+  //    drifted 2.6× vs r14 while staying under its slack bar). Each
+  //    query's MIN rep (the least-contended evidence this run offers)
+  //    is compared against the PRIOR round's driver reading with the
+  //    same two-term bar shape: ratio for multi-second queries,
+  //    absolute slack so sub-second prev readings don't flag on
+  //    scheduler jitter. The prev reading is itself a one-shot driver
+  //    number (possibly noise-inflated — which only makes this bar
+  //    LENIENT, never a false flag), so output is an A/B work-list,
+  //    not a verdict.
+  private[graft] val PrevRatio = 2.0
+  private[graft] val PrevSlackSec = 0.75
+  private[graft] def vsPrevRound(curMin: Map[String, Double],
+      prev: Map[String, Double]): Map[String, (Double, Double)] =
+    curMin.flatMap { case (k, mn) =>
+      prev.get(k) match {
+        case Some(p) if p > 0 && mn > 0 &&
+            mn > math.max(PrevRatio * p, p + PrevSlackSec) =>
+          Some(k -> (p, mn))
+        case _ => None
+      }
+    }
+
+  /** The prior round's per-query map: the highest-numbered committed
+    * close record `scripts/bench_r*_close.json` (env-overridable via
+    * SPARK_GRAFT_BENCH_PREV) — NOT the driver's `BENCH_rN.json`, whose
+    * 2 KB stdout-tail wrapper truncates the queries map away. The close
+    * records are the builder's quiet-box full lines, so the baseline is
+    * the LEAST noise-inflated prior reading available. Skipped entirely
+    * (empty map) when the record's sf differs from this run's.
+    */
+  private[graft] def loadPrevRound(sfDir: String): Map[String, Double] = {
+    val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+    val path: Option[java.nio.file.Path] = explicit match {
+      case Some(p) => Some(java.nio.file.Paths.get(p))
+      case None =>
+        val re = "bench_r(\\d+)[a-z0-9_]*_close\\.json".r
+        val dir = java.nio.file.Paths.get("scripts")
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(dir).iterator().asScala
+            .flatMap { f =>
+              re.findFirstMatchIn(f.getFileName.toString)
+                .map(m => (m.group(1).toInt, f.getFileName.toString, f))
+            }.toSeq
+            // highest round; within a round the lexicographically-last
+            // name (the close waves are s2 < s3 < …, so max = latest)
+            .maxByOption(t => (t._1, t._2)).map(_._3)
+        } catch { case _: Throwable => None }
+    }
+    path.fold(Map.empty[String, Double])(loadPrevRoundFrom(_, sfDir))
+  }
+
+  private[graft] def loadPrevRoundFrom(p: java.nio.file.Path,
+      sfDir: String): Map[String, Double] = {
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val prevSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (!prevSf.contains(sfDir)) {
+          System.err.println(s"[bench] prev round at $p is sf=" +
+            s"${prevSf.getOrElse("?")}, run is at $sfDir — drift detector off")
+          Map.empty
+        } else {
+          val qIdx = txt.indexOf("\"queries\"")
+          if (qIdx < 0) Map.empty
+          else {
+            val body = txt.substring(qIdx, txt.indexOf("}", qIdx) + 1)
+            val qs = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
+              .findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
+            System.err.println(
+              s"[bench] drift baseline: $p (${qs.size} queries)")
+            qs
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] no prev round at $p: ${e.getMessage}")
+        Map.empty
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -174,6 +259,10 @@ object Bench {
     val medians = stats.map { case (k, v, _, _) => k -> v }
     val contendedNames = stats.collect { case (k, _, true, _) => k }
     val aboveFloorNames = stats.collect { case (k, _, _, true) => k }
+    val minByName = results.collect {
+      case (k, reps) if !reps.exists(_ < 0) => k -> reps.min
+    }.toMap
+    val drift = vsPrevRound(minByName, loadPrevRound(sfDir))
     // 3-decimal per-query values: at 90+ queries full double precision blew
     // the final line past the driver's ~2.1 KB stdout tail window and the
     // gate recorded parsed:null (VERDICT r4 #1); ms resolution is plenty
@@ -193,8 +282,13 @@ object Bench {
       contendedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val aboveFloorJson =
       aboveFloorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // normally {} — only overlap queries whose BEST rep still exceeds
+    // max(2× prev-round reading, prev + 0.75 s) appear, as name:[prev,min]
+    val driftJson = drift.toSeq.sortBy(_._1)
+      .map { case (k, (p, m)) => "\"" + k + s"\":[${f3(p)},${f3(m)}]" }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"contended":$contendedJson,"above_floor":$aboveFloorJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"contended":$contendedJson,"above_floor":$aboveFloorJson,"vs_prev_round":$driftJson,"sf":"$sfDir"}"""
     // the full line above still grows with the query count; this one never
     // does (~90 bytes). Printed LAST so any tail window, however small,
     // captures a complete parseable record; the full per-query map is in the

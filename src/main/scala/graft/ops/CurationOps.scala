@@ -1908,23 +1908,26 @@ object CurationOps {
 
   /** Pipeline-stage calibration audit — the [[dedupAgreement]] genre
     * applied to the whole curation stack: every (quality-rule fail,
-    * dedup drop, DSIR-selected) cell with its doc count, token mass,
-    * and corpus share. The three verdicts are the three INDEPENDENT
-    * stages a pretraining pipeline composes — `rule_fail` is the Gopher
-    * word-count rule ([[TextOps.gopherRules]]' r_word_count, the one
-    * rule that discriminates on this corpus), `dedup_drop` is the
-    * near-dup keep-best verdict, `selected` the distribution matcher —
-    * and the question is whether they are redundant (agreeing cells
-    * dominate) or orthogonal (mass in disagreement cells: each stage
-    * catches what the others pass). rule_fail ∧ selected is the review
-    * queue where DSIR would admit what the rules reject; dedup_drop ∧
-    * selected is selection pressure wasted on docs dedup removes —
-    * the argument for running dedup FIRST.
+    * dedup drop, DSIR-selected, perplexity-tail) cell with its doc
+    * count, token mass, and corpus share. The four verdicts are the
+    * four INDEPENDENT stages a pretraining pipeline composes —
+    * `rule_fail` is the Gopher word-count rule ([[TextOps.gopherRules]]'
+    * r_word_count, the one rule that discriminates on this corpus),
+    * `dedup_drop` is the near-dup keep-best verdict, `selected` the
+    * distribution matcher, `ppl_tail` the CCNet worst-tertile drop
+    * candidate ([[perplexityFilter]], r16) — and the question is
+    * whether they are redundant (agreeing cells dominate) or orthogonal
+    * (mass in disagreement cells: each stage catches what the others
+    * pass). rule_fail ∧ selected is the review queue where DSIR would
+    * admit what the rules reject; dedup_drop ∧ selected is selection
+    * pressure wasted on docs dedup removes — the argument for running
+    * dedup FIRST; selected ∧ ppl_tail is where the two model-based
+    * signals (importance ratio vs conditional likelihood) disagree.
     *
-    * Scale shape: three already-audited per-doc verdicts joined on
-    * doc_id (co-partitioned), ONE ≤8-cell aggregate, totals as a 1-row
-    * broadcast. The DSIR chain is the only multi-aggregate input; the
-    * dedup labels ride the DedupEdges seam.
+    * Scale shape: four already-audited per-doc verdicts joined on
+    * doc_id (co-partitioned), ONE ≤16-cell aggregate, totals as a 1-row
+    * broadcast. The DSIR and perplexity chains are the multi-aggregate
+    * inputs; the dedup labels ride the DedupEdges seam.
     */
   def filterAgreement(s: SparkSession, dir: String): DataFrame = {
     // gopherRules' n_words IS the whitespace token count (one shared
@@ -1940,14 +1943,21 @@ object CurationOps {
       .withColumn("dedup_drop", coalesce(col("dedup_drop"), lit(false)))
       .join(dsirWeights(s, dir).select(col("doc_id"), col("selected")),
         "doc_id")
-      .groupBy(col("rule_fail"), col("dedup_drop"), col("selected"))
+      // the CCNet leg (r16): left join — a doc too short to score
+      // (< 2 tokens, absent from the ppl output) counts as not-tail
+      .join(perplexityFilter(s, dir)
+          .select(col("doc_id"), (col("ppl_bucket") === "tail").as("ppl_tail")),
+        Seq("doc_id"), "left")
+      .withColumn("ppl_tail", coalesce(col("ppl_tail"), lit(false)))
+      .groupBy(col("rule_fail"), col("dedup_drop"), col("selected"),
+        col("ppl_tail"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("n_tokens"))
     val tot = cells.agg(sum(col("n_docs")).as("total_docs"))
     cells.crossJoin(broadcast(tot))
       .select(col("rule_fail"), col("dedup_drop"), col("selected"),
-        col("n_docs"), col("n_tokens"),
+        col("ppl_tail"), col("n_docs"), col("n_tokens"),
         round(col("n_docs") / col("total_docs"), 6).as("share"))
-      .orderBy("rule_fail", "dedup_drop", "selected")
+      .orderBy("rule_fail", "dedup_drop", "selected", "ppl_tail")
   }
 
   val filterAgreementOracle: String =
@@ -1960,19 +1970,23 @@ object CurationOps {
        |  WHERE NOT keep),
        |d AS (
        |  SELECT doc_id, selected FROM ($dsirWeightsOracle)),
+       |p AS (
+       |  SELECT doc_id, ppl_bucket = 'tail' AS ppl_tail
+       |  FROM ($perplexityFilterOracle)),
        |cells AS (
        |  SELECT rule_fail,
        |         (g.doc_id IN (SELECT doc_id FROM drops)) AS dedup_drop,
        |         selected,
+       |         coalesce(ppl_tail, FALSE) AS ppl_tail,
        |         count(*) AS n_docs,
        |         CAST(sum(ws_tokens) AS BIGINT) AS n_tokens
-       |  FROM g JOIN d USING (doc_id)
-       |  GROUP BY 1, 2, 3),
+       |  FROM g JOIN d USING (doc_id) LEFT JOIN p USING (doc_id)
+       |  GROUP BY 1, 2, 3, 4),
        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM cells)
-       |SELECT rule_fail, dedup_drop, selected, n_docs, n_tokens,
+       |SELECT rule_fail, dedup_drop, selected, ppl_tail, n_docs, n_tokens,
        |       round(n_docs / CAST(total_docs AS DOUBLE), 6) AS share
        |FROM cells, tot
-       |ORDER BY rule_fail, dedup_drop, selected""".stripMargin
+       |ORDER BY rule_fail, dedup_drop, selected, ppl_tail""".stripMargin
 
   /** Per-cluster sample budget for [[clusterQuotaSample]]. */
   val ClusterQuota = 10
@@ -2073,6 +2087,222 @@ object CurationOps {
        |FROM phases, t ORDER BY phase""".stripMargin
   }
 
+  /** The hashed-bigram bucket id shared by the perplexity LM's train
+    * and score sides — [[DsirBuckets]]-sized, the md5 convention that
+    * keeps the whole chain value-oracle-backed.
+    */
+  private def pplBucket(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long") % DsirBuckets
+
+  /** The per-doc (doc_id, lang, u, v) hashed-bigram stream behind
+    * [[perplexityFilter]] — one narrow pass: tokenize, then one bigram
+    * row per adjacent token pair (positions exploded; docs under two
+    * tokens contribute nothing and are absent from the scored output).
+    * Each token IS md5-hashed twice (once as u, once as v of the next
+    * pair) — measured better than the alternatives: bucketing the
+    * array once via `transform` runs the lambda interpreted (no
+    * whole-stage codegen inside higher-order functions; 2.9 vs 1.9 s
+    * warm at sf0.1), and pairing single-hashed token rows needs a
+    * doc-keyed window/join shuffle the inline form avoids entirely.
+    */
+  private def pplBigrams(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        split(DedupOps.normText(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+      .select(col("doc_id"), col("lang"),
+        pplBucket(element_at(col("ts"), col("i"))).as("u"),
+        pplBucket(element_at(col("ts"), col("i") + 1)).as("v"))
+
+  /** CCNet-style n-gram LM quality filter (Wenzek et al., LREC 2020 —
+    * the single most-used published quality signal: score every
+    * document's perplexity under a small LM trained on a high-quality
+    * target corpus, then split the corpus into head/middle/tail
+    * perplexity tertiles; LLaMA/RedPajama keep head+middle). The
+    * deterministic instantiation: a BIGRAM LM over [[DsirBuckets]]
+    * md5-hashed token buckets with add-1 smoothing — p(v|u) =
+    * (c(u,v)+1)/(c(u)+B) — trained on the [[DsirTargetLang]] slice
+    * (the same self-contained target-corpus convention as
+    * [[dsirWeights]], whose machinery this generalizes from unigram
+    * importance ratios to conditional likelihoods). Per doc:
+    * `log_ppl` = −mean bigram log-likelihood (monotone in CCNet's
+    * perplexity, without the exp that amplifies float drift), and the
+    * tertile label at the corpus' exact (1/3, 2/3) log_ppl quantiles —
+    * `head` = most-target-like, `tail` = the drop candidates.
+    *
+    * Scale shape: tokenize + bigram explode are narrow per-row maps;
+    * the model is ONE keyed aggregate over the target slice collapsing
+    * to ≤ B² rows, with the unigram marginals derived from IT (no
+    * second corpus pass) — both attach to the scoring stream as
+    * broadcasts; the per-doc score is one doc-keyed aggregate; the
+    * tertile cutpoints are a 2-value exact-percentile aggregate
+    * broadcast back ([[curriculumPhases]]' equidepth mechanism — at
+    * 100 TB: approx_percentile, same plan shape). Two linear shuffles,
+    * nothing collected.
+    */
+  def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val bg = pplBigrams(s, dir)
+    val c2 = bg.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("u")).agg(sum(col("c2")).as("c1"))
+    val ppl = bg
+      .join(broadcast(c2), Seq("u", "v"), "left")
+      .join(broadcast(c1), Seq("u"), "left")
+      .select(col("doc_id"), col("lang"),
+        (log(coalesce(col("c2"), lit(0L)) + lit(1.0)) -
+          log(coalesce(col("c1"), lit(0L)) + lit(DsirBuckets.toDouble)))
+          .as("lp"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("lp")), 4).as("log_ppl"))
+    val ps = (1 until 3).map(_.toDouble / 3)
+    val cuts = ppl.agg(percentile(col("log_ppl"),
+      array(ps.map(lit): _*)).as("cuts"))
+    val tertile = AnalyticsOps.equidepthBucket(col("log_ppl"), col("cuts"), 3)
+    ppl.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("log_ppl"),
+        when(tertile === 1, "head").when(tertile === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: filterAgreementOracle (declared ABOVE) interpolates this at
+  // object init — a strict val here would still be null there
+  lazy val perplexityFilterOracle: String = {
+    val b = DsirBuckets
+    val ps = (1 until 3).map(i => i.toDouble / 3).mkString(", ")
+    def bk(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT % $b"
+    val tertile = AnalyticsOps.equidepthBucketOracle("log_ppl", "cuts", 3)
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |         string_split(${DedupOps.normTextOracle("text")}, ' ') AS ts
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |         ${bk("ts[i]")} AS u,
+       |         ${bk("ts[i+1]")} AS v
+       |  FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)
+       |  WHERE len(ts) >= 2),
+       |c2 AS (
+       |  SELECT u, v, count(*) AS c2 FROM bg
+       |  WHERE lang = '$DsirTargetLang' GROUP BY 1, 2),
+       |c1 AS (SELECT u, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |ppl AS (
+       |  SELECT doc_id, lang, count(*) AS n_bigrams,
+       |         round(-avg(ln(coalesce(c2.c2, 0) + 1.0) -
+       |                    ln(coalesce(c1.c1, 0) + $b.0)), 4) AS log_ppl
+       |  FROM bg LEFT JOIN c2 USING (u, v) LEFT JOIN c1 USING (u)
+       |  GROUP BY 1, 2),
+       |c AS (SELECT quantile_cont(log_ppl, [$ps]) AS cuts FROM ppl)
+       |SELECT doc_id, lang, n_bigrams, log_ppl,
+       |       CASE ($tertile) WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |            ELSE 'tail' END AS ppl_bucket
+       |FROM ppl, c ORDER BY doc_id""".stripMargin
+  }
+
+  /** Training-row context length for [[packSequences]] — bins hold ~6-10
+    * of this corpus' ~54-token docs, so both boundary cases (doc fits /
+    * doc crosses) occur constantly at every SF.
+    */
+  val PackContextLen = 512
+
+  /** Shard count for [[packSequences]] — each shard packs independently
+    * (the training-file unit); production sets this to the writer
+    * parallelism (thousands), the packing semantics are shard-local
+    * either way.
+    */
+  val PackShards = 8
+
+  /** Per-doc packing assignment behind [[packSequences]] — exposed for
+    * the spec's pure-Scala sequential replay of one shard.
+    */
+  private[graft] def packAssignments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = PackContextLen
+    val key = md5(col("doc_id").cast("string"))
+    val docs = TextOps.tokenCount(s, dir)
+      .select(col("doc_id"), col("ws_tokens").cast("long").as("len"))
+      .filter(col("len") > 0)
+      .select(col("doc_id"), col("len"),
+        (conv(substring(key, 1, 15), 16, 10).cast("long") % PackShards)
+          .as("shard"),
+        key.as("okey"),
+        least(col("len"), lit(L.toLong)).as("capped"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("okey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("off0", sum(col("capped")).over(w) - col("capped"))
+      .select(col("doc_id"), col("shard"), col("len"),
+        floor(col("off0") / L).cast("long").as("bin"),
+        least(col("capped"), lit(L.toLong) - col("off0") % L).as("kept"))
+  }
+
+  /** Sequence packing — the last step every training-data pipeline runs
+    * before the trainer: concatenate documents into fixed
+    * [[PackContextLen]]-token training rows. The deterministic
+    * parallel scheme: docs are sharded by the md5 draw (the
+    * [[corpusSample]] convention) and packed greedily in md5 order
+    * WITHIN each shard; a doc that would cross its row boundary is
+    * truncated at the boundary (never split across rows — the
+    * concat-and-chunk baseline's document-splitting is the harm
+    * measured by Ding et al. 2024, and truncate-at-boundary is the
+    * standard alternative), with the truncated tail's virtual space
+    * left as row slack so every assignment is a pure function of the
+    * PREFIX SUM — no sequential state, no recursion. Output is the
+    * per-row audit a training job reads: docs per row, fill tokens,
+    * fill ratio (the packing-efficiency headline), and truncation
+    * loss; first-fit-decreasing / histogram packing (Krell et al.
+    * 2021) are the optimization path when the measured fill ratio
+    * isn't acceptable.
+    *
+    * Scale shape: one narrow tokenize map; ONE window partitioned by
+    * shard (bounded per-shard work, parallel across shards — never a
+    * global sort; production shard count = writer parallelism); one
+    * (shard, bin)-keyed aggregate. The md5 order also IS the training
+    * shuffle, so packing doesn't undo [[corpusShuffle]].
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val L = PackContextLen
+    packAssignments(s, dir)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("fill_tokens"),
+        round(sum(col("kept")) / lit(L.toDouble), 6).as("fill_ratio"),
+        sum(col("len") - col("kept")).as("trunc_tokens"))
+      .orderBy("shard", "bin")
+  }
+
+  val packSequencesOracle: String = {
+    val L = PackContextLen
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(ws_tokens AS BIGINT) AS len
+       |  FROM (${TextOps.tokenCountOracle}) WHERE ws_tokens > 0),
+       |o AS (
+       |  SELECT doc_id, len,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |           % $PackShards AS shard,
+       |         md5(CAST(doc_id AS VARCHAR)) AS okey,
+       |         least(len, $L) AS capped
+       |  FROM tok),
+       |w AS (
+       |  SELECT doc_id, shard, len, capped,
+       |         sum(capped) OVER (PARTITION BY shard ORDER BY okey, doc_id
+       |           ROWS UNBOUNDED PRECEDING) - capped AS off0
+       |  FROM o),
+       |a AS (
+       |  SELECT shard, off0 // $L AS bin,
+       |         least(capped, $L - off0 % $L) AS kept, len
+       |  FROM w)
+       |SELECT shard, bin, count(*) AS n_docs,
+       |       CAST(sum(kept) AS BIGINT) AS fill_tokens,
+       |       round(sum(kept) / $L.0, 6) AS fill_ratio,
+       |       CAST(sum(len - kept) AS BIGINT) AS trunc_tokens
+       |FROM a GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> ((s: SparkSession, dir: String) => kAnonymity(s, dir)),
     "doc_lineage" -> (docLineage _),
@@ -2103,7 +2333,9 @@ object CurationOps {
     "dsir_drift" -> (dsirDrift _),
     "filter_agreement" -> (filterAgreement _),
     "cluster_quota_sample" -> (clusterQuotaSample _),
-    "curriculum_phases" -> (curriculumPhases _))
+    "curriculum_phases" -> (curriculumPhases _),
+    "perplexity_filter" -> (perplexityFilter _),
+    "pack_sequences" -> (packSequences _))
 
   val oracles: Map[String, String] = Map(
     "k_anonymity" -> kAnonymityOracle,
@@ -2135,5 +2367,7 @@ object CurationOps {
     "dsir_drift" -> dsirDriftOracle,
     "filter_agreement" -> filterAgreementOracle,
     "cluster_quota_sample" -> clusterQuotaSampleOracle,
-    "curriculum_phases" -> curriculumPhasesOracle)
+    "curriculum_phases" -> curriculumPhasesOracle,
+    "perplexity_filter" -> perplexityFilterOracle,
+    "pack_sequences" -> packSequencesOracle)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cross-round drift detector (`vs_prev_round`, VERDICT r15 #7):
+  * pure-function pins, no Spark session — flagging rules, the two-term
+  * bar, and the prev-round record loader's sf guard.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("vs_prev_round flags only overlap queries whose min exceeds the " +
+      "two-term bar") {
+    val prev = Map(
+      "fast" -> 0.2, // bar = max(0.4, 0.95) = 0.95: jitter-immune
+      "slow" -> 3.0, // bar = max(6.0, 3.75) = 6.0: ratio term rules
+      "gone" -> 1.0) // not in cur — never flagged
+    val cur = Map(
+      "fast" -> 0.9,   // 4.5x prev but under the absolute slack
+      "slow" -> 6.5,   // past 2x on a multi-second query
+      "brand_new" -> 9.9) // no prev — never flagged
+    val drift = Bench.vsPrevRound(cur, prev)
+    assert(drift == Map("slow" -> (3.0, 6.5)))
+  }
+
+  test("vs_prev_round ignores failed readings on either side") {
+    assert(Bench.vsPrevRound(Map("q" -> -1.0), Map("q" -> 0.1)).isEmpty)
+    assert(Bench.vsPrevRound(Map("q" -> 9.0), Map("q" -> -1.0)).isEmpty)
+  }
+
+  test("loadPrevRoundFrom parses a driver record and honors the sf guard") {
+    val f = Files.createTempFile("graft-bench-prev", ".json")
+    Files.write(f,
+      ("""{"metric":"total","value":10.5,"unit":"sec","queries":""" +
+        """{"q1_agg":0.25,"knn_join":1.5},"contended":[],""" +
+        """"above_floor":[],"sf":"/root/testdata/sf0.1"}""")
+        .getBytes("UTF-8"))
+    val same = Bench.loadPrevRoundFrom(f, "/root/testdata/sf0.1")
+    assert(same == Map("q1_agg" -> 0.25, "knn_join" -> 1.5))
+    // a prev record at another sf must disable the detector, not compare
+    // apples to oranges (the floors-file rule applied again)
+    assert(Bench.loadPrevRoundFrom(f, "/root/testdata/sf0.01").isEmpty)
+    // unreadable file: detector off, never a crash
+    assert(Bench.loadPrevRoundFrom(
+      java.nio.file.Paths.get("/nonexistent.json"), "x").isEmpty)
+  }
+
+  test("loadPrevRound defaults to the newest committed close record " +
+      "(the driver's BENCH_rN.json wrapper has no queries map)") {
+    // runs with cwd = repo root, where scripts/bench_r*_close.json live
+    val prev = Bench.loadPrevRound("/root/testdata/sf0.1")
+    assert(prev.size > 200, s"baseline too small: ${prev.size}")
+    assert(prev.contains("q1_pricing_summary"))
+  }
+}

@@ -877,8 +877,8 @@ class CurationOpsSpec extends AnyFunSuite {
   test("filter_agreement: cells partition the corpus and every marginal " +
       "reconciles with its source verdict") {
     val got = CurationOps.filterAgreement(spark, dir).collect()
-      .map(r => ((r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)),
-        r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .map(r => ((r.getBoolean(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3)), r.getLong(4), r.getLong(5), r.getDouble(6)))
     val corpus = Tables(spark, dir, "documents").count()
     assert(got.map(_._2).sum == corpus, "cells partition the corpus")
     assert(math.abs(got.map(_._4).sum - 1.0) <= got.length * 1e-6,
@@ -892,11 +892,129 @@ class CurationOpsSpec extends AnyFunSuite {
     val selected = CurationOps.dsirWeights(spark, dir)
       .filter(org.apache.spark.sql.functions.col("selected")).count()
     assert(got.filter(_._1._3).map(_._2).sum == selected, "selected marginal")
+    val pplTail = CurationOps.perplexityFilter(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("ppl_bucket") === "tail")
+      .count()
+    assert(got.filter(_._1._4).map(_._2).sum == pplTail, "ppl_tail marginal")
     import org.apache.spark.sql.functions.{col, sum => fsum}
     val totalTok = graft.ops.TextOps.tokenCount(spark, dir)
       .agg(fsum(col("ws_tokens"))).collect()(0).getLong(0)
     assert(got.map(_._3).sum == totalTok, "token mass reconciles")
     assert(got.count(_._2 > 0) >= 6, "agreement table degenerate")
+  }
+
+  test("perplexity_filter: one doc's log_ppl recounted from scratch, " +
+      "tertiles ordered and exhaustive") {
+    import org.apache.spark.sql.functions.col
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val b = CurationOps.DsirBuckets
+    def norm(t: String): Array[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").trim
+        .split(" ").filter(_.nonEmpty)
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // the model from scratch: bigram bucket counts over the en slice
+    val c2 = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    docs.filter(_._2 == CurationOps.DsirTargetLang).foreach { case (_, _, t) =>
+      val bs = norm(t).map(w => md5Long(w) % b)
+      bs.zip(bs.drop(1)).foreach(p => c2(p) = c2.getOrElse(p, 0L) + 1)
+    }
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def score(t: String): Option[(Long, Double)] = {
+      val bs = norm(t).map(w => md5Long(w) % b)
+      val lps = bs.zip(bs.drop(1)).map { case (u, v) =>
+        math.log(c2.getOrElse((u, v), 0L) + 1.0) -
+          math.log(c1.getOrElse(u, 0L) + b.toDouble)
+      }
+      if (lps.isEmpty) None else Some((lps.length.toLong, -lps.sum / lps.length))
+    }
+    val got = CurationOps.perplexityFilter(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    // every scorable doc present, none else; spot-recount ALL scores
+    val scorable = docs.flatMap { case (id, lang, t) =>
+      score(t).map(s => (id, lang, s))
+    }
+    assert(scorable.length == got.size, "scored doc set differs")
+    scorable.foreach { case (id, lang, (n, lp)) =>
+      val (gl, gn, glp, _) = got(id)
+      assert(gl == lang && gn == n, s"doc $id lang/n_bigrams")
+      assert(math.abs(glp - lp) <= 1.01e-4, s"doc $id log_ppl $glp vs $lp")
+    }
+    // tertile semantics: all three present, value-ordered head<=middle<=tail,
+    // equidepth within one cutpoint-tie of n/3
+    val byB = got.values.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+    assert(byB.keySet == Set("head", "middle", "tail"), s"buckets ${byB.keySet}")
+    assert(byB("head").max <= byB("middle").min &&
+      byB("middle").max <= byB("tail").min, "tertiles not value-ordered")
+    val n = got.size
+    byB.foreach { case (k, vs) =>
+      assert(math.abs(vs.size - n / 3.0) <= n * 0.15 + 2,
+        s"$k size ${vs.size} far from n/3 of $n")
+    }
+  }
+
+  test("pack_sequences: per-shard sequential replay matches, no row " +
+      "overfills, token mass conserved") {
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    import org.apache.spark.sql.functions.col
+    val L = CurationOps.PackContextLen.toLong
+    val lens = graft.ops.TextOps.tokenCount(spark, dir)
+      .select(col("doc_id"), col("ws_tokens").cast("long").as("len"))
+      .filter(col("len") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // pure-Scala replay: md5-sharded, md5-ordered, prefix-sum greedy with
+    // truncate-at-boundary — the definition, written sequentially
+    val expected = lens
+      .map { case (id, len) =>
+        val h = md5hex(id)
+        (java.lang.Long.parseLong(h.substring(0, 15), 16) %
+          CurationOps.PackShards, h, id, len)
+      }
+      .groupBy(_._1).iterator.flatMap { case (shard, ds) =>
+        var off = 0L
+        ds.sortBy(d => (d._2, d._3)).map { case (_, _, id, len) =>
+          val capped = math.min(len, L)
+          val bin = off / L
+          val kept = math.min(capped, L - off % L)
+          off += capped
+          (shard, bin, kept, len - kept)
+        }
+      }.toSeq
+      .groupBy(t => (t._1, t._2)).map { case ((shard, bin), rows) =>
+        (shard, bin, rows.length.toLong, rows.map(_._3).sum,
+          rows.map(_._4).sum)
+      }.toSet
+    val got = CurationOps.packSequences(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5)))
+    assert(got.toSet == expected, "packing differs from sequential replay")
+    val full = CurationOps.packSequences(spark, dir).collect()
+    full.foreach { r =>
+      assert(r.getLong(3) <= L, s"row overfilled: $r")
+      assert(math.abs(r.getDouble(4) - r.getLong(3).toDouble / L) <= 5.1e-7,
+        "fill_ratio not definitional (6-dp rounding half-width)")
+    }
+    // kept + truncated == original token mass (nothing lost untracked)
+    assert(full.map(r => r.getLong(3) + r.getLong(5)).sum ==
+      lens.map(_._2).sum, "token mass not conserved")
+    // packing actually packs: average fill of non-final rows is high
+    val maxBin = full.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).max).toMap
+    val interior = full.filter(r => r.getLong(1) < maxBin(r.getLong(0)))
+    assert(interior.nonEmpty &&
+      interior.map(_.getLong(3)).sum.toDouble / (interior.length * L) > 0.7,
+      "interior rows poorly filled — packing degenerate")
   }
 
   test("cluster_quota_sample: per-cluster counts capped at the quota, " +

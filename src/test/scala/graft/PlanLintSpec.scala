@@ -125,8 +125,10 @@ class PlanLintSpec extends AnyFunSuite {
                         // B-row drift table
     "filter_agreement", // 1-row doc-total broadcast onto the 8-cell
                         // agreement table (+ the dsir chain's own)
-    "curriculum_phases") // 1-row cutpoint-array + token-total broadcasts
+    "curriculum_phases", // 1-row cutpoint-array + token-total broadcasts
                         // (the equidepth_histogram shape)
+    "perplexity_filter") // 1-row tertile-cutpoint-array broadcast (the
+                        // equidepth shape over log_ppl)
 
   private lazy val queryExecs: Map[String, Either[String, org.apache.spark.sql.execution.QueryExecution]] = {
     // lint the SAME optimizer configuration Verify/Bench run (and make the
@@ -559,10 +561,17 @@ class PlanLintSpec extends AnyFunSuite {
                                   // (+sort)
       "curriculum_phases" -> 8,   // cutpoint agg + phase agg + 1-row
                                   // total (+sort); partials pre-AQE
-      "filter_agreement" -> 28,   // gopher + dsir chains + the label
-                                  // artifact's inline closure tail
-                                  // (unseeded plan-time bound; the seam
-                                  // serves labels from parquet in bench)
+      "filter_agreement" -> 46,   // gopher + dsir + perplexity chains +
+                                  // the label artifact's inline closure
+                                  // tail (unseeded plan-time bound; the
+                                  // seam serves labels from parquet in
+                                  // bench; r16 adds the ppl_tail leg)
+      "perplexity_filter" -> 10,  // bigram-model agg (+ its unigram
+                                  // re-agg) + per-doc score agg + 1-row
+                                  // cutpoint agg (+sort); partials and
+                                  // per-consumer re-plans pre-AQE
+      "pack_sequences" -> 3,      // ONE shard-hash window exchange +
+                                  // (shard,bin) agg riding it (+sort)
       "hnsw_tombstone_recall" -> 8) // the seam-fed beam's per-round
                                   // frontier distincts + the filtered
                                   // top-K window + the exact-survivor
