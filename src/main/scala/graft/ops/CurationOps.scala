@@ -2094,19 +2094,22 @@ object CurationOps {
   private def pplBucket(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast("long") % DsirBuckets
 
-  /** The per-doc (doc_id, lang, u, v) hashed-bigram stream behind
-    * [[perplexityFilter]] — one narrow pass: tokenize, then one bigram
-    * row per adjacent token pair (positions exploded; docs under two
-    * tokens contribute nothing and are absent from the scored output).
-    * Each token IS md5-hashed twice (once as u, once as v of the next
-    * pair) — measured better than the alternatives: bucketing the
-    * array once via `transform` runs the lambda interpreted (no
-    * whole-stage codegen inside higher-order functions; 2.9 vs 1.9 s
-    * warm at sf0.1), and pairing single-hashed token rows needs a
-    * doc-keyed window/join shuffle the inline form avoids entirely.
+  /** The per-doc (doc_id, lang, u, v, cnt) hashed-bigram BAG behind the
+    * perplexity family, over any (doc_id, lang, text) frame — tokenize,
+    * one bigram row per adjacent token pair (positions exploded; docs
+    * under two tokens contribute nothing and are absent from the scored
+    * output), one doc-keyed aggregate. Each token IS md5-hashed twice
+    * (once as u, once as v of the next pair) — measured better than the
+    * alternatives: bucketing the array once via `transform` runs the
+    * lambda interpreted (no whole-stage codegen inside higher-order
+    * functions; 2.9 vs 1.9 s warm at sf0.1), and pairing single-hashed
+    * token rows needs a doc-keyed window/join shuffle the inline form
+    * avoids entirely. A doc's bag is a pure function of the doc, so
+    * eras are doc-disjoint and per-batch builds compose by union —
+    * [[graft.streaming.StreamingPpl]] appends exactly this table.
     */
-  private def pplBigrams(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  private[graft] def pplBagsFor(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         split(DedupOps.normText(col("text")), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
@@ -2115,6 +2118,40 @@ object CurationOps {
       .select(col("doc_id"), col("lang"),
         pplBucket(element_at(col("ts"), col("i"))).as("u"),
         pplBucket(element_at(col("ts"), col("i") + 1)).as("v"))
+      .groupBy(col("doc_id"), col("lang"), col("u"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The model → score → tertile chain over any bigram-bag table —
+    * shared by the gate query and [[graft.streaming.StreamingPpl]]'s
+    * serving read (the [[dsirWeightsFrom]] convention: store and query
+    * cannot drift). Joining BAGS rather than the raw bigram stream
+    * also cuts the broadcast-join input to distinct (doc, bigram) rows.
+    */
+  private[graft] def perplexityFrom(bags: DataFrame): DataFrame = {
+    val c2 = bags.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("u"), col("v")).agg(sum(col("cnt")).as("c2"))
+    val c1 = c2.groupBy(col("u")).agg(sum(col("c2")).as("c1"))
+    val ppl = bags
+      .join(broadcast(c2), Seq("u", "v"), "left")
+      .join(broadcast(c1), Seq("u"), "left")
+      .select(col("doc_id"), col("lang"), col("cnt"),
+        (log(coalesce(col("c2"), lit(0L)) + lit(1.0)) -
+          log(coalesce(col("c1"), lit(0L)) + lit(DsirBuckets.toDouble)))
+          .as("lp"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(-(sum(col("cnt") * col("lp")) / sum(col("cnt"))), 4)
+          .as("log_ppl"))
+    val ps = (1 until 3).map(_.toDouble / 3)
+    val cuts = ppl.agg(percentile(col("log_ppl"),
+      array(ps.map(lit): _*)).as("cuts"))
+    val tertile = AnalyticsOps.equidepthBucket(col("log_ppl"), col("cuts"), 3)
+    ppl.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("log_ppl"),
+        when(tertile === 1, "head").when(tertile === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
 
   /** CCNet-style n-gram LM quality filter (Wenzek et al., LREC 2020 —
     * the single most-used published quality signal: score every
@@ -2132,41 +2169,21 @@ object CurationOps {
     * tertile label at the corpus' exact (1/3, 2/3) log_ppl quantiles —
     * `head` = most-target-like, `tail` = the drop candidates.
     *
-    * Scale shape: tokenize + bigram explode are narrow per-row maps;
-    * the model is ONE keyed aggregate over the target slice collapsing
-    * to ≤ B² rows, with the unigram marginals derived from IT (no
-    * second corpus pass) — both attach to the scoring stream as
-    * broadcasts; the per-doc score is one doc-keyed aggregate; the
-    * tertile cutpoints are a 2-value exact-percentile aggregate
-    * broadcast back ([[curriculumPhases]]' equidepth mechanism — at
-    * 100 TB: approx_percentile, same plan shape). Two linear shuffles,
-    * nothing collected.
+    * Scale shape: tokenize + bigram explode are narrow per-row maps
+    * into ONE doc-keyed bag aggregate ([[pplBagsFor]] — the additive
+    * artifact [[graft.streaming.StreamingPpl]] maintains); the model is
+    * one re-aggregate of the target slice's bags collapsing to ≤ B²
+    * rows, with the unigram marginals derived from IT (no second
+    * corpus pass) — both attach to the bag table as broadcasts; the
+    * per-doc score is a second doc-keyed aggregate; the tertile
+    * cutpoints are a 2-value exact-percentile aggregate broadcast back
+    * ([[curriculumPhases]]' equidepth mechanism — at 100 TB:
+    * approx_percentile, same plan shape). Two linear shuffles, nothing
+    * collected.
     */
-  def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
-    val bg = pplBigrams(s, dir)
-    val c2 = bg.filter(col("lang") === DsirTargetLang)
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy(col("u")).agg(sum(col("c2")).as("c1"))
-    val ppl = bg
-      .join(broadcast(c2), Seq("u", "v"), "left")
-      .join(broadcast(c1), Seq("u"), "left")
-      .select(col("doc_id"), col("lang"),
-        (log(coalesce(col("c2"), lit(0L)) + lit(1.0)) -
-          log(coalesce(col("c1"), lit(0L)) + lit(DsirBuckets.toDouble)))
-          .as("lp"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-avg(col("lp")), 4).as("log_ppl"))
-    val ps = (1 until 3).map(_.toDouble / 3)
-    val cuts = ppl.agg(percentile(col("log_ppl"),
-      array(ps.map(lit): _*)).as("cuts"))
-    val tertile = AnalyticsOps.equidepthBucket(col("log_ppl"), col("cuts"), 3)
-    ppl.crossJoin(broadcast(cuts))
-      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("log_ppl"),
-        when(tertile === 1, "head").when(tertile === 2, "middle")
-          .otherwise("tail").as("ppl_bucket"))
-      .orderBy("doc_id")
-  }
+  def perplexityFilter(s: SparkSession, dir: String): DataFrame =
+    perplexityFrom(pplBagsFor(
+      Tables(s, dir, "documents").select("doc_id", "lang", "text")))
 
   // lazy: filterAgreementOracle (declared ABOVE) interpolates this at
   // object init — a strict val here would still be null there
@@ -2185,15 +2202,19 @@ object CurationOps {
        |         ${bk("ts[i+1]")} AS v
        |  FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)
        |  WHERE len(ts) >= 2),
+       |bag AS (
+       |  SELECT doc_id, lang, u, v, count(*) AS cnt
+       |  FROM bg GROUP BY 1, 2, 3, 4),
        |c2 AS (
-       |  SELECT u, v, count(*) AS c2 FROM bg
+       |  SELECT u, v, CAST(sum(cnt) AS BIGINT) AS c2 FROM bag
        |  WHERE lang = '$DsirTargetLang' GROUP BY 1, 2),
        |c1 AS (SELECT u, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
        |ppl AS (
-       |  SELECT doc_id, lang, count(*) AS n_bigrams,
-       |         round(-avg(ln(coalesce(c2.c2, 0) + 1.0) -
-       |                    ln(coalesce(c1.c1, 0) + $b.0)), 4) AS log_ppl
-       |  FROM bg LEFT JOIN c2 USING (u, v) LEFT JOIN c1 USING (u)
+       |  SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |         round(-(sum(cnt * (ln(coalesce(c2.c2, 0) + 1.0) -
+       |                            ln(coalesce(c1.c1, 0) + $b.0)))
+       |                 / sum(cnt)), 4) AS log_ppl
+       |  FROM bag LEFT JOIN c2 USING (u, v) LEFT JOIN c1 USING (u)
        |  GROUP BY 1, 2),
        |c AS (SELECT quantile_cont(log_ppl, [$ps]) AS cuts FROM ppl)
        |SELECT doc_id, lang, n_bigrams, log_ppl,
