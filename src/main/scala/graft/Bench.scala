@@ -68,19 +68,30 @@ object Bench {
     val path: Option[java.nio.file.Path] = explicit match {
       case Some(p) => Some(java.nio.file.Paths.get(p))
       case None =>
-        val re = "bench_r(\\d+)[a-z0-9_]*_close\\.json".r
+        // name shape: bench_r<N>[_s<W>]_close[<K>].json — ordered
+        // NUMERICALLY on (round, wave, re-close) so s10 beats s9 and a
+        // close2 re-record beats the superseded close (r16 review; the
+        // repo already has bench_r15_s2_close2.json)
+        val re = "bench_r(\\d+)(?:_s(\\d+))?_close(\\d*)\\.json".r
         val dir = java.nio.file.Paths.get("scripts")
         try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(dir).iterator().asScala
-            .flatMap { f =>
-              re.findFirstMatchIn(f.getFileName.toString)
-                .map(m => (m.group(1).toInt, f.getFileName.toString, f))
-            }.toSeq
-            // highest round; within a round the lexicographically-last
-            // name (the close waves are s2 < s3 < …, so max = latest)
-            .maxByOption(t => (t._1, t._2)).map(_._3)
-        } catch { case _: Throwable => None }
+          val listing = java.nio.file.Files.list(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala
+              .flatMap { f =>
+                re.findFirstMatchIn(f.getFileName.toString).map { m =>
+                  def n(g: String) =
+                    if (g == null || g.isEmpty) 0 else g.toInt
+                  ((m.group(1).toInt, n(m.group(2)), n(m.group(3))), f)
+                }
+              }.toSeq.maxByOption(_._1).map(_._2)
+          } finally listing.close()
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] drift baseline scan failed under $dir: ${e.getMessage}")
+          None
+        }
     }
     path.fold(Map.empty[String, Double])(loadPrevRoundFrom(_, sfDir))
   }

@@ -1615,6 +1615,19 @@ object CurationOps {
     */
   val DsirTargetLang = "en"
 
+  /** The 15-hex-digit md5 prefix as a number — THE hash-to-number
+    * convention every oracle mirrors as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`; one definition so the
+    * width/radix cannot drift between the four hashing sites below
+    * (r16 review).
+    */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10)
+
+  /** md5-uniform bucket id in [0, n). */
+  private def md5Bucket(c: Column, n: Int): Column =
+    md5Long(c).cast("long") % n
+
   /** The (doc_id, lang, bucket, cnt) hashed-feature bag behind the DSIR
     * family, over any (doc_id, lang, text) frame — one keyed aggregate
     * over the token stream. A doc's bag is a pure function of the doc,
@@ -1630,8 +1643,7 @@ object CurationOps {
       // doc gets one phantom md5('') bucket token (r15 ADVICE)
       .filter(length(col("w")) > 0)
       .groupBy(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
-          % DsirBuckets).as("bucket"))
+        md5Bucket(col("w"), DsirBuckets).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
   private def dsirDocBucket(s: SparkSession, dir: String): DataFrame =
@@ -1831,8 +1843,8 @@ object CurationOps {
     * doc_id).
     */
   def dsirResample(s: SparkSession, dir: String): DataFrame = {
-    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-      16, 10).cast("double") + lit(0.5)) / lit(1152921504606846976.0)
+    val u = (md5Long(col("doc_id").cast("string")).cast("double") +
+      lit(0.5)) / lit(1152921504606846976.0)
     dsirWeights(s, dir)
       .select(col("doc_id"), col("lang"), col("dsir_logratio"))
       .withColumn("gumbel_key",
@@ -2091,8 +2103,7 @@ object CurationOps {
     * and score sides — [[DsirBuckets]]-sized, the md5 convention that
     * keeps the whole chain value-oracle-backed.
     */
-  private def pplBucket(w: Column): Column =
-    conv(substring(md5(w), 1, 15), 16, 10).cast("long") % DsirBuckets
+  private def pplBucket(w: Column): Column = md5Bucket(w, DsirBuckets)
 
   /** The per-doc (doc_id, lang, u, v, cnt) hashed-bigram BAG behind the
     * perplexity family, over any (doc_id, lang, text) frame — tokenize,
@@ -2242,14 +2253,13 @@ object CurationOps {
   private[graft] def packAssignments(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = PackContextLen
-    val key = md5(col("doc_id").cast("string"))
+    val key = col("doc_id").cast("string")
     val docs = TextOps.tokenCount(s, dir)
       .select(col("doc_id"), col("ws_tokens").cast("long").as("len"))
       .filter(col("len") > 0)
       .select(col("doc_id"), col("len"),
-        (conv(substring(key, 1, 15), 16, 10).cast("long") % PackShards)
-          .as("shard"),
-        key.as("okey"),
+        md5Bucket(key, PackShards).as("shard"),
+        md5(key).as("okey"),
         least(col("len"), lit(L.toLong)).as("capped"))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("okey"), col("doc_id"))

@@ -59,7 +59,8 @@ object BandScaleProbe {
         graft.ops.SimilarityOps.K)).localCheckpoint()
       (p, p.count())
     }
-    val n4 = p4._1.count(); val n7 = p7._1.count(); val n7b = p7b._1.count()
+    // counts were computed inside the timed blocks — reuse, don't rescan
+    val n4 = p4._2; val n7 = p7._2; val n7b = p7b._2
     def overlap(a: DataFrame, b: DataFrame): Long =
       a.join(b, Seq("vec_id", "neighbor_id")).count()
     val o7 = overlap(p4._1, p7._1); val o7b = overlap(p4._1, p7b._1)

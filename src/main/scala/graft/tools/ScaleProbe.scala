@@ -116,7 +116,12 @@ object ScaleProbe {
         val q = graft.SparkEntry.queries(n)
         val cold = time(sink(q(spark, dir)))
         val warm = (1 to reps).map(_ => time(sink(q(spark, dir)))).sorted
-        val med = warm(warm.size / 2)
+        // true median — warm(size/2) at even reps is the MAX of the
+        // middle pair, which would publish worst-of-two as the scaling
+        // evidence (r16 review)
+        val med =
+          if (warm.size % 2 == 1) warm(warm.size / 2)
+          else (warm(warm.size / 2 - 1) + warm(warm.size / 2)) / 2
         results((label, n)) = med
         println(f"[scale] $label%-7s $n%-26s cold $cold%7.2f  warm-med $med%7.2f s")
         spark.catalog.clearCache()
