@@ -769,6 +769,84 @@ object SimilarityOps {
        |       CAST(sum(c * (c - 1)) AS BIGINT) AS cand_pairs
        |FROM occ GROUP BY band ORDER BY band""".stripMargin
 
+  /** Audit resolution of [[annBandPlan]]: every candidate config's
+    * bucket id is the low-k-bit slice of one 8-bit banding pass.
+    */
+  private[graft] val BandPlanBits = 8
+
+  /** Bands the plan averages over — occupancy statistics are
+    * plane-agnostic in distribution, so a handful of bands stabilizes
+    * the estimate without paying the full production band count.
+    */
+  private[graft] val BandPlanBands = 4
+
+  /** The occupancy band the r16 sf1 probe measured the kNN builds
+    * running LINEAR at (sf0.1's ~125/bucket met its floor; 10× data at
+    * fixed 16 buckets → ~1250/bucket → ×20–37 runtime; bits=7 → ~156 →
+    * 11× recovered — BASELINE.md r16 sf1 row, SCALE.md r16 section).
+    */
+  private[graft] val BandPlanOccTarget = 160.0
+
+  /** Banding PLANNER (r16 — the operational form of the sf1 scaling
+    * finding): [[annLshOccupancy]] watches ONE config after the fact;
+    * this plans ACROSS configs before a build. For every bits-per-band
+    * k in 2..[[BandPlanBits]]: occupied-bucket mean/max occupancy and
+    * the exact directed candidate mass Σ c·(c−1) per band — the number
+    * that PREDICTS every sign-LSH consumer's cogroup cost — plus the
+    * projection to the shipped [[KnnBands]]-band build and the verdict
+    * against [[BandPlanOccTarget]]. The production rule this table
+    * encodes (measured at sf1, `scripts/probe_r16_scale.log`): hold
+    * occupancy ~constant by growing bits with log(corpus) — candidate
+    * mass at fixed buckets grows ∝ n² — and buy recall with bands
+    * (linear cost), never with occupancy (quadratic).
+    *
+    * Scale shape: ONE narrow banding pass at the audit resolution; each
+    * coarser config's bucket is the low-k-bit slice of the 8-bit id
+    * (a 7-row explode per banded row — occupancy statistics only need
+    * SOME k planes per band, not the production plane set); one
+    * (bits, band, bucket)-keyed count + one bits-keyed rollup. No
+    * joins; costs less than any build it plans.
+    */
+  def annBandPlan(s: SparkSession, dir: String): DataFrame = {
+    val banded = hnswBanded(embeddings(s, dir), BandPlanBits, BandPlanBands)
+    val occ = banded
+      .select(col("band"), col("bucket"),
+        explode(array((2 to BandPlanBits).map(lit): _*)).as("bits"))
+      .select(col("bits"), col("band"),
+        expr("pmod(bucket, shiftleft(1, bits))").as("kb"))
+      .groupBy(col("bits"), col("band"), col("kb"))
+      .agg(count(lit(1)).as("c"))
+    occ.groupBy(col("bits"))
+      .agg(
+        round(avg(col("c")), 2).as("mean_occ"),
+        max(col("c")).as("max_occ"),
+        round(sum(col("c") * (col("c") - 1)).cast("double") /
+          BandPlanBands, 2).as("cand_per_band"))
+      .select(col("bits"), col("mean_occ"), col("max_occ"),
+        col("cand_per_band"),
+        round(col("cand_per_band") * KnnBands, 2).as("est_candidates"),
+        (col("mean_occ") <= BandPlanOccTarget).as("occ_ok"))
+      .orderBy("bits")
+  }
+
+  val annBandPlanOracle: String =
+    s"""WITH ${signLshBucketsOracleCte(BandPlanBits, BandPlanBands)},
+       |ks AS (SELECT k FROM unnest(generate_series(2, $BandPlanBits)) t(k)),
+       |occ AS (
+       |  SELECT k, band, bucket % (1 << k) AS kb, count(*) AS c
+       |  FROM bb, ks GROUP BY 1, 2, 3),
+       |per AS (
+       |  SELECT CAST(k AS INT) AS bits,
+       |         round(avg(c), 2) AS mean_occ,
+       |         CAST(max(c) AS BIGINT) AS max_occ,
+       |         round(CAST(sum(c * (c - 1)) AS DOUBLE) / $BandPlanBands, 2)
+       |           AS cand_per_band
+       |  FROM occ GROUP BY k)
+       |SELECT bits, mean_occ, max_occ, cand_per_band,
+       |       round(cand_per_band * $KnnBands, 2) AS est_candidates,
+       |       mean_occ <= $BandPlanOccTarget AS occ_ok
+       |FROM per ORDER BY bits""".stripMargin
+
   /** SemDeDup-proper cluster formation over the kNN artifact (r14 —
     * Abbas et al. 2023's actual pipeline shape: build the semantic
     * neighbor graph, threshold it, take connected components, keep one
@@ -3595,6 +3673,7 @@ object SimilarityOps {
     "semdedup_knn" -> (semdedupKnn _),
     "ann_lsh_occupancy" -> ((s: SparkSession, dir: String) =>
       annLshOccupancy(s, dir)),
+    "ann_band_plan" -> (annBandPlan _),
     "mmr_rerank" -> (mmrRerank _),
     "mmr_rerank_ann" -> (mmrRerankAnn _),
     "ann_hnsw_topk" -> ((s: SparkSession, dir: String) => annHnswTopk(s, dir)),
@@ -3637,6 +3716,7 @@ object SimilarityOps {
     "hnsw_tombstone_recall" -> hnswTombstoneRecallOracle,
     "semdedup_knn" -> semdedupKnnOracle,
     "ann_lsh_occupancy" -> annLshOccupancyOracle,
+    "ann_band_plan" -> annBandPlanOracle,
     "mmr_rerank" -> mmrRerankOracle,
     "mmr_rerank_ann" -> mmrRerankAnnOracle,
     "ann_hnsw_topk" -> annHnswTopkOracle,

@@ -821,6 +821,43 @@ class DedupOpsSpec extends AnyFunSuite {
       "distinct pairs below a single band's mass")
   }
 
+  test("ann_band_plan: per-config stats equal a driver recount off the " +
+      "8-bit banding; candidate mass non-increasing in bits; verdict " +
+      "definitional") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.{normalize, toDoubleArray}
+    val emb = graft.ops.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), normalize(toDoubleArray(col("embedding"))).as("v"))
+    val banded8 = SimilarityOps.hnswBanded(emb,
+      SimilarityOps.BandPlanBits, SimilarityOps.BandPlanBands)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    val got = SimilarityOps.annBandPlan(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(got.map(_._1).toSeq == (2 to SimilarityOps.BandPlanBits).toSeq)
+    got.foreach { case (bits, meanOcc, maxOcc, candPerBand, est, ok) =>
+      // independent recount: low-bits slice of the collected 8-bit ids
+      val occ = banded8.groupBy { case (band, b) =>
+        (band, b % (1L << bits))
+      }.view.mapValues(_.length.toLong).values.toSeq
+      val mean = occ.map(_.toDouble).sum / occ.length
+      assert(math.abs(meanOcc - math.rint(mean * 100) / 100) <= 0.011,
+        s"bits $bits mean_occ $meanOcc vs recount $mean")
+      assert(maxOcc == occ.max, s"bits $bits max_occ")
+      val mass = occ.map(c => c * (c - 1)).sum.toDouble /
+        SimilarityOps.BandPlanBands
+      assert(math.abs(candPerBand - math.rint(mass * 100) / 100) <= 0.011,
+        s"bits $bits cand_per_band $candPerBand vs recount $mass")
+      assert(math.abs(est - candPerBand * 20) <= 0.011,
+        s"bits $bits est_candidates not 20x cand_per_band")
+      assert(ok == (meanOcc <= SimilarityOps.BandPlanOccTarget),
+        s"bits $bits occ_ok not definitional")
+    }
+    // the knob's monotone direction: more bits can only shrink buckets
+    assert(got.map(_._4).sliding(2).forall(p => p(1) <= p(0) + 1e-9),
+      "candidate mass not non-increasing in bits")
+  }
+
   test("hnsw_tombstone_recall: one row per surviving query; tombstoned serving holds recall ≥ 0.8 at 10% deletion here") {
     val rows = SimilarityOps.hnswTombstoneRecall(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

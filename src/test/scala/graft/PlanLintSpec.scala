@@ -561,17 +561,21 @@ class PlanLintSpec extends AnyFunSuite {
                                   // (+sort)
       "curriculum_phases" -> 8,   // cutpoint agg + phase agg + 1-row
                                   // total (+sort); partials pre-AQE
-      "filter_agreement" -> 46,   // gopher + dsir + perplexity chains +
+      "filter_agreement" -> 58,   // gopher + dsir + perplexity chains +
                                   // the label artifact's inline closure
                                   // tail (unseeded plan-time bound; the
                                   // seam serves labels from parquet in
                                   // bench; r16 adds the ppl_tail leg)
-      "perplexity_filter" -> 10,  // bigram-model agg (+ its unigram
-                                  // re-agg) + per-doc score agg + 1-row
-                                  // cutpoint agg (+sort); partials and
-                                  // per-consumer re-plans pre-AQE
+      "perplexity_filter" -> 16,  // doc-bag agg + bigram-model agg
+                                  // (+ its unigram re-agg) + per-doc
+                                  // score agg + 1-row cutpoint agg
+                                  // (+sort); the bag agg plans per
+                                  // consumer pre-AQE (the dsir_weights
+                                  // note), runtime reuse collapses it
       "pack_sequences" -> 3,      // ONE shard-hash window exchange +
                                   // (shard,bin) agg riding it (+sort)
+      "ann_band_plan" -> 3,       // (bits,band,bucket) count + bits
+                                  // rollup (+sort) — joins-free
       "hnsw_tombstone_recall" -> 8) // the seam-fed beam's per-round
                                   // frontier distincts + the filtered
                                   // top-K window + the exact-survivor
