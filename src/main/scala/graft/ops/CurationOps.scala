@@ -2334,6 +2334,81 @@ object CurationOps {
        |FROM a GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
   }
 
+  /** Length-grouped batch packing — [[packSequences]]' fine-tuning-side
+    * twin (bucketed/length-grouped batching, the standard padded-batch
+    * minimizer in seq2seq and SFT pipelines): docs are grouped by
+    * EXACT capped token length, and each length class fills
+    * fixed-[[PackContextLen]]-token batches of ⌊L/ℓ⌋ same-length docs —
+    * zero intra-batch padding by construction, zero boundary
+    * truncation (only over-length docs are capped, as in
+    * packSequences), and the waste moves to per-batch SLACK
+    * L − ⌊L/ℓ⌋·ℓ < ℓ plus each class' partial last batch. The two
+    * packers are the trade a pipeline chooses between: greedy concat
+    * (truncation loss, maximal fill) vs length batches (no truncation,
+    * bounded slack) — their fill_ratio columns compare row-for-row.
+    *
+    * Scale shape: one narrow tokenize map; ONE window partitioned by
+    * (length class, [[PackShards]] md5 shard) — a bare length-class
+    * window would cap parallelism at ≤ L tasks however large the
+    * corpus, so classes sub-shard exactly as [[packSequences]] does
+    * (each shard is a writer's batch stream; same-length batches stay
+    * same-length under any sharding); one (class, shard, batch)-keyed
+    * aggregate. Deterministic via the md5 order, so batch membership
+    * is retry-idempotent.
+    */
+  def packLengthBatches(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = PackContextLen
+    val key = col("doc_id").cast("string")
+    val docs = TextOps.tokenCount(s, dir)
+      .select(col("doc_id"), col("ws_tokens").cast("long").as("len"))
+      .filter(col("len") > 0)
+      .select(col("doc_id"), col("len"),
+        least(col("len"), lit(L.toLong)).as("len_class"),
+        md5Bucket(key, PackShards).as("shard"),
+        md5(key).as("okey"))
+    val w = Window.partitionBy(col("len_class"), col("shard"))
+      .orderBy(col("okey"), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("batch",
+        ((col("rk") - 1) / floor(lit(L.toLong) / col("len_class")))
+          .cast("long"))
+      .groupBy(col("len_class"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len_class")).as("fill_tokens"),
+        round(sum(col("len_class")) / lit(L.toDouble), 6).as("fill_ratio"),
+        sum(col("len") - col("len_class")).as("trunc_tokens"))
+      .orderBy("len_class", "shard", "batch")
+  }
+
+  val packLengthBatchesOracle: String = {
+    val L = PackContextLen
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(ws_tokens AS BIGINT) AS len
+       |  FROM (${TextOps.tokenCountOracle}) WHERE ws_tokens > 0),
+       |o AS (
+       |  SELECT doc_id, len, least(len, $L) AS len_class,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |           % $PackShards AS shard,
+       |         md5(CAST(doc_id AS VARCHAR)) AS okey
+       |  FROM tok),
+       |r AS (
+       |  SELECT doc_id, len, len_class, shard,
+       |         row_number() OVER (PARTITION BY len_class, shard
+       |           ORDER BY okey, doc_id) AS rk
+       |  FROM o),
+       |a AS (
+       |  SELECT len_class, shard,
+       |         (rk - 1) // ($L // len_class) AS batch, len
+       |  FROM r)
+       |SELECT len_class, shard, batch, count(*) AS n_docs,
+       |       CAST(count(*) * len_class AS BIGINT) AS fill_tokens,
+       |       round(count(*) * len_class / $L.0, 6) AS fill_ratio,
+       |       CAST(sum(len - len_class) AS BIGINT) AS trunc_tokens
+       |FROM a GROUP BY 1, 2, 3 ORDER BY len_class, shard, batch""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> ((s: SparkSession, dir: String) => kAnonymity(s, dir)),
     "doc_lineage" -> (docLineage _),
@@ -2366,7 +2441,8 @@ object CurationOps {
     "cluster_quota_sample" -> (clusterQuotaSample _),
     "curriculum_phases" -> (curriculumPhases _),
     "perplexity_filter" -> (perplexityFilter _),
-    "pack_sequences" -> (packSequences _))
+    "pack_sequences" -> (packSequences _),
+    "pack_length_batches" -> (packLengthBatches _))
 
   val oracles: Map[String, String] = Map(
     "k_anonymity" -> kAnonymityOracle,
@@ -2400,5 +2476,6 @@ object CurationOps {
     "cluster_quota_sample" -> clusterQuotaSampleOracle,
     "curriculum_phases" -> curriculumPhasesOracle,
     "perplexity_filter" -> perplexityFilterOracle,
-    "pack_sequences" -> packSequencesOracle)
+    "pack_sequences" -> packSequencesOracle,
+    "pack_length_batches" -> packLengthBatchesOracle)
 }

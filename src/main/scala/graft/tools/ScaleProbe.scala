@@ -109,9 +109,13 @@ object ScaleProbe {
     val results = scala.collection.mutable.Map
       .empty[(String, String), Double]
     dirs.foreach { case (label, dir) =>
-      println(s"[scale] seeding seams at $label")
-      val tSeed = time(seedAll(spark, dir))
-      println(f"[scale] $label seeds $tSeed%8.2f s")
+      // seams cost ~190 s at sf1 — skippable when the probed queries
+      // touch none of them (e.g. the text/packing family)
+      if (!sys.env.contains("SPARK_GRAFT_SCALE_NOSEED")) {
+        println(s"[scale] seeding seams at $label")
+        val tSeed = time(seedAll(spark, dir))
+        println(f"[scale] $label seeds $tSeed%8.2f s")
+      }
       names.foreach { n =>
         val q = graft.SparkEntry.queries(n)
         val cold = time(sink(q(spark, dir)))

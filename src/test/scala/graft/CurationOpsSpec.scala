@@ -1017,6 +1017,60 @@ class CurationOpsSpec extends AnyFunSuite {
       "interior rows poorly filled — packing degenerate")
   }
 
+  test("pack_length_batches: replay matches, full batches hold exactly " +
+      "floor(L/len) docs, truncation strictly the over-length cap") {
+    import org.apache.spark.sql.functions.col
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val L = CurationOps.PackContextLen.toLong
+    val lens = graft.ops.TextOps.tokenCount(spark, dir)
+      .select(col("doc_id"), col("ws_tokens").cast("long").as("len"))
+      .filter(col("len") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = lens
+      .map { case (id, len) =>
+        val h = md5hex(id)
+        (math.min(len, L),
+          java.lang.Long.parseLong(h.substring(0, 15), 16) %
+            CurationOps.PackShards, h, id, len)
+      }
+      .groupBy(t => (t._1, t._2)).iterator.flatMap { case ((cls, sh), ds) =>
+        val k = L / cls
+        ds.sortBy(d => (d._3, d._4)).zipWithIndex.map {
+          case ((_, _, _, _, len), i) => (cls, sh, i / k, len)
+        }
+      }.toSeq
+      .groupBy(t => (t._1, t._2, t._3)).map { case ((cls, sh, b), rows) =>
+        (cls, sh, b, rows.length.toLong, rows.length * cls,
+          rows.map(_._4 - cls).sum)
+      }.toSet
+    val got = CurationOps.packLengthBatches(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6)))
+    assert(got.toSet == expected, "batches differ from the length replay")
+    // full batches: exactly floor(L/len) docs, fill ≤ L, and NO padding
+    // (same-length by construction — fill_tokens = n·len exactly)
+    val byGroup = got.groupBy(t => (t._1, t._2))
+    byGroup.foreach { case ((cls, sh), bs) =>
+      val k = L / cls
+      val maxB = bs.map(_._3).max
+      bs.foreach { case (_, _, b, n, fill, _) =>
+        assert(fill == n * cls, s"class $cls/$sh batch $b padded?")
+        assert(fill <= L, s"class $cls/$sh batch $b overfilled")
+        if (b < maxB) assert(n == k, s"class $cls/$sh interior batch not full")
+      }
+    }
+    // the trade vs greedy concat: length batching never truncates at a
+    // boundary, so its total truncation (over-length cap only) is ≤
+    // pack_sequences' (cap + boundary)
+    val greedyTrunc = CurationOps.packSequences(spark, dir).collect()
+      .map(_.getLong(5)).sum
+    assert(got.map(_._6).sum <= greedyTrunc,
+      "length batching truncated more than greedy concat")
+  }
+
   test("cluster_quota_sample: per-cluster counts capped at the quota, " +
       "order matches the md5 draw, deterministic across constructions") {
     def md5hex(id: Long): String = {

@@ -576,6 +576,8 @@ class PlanLintSpec extends AnyFunSuite {
                                   // (shard,bin) agg riding it (+sort)
       "ann_band_plan" -> 3,       // (bits,band,bucket) count + bits
                                   // rollup (+sort) — joins-free
+      "pack_length_batches" -> 3, // ONE length-class window exchange +
+                                  // (class,batch) agg riding it (+sort)
       "hnsw_tombstone_recall" -> 8) // the seam-fed beam's per-round
                                   // frontier distincts + the filtered
                                   // top-K window + the exact-survivor
