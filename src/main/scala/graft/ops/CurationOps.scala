@@ -2250,17 +2250,39 @@ object CurationOps {
   /** Per-doc packing assignment behind [[packSequences]] — exposed for
     * the spec's pure-Scala sequential replay of one shard.
     */
-  private[graft] def packAssignments(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val L = PackContextLen
+  /** The packers' shared doc-prep: positive whitespace-token lengths,
+    * the md5 shard/order draw, and the [[PackContextLen]] cap — ONE
+    * definition so the two packers' rows stay comparable row-for-row
+    * (r16 review; the md5Long lesson applied to the packing family).
+    */
+  private def packDocs(s: SparkSession, dir: String): DataFrame = {
     val key = col("doc_id").cast("string")
-    val docs = TextOps.tokenCount(s, dir)
+    TextOps.tokenCount(s, dir)
       .select(col("doc_id"), col("ws_tokens").cast("long").as("len"))
       .filter(col("len") > 0)
       .select(col("doc_id"), col("len"),
         md5Bucket(key, PackShards).as("shard"),
         md5(key).as("okey"),
-        least(col("len"), lit(L.toLong)).as("capped"))
+        least(col("len"), lit(PackContextLen.toLong)).as("capped"))
+  }
+
+  /** The packers' shared doc-prep as the oracle CTEs `tok`/`o`. */
+  private def packDocsOracleCte: String =
+    s"""tok AS (
+       |  SELECT doc_id, CAST(ws_tokens AS BIGINT) AS len
+       |  FROM (${TextOps.tokenCountOracle}) WHERE ws_tokens > 0),
+       |o AS (
+       |  SELECT doc_id, len,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |           % $PackShards AS shard,
+       |         md5(CAST(doc_id AS VARCHAR)) AS okey,
+       |         least(len, $PackContextLen) AS capped
+       |  FROM tok)""".stripMargin
+
+  private[graft] def packAssignments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = PackContextLen
+    val docs = packDocs(s, dir)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("okey"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2308,16 +2330,7 @@ object CurationOps {
 
   val packSequencesOracle: String = {
     val L = PackContextLen
-    s"""WITH tok AS (
-       |  SELECT doc_id, CAST(ws_tokens AS BIGINT) AS len
-       |  FROM (${TextOps.tokenCountOracle}) WHERE ws_tokens > 0),
-       |o AS (
-       |  SELECT doc_id, len,
-       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-       |           % $PackShards AS shard,
-       |         md5(CAST(doc_id AS VARCHAR)) AS okey,
-       |         least(len, $L) AS capped
-       |  FROM tok),
+    s"""WITH $packDocsOracleCte,
        |w AS (
        |  SELECT doc_id, shard, len, capped,
        |         sum(capped) OVER (PARTITION BY shard ORDER BY okey, doc_id
@@ -2359,14 +2372,8 @@ object CurationOps {
   def packLengthBatches(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = PackContextLen
-    val key = col("doc_id").cast("string")
-    val docs = TextOps.tokenCount(s, dir)
-      .select(col("doc_id"), col("ws_tokens").cast("long").as("len"))
-      .filter(col("len") > 0)
-      .select(col("doc_id"), col("len"),
-        least(col("len"), lit(L.toLong)).as("len_class"),
-        md5Bucket(key, PackShards).as("shard"),
-        md5(key).as("okey"))
+    val docs = packDocs(s, dir)
+      .withColumnRenamed("capped", "len_class")
     val w = Window.partitionBy(col("len_class"), col("shard"))
       .orderBy(col("okey"), col("doc_id"))
     docs
@@ -2384,18 +2391,10 @@ object CurationOps {
 
   val packLengthBatchesOracle: String = {
     val L = PackContextLen
-    s"""WITH tok AS (
-       |  SELECT doc_id, CAST(ws_tokens AS BIGINT) AS len
-       |  FROM (${TextOps.tokenCountOracle}) WHERE ws_tokens > 0),
-       |o AS (
-       |  SELECT doc_id, len, least(len, $L) AS len_class,
-       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-       |           % $PackShards AS shard,
-       |         md5(CAST(doc_id AS VARCHAR)) AS okey
-       |  FROM tok),
+    s"""WITH $packDocsOracleCte,
        |r AS (
-       |  SELECT doc_id, len, len_class, shard,
-       |         row_number() OVER (PARTITION BY len_class, shard
+       |  SELECT doc_id, len, capped AS len_class, shard,
+       |         row_number() OVER (PARTITION BY capped, shard
        |           ORDER BY okey, doc_id) AS rk
        |  FROM o),
        |a AS (

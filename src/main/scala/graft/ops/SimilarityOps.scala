@@ -808,14 +808,20 @@ object SimilarityOps {
     * joins; costs less than any build it plans.
     */
   def annBandPlan(s: SparkSession, dir: String): DataFrame = {
-    val banded = hnswBanded(embeddings(s, dir), BandPlanBits, BandPlanBands)
-    val occ = banded
-      .select(col("band"), col("bucket"),
+    // aggregate the 8-bit occupancy FIRST (corpus -> <= bands*2^8 rows),
+    // THEN fan out the 7 configs over that tiny table — exploding the
+    // corpus-scale banded rows 7x before the first aggregate paid 7x
+    // the map-side work for identical stats (r16 review)
+    val occ8 = hnswBanded(embeddings(s, dir), BandPlanBits, BandPlanBands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("c8"))
+    val occ = occ8
+      .select(col("band"), col("bucket"), col("c8"),
         explode(array((2 to BandPlanBits).map(lit): _*)).as("bits"))
       .select(col("bits"), col("band"),
-        expr("pmod(bucket, shiftleft(1, bits))").as("kb"))
+        expr("pmod(bucket, shiftleft(1, bits))").as("kb"), col("c8"))
       .groupBy(col("bits"), col("band"), col("kb"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c8")).as("c"))
     occ.groupBy(col("bits"))
       .agg(
         round(avg(col("c")), 2).as("mean_occ"),
@@ -832,9 +838,11 @@ object SimilarityOps {
   val annBandPlanOracle: String =
     s"""WITH ${signLshBucketsOracleCte(BandPlanBits, BandPlanBands)},
        |ks AS (SELECT k FROM unnest(generate_series(2, $BandPlanBits)) t(k)),
+       |occ8 AS (
+       |  SELECT band, bucket, count(*) AS c8 FROM bb GROUP BY 1, 2),
        |occ AS (
-       |  SELECT k, band, bucket % (1 << k) AS kb, count(*) AS c
-       |  FROM bb, ks GROUP BY 1, 2, 3),
+       |  SELECT k, band, bucket % (1 << k) AS kb, sum(c8) AS c
+       |  FROM occ8, ks GROUP BY 1, 2, 3),
        |per AS (
        |  SELECT CAST(k AS INT) AS bits,
        |         round(avg(c), 2) AS mean_occ,

@@ -848,8 +848,8 @@ class DedupOpsSpec extends AnyFunSuite {
         SimilarityOps.BandPlanBands
       assert(math.abs(candPerBand - math.rint(mass * 100) / 100) <= 0.011,
         s"bits $bits cand_per_band $candPerBand vs recount $mass")
-      assert(math.abs(est - candPerBand * 20) <= 0.011,
-        s"bits $bits est_candidates not 20x cand_per_band")
+      assert(math.abs(est - candPerBand * SimilarityOps.KnnBands) <= 0.011,
+        s"bits $bits est_candidates not KnnBands x cand_per_band")
       assert(ok == (meanOcc <= SimilarityOps.BandPlanOccTarget),
         s"bits $bits occ_ok not definitional")
     }

@@ -574,8 +574,11 @@ class PlanLintSpec extends AnyFunSuite {
                                   // note), runtime reuse collapses it
       "pack_sequences" -> 3,      // ONE shard-hash window exchange +
                                   // (shard,bin) agg riding it (+sort)
-      "ann_band_plan" -> 3,       // (bits,band,bucket) count + bits
-                                  // rollup (+sort) — joins-free
+      "ann_band_plan" -> 4,       // 8-bit (band,bucket) occupancy agg +
+                                  // (bits,band,kb) rollup over that
+                                  // bounded table + bits agg (+sort) —
+                                  // joins-free; the corpus is touched
+                                  // by exactly ONE aggregate
       "pack_length_batches" -> 3, // ONE length-class window exchange +
                                   // (class,batch) agg riding it (+sort)
       "hnsw_tombstone_recall" -> 8) // the seam-fed beam's per-round
