@@ -2306,7 +2306,8 @@ object CurationOps {
     * left as row slack so every assignment is a pure function of the
     * PREFIX SUM — no sequential state, no recursion. Output is the
     * per-row audit a training job reads: docs per row, fill tokens,
-    * fill ratio (the packing-efficiency headline), and truncation
+    * fill ppm (the packing-efficiency headline, as an exact integer
+    * parts-per-million), and truncation
     * loss; first-fit-decreasing / histogram packing (Krell et al.
     * 2021) are the optimization path when the measured fill ratio
     * isn't acceptable.
@@ -2323,7 +2324,14 @@ object CurationOps {
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("kept")).as("fill_tokens"),
-        round(sum(col("kept")) / lit(L.toDouble), 6).as("fill_ratio"),
+        // fill as EXACT integer parts-per-million, never a rounded
+        // DOUBLE: kept/L is always a multiple of 1/L, and at L=512
+        // the values k ≡ 4 (mod 8) land exactly on a .5 µ boundary —
+        // the engine/oracle then disagree per their doubles' rounding,
+        // which is the r16 red-row class (CORRECTNESS_r16
+        // pack_sequences hash-fail; environment-sensitive, so the
+        // gate can pass locally and fail on the driver's DuckDB)
+        expr(s"sum(kept) * 1000000L div ${L}L").as("fill_ppm"),
         sum(col("len") - col("kept")).as("trunc_tokens"))
       .orderBy("shard", "bin")
   }
@@ -2342,7 +2350,7 @@ object CurationOps {
        |  FROM w)
        |SELECT shard, bin, count(*) AS n_docs,
        |       CAST(sum(kept) AS BIGINT) AS fill_tokens,
-       |       round(sum(kept) / $L.0, 6) AS fill_ratio,
+       |       CAST(sum(kept) * 1000000 // $L AS BIGINT) AS fill_ppm,
        |       CAST(sum(len - kept) AS BIGINT) AS trunc_tokens
        |FROM a GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
   }
@@ -2358,7 +2366,7 @@ object CurationOps {
     * L − ⌊L/ℓ⌋·ℓ < ℓ plus each class' partial last batch. The two
     * packers are the trade a pipeline chooses between: greedy concat
     * (truncation loss, maximal fill) vs length batches (no truncation,
-    * bounded slack) — their fill_ratio columns compare row-for-row.
+    * bounded slack) — their fill_ppm columns compare row-for-row.
     *
     * Scale shape: one narrow tokenize map; ONE window partitioned by
     * (length class, [[PackShards]] md5 shard) — a bare length-class
@@ -2384,7 +2392,10 @@ object CurationOps {
       .groupBy(col("len_class"), col("shard"), col("batch"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("len_class")).as("fill_tokens"),
-        round(sum(col("len_class")) / lit(L.toDouble), 6).as("fill_ratio"),
+        // exact integer ppm, same reasoning as packSequences: this
+        // packer had the identical round(x/L, 6) exposure and passed
+        // r16 only by luck of its values
+        expr(s"sum(len_class) * 1000000L div ${L}L").as("fill_ppm"),
         sum(col("len") - col("len_class")).as("trunc_tokens"))
       .orderBy("len_class", "shard", "batch")
   }
@@ -2403,7 +2414,8 @@ object CurationOps {
        |  FROM r)
        |SELECT len_class, shard, batch, count(*) AS n_docs,
        |       CAST(count(*) * len_class AS BIGINT) AS fill_tokens,
-       |       round(count(*) * len_class / $L.0, 6) AS fill_ratio,
+       |       CAST(count(*) * len_class * 1000000 // $L AS BIGINT)
+       |         AS fill_ppm,
        |       CAST(sum(len - len_class) AS BIGINT) AS trunc_tokens
        |FROM a GROUP BY 1, 2, 3 ORDER BY len_class, shard, batch""".stripMargin
   }

@@ -538,12 +538,17 @@ object SimilarityOps {
           .as("n_damaged_edges"))
     nodeAgg.crossJoin(broadcast(edgeAgg))
       .select(col("n_nodes"), col("n_dead"),
-        round(col("n_dead") / col("n_nodes"), 6).as("tomb_frac"),
+        // exact integer ppm, not round(int/int, 6) DOUBLEs: integer
+        // ratios can land exactly on a .5 µ rounding boundary, where
+        // the engine and the oracle disagree per their doubles'
+        // rounding (the r16 pack_sequences red-row class — swept out
+        // of the registry at r17)
+        expr("n_dead * 1000000L div n_nodes").as("tomb_ppm"),
         col("n_live_edges"), col("n_damaged_edges"),
-        round(col("n_damaged_edges") / col("n_live_edges"), 6)
-          .as("damage_frac"),
-        round(lit(1.0) - col("n_damaged_edges") / col("n_live_edges"), 6)
-          .as("recall_proxy"))
+        expr("n_damaged_edges * 1000000L div n_live_edges")
+          .as("damage_ppm"),
+        expr("(n_live_edges - n_damaged_edges) * 1000000L div n_live_edges")
+          .as("recall_ppm"))
   }
 
   /** The same lists, the same two audits, restated over the shared
@@ -577,11 +582,12 @@ object SimilarityOps {
        |           AS BIGINT) AS n_damaged_edges
        |  FROM lists WHERE node % 10 <> 3)
        |SELECT n_nodes, n_dead,
-       |       round(n_dead / n_nodes, 6) AS tomb_frac,
+       |       CAST(n_dead * 1000000 // n_nodes AS BIGINT) AS tomb_ppm,
        |       n_live_edges, n_damaged_edges,
-       |       round(n_damaged_edges / n_live_edges, 6) AS damage_frac,
-       |       round(1.0 - n_damaged_edges / n_live_edges, 6)
-       |         AS recall_proxy
+       |       CAST(n_damaged_edges * 1000000 // n_live_edges AS BIGINT)
+       |         AS damage_ppm,
+       |       CAST((n_live_edges - n_damaged_edges) * 1000000
+       |         // n_live_edges AS BIGINT) AS recall_ppm
        |FROM nodes, edges""".stripMargin
 
   /** Mutual-kNN graph with shared-neighbor strength (r15 — the SNN

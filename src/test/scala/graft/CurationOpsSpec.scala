@@ -1002,8 +1002,10 @@ class CurationOpsSpec extends AnyFunSuite {
     val full = CurationOps.packSequences(spark, dir).collect()
     full.foreach { r =>
       assert(r.getLong(3) <= L, s"row overfilled: $r")
-      assert(math.abs(r.getDouble(4) - r.getLong(3).toDouble / L) <= 5.1e-7,
-        "fill_ratio not definitional (6-dp rounding half-width)")
+      // exact integer ppm — definitional floor division, no rounding
+      // half-width slack (the r16 red-row class is gone by construction)
+      assert(r.getLong(4) == r.getLong(3) * 1000000L / L,
+        "fill_ppm not definitional")
     }
     // kept + truncated == original token mass (nothing lost untracked)
     assert(full.map(r => r.getLong(3) + r.getLong(5)).sum ==

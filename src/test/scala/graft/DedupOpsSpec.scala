@@ -731,21 +731,22 @@ class DedupOpsSpec extends AnyFunSuite {
     def del(id: Long) = id % 10 == 3
     val nodes = lists.map(_._1).distinct
     val live = lists.filter(p => !del(p._1))
-    def r6(x: Double) =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // exact integer ppm (floor division) — definitional, no rounding
+    // mode in play (the r16 round(int/int, 6) red-row class)
+    def ppm(num: Long, den: Long): Long = num * 1000000L / den
     val row = SimilarityOps.knnDamageStats(spark, dir).collect()
     assert(row.length == 1)
     val r = row(0)
     assert(r.getLong(0) == nodes.length && r.getLong(1) == nodes.count(del))
-    assert(r.getDouble(2) == r6(nodes.count(del).toDouble / nodes.length))
+    assert(r.getLong(2) == ppm(nodes.count(del), nodes.length))
     assert(r.getLong(3) == live.length &&
       r.getLong(4) == live.count(p => del(p._2)))
-    val damage = live.count(p => del(p._2)).toDouble / live.length
-    assert(r.getDouble(5) == r6(damage))
-    assert(r.getDouble(6) == r6(1.0 - damage))
+    val nDam = live.count(p => del(p._2)).toLong
+    assert(r.getLong(5) == ppm(nDam, live.length))
+    assert(r.getLong(6) == ppm(live.length - nDam, live.length))
     // the audit must actually see damage at this delete family — the
     // trigger calibration is not vacuous
-    assert(r.getDouble(2) > 0.0 && r.getDouble(5) > 0.0)
+    assert(r.getLong(2) > 0L && r.getLong(5) > 0L)
   }
 
   test("knn_mutual: pairs and SNN strengths equal a driver-side recompute from the knn_join artifact") {
