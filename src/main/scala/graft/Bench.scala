@@ -62,8 +62,17 @@ object Bench {
     * records are the builder's quiet-box full lines, so the baseline is
     * the LEAST noise-inflated prior reading available. Skipped entirely
     * (empty map) when the record's sf differs from this run's.
+    *
+    * Round scoping (ADVICE r16): with no further hint the baseline is
+    * the last committed CLOSE — during a round's own close sequence
+    * that is the same round's earlier reading, so the signal is
+    * drift-vs-last-close, not strictly vs the prior round (creep
+    * landing between a close and its final record re-baselines
+    * itself). Set SPARK_GRAFT_BENCH_ROUND=<N> to exclude round N's own
+    * records and measure true cross-round drift.
     */
   private[graft] def loadPrevRound(sfDir: String): Map[String, Double] = {
+    val maxRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt)
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
     val path: Option[java.nio.file.Path] = explicit match {
       case Some(p) => Some(java.nio.file.Paths.get(p))
@@ -85,7 +94,11 @@ object Bench {
                     if (g == null || g.isEmpty) 0 else g.toInt
                   ((m.group(1).toInt, n(m.group(2)), n(m.group(3))), f)
                 }
-              }.toSeq.maxByOption(_._1).map(_._2)
+              }
+              // exclude the running round's own close records when the
+              // round number is provided (ADVICE r16)
+              .filter(e => maxRound.forall(e._1._1 < _))
+              .toSeq.maxByOption(_._1).map(_._2)
           } finally listing.close()
         } catch { case e: Throwable =>
           System.err.println(
@@ -111,13 +124,26 @@ object Bench {
           val qIdx = txt.indexOf("\"queries\"")
           if (qIdx < 0) Map.empty
           else {
+            // format coupling (ADVICE r16): this reader assumes the
+            // writer below — a FLAT "queries" object, first '}' after
+            // the key closes it, no nested values. A nested value or a
+            // number-shaped key before the map would silently truncate
+            // or pollute the baseline, so a shape floor guards it: a
+            // real close record carries the full registry (hundreds of
+            // entries); anything tiny is a parse gone wrong.
             val body = txt.substring(qIdx, txt.indexOf("}", qIdx) + 1)
             val qs = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
               .findAllMatchIn(body)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
-            System.err.println(
-              s"[bench] drift baseline: $p (${qs.size} queries)")
-            qs
+            if (qs.size < 50) {
+              System.err.println(s"[bench] drift baseline at $p parsed " +
+                s"only ${qs.size} queries — shape mismatch, detector off")
+              Map.empty
+            } else {
+              System.err.println(
+                s"[bench] drift baseline: $p (${qs.size} queries)")
+              qs
+            }
           }
         }
       } catch { case e: Throwable =>
@@ -156,6 +182,11 @@ object Bench {
       .format("noop").mode("overwrite").save()
     // the incremental-dedup query reads a store seeded OUTSIDE the query
     // builder (construction is pure — VERDICT r2 #5)
+    // Seed time is measured and reported (`seed_sec`, VERDICT r16 #5 —
+    // the aggregate-creep audit): it is bench WALL, paid once before any
+    // query timing, and the one block whose cost grows with the seam
+    // count rather than the query count.
+    val tSeed0 = System.nanoTime()
     graft.ops.IncrementalDedup.seedQueryStore(spark, sfDir)
     // materialize the co-purchase edge list once for the whole graph
     // family (the production materialized-table analog — GraphEdges doc);
@@ -166,6 +197,9 @@ object Bench {
     graft.ops.SparseIndex.seed(spark, sfDir)
     graft.ops.HnswIndex.seed(spark, sfDir)
     graft.ops.KnnLists.seed(spark, sfDir)
+    val seedSec = (System.nanoTime() - tSeed0) / 1e9
+    System.err.println(f"[bench] seam seeding: $seedSec%.2f s")
+    val tRun0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failing query must NOT report its elapsed-to-exception time — a
       // broken query would read as a perf improvement; -1 marks failure
@@ -298,8 +332,13 @@ object Bench {
     val driftJson = drift.toSeq.sortBy(_._1)
       .map { case (k, (p, m)) => "\"" + k + s"\":[${f3(p)},${f3(m)}]" }
       .mkString("{", ",", "}")
+    // creep forensics (VERDICT r16 #5): seed_sec is the pre-timing seam
+    // cost, run_sec the wall across all warm-ups + reps — `value` only
+    // sums reported medians, so run_sec/value exposes how much wall the
+    // untimed warm-ups and rep spread actually cost on this box
+    val runSec = (System.nanoTime() - tRun0) / 1e9
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"contended":$contendedJson,"above_floor":$aboveFloorJson,"vs_prev_round":$driftJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"contended":$contendedJson,"above_floor":$aboveFloorJson,"vs_prev_round":$driftJson,"seed_sec":${f3(seedSec)},"run_sec":${f3(runSec)},"sf":"$sfDir"}"""
     // the full line above still grows with the query count; this one never
     // does (~90 bytes). Printed LAST so any tail window, however small,
     // captures a complete parseable record; the full per-query map is in the

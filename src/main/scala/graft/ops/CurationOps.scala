@@ -1953,8 +1953,13 @@ object CurationOps {
     val cells = ruleFail
       .join(dropped.withColumn("dedup_drop", lit(true)), Seq("doc_id"), "left")
       .withColumn("dedup_drop", coalesce(col("dedup_drop"), lit(false)))
+      // left join like the ppl leg (ADVICE r16): dsirWeights scores
+      // only tokenizable docs, so a zero-token doc is absent there —
+      // it counts as not-selected rather than silently vanishing from
+      // the audit (the 'cells partition the corpus' invariant)
       .join(dsirWeights(s, dir).select(col("doc_id"), col("selected")),
-        "doc_id")
+        Seq("doc_id"), "left")
+      .withColumn("selected", coalesce(col("selected"), lit(false)))
       // the CCNet leg (r16): left join — a doc too short to score
       // (< 2 tokens, absent from the ppl output) counts as not-tail
       .join(perplexityFilter(s, dir)
@@ -1968,7 +1973,8 @@ object CurationOps {
     cells.crossJoin(broadcast(tot))
       .select(col("rule_fail"), col("dedup_drop"), col("selected"),
         col("ppl_tail"), col("n_docs"), col("n_tokens"),
-        round(col("n_docs") / col("total_docs"), 6).as("share"))
+        // exact integer ppm, not round(int/int, 6) — the r16 red-row class
+        expr("n_docs * 1000000L div total_docs").as("share_ppm"))
       .orderBy("rule_fail", "dedup_drop", "selected", "ppl_tail")
   }
 
@@ -1988,15 +1994,15 @@ object CurationOps {
        |cells AS (
        |  SELECT rule_fail,
        |         (g.doc_id IN (SELECT doc_id FROM drops)) AS dedup_drop,
-       |         selected,
+       |         coalesce(selected, FALSE) AS selected,
        |         coalesce(ppl_tail, FALSE) AS ppl_tail,
        |         count(*) AS n_docs,
        |         CAST(sum(ws_tokens) AS BIGINT) AS n_tokens
-       |  FROM g JOIN d USING (doc_id) LEFT JOIN p USING (doc_id)
+       |  FROM g LEFT JOIN d USING (doc_id) LEFT JOIN p USING (doc_id)
        |  GROUP BY 1, 2, 3, 4),
        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM cells)
        |SELECT rule_fail, dedup_drop, selected, ppl_tail, n_docs, n_tokens,
-       |       round(n_docs / CAST(total_docs AS DOUBLE), 6) AS share
+       |       CAST(n_docs * 1000000 // total_docs AS BIGINT) AS share_ppm
        |FROM cells, tot
        |ORDER BY rule_fail, dedup_drop, selected, ppl_tail""".stripMargin
 

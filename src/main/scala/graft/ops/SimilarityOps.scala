@@ -22,16 +22,79 @@ object SimilarityOps {
   private[graft] val K = 5
   private val NQueries = 10
 
-  /** The 4×20 search-banding config (r15 — named so the streaming
+  /** The 4×20 GATE banding config (r15 — named so the streaming
     * maintainer [[graft.streaming.StreamingKnn]], the batch builds, AND
     * every oracle SQL string can never silently de-align, the HnswIndex
     * constant-hoist lesson): the `ann_sign_lsh` OR-construction the
     * whole knn family rides — every consumer (Spark side and
     * `signLshBucketsOracleCte` interpolation alike) references these
-    * two names, so a retune moves all of them together.
+    * two names, so a retune moves all of them together. Since r17 this
+    * pair is the CLAMP FLOOR of the occupancy-derived default
+    * ([[bitsFor]]/[[bandsFor]]): at the gate corpora the derived config
+    * equals it exactly (oracle parity), and it only scales up from
+    * here.
     */
   private[graft] val KnnBitsPerBand = 4
   private[graft] val KnnBands = 20
+
+  /** Upper clamp for [[bitsFor]]: 24 bits = 16.7M buckets per band holds
+    * the [[BandPlanOccTarget]] occupancy up to ~2.7B vectors — beyond
+    * any single-table corpus this engine would band in one pass. Plane
+    * cost is linear in bits (bits × bands dots per vector), so the clamp
+    * is a sanity bound, not a cost cliff.
+    */
+  private[graft] val MaxAutoBits = 24
+
+  /** Occupancy-derived bits-per-band — the r16 sf1 scaling finding made
+    * the DEFAULT (VERDICT r16 #1). At fixed buckets the bucket cogroup's
+    * candidate mass Σ c·(c−1) grows ∝ n² (the probe measured the knn
+    * builds ×20–37 at the ×10 step, `scripts/probe_r16_scale.log`);
+    * holding mean occupancy at [[BandPlanOccTarget]] keeps it ∝ n
+    * (measured: bits=7 cut the sf1 build 180.9 → 16.3 s). So:
+    * bits = ⌈log2(n / target)⌉, clamped to
+    * [[[KnnBitsPerBand]], [[MaxAutoBits]]].
+    *
+    * The clamp FLOOR is the oracle-parity invariant: at every gate
+    * corpus (sf0.001/0.01: 500 vectors, sf0.1: 2000) the derived value
+    * IS the pinned [[KnnBitsPerBand]] — n ≤ 2^4·target — so every
+    * oracle SQL interpolating the constant stays value-exact while any
+    * larger corpus gets the scaled config automatically
+    * (BandingDefaultSpec pins the equality at the gate sizes and the
+    * =7 value at the 20k-vector probe size BandScaleProbe measured).
+    * Recall lost to finer buckets is bought back with BANDS (linear),
+    * never occupancy (quadratic) — [[bandsFor]].
+    */
+  private[graft] def bitsFor(n: Long): Int = {
+    val raw =
+      if (n <= BandPlanOccTarget) 0
+      else math.ceil(math.log(n / BandPlanOccTarget) / math.log(2.0)).toInt
+    math.max(KnnBitsPerBand, math.min(MaxAutoBits, raw))
+  }
+
+  /** Band count paired with [[bitsFor]]: the shipped [[KnnBands]] at the
+    * gate config, doubled once the banding leaves it (bits > floor).
+    * Rationale is the measured sf1 recall ladder (BASELINE.md r17 —
+    * BandScaleProbe): at 20k vectors, bits=7×20 bands holds pair recall
+    * 0.62 vs the bits=4 lists while 7×40 holds 0.85 at still-linear
+    * cost; per-band collision probability falls geometrically with
+    * bits, so the OR-construction needs more draws, and bands are the
+    * linear-cost knob the production rule buys recall with.
+    */
+  private[graft] def bandsFor(bits: Int): Int =
+    if (bits <= KnnBitsPerBand) KnnBands else KnnBands * 2
+
+  /** Per-(session, corpus) memo of [[bitsFor]] over the embeddings row
+    * count — one count() per corpus per session (the same
+    * amortization contract as the [[SessionSeam]] materializations),
+    * so per-query derivation never re-scans.
+    */
+  private val corpusBits =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+
+  private[graft] def derivedBits(s: SparkSession, dir: String): Int =
+    corpusBits.computeIfAbsent((s, dir),
+      _ => Integer.valueOf(bitsFor(
+        Tables(s, dir, "embeddings").count()))).intValue()
 
   /** The SemDeDup edge threshold (r15 — named for the same reason as the
     * banding constants above: [[semdedupKnn]], its oracle, AND the
@@ -228,8 +291,10 @@ object SimilarityOps {
     * candidate
     * volume tunes with (bitsPerBand, bands) per corpus similarity profile.
     */
-  def annSignLsh(s: SparkSession, dir: String): DataFrame =
-    annSignLsh(s, dir, bitsPerBand = KnnBitsPerBand, bands = KnnBands)
+  def annSignLsh(s: SparkSession, dir: String): DataFrame = {
+    val bits = derivedBits(s, dir)
+    annSignLsh(s, dir, bitsPerBand = bits, bands = bandsFor(bits))
+  }
 
   def annSignLsh(s: SparkSession, dir: String,
       bitsPerBand: Int, bands: Int): DataFrame = {
@@ -288,7 +353,9 @@ object SimilarityOps {
     * building block SemDeDup-style semantic dedup and kNN-LM pipelines
     * actually run, and what [[semdedup]] only did implicitly inside its
     * within-cluster pass. Candidate generation is the [[annSignLsh]]
-    * OR-construction at the same 4×20 banding (measured query recall
+    * OR-construction at the occupancy-derived banding ([[bitsFor]] ×
+    * [[bandsFor]] — the gate 4×20 at gate corpus sizes, scaled buckets
+    * beyond; measured query recall
     * 0.94–0.96 on this corpus): every pair cohabiting ANY band bucket is
     * exact-cosine scored once per orientation, then each node keeps its
     * top-K by (cos DESC, neighbor). Self-join recall vs the exact
@@ -310,8 +377,10 @@ object SimilarityOps {
     * and its honest cost stays bench-visible through
     * [[incrementalKnn]] / [[knnDeleteRepair]], which rebuild by design.
     */
-  def knnJoin(s: SparkSession, dir: String): DataFrame =
-    knnJoin(s, dir, bitsPerBand = KnnBitsPerBand, bands = KnnBands, k = K)
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val bits = derivedBits(s, dir)
+    knnJoin(s, dir, bitsPerBand = bits, bands = bandsFor(bits), k = K)
+  }
 
   def knnJoin(s: SparkSession, dir: String, bitsPerBand: Int,
       bands: Int, k: Int): DataFrame = {
@@ -376,7 +445,8 @@ object SimilarityOps {
     val kk = K
     val emb = embeddings(s, dir)
     val isDel = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 3
-    val banded = hnswBanded(emb, KnnBitsPerBand, KnnBands)
+    val bits = derivedBits(s, dir)
+    val banded = hnswBanded(emb, bits, bandsFor(bits))
       .localCheckpoint() // artifact self-join ×2 + repair probe ×2;
                          // measured sf0.1 warm: 6.38 s with / 7.34 without
     val scored = hnswScore(hnswCohabit(banded, banded), emb)
@@ -466,7 +536,8 @@ object SimilarityOps {
     val kk = K
     val emb = embeddings(s, dir)
     val isIns = pmod(col("vec_id"), lit(10)) === 9
-    val banded = hnswBanded(emb, KnnBitsPerBand, KnnBands)
+    val bits = derivedBits(s, dir)
+    val banded = hnswBanded(emb, bits, bandsFor(bits))
       .localCheckpoint() // base self-join ×2 + delta probes ×3 read it;
                          // measured sf0.1 warm: 3.81 s with / 3.88 without
     val bandedBase = banded.filter(!isIns)
@@ -520,7 +591,8 @@ object SimilarityOps {
     val kk = K
     val emb = embeddings(s, dir)
     val isDel = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 3
-    val banded = hnswBanded(emb, KnnBitsPerBand, KnnBands)
+    val bits = derivedBits(s, dir)
+    val banded = hnswBanded(emb, bits, bandsFor(bits))
     val w = Window.partitionBy(col("node"))
       .orderBy(col("ncos").desc, col("nbr"))
     val lists = hnswScore(hnswCohabit(banded, banded), emb)
@@ -747,8 +819,10 @@ object SimilarityOps {
     * count + one band-keyed rollup — no joins at all; the audit costs
     * less than any consumer it predicts.
     */
-  def annLshOccupancy(s: SparkSession, dir: String): DataFrame =
-    annLshOccupancy(s, dir, bitsPerBand = KnnBitsPerBand, bands = KnnBands)
+  def annLshOccupancy(s: SparkSession, dir: String): DataFrame = {
+    val bits = derivedBits(s, dir)
+    annLshOccupancy(s, dir, bitsPerBand = bits, bands = bandsFor(bits))
+  }
 
   def annLshOccupancy(s: SparkSession, dir: String, bitsPerBand: Int,
       bands: Int): DataFrame = {
@@ -3625,8 +3699,9 @@ object SimilarityOps {
   def contaminationSemantic(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
     val isEval = pmod(col("vec_id"), lit(10)) === 7
-    val bandedE = hnswBanded(emb.filter(isEval), KnnBitsPerBand, KnnBands)
-    val bandedT = hnswBanded(emb.filter(!isEval), KnnBitsPerBand, KnnBands)
+    val bits = derivedBits(s, dir)
+    val bandedE = hnswBanded(emb.filter(isEval), bits, bandsFor(bits))
+    val bandedT = hnswBanded(emb.filter(!isEval), bits, bandsFor(bits))
     val top1 = hnswTopOut(
       hnswScore(hnswCohabit(bandedE, bandedT), emb), 1)
     emb.filter(isEval).select(col("vec_id").as("eval_id"))

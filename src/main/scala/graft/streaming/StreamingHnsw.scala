@@ -555,4 +555,24 @@ object StreamingKnn extends MaintainerFacade(new BandedTopKMaintainer(
     */
   def lists(spark: SparkSession, storePath: String): DataFrame =
     outAdjacency(spark, storePath)
+
+  /** A kNN-lists maintainer sized for an EXPECTED corpus (r17 — the
+    * streaming leg of the occupancy-derived banding default): bits is
+    * STRUCTURAL for a maintainer — the banded store's bucket keys are
+    * functions of it, so it cannot change mid-stream; production sizes
+    * the index at deployment from the corpus it expects to serve and
+    * rebanding is an index rebuild (new store path). The singleton
+    * above keeps the gate config — at the gate corpora
+    * [[SimilarityOps.bitsFor]] derives exactly that config, so the two
+    * coincide wherever the equality specs run. A deployment ingesting
+    * toward n vectors calls this with n and gets the config the sf1
+    * probe measured linear (`scripts/probe_r16_scale.log`,
+    * BASELINE.md r17 recall ladder).
+    */
+  def forExpectedCorpus(n: Long, storeTag: String): MaintainerFacade = {
+    val bits = SimilarityOps.bitsFor(n)
+    new MaintainerFacade(new BandedTopKMaintainer(
+      bits, SimilarityOps.bandsFor(bits), SimilarityOps.K,
+      s"graft-sknn-$storeTag-lineage", s"knn-maintain-$storeTag")) {}
+  }
 }

@@ -47,6 +47,12 @@ object ScaleProbe {
     val reps = spark.range(Factor).select(col("id").as("rep"))
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    // the '% 10' family conventions keep their exact fractions only if
+    // each replica's id span is a multiple of 10 (ADVICE r16 — dev-only
+    // tool, cheap assertion; a skewed span would silently compare
+    // slightly different query semantics across scale points)
+    require(nDoc % 10 == 0,
+      s"doc id span $nDoc not a multiple of 10 — derived families skew")
     docs.crossJoin(broadcast(reps))
       .select(
         (col("doc_id") + col("rep") * nDoc).as("doc_id"),
@@ -59,6 +65,8 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    require(nVec % 10 == 0,
+      s"vec id span $nVec not a multiple of 10 — derived families skew")
     val e = col("embedding")
     emb.crossJoin(broadcast(reps))
       .select(

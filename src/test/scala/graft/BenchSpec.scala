@@ -31,16 +31,28 @@ class BenchSpec extends AnyFunSuite {
 
   test("loadPrevRoundFrom parses a driver record and honors the sf guard") {
     val f = Files.createTempFile("graft-bench-prev", ".json")
+    // a realistic-width map — the reader's shape floor (ADVICE r16)
+    // rejects suspiciously small parses as writer/reader format drift
+    val manyQs = (1 to 60).map(i => s""""q$i":0.1""").mkString(",")
     Files.write(f,
       ("""{"metric":"total","value":10.5,"unit":"sec","queries":""" +
-        """{"q1_agg":0.25,"knn_join":1.5},"contended":[],""" +
+        s"""{"q1_agg":0.25,"knn_join":1.5,$manyQs},"contended":[],""" +
         """"above_floor":[],"sf":"/root/testdata/sf0.1"}""")
         .getBytes("UTF-8"))
     val same = Bench.loadPrevRoundFrom(f, "/root/testdata/sf0.1")
-    assert(same == Map("q1_agg" -> 0.25, "knn_join" -> 1.5))
+    assert(same.size == 62)
+    assert(same("q1_agg") == 0.25 && same("knn_join") == 1.5)
     // a prev record at another sf must disable the detector, not compare
     // apples to oranges (the floors-file rule applied again)
     assert(Bench.loadPrevRoundFrom(f, "/root/testdata/sf0.01").isEmpty)
+    // shape floor: a truncated/polluted parse (e.g. a future nested
+    // value closing the map early) yields a tiny map — detector off,
+    // not a silently-wrong baseline
+    val tiny = Files.createTempFile("graft-bench-prev-tiny", ".json")
+    Files.write(tiny,
+      ("""{"metric":"total","queries":{"q1":0.25,"nested":{"x":1.0},""" +
+        """"q2":9.9},"sf":"/root/testdata/sf0.1"}""").getBytes("UTF-8"))
+    assert(Bench.loadPrevRoundFrom(tiny, "/root/testdata/sf0.1").isEmpty)
     // unreadable file: detector off, never a crash
     assert(Bench.loadPrevRoundFrom(
       java.nio.file.Paths.get("/nonexistent.json"), "x").isEmpty)

@@ -878,11 +878,12 @@ class CurationOpsSpec extends AnyFunSuite {
       "reconciles with its source verdict") {
     val got = CurationOps.filterAgreement(spark, dir).collect()
       .map(r => ((r.getBoolean(0), r.getBoolean(1), r.getBoolean(2),
-        r.getBoolean(3)), r.getLong(4), r.getLong(5), r.getDouble(6)))
+        r.getBoolean(3)), r.getLong(4), r.getLong(5), r.getLong(6)))
     val corpus = Tables(spark, dir, "documents").count()
     assert(got.map(_._2).sum == corpus, "cells partition the corpus")
-    assert(math.abs(got.map(_._4).sum - 1.0) <= got.length * 1e-6,
-      "shares sum to 1")
+    // ppm shares: floor division loses < 1 ppm per cell
+    assert(math.abs(got.map(_._4).sum - 1000000L) <= got.length,
+      "share_ppm does not sum to ~1e6")
     val ruleFail = graft.ops.TextOps.gopherRules(spark, dir)
       .filter(!org.apache.spark.sql.functions.col("r_word_count")).count()
     assert(got.filter(_._1._1).map(_._2).sum == ruleFail, "rule_fail marginal")
