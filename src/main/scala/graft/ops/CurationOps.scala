@@ -2426,6 +2426,60 @@ object CurationOps {
        |FROM a GROUP BY 1, 2, 3 ORDER BY len_class, shard, batch""".stripMargin
   }
 
+  /** The packer trade as ONE audit row per strategy (r17 — the decision
+    * table the two packers' scaladoc says a pipeline chooses between,
+    * made oracle-visible): for [[packSequences]] (greedy concat:
+    * truncation loss, maximal fill) and [[packLengthBatches]] (length
+    * batches: zero truncation-at-boundary, per-batch slack), the row
+    * count, doc count, kept/lost token mass, overall fill efficiency
+    * (kept tokens per emitted L-token row, exact ppm) and truncation
+    * share of the original token mass (exact ppm). A training job reads
+    * exactly this pair to pick its packer for a corpus: greedy wins
+    * fill_ppm, length batches win trunc_ppm, and the gap sizes are
+    * corpus statistics, not constants.
+    *
+    * Scale shape: the two packers' audited one-window plans, each
+    * reduced by ONE 1-row aggregate; the union is 2 rows.
+    */
+  def packEfficiencyCompare(s: SparkSession, dir: String): DataFrame = {
+    val L = PackContextLen
+    def summarize(df: DataFrame, strategy: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("fill_tokens")).as("fill_tokens"),
+          sum(col("trunc_tokens")).as("trunc_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_rows"), col("n_docs"),
+          col("fill_tokens"), col("trunc_tokens"),
+          expr(s"fill_tokens * 1000000L div (n_rows * ${L}L)")
+            .as("fill_ppm"),
+          expr("trunc_tokens * 1000000L div (fill_tokens + trunc_tokens)")
+            .as("trunc_ppm"))
+    summarize(packSequences(s, dir), "greedy_concat")
+      .unionByName(summarize(packLengthBatches(s, dir), "length_batches"))
+      .orderBy("strategy")
+  }
+
+  val packEfficiencyCompareOracle: String = {
+    val L = PackContextLen
+    def leg(strategy: String, oracle: String): String =
+      s"""SELECT '$strategy' AS strategy,
+         |       count(*) AS n_rows,
+         |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |       CAST(sum(fill_tokens) AS BIGINT) AS fill_tokens,
+         |       CAST(sum(trunc_tokens) AS BIGINT) AS trunc_tokens,
+         |       CAST(sum(fill_tokens) * 1000000 // (count(*) * $L)
+         |         AS BIGINT) AS fill_ppm,
+         |       CAST(sum(trunc_tokens) * 1000000
+         |         // (sum(fill_tokens) + sum(trunc_tokens)) AS BIGINT)
+         |         AS trunc_ppm
+         |FROM ($oracle)""".stripMargin
+    s"""SELECT * FROM (
+       |${leg("greedy_concat", packSequencesOracle)}
+       |UNION ALL
+       |${leg("length_batches", packLengthBatchesOracle)})
+       |ORDER BY strategy""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> ((s: SparkSession, dir: String) => kAnonymity(s, dir)),
     "doc_lineage" -> (docLineage _),
@@ -2459,7 +2513,8 @@ object CurationOps {
     "curriculum_phases" -> (curriculumPhases _),
     "perplexity_filter" -> (perplexityFilter _),
     "pack_sequences" -> (packSequences _),
-    "pack_length_batches" -> (packLengthBatches _))
+    "pack_length_batches" -> (packLengthBatches _),
+    "pack_efficiency_compare" -> (packEfficiencyCompare _))
 
   val oracles: Map[String, String] = Map(
     "k_anonymity" -> kAnonymityOracle,
@@ -2494,5 +2549,6 @@ object CurationOps {
     "curriculum_phases" -> curriculumPhasesOracle,
     "perplexity_filter" -> perplexityFilterOracle,
     "pack_sequences" -> packSequencesOracle,
-    "pack_length_batches" -> packLengthBatchesOracle)
+    "pack_length_batches" -> packLengthBatchesOracle,
+    "pack_efficiency_compare" -> packEfficiencyCompareOracle)
 }

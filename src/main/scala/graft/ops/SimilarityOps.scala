@@ -65,10 +65,14 @@ object SimilarityOps {
     * never occupancy (quadratic) — [[bandsFor]].
     */
   private[graft] def bitsFor(n: Long): Int = {
-    val raw =
-      if (n <= BandPlanOccTarget) 0
-      else math.ceil(math.log(n / BandPlanOccTarget) / math.log(2.0)).toInt
-    math.max(KnnBitsPerBand, math.min(MaxAutoBits, raw))
+    // integer-exact (the smallest b with n <= target * 2^b), not
+    // ceil(log2(...)) float math: `ann_auto_config`'s oracle states the
+    // SAME rule in SQL, and a float log at an exact power-of-two
+    // boundary is the r16 rounding-tie class all over again
+    val target = BandPlanOccTarget.toLong
+    var b = 0
+    while (b < MaxAutoBits && n > (target << b)) b += 1
+    math.max(KnnBitsPerBand, b)
   }
 
   /** Band count paired with [[bitsFor]]: the shipped [[KnnBands]] at the
@@ -3738,7 +3742,51 @@ object SimilarityOps {
        |LEFT JOIN top1 t ON t.node = ev.vec_id
        |ORDER BY eval_id""".stripMargin
 
+  /** The derived banding config made oracle-visible (r17 — the consumer
+    * surface of the occupancy rule, stated in BOTH engines): one row
+    * with the corpus size and the exact config every no-arg knn build
+    * in this object ships at that size — [[bitsFor]] (smallest b with
+    * n ≤ target·2^b, clamped) and [[bandsFor]]. The oracle restates the
+    * SAME integer rule in SQL, so the gate value-checks the derivation
+    * itself, not just the builds that consume it: a drifted constant,
+    * clamp, or rounding mode fails this row before it silently
+    * re-provisions every downstream build. n_planes is the per-vector
+    * map cost (dots per row); n_buckets × target bounds the corpus the
+    * config holds linear.
+    *
+    * Scale shape: one count aggregate; the config arithmetic is
+    * driver-side scalar work on that single number (the same 1-row
+    * pattern as the audited census scalars).
+    */
+  def annAutoConfig(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "embeddings").count()
+    val bits = bitsFor(n)
+    val bands = bandsFor(bits)
+    import s.implicits._
+    Seq((n, bits.toLong, 1L << bits, bands.toLong, bits.toLong * bands))
+      .toDF("n_vectors", "bits_per_band", "n_buckets", "bands", "n_planes")
+  }
+
+  val annAutoConfigOracle: String = {
+    val t = BandPlanOccTarget.toLong
+    s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
+       |k AS (SELECT coalesce(min(t.k), $MaxAutoBits) AS kmin
+       |      FROM unnest(generate_series(0, $MaxAutoBits)) t(k), n
+       |      WHERE n.n <= $t * (1::BIGINT << t.k)),
+       |c AS (SELECT GREATEST($KnnBitsPerBand, kmin) AS bits FROM k),
+       |b AS (SELECT bits,
+       |             CASE WHEN bits <= $KnnBitsPerBand THEN $KnnBands
+       |                  ELSE ${KnnBands * 2} END AS bands
+       |      FROM c)
+       |SELECT n.n AS n_vectors, CAST(b.bits AS BIGINT) AS bits_per_band,
+       |       CAST(1::BIGINT << b.bits AS BIGINT) AS n_buckets,
+       |       CAST(b.bands AS BIGINT) AS bands,
+       |       CAST(b.bits * b.bands AS BIGINT) AS n_planes
+       |FROM n, b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_auto_config" -> (annAutoConfig _),
     "embedding_dim_variance" -> (embeddingDimVariance _),
     "ssl_prototypes" -> (sslPrototypes _),
     "contamination_semantic" -> (contaminationSemantic _),
@@ -3786,6 +3834,7 @@ object SimilarityOps {
     "embedding_centroids" -> (embeddingCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "ann_auto_config" -> annAutoConfigOracle,
     "embedding_dim_variance" -> embeddingDimVarianceOracle,
     "ann_filtered_topk" -> annFilteredTopkOracle,
     "ann_ivf_tune" -> annIvfTuneOracle,

@@ -79,6 +79,21 @@ class BandingDefaultSpec extends AnyFunSuite {
       "the shipped default diverged from the planner's own table")
   }
 
+  test("ann_auto_config: the emitted row IS the derivation every no-arg " +
+      "build ships (count, bitsFor, buckets, bandsFor, planes)") {
+    val rows = SimilarityOps.annAutoConfig(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    val n = graft.ops.Tables(spark, dir, "embeddings").count()
+    val bits = SimilarityOps.bitsFor(n)
+    val bands = SimilarityOps.bandsFor(bits)
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == bits.toLong)
+    assert(r.getLong(2) == (1L << bits))
+    assert(r.getLong(3) == bands.toLong)
+    assert(r.getLong(4) == bits.toLong * bands)
+  }
+
   /** Deterministic clustered corpus: `nVec` unit vectors in `dims`
     * dimensions around `nClusters` md5-derived centers with md5-derived
     * noise — the geometry real embedding tables have (tight in-cluster

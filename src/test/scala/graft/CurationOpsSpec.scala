@@ -1074,6 +1074,39 @@ class CurationOpsSpec extends AnyFunSuite {
       "length batching truncated more than greedy concat")
   }
 
+  test("pack_efficiency_compare: each strategy row reduces its packer's " +
+      "own output exactly, and the documented trade holds") {
+    val L = CurationOps.PackContextLen.toLong
+    def reduceOf(rows: Array[org.apache.spark.sql.Row], nDocsIdx: Int,
+        fillIdx: Int, truncIdx: Int): (Long, Long, Long, Long) =
+      (rows.length.toLong, rows.map(_.getLong(nDocsIdx)).sum,
+        rows.map(_.getLong(fillIdx)).sum, rows.map(_.getLong(truncIdx)).sum)
+    val greedy = reduceOf(
+      CurationOps.packSequences(spark, dir).collect(), 2, 3, 5)
+    val length = reduceOf(
+      CurationOps.packLengthBatches(spark, dir).collect(), 3, 4, 6)
+    val got = CurationOps.packEfficiencyCompare(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet == Set("greedy_concat", "length_batches"))
+    for ((name, (nr, nd, ft, tt)) <- Seq("greedy_concat" -> greedy,
+        "length_batches" -> length)) {
+      val (gnr, gnd, gft, gtt, gfp, gtp) = got(name)
+      assert((gnr, gnd, gft, gtt) == (nr, nd, ft, tt), s"$name reduction")
+      assert(gfp == ft * 1000000L / (nr * L), s"$name fill_ppm definitional")
+      assert(gtp == tt * 1000000L / (ft + tt), s"$name trunc_ppm definitional")
+    }
+    // the documented trade: greedy maximizes fill, length batching never
+    // truncates at a boundary so its truncation share is <= greedy's
+    val (_, _, _, _, gFill, gTrunc) = got("greedy_concat")
+    val (_, _, _, _, lFill, lTrunc) = got("length_batches")
+    assert(gFill >= lFill, "greedy concat must win fill efficiency")
+    assert(lTrunc <= gTrunc, "length batches must win truncation share")
+    // both strategies conserve the same original token mass
+    assert(greedy._3 + greedy._4 == length._3 + length._4,
+      "token mass differs between strategies")
+  }
+
   test("cluster_quota_sample: per-cluster counts capped at the quota, " +
       "order matches the md5 draw, deterministic across constructions") {
     def md5hex(id: Long): String = {

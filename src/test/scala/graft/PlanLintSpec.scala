@@ -581,6 +581,15 @@ class PlanLintSpec extends AnyFunSuite {
                                   // by exactly ONE aggregate
       "pack_length_batches" -> 3, // ONE length-class window exchange +
                                   // (class,batch) agg riding it (+sort)
+      "pack_efficiency_compare" -> 6, // both packers' audited plans (one
+                                  // window exchange each) reduced by a
+                                  // 1-row aggregate each (+union sort) —
+                                  // the 2-row decision table costs the
+                                  // two plans it compares, nothing more
+      "ann_auto_config" -> 0,     // 1-row local config row; the corpus
+                                  // count is a separate action at
+                                  // construction (the audited census
+                                  // scalar pattern)
       "hnsw_tombstone_recall" -> 8) // the seam-fed beam's per-round
                                   // frontier distincts + the filtered
                                   // top-K window + the exact-survivor
