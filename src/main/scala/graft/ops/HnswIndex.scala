@@ -30,6 +30,14 @@ object HnswIndex {
   val Bands = 10
   val Degree = 20
 
+  /** The per-bucket occupancy this config was tuned at (gate corpora:
+    * ≤ 2000 vectors / 2^8 buckets ≈ 8) — the target
+    * [[graft.streaming.StreamingHnsw.forExpectedCorpus]] holds when it
+    * sizes bits for a larger corpus (r17: the fixed config measured
+    * ×16.5 at the sf0.1→sf1 drain step — candidate mass ∝ n²/2^bits).
+    */
+  val OccTarget = 8L
+
   /** The shipped SEARCH config (r14 — ADVICE r13: `annBeamSweep` re-inlined
     * these as literals, so a config change would silently de-align the sweep
     * from the shipped search; now [[SimilarityOps.annHnswTopk]],

@@ -64,15 +64,22 @@ object SimilarityOps {
     * Recall lost to finer buckets is bought back with BANDS (linear),
     * never occupancy (quadratic) — [[bandsFor]].
     */
-  private[graft] def bitsFor(n: Long): Int = {
-    // integer-exact (the smallest b with n <= target * 2^b), not
-    // ceil(log2(...)) float math: `ann_auto_config`'s oracle states the
-    // SAME rule in SQL, and a float log at an exact power-of-two
-    // boundary is the r16 rounding-tie class all over again
-    val target = BandPlanOccTarget.toLong
+  private[graft] def bitsFor(n: Long): Int =
+    bitsFor(n, BandPlanOccTarget.toLong, KnnBitsPerBand)
+
+  /** The general occupancy rule: smallest b with n ≤ target·2^b, clamped
+    * to [floor, [[MaxAutoBits]]] — integer-exact (no ceil(log2) float
+    * math: `ann_auto_config`'s oracle states the SAME rule in SQL, and
+    * a float log at an exact power-of-two boundary is the r16
+    * rounding-tie class all over again). Each banded family passes ITS
+    * gate occupancy as the target — the knn lists run at ~160/bucket,
+    * the HNSW build at ~8 — so "keep the load the config was tuned at"
+    * is one rule, not one rule per family.
+    */
+  private[graft] def bitsFor(n: Long, target: Long, floor: Int): Int = {
     var b = 0
     while (b < MaxAutoBits && n > (target << b)) b += 1
-    math.max(KnnBitsPerBand, b)
+    math.max(floor, b)
   }
 
   /** Band count paired with [[bitsFor]]: the shipped [[KnnBands]] at the
@@ -3742,6 +3749,98 @@ object SimilarityOps {
        |LEFT JOIN top1 t ON t.node = ev.vec_id
        |ORDER BY eval_id""".stripMargin
 
+  /** 1-in-[[RecallSampleMod]] node sample for [[knnRecallAudit]] — small
+    * enough that the exact side is |sample| × n dots (bounded, broadcast
+    * sample), large enough for a stable recall estimate.
+    */
+  private[graft] val RecallSampleMod = 13
+
+  /** Recall audit of the kNN-lists artifact vs brute-force EXACT ground
+    * truth (r17 — the number BandScaleProbe measures offline, made an
+    * always-available oracle-backed query: a production deployment
+    * alarms on recall, so recall must be a QUERY, not a dev probe): on
+    * the deterministic 1-in-[[RecallSampleMod]] node sample, the exact
+    * top-[[K]] is computed by brute force (sample × corpus — bounded by
+    * the sample, the [[annCosineTopk]] shape) and compared against the
+    * shipped lists artifact ([[KnnLists.lists]] — the derived-config
+    * build, seam-served when seeded). One row: sample size, truth pair
+    * count, hits, recall as exact integer ppm. This is the value the
+    * derived default holds ≥ 0.8 at scale (SCALE.md r17 table); at the
+    * gate corpus the banding sits at tuned occupancy and recall is high.
+    *
+    * Scale shape: the lists build is the audited bucket cogroup; the
+    * exact side is |sample|-bounded (broadcast sample against one corpus
+    * scan + one per-node top-K window); the comparison is a semi-join on
+    * (node, nbr) and three 1-row aggregates. Sampled-exact is the
+    * standard production recall estimator — full brute force is the
+    * quadratic this engine never runs.
+    */
+  def knnRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val isSample = pmod(col("vec_id"), lit(RecallSampleMod)) === 0
+    val sample = emb.filter(isSample)
+      .select(col("vec_id").as("node"), col("v").as("qv"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("ncos").desc, col("nbr"))
+    val truth = emb.crossJoin(broadcast(sample))
+      .filter(col("vec_id") =!= col("node"))
+      .select(col("node"), col("vec_id").as("nbr"),
+        dot(col("qv"), col("v")).as("ncos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("node"), col("nbr"))
+      .localCheckpoint() // hit semi-join + truth count both read it
+    val lists = KnnLists.lists(s, dir)
+      .filter(pmod(col("vec_id"), lit(RecallSampleMod)) === 0)
+      .select(col("vec_id").as("node"), col("neighbor_id").as("nbr"))
+    val nSample = emb.filter(isSample).agg(count(lit(1)).as("n_sample"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nHit = truth.join(lists, Seq("node", "nbr"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nSample.crossJoin(broadcast(nTruth)).crossJoin(broadcast(nHit))
+      .select(col("n_sample"), col("n_truth"), col("n_hit"),
+        expr("n_hit * 1000000L div n_truth").as("recall_ppm"))
+  }
+
+  /** The same sampled-exact estimator: the full lists transliteration
+    * (restricted to sample nodes — rank is per-node, so the restriction
+    * commutes), the brute-force truth, the (node, nbr) hit join.
+    */
+  val knnRecallAuditOracle: String =
+    s"""WITH ${signLshBucketsOracleCte(KnnBitsPerBand, KnnBands)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
+       |  FROM bb a JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
+       |   AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id % $RecallSampleMod = 0),
+       |scored AS (
+       |  SELECT c.node, c.nbr, list_dot_product(en.v, eb.v) AS cos
+       |  FROM cand c JOIN e en ON en.vec_id = c.node
+       |              JOIN e eb ON eb.vec_id = c.nbr),
+       |lists AS (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr,
+       |           row_number() OVER (PARTITION BY node
+       |             ORDER BY cos DESC, nbr) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $K),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id % $RecallSampleMod = 0),
+       |truth AS (
+       |  SELECT node, nbr FROM (
+       |    SELECT q.vec_id AS node, c.vec_id AS nbr,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id)
+       |             AS rank
+       |    FROM q JOIN e c ON c.vec_id <> q.vec_id)
+       |  WHERE rank <= $K),
+       |sq AS (SELECT count(*) AS n_sample FROM q),
+       |tr AS (SELECT count(*) AS n_truth FROM truth),
+       |h AS (SELECT count(*) AS n_hit
+       |      FROM truth t JOIN lists l ON l.node = t.node AND l.nbr = t.nbr)
+       |SELECT n_sample, n_truth, n_hit,
+       |       CAST(n_hit * 1000000 // n_truth AS BIGINT) AS recall_ppm
+       |FROM sq, tr, h""".stripMargin
+
   /** The derived banding config made oracle-visible (r17 — the consumer
     * surface of the occupancy rule, stated in BOTH engines): one row
     * with the corpus size and the exact config every no-arg knn build
@@ -3787,6 +3886,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_auto_config" -> (annAutoConfig _),
+    "knn_recall_audit" -> (knnRecallAudit _),
     "embedding_dim_variance" -> (embeddingDimVariance _),
     "ssl_prototypes" -> (sslPrototypes _),
     "contamination_semantic" -> (contaminationSemantic _),
@@ -3835,6 +3935,7 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "ann_auto_config" -> annAutoConfigOracle,
+    "knn_recall_audit" -> knnRecallAuditOracle,
     "embedding_dim_variance" -> embeddingDimVarianceOracle,
     "ann_filtered_topk" -> annFilteredTopkOracle,
     "ann_ivf_tune" -> annIvfTuneOracle,

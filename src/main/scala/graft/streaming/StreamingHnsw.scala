@@ -531,7 +531,27 @@ private[streaming] abstract class MaintainerFacade(
   */
 object StreamingHnsw extends MaintainerFacade(new BandedTopKMaintainer(
   HnswIndex.BitsPerBand, HnswIndex.Bands, HnswIndex.Degree,
-  "graft-shnsw-lineage", "hnsw-maintain"))
+  "graft-shnsw-lineage", "hnsw-maintain")) {
+
+  /** An HNSW maintainer sized for an EXPECTED corpus — the
+    * [[StreamingKnn.forExpectedCorpus]] symmetry, needed one octave
+    * later: the fixed 8×10 build config is occupancy-tuned for the gate
+    * corpora (≤ 2000 vectors → ≤ 8/bucket) but quadratic all the same
+    * (r17 DrainScaleProbe: ×16.5 at the sf0.1→sf1 step — candidate mass
+    * ∝ n²/256). The occupancy rule runs with HNSW's OWN gate target
+    * ([[HnswIndex.OccTarget]] ≈ 8/bucket — the load 8×10 was tuned at,
+    * an octave finer than the knn lists' 160) and floors at the shipped
+    * [[HnswIndex.BitsPerBand]] so gate-size corpora keep the
+    * oracle-embedded config exactly; at 20k vectors it derives 12 bits.
+    */
+  def forExpectedCorpus(n: Long, storeTag: String): MaintainerFacade = {
+    val bits = graft.ops.SimilarityOps.bitsFor(
+      n, HnswIndex.OccTarget, HnswIndex.BitsPerBand)
+    new MaintainerFacade(new BandedTopKMaintainer(
+      bits, HnswIndex.Bands, HnswIndex.Degree,
+      s"graft-shnsw-$storeTag-lineage", s"hnsw-maintain-$storeTag")) {}
+  }
+}
 
 /** Streaming maintenance of the corpus-wide kNN LISTS artifact (r15 —
   * the always-on form of [[SimilarityOps.incrementalKnn]], completing

@@ -46,7 +46,12 @@ object DrainScaleProbe {
     }
 
     /** Chop `src` into [[Batches]] id-keyed parquet appends under a fresh
-      * input dir, then time drain(schema, in, store, ckpt).
+      * input dir, then time drain(schema, in, store, ckpt). A drain that
+      * dies records NaN instead of killing the probe — the first live
+      * run proved why: the PINNED-config StreamingKnn drain at sf1
+      * exhausted ~79 GB of spill scratch mid-sort (the quadratic
+      * candidate mass, in disk form), which is a MEASUREMENT, not a
+      * harness bug.
       */
     def drain(label: String, src: DataFrame, idCol: String)(
         run: (org.apache.spark.sql.types.StructType, String, String,
@@ -57,9 +62,15 @@ object DrainScaleProbe {
         src.filter(pmod(col(idCol), lit(Batches)) === b)
           .write.mode("append").parquet(in.toString)
       }
-      val dt = time(run(src.schema, in.toString,
-        root.resolve("store").toString, root.resolve("ckpt").toString))
-      println(f"[drain] $label%-34s $dt%8.2f s")
+      val dt =
+        try time(run(src.schema, in.toString,
+          root.resolve("store").toString, root.resolve("ckpt").toString))
+        catch { case e: Throwable =>
+          println(s"[drain] $label FAILED: ${e.getClass.getSimpleName} " +
+            s"${Option(e.getMessage).getOrElse("").take(120)}")
+          Double.NaN
+        }
+      if (!dt.isNaN) println(f"[drain] $label%-34s $dt%8.2f s")
       // reclaim the store/input — sf1 postings are sizable
       def rm(p: java.nio.file.Path): Unit = {
         val s = Files.walk(p)
@@ -91,19 +102,31 @@ object DrainScaleProbe {
         graft.streaming.StreamingPpl.runAvailableNow(spark, _, _, _, _)))
       rec("hnsw", drain(s"$label StreamingHnsw", emb, "vec_id")(
         graft.streaming.StreamingHnsw.runAvailableNow(spark, _, _, _, _)))
-      rec("knn-pinned", drain(s"$label StreamingKnn (pinned 4x20)", emb,
-        "vec_id")(
-        graft.streaming.StreamingKnn.runAvailableNow(spark, _, _, _, _)))
       val sized = graft.streaming.StreamingKnn.forExpectedCorpus(
         nVec, s"probe-$label")
       rec("knn-sized", drain(s"$label StreamingKnn (sized n=$nVec)", emb,
         "vec_id")(sized.runAvailableNow(spark, _, _, _, _)))
+      // pinned config LAST — measured at sf1 on 2026-08-16: the drain
+      // DIED in spill ([SPILL_OUT_OF_MEMORY] "No space left on device"
+      // after exhausting ~79 GB of scratch mid-sort) — the quadratic
+      // candidate mass in disk form. That failure IS the data point, so
+      // sf1 re-runs of the pinned config are opt-in
+      // (SPARK_GRAFT_DRAIN_PINNED_SF1=1) to avoid re-filling a shared
+      // box's disk for a known answer; sized is already on record above.
+      if (label != "sf1" || sys.env.contains("SPARK_GRAFT_DRAIN_PINNED_SF1"))
+        rec("knn-pinned", drain(s"$label StreamingKnn (pinned 4x20)", emb,
+          "vec_id")(
+          graft.streaming.StreamingKnn.runAvailableNow(spark, _, _, _, _)))
+      else println(s"[drain] $label StreamingKnn (pinned 4x20) SKIPPED — " +
+        "measured spill-OOM at sf1 (see scaladoc); " +
+        "set SPARK_GRAFT_DRAIN_PINNED_SF1=1 to re-run")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     println("[drain] ---- ratios (linear = ~10x per step) ----")
     results.map(_._2).distinct.foreach { n =>
-      def at(l: String) = results.find(r => r._1 == l && r._2 == n).get._3
+      def at(l: String) = results.find(r => r._1 == l && r._2 == n)
+        .map(_._3).getOrElse(Double.NaN)
       val (a, b, c) = (at("sf0.01"), at("sf0.1"), at("sf1"))
       println(f"[drain] $n%-12s $a%7.2f -> $b%7.2f -> $c%7.2f   " +
         f"x${b / a}%5.1f / x${c / b}%5.1f")

@@ -94,6 +94,52 @@ class BandingDefaultSpec extends AnyFunSuite {
     assert(r.getLong(4) == bits.toLong * bands)
   }
 
+  test("knn_recall_audit: the audit row equals recall recomputed from " +
+      "brute force and the lists artifact, and is high at gate occupancy") {
+    import graft.functions.VectorFunctions.{normalize, toDoubleArray}
+    val k = SimilarityOps.K
+    val emb = graft.ops.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        normalize(toDoubleArray(col("embedding"))).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val sample = emb.filter(_._1 % SimilarityOps.RecallSampleMod == 0)
+    def dotp(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val truth = sample.flatMap { case (q, qv) =>
+      emb.filter(_._1 != q)
+        .map { case (c, cv) => (q, c, dotp(qv, cv)) }
+        .sortBy { case (_, c, cos) => (-cos, c) }
+        .take(k).map { case (qq, c, _) => (qq, c) }
+    }.toSet
+    val lists = graft.ops.KnnLists.lists(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .filter(_._1 % SimilarityOps.RecallSampleMod == 0).toSet
+    val hit = truth.count(lists.contains)
+    val row = SimilarityOps.knnRecallAudit(spark, dir).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getLong(0) == sample.length.toLong)
+    assert(r.getLong(1) == truth.size.toLong)
+    assert(r.getLong(2) == hit.toLong)
+    assert(r.getLong(3) == hit.toLong * 1000000L / truth.size)
+    // at the gate corpus the banding sits at its tuned occupancy — the
+    // audit must read high, or the artifact every dedup consumer rides
+    // is broken
+    assert(r.getLong(3) >= 800000L,
+      s"gate-corpus recall ${r.getLong(3)} ppm < 0.8")
+  }
+
+  test("forExpectedCorpus sizing: knn and hnsw maintainers derive their " +
+      "own gate configs at gate sizes and scale with their own targets") {
+    import SimilarityOps.bitsFor
+    // knn family target (160): gate sizes floor at 4, probe size -> 7
+    assert(bitsFor(2000, 160L, 4) == 4 && bitsFor(20000, 160L, 4) == 7)
+    // hnsw target (8): gate sizes floor at the shipped 8, 20k -> 12
+    import graft.ops.HnswIndex
+    assert(bitsFor(2000, HnswIndex.OccTarget, HnswIndex.BitsPerBand) == 8)
+    assert(bitsFor(20000, HnswIndex.OccTarget, HnswIndex.BitsPerBand) == 12)
+  }
+
   /** Deterministic clustered corpus: `nVec` unit vectors in `dims`
     * dimensions around `nClusters` md5-derived centers with md5-derived
     * noise — the geometry real embedding tables have (tight in-cluster

@@ -57,6 +57,8 @@ class PlanLintSpec extends AnyFunSuite {
     "retrieval_metrics",    // NQueries-row query broadcast, three rankings
     "knn_damage_stats",     // 1-row node-audit × 1-row edge-audit scalar
                             // cross for the single output row
+    "knn_recall_audit",     // |sample|-row query broadcast (the exact
+                            // side) + three 1-row scalar crosses
     "kcenter_coreset",      // 1-row collected-centers broadcast per round
     "ann_ivf_tune",         // NQueries-row query + 10x|labels| probe-table
                             // broadcasts onto the one scored pass
@@ -590,6 +592,11 @@ class PlanLintSpec extends AnyFunSuite {
                                   // count is a separate action at
                                   // construction (the audited census
                                   // scalar pattern)
+      "knn_recall_audit" -> 7,    // the lists build (cohabit distinct +
+                                  // top-K window) + the sample-bounded
+                                  // exact window + hit semi-join + 1-row
+                                  // aggregates (truth side rides its
+                                  // checkpoint; measured 7)
       "hnsw_tombstone_recall" -> 8) // the seam-fed beam's per-round
                                   // frontier distincts + the filtered
                                   // top-K window + the exact-survivor
