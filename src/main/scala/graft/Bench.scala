@@ -72,7 +72,11 @@ object Bench {
     * records and measure true cross-round drift.
     */
   private[graft] def loadPrevRound(sfDir: String): Map[String, Double] = {
-    val maxRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt)
+    // toIntOption, not toInt: this runs AFTER every query has executed —
+    // a malformed env value must degrade the detector, never crash the
+    // bench and lose the whole run (r17 review)
+    val maxRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND")
+      .flatMap(_.trim.toIntOption)
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
     val path: Option[java.nio.file.Path] = explicit match {
       case Some(p) => Some(java.nio.file.Paths.get(p))

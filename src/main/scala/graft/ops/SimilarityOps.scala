@@ -83,29 +83,61 @@ object SimilarityOps {
   }
 
   /** Band count paired with [[bitsFor]]: the shipped [[KnnBands]] at the
-    * gate config, doubled once the banding leaves it (bits > floor).
-    * Rationale is the measured sf1 recall ladder (BASELINE.md r17 —
-    * BandScaleProbe): at 20k vectors, bits=7×20 bands holds pair recall
-    * 0.62 vs the bits=4 lists while 7×40 holds 0.85 at still-linear
-    * cost; per-band collision probability falls geometrically with
-    * bits, so the OR-construction needs more draws, and bands are the
-    * linear-cost knob the production rule buys recall with.
+    * gate config, DOUBLED PER 3 BITS above the floor. The measured
+    * anchor (BASELINE.md r17 — BandScaleProbe, 20k vectors): +3 bits at
+    * fixed bands drops recall@5 vs exact 0.981 → 0.619, and one
+    * doubling buys it back to 0.850 — consistent with the sign-LSH
+    * collision model (per-band collision p = (1−θ/π)^bits falls ≈ 2×
+    * per 3 bits at the corpus' near-pair angles, so the OR-construction
+    * needs ≈ 2× the draws). Beyond bits 7 the rule is that model's
+    * extrapolation, not a measurement (r16 review discipline: say so) —
+    * a 100 TB deployment re-anchors against `knn_recall_audit`, which
+    * exists precisely to make that re-anchoring a query. Cost stays
+    * linear: planes per vector = bits × bands, growing with
+    * log(n) · n^(log2(2)/3-ish) of the corpus — the recall-preserving
+    * price, paid in the map pass, never in the cogroup.
     */
   private[graft] def bandsFor(bits: Int): Int =
-    if (bits <= KnnBitsPerBand) KnnBands else KnnBands * 2
+    scaledBands(KnnBands, bits - KnnBitsPerBand)
+
+  /** The band-compensation half of the occupancy rule, family-agnostic:
+    * a family sized `bitsDelta` bits past its tuned floor doubles its
+    * band count per 3 bits (see [[bandsFor]] for the measured anchor
+    * and the collision-model argument) — the HNSW maintainer applies it
+    * against its own 8×10 floor.
+    */
+  private[graft] def scaledBands(baseBands: Int, bitsDelta: Int): Int =
+    baseBands << ((math.max(0, bitsDelta) + 2) / 3)
 
   /** Per-(session, corpus) memo of [[bitsFor]] over the embeddings row
     * count — one count() per corpus per session (the same
     * amortization contract as the [[SessionSeam]] materializations),
-    * so per-query derivation never re-scans.
+    * so per-query derivation never re-scans. WEAK session keys (r17
+    * review): a strong static key would pin every stopped SparkSession
+    * in a many-sessions JVM forever; and the count() job runs OUTSIDE
+    * the map lock — a racing first call counts twice, deterministically
+    * identically, which beats blocking a hash bin for a Spark job.
     */
-  private val corpusBits =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+  private val corpusBits = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, Integer]]()
 
-  private[graft] def derivedBits(s: SparkSession, dir: String): Int =
-    corpusBits.computeIfAbsent((s, dir),
-      _ => Integer.valueOf(bitsFor(
-        Tables(s, dir, "embeddings").count()))).intValue()
+  private[graft] def derivedBits(s: SparkSession, dir: String): Int = {
+    val per = corpusBits.synchronized {
+      var m = corpusBits.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+        corpusBits.put(s, m)
+      }
+      m
+    }
+    val cached = per.get(dir)
+    if (cached != null) cached.intValue()
+    else {
+      val v = Integer.valueOf(bitsFor(Tables(s, dir, "embeddings").count()))
+      per.putIfAbsent(dir, v)
+      per.get(dir).intValue()
+    }
+  }
 
   /** The SemDeDup edge threshold (r15 — named for the same reason as the
     * banding constants above: [[semdedupKnn]], its oracle, AND the
@@ -3775,20 +3807,34 @@ object SimilarityOps {
     * standard production recall estimator — full brute force is the
     * quadratic this engine never runs.
     */
-  def knnRecallAudit(s: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(s, dir)
-    val isSample = pmod(col("vec_id"), lit(RecallSampleMod)) === 0
-    val sample = emb.filter(isSample)
+  /** Sampled-exact ground truth: exact top-`k` `(node, nbr)` pairs for
+    * the 1-in-[[RecallSampleMod]] node sample of a normalized embedding
+    * frame — ONE estimator shared by [[knnRecallAudit]] and
+    * `BandScaleProbe` (r17 review: two hand-rolled copies would let the
+    * probe's `require(recall ≥ 0.8)` validate a different estimator
+    * than the shipped query — exactly the agreement-vs-recall
+    * divergence this round exists to close). The independent pure-Scala
+    * recompute lives in BandingDefaultSpec and deliberately does NOT
+    * share this code.
+    */
+  private[graft] def sampledExactTopK(emb: DataFrame, k: Int): DataFrame = {
+    val sample = emb.filter(pmod(col("vec_id"), lit(RecallSampleMod)) === 0)
       .select(col("vec_id").as("node"), col("v").as("qv"))
     val w = Window.partitionBy(col("node"))
       .orderBy(col("ncos").desc, col("nbr"))
-    val truth = emb.crossJoin(broadcast(sample))
+    emb.crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("node"))
       .select(col("node"), col("vec_id").as("nbr"),
         dot(col("qv"), col("v")).as("ncos"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= k)
       .select(col("node"), col("nbr"))
+  }
+
+  def knnRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val isSample = pmod(col("vec_id"), lit(RecallSampleMod)) === 0
+    val truth = sampledExactTopK(emb, K)
       .localCheckpoint() // hit semi-join + truth count both read it
     val lists = KnnLists.lists(s, dir)
       .filter(pmod(col("vec_id"), lit(RecallSampleMod)) === 0)
@@ -3874,8 +3920,8 @@ object SimilarityOps {
        |      WHERE n.n <= $t * (1::BIGINT << t.k)),
        |c AS (SELECT GREATEST($KnnBitsPerBand, kmin) AS bits FROM k),
        |b AS (SELECT bits,
-       |             CASE WHEN bits <= $KnnBitsPerBand THEN $KnnBands
-       |                  ELSE ${KnnBands * 2} END AS bands
+       |             $KnnBands * (1 << ((bits - $KnnBitsPerBand + 2) // 3))
+       |               AS bands
        |      FROM c)
        |SELECT n.n AS n_vectors, CAST(b.bits AS BIGINT) AS bits_per_band,
        |       CAST(1::BIGINT << b.bits AS BIGINT) AS n_buckets,

@@ -79,39 +79,30 @@ object BandScaleProbe {
       f"${o7b.toDouble / n4}%.3f of bits4)")
 
     // recall vs EXACT (VERDICT r16 #2 — the r16 numbers were agreement
-    // vs the bits=4 OUTPUT, itself only ~0.94-0.96 recall): brute-force
-    // top-K ground truth on a deterministic 1-in-13 node sample, each
+    // vs the bits=4 OUTPUT, itself only ~0.94-0.96 recall): the SHARED
+    // sampled-exact estimator (SimilarityOps.sampledExactTopK — the
+    // same code knn_recall_audit serves, so the probe can never
+    // validate a different estimator than the shipped query), each
     // config's lists scored against it. This is the number the shipped
     // default must hold ≥ 0.8 at.
-    import org.apache.spark.sql.expressions.Window
-    val k = graft.ops.SimilarityOps.K
+    val S = graft.ops.SimilarityOps
+    val k = S.K
     val emb = spark.read.parquet(s"$sf1Dir/embeddings.parquet")
       .select(col("vec_id"),
         graft.functions.VectorFunctions.normalize(
           graft.functions.VectorFunctions.toDoubleArray(col("embedding")))
           .as("v"))
       .localCheckpoint()
-    val sample = emb.filter(col("vec_id") % 13 === 0)
-      .select(col("vec_id").as("node"), col("v").as("qv"))
-    val w = Window.partitionBy(col("node"))
-      .orderBy(col("ncos").desc, col("nbr"))
-    val exact = emb.crossJoin(broadcast(sample))
-      .filter(col("vec_id") =!= col("node"))
-      .select(col("node"), col("vec_id").as("nbr"),
-        graft.functions.VectorFunctions.dot(col("qv"), col("v")).as("ncos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("node"), col("nbr"))
-      .localCheckpoint()
-    val nSample = sample.count()
+    val exact = S.sampledExactTopK(emb, k).localCheckpoint()
+    val nTruth = exact.count()
     def recall(name: String, lists: DataFrame): Double = {
       val hit = exact.join(
         lists.select(col("vec_id").as("node"),
           col("neighbor_id").as("nbr")),
         Seq("node", "nbr"), "left_semi").count()
-      val r = hit.toDouble / (nSample * k)
+      val r = hit.toDouble / nTruth
       println(f"[band] recall@$k vs exact ($name%-16s): $r%.3f " +
-        f"($hit%d/${nSample * k}%d)")
+        f"($hit%d/$nTruth%d)")
       r
     }
     recall("bits4x20 gate", p4._1)
@@ -120,6 +111,30 @@ object BandScaleProbe {
     val rd = recall(s"derived ${dBits}x$dBands", pd._1)
     require(rd >= 0.8,
       f"shipped derived config recall $rd%.3f < 0.8 — retune bandsFor")
+
+    // the HNSW sizing leg (r17 review): StreamingHnsw.forExpectedCorpus
+    // derives 12 bits at 20k — raising bits at FIXED bands must show
+    // the recall collapse the knn family measured, and scaledBands must
+    // buy it back. Direct out-adjacency capture of the exact
+    // top-degree, same estimator.
+    val H = graft.ops.HnswIndex
+    val exactD = S.sampledExactTopK(emb, H.Degree).localCheckpoint()
+    val nTruthD = exactD.count()
+    def hnswRecall(bits: Int, bands: Int): Unit = {
+      val (out, dt) = time(f"hnswOut sf1 ${bits}x$bands (build)") {
+        val o = S.hnswOutInline(spark, sf1Dir, bits, bands, H.Degree)
+          .select(col("node"), col("nbr")).localCheckpoint()
+        (o, o.count())
+      }
+      val _ = dt // timing printed by time()
+      val hit = exactD.join(out._1, Seq("node", "nbr"), "left_semi").count()
+      println(f"[band] hnsw out-recall@${H.Degree} (${bits}x$bands): " +
+        f"${hit.toDouble / nTruthD}%.3f ($hit%d/$nTruthD%d)")
+    }
+    hnswRecall(H.BitsPerBand, H.Bands)      // tuned 8x10
+    val hBits = S.bitsFor(20000L, H.OccTarget, H.BitsPerBand)
+    hnswRecall(hBits, H.Bands)              // bits-only: the collapse
+    hnswRecall(hBits, S.scaledBands(H.Bands, hBits - H.BitsPerBand))
     spark.stop()
   }
 }

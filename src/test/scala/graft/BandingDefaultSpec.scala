@@ -48,12 +48,20 @@ class BandingDefaultSpec extends AnyFunSuite {
     assert(bitsFor(Long.MaxValue / 4) == MaxAutoBits)
   }
 
-  test("bandsFor: gate bands at the floor config, doubled above it") {
+  test("bandsFor: gate bands at the floor config, doubled per 3 bits " +
+      "above it (the measured 7x40 anchor, model-extrapolated beyond)") {
     import SimilarityOps.{bandsFor, KnnBitsPerBand, KnnBands}
     assert(bandsFor(KnnBitsPerBand) == KnnBands)
     assert(bandsFor(KnnBitsPerBand - 1) == KnnBands)
     assert(bandsFor(KnnBitsPerBand + 1) == KnnBands * 2)
-    assert(bandsFor(24) == KnnBands * 2)
+    assert(bandsFor(7) == KnnBands * 2)  // the measured sf1 anchor
+    assert(bandsFor(8) == KnnBands * 4)  // +1 octave past the anchor
+    assert(bandsFor(10) == KnnBands * 4)
+    assert(bandsFor(13) == KnnBands * 8)
+    // monotone, never below the gate band count
+    (1 to 24).sliding(2).foreach { case Seq(a, b) =>
+      assert(bandsFor(a) <= bandsFor(b) && bandsFor(a) >= KnnBands)
+    }
   }
 
   test("derivedBits: memoized corpus derivation equals bitsFor(count) " +
@@ -138,6 +146,11 @@ class BandingDefaultSpec extends AnyFunSuite {
     import graft.ops.HnswIndex
     assert(bitsFor(2000, HnswIndex.OccTarget, HnswIndex.BitsPerBand) == 8)
     assert(bitsFor(20000, HnswIndex.OccTarget, HnswIndex.BitsPerBand) == 12)
+    // band compensation applies against each family's OWN floor: hnsw
+    // sized to 12 bits (delta 4) runs 4x its 10 gate bands — raising
+    // bits at fixed bands is the measured recall collapse
+    assert(SimilarityOps.scaledBands(HnswIndex.Bands, 0) == 10)
+    assert(SimilarityOps.scaledBands(HnswIndex.Bands, 4) == 40)
   }
 
   /** Deterministic clustered corpus: `nVec` unit vectors in `dims`
