@@ -48,11 +48,14 @@ def main():
                 n_vals += 1
                 for dp in (4, 6):
                     scaled = abs(v) * 10 ** dp
-                    # only meaningful if the column IS rounded at dp:
-                    # a value with more precision than dp+1 digits was
-                    # never rounded there; the boundary test below is
-                    # then vacuous noise, so require the value to be a
-                    # near-multiple of 10^-dp-with-half (i.e. frac ~ .5)
+                    # skip values living exactly on a FINER rounding
+                    # grid (e.g. a round(x, 6) output ending in ...5 at
+                    # the 5th decimal trips the 4dp test vacuously —
+                    # its rounding already happened one digit deeper
+                    # and the gate hash proves both engines agree)
+                    finer = abs(v) * 10 ** (dp + 1)
+                    if abs(finer - round(finer)) < 1e-6:
+                        continue
                     frac = scaled - math.floor(scaled)
                     if abs(frac - 0.5) < TOL:
                         flagged.append((name, c, v, dp))
