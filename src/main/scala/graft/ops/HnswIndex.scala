@@ -38,6 +38,13 @@ object HnswIndex {
     */
   val OccTarget = 8L
 
+  /** HNSW's band-doubling rate: 1 bit per doubling — measured, not the
+    * knn family's 3 (r17 band ladder at sf1, 12 bits: beam recall 0.52
+    * at ×4 bands, 0.72 at ×8, 0.90 at ×16 vs the tuned config's 0.78 —
+    * sparse 8-occupancy buckets need the full geometric compensation).
+    */
+  val BandsBitsPerDoubling = 1
+
   /** The shipped SEARCH config (r14 — ADVICE r13: `annBeamSweep` re-inlined
     * these as literals, so a config change would silently de-align the sweep
     * from the shipped search; now [[SimilarityOps.annHnswTopk]],
@@ -51,9 +58,27 @@ object HnswIndex {
 
   private val seam = new SessionSeam("graft_hnsw_")
 
-  /** The inline adjacency build at the shipped config. */
-  def build(s: SparkSession, dir: String): DataFrame =
-    SimilarityOps.hnswAdjacencyInline(s, dir, BitsPerBand, Bands, Degree)
+  /** The build config DERIVED for this corpus (r17 — the clamp-floor
+    * treatment the knn family got, applied to the HNSW build): the
+    * occupancy rule at HNSW's own [[OccTarget]] and [[BitsPerBand]]
+    * floor, bands compensated per [[SimilarityOps.scaledBands]]. Every
+    * gate corpus (500 vectors at sf0.001/0.01, 2000 at sf0.1 — both
+    * ≤ 8·2^8 = 2048) derives exactly the shipped ([[BitsPerBand]],
+    * [[Bands]]) the oracles embed; a 20k-vector corpus derives 12×40,
+    * the config the r17 probe measured (BASELINE.md r17, hnsw leg).
+    */
+  def derivedConfig(s: SparkSession, dir: String): (Int, Int) = {
+    val bits = SimilarityOps.bitsFor(
+      SimilarityOps.corpusCount(s, dir), OccTarget, BitsPerBand)
+    (bits, SimilarityOps.scaledBands(Bands, bits - BitsPerBand,
+      BandsBitsPerDoubling))
+  }
+
+  /** The inline adjacency build at the corpus-derived config. */
+  def build(s: SparkSession, dir: String): DataFrame = {
+    val (bits, bands) = derivedConfig(s, dir)
+    SimilarityOps.hnswAdjacencyInline(s, dir, bits, bands, Degree)
+  }
 
   /** The directed score-carrying OUT-adjacency at the shipped config —
     * the index's PERSISTED form (r14 — VERDICT r13 #2): the per-node
@@ -61,8 +86,10 @@ object HnswIndex {
     * re-rank under maintenance, so the artifact carries `ncos` while the
     * served symmetrized view ([[adjacency]]) stays id-only.
     */
-  def buildOut(s: SparkSession, dir: String): DataFrame =
-    SimilarityOps.hnswOutInline(s, dir, BitsPerBand, Bands, Degree)
+  def buildOut(s: SparkSession, dir: String): DataFrame = {
+    val (bits, bands) = derivedConfig(s, dir)
+    SimilarityOps.hnswOutInline(s, dir, bits, bands, Degree)
+  }
 
   /** Persist an out-adjacency artifact (`node, nbr, ncos`) as parquet —
     * the save half of the save/load/insert maintenance surface. Longs and

@@ -100,14 +100,23 @@ object SimilarityOps {
   private[graft] def bandsFor(bits: Int): Int =
     scaledBands(KnnBands, bits - KnnBitsPerBand)
 
-  /** The band-compensation half of the occupancy rule, family-agnostic:
-    * a family sized `bitsDelta` bits past its tuned floor doubles its
-    * band count per 3 bits (see [[bandsFor]] for the measured anchor
-    * and the collision-model argument) — the HNSW maintainer applies it
-    * against its own 8×10 floor.
+  /** The band-compensation half of the occupancy rule: a family sized
+    * `bitsDelta` bits past its tuned floor doubles its band count per
+    * `bitsPerDoubling` bits. The doubling rate is a FAMILY property,
+    * measured per family on the sf1 corpus (`probe_r17_band.log`):
+    * the knn lists (occupancy 160 — fat buckets, few collisions
+    * suffice) hold recall at 3 bits per doubling (the [[bandsFor]]
+    * anchor); the HNSW build (occupancy 8 — sparse buckets, each band
+    * contributes little) needs 1 bit per doubling — its beam ladder at
+    * 12 bits read 0.52 / 0.72 / **0.90** at ×4 / ×8 / ×16 bands vs the
+    * tuned config's 0.78, so only the ×2-per-bit point restores (and
+    * beats) serving recall.
     */
-  private[graft] def scaledBands(baseBands: Int, bitsDelta: Int): Int =
-    baseBands << ((math.max(0, bitsDelta) + 2) / 3)
+  private[graft] def scaledBands(baseBands: Int, bitsDelta: Int,
+      bitsPerDoubling: Int = 3): Int = {
+    val d = math.max(0, bitsDelta)
+    baseBands << ((d + bitsPerDoubling - 1) / bitsPerDoubling)
+  }
 
   /** Per-(session, corpus) memo of [[bitsFor]] over the embeddings row
     * count — one count() per corpus per session (the same
@@ -118,26 +127,33 @@ object SimilarityOps {
     * the map lock — a racing first call counts twice, deterministically
     * identically, which beats blocking a hash bin for a Spark job.
     */
-  private val corpusBits = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[String, Integer]]()
+  private val corpusCounts = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
 
-  private[graft] def derivedBits(s: SparkSession, dir: String): Int = {
-    val per = corpusBits.synchronized {
-      var m = corpusBits.get(s)
+  /** Memoized embeddings row count — the ONE number every banded family
+    * derives its config from (knn lists at target 160, HNSW at target
+    * 8), counted once per (session, corpus).
+    */
+  private[graft] def corpusCount(s: SparkSession, dir: String): Long = {
+    val per = corpusCounts.synchronized {
+      var m = corpusCounts.get(s)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-        corpusBits.put(s, m)
+        m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+        corpusCounts.put(s, m)
       }
       m
     }
     val cached = per.get(dir)
-    if (cached != null) cached.intValue()
+    if (cached != null) cached.longValue()
     else {
-      val v = Integer.valueOf(bitsFor(Tables(s, dir, "embeddings").count()))
+      val v = java.lang.Long.valueOf(Tables(s, dir, "embeddings").count())
       per.putIfAbsent(dir, v)
-      per.get(dir).intValue()
+      per.get(dir).longValue()
     }
   }
+
+  private[graft] def derivedBits(s: SparkSession, dir: String): Int =
+    bitsFor(corpusCount(s, dir))
 
   /** The SemDeDup edge threshold (r15 — named for the same reason as the
     * banding constants above: [[semdedupKnn]], its oracle, AND the
@@ -1063,8 +1079,9 @@ object SimilarityOps {
   def hnswTombstoneRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
     val isDel = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 3
-    val beam = annHnswBeam(s, dir, bitsPerBand = HnswIndex.BitsPerBand,
-      bands = HnswIndex.Bands, degree = HnswIndex.Degree,
+    val (hBits, hBands) = HnswIndex.derivedConfig(s, dir)
+    val beam = annHnswBeam(s, dir, bitsPerBand = hBits,
+      bands = hBands, degree = HnswIndex.Degree,
       levelMod = HnswIndex.LevelMod, entries = HnswIndex.Entries,
       beamWidth = HnswIndex.BeamWidth, rounds = HnswIndex.Rounds)
     val wQ = Window.partitionBy(col("query_id"))
@@ -2135,10 +2152,12 @@ object SimilarityOps {
     * included). The ef≈48 beam for top-5 matches production HNSW
     * practice (ef is conventionally several × k).
     */
-  def annHnswTopk(s: SparkSession, dir: String): DataFrame =
-    annHnswTopk(s, dir, bitsPerBand = HnswIndex.BitsPerBand,
-      bands = HnswIndex.Bands, degree = HnswIndex.Degree,
+  def annHnswTopk(s: SparkSession, dir: String): DataFrame = {
+    val (bits, bands) = HnswIndex.derivedConfig(s, dir)
+    annHnswTopk(s, dir, bitsPerBand = bits,
+      bands = bands, degree = HnswIndex.Degree,
       levelMod = HnswIndex.LevelMod, entries = HnswIndex.Entries)
+  }
 
   def annHnswTopk(s: SparkSession, dir: String, bitsPerBand: Int,
       bands: Int, degree: Int, levelMod: Int, entries: Int,
@@ -2248,11 +2267,13 @@ object SimilarityOps {
       entries: Int, beamWidth: Int, rounds: Int): DataFrame = {
     val emb = embeddings(s, dir)
     // the adjacency IS the index — served by the HnswIndex seam at the
-    // shipped build config (materialized once per session), built inline
-    // for experimental configs (HnswProbe's parameter sweeps)
+    // corpus-DERIVED build config (what HnswIndex.build materializes;
+    // equals the shipped 8×10 at every gate corpus), built inline for
+    // experimental configs (HnswProbe's parameter sweeps)
+    val derived = HnswIndex.derivedConfig(s, dir)
     val nbrs =
-      if (bitsPerBand == HnswIndex.BitsPerBand && bands == HnswIndex.Bands &&
-          degree == HnswIndex.Degree) HnswIndex.adjacency(s, dir)
+      if ((bitsPerBand, bands) == derived && degree == HnswIndex.Degree)
+        HnswIndex.adjacency(s, dir)
       else hnswAdjacencyInline(s, dir, bitsPerBand, bands, degree)
     // md5-deterministic upper layer (~1/levelMod of the corpus)
     val lvl = conv(substring(md5(
@@ -2660,8 +2681,9 @@ object SimilarityOps {
     * recall gate) is pinned in MmrSelectSpec.
     */
   def mmrRerankAnn(s: SparkSession, dir: String): DataFrame = {
-    val beam = annHnswBeam(s, dir, bitsPerBand = HnswIndex.BitsPerBand,
-        bands = HnswIndex.Bands, degree = HnswIndex.Degree,
+    val (hBits, hBands) = HnswIndex.derivedConfig(s, dir)
+    val beam = annHnswBeam(s, dir, bitsPerBand = hBits,
+        bands = hBands, degree = HnswIndex.Degree,
         levelMod = HnswIndex.LevelMod, entries = HnswIndex.Entries,
         beamWidth = HnswIndex.BeamWidth, rounds = HnswIndex.Rounds)
       .filter(col("node") =!= col("query_id"))
@@ -2864,7 +2886,8 @@ object SimilarityOps {
   def incrementalHnsw(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
     val isDelta = pmod(col("vec_id"), lit(10)) === 9
-    val banded = hnswBanded(emb, HnswIndex.BitsPerBand, HnswIndex.Bands)
+    val (hBits, hBands) = HnswIndex.derivedConfig(s, dir)
+    val banded = hnswBanded(emb, hBits, hBands)
       .localCheckpoint() // 4 consumers (base self-join ×2, delta joins ×2);
                          // measured sf0.1 warm: 1.63 s with / 1.88 without
     val bandedBase = banded.filter(!isDelta)

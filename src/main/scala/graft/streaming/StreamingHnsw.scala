@@ -542,18 +542,20 @@ object StreamingHnsw extends MaintainerFacade(new BandedTopKMaintainer(
     * ([[HnswIndex.OccTarget]] ≈ 8/bucket — the load 8×10 was tuned at,
     * an octave finer than the knn lists' 160) and floors at the shipped
     * [[HnswIndex.BitsPerBand]] so gate-size corpora keep the
-    * oracle-embedded config exactly; bands double per 3 extra bits
-    * ([[graft.ops.SimilarityOps.scaledBands]] — raising bits at FIXED
-    * bands is the measured recall collapse, 0.981 → 0.619 on the knn
-    * family). At 20k vectors this derives 12×40; the sized adjacency's
-    * recall vs the tuned config is measured in BandScaleProbe's hnsw
-    * leg (`scripts/probe_r17_band.log`).
+    * oracle-embedded config exactly; bands double per extra BIT
+    * ([[HnswIndex.BandsBitsPerDoubling]] — HNSW's own measured rate,
+    * steeper than the knn family's 3: the r17 band ladder at 20k
+    * vectors reads beam recall 0.52/0.72/0.90 at ×4/×8/×16 bands vs
+    * the tuned config's 0.78, so only the per-bit rate restores
+    * serving recall). At 20k vectors this derives 12×160
+    * (`scripts/probe_r17_band.log`).
     */
   def forExpectedCorpus(n: Long, storeTag: String): MaintainerFacade = {
     val bits = graft.ops.SimilarityOps.bitsFor(
       n, HnswIndex.OccTarget, HnswIndex.BitsPerBand)
     val bands = graft.ops.SimilarityOps.scaledBands(
-      HnswIndex.Bands, bits - HnswIndex.BitsPerBand)
+      HnswIndex.Bands, bits - HnswIndex.BitsPerBand,
+      HnswIndex.BandsBitsPerDoubling)
     new MaintainerFacade(new BandedTopKMaintainer(
       bits, bands, HnswIndex.Degree,
       s"graft-shnsw-$storeTag-lineage", s"hnsw-maintain-$storeTag")) {}

@@ -40,6 +40,12 @@ object BandScaleProbe {
     def pairs(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("neighbor_id"))
 
+    // SPARK_GRAFT_BAND_HNSWONLY=1 skips the (slow, already-recorded)
+    // knn section — the hnsw band ladder iterates alone
+    if (sys.env.contains("SPARK_GRAFT_BAND_HNSWONLY")) {
+      hnswSection(spark, sf1Dir); spark.stop(); return
+    }
+
     // fixed gate config (4 bits = 16 buckets; occupancy ~1250 at 20k)
     val (p4, _) = time("knnJoin sf1 bits=4 bands=20 (build+count)") {
       val p = pairs(graft.ops.SimilarityOps.knnJoin(spark, sf1Dir, 4, 20,
@@ -112,29 +118,70 @@ object BandScaleProbe {
     require(rd >= 0.8,
       f"shipped derived config recall $rd%.3f < 0.8 — retune bandsFor")
 
-    // the HNSW sizing leg (r17 review): StreamingHnsw.forExpectedCorpus
-    // derives 12 bits at 20k — raising bits at FIXED bands must show
-    // the recall collapse the knn family measured, and scaledBands must
-    // buy it back. Direct out-adjacency capture of the exact
-    // top-degree, same estimator.
+    hnswSection(spark, sf1Dir)
+    spark.stop()
+  }
+
+  /** The HNSW sizing leg (r17 review): StreamingHnsw.forExpectedCorpus
+    * derives 12 bits at 20k — raising bits at FIXED bands must show
+    * the recall collapse the knn family measured, and the band ladder
+    * measures how many bands buy the SERVING (beam) recall back.
+    * Direct out-adjacency capture (a relative metric) plus end-to-end
+    * BEAM recall per config — the beam number is what a deployment
+    * holds.
+    */
+  private def hnswSection(spark: SparkSession, sf1Dir: String): Unit = {
+    val S = graft.ops.SimilarityOps
     val H = graft.ops.HnswIndex
+    val k = S.K
+    def time[T](name: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[band] $name%-40s $dt%8.2f s"); (r, dt)
+    }
+    val emb = spark.read.parquet(s"$sf1Dir/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.normalize(
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding")))
+          .as("v"))
+      .localCheckpoint()
     val exactD = S.sampledExactTopK(emb, H.Degree).localCheckpoint()
     val nTruthD = exactD.count()
     def hnswRecall(bits: Int, bands: Int): Unit = {
-      val (out, dt) = time(f"hnswOut sf1 ${bits}x$bands (build)") {
+      val (out, _) = time(f"hnswOut sf1 ${bits}x$bands (build)") {
         val o = S.hnswOutInline(spark, sf1Dir, bits, bands, H.Degree)
           .select(col("node"), col("nbr")).localCheckpoint()
         (o, o.count())
       }
-      val _ = dt // timing printed by time()
       val hit = exactD.join(out._1, Seq("node", "nbr"), "left_semi").count()
       println(f"[band] hnsw out-recall@${H.Degree} (${bits}x$bands): " +
         f"${hit.toDouble / nTruthD}%.3f ($hit%d/$nTruthD%d)")
     }
-    hnswRecall(H.BitsPerBand, H.Bands)      // tuned 8x10
+    val exactQ = S.annCosineTopk(spark, sf1Dir)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val nQ = exactQ.count()
+    def beamRecall(name: String, bits: Int, bands: Int): Unit = {
+      val (got, _) = time(f"annHnswTopk sf1 ${bits}x$bands") {
+        val g = S.annHnswTopk(spark, sf1Dir, bits, bands, H.Degree,
+            H.LevelMod, H.Entries)
+          .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+        (g, g.count())
+      }
+      val hit = exactQ.join(got._1, Seq("query_id", "neighbor_id"),
+        "left_semi").count()
+      println(f"[band] hnsw BEAM recall@$k ($name%-12s): " +
+        f"${hit.toDouble / nQ}%.3f ($hit%d/$nQ%d)")
+    }
     val hBits = S.bitsFor(20000L, H.OccTarget, H.BitsPerBand)
+    hnswRecall(H.BitsPerBand, H.Bands)      // tuned 8x10
     hnswRecall(hBits, H.Bands)              // bits-only: the collapse
-    hnswRecall(hBits, S.scaledBands(H.Bands, hBits - H.BitsPerBand))
-    spark.stop()
+    // the band LADDER at the sized bits: how many bands buy the beam
+    // recall back to the tuned config's level
+    beamRecall("tuned 8x10", H.BitsPerBand, H.Bands)
+    for (bands <- Seq(S.scaledBands(H.Bands, hBits - H.BitsPerBand),
+        80, 160)) {
+      hnswRecall(hBits, bands)
+      beamRecall(s"sized ${hBits}x$bands", hBits, bands)
+    }
   }
 }

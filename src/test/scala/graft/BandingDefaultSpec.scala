@@ -146,11 +146,22 @@ class BandingDefaultSpec extends AnyFunSuite {
     import graft.ops.HnswIndex
     assert(bitsFor(2000, HnswIndex.OccTarget, HnswIndex.BitsPerBand) == 8)
     assert(bitsFor(20000, HnswIndex.OccTarget, HnswIndex.BitsPerBand) == 12)
-    // band compensation applies against each family's OWN floor: hnsw
-    // sized to 12 bits (delta 4) runs 4x its 10 gate bands — raising
-    // bits at fixed bands is the measured recall collapse
-    assert(SimilarityOps.scaledBands(HnswIndex.Bands, 0) == 10)
-    assert(SimilarityOps.scaledBands(HnswIndex.Bands, 4) == 40)
+    // band compensation applies against each family's OWN floor AND
+    // its own measured doubling rate: knn doubles per 3 bits (the 7x40
+    // anchor), hnsw per 1 bit (the r17 beam ladder: only x16 bands at
+    // +4 bits restores serving recall — 0.90 vs the tuned 0.78)
+    assert(SimilarityOps.scaledBands(HnswIndex.Bands, 0,
+      HnswIndex.BandsBitsPerDoubling) == 10)
+    assert(SimilarityOps.scaledBands(HnswIndex.Bands, 4,
+      HnswIndex.BandsBitsPerDoubling) == 160)
+    // the batch HNSW family's oracle-parity invariant (r17, second
+    // review pass): both driver corpora stay on the shipped 8x10 the
+    // hnsw oracles embed — sf0.1's 2000 vectors sit just under the
+    // 8*2^8 = 2048 capacity boundary, so pin the boundary itself too
+    assert(HnswIndex.derivedConfig(spark, dir) ==
+      (HnswIndex.BitsPerBand, HnswIndex.Bands))
+    assert(bitsFor(2048, HnswIndex.OccTarget, HnswIndex.BitsPerBand) == 8)
+    assert(bitsFor(2049, HnswIndex.OccTarget, HnswIndex.BitsPerBand) == 9)
   }
 
   /** Deterministic clustered corpus: `nVec` unit vectors in `dims`
