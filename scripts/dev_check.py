@@ -49,24 +49,39 @@ def main():
         got = con.execute(
             f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchall()
         got_cols = [d[0] for d in con.description]
-        got_types = {d[0]: str(d[1]) for d in con.description}
+        # REAL DuckDB types via DESCRIBE, not the DB-API description —
+        # that coarsens every numeric to NUMBER, which is exactly how a
+        # HUGEINT oracle column (r16/r17 pack_sequences) passed here
+        # while failing the driver's width-sensitive hash
+        got_types = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE (SELECT * FROM read_parquet('{res_dir}/*.parquet'))"
+        ).fetchall()}
         try:
             want = con.execute(oracle[name]).fetchall()
+            want_cols = [d[0] for d in con.description]
+            want_types = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE ({oracle[name]})").fetchall()}
         except Exception as e:
             failures.append((name, f"oracle SQL failed: {e}"))
             continue
-        want_cols = [d[0] for d in con.description]
-        want_types = {d[0]: str(d[1]) for d in con.description}
         if sorted(got_cols) != sorted(want_cols):
             failures.append((name, f"columns differ: spark={sorted(got_cols)} oracle={sorted(want_cols)}"))
             continue
-        # the driver's hash is type-WIDTH-sensitive (round 1: DuckDB HUGEINT
-        # sums vs Spark int64 hashed differently despite equal values) —
-        # mirror that by requiring identical DuckDB types on both sides
+        # the driver's hash is type-CLASS-sensitive: int32 vs int64 hash
+        # alike (33 driver-green queries emit Spark INTEGER vs oracle
+        # BIGINT), but a HUGEINT/DECIMAL oracle column fetches as
+        # Decimal128 through Arrow and hashes apart despite equal values
+        # (round 1 + the r16/r17 pack_sequences red rows) — compare the
+        # CLASS, not the width
+        def tclass(t):
+            base = t[:-2] if t.endswith("[]") else t
+            cls = ("INT" if base in
+                   ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else base)
+            return cls + ("[]" if t.endswith("[]") else "")
         tdiff = {c: (got_types[c], want_types[c]) for c in got_cols
-                 if got_types[c] != want_types[c]}
+                 if tclass(got_types[c]) != tclass(want_types[c])}
         if tdiff:
-            failures.append((name, f"column types differ (driver hash is width-sensitive): {tdiff}"))
+            failures.append((name, f"column type classes differ (driver hash is class-sensitive): {tdiff}"))
             continue
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
         widx = [want_cols.index(c) for c in sorted(want_cols)]

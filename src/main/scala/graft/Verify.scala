@@ -24,6 +24,26 @@ object Verify {
     // the engine's own optimizer rules are part of the verified surface
     GraftOptimizations.install(spark)
     new java.io.File(outDir).mkdirs()
+    // Guard (r18 — ADVICE r17): every knn/hnsw-family oracle embeds the
+    // gate-pinned banding config, while the engine derives per-corpus;
+    // the two coincide only because the gate corpora sit below the
+    // capacity boundaries (e.g. sf0.1's 2000 vectors < 2048 = 8·2^8).
+    // If a test-data regen crosses a boundary, fail HERE with one clear
+    // message instead of as hundreds of downstream hash mismatches.
+    locally {
+      import graft.ops.{HnswIndex, SimilarityOps}
+      val kb = SimilarityOps.derivedBits(spark, sfDir)
+      require(kb == SimilarityOps.KnnBitsPerBand &&
+          SimilarityOps.bandsFor(kb) == SimilarityOps.KnnBands,
+        s"derived knn config ${kb}x${SimilarityOps.bandsFor(kb)} != gate-" +
+          s"pinned ${SimilarityOps.KnnBitsPerBand}x${SimilarityOps.KnnBands}" +
+          " — the corpus crossed a capacity boundary; re-pin the oracles")
+      val (hb, hn) = HnswIndex.derivedConfig(spark, sfDir)
+      require(hb == HnswIndex.BitsPerBand && hn == HnswIndex.Bands,
+        s"derived hnsw config ${hb}x$hn != gate-pinned " +
+          s"${HnswIndex.BitsPerBand}x${HnswIndex.Bands}" +
+          " — the corpus crossed a capacity boundary; re-pin the oracles")
+    }
     // the incremental-dedup query reads a store seeded OUTSIDE the query
     // builder (construction is pure — VERDICT r2 #5)
     graft.ops.IncrementalDedup.seedQueryStore(spark, sfDir)

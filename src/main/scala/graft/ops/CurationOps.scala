@@ -2351,7 +2351,11 @@ object CurationOps {
        |           ROWS UNBOUNDED PRECEDING) - capped AS off0
        |  FROM o),
        |a AS (
-       |  SELECT shard, off0 // $L AS bin,
+       |  -- off0 is a windowed sum(BIGINT) => HUGEINT in DuckDB, and an
+       |  -- uncast HUGEINT-derived output column hashes differently per
+       |  -- DuckDB build even when values agree (the r4 pivot class;
+       |  -- this was the r16/r17 pack_sequences red driver row)
+       |  SELECT shard, CAST(off0 // $L AS BIGINT) AS bin,
        |         least(capped, $L - off0 % $L) AS kept, len
        |  FROM w)
        |SELECT shard, bin, count(*) AS n_docs,

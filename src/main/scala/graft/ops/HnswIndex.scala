@@ -45,6 +45,42 @@ object HnswIndex {
     */
   val BandsBitsPerDoubling = 1
 
+  /** Bands ceiling for the derived config (r18 — ADVICE r17): the
+    * per-BIT doubling rate is anchored only at 20k vectors (12×160,
+    * the r17 ladder); left unclamped it makes bands ∝ n/2^8 past the
+    * floor, so per-vector planes AND banded candidate mass grow
+    * ~linearly in n and total build work turns quadratic again (1M
+    * vectors would derive 17×5120 ≈ 87k hyperplane dots per vector).
+    * Clamping bands keeps the build LINEAR (candidate mass ∝
+    * n·occ·cap) at the price of recall decaying past the cap — the
+    * same trade the knn family's [[SimilarityOps.MaxAutoBits]] makes
+    * on the bits axis. 1280 = three doublings past the measured
+    * anchor: corpora ≤ 8·2^15 ≈ 262k get full compensation; beyond
+    * that a deployment should re-anchor with its own band ladder
+    * ([[SimilarityOps.knnRecallAudit]] is the shipped instrument).
+    */
+  val MaxAutoBands = 1280
+
+  /** The derived band count at `bits` — [[SimilarityOps.scaledBands]]
+    * at HNSW's own measured per-bit rate, clamped to [[MaxAutoBands]]
+    * (warn-logged: a clamped config is the extrapolation boundary, not
+    * a measured point). The ONE site both [[derivedConfig]] and
+    * [[graft.streaming.StreamingHnsw.forExpectedCorpus]] call, so the
+    * batch and streaming builds can never disagree on the clamp.
+    */
+  def bandsForBits(bits: Int): Int = {
+    val raw = SimilarityOps.scaledBands(Bands, bits - BitsPerBand,
+      BandsBitsPerDoubling)
+    if (raw > MaxAutoBands) {
+      log.warn(s"derived HNSW bands $raw at bits=$bits exceeds the " +
+        s"validated ceiling $MaxAutoBands (anchor: 20k vectors, 12x160); " +
+        s"clamping — re-anchor the band ladder for this corpus size")
+      MaxAutoBands
+    } else raw
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The shipped SEARCH config (r14 — ADVICE r13: `annBeamSweep` re-inlined
     * these as literals, so a config change would silently de-align the sweep
     * from the shipped search; now [[SimilarityOps.annHnswTopk]],
@@ -70,8 +106,7 @@ object HnswIndex {
   def derivedConfig(s: SparkSession, dir: String): (Int, Int) = {
     val bits = SimilarityOps.bitsFor(
       SimilarityOps.corpusCount(s, dir), OccTarget, BitsPerBand)
-    (bits, SimilarityOps.scaledBands(Bands, bits - BitsPerBand,
-      BandsBitsPerDoubling))
+    (bits, bandsForBits(bits))
   }
 
   /** The inline adjacency build at the corpus-derived config. */

@@ -3927,7 +3927,11 @@ object SimilarityOps {
     * pattern as the audited census scalars).
     */
   def annAutoConfig(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables(s, dir, "embeddings").count()
+    // the MEMOIZED count, not a fresh scan: the audit row must report
+    // the exact number the no-arg builds consumed this session, or a
+    // mid-session corpus rewrite makes the audit describe a config
+    // nothing shipped (r17 advice)
+    val n = corpusCount(s, dir)
     val bits = bitsFor(n)
     val bands = bandsFor(bits)
     import s.implicits._

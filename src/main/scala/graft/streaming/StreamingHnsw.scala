@@ -553,9 +553,7 @@ object StreamingHnsw extends MaintainerFacade(new BandedTopKMaintainer(
   def forExpectedCorpus(n: Long, storeTag: String): MaintainerFacade = {
     val bits = graft.ops.SimilarityOps.bitsFor(
       n, HnswIndex.OccTarget, HnswIndex.BitsPerBand)
-    val bands = graft.ops.SimilarityOps.scaledBands(
-      HnswIndex.Bands, bits - HnswIndex.BitsPerBand,
-      HnswIndex.BandsBitsPerDoubling)
+    val bands = HnswIndex.bandsForBits(bits)
     new MaintainerFacade(new BandedTopKMaintainer(
       bits, bands, HnswIndex.Degree,
       s"graft-shnsw-$storeTag-lineage", s"hnsw-maintain-$storeTag")) {}
