@@ -1969,8 +1969,15 @@ object CurationOps {
       .groupBy(col("rule_fail"), col("dedup_drop"), col("selected"),
         col("ppl_tail"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("n_tokens"))
-    val tot = cells.agg(sum(col("n_docs")).as("total_docs"))
-    cells.crossJoin(broadcast(tot))
+    // total via an unpartitioned window over the ≤16-cell aggregate, NOT
+    // cells.agg(...).crossJoin back: the separate-aggregate shape re-plans
+    // the whole 4-leg pipeline a second time (r18 plan audit: 22 parquet
+    // scans / 142 exchanges → 11 / ~70; sf0.1 warm 13.9 s → 7 s class).
+    // The window sees all 16 rows in one partition — same total_docs value.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    cells
+      .withColumn("total_docs", sum(col("n_docs")).over(wAll))
       .select(col("rule_fail"), col("dedup_drop"), col("selected"),
         col("ppl_tail"), col("n_docs"), col("n_tokens"),
         // exact integer ppm, not round(int/int, 6) — the r16 red-row class
