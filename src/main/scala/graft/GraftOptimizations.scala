@@ -109,5 +109,23 @@ object GraftOptimizations {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // AQE partition-coalescing floor (r18 JobProbe finding): the
+    // coalescer models post-shuffle cost by BYTES, but this engine's
+    // intermediates are id-tuples (candidate pairs, band buckets, edge
+    // lists) whose downstream cost is per-row compute — array dots, set
+    // merges, window ranks over exploded candidates. Under the default
+    // 1 MB minPartitionSize a sub-MB shuffle coalesces to ONE partition
+    // and the heaviest stage of the knn/hnsw family runs on one core
+    // (measured: knn_delete_repair 6.1 s → 2.8 s at a 16 KB floor on
+    // local[32]). At cluster scale real shuffles dwarf the floor and the
+    // setting never binds, so it is safe to default low; honored only
+    // when the user has not set it themselves, overridable via
+    // SPARK_GRAFT_MIN_PARTITION_SIZE.
+    val mpsKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    // RuntimeConfig.getOption surfaces the BUILT-IN default for SQL confs,
+    // so "user set it" is detectable only from the startup SparkConf
+    if (!spark.sparkContext.getConf.contains(mpsKey))
+      spark.conf.set(mpsKey,
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"))
   }
 }

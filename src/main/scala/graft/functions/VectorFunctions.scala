@@ -56,8 +56,21 @@ object VectorFunctions {
     * dot + two norms. Evaluate this BELOW a join/exchange boundary (the
     * shuffle or broadcast build materializes it once per vector); at real
     * scale, normalized vectors would be materialized to storage up front.
+    * Native codegen'd [[graft.functions.expressions.UnitNormalize]] — the
+    * composed form ([[normalizeComposed]]) re-runs the interpreted
+    * `dot(a, a)` fold per ELEMENT inside the `transform` lambda, O(d²)
+    * boxed work per row (r18 JobProbe; bit identity pinned in
+    * VectorExpressionsSpec).
     */
-  def normalize(a: Column): Column = transform(a, x => x / sqrt(dot(a, a)))
+  def normalize(a: Column): Column =
+    ColumnBridge.column(graft.functions.expressions.UnitNormalize(
+      ColumnBridge.expression(a)))
+
+  /** The `transform` composition equivalent of [[normalize]] — kept as the
+    * cross-check reference (VectorExpressionsSpec pins bit equality).
+    */
+  def normalizeComposed(a: Column): Column =
+    transform(a, x => x / sqrt(dot(a, a)))
 
   /** All sign-LSH band buckets in one narrow pass — the native
     * [[graft.functions.expressions.SignLshBuckets]] expression; see

@@ -1423,7 +1423,14 @@ object EventOps {
     attr.join(pday, "purchase_id")
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_conversions"),
-        round(avg(col("gap_sec") / 3600.0), 4).as("mean_lag_hours"),
+        // mean from the EXACT integer-seconds sum, one double division at
+        // the end — avg(gap/3600.0) accumulates doubles in partition
+        // order, and this mean sits within an ulp of a 4dp rounding
+        // boundary on the gate corpus (r18: an AQE partition-count change
+        // flipped 25.0956 ↔ 25.0957). sum(LONG) is order-independent;
+        // the oracle states the same expression.
+        round(sum(col("gap_sec")).cast("double") / 3600.0 /
+          count(lit(1)), 4).as("mean_lag_hours"),
         round(max(col("gap_sec")) / 3600.0, 4).as("max_lag_hours"),
         sum(when(col("gap_sec") <= 86400, 1L).otherwise(0L))
           .as("n_within_24h"))
@@ -1438,7 +1445,8 @@ object EventOps {
        |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
        |  FROM events WHERE event_type = 'purchase')
        |SELECT day, count(*) AS n_conversions,
-       |       round(avg(gap_sec / 3600.0), 4) AS mean_lag_hours,
+       |       round(CAST(sum(gap_sec) AS DOUBLE) / 3600.0 / count(*), 4)
+       |         AS mean_lag_hours,
        |       round(max(gap_sec) / 3600.0, 4) AS max_lag_hours,
        |       CAST(sum(CASE WHEN gap_sec <= 86400 THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_within_24h

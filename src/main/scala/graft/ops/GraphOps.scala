@@ -474,6 +474,10 @@ object GraphOps {
     val a1 = edges.groupBy(col("p")).agg(count(lit(1)).as("a1"))
     val h1 = edges.join(a1, "p").groupBy(col("c")).agg(sum(col("a1")).as("h1"))
     val a2 = edges.join(h1, "c").groupBy(col("p")).agg(sum(col("h1")).as("a2"))
+      // the norm scalar AND the output both read a2 — without this the
+      // whole two-iteration join chain re-executes for the 1-row norm
+      // aggregate (r18 plan audit; part-keyed, ≤|parts| rows)
+      .localCheckpoint()
     val ad = col("a2").cast("double")
     val nrm = a2.agg(sqrt(sum(ad * ad)).as("nrm"))
     a2.crossJoin(broadcast(nrm))

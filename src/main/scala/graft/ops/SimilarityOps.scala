@@ -2210,6 +2210,23 @@ object SimilarityOps {
     emb.select(col("vec_id"),
         posexplode(signLshBuckets(col("v"), bitsPerBand, bands)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+      // spread the banding across the session's shuffle parallelism (r18
+      // JobProbe, guide §2.5 input skew): the embeddings corpus arrives as
+      // few parquet files, so without this every bucket-cogroup map stage
+      // downstream — the O(occupancy²) pair generation, the family's
+      // dominant cost — inherits ONE input partition and runs on one core
+      // (measured single-task stages of 1.9-2.0 s wall under local[32]).
+      // The exchange itself is ids-only rows (vec_id, band, bucket) — the
+      // vectors never ride it — and the key is the cogroup's own join key,
+      // scale-adaptive via spark.sql.shuffle.partitions. The partition
+      // count is EXPLICIT because AQE's coalescer models cost by shuffle
+      // BYTES: banding rows are ~24 bytes but each fans out to
+      // occupancy² pair work downstream, so byte-based coalescing folds
+      // the whole cogroup back onto one core (observed: repartition
+      // without a count → AQE → 1 partition → the same 2 s single-task
+      // stage the repartition was added to break).
+      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("bucket"))
 
   /** Distinct directed cohabiting pairs `(node, nbr)` between two banded
     * frames: node from `a`, nbr from `b`, same (band, bucket), self
@@ -2221,7 +2238,17 @@ object SimilarityOps {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("node"), col("b.vec_id").as("nbr"))
-      .distinct()
+      // distinct()-equivalent with ONE exchange instead of two (r18 —
+      // guide §2.4): .distinct() shuffles the raw cohabit rows on
+      // (node, nbr) and every consumer then re-shuffles on node for its
+      // per-node top-K window. collect_set keyed by node dedups map-side
+      // (partial aggregation — a pair cohabiting in k bands sheds its
+      // k−1 copies before the exchange), ships each node's neighbor set
+      // once, and leaves the output hashpartitioned by node — the window
+      // downstream needs only a sort. Set sizes are bucket-occupancy-
+      // bounded (the banding invariant), never corpus-sized.
+      .groupBy(col("node")).agg(collect_set(col("nbr")).as("nbrs"))
+      .select(col("node"), explode(col("nbrs")).as("nbr"))
 
   /** Exact-score a distinct candidate pair set by two id-keyed vector
     * lookups: `(node, nbr, ncos)` — one deterministic dot per pair, so

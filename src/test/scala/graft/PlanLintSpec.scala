@@ -472,11 +472,18 @@ class PlanLintSpec extends AnyFunSuite {
                                   // candidate repartition, verify
                                   // intersect agg (+sort) — the inline
                                   // edge-build claim
-      "knn_join" -> 3,            // banded cohabit distinct + per-node
-                                  // top-K window (+sort); vector attaches
-                                  // are AQE broadcasts
-      "cardinality_sketches" -> 3, // HLL sketch agg + the deliberate
-                                  // exact-distinct audit baseline (+sort)
+      "knn_join" -> 4,            // banding spread repartition (r18 —
+                                  // breaks the single-file scan's
+                                  // 1-partition ceiling) + cohabit
+                                  // node-set agg + per-node top-K window
+                                  // (+sort); vector attaches are AQE
+                                  // broadcasts
+      "cardinality_sketches" -> 4, // HLL/percentile sketch agg + the
+                                  // deliberate exact-distinct audit
+                                  // baseline on its OWN two-phase agg
+                                  // (r18 — keeps the sketch buffers off
+                                  // the per-(type,user) first phase)
+                                  // (+sort)
       "ann_beam_sweep" -> 9,      // 3 bw-keyed beam rounds over the ONE
                                   // seam adjacency + recall join/aggs
                                   // (+sort) — checkpointed beams bound
@@ -554,7 +561,8 @@ class PlanLintSpec extends AnyFunSuite {
       "gopher_rules" -> 1,        // narrow per-row map (+sort only)
       "ssl_prototypes" -> 4,      // centroid (label,dim)+label aggs +
                                   // per-label rank window (+sort)
-      "contamination_semantic" -> 4, // banded cogroup + top-1 window +
+      "contamination_semantic" -> 5, // banding spread repartition (r18)
+                                  // + banded cogroup + top-1 window +
                                   // eval left join (+sort)
       "soft_dedup" -> 9,          // cluster-size agg + doc joins (+sort)
                                   // over the label artifact's planned
@@ -592,11 +600,12 @@ class PlanLintSpec extends AnyFunSuite {
                                   // count is a separate action at
                                   // construction (the audited census
                                   // scalar pattern)
-      "knn_recall_audit" -> 7,    // the lists build (cohabit distinct +
-                                  // top-K window) + the sample-bounded
-                                  // exact window + hit semi-join + 1-row
-                                  // aggregates (truth side rides its
-                                  // checkpoint; measured 7)
+      "knn_recall_audit" -> 8,    // banding spread repartition (r18) +
+                                  // the lists build (cohabit node-set
+                                  // agg + top-K window) + the
+                                  // sample-bounded exact window + hit
+                                  // semi-join + 1-row aggregates (truth
+                                  // side rides its checkpoint)
       "hnsw_tombstone_recall" -> 8) // the seam-fed beam's per-round
                                   // frontier distincts + the filtered
                                   // top-K window + the exact-survivor
@@ -641,7 +650,8 @@ class PlanLintSpec extends AnyFunSuite {
     "epoch_plan" -> "rank/prefix over the per-source token aggregate (token_budget_fill's bound — ≤ source cardinality)",
     "conformal_interval" -> "cumulative-count over the clamped 4-rounded residual histogram (|r| ∈ [0,100] at 4 decimals → ≤ 10⁶+1 rows regardless of corpus size)",
     "watermark_drop_audit" -> "prefix max over the per-arrival-day max aggregate (≤ |days| rows — 31 here; the day-keyed window carries the corpus-sized work)",
-    "embedding_dim_variance" -> "rank/cumulative over the per-DIMENSION moment aggregate (≤ d rows — 64 here; the corpus-sized work is the keyed aggregate)")
+    "embedding_dim_variance" -> "rank/cumulative over the per-DIMENSION moment aggregate (≤ d rows — 64 here; the corpus-sized work is the keyed aggregate)",
+    "filter_agreement" -> "share_ppm total over the ≤16-row (2⁴ boolean-verdict cells) aggregate — replaces the crossJoin(agg) shape that re-planned the whole 4-leg pipeline (r18)")
 
   test("unpartitioned WindowExec only over limit-bounded or whitelisted-aggregate input") {
     import org.apache.spark.sql.execution._

@@ -60,6 +60,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(diffs == 0L)
   }
 
+  test("UnitNormalize == transform(x / sqrt(dot)) composition, bit for bit") {
+    val vecs = graft.ops.Tables(spark, dir, "embeddings")
+      .select(VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+    val diffs = vecs.select(
+        VectorFunctions.normalize(col("v")).as("native"),
+        VectorFunctions.normalizeComposed(col("v")).as("composed"))
+      .filter(!(col("native") <=> col("composed")))
+      .count()
+    assert(diffs == 0L)
+    // empty array stays empty, null array → null. (A zero vector is NOT
+    // comparable: under ANSI mode — the session default — the composed
+    // form THROWS DIVIDE_BY_ZERO, an error path no shipped corpus reaches;
+    // the native form returns the IEEE NaN elements the non-ANSI
+    // composition produced.)
+    val edge = Seq(
+      Some(Seq.empty[Double]),
+      None                   // null array → null
+    ).toDF("v")
+    val edgeRows = edge.select(
+      VectorFunctions.normalize(col("v")).as("native"),
+      VectorFunctions.normalizeComposed(col("v")).as("composed"))
+    assert(edgeRows.filter(!(col("native") <=> col("composed"))).count() == 0L)
+    // null ELEMENT: the composition nulls every element (x / sqrt(null));
+    // the native form must match
+    val withNullEl = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 2.0)))
+      .toDF("v").select(col("v").cast("array<double>").as("v"))
+    assert(withNullEl.select(
+        VectorFunctions.normalize(col("v")).as("native"),
+        VectorFunctions.normalizeComposed(col("v")).as("composed"))
+      .filter(!(col("native") <=> col("composed"))).count() == 0L)
+  }
+
   test("SquaredDistance null semantics match the composition") {
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 5.0))),   // 4 + 9 = 13.0
