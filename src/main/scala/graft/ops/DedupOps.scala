@@ -169,6 +169,10 @@ object DedupOps {
     */
   private[graft] def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      // spread BEFORE tokenizing (single-file scan = one partition; the
+      // duplicateSpans note) — downstream the pair build checkpoints this
+      // frame, so the partitioning carries to every consumer
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("source"),
         array_distinct(split(normText(col("text")), " ")).as("tokens"))
       .withColumn("n_tok", size(col("tokens")))
@@ -196,14 +200,10 @@ object DedupOps {
       // count, the prefix build, and both verify attach sides — exchange
       // reuse covers only the prefix self-join, so the regexp+split+
       // array_distinct chain re-ran in the ta/tb broadcast builds too
-      // (4 evaluations/doc). Repartition FIRST: the documents corpus
-      // arrives as one parquet file, and checkpointing the 1-partition
-      // scan would both tokenize single-threaded and pin every consumer
-      // to 1 input partition (the hnswBanded lesson). The checkpoint is
-      // doc-count rows of ~25-token arrays; unlike .cache() it frees
-      // with the RDD sweep every session already runs (VERDICT r2)
-      .repartition(docsIn.sparkSession.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
+      // (4 evaluations/doc). tokenizedDocs repartitions before
+      // tokenizing, so the checkpoint materializes in parallel and every
+      // consumer inherits the spread. Unlike .cache() it frees with the
+      // RDD sweep every session already runs (VERDICT r2)
       .localCheckpoint()
     val tokDoc = docs.select(col("doc_id"), col("source"), col("n_tok"),
       col("is_delta"), explode(col("tokens")).as("tok"))
@@ -1218,6 +1218,11 @@ object DedupOps {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
     val K = 20
     val docs = Tables(s, dir, "documents")
+      // spread BEFORE the per-char hash projection: the single-file scan
+      // is one partition, so the rolling-hash pass (and everything
+      // downstream of the checkpoint) would otherwise run on one core
+      // (r18 JobProbe — the hnswBanded lesson)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .select(col("doc_id"), length(col("norm")).as("n_chars"),
         bc(graft.functions.expressions.RollingShingleHash(
@@ -1580,6 +1585,9 @@ object DedupOps {
     import graft.functions.expressions.{AffineMinHash, Md5ShingleId}
     val nHashes = 48; val bands = 8; val rowsPerBand = 6
     val docs = Tables(s, dir, "documents")
+      // spread BEFORE the shingle/minhash projections (single-file scan =
+      // one partition; the duplicateSpans note)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), split(normText(col("text")), " ").as("tokens"))
       .filter(size(col("tokens")) >= 5)
       .select(col("doc_id"),
@@ -1955,6 +1963,10 @@ object DedupOps {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
     val K = 20
     val docs = documents
+      // spread BEFORE the per-char hash projection (single-file scan =
+      // one partition; the duplicateSpans note)
+      .repartition(documents.sparkSession.sessionState.conf
+        .numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .select(col("doc_id"), col("norm"), length(col("norm")).as("n_chars"),
         bc(graft.functions.expressions.RollingShingleHash(
