@@ -505,9 +505,14 @@ object SimilarityOps {
     val emb = embeddings(s, dir)
     val isDel = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 3
     val bits = derivedBits(s, dir)
+    // banded is read 4× (artifact self-join ×2 + repair probe ×2) but NOT
+    // checkpointed (r18): since the banding spread repartition the pass is
+    // a cheap parallel map, while the eager checkpoint serialized the whole
+    // query into a job chain (A/B at 16k AQE floor: 4.5 s with / 3.1
+    // without; the pre-r18 "6.38 with / 7.34 without" reading was taken
+    // when everything ran single-core and recomputation was 4× a serial
+    // pass)
     val banded = hnswBanded(emb, bits, bandsFor(bits))
-      .localCheckpoint() // artifact self-join ×2 + repair probe ×2;
-                         // measured sf0.1 warm: 6.38 s with / 7.34 without
     val scored = hnswScore(hnswCohabit(banded, banded), emb)
     val w = Window.partitionBy(col("node"))
       .orderBy(col("ncos").desc, col("nbr"))
@@ -598,7 +603,11 @@ object SimilarityOps {
     val bits = derivedBits(s, dir)
     val banded = hnswBanded(emb, bits, bandsFor(bits))
       .localCheckpoint() // base self-join ×2 + delta probes ×3 read it;
-                         // measured sf0.1 warm: 3.81 s with / 3.88 without
+                         // re-measured r18 at the parallel banding: a wash
+                         // (1.79 s with / 1.71 without) — kept so the five
+                         // consumers stay one plan-time exchange (the
+                         // knnDeleteRepair tradeoff went the other way:
+                         // 4 reads, −1.4 s from dropping it)
     val bandedBase = banded.filter(!isIns)
     val bandedDelta = banded.filter(isIns)
     val w = Window.partitionBy(col("node"))

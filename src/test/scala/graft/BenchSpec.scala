@@ -10,6 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchSpec extends AnyFunSuite {
 
+  test("orderNames: sorted by default, fixed-seed permutation when shuffled") {
+    val names = Seq("c_q", "a_q", "b_q", "d_q", "e_q")
+    assert(Bench.orderNames(names, shuffled = false) == names.sorted)
+    val sh1 = Bench.orderNames(names, shuffled = true)
+    val sh2 = Bench.orderNames(names, shuffled = true)
+    assert(sh1 == sh2, "fixed seed: two shuffled runs must agree")
+    assert(sh1.sorted == names.sorted, "a permutation, nothing dropped")
+    assert(sh1 != names.sorted, "actually shuffled at this size")
+    // de-correlation property on the real registry: no long alphabetical
+    // run survives the shuffle (a contiguous load window can no longer
+    // flag a name-contiguous set)
+    val real = Bench.orderNames(SparkEntry.queries.keySet.toSeq, shuffled = true)
+    val maxRun = real.sliding(2).count(p => p(0) <= p(1))
+    assert(maxRun < real.size - 1, "not the sorted order")
+  }
+
   test("vs_prev_round flags only overlap queries whose min exceeds the " +
       "two-term bar") {
     val prev = Map(
