@@ -30,5 +30,30 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Session-lifecycle hygiene (OPTIMIZATION_r19 §session): a 296-query
+  // local[32] session held old-gen at 66-98% of the old 8g heap, keeping
+  // G1 in near-continuous concurrent marking (jstat: 264 concurrent
+  // cycles in 10 min) whose background threads steal CPU from the 32
+  // worker threads all session. 16g keeps occupancy under the IHOP so
+  // marking runs rarely; -Xms pins it so the heap never thrashes resize.
+  // Env-overridable as before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The live status stores (AppStatusListener + SQLAppStatusListener run
+  // even with the UI disabled) retain 1000 jobs/stages/executions by
+  // default — each SQL execution holds its full physical-plan string
+  // (ours are large enough that Spark truncates their toString), so a
+  // 296-query x 4-execution bench session accumulates hundreds of MB of
+  // dead plan text in old gen. Long-running production drivers bound
+  // these the same way; the caps are static confs, so they must be set
+  // before SparkContext construction — hence here and not in code.
+  "-Dspark.ui.retainedJobs=200",
+  "-Dspark.ui.retainedStages=200",
+  "-Dspark.ui.retainedTasks=10000",
+  "-Dspark.sql.ui.retainedExecutions=10",
+) ++
+  // Extra JVM flags for the forked run, space-separated (diagnosis hook:
+  // GC/codecache logging for full-session profiles without editing this
+  // file). Empty by default — the driver's bench runs unchanged.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))
