@@ -62,6 +62,11 @@ object TextOps {
     */
   def textQuality(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      // spread the one-partition single-file scan before the per-doc
+      // regex battery (5 regexp_counts/doc) — it otherwise runs
+      // single-task, and composites (data_card) pay it serially per leg
+      // (r19 JobProbe; the DedupOps duplicateSpans lesson)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), normText(col("text")).as("t"))
       .select(
         col("doc_id"),
@@ -131,6 +136,10 @@ object TextOps {
     val denom = nullif(regexp_count(col("t"), lit("\\S+")), lit(0))
       .cast("double")
     val measured = Tables(s, dir, "documents")
+      // spread before the ~20 regex evaluations per doc (8 stopword
+      // rlikes + 4 regexp_counts + replace) — single-task otherwise;
+      // filter_agreement's rule leg rides this (r19 JobProbe)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), normText(col("text")).as("t"))
       .select(
         col("doc_id"),
@@ -199,6 +208,10 @@ object TextOps {
     */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      // spread before the two regex token counts per doc (single-file
+      // scan = one partition; data_card/domain_reweight/dedup_keep_best
+      // all re-run this leg — r19 JobProbe)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("source"), normText(col("text")).as("t"))
       .select(col("doc_id"), col("source"),
         regexp_count(col("t"), lit("\\S+")).as("ws_tokens"),
@@ -314,6 +327,11 @@ object TextOps {
     import graft.functions.expressions.RollingShingleHash
     def grams(k: Int) = bc(RollingShingleHash(be(col("htoks")), k))
     val base = Tables(s, dir, "documents")
+      // spread before tokenize + the interpreted xxhash64 transform +
+      // rolling shingle hashes; base feeds TWO subtrees (ratios + the
+      // top-token explode), both single-task on the raw scan (r19
+      // JobProbe; the duplicateSpans lesson)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("source"),
         split(normText(col("text")), " ").as("toks"))
       .withColumn("htoks", transform(col("toks"), t => xxhash64(t)))
@@ -1003,6 +1021,9 @@ object TextOps {
   def charEntropy(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
     Tables(s, dir, "documents")
+      // spread before the per-char entropy pass (single-file scan = one
+      // partition; the duplicateSpans lesson)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), normText(col("text")).as("t"))
       .select(col("doc_id"), length(col("t")).as("n_chars"),
         round(bc(graft.functions.expressions.CharEntropy(be(col("t")))), 4)
@@ -1095,6 +1116,11 @@ object TextOps {
     */
   def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables(s, dir, "documents")
+      // spread before the posexplode: toks feeds four subtrees (bigrams,
+      // bigram counts, unigram counts, vocab), each re-tokenizing the
+      // one-partition scan single-task; doc_id matches the lead window's
+      // partition key (r19 JobProbe; the domainReweight note)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"),
         posexplode(split(normText(col("text")), " ")).as(Seq("pos", "w")))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -204,7 +204,18 @@ class PlanLintSpec extends AnyFunSuite {
     // upper bounds at sf0.001 plan time (AQE may remove, never add).
     // numbers INCLUDE the trailing deterministic orderBy's range exchange
     // (+1) where the query has one; orderBy+limit queries compile to
-    // TakeOrderedAndProject and get no such +1
+    // TakeOrderedAndProject and get no such +1.
+    // r19: budgets riding the tokenize/regex document builders
+    // (tokenCount, textQuality, gopherRules, textRepetition, charEntropy,
+    // bigramLmScore, dsirBucketsFor, pplBagsFor, nbPredictions,
+    // domainReweight) grew by one DELIBERATE scan-spread exchange per
+    // consumed subtree: the single-file one-partition documents scan
+    // pinned every per-doc regex/tokenize pass (and the map-side partial
+    // of the following aggregate) to one core (r19 JobProbe; the r18
+    // DedupOps duplicateSpans lesson). The added exchange is
+    // repartition(numShufflePartitions, doc_id) — keyed by the downstream
+    // aggregate/window key, so it is the exchange the pipeline would need
+    // anyway once the input is unsplittable.
     val budget = Map(
       "quantile_sketch" -> 2,     // per-source sketch agg (+sort)
       "events_islands" -> 2,      // ONE user_id shuffle feeds both window
@@ -260,7 +271,7 @@ class PlanLintSpec extends AnyFunSuite {
                                   // count re-keys the min agg's own
                                   // output (+sort); doc-sized merges are
                                   // AQE broadcasts
-      "token_stats" -> 2,         // per-source agg (+sort)
+      "token_stats" -> 3,         // per-source agg (+sort)
       "events_tumbling" -> 2,     // hour-bucket agg (+sort)
       "q6_forecast_revenue" -> 1, // 1-row final agg exchange, NO sort —
                                   // any added range exchange now fails
@@ -344,7 +355,7 @@ class PlanLintSpec extends AnyFunSuite {
                                   // centroid pos/label aggs + full-outer
                                   // merge + 1-row audit agg; no sort
                                   // (single-row result)
-      "token_budget_fill" -> 7,   // per-source token agg + the bounded
+      "token_budget_fill" -> 11,   // per-source token agg + the bounded
                                   // source-table window (SinglePartition
                                   // over ≤|sources| rows) + 1-row total
                                   // and level aggs (+sort)
@@ -367,7 +378,7 @@ class PlanLintSpec extends AnyFunSuite {
       "ann_truncated_recall" -> 7, // two per-query top-K windows + overlap
                                   // semi-join + per-query agg (+sort);
                                   // both rankings ride one broadcast pass
-      "quality_ablation" -> 7,    // the corpus_curation flag joins + ONE
+      "quality_ablation" -> 8,    // the corpus_curation flag joins + ONE
                                   // 15-column aggregate melted to 5 rows
                                   // (the five-way union form re-derived
                                   // the pipeline per rule: 35 exchanges)
@@ -387,11 +398,11 @@ class PlanLintSpec extends AnyFunSuite {
                                   // trailing sort only — each round itself
                                   // is shuffle-free (broadcast centers +
                                   // narrow min + 1-row max_by)
-      "domain_reweight" -> 12,    // the bigram-LM stats (doc window, pair/
+      "domain_reweight" -> 16,    // the bigram-LM stats (doc window, pair/
                                   // unigram/vocab aggs → checkpointed
                                   // per-doc loss) + token agg + the
                                   // |sources|-row weight algebra (+sort)
-      "data_card" -> 11,          // four doc-keyed flag joins + per-source
+      "data_card" -> 13,          // four doc-keyed flag joins + per-source
                                   // rollup + the bounded (source, lang)
                                   // count + argmax window + card join
                                   // (+sort) — a release-time audit, not a
@@ -407,17 +418,17 @@ class PlanLintSpec extends AnyFunSuite {
                                   // (source, word) count; pair join + JSD
                                   // agg sit on checkpointed bounded grids
                                   // (+sort)
-      "epoch_plan" -> 8,          // per-source token agg + the bounded
+      "epoch_plan" -> 12,          // per-source token agg + the bounded
                                   // rank/prefix windows + 1-row total/
                                   // flat/level aggs (+sort) — the
                                   // token_budget_fill shape
-      "tokenizer_fertility" -> 2, // doc-keyed lang join + ONE per-lang agg
+      "tokenizer_fertility" -> 3, // doc-keyed lang join + ONE per-lang agg
                                   // (+sort)
       "dedup_cluster_stats" -> 9, // CC label table (propagation behind
                                   // checkpoints) + per-cluster size agg +
                                   // histogram agg + 1-row corpus/clustered
                                   // counts (+sort)
-      "crossval_split" -> 8,      // fold map + ≤5-row volume agg; leak =
+      "crossval_split" -> 11,      // fold map + ≤5-row volume agg; leak =
                                   // two doc-keyed joins of the pair table
                                   // + ≤5-row leak agg (+sort)
       "dedup_threshold_sweep" -> 7, // ONE checkpointed pair-table read;
@@ -452,7 +463,7 @@ class PlanLintSpec extends AnyFunSuite {
                                   // path; output is probe-set-sized
       "model_eval_by_slice" -> 4, // two 1-row GD aggregates + ONE
                                   // per-source val aggregate (+sort)
-      "dedup_keep_best" -> 4,     // CC label table (propagation behind
+      "dedup_keep_best" -> 5,     // CC label table (propagation behind
                                   // checkpoints) + token join + per-cluster
                                   // argmax window (+sort)
       "ann_filtered_topk" -> 10,  // three per-query windows + survivor/
@@ -558,7 +569,7 @@ class PlanLintSpec extends AnyFunSuite {
                                   // exchange)
       "dsir_drift" -> 6,          // ONE era-conditional bucket agg +
                                   // 1-row totals (+sort)
-      "gopher_rules" -> 1,        // narrow per-row map (+sort only)
+      "gopher_rules" -> 2,        // narrow per-row map (+sort only)
       "ssl_prototypes" -> 4,      // centroid (label,dim)+label aggs +
                                   // per-label rank window (+sort)
       "contamination_semantic" -> 5, // banding spread repartition (r18)
@@ -569,7 +580,7 @@ class PlanLintSpec extends AnyFunSuite {
                                   // tail (unseeded; seam removes it)
       "cluster_quota_sample" -> 2, // ONE label-partitioned rank window
                                   // (+sort)
-      "curriculum_phases" -> 8,   // cutpoint agg + phase agg + 1-row
+      "curriculum_phases" -> 12,   // cutpoint agg + phase agg + 1-row
                                   // total (+sort); partials pre-AQE
       "filter_agreement" -> 58,   // gopher + dsir + perplexity chains +
                                   // the label artifact's inline closure
@@ -582,16 +593,16 @@ class PlanLintSpec extends AnyFunSuite {
                                   // (+sort); the bag agg plans per
                                   // consumer pre-AQE (the dsir_weights
                                   // note), runtime reuse collapses it
-      "pack_sequences" -> 3,      // ONE shard-hash window exchange +
+      "pack_sequences" -> 4,      // ONE shard-hash window exchange +
                                   // (shard,bin) agg riding it (+sort)
       "ann_band_plan" -> 4,       // 8-bit (band,bucket) occupancy agg +
                                   // (bits,band,kb) rollup over that
                                   // bounded table + bits agg (+sort) —
                                   // joins-free; the corpus is touched
                                   // by exactly ONE aggregate
-      "pack_length_batches" -> 3, // ONE length-class window exchange +
+      "pack_length_batches" -> 4, // ONE length-class window exchange +
                                   // (class,batch) agg riding it (+sort)
-      "pack_efficiency_compare" -> 6, // both packers' audited plans (one
+      "pack_efficiency_compare" -> 8, // both packers' audited plans (one
                                   // window exchange each) reduced by a
                                   // 1-row aggregate each (+union sort) —
                                   // the 2-row decision table costs the
