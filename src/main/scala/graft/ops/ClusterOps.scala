@@ -126,12 +126,23 @@ object ClusterOps {
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val jumped = labels.as("x")
-        .join(labels.select(col("id").as("rid"), col("rep").as("rrep")).as("r"),
-          col("x.rep") === col("rid"), "left")
-        .select(col("x.id").as("id"),
-          coalesce(col("rrep"), col("x.rep")).as("rep"),
-          col("x.rep").as("prev"))
+      // TWO chained jumps per materialized round (r19): against the
+      // round's entry table L this computes L∘L∘L, so label depth drops
+      // 3× per round instead of 2× — the driver pays log₃(depth) instead
+      // of log₂(depth) job/checkpoint round trips for the same per-join
+      // cost (both jumps probe the SAME node-sized entry table; `prev`
+      // rides the row, so the fixpoint test is unchanged: rep after the
+      // round vs rep at entry, and a jump past convergence is the
+      // identity, so overshooting is harmless).
+      val lookup = labels
+        .select(col("id").as("rid"), col("rep").as("rrep"))
+      def jumpOnce(from: DataFrame): DataFrame =
+        from.as("x")
+          .join(lookup.as("r"), col("x.rep") === col("rid"), "left")
+          .select(col("x.id").as("id"),
+            coalesce(col("rrep"), col("x.rep")).as("rep"), col("x.prev"))
+      val jumped = jumpOnce(jumpOnce(
+        labels.select(col("id"), col("rep"), col("rep").as("prev"))))
       // lazy checkpoint: the convergence count below is the materializing
       // action, so each round is ONE job (an eager checkpoint plus a
       // separate moved-check was two); the count must stay a FULL scan —

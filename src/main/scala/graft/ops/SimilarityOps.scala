@@ -1296,7 +1296,8 @@ object SimilarityOps {
     * count, and round inertia — the shared kernel of [[kmeansIterate]]
     * and [[kmeansConverged]].
     */
-  private[graft] def kmeansRound(emb: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def kmeansRound(emb: DataFrame, cents: DataFrame,
+      eager: Boolean = true): DataFrame =
     emb.crossJoin(broadcast(cents))
       .withColumn("dist", round(squaredDistance(col("v"), col("cv")), 6))
       .groupBy(col("vec_id"))
@@ -1310,7 +1311,11 @@ object SimilarityOps {
       .groupBy(col("cluster"), col("pos"))
       .agg(avg(col("col")).as("m"), count(lit(1)).as("n"),
         round(sum(col("min_dist")), 4).as("inertia"))
-      .localCheckpoint()
+      // eager for the fixed-round iterate (construction-runs-jobs); the
+      // convergence loop passes eager=false so its per-round scalar probe
+      // is the materializing action — ONE job per round instead of two
+      // (the ClusterOps contract-count pattern, r19)
+      .localCheckpoint(eager)
 
   /** The k-row array-form centroid table the next round broadcasts. */
   private[graft] def centsOf(byDim: DataFrame): DataFrame =
@@ -1368,7 +1373,10 @@ object SimilarityOps {
     var shift = Double.MaxValue
     while (shift >= eps && r < maxRounds) {
       r += 1
-      val byDim = kmeansRound(emb, cents)
+      // lazy checkpoint: the shift probe below materializes the round's
+      // k×d table in the SAME job that computes the scalar (was: eager
+      // checkpoint job + probe job per round)
+      val byDim = kmeansRound(emb, cents, eager = false)
       val next = centsOf(byDim)
       // 1-row scalar probe: max |Δcomponent| between consecutive rounds
       shift = next.select(col("cid"), posexplode(col("cv")).as(Seq("pos", "m")))
