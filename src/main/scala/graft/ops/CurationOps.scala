@@ -618,8 +618,8 @@ object CurationOps {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"),
         array_distinct(bc(graft.functions.expressions.RollingShingleHash(
-          be(transform(split(DedupOps.normText(col("text")), " "),
-            t => xxhash64(t))), 3))).as("fps"))
+          be(graft.functions.ArrayFunctions.xxhash64Elements(
+            split(DedupOps.normText(col("text")), " "))), 3))).as("fps"))
     val pairs = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
     val firsts = pairs.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("first_doc"))

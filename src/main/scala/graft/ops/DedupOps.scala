@@ -711,8 +711,8 @@ object DedupOps {
     val nHashes = 48; val bands = 4; val rowsPerBand = nHashes / bands
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"),
-        transform(array_distinct(split(normText(col("text")), " ")),
-          t => xxhash64(t)).as("tokens"))
+        graft.functions.ArrayFunctions.xxhash64Elements(
+          array_distinct(split(normText(col("text")), " "))).as("tokens"))
     // whole signature in one narrow pass (native MinHashSignature) — the
     // explode + groupBy + 48-min-aggregate composition shuffles every
     // (doc, token) pair; see minhashSignaturesComposed (test reference)
@@ -1226,7 +1226,8 @@ object DedupOps {
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .select(col("doc_id"), length(col("norm")).as("n_chars"),
         bc(graft.functions.expressions.RollingShingleHash(
-          be(transform(split(col("norm"), ""), c => xxhash64(c))), K))
+          be(graft.functions.ArrayFunctions.xxhash64Elements(
+            split(col("norm"), ""))), K))
           .as("fps"))
       .localCheckpoint() // feeds the explode AND the final per-doc attach
     val pos = docs.select(col("doc_id"),
@@ -1970,7 +1971,8 @@ object DedupOps {
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .select(col("doc_id"), col("norm"), length(col("norm")).as("n_chars"),
         bc(graft.functions.expressions.RollingShingleHash(
-          be(transform(split(col("norm"), ""), c => xxhash64(c))), K))
+          be(graft.functions.ArrayFunctions.xxhash64Elements(
+            split(col("norm"), ""))), K))
           .as("fps"))
       .localCheckpoint() // feeds the explode AND the final stitch attach
     val pos = docs.select(col("doc_id"),

@@ -283,8 +283,8 @@ object TextOps {
     Tables(s, dir, "documents")
       .select(col("doc_id"),
         ColumnBridge.column(graft.functions.expressions.RollingShingleHash(
-          ColumnBridge.expression(
-            transform(split(normText(col("text")), " "), t => xxhash64(t))),
+          ColumnBridge.expression(graft.functions.ArrayFunctions
+            .xxhash64Elements(split(normText(col("text")), " "))),
           K)).as("fps"))
       .select(col("doc_id"),
         size(col("fps")).as("n_shingles"),
@@ -334,7 +334,7 @@ object TextOps {
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("source"),
         split(normText(col("text")), " ").as("toks"))
-      .withColumn("htoks", transform(col("toks"), t => xxhash64(t)))
+      .withColumn("htoks", graft.functions.ArrayFunctions.xxhash64Elements(col("toks")))
       .select(col("doc_id"), col("source"), col("toks"),
         size(col("toks")).as("n_w"),
         size(array_distinct(col("toks"))).as("d_w"),

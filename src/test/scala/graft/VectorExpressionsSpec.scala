@@ -176,6 +176,34 @@ class VectorExpressionsSpec extends AnyFunSuite {
     edge.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
+  test("XxHash64Elements == transform(t => xxhash64(t)) composition, bit for bit") {
+    // corpus pass: per-token AND per-char arrays (the two query shapes)
+    val diffs = graft.ops.Tables(spark, dir, "documents")
+      .select(
+        split(DedupOps.normText(col("text")), " ").as("toks"),
+        split(DedupOps.normText(col("text")), "").as("chars"))
+      .select(
+        graft.functions.ArrayFunctions.xxhash64Elements(col("toks")).as("nt"),
+        transform(col("toks"), t => xxhash64(t)).as("ct"),
+        graft.functions.ArrayFunctions.xxhash64Elements(col("chars")).as("nc"),
+        transform(col("chars"), c => xxhash64(c)).as("cc"))
+      .filter(col("nt") =!= col("ct") || col("nc") =!= col("cc")).count()
+    assert(diffs == 0L)
+
+    // edge cases: empty array, empty string, null element (composed form
+    // hashes a null element to the seed, 42), multi-byte UTF-8
+    val edge = Seq(
+      Seq[Option[String]](),
+      Seq[Option[String]](Some("")),
+      Seq[Option[String]](Some("x"), None, Some("héllo"), Some("日本語")))
+      .toDF("a")
+      .select(
+        graft.functions.ArrayFunctions.xxhash64Elements(col("a")).as("native"),
+        transform(col("a"), t => xxhash64(t)).as("composed"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+  }
+
   test("RollingShingleHash rolling recurrence == direct polynomial per window") {
     val rnd = new scala.util.Random(42)
     val base = 1000003L
