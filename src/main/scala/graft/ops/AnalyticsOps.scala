@@ -1402,11 +1402,19 @@ object AnalyticsOps {
     var ranks = parts.crossJoin(broadcast(nParts))
       .select(col("p_partkey"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to rounds) {
-      val contrib = edges
-        .join(outdeg, "src")
+      // pre-join ranks with out-degrees into a NODE-sized weight table so
+      // the edge list is probed ONCE per round instead of twice (guide
+      // §2.3 — shuffle/probe the small proxy, not the big side twice);
+      // rank/outdeg is the same single IEEE division either way, and the
+      // dst-sum tolerates partial-order changes by the same margin the
+      // cross-engine oracle already proves (ranks re-round to 10)
+      val w = outdeg
         .join(ranks.select(col("p_partkey").as("src"), col("rank")), "src")
+        .select(col("src"), (col("rank") / col("outdeg")).as("w"))
+      val contrib = edges
+        .join(w, "src")
         .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+        .agg(sum(col("w")).as("in_sum"))
       ranks = parts
         .join(contrib, col("p_partkey") === col("dst"), "left")
         .crossJoin(broadcast(nParts))
@@ -1489,11 +1497,15 @@ object AnalyticsOps {
       .localCheckpoint()
     var ranks = parts.select(col("p_partkey"), col("tele").as("rank"))
     for (_ <- 1 to rounds) {
-      val contrib = edges
-        .join(outdeg, "src")
+      // node-sized weight pre-join — one edge-list probe per round
+      // instead of two (the pagerankIterate note)
+      val w = outdeg
         .join(ranks.select(col("p_partkey").as("src"), col("rank")), "src")
+        .select(col("src"), (col("rank") / col("outdeg")).as("w"))
+      val contrib = edges
+        .join(w, "src")
         .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+        .agg(sum(col("w")).as("in_sum"))
       ranks = parts
         .join(contrib, col("p_partkey") === col("dst"), "left")
         .select(col("p_partkey"),
