@@ -900,11 +900,20 @@ object DedupOps {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bc, expression => be}
     import graft.functions.expressions.Md5ShingleId
     val docs = documents
+      // spread BEFORE the tokenize + md5-shingle projection (single-file
+      // scan = one partition; the duplicateSpans note) and checkpoint:
+      // the shingle table feeds SIX subtrees (sizes, df, prefix, candidate
+      // posting side, two verify sides) — uncheckpointed, the digest pass
+      // re-ran single-task per subtree (r19 JobProbe: seven sequential
+      // n=1 stages of 0.4-0.9 s each)
+      .repartition(documents.sparkSession.sessionState.conf
+        .numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), split(normText(col("text")), " ").as("tokens"))
       .filter(size(col("tokens")) >= 5)
       .select(col("doc_id"),
         array_distinct(bc(Md5ShingleId(be(col("tokens")), k = 5)))
           .as("shingles"))
+      .localCheckpoint()
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sid"))
     val szs = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val dfreq = sh.groupBy("sid").agg(count(lit(1)).as("df"))

@@ -2987,7 +2987,12 @@ object SimilarityOps {
     * corpus and ≤ label-count rows respectively.
     */
   def annHubness(s: SparkSession, dir: String): DataFrame = {
+    // spread the one-partition embeddings scan before the label-block
+    // self-join: the broadcast join preserves the stream side's layout,
+    // so the whole |label-block|² dot-product pass ran single-task (r19
+    // JobProbe: a 1.0 s n=1 stage; the duplicateSpans lesson)
     val emb = embeddings(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
     val a = emb.select(col("vec_id").as("qid"), col("label"), col("v").as("qv"))
     val b = emb.select(col("vec_id").as("nid"), col("label"), col("v").as("nv"))
     val scored = a.join(b, Seq("label")).filter(col("qid") =!= col("nid"))

@@ -367,7 +367,10 @@ class PlanLintSpec extends AnyFunSuite {
                                   // (GD steps, μ/σ, ECE) + the ≤10-row bin
                                   // agg — every exchange carries ≤32
                                   // partial rows (+sort)
-      "ann_hubness" -> 5,         // label-block top-K window + occurrence
+      "ann_hubness" -> 7,         // + the r19 scan-spread exchange (plans
+                                  // once per self-join side pre-AQE;
+                                  // reuse collapses it at runtime)
+                                  // label-block top-K window + occurrence
                                   // agg + per-label profile agg + size
                                   // attach (+sort)
       "boilerplate_strip" -> 3,   // block-count agg + anti-join (exchange
