@@ -497,6 +497,10 @@ object TextOps {
     */
   def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
+      // spread before tokenize + the (interpreted) per-shingle transform:
+      // both eval and train branches re-ran it on the one-partition scan
+      // (the duplicateSpans lesson, r19)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("source"),
         split(normText(col("text")), " ").as("toks"))
     containmentScores(
@@ -641,6 +645,10 @@ object TextOps {
     */
   private[graft] def bpeWordFreq(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      // spread the one-partition scan before tokenize/explode — the
+      // map-side partial of the word-frequency aggregate otherwise runs
+      // single-task, once per BPE query (the duplicateSpans lesson, r19)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(explode(split(normText(col("text")), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("f"))
